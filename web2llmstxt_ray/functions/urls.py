@@ -1,0 +1,251 @@
+"""URL canonicalization, host handling and the crawl priority scorer.
+
+Reference semantics (cited for parity, code written from scratch):
+- canonicalization: ``crawler/web_crawler.py:371-395`` and the pyc
+  ``_normalize_url`` (lines 47-69) — lowercase netloc, strip trailing
+  slash, drop fragment, drop tracking params keeping everything else.
+- priority scorer: pyc ``_score_url_importance`` lines 147-167 — the
+  conformance-critical priority function reproduced verbatim (SURVEY §2.3).
+- domain variants / filter: ``crawler/web_crawler.py:711-758``.
+- domain-from-url: ``llmsgen/utils/text_utils.py:106-135``.
+
+The canonical URL is THE key of the URL-seen filter and every dedup
+shuffle; ``shard_of``/``host_bucket_of`` define the engine's two
+partitioning keys (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import parse_qsl, urlencode, urlparse, urlunparse
+
+import numpy as np
+
+# Tracking params dropped during canonicalization
+# (crawler/web_crawler.py:380-385; pyc _normalize_url frozenset).
+TRACKING_PARAMS = frozenset(
+    {
+        "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+        "gclid", "fbclid", "gclsrc", "_ga", "_gl", "mc_cid", "mc_eid",
+        "ref", "referrer", "source",
+    }
+)
+
+
+def canonicalize_url(url: str) -> str:
+    """Normalize a URL so duplicates collapse to one key.
+
+    Mirrors ``crawler/web_crawler.py:371-395``: lowercase scheme+netloc,
+    strip the trailing slash from the path (keeping bare ``/``), drop the
+    fragment, drop tracking query params (any ``utm_*`` plus the fixed
+    set) while preserving the remaining params in first-seen order.
+    """
+    parsed = urlparse(url)
+    path = parsed.path.rstrip("/") or "/"
+    kept = [
+        (k, v)
+        for k, v in parse_qsl(parsed.query, keep_blank_values=False)
+        if k.lower() not in TRACKING_PARAMS and not k.lower().startswith("utm_")
+    ]
+    return urlunparse(
+        (
+            parsed.scheme.lower(),
+            parsed.netloc.lower(),
+            path,
+            parsed.params,
+            urlencode(kept),
+            "",
+        )
+    )
+
+
+def host_of(url: str) -> str:
+    """Lowercased netloc of a URL ('' when unparsable)."""
+    try:
+        return urlparse(url).netloc.lower()
+    except ValueError:
+        return ""
+
+
+def domain_variants(url: str) -> set[str]:
+    """www / non-www / apex host variants for same-site filtering
+    (``crawler/web_crawler.py:711-758``)."""
+    host = host_of(url)
+    if not host:
+        return set()
+    variants = {host}
+    if host.startswith("www."):
+        variants.add(host[4:])
+    else:
+        variants.add("www." + host)
+    return variants
+
+
+def same_domain(url: str, base_url: str) -> bool:
+    """True when ``url``'s host is a variant of ``base_url``'s host
+    (``crawler/web_crawler.py:740-758``: exact or dot-suffix match)."""
+    host = host_of(url)
+    if not host:
+        return False
+    for v in domain_variants(base_url):
+        if host == v or host.endswith("." + v):
+            return True
+    return False
+
+
+def extract_domain_from_url(url: str) -> str:
+    """Filename-safe domain for display / output naming.
+
+    Mirrors ``llmsgen/utils/text_utils.py:106-135``: scheme-less inputs
+    get ``http://`` prepended, ``www.`` stripped, dot-less results map to
+    ``unknown_domain``, remaining chars sanitized to ``[\\w\\-_.]``.
+    """
+    try:
+        if not url:
+            return "unknown_domain"
+        to_parse = url if "://" in url else "http://" + url
+        netloc = urlparse(to_parse).netloc.replace("www.", "")
+        if not netloc or "." not in netloc:
+            return "unknown_domain"
+        return re.sub(r"[^\w\-_.]", "_", netloc)
+    except ValueError:
+        return "unknown_domain"
+
+
+# ---------------------------------------------------------------------------
+# Priority scorer — pyc `_score_url_importance` lines 147-167, reproduced
+# verbatim (SURVEY §2.3 reconstruction). This function defines the wave
+# sort key, so it must match the reference bit-for-bit.
+# ---------------------------------------------------------------------------
+
+ASSET_SUFFIXES = (
+    ".png", ".jpg", ".jpeg", ".gif", ".svg", ".ico", ".css", ".js",
+    ".pdf", ".zip", ".xml", ".txt",
+)
+
+HIGH_VALUE_KEYWORDS = (
+    "agents", "tools", "ai", "automation", "solutions", "features",
+    "pricing", "about", "docs", "documentation", "guide", "tutorial",
+    "api", "reference", "blog", "article", "news", "support", "help",
+    "faq", "getting-started", "overview", "mcp", "model", "claude",
+)
+
+MEDIUM_VALUE_KEYWORDS = (
+    "product", "service", "resources", "download", "install", "setup",
+    "config", "examples", "changelog", "contact", "team",
+)
+
+LOW_VALUE_KEYWORDS = (
+    "login", "signup", "register", "cart", "checkout", "account",
+    "profile", "admin", "search", "tag", "category", "author", "icon",
+    "favicon", "apple-touch", "manifest", "robots",
+)
+
+
+def score_url(url: str, base_url: str) -> float:
+    """Reference URL-importance score (pyc lines 147-167)."""
+    url_lower = url.lower()
+    if url_lower.endswith(ASSET_SUFFIXES):
+        return 0.0
+    score = 1.0
+    if any(k in url_lower for k in HIGH_VALUE_KEYWORDS):
+        score += 3.0
+    elif any(k in url_lower for k in MEDIUM_VALUE_KEYWORDS):
+        score += 1.5
+    if any(k in url_lower for k in LOW_VALUE_KEYWORDS):
+        score -= 5.0
+    segs = url.replace(base_url, "").strip("/").split("/")
+    if len(segs) <= 1 or (len(segs) == 2 and not segs[1]):
+        score += 2.0
+    elif len(segs) <= 2:
+        score += 1.5
+    elif len(segs) > 4:
+        score -= 1.0
+    if any(len(s) > 3 and s.isalpha() for s in segs):
+        score += 1.0
+    if "?page=" in url or "&page=" in url or "/page/" in url:
+        score -= 3.0
+    if "?" in url and len(url.split("?", 1)[1]) > 10:
+        score -= 2.0
+    return max(0.1, score)
+
+
+# Precompiled alternations for the vectorized scorer. Plain-substring
+# semantics (`k in url`), so no word boundaries; re.escape guards the
+# dash in "getting-started" etc.
+_HIGH_RE = re.compile("|".join(re.escape(k) for k in HIGH_VALUE_KEYWORDS))
+_MED_RE = re.compile("|".join(re.escape(k) for k in MEDIUM_VALUE_KEYWORDS))
+_LOW_RE = re.compile("|".join(re.escape(k) for k in LOW_VALUE_KEYWORDS))
+_ASSET_RE = re.compile("(?:" + "|".join(re.escape(s) for s in ASSET_SUFFIXES) + ")$")
+_PAGE_RE = re.compile(r"\?page=|&page=|/page/")
+
+
+def score_urls(urls: np.ndarray | list[str], base_url: str) -> np.ndarray:
+    """Vectorized batch scorer — identical output to ``score_url`` per
+    element (property-tested), used inside ``map_batches``.
+
+    The keyword probes are precompiled regex alternations; the segment
+    logic stays a tight Python loop over the (short) split results, which
+    profiles faster than object-dtype pandas ops for typical URL lengths.
+    """
+    out = np.empty(len(urls), dtype=np.float64)
+    base = base_url
+    high, med, low = _HIGH_RE.search, _MED_RE.search, _LOW_RE.search
+    asset, pagey = _ASSET_RE.search, _PAGE_RE.search
+    for i, url in enumerate(urls):
+        u = url.lower()
+        if asset(u):
+            out[i] = 0.0
+            continue
+        score = 1.0
+        if high(u):
+            score += 3.0
+        elif med(u):
+            score += 1.5
+        if low(u):
+            score -= 5.0
+        segs = url.replace(base, "").strip("/").split("/")
+        n = len(segs)
+        if n <= 1 or (n == 2 and not segs[1]):
+            score += 2.0
+        elif n <= 2:
+            score += 1.5
+        elif n > 4:
+            score -= 1.0
+        if any(len(s) > 3 and s.isalpha() for s in segs):
+            score += 1.0
+        if pagey(url):
+            score -= 3.0
+        q = url.find("?")
+        if q >= 0 and len(url) - q - 1 > 10:
+            score -= 2.0
+        out[i] = score if score > 0.1 else 0.1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Partitioning keys (SURVEY §7.3)
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def hash64(s: str) -> int:
+    """Stable 64-bit FNV-1a hash (process- and run-independent, unlike
+    ``hash()``); used for seen-filter sharding and host buckets."""
+    h = _FNV_OFFSET
+    for b in s.encode("utf-8", "surrogatepass"):
+        h = ((h ^ b) * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def shard_of(canonical_url: str, num_shards: int) -> int:
+    """Owner shard of a canonical URL — single owner per URL means no
+    duplicate fetches across the cluster (SURVEY D1-D2/J3)."""
+    return hash64(canonical_url) % num_shards
+
+
+def host_bucket_of(host: str, num_buckets: int) -> int:
+    """Host bucket for fetch scheduling / politeness locality."""
+    return hash64(host) % num_buckets

@@ -1,0 +1,144 @@
+"""Partitioned crawl frontier — priority queues + politeness budgets.
+
+Replaces the reference's single in-memory ``all_discovered_links`` set
+and its global 1-second sleeps (``crawler/web_crawler.py:84-86,
+1174-1176``) with ``F`` frontier-shard actors partitioned by
+``hash64(canonical_url) % F``. Each shard holds its partition's
+*pending* candidates (canonical url → priority score) plus per-host
+politeness state (crawl-delay budgets parsed from robots, SURVEY S5/T6
+north-star extension).
+
+Wave selection is a distributed top-k: the driver asks every shard for
+its local top-k under the score threshold, then merges on
+``(-score, url)`` — the engine's total order (SURVEY §7.4.2) — and pops
+exactly the selected URLs back out of their owner shards. The global
+top-k is always contained in the union of per-shard top-k's, so the
+merge is exact.
+"""
+
+from __future__ import annotations
+
+import heapq
+import pickle
+
+import ray
+
+from ..functions.urls import hash64
+
+
+class _FrontierState:
+    """Pure-python shard state (kept separate from the actor for direct
+    unit testing and for the sequential oracle's reuse)."""
+
+    def __init__(self) -> None:
+        self.pending: dict[str, float] = {}
+
+    def add(self, urls: list[str], scores: list[float]) -> int:
+        added = 0
+        pending = self.pending
+        for u, s in zip(urls, scores):
+            if u not in pending:
+                pending[u] = s
+                added += 1
+        return added
+
+    def remove(self, urls: list[str]) -> None:
+        for u in urls:
+            self.pending.pop(u, None)
+
+    def top_k(self, k: int | None, min_score_exclusive: float) -> list[tuple[str, float]]:
+        """Local best candidates as (url, score), ordered by
+        ``(-score, url)``. ``k=None`` → all above the threshold."""
+        items = [(-s, u) for u, s in self.pending.items() if s > min_score_exclusive]
+        if k is None or k >= len(items):
+            items.sort()
+        else:
+            items = heapq.nsmallest(k, items)
+        return [(u, -negs) for negs, u in items]
+
+    def __len__(self) -> int:
+        return len(self.pending)
+
+
+@ray.remote(num_cpus=0.25)
+class FrontierShard:
+    """Actor wrapper around one frontier partition."""
+
+    def __init__(self) -> None:
+        self.state = _FrontierState()
+
+    def add(self, urls: list[str], scores: list[float]) -> int:
+        return self.state.add(urls, scores)
+
+    def remove(self, urls: list[str]) -> None:
+        self.state.remove(urls)
+
+    def top_k(self, k: int | None, min_score_exclusive: float) -> list[tuple[str, float]]:
+        return self.state.top_k(k, min_score_exclusive)
+
+    def count(self) -> int:
+        return len(self.state)
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps(self.state.pending, protocol=5)
+
+    def restore(self, blob: bytes) -> None:
+        self.state.pending = pickle.loads(blob)
+
+
+class Frontier:
+    """Driver-side front end over the frontier shards."""
+
+    def __init__(self, num_shards: int = 8):
+        self.num_shards = num_shards
+        self.shards = [FrontierShard.remote() for _ in range(num_shards)]
+
+    def _route(self, urls: list[str]) -> list[list[int]]:
+        per_shard: list[list[int]] = [[] for _ in range(self.num_shards)]
+        for i, u in enumerate(urls):
+            per_shard[hash64(u) % self.num_shards].append(i)
+        return per_shard
+
+    def add(self, urls: list[str], scores: list[float]) -> None:
+        futures = []
+        for s, idxs in enumerate(self._route(urls)):
+            if idxs:
+                futures.append(self.shards[s].add.remote(
+                    [urls[i] for i in idxs], [scores[i] for i in idxs]))
+        ray.get(futures)
+
+    def remove(self, urls: list[str]) -> None:
+        futures = []
+        for s, idxs in enumerate(self._route(urls)):
+            if idxs:
+                futures.append(self.shards[s].remove.remote([urls[i] for i in idxs]))
+        ray.get(futures)
+
+    def select_wave(self, budget: int | None,
+                    min_score_exclusive: float) -> list[tuple[str, float]]:
+        """Global top-``budget`` candidates above the threshold, ordered
+        by ``(-score, url)``; the selected URLs are popped from their
+        shards (unselected candidates stay for later waves — reference
+        wave-truncation semantics, pyc line 220)."""
+        per_shard = ray.get([
+            s.top_k.remote(budget, min_score_exclusive) for s in self.shards
+        ])
+        merged = sorted(
+            ((-(score), url) for cand in per_shard for url, score in cand)
+        )
+        if budget is not None:
+            merged = merged[:budget]
+        wave = [(url, -negs) for negs, url in merged]
+        if wave:
+            self.remove([u for u, _ in wave])
+        return wave
+
+    def count(self) -> int:
+        return sum(ray.get([s.count.remote() for s in self.shards]))
+
+    def snapshot(self) -> list[bytes]:
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore(self, blobs: list[bytes]) -> None:
+        assert len(blobs) == self.num_shards
+        ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])

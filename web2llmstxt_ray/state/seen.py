@@ -1,0 +1,330 @@
+"""Sharded URL-seen filter — the distributed replacement for the
+reference's in-memory ``crawled_urls`` / ``all_discovered_links`` sets
+(pyc ``discover_all_links_first`` locals; ``crawler/web_crawler.py:84-86``).
+
+Design (north-star): the seen set is partitioned across ``S`` shard
+actors by ``hash64(canonical_url) % S`` — a single owner per URL means a
+URL can never be fetched twice anywhere in the cluster. Each shard runs
+one of three membership structures:
+
+- ``exact``  — a Python set. Used for conformance tests and any scale
+  where ~100 B/url is acceptable.
+- ``cuckoo`` — a partial-key cuckoo filter (4-slot buckets, 16-bit
+  fingerprints ≈ 18 bits/key at 95% load): the 10^10-URL design point
+  (~20 GB cluster-wide). Deletions unused; lookups O(2 buckets).
+- ``bloom``  — a plain k-hash bloom bit array: the degraded/spill mode
+  for cold partitions (smaller, no eviction cascades, higher FP rate).
+
+Approximate modes trade false positives (a *new* URL reported as seen ⇒
+skipped) for memory — never false negatives — so conformance suites run
+shards in exact mode and the approximate modes are property-tested for
+FP rate separately (BASELINE.md / SURVEY §7.4.3).
+
+The driver-side :class:`SeenFilter` routes batches to owner shards and
+reassembles masks in input order; all membership calls are batched
+(one RPC per shard per wave, not per URL).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import ray
+
+from ..functions.urls import hash64
+
+_FP_MASK = np.uint64(0xFFFF)
+
+
+def _hash_batch(urls: list[str]) -> np.ndarray:
+    """Stable 64-bit hashes for a batch of URLs."""
+    return np.fromiter((hash64(u) for u in urls), dtype=np.uint64, count=len(urls))
+
+
+class _ExactSet:
+    def __init__(self, capacity: int):
+        self.items: set[int] = set()
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.empty(len(hashes), dtype=bool)
+        items = self.items
+        for i, h in enumerate(hashes.tolist()):
+            if h in items:
+                out[i] = False
+            else:
+                items.add(h)
+                out[i] = True
+        return out
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        items = self.items
+        return np.fromiter((h in items for h in hashes.tolist()), dtype=bool,
+                           count=len(hashes))
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def dump(self) -> bytes:
+        return pickle.dumps(self.items, protocol=5)
+
+    @classmethod
+    def load(cls, blob: bytes) -> "_ExactSet":
+        obj = cls(0)
+        obj.items = pickle.loads(blob)
+        return obj
+
+
+class _Bloom:
+    """k-hash bloom over a numpy bit array; hashes derived from the one
+    64-bit key by the Kirsch-Mitzenmacher double-hashing trick."""
+
+    K = 7
+
+    def __init__(self, capacity: int):
+        nbits = max(64, int(capacity * 9.6))  # ~1% FP at design load
+        self.nbits = np.uint64(nbits)
+        self.bits = np.zeros((nbits + 7) // 8, dtype=np.uint8)
+        self.n = 0
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        h1 = hashes
+        h2 = (hashes >> np.uint64(32)) | np.uint64(1)
+        ks = np.arange(self.K, dtype=np.uint64)[:, None]
+        return (h1[None, :] + ks * h2[None, :]) % self.nbits  # (K, n)
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        pos = self._positions(hashes)
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        bit = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        present = ((self.bits[byte_idx] & bit) != 0).all(axis=0)
+        new = ~present
+        # intra-batch duplicates: only the first occurrence counts as new
+        _, first_idx = np.unique(hashes, return_index=True)
+        first = np.zeros(len(hashes), dtype=bool)
+        first[first_idx] = True
+        new &= first
+        if new.any():
+            nb = byte_idx[:, new].ravel()
+            nbit = bit[:, new].ravel()
+            np.bitwise_or.at(self.bits, nb, nbit)
+            self.n += int(new.sum())
+        return new
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        pos = self._positions(hashes)
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        bit = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return ((self.bits[byte_idx] & bit) != 0).all(axis=0)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def dump(self) -> bytes:
+        return pickle.dumps((int(self.nbits), self.n, self.bits), protocol=5)
+
+    @classmethod
+    def load(cls, blob: bytes) -> "_Bloom":
+        nbits, n, bits = pickle.loads(blob)
+        obj = cls.__new__(cls)
+        obj.nbits = np.uint64(nbits)
+        obj.bits = bits
+        obj.n = n
+        return obj
+
+
+class _Cuckoo:
+    """Partial-key cuckoo filter: buckets of 4 × 16-bit fingerprints.
+
+    fp(x) = top 16 bits of hash64 (0 remapped to 1 so 0 can mean
+    "empty"); i1 = h mod nb; i2 = i1 XOR (fp * 0x5bd1e995) mod nb —
+    the standard partial-key alternate-bucket scheme, so either bucket
+    is recoverable from (the other bucket, fp). Insertions kick up to
+    500 times then land in a tiny overflow set (exactness preserved;
+    overflow growth signals the shard needs resizing/spilling).
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int):
+        nb = max(8, int(capacity / self.SLOTS / 0.95))
+        nb = 1 << int(np.ceil(np.log2(nb)))  # power of two for cheap mod
+        self.nb = nb
+        self.table = np.zeros((nb, self.SLOTS), dtype=np.uint16)
+        # (bucket, fp) pairs left homeless by failed kick chains; in a
+        # partial-key filter (bucket, fp) determines the other bucket,
+        # so membership stays checkable with no false negatives
+        self.overflow: set[tuple[int, int]] = set()
+        self.n = 0
+        self._rng = np.random.RandomState(0xC0FFEE)  # deterministic kicks
+
+    def _fp(self, h: np.ndarray) -> np.ndarray:
+        fp = (h >> np.uint64(48)).astype(np.uint16)
+        fp[fp == 0] = 1
+        return fp
+
+    def _i1(self, h: np.ndarray) -> np.ndarray:
+        return (h & np.uint64(self.nb - 1)).astype(np.int64)
+
+    def _alt(self, i: np.ndarray | int, fp: np.ndarray | int):
+        return (i ^ (np.int64(fp) * np.int64(0x5BD1E995))) & (self.nb - 1)
+
+    def _bucket_has(self, i: int, fp: int) -> bool:
+        return bool((self.table[i] == fp).any())
+
+    def _try_insert(self, i: int, fp: int) -> bool:
+        row = self.table[i]
+        empty = np.flatnonzero(row == 0)
+        if len(empty):
+            row[empty[0]] = fp
+            return True
+        return False
+
+    def _insert(self, h: int) -> None:
+        fp = (h >> 48) & 0xFFFF or 1
+        i1 = h & (self.nb - 1)
+        i2 = int(self._alt(i1, fp))
+        if self._try_insert(i1, fp) or self._try_insert(i2, fp):
+            return
+        i = i1 if (h & 1) else i2
+        cur = fp
+        for _ in range(self.MAX_KICKS):
+            slot = int(self._rng.randint(self.SLOTS))
+            cur, self.table[i, slot] = int(self.table[i, slot]), cur
+            i = int(self._alt(i, cur))
+            if self._try_insert(i, cur):
+                return
+        self.overflow.add((i, cur))
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        fp = self._fp(hashes)
+        i1 = self._i1(hashes)
+        i2 = self._alt(i1, fp)
+        hit1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        hit2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        out = hit1 | hit2
+        if self.overflow:
+            ov = self.overflow
+            for j in np.flatnonzero(~out):
+                if (int(i1[j]), int(fp[j])) in ov or (int(i2[j]), int(fp[j])) in ov:
+                    out[j] = True
+        return out
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        new = ~self.contains(hashes)
+        # sequential insert for the new ones (duplicates within the batch
+        # must dedupe too)
+        seen_in_batch: set[int] = set()
+        for idx in np.flatnonzero(new):
+            h = int(hashes[idx])
+            if h in seen_in_batch:
+                new[idx] = False
+                continue
+            seen_in_batch.add(h)
+            self._insert(h)
+            self.n += 1
+        return new
+
+    def __len__(self) -> int:
+        return self.n
+
+    def dump(self) -> bytes:
+        return pickle.dumps((self.nb, self.table, self.overflow, self.n), protocol=5)
+
+    @classmethod
+    def load(cls, blob: bytes) -> "_Cuckoo":
+        nb, table, overflow, n = pickle.loads(blob)
+        obj = cls.__new__(cls)
+        obj.nb = nb
+        obj.table = table
+        obj.overflow = overflow
+        obj.n = n
+        obj._rng = np.random.RandomState(0xC0FFEE)
+        return obj
+
+
+_BACKENDS = {"exact": _ExactSet, "bloom": _Bloom, "cuckoo": _Cuckoo}
+
+
+@ray.remote(num_cpus=0.25)
+class SeenFilterShard:
+    """One membership shard; all APIs take/return whole batches."""
+
+    def __init__(self, mode: str = "exact", capacity: int = 1 << 20):
+        self.mode = mode
+        self.impl = _BACKENDS[mode](capacity)
+
+    def check_and_add(self, urls: list[str]) -> np.ndarray:
+        """True per URL ⇔ the URL was new (and is now marked seen)."""
+        return self.impl.check_and_add(_hash_batch(urls))
+
+    def contains(self, urls: list[str]) -> np.ndarray:
+        return self.impl.contains(_hash_batch(urls))
+
+    def count(self) -> int:
+        return len(self.impl)
+
+    def snapshot(self) -> bytes:
+        return pickle.dumps((self.mode, self.impl.dump()), protocol=5)
+
+    def restore(self, blob: bytes) -> None:
+        mode, payload = pickle.loads(blob)
+        self.mode = mode
+        self.impl = _BACKENDS[mode].load(payload)
+
+
+class SeenFilter:
+    """Driver-side front end over ``num_shards`` shard actors.
+
+    Routing key: ``hash64(url) % num_shards`` (SURVEY §7.3 — the same
+    hash the shard uses internally is fine: shard choice uses the value
+    mod S, the structures use other bit ranges).
+    """
+
+    def __init__(self, num_shards: int = 8, mode: str = "exact",
+                 capacity_per_shard: int = 1 << 20):
+        self.num_shards = num_shards
+        self.mode = mode
+        self.shards = [
+            SeenFilterShard.remote(mode=mode, capacity=capacity_per_shard)
+            for _ in range(num_shards)
+        ]
+
+    def _route(self, urls: list[str]):
+        owners = [hash64(u) % self.num_shards for u in urls]
+        per_shard: list[list[int]] = [[] for _ in range(self.num_shards)]
+        for i, o in enumerate(owners):
+            per_shard[o].append(i)
+        return per_shard
+
+    def _scatter_gather(self, urls: list[str], method: str) -> np.ndarray:
+        per_shard = self._route(urls)
+        futures, idx_lists = [], []
+        for s, idxs in enumerate(per_shard):
+            if idxs:
+                futures.append(getattr(self.shards[s], method).remote(
+                    [urls[i] for i in idxs]))
+                idx_lists.append(idxs)
+        out = np.zeros(len(urls), dtype=bool)
+        for idxs, mask in zip(idx_lists, ray.get(futures)):
+            out[idxs] = mask
+        return out
+
+    def check_and_add(self, urls: list[str]) -> np.ndarray:
+        """Batch test-and-set across shards; True = newly seen."""
+        return self._scatter_gather(urls, "check_and_add")
+
+    def contains(self, urls: list[str]) -> np.ndarray:
+        return self._scatter_gather(urls, "contains")
+
+    def count(self) -> int:
+        return sum(ray.get([s.count.remote() for s in self.shards]))
+
+    def snapshot(self) -> list[bytes]:
+        """Per-shard snapshots (written to the wave checkpoint)."""
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore(self, blobs: list[bytes]) -> None:
+        assert len(blobs) == self.num_shards
+        ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])
