@@ -2,9 +2,23 @@
 
 Reproduces the reference's sequential crawl loop (pyc
 ``discover_all_links_first`` lines 169-249, SURVEY §2.3) as a
-wave-synchronized Ray pipeline that yields the SAME visit order, URL-seen
-set, page records and span documents as ``pipelines.oracle.crawl_oracle``
-— while fetching each wave in parallel.
+wave-synchronized distributed pipeline that yields the SAME visit order,
+URL-seen set, page records and span documents as
+``pipelines.oracle.crawl_oracle`` — while fetching each wave in parallel.
+
+Architecture note — why persistent actors and not per-wave Datasets:
+the wave loop is an *iterative, stateful* computation (frontier shards,
+seen shards, per-host politeness clocks, fetch sessions) with a barrier
+per wave. Ray Data expresses single-pass streaming pipelines superbly
+but cannot keep an actor pool alive across executions, so a
+Dataset-per-wave design pays pool spin-up for every wave (measured ~6 s
+per wave at test scale vs <0.2 s with persistent actors). Hence the
+wave machinery runs on a fixed pool of ``CrawlWorker`` actors — exactly
+the "raw actors where the Dataset API genuinely can't express the
+semantics" carve-out — while the engine's bulk paths (seed-list /
+sitemap crawls, span extraction over corpora, llms.txt assembly,
+training-data ops) are ordinary Ray Data ``map_batches`` pipelines
+(see ``pipelines.urllist``, ``pipelines.llms``, ``ops``).
 
 Per wave:
 
@@ -12,32 +26,28 @@ Per wave:
    score threshold, ordered by the total order ``(-score, url)``
    (``state.frontier.Frontier.select_wave``). Budget =
    ``safety_limit - pages_so_far`` (non-comprehensive) or unbounded.
-2. **Fetch** — the wave becomes a Ray ``Dataset`` with one block per
-   host bucket (explicit hash partitioning on
-   ``host_bucket = hash64(host) % B`` kills per-domain skew and gives
-   politeness locality); ``map_batches`` over a fetch actor pool, whole
-   block per batch so one actor owns each host bucket's pacing
-   (crawl-delay budget between same-host fetches). Speculative: the
-   whole wave is fetched in parallel. The result is materialized ONCE
-   (wave-sized working set) and consumed three times below without
-   re-execution — so a URL is never fetched twice.
-3. **Decide** — the driver pulls only ``(wave_rank, url, success,
-   word_count, score)`` — a few bytes per URL — and replays acceptance
-   in rank order: the mid-wave safety cutoff (pyc line 227) depends on
-   *accepted* counts, so acceptance is decided sequentially even though
-   fetching wasn't (SURVEY §7.4.1). URLs at or before the cutoff are
-   marked in the seen filter (even failures — pyc lines 232-233); URLs
-   past the cutoff are returned to the frontier untouched.
-4. **Commit** — accepted rows get ``visit_index`` / ``discovery_phase``
-   attached inside ``map_batches`` (broadcast decision dict) and are
-   written as per-wave Parquet partitions (page records + span
-   documents) — the resumable layout; content never lands on the
-   driver.
-5. **Expand** — links are extracted from accepted pages inside
-   ``map_batches`` (never on the driver), admitted (same-domain +
-   robots-disallow + score threshold), checked against the seen shards
-   and pushed straight into the frontier shards from the worker tasks.
-6. **Checkpoint** — frontier + seen snapshots and wave metrics are
+2. **Fetch** — wave URLs are partitioned by ``host_bucket =
+   hash64(host) % B`` and each bucket goes to its OWNER worker
+   (``bucket % num_workers`` — stable across waves, so per-host
+   politeness clocks live in exactly one place). Workers fetch their
+   buckets in parallel — speculatively, the whole wave — keep the full
+   page payloads in actor memory, and return only a small
+   ``(wave_rank, url, success, word_count, score)`` frame.
+3. **Decide** — the driver replays acceptance in rank order over the
+   small frames: the mid-wave safety cutoff (pyc line 227) depends on
+   *accepted* counts, so acceptance is sequential even though fetching
+   wasn't (SURVEY §7.4.1). URLs at or before the cutoff are marked in
+   the seen filter (even failures — pyc lines 232-233); URLs past the
+   cutoff are returned to the frontier untouched.
+4. **Commit + Expand** — each worker, for its own bucket's accepted
+   rows: attaches ``visit_index``/``discovery_phase`` (broadcast
+   decision dict), writes per-wave/per-bucket Parquet partitions of
+   page records and span documents (the resumable layout — page
+   payloads never touch the driver), extracts + admits links
+   (same-domain, robots-disallow, score threshold), drops already-seen
+   URLs against the seen shards and pushes survivors straight into the
+   frontier shards. Link traffic never funnels through the driver.
+5. **Checkpoint** — frontier + seen snapshots and wave metrics are
    committed with an atomic manifest pointer written last; resume
    replays from the last committed wave with zero refetches
    (SURVEY §7.4.6).
@@ -54,7 +64,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
-import ray.data
 
 from .. import schema as S
 from ..functions.links import extract_links
@@ -64,15 +73,6 @@ from ..stages.spans import extract_spans
 from ..state.frontier import Frontier
 from ..state.seen import SeenFilter
 from .oracle import MAIN_PAGE_SCORE, MIN_WORDS, admit_links
-
-_FETCH_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()), ("success", pa.bool_()), ("title", pa.string()),
-        ("content", pa.large_string()), ("html", pa.large_string()),
-        ("word_count", pa.int64()), ("score", pa.float64()),
-        ("depth", pa.int32()), ("wave_rank", pa.int64()),
-    ]
-)
 
 
 @dataclass
@@ -84,8 +84,8 @@ class CrawlConfig:
     respect_robots: bool = True
     num_seen_shards: int = 4
     num_frontier_shards: int = 4
-    num_host_buckets: int = 8
-    fetch_concurrency: int = 4
+    num_host_buckets: int = 16
+    num_workers: int = 4
     seen_mode: str = "exact"          # exact | bloom | cuckoo
     session_id: str = "ray_crawl"
     run_dir: str | None = None         # checkpoint root; None = no checkpoints
@@ -105,41 +105,6 @@ class CrawlConfig:
         return 0.0 if self.comprehensive else 1.0   # pyc line 218
 
 
-class _WaveFetcher(MockFetcher):
-    """Fetch actor for wave batches: mock fetch + per-host politeness
-    pacing + optional fetch logging (tests), carrying ``wave_rank``
-    through alongside the fetch results."""
-
-    def __init__(self, site_ref, host_delays_ms=None, fetch_log=None):
-        super().__init__(site_ref)
-        self.host_delays_ms = host_delays_ms or {}
-        self.fetch_log = fetch_log
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        scores = batch.column("score").to_pylist()
-        depths = batch.column("depth").to_pylist()
-        ranks = batch.column("wave_rank").to_pylist()
-        last_fetch_by_host: dict[str, float] = {}
-        rows = []
-        for u, s, d, r in zip(urls, scores, depths, ranks):
-            host = host_of(u)
-            delay = self.host_delays_ms.get(host, 0) / 1000.0
-            if delay > 0:
-                prev = last_fetch_by_host.get(host)
-                if prev is not None:
-                    wait = prev + delay - time.monotonic()
-                    if wait > 0:
-                        time.sleep(wait)
-                last_fetch_by_host[host] = time.monotonic()
-            row = self.fetch_one(u, s, d)
-            row["wave_rank"] = r
-            rows.append(row)
-        if self.fetch_log is not None:
-            self.fetch_log.log.remote(urls)
-        return pa.Table.from_pylist(rows, schema=_FETCH_SCHEMA)
-
-
 @ray.remote(num_cpus=0)
 class FetchLog:
     """Test-support actor recording every fetched URL (used by the
@@ -155,119 +120,146 @@ class FetchLog:
         return self.urls
 
 
-class _PageCommitter:
-    """``map_batches`` stage attaching visit_index/phase to ACCEPTED rows
-    and dropping the rest; emits ``PAGE_RECORDS`` batches."""
+@ray.remote
+class CrawlWorker:
+    """One member of the persistent fetch/extract/commit pool.
 
-    def __init__(self, accepted_ref, session_id: str, phase: str, ts_us: int):
-        self.accepted: dict[str, int] = (
-            ray.get(accepted_ref) if isinstance(accepted_ref, ray.ObjectRef)
-            else accepted_ref
-        )
-        self.session_id = session_id
-        self.phase = phase
-        self.ts_us = ts_us
+    Holds, for its lifetime: the fetch session (here the broadcast mock
+    site index — in production a browser/HTTP client, reference T5
+    ``crawler/web_crawler.py:101,293``), per-host politeness clocks
+    (hosts are pinned to workers via ``host_bucket % num_workers``, so
+    a host's crawl-delay budget is enforced by exactly one clock), and
+    the current wave's fetched payloads (consumed by the commit step
+    without a round trip through the driver or the object store).
+    """
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        mask = pa.array([u in self.accepted for u in urls])
-        acc = batch.filter(mask)
-        kept = acc.column("url").to_pylist()
-        n = len(kept)
-        return pa.Table.from_arrays(
-            [
-                acc.column("url"), acc.column("title"), acc.column("content"),
-                acc.column("word_count"), acc.column("score"), acc.column("depth"),
-                pa.array([self.session_id] * n, pa.string()),
-                pa.array([self.ts_us] * n, pa.timestamp("us")),
-                pa.array([self.phase] * n, pa.string()),
-                pa.array([self.accepted[u] for u in kept], pa.int64()),
-            ],
-            schema=S.PAGE_RECORDS,
-        )
-
-
-class _SpanCommitter(_PageCommitter):
-    """Accepted rows → ``SPAN_DOCUMENTS`` batches (doc_id, spans)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        mask = pa.array([u in self.accepted for u in urls])
-        acc = batch.filter(mask)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": acc.column("url").to_pylist(),
-                "spans": [extract_spans(c or "")
-                          for c in acc.column("content").to_pylist()],
-            },
-            schema=S.SPAN_DOCUMENTS,
-        )
-
-
-class LinkAdmitter:
-    """``map_batches`` stage running wave expansion fully on workers: for
-    each ACCEPTED page row, extract links, apply admission rules, score,
-    drop already-seen URLs, and push the survivors to their owner
-    frontier shards directly — the driver never touches link traffic
-    (SURVEY §7.3: link dedup / seen routing shuffle)."""
-
-    def __init__(self, base_url: str, disallow_by_host: dict | None,
-                 accepted_ref, seen_shards, frontier_shards,
-                 score_threshold: float):
+    def __init__(self, site_ref, base_url: str, disallow: dict | None,
+                 host_delays_ms: dict, score_threshold: float,
+                 session_id: str, ts_us: int,
+                 seen_shards, frontier_shards, fetch_log=None):
+        self.fetcher = MockFetcher(site_ref)
         self.base_url = base_url
-        self.disallow = disallow_by_host
-        self.accepted: dict[str, int] = (
-            ray.get(accepted_ref) if isinstance(accepted_ref, ray.ObjectRef)
-            else accepted_ref
-        )
+        self.disallow = disallow
+        self.host_delays_ms = host_delays_ms or {}
+        self.threshold = score_threshold
+        self.session_id = session_id
+        self.ts_us = ts_us
         self.seen_shards = seen_shards
         self.frontier_shards = frontier_shards
-        self.threshold = score_threshold
+        self.fetch_log = fetch_log
+        self.last_fetch_by_host: dict[str, float] = {}
+        self._wave: list[dict] = []          # this wave's fetched payloads
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        contents = batch.column("content").to_pylist()
+    def fetch(self, urls: list[str], scores: list[float], ranks: list[int],
+              depth: int) -> pa.Table:
+        """Fetch a wave slice (politeness-paced per host); keep payloads
+        locally, return only the small decision frame."""
+        rows = []
+        for u, s, r in zip(urls, scores, ranks):
+            host = host_of(u)
+            delay = self.host_delays_ms.get(host, 0) / 1000.0
+            if delay > 0:
+                prev = self.last_fetch_by_host.get(host)
+                if prev is not None:
+                    wait = prev + delay - time.monotonic()
+                    if wait > 0:
+                        time.sleep(wait)
+                self.last_fetch_by_host[host] = time.monotonic()
+            row = self.fetcher.fetch_one(u, s, depth)
+            row["wave_rank"] = r
+            rows.append(row)
+        if self.fetch_log is not None:
+            self.fetch_log.log.remote(urls)
+        self._wave.extend(rows)
+        return pa.table({
+            "wave_rank": pa.array([r["wave_rank"] for r in rows], pa.int64()),
+            "url": [r["url"] for r in rows],
+            "success": [r["success"] for r in rows],
+            "word_count": pa.array([r["word_count"] for r in rows], pa.int64()),
+            "score": pa.array([r["score"] for r in rows], pa.float64()),
+        })
 
-        candidates: dict[str, float] = {}
-        for u, h, c in zip(urls, htmls, contents):
-            if u not in self.accepted:
-                continue
-            links = admit_links(
-                extract_links(u, h, c, self.base_url), self.base_url, self.disallow
+    def commit_and_expand(self, accepted: dict[str, int], depth: int,
+                          phase: str, wave_dir: str | None,
+                          expand: bool) -> dict:
+        """Write this worker's accepted rows (pages + spans Parquet) and
+        push admitted fresh links into the frontier shards."""
+        rows = self._wave
+        self._wave = []
+        acc_rows = [r for r in rows if r["url"] in accepted]
+
+        if wave_dir and acc_rows:
+            os.makedirs(wave_dir, exist_ok=True)
+            n = len(acc_rows)
+            pages = pa.Table.from_arrays(
+                [
+                    pa.array([r["url"] for r in acc_rows], pa.string()),
+                    pa.array([r["title"] for r in acc_rows], pa.string()),
+                    pa.array([r["content"] for r in acc_rows], pa.large_string()),
+                    pa.array([r["word_count"] for r in acc_rows], pa.int64()),
+                    pa.array([r["score"] for r in acc_rows], pa.float64()),
+                    pa.array([r["depth"] for r in acc_rows], pa.int32()),
+                    pa.array([self.session_id] * n, pa.string()),
+                    pa.array([self.ts_us] * n, pa.timestamp("us")),
+                    pa.array([phase] * n, pa.string()),
+                    pa.array([accepted[r["url"]] for r in acc_rows], pa.int64()),
+                ],
+                schema=S.PAGE_RECORDS,
             )
-            if not links:
-                continue
-            for link, score in zip(links, score_urls(links, self.base_url)):
-                if score > self.threshold and link not in candidates:
-                    candidates[link] = score
+            spans = pa.Table.from_pydict(
+                {
+                    "doc_id": [r["url"] for r in acc_rows],
+                    "spans": [extract_spans(r["content"] or "") for r in acc_rows],
+                },
+                schema=S.SPAN_DOCUMENTS,
+            )
+            # one file per worker per wave → naturally partitioned output
+            tag = f"{hash64(acc_rows[0]['url']) % (1 << 30):08x}"
+            pq.write_table(pages, os.path.join(wave_dir, f"pages-{tag}.parquet"))
+            pq.write_table(spans, os.path.join(wave_dir, f"spans-{tag}.parquet"))
 
         n_added = 0
-        if candidates:
-            cand_urls = list(candidates)
-            ns = len(self.seen_shards)
-            per_seen: list[list[str]] = [[] for _ in range(ns)]
-            for u in cand_urls:
-                per_seen[hash64(u) % ns].append(u)
-            futures, chunks = [], []
-            for s, chunk in enumerate(per_seen):
-                if chunk:
-                    futures.append(self.seen_shards[s].contains.remote(chunk))
-                    chunks.append(chunk)
-            fresh: list[str] = []
-            for chunk, mask in zip(chunks, ray.get(futures)):
-                fresh.extend(u for u, m in zip(chunk, mask) if not m)
-            nf = len(self.frontier_shards)
-            per_frontier: list[list[str]] = [[] for _ in range(nf)]
-            for u in fresh:
-                per_frontier[hash64(u) % nf].append(u)
-            adds = []
-            for s, chunk in enumerate(per_frontier):
-                if chunk:
-                    adds.append(self.frontier_shards[s].add.remote(
-                        chunk, [candidates[u] for u in chunk]))
-            n_added = sum(ray.get(adds))
-        return pa.Table.from_pydict({"n_added": [n_added]})
+        if expand and acc_rows:
+            candidates: dict[str, float] = {}
+            for r in acc_rows:
+                links = admit_links(
+                    extract_links(r["url"], r["html"], r["content"], self.base_url),
+                    self.base_url, self.disallow,
+                )
+                if not links:
+                    continue
+                for link, sc in zip(links, score_urls(links, self.base_url)):
+                    if sc > self.threshold and link not in candidates:
+                        candidates[link] = sc
+            if candidates:
+                n_added = self._push_candidates(candidates)
+        return {"accepted": len(acc_rows), "links_added": n_added}
+
+    def _push_candidates(self, candidates: dict[str, float]) -> int:
+        """Seen-check then route fresh links to frontier owner shards."""
+        cand_urls = list(candidates)
+        ns = len(self.seen_shards)
+        per_seen: list[list[str]] = [[] for _ in range(ns)]
+        for u in cand_urls:
+            per_seen[hash64(u) % ns].append(u)
+        futures, chunks = [], []
+        for s, chunk in enumerate(per_seen):
+            if chunk:
+                futures.append(self.seen_shards[s].contains.remote(chunk))
+                chunks.append(chunk)
+        fresh: list[str] = []
+        for chunk, mask in zip(chunks, ray.get(futures)):
+            fresh.extend(u for u, m in zip(chunk, mask) if not m)
+        nf = len(self.frontier_shards)
+        per_frontier: list[list[str]] = [[] for _ in range(nf)]
+        for u in fresh:
+            per_frontier[hash64(u) % nf].append(u)
+        adds = []
+        for s, chunk in enumerate(per_frontier):
+            if chunk:
+                adds.append(self.frontier_shards[s].add.remote(
+                    chunk, [candidates[u] for u in chunk]))
+        return sum(ray.get(adds))
 
 
 @dataclass
@@ -281,16 +273,24 @@ class CrawlResult:
 
 
 class DistributedCrawler:
-    """Driver object orchestrating the wave loop over Ray state actors."""
+    """Driver object orchestrating the wave loop over the worker pool."""
 
     def __init__(self, config: CrawlConfig, site_index: dict[str, dict],
                  disallow_by_host: dict | None = None, fetch_log=None):
         self.cfg = config
-        self.site_ref = ray.put(site_index)
+        site_ref = ray.put(site_index)
         self.disallow = disallow_by_host if config.respect_robots else None
         self.seen = SeenFilter(config.num_seen_shards, mode=config.seen_mode)
         self.frontier = Frontier(config.num_frontier_shards)
-        self.fetch_log = fetch_log
+        self.workers = [
+            CrawlWorker.remote(
+                site_ref, config.base_url, self.disallow,
+                config.host_delays_ms, config.score_threshold,
+                config.session_id, config.timestamp_us,
+                self.seen.shards, self.frontier.shards, fetch_log,
+            )
+            for _ in range(config.num_workers)
+        ]
         self.pages_so_far = 0
         self.visit_order: list[str] = []
         self.metrics: list[dict] = []
@@ -353,6 +353,12 @@ class DistributedCrawler:
         for i in range(self.cfg.num_frontier_shards):
             with open(os.path.join(state_dir, f"frontier_{i}.bin"), "rb") as f:
                 frontier_blobs.append(f.read())
+        # scrub any torn wave dirs beyond the manifest pointer so a
+        # partially-written wave can't contribute duplicate artifacts
+        import shutil
+        for name in os.listdir(self.cfg.run_dir):
+            if name.startswith("wave_") and int(name.split("_")[1]) > depth:
+                shutil.rmtree(os.path.join(self.cfg.run_dir, name))
         self.seen.restore(seen_blobs)
         self.frontier.restore(frontier_blobs)
         self.pages_so_far = manifest["pages_so_far"]
@@ -361,51 +367,32 @@ class DistributedCrawler:
         self._completed_depth = depth
         return True
 
-    # ----- pipeline steps -----
+    # ----- wave steps -----
 
-    def _fetch_wave(self, wave: list[tuple[str, float]], depth: int):
-        """Fetch a wave distributedly (one block per host bucket) and
-        materialize the result once."""
+    def _owner(self, url: str) -> int:
+        """host → bucket → worker; stable across waves so one politeness
+        clock per host."""
+        b = hash64(host_of(url)) % self.cfg.num_host_buckets
+        return b % self.cfg.num_workers
+
+    def _run_wave(self, wave: list[tuple[str, float]], depth: int,
+                  phase: str) -> None:
         cfg = self.cfg
-        by_bucket: dict[int, list[tuple[int, str, float]]] = {}
+        # 2. fetch — partition by owner worker
+        per_worker: dict[int, list[tuple[int, str, float]]] = {}
         for rank, (url, score) in enumerate(wave):
-            b = hash64(host_of(url)) % cfg.num_host_buckets
-            by_bucket.setdefault(b, []).append((rank, url, score))
-        blocks = []
-        for b, items in sorted(by_bucket.items()):
-            blocks.append(pa.Table.from_pydict({
-                "url": [u for _, u, _ in items],
-                "score": pa.array([s for _, _, s in items], pa.float64()),
-                "depth": pa.array([depth] * len(items), pa.int32()),
-                "wave_rank": pa.array([r for r, _, _ in items], pa.int64()),
-            }))
-        ds = ray.data.from_arrow(blocks)
-        fetched = ds.map_batches(
-            _WaveFetcher,
-            fn_constructor_kwargs={
-                "site_ref": self.site_ref,
-                "host_delays_ms": cfg.host_delays_ms,
-                "fetch_log": self.fetch_log,
-            },
-            batch_size=None,  # whole block per batch → one actor per host bucket
-            batch_format="pyarrow",
-            concurrency=min(cfg.fetch_concurrency, len(blocks)),
-            num_cpus=1,
-        ).materialize()
-        self.total_fetches += len(wave)
-        return fetched
-
-    def _decide(self, fetched, depth: int) -> dict[str, int]:
-        """Replay acceptance in wave-rank order (driver-side, O(wave) in
-        cheap ops over a 5-column frame). Returns url→visit_index."""
-        cfg = self.cfg
-        small = pa.concat_tables(
-            [ray.get(ref) for ref in
-             fetched.select_columns(
-                 ["wave_rank", "url", "success", "word_count", "score"]
-             ).to_arrow_refs()]
-        )
+            per_worker.setdefault(self._owner(url), []).append((rank, url, score))
+        futures = [
+            self.workers[w].fetch.remote(
+                [u for _, u, _ in items], [s for _, _, s in items],
+                [r for r, _, _ in items], depth)
+            for w, items in per_worker.items()
+        ]
+        small = pa.concat_tables(ray.get(futures))
         small = small.take(pc.sort_indices(small.column("wave_rank")))
+        self.total_fetches += len(wave)
+
+        # 3. decide — sequential replay in rank order
         accepted: dict[str, int] = {}
         to_seen: list[str] = []
         returned: list[tuple[str, float]] = []
@@ -425,65 +412,30 @@ class DistributedCrawler:
             self.seen.check_and_add(to_seen)
         if returned:
             self.frontier.add([u for u, _ in returned], [s for _, s in returned])
-        return accepted
 
-    def _commit_pages(self, fetched, accepted: dict[str, int],
-                      depth: int, phase: str) -> None:
-        """Write accepted page records + span documents for this wave as
-        Parquet partitions — distributed writes; content never lands on
-        the driver."""
-        if not self.cfg.run_dir or not accepted:
-            return
-        d = self._wave_dir(depth)
-        accepted_ref = ray.put(accepted)
-        common = {"session_id": self.cfg.session_id, "phase": phase,
-                  "ts_us": self.cfg.timestamp_us}
-        fetched.map_batches(
-            _PageCommitter, fn_constructor_kwargs={"accepted_ref": accepted_ref, **common},
-            batch_format="pyarrow", concurrency=2,
-        ).write_parquet(os.path.join(d, "pages.parquet"))
-        fetched.map_batches(
-            _SpanCommitter, fn_constructor_kwargs={"accepted_ref": accepted_ref, **common},
-            batch_format="pyarrow", concurrency=2,
-        ).write_parquet(os.path.join(d, "spans.parquet"))
-
-    def _expand(self, fetched, accepted: dict[str, int]) -> int:
-        """Distributed link admission (step 5)."""
-        if not accepted:
-            return 0
-        cfg = self.cfg
-        accepted_ref = ray.put(accepted)
-        out = fetched.select_columns(["url", "html", "content"]).map_batches(
-            LinkAdmitter,
-            fn_constructor_kwargs={
-                "base_url": cfg.base_url,
-                "disallow_by_host": self.disallow,
-                "accepted_ref": accepted_ref,
-                "seen_shards": self.seen.shards,
-                "frontier_shards": self.frontier.shards,
-                "score_threshold": cfg.score_threshold,
-            },
-            batch_format="pyarrow",
-            concurrency=cfg.fetch_concurrency,
-            num_cpus=1,
-        )
-        return sum(r["n_added"] for r in out.take_all())
-
-    # ----- the loop -----
-
-    def _run_wave(self, wave: list[tuple[str, float]], depth: int,
-                  phase: str) -> None:
-        fetched = self._fetch_wave(wave, depth)
-        accepted = self._decide(fetched, depth)
-        self._commit_pages(fetched, accepted, depth, phase)
-        if depth < self.cfg.depth_limit:                     # pyc lines 239-240
-            self._expand(fetched, accepted)
-        self.metrics.append({"depth": depth, "wave_size": len(wave),
-                             "accepted": len(accepted)})
+        # 4. commit + expand on the owning workers
+        wave_dir = self._wave_dir(depth) if cfg.run_dir else None
+        expand = depth < cfg.depth_limit                     # pyc lines 239-240
+        accepted_ref = ray.put(accepted)  # broadcast once, not per worker
+        stats = ray.get([
+            self.workers[w].commit_and_expand.remote(
+                accepted_ref, depth, phase, wave_dir, expand)
+            for w in per_worker
+        ])
+        self.metrics.append({
+            "depth": depth, "wave_size": len(wave), "accepted": len(accepted),
+            "links_added": sum(s["links_added"] for s in stats),
+        })
+        # 5. checkpoint
         self._commit(depth, self.metrics[-1])
         self._completed_depth = depth
 
-    def run(self) -> CrawlResult:
+    # ----- the loop -----
+
+    def run(self, stop_after_depth: int | None = None) -> CrawlResult:
+        """Run the wave loop (continuing from a restored checkpoint when
+        ``resume()`` was called). ``stop_after_depth`` simulates a crash
+        after that wave's commit — used by the kill-and-resume test."""
         cfg = self.cfg
         t0 = time.perf_counter()
 
@@ -493,6 +445,8 @@ class DistributedCrawler:
             self._run_wave([(main_url, MAIN_PAGE_SCORE)], 0, "main_page")
 
         for depth in range(max(1, self._completed_depth + 1), cfg.depth_limit + 1):
+            if stop_after_depth is not None and depth > stop_after_depth:
+                break
             if self.pages_so_far >= cfg.effective_safety:    # pyc line 212
                 break
             budget = (None if cfg.comprehensive
@@ -519,14 +473,12 @@ def read_crawl_output(run_dir: str, what: str = "pages") -> pa.Table:
     ordered by visit_index for pages (O4: crawl-order preservation)."""
     parts = []
     for name in sorted(os.listdir(run_dir)):
-        p = os.path.join(run_dir, name, f"{what}.parquet")
-        if name.startswith("wave_") and os.path.isdir(os.path.join(run_dir, name)):
-            if os.path.isdir(p):
-                for f in sorted(os.listdir(p)):
-                    if f.endswith(".parquet"):
-                        parts.append(pq.read_table(os.path.join(p, f)))
-            elif os.path.exists(p):
-                parts.append(pq.read_table(p))
+        wd = os.path.join(run_dir, name)
+        if not (name.startswith("wave_") and os.path.isdir(wd)):
+            continue
+        for f in sorted(os.listdir(wd)):
+            if f.startswith(f"{what}-") and f.endswith(".parquet"):
+                parts.append(pq.read_table(os.path.join(wd, f)))
     schema = S.PAGE_RECORDS if what == "pages" else S.SPAN_DOCUMENTS
     parts = [t for t in parts if t.num_rows]
     if not parts:

@@ -60,7 +60,7 @@ class _FrontierState:
         return len(self.pending)
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote
 class FrontierShard:
     """Actor wrapper around one frontier partition."""
 

@@ -247,7 +247,7 @@ class _Cuckoo:
 _BACKENDS = {"exact": _ExactSet, "bloom": _Bloom, "cuckoo": _Cuckoo}
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote
 class SeenFilterShard:
     """One membership shard; all APIs take/return whole batches."""
 
