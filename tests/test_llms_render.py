@@ -1,0 +1,143 @@
+"""Description stage, categorization and llms.txt rendering (K2/K3,
+A4-A6, T1-T3 deterministic path) + the end-to-end generate pipeline."""
+
+import pyarrow as pa
+
+from web2llmstxt_ray.functions.categorize import categorize_entry, site_summary
+from web2llmstxt_ray.pipelines.generate import generate_llmstxt
+from web2llmstxt_ray.pipelines.llms import (
+    Describer, new_cache_rows, render_llms_full_txt, render_llms_txt)
+
+BASE = "https://site0.test"
+
+
+def _pages_table():
+    return pa.table({
+        "url": [f"{BASE}/", f"{BASE}/docs", f"{BASE}/blog/post"],
+        "title": ["Site Zero Home", "Docs Overview", "A Blog Post"],
+        "content": ["welcome to the api documentation portal and docs",
+                    "a tutorial and guide for the engine",
+                    "blog news article about releases"],
+        "word_count": pa.array([60, 80, 90], pa.int64()),
+        "visit_index": pa.array([0, 1, 2], pa.int64()),
+    })
+
+
+class TestDescriber:
+    def test_deterministic_fallback(self):
+        d = Describer()
+        out = d(_pages_table())
+        descs = out.column("description").to_pylist()
+        assert descs[0] == "API documentation for Site Zero Home. From site0.test."
+        assert out.column("from_cache").to_pylist() == [False, False, False]
+
+    def test_cache_hit(self):
+        from web2llmstxt_ray.functions.text import content_hash
+
+        url, title, content = f"{BASE}/docs", "Docs Overview", \
+            "a tutorial and guide for the engine"
+        cache = {(url, content_hash(title, content)): "CACHED DESC"}
+        d = Describer(cache_ref=cache)
+        out = d(_pages_table())
+        by_url = dict(zip(out.column("url").to_pylist(),
+                          out.column("description").to_pylist()))
+        assert by_url[url] == "CACHED DESC"
+
+    def test_new_cache_rows_excludes_hits(self):
+        from web2llmstxt_ray.functions.text import content_hash
+
+        pages = _pages_table()
+        url = f"{BASE}/docs"
+        cache = {(url, content_hash("Docs Overview",
+                                    "a tutorial and guide for the engine")): "X"}
+        entries = Describer(cache_ref=cache)(pages)
+        rows = new_cache_rows(entries, pages)
+        assert url not in rows.column("url").to_pylist()
+        assert rows.num_rows == 2
+
+
+class TestCategorize:
+    def test_first_match_wins_api_before_docs(self):
+        assert categorize_entry(f"{BASE}/api/docs", "", "") == "API & Technical Reference"
+        assert categorize_entry(f"{BASE}/docs/intro", "", "") == "Key Documentation"
+        assert categorize_entry(f"{BASE}/blog/x", "", "") == "Blog & Resources"
+        assert categorize_entry(f"{BASE}/random", "", "") == "General Information"
+        assert categorize_entry(f"{BASE}/weird?page=2", "", "") == "Other Pages"
+
+    def test_summary_rules(self):
+        assert site_summary(["api documentation for developers"]) == \
+            "Software documentation, API references, and developer resources."
+        assert site_summary([""]) == "A website with various content and resources."
+
+
+class TestRender:
+    def test_llms_txt_shape(self):
+        pages = _pages_table()
+        entries = Describer()(pages)
+        text = render_llms_txt(BASE + "/", entries, pages, "2025-06-26")
+        lines = text.splitlines()
+        assert lines[0] == "# Site Zero Home"
+        assert lines[2].startswith("> ")
+        assert "Generated from 3 pages on 2025-06-26" in lines[4]
+        assert any(line.startswith("## ") for line in lines)
+        assert any(line.startswith("- [Docs Overview](") for line in lines)
+
+    def test_llms_full_txt_shape(self):
+        pages = _pages_table()
+        text = render_llms_full_txt(BASE, pages, "2025-06-26T00:00:00", "m", 1.5)
+        assert "## Page 1: Site Zero Home" in text
+        assert f"**URL:** {BASE}/docs" in text
+        assert text.count("---") == 3
+
+    def test_llms_full_page_limit(self):
+        text = render_llms_full_txt(BASE, _pages_table(), max_pages=2)
+        assert "## Page 3" not in text
+        assert "Displaying 2 of 3" in text
+
+
+class TestGenerateEndToEnd:
+    def test_systematic(self, small_site, disallow_by_host, tmp_path):
+        _, _, idx = small_site
+        res = generate_llmstxt(
+            idx, BASE, str(tmp_path / "out"), str(tmp_path / "run"),
+            max_pages=6, crawl_strategy="systematic",
+            disallow_by_host=disallow_by_host)
+        assert res.pages.num_rows > 0
+        assert res.entries.num_rows == res.pages.num_rows
+        # entries follow crawl order
+        assert res.entries.column("index").to_pylist() == \
+            sorted(res.entries.column("index").to_pylist())
+        assert len(res.written) == 2
+        with open(res.written[0]) as f:
+            content = f.read()
+        assert content.startswith("# ")
+        assert "Generated from" in content
+
+    def test_sitemap_strategy(self, small_site, tmp_path):
+        from web2llmstxt_ray.sources.sitemap import make_sitemap_xml
+
+        site, _, idx = small_site
+        urls = [u for u in site.column("url").to_pylist()][:30]
+        bodies = {f"{BASE}/sitemap.xml": make_sitemap_xml(urls)}
+        res = generate_llmstxt(
+            idx, BASE, str(tmp_path / "out2"), str(tmp_path / "run2"),
+            max_pages=15, crawl_strategy="sitemap", sitemap_bodies=bodies)
+        assert 0 < res.pages.num_rows <= 15
+        assert res.metadata["crawl_strategy"] == "sitemap"
+
+    def test_json_yaml_formats(self, small_site, disallow_by_host, tmp_path):
+        import json
+
+        _, _, idx = small_site
+        res = generate_llmstxt(
+            idx, BASE, str(tmp_path / "outj"), str(tmp_path / "runj"),
+            max_pages=4, export_format="json",
+            disallow_by_host=disallow_by_host)
+        with open(res.written[0]) as f:
+            payload = json.load(f)
+        assert set(payload) == {"metadata", "llms_entries", "full_content"}
+        res2 = generate_llmstxt(
+            idx, BASE, str(tmp_path / "outy"), str(tmp_path / "runy"),
+            max_pages=4, export_format="yaml",
+            disallow_by_host=disallow_by_host)
+        assert res2.written[0].endswith(".yaml")

@@ -1,0 +1,114 @@
+"""URL-list (sitemap-path) pipeline + sitemap parser tests."""
+
+import gzip
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from web2llmstxt_ray.pipelines.urllist import (
+    canonicalize_batch, crawl_url_list, dedup_batch, pages_to_span_docs)
+from web2llmstxt_ray.sources import sitemap as SM
+
+BASE = "https://site0.test"
+
+
+class TestSitemapParser:
+    def _fetcher(self, mapping):
+        return lambda url: mapping.get(url)
+
+    def test_plain_sitemap(self):
+        body = SM.make_sitemap_xml([f"{BASE}/a", f"{BASE}/b"])
+        fetch = self._fetcher({f"{BASE}/sitemap.xml": body})
+        urls = SM.parse_sitemap(f"{BASE}/sitemap.xml", fetch, BASE)
+        assert urls == {f"{BASE}/a", f"{BASE}/b"}
+
+    def test_namespace_less(self):
+        body = SM.make_sitemap_xml([f"{BASE}/x"], namespaced=False)
+        fetch = self._fetcher({f"{BASE}/s.xml": body})
+        assert SM.parse_sitemap(f"{BASE}/s.xml", fetch, BASE) == {f"{BASE}/x"}
+
+    def test_gzipped(self):
+        body = gzip.compress(SM.make_sitemap_xml([f"{BASE}/gz"]))
+        fetch = self._fetcher({f"{BASE}/s.xml.gz": body})
+        assert SM.parse_sitemap(f"{BASE}/s.xml.gz", fetch, BASE) == {f"{BASE}/gz"}
+
+    def test_recursive_index(self):
+        child1 = SM.make_sitemap_xml([f"{BASE}/1"])
+        child2 = SM.make_sitemap_xml([f"{BASE}/2"])
+        index = SM.make_sitemap_index([f"{BASE}/c1.xml", f"{BASE}/c2.xml"])
+        fetch = self._fetcher({f"{BASE}/idx.xml": index,
+                               f"{BASE}/c1.xml": child1, f"{BASE}/c2.xml": child2})
+        assert SM.parse_sitemap(f"{BASE}/idx.xml", fetch, BASE) == \
+            {f"{BASE}/1", f"{BASE}/2"}
+
+    def test_cycle_safe(self):
+        index = SM.make_sitemap_index([f"{BASE}/idx.xml"])  # self-reference
+        fetch = self._fetcher({f"{BASE}/idx.xml": index})
+        assert SM.parse_sitemap(f"{BASE}/idx.xml", fetch, BASE) == set()
+
+    def test_foreign_domain_filtered(self):
+        body = SM.make_sitemap_xml([f"{BASE}/ok", "https://evil.test/no"])
+        fetch = self._fetcher({f"{BASE}/s.xml": body})
+        assert SM.parse_sitemap(f"{BASE}/s.xml", fetch, BASE) == {f"{BASE}/ok"}
+
+    def test_malformed_xml(self):
+        fetch = self._fetcher({f"{BASE}/bad.xml": b"<urlset><url><loc>unclosed"})
+        assert SM.parse_sitemap(f"{BASE}/bad.xml", fetch, BASE) == set()
+
+    def test_discovery_robots_lines(self):
+        robots = "User-agent: *\nSitemap: https://site0.test/special.xml\n"
+        found = SM.discover_sitemaps(BASE, lambda u: u.endswith("/sitemap.xml"),
+                                     robots)
+        assert f"{BASE}/sitemap.xml" in found
+        assert "https://site0.test/special.xml" in found
+
+
+class TestBatchHelpers:
+    def test_canonicalize_batch(self):
+        t = pa.table({"url": ["https://A.Test/x/?utm_source=1",
+                              "https://a.test/deep/path"]})
+        out = canonicalize_batch(t)
+        assert out.column("url").to_pylist() == \
+            ["https://a.test/x", "https://a.test/deep/path"]
+        assert out.column("host").to_pylist() == ["a.test", "a.test"]
+        assert out.column("path_depth").to_pylist()[1] == 4
+
+    def test_dedup_batch(self):
+        t = pa.table({"url": ["a", "b", "a", "c", "b"]})
+        assert dedup_batch(t).column("url").to_pylist() == ["a", "b", "c"]
+
+
+class TestUrlListPipeline:
+    def test_end_to_end(self, small_site):
+        site, _, idx = small_site
+        all_urls = site.column("url").to_pylist()
+        # duplicate + uncanonical variants must collapse
+        seeds = pa.table({"url": all_urls + [u + "?utm_source=x" for u in all_urls[:10]]})
+        ds = crawl_url_list(ray.data.from_arrow(seeds), ray.put(idx),
+                            max_pages=40, fetch_concurrency=2)
+        pages = ds.to_pandas()
+        assert 0 < len(pages) <= 40
+        assert pages["url"].is_unique
+        assert (pages["word_count"] >= 50).all()
+
+    def test_prioritization_shallow_first(self, small_site):
+        site, _, idx = small_site
+        seeds = pa.table({"url": site.column("url").to_pylist()})
+        ds = crawl_url_list(ray.data.from_arrow(seeds), ray.put(idx),
+                            max_pages=10, fetch_concurrency=2)
+        got = ds.to_pandas()
+        # limit(10) after sort by (depth,len): all roots must be present
+        roots = {u for u in site.column("url").to_pylist() if u.endswith(".test/")}
+        assert roots & set(got["url"])
+
+    def test_span_docs_shape(self, small_site):
+        site, _, idx = small_site
+        seeds = pa.table({"url": site.column("url").to_pylist()[:20]})
+        pages = crawl_url_list(ray.data.from_arrow(seeds), ray.put(idx),
+                               fetch_concurrency=2)
+        spans = pages_to_span_docs(pages).to_pandas()
+        if len(spans):
+            assert set(spans.columns) == {"doc_id", "spans"}
+            first = spans["spans"].iloc[0]
+            assert {"kind", "text", "media_ref", "offset"} <= set(first[0].keys())

@@ -1,0 +1,262 @@
+"""Description generation + llms.txt assembly (SURVEY T1-T3, A4-A6, K1-K5).
+
+The description stage mirrors the reference's *testing-instrumented*
+path: the pyc ``generate_description_with_fallbacks`` docstring reads
+"FOR TESTING: Always uses fallback description logic" — it bypasses AI
+and calls the deterministic ``create_smart_fallback_description``
+(``llmsgen/utils/text_utils.py:214-221``). That deterministic path is
+this engine's default and test mode; a real model client would slot
+into :class:`Describer` the same way (actor pool, model loaded in
+``__init__`` — reference T1/T2, ``llmsgen/models/client.py:16-139``).
+
+The description cache (J2, ``models/client.py:68-92``) is a broadcast
+join: the cache table is small relative to the corpus, so it ships once
+via ``ray.put`` and probes happen dict-side inside ``map_batches`` — no
+shuffle. Misses come back as new cache rows to append.
+
+Rendering (K2/K3 — the llmsgen conformance formats,
+``llmsgen/utils/file_utils.py:107-160``) is driver-side over the small
+ordered entry list; full-text rendering streams per-page blocks.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from .. import schema as S
+from ..functions.categorize import CATEGORY_ORDER, categorize_entry, site_name, site_summary
+from ..functions.text import content_hash, create_smart_fallback_description
+
+ENTRY_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("title", pa.string()),
+        ("description", pa.string()),
+        ("word_count", pa.int64()),
+        ("session_id", pa.string()),
+        ("index", pa.int64()),
+        ("category", pa.string()),
+        ("from_cache", pa.bool_()),
+    ]
+)
+
+
+class Describer:
+    """``map_batches`` stage: page records → llms entries.
+
+    One instance per actor: the broadcast description cache is resolved
+    once in ``__init__``; each batch is a pure projection after that.
+    ``index`` carries the crawl order through (O4).
+    """
+
+    def __init__(self, cache_ref=None, session_id: str = "ray_crawl"):
+        cache = (ray.get(cache_ref) if isinstance(cache_ref, ray.ObjectRef)
+                 else cache_ref)
+        self.cache: dict[tuple[str, str], str] = cache or {}
+        self.session_id = session_id
+
+    def describe_one(self, url: str, title: str, content: str) -> tuple[str, bool]:
+        key = (url, content_hash(title, content))
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit, True
+        return create_smart_fallback_description(title, content, url), False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        titles = batch.column("title").to_pylist()
+        contents = batch.column("content").to_pylist()
+        wcs = batch.column("word_count").to_pylist()
+        idxs = (batch.column("visit_index").to_pylist()
+                if "visit_index" in batch.column_names else list(range(len(urls))))
+        descs, cached, cats = [], [], []
+        for u, t, c in zip(urls, titles, contents):
+            d, was_cached = self.describe_one(u, t, c or "")
+            descs.append(d)
+            cached.append(was_cached)
+            cats.append(categorize_entry(u, t, c or ""))
+        return pa.Table.from_arrays(
+            [
+                pa.array(urls, pa.string()), pa.array(titles, pa.string()),
+                pa.array(descs, pa.string()), pa.array(wcs, pa.int64()),
+                pa.array([self.session_id] * len(urls), pa.string()),
+                pa.array(idxs, pa.int64()), pa.array(cats, pa.string()),
+                pa.array(cached, pa.bool_()),
+            ],
+            schema=ENTRY_SCHEMA,
+        )
+
+
+def describe_pages(pages: ray.data.Dataset,
+                   cache: dict[tuple[str, str], str] | None = None,
+                   session_id: str = "ray_crawl",
+                   concurrency: int | tuple = (1, 8),
+                   batch_size: int = 256) -> ray.data.Dataset:
+    """Page records → llms entries (description + category attached).
+
+    The actor pool autoscales from 1 and reserves half a CPU per actor
+    so it can never starve the upstream read stage of CPUs (a fixed
+    pool of num_cpus=1 actors on a small node deadlocks the pipeline).
+    """
+    cache_ref = ray.put(cache) if cache else None
+    return pages.map_batches(
+        Describer,
+        fn_constructor_kwargs={"cache_ref": cache_ref, "session_id": session_id},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+def new_cache_rows(entries: pa.Table, pages: pa.Table) -> pa.Table:
+    """Cache rows to append for entries generated this run (K6 —
+    batched append, unlike the reference's per-insert JSON flush)."""
+    by_url = dict(zip(pages.column("url").to_pylist(),
+                      zip(pages.column("title").to_pylist(),
+                          pages.column("content").to_pylist())))
+    rows = {"url": [], "content_hash": [], "description": []}
+    for url, desc, cached in zip(entries.column("url").to_pylist(),
+                                 entries.column("description").to_pylist(),
+                                 entries.column("from_cache").to_pylist()):
+        if cached or url not in by_url:
+            continue
+        title, content = by_url[url]
+        rows["url"].append(url)
+        rows["content_hash"].append(content_hash(title, content or ""))
+        rows["description"].append(desc)
+    return pa.Table.from_pydict(rows, schema=S.DESCRIPTION_CACHE)
+
+
+# --- renderers (llmsgen conformance formats) ---
+
+def render_llms_txt(base_url: str, entries: pa.Table, pages: pa.Table,
+                    generated_date: str = "2025-01-01") -> str:
+    """K2: ``# site`` / ``> summary`` / categorized bullet sections
+    (``llmsgen/utils/file_utils.py:107-136``). ``entries``/``pages``
+    must be in crawl order (sort by ``index``/``visit_index`` first)."""
+    page_urls = pages.column("url").to_pylist()
+    page_titles = pages.column("title").to_pylist()
+    page_contents = pages.column("content").to_pylist()
+
+    main_title = None
+    canon_base = base_url.rstrip("/")
+    for u, t in zip(page_urls, page_titles):
+        if u == base_url or u.rstrip("/") == canon_base:
+            main_title = t
+            break
+    name = site_name(base_url, main_title)
+    summary = site_summary(page_contents[:5])
+
+    lines = [f"# {name}", "", f"> {summary}", "",
+             f"Generated from {len(page_urls)} pages on {generated_date} "
+             "using automated crawling.", ""]
+
+    by_cat: dict[str, list[tuple[str, str, str]]] = {}
+    for url, title, desc, cat in zip(entries.column("url").to_pylist(),
+                                     entries.column("title").to_pylist(),
+                                     entries.column("description").to_pylist(),
+                                     entries.column("category").to_pylist()):
+        by_cat.setdefault(cat, []).append((title, url, desc))
+    for cat in CATEGORY_ORDER:
+        if cat not in by_cat:
+            continue
+        lines.append(f"## {cat}")
+        lines.append("")
+        for title, url, desc in by_cat[cat]:
+            lines.append(f"- [{title}]({url}): {desc}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def render_llms_full_txt(base_url: str, pages: pa.Table,
+                         generated_at: str = "", model_used: str = "fallback",
+                         processing_time_s: float | None = None,
+                         max_pages: int | None = None) -> str:
+    """K3: per-page ``## Page i: title`` blocks in crawl order
+    (``llmsgen/utils/file_utils.py:138-160``)."""
+    urls = pages.column("url").to_pylist()
+    titles = pages.column("title").to_pylist()
+    contents = pages.column("content").to_pylist()
+    lines = [
+        f"# {base_url} llms-full.txt",
+        f"# Generated on {generated_at} using {model_used}",
+        f"# Total pages crawled: {len(urls)}",
+        f"# Processing time: {processing_time_s if processing_time_s is not None else 'N/A'}s",
+    ]
+    n = len(urls)
+    if max_pages is not None and n > max_pages:
+        urls, titles, contents = urls[:max_pages], titles[:max_pages], contents[:max_pages]
+        lines.append(f"# Displaying {len(urls)} of {n} crawled pages due to limit.")
+    lines.append("")
+    for i, (u, t, c) in enumerate(zip(urls, titles, contents), 1):
+        lines.append(f"## Page {i}: {t}")
+        lines.append(f"**URL:** {u}")
+        lines.append("")
+        lines.append(c or "No content available.")
+        lines.append("")
+        lines.append("---")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def export_payload(metadata: dict, entries: pa.Table, pages: pa.Table) -> dict:
+    """K4/K5 payload: {metadata, llms_entries, full_content}
+    (``llmsgen/utils/file_utils.py:166-202``)."""
+    return {
+        "metadata": metadata,
+        "llms_entries": entries.drop_columns(["from_cache"]).to_pylist(),
+        "full_content": [
+            {"url": u, "title": t, "content": c}
+            for u, t, c in zip(pages.column("url").to_pylist(),
+                               pages.column("title").to_pylist(),
+                               pages.column("content").to_pylist())
+        ],
+    }
+
+
+def write_outputs(output_dir: str, base_url: str, entries: pa.Table,
+                  pages: pa.Table, metadata: dict,
+                  export_format: str = "text") -> list[str]:
+    """K1-K5 dispatch (``generator/llms_generator.py:766-780``):
+    text → llms.txt + llms-full.txt; json/yaml → single payload file."""
+    import os
+
+    from ..functions.urls import extract_domain_from_url
+
+    os.makedirs(output_dir, exist_ok=True)
+    domain = extract_domain_from_url(base_url)
+    written = []
+    if export_format == "text":
+        p1 = os.path.join(output_dir, f"{domain}-llms.txt")
+        with open(p1, "w", encoding="utf-8") as f:
+            f.write(render_llms_txt(
+                base_url, entries, pages,
+                generated_date=metadata.get("generated_at", "").split("T")[0]))
+        p2 = os.path.join(output_dir, f"{domain}-llms-full.txt")
+        with open(p2, "w", encoding="utf-8") as f:
+            f.write(render_llms_full_txt(
+                base_url, pages, metadata.get("generated_at", ""),
+                metadata.get("model_used", "fallback"),
+                metadata.get("processing_time_seconds")))
+        written += [p1, p2]
+    elif export_format == "json":
+        p = os.path.join(output_dir, f"{domain}-llms.json")
+        with open(p, "w", encoding="utf-8") as f:
+            json.dump(export_payload(metadata, entries, pages), f, indent=2)
+        written.append(p)
+    elif export_format == "yaml":
+        import yaml
+
+        p = os.path.join(output_dir, f"{domain}-llms.yaml")
+        with open(p, "w", encoding="utf-8") as f:
+            yaml.safe_dump(export_payload(metadata, entries, pages), f,
+                           sort_keys=False, allow_unicode=True)
+        written.append(p)
+    else:
+        raise ValueError(f"unknown export format: {export_format}")
+    return written

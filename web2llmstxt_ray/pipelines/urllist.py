@@ -1,0 +1,151 @@
+"""Seed-list / sitemap crawl — the engine's bulk Ray Data pipeline.
+
+Reimplements the reference's sitemap path (``crawl_from_sitemap`` →
+``_crawl_url_list``, ``crawler/web_crawler.py:761-813,1081-1184``) as a
+streaming ``ray.data`` pipeline. The reference fetches the URL list
+sequentially through one browser with global 1 s sleeps and
+``gc.collect()`` every 5 batches; here the list is a ``Dataset`` and
+every stage is a zero-copy Arrow ``map_batches``:
+
+    read seeds → canonicalize + dedup (per-batch + global unique)
+    → prioritize: sort by (path depth, url length) asc (O2,
+      ``crawler/web_crawler.py:802-806``) → limit(max_pages)
+    → fetch/extract actor pool (stateful, one session per actor)
+    → accept: word_count >= 50 (M7, ``:1141``)
+    → span documents / page records → write partitioned Parquet
+
+This is the throughput path (BASELINE pages/s target): unlike the
+BFS wave loop there is no visit-order coupling, so the streaming
+executor pipelines fetch, extraction and writes freely with
+backpressure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .. import schema as S
+from ..functions.urls import canonicalize_url, hash64, host_of
+from ..stages.fetch import MockFetcher
+from ..stages.spans import extract_spans
+
+
+def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Vectorized-ish canonicalization + host/bucket derivation.
+
+    URL parsing is inherently per-string; the loop runs over one Arrow
+    column with precompiled parsers (~1 µs/url) and emits Arrow arrays —
+    no pandas round trip.
+    """
+    urls = batch.column(url_col).to_pylist()
+    canon = [canonicalize_url(u) for u in urls]
+    hosts = [host_of(u) for u in canon]
+    out = batch.set_column(batch.schema.get_field_index(url_col), url_col,
+                           pa.array(canon, pa.string()))
+    out = out.append_column("host", pa.array(hosts, pa.string()))
+    # path depth + length: the reference's sitemap priority key (O2)
+    slashes = np.fromiter((u.count("/") for u in canon), dtype=np.int32,
+                          count=len(canon))
+    lengths = np.fromiter((len(u) for u in canon), dtype=np.int32,
+                          count=len(canon))
+    out = out.append_column("path_depth", pa.array(slashes))
+    out = out.append_column("url_len", pa.array(lengths))
+    return out
+
+
+def dedup_batch(batch: pa.Table, key: str = "url") -> pa.Table:
+    """Within-batch first-wins dedup on ``key`` (cheap pre-pass before
+    the global groupby dedup — the partial-aggregation pattern)."""
+    keys = batch.column(key).to_pylist()
+    seen: set[str] = set()
+    mask = np.empty(len(keys), dtype=bool)
+    for i, k in enumerate(keys):
+        if k in seen:
+            mask[i] = False
+        else:
+            seen.add(k)
+            mask[i] = True
+    return batch.filter(pa.array(mask))
+
+
+class UrlListFetcher(MockFetcher):
+    """Actor-pool fetch stage for list crawls: batch of URL rows in,
+    page-record rows out (only metadata the pipeline needs — content,
+    title, word_count). Session state lives in ``__init__`` (T5)."""
+
+    def __init__(self, site_ref, min_words: int = 50):
+        super().__init__(site_ref)
+        self.min_words = min_words
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        rows = [self.fetch_one(u, 0.0, 0) for u in urls]
+        keep = [r for r in rows
+                if r["success"] and r["word_count"] >= self.min_words]
+        return pa.table({
+            "url": pa.array([r["url"] for r in keep], pa.string()),
+            "title": pa.array([r["title"] for r in keep], pa.string()),
+            "content": pa.array([r["content"] for r in keep], pa.large_string()),
+            "word_count": pa.array([r["word_count"] for r in keep], pa.int64()),
+        })
+
+
+def crawl_url_list(
+    seeds: ray.data.Dataset,
+    site_index_ref,
+    max_pages: int | None = None,
+    fetch_concurrency: int | tuple = (1, 8),
+    fetch_batch_size: int = 64,
+    min_words: int = 50,
+) -> ray.data.Dataset:
+    """URL-list crawl pipeline → dataset of accepted page rows
+    (url, title, content, word_count).
+
+    ``seeds`` needs a ``url`` column; ``site_index_ref`` is a
+    ``ray.put`` handle to the mock site (or a real fetcher's config).
+    Dedup is exact: per-batch first-wins then a global groupby on the
+    canonical URL (hash-partitioned shuffle — D3,
+    ``crawler/web_crawler.py:789-799``).
+
+    The fetch pool autoscales (min 1) — a fixed pool sized above the
+    node's free CPUs would wait forever for actors it can never place.
+    """
+    ds = seeds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    ds = ds.map_batches(dedup_batch, batch_format="pyarrow")
+    # global exact dedup on canonical url (D3). groupby+map_groups keeps
+    # one row per url; the preceding per-batch pass shrinks the shuffle.
+    ds = ds.groupby("url").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    if max_pages is not None:
+        # sitemap prioritization (O2): shallower, shorter URLs first
+        ds = ds.sort(["path_depth", "url_len"]).limit(max_pages)
+    ds = ds.map_batches(
+        UrlListFetcher,
+        fn_constructor_kwargs={"site_ref": site_index_ref,
+                               "min_words": min_words},
+        batch_format="pyarrow",
+        batch_size=fetch_batch_size,
+        concurrency=fetch_concurrency,
+        num_cpus=1,
+    )
+    return ds
+
+
+def pages_to_span_docs(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Page rows → interleaved span documents (the input_hint shape)."""
+
+    def to_spans(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("url").to_pylist(),
+                "spans": [extract_spans(c or "")
+                          for c in batch.column("content").to_pylist()],
+            },
+            schema=S.SPAN_DOCUMENTS,
+        )
+
+    return pages.map_batches(to_spans, batch_format="pyarrow")
