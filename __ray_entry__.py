@@ -1,16 +1,19 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() per operator,
+oracle_sql() DuckDB equivalents (run side-by-side at sf=0.01).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Query naming convention: every aggregate/computed column is aliased
+identically in the Ray implementation and the SQL so the driver's
+order-insensitive value-hash matches. Floats are rounded identically on
+both sides (sums → 2 d.p., ratios/averages/cosines → 4-6 d.p.).
+
+Queries without an ``oracle_sql`` entry are the genuinely
+non-SQL-expressible ones (MinHash-LSH clustering, SimHash, IVF-ANN,
+the distributed BFS crawl, media decode) — they get the driver's
+rows-only check and are conformance-tested against sequential oracles
+in ``tests/`` instead.
 """
 
 from __future__ import annotations
@@ -18,27 +21,635 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+ROUND_SUM = 2
+ROUND_RATIO = 6
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _pdf(ds: rd.Dataset) -> pd.DataFrame:
+    return ds.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# flagship entry: documents → interleaved span documents (flattened)
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """sf0.001 documents → span extraction → flattened span rows.
+
+    The engine's core data model (interleaved text+media spans) applied
+    to the driver's documents table: each text is parsed into ordered
+    spans, exploded to flat rows (stable schema, no nested types)."""
+    from web2llmstxt_ray.stages.spans import extract_spans
+
+    docs = _t("/root/testdata/sf0.001", "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "span_idx": [], "kind": [], "text": [],
+               "media_ref": [], "offset": []}
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for i, s in enumerate(extract_spans(text or "")):
+                out["doc_id"].append(did)
+                out["span_idx"].append(i)
+                out["kind"].append(s["kind"])
+                out["text"].append(s["text"])
+                out["media_ref"].append(s["media_ref"])
+                out["offset"].append(s["offset"])
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "span_idx": pa.array(out["span_idx"], pa.int32()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "text": pa.array(out["text"], pa.string()),
+            "media_ref": pa.array(out["media_ref"], pa.string()),
+            "offset": pa.array(out["offset"], pa.int32()),
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregate queries (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-style grouped aggregate with per-batch partial
+    aggregation before the shuffle."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_shipdate"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(
+            t["l_shipdate"], pa.scalar(pd.Timestamp("1998-01-01")))),
+        batch_format="pyarrow")
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(disc_price=b.l_extendedprice * (1 - b.l_discount))
+        return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"))
+
+    out = _pdf(partial_groupby(
+        ds, ["l_returnflag", "l_linestatus"], batch_agg,
+        ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"]))
+    out["avg_qty"] = (out.sum_qty / out.count_order).round(ROUND_RATIO)
+    out["avg_price"] = (out.sum_base_price / out.count_order).round(ROUND_RATIO)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(ROUND_SUM)
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Global top-k by sort: distributed sort + limit."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(20)
+    out = _pdf(top)
+    out["o_totalprice"] = out["o_totalprice"].round(ROUND_SUM)
+    return out
+
+
+def q_segment_revenue(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join (small dimension side shipped once via ray.put)."""
+    from web2llmstxt_ray.ops.relational import broadcast_join, partial_groupby
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = pa.concat_tables(
+        [ray.get(r) for r in
+         _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_arrow_refs()])
+    customer = customer.rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, customer, on="o_custkey")
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"),
+            revenue=("o_totalprice", "sum"))
+
+    out = _pdf(partial_groupby(joined, ["c_mktsegment"], batch_agg,
+                               ["n_orders", "revenue"]))
+    out["revenue"] = out["revenue"].round(ROUND_SUM)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def q_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """Two large sides → explicit bucketed hash join."""
+    from web2llmstxt_ray.ops.relational import hash_join, partial_groupby
+
+    lineitem = _t(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+                     batch_format="pyarrow")
+    joined = hash_join(lineitem, orders, on="l_orderkey", num_buckets=16)
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(rev=b.l_extendedprice * (1 - b.l_discount))
+        return b.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("rev", "size"), revenue=("rev", "sum"))
+
+    out = _pdf(partial_groupby(joined, ["o_orderpriority"], batch_agg,
+                               ["n_items", "revenue"]))
+    out["revenue"] = out["revenue"].round(ROUND_SUM)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out
+
+
+def q_region_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Chained broadcast joins over the dimension snowflake."""
+    from web2llmstxt_ray.ops.relational import broadcast_join, partial_groupby
+
+    supplier = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    nation = pa.concat_tables(
+        [ray.get(r) for r in
+         _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_arrow_refs()])
+    region = pa.concat_tables(
+        [ray.get(r) for r in
+         _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_arrow_refs()])
+    nr = nation.to_pandas().merge(
+        region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey")
+    nr = nr.rename(columns={"n_nationkey": "s_nationkey"})[["s_nationkey", "r_name"]]
+    joined = broadcast_join(supplier, nr, on="s_nationkey")
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("r_name", as_index=False).agg(
+            n_suppliers=("s_acctbal", "size"),
+            total_acctbal=("s_acctbal", "sum"))
+
+    out = _pdf(partial_groupby(joined, ["r_name"], batch_agg,
+                               ["n_suppliers", "total_acctbal"]))
+    out["total_acctbal"] = out["total_acctbal"].round(ROUND_SUM)
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out
+
+
+def q_fulfilled_customers(sf_dir: str) -> pd.DataFrame:
+    """Semi-join via broadcast key set (no shuffle)."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    f_orders = _t(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pa.compute.equal(t["o_orderstatus"], "F")),
+        batch_format="pyarrow")
+    keys = set()
+    for r in f_orders.select_columns(["o_custkey"]).take_all():
+        keys.add(r["o_custkey"])
+    key_ref = ray.put(keys)
+
+    class _Semi:
+        def __init__(self):
+            self.keys = ray.get(key_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mask = pa.array([k in self.keys
+                             for k in b.column("c_custkey").to_pylist()])
+            return b.filter(mask)
+
+    customer = _t(sf_dir, "customer",
+                  ["c_custkey", "c_mktsegment", "c_acctbal"])
+    filtered = customer.map_batches(_Semi, batch_format="pyarrow",
+                                    concurrency=(1, 4), num_cpus=0.5)
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("c_acctbal", "size"), sum_acctbal=("c_acctbal", "sum"))
+
+    out = _pdf(partial_groupby(filtered, ["c_mktsegment"], batch_agg,
+                               ["n_customers", "sum_acctbal"]))
+    out["avg_acctbal"] = (out.sum_acctbal / out.n_customers).round(ROUND_RATIO)
+    out["sum_acctbal"] = out["sum_acctbal"].round(ROUND_SUM)
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return out
+
+
+def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
+    """Filter pushdown + grouped aggregate."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    ds = _t(sf_dir, "part", ["p_type", "p_size", "p_retailprice"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pa.compute.less(t["p_size"], 30)),
+        batch_format="pyarrow")
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("p_type", as_index=False).agg(
+            n_parts=("p_retailprice", "size"),
+            sum_retail=("p_retailprice", "sum"))
+
+    out = _pdf(partial_groupby(ds, ["p_type"], batch_agg,
+                               ["n_parts", "sum_retail"]))
+    out["avg_retail"] = (out.sum_retail / out.n_parts).round(ROUND_RATIO)
+    out["sum_retail"] = out["sum_retail"].round(ROUND_SUM)
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup / fingerprints / text stats (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.dedup import exact_dedup
+
+    out = _pdf(exact_dedup(_t(sf_dir, "documents", ["doc_id", "text"])))
+    return out[["content_hash", "doc_id"]]
+
+
+def q_fingerprints(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.textstats import fingerprints
+
+    out = _pdf(fingerprints(_t(sf_dir, "documents", ["doc_id", "text"])))
+    return out[["doc_id", "fingerprint"]]
+
+
+def q_token_counts(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.textstats import token_counts
+
+    return _pdf(token_counts(_t(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.textstats import quality_scores
+
+    return _pdf(quality_scores(_t(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def q_lang_hist(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count
+
+    out = _pdf(_t(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(
+        Count(alias_name="n_docs")))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# events: windows (SQL-oracled)
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.windows import tumbling_window
+
+    out = _pdf(tumbling_window(_t(sf_dir, "events",
+                                  ["event_type", "ts", "value"])))
+    out["sum_value"] = out["sum_value"].round(ROUND_SUM)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.windows import sessionize
+
+    out = _pdf(sessionize(_t(sf_dir, "events", ["user_id", "ts"])))
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search (brute-force SQL-oracled; IVF rows-only)
+# ---------------------------------------------------------------------------
+
+_NUM_ANN_QUERIES = 5
+
+
+def _query_vectors(sf_dir: str):
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in
+         _t(sf_dir, "embeddings", ["vec_id", "embedding"]).to_arrow_refs()])
+    ids = tbl.column("vec_id").to_pylist()
+    vecs = tbl.column("embedding").to_pylist()
+    by_id = dict(zip(ids, vecs))
+    qids = sorted(by_id)[:_NUM_ANN_QUERIES]
+    return np.array([by_id[q] for q in qids], dtype=np.float64), qids
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.ann import brute_force_topk
+
+    queries, qids = _query_vectors(sf_dir)
+    out = brute_force_topk(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                           queries, qids, k=10)
+    return out.to_pandas()
+
+
+def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.dedup import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4)
+    df = out.to_pandas()
+    df["cosine"] = df["cosine"].round(4)
+    return df
+
+
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.ann import ivf_topk, train_centroids
+
+    queries, qids = _query_vectors(sf_dir)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = np.array([r["embedding"] for r in ds.take(256)], dtype=np.float64)
+    centroids = train_centroids(sample, num_lists=8)
+    return ivf_topk(ds, centroids, queries, qids, k=10, nprobe=4).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# documents: near-dup family (rows-only — verified in tests vs oracles)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.dedup import minhash_dedup
+
+    return minhash_dedup(_t(sf_dir, "documents", ["doc_id", "text"]),
+                         num_perm=32, num_bands=8).to_pandas()
+
+
+def q_simhash(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.dedup import add_simhash
+
+    out = _pdf(add_simhash(_t(sf_dir, "documents", ["doc_id", "text"]))
+               .select_columns(["doc_id", "simhash"]))
+    out["simhash"] = out["simhash"].apply(lambda v: f"{int(v):016x}")
+    return out
+
+
+def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(sf_dir, "documents", ["doc_id", "lang", "text"]),
+        group_col="lang", threshold=0.2).to_pandas()
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.textstats import language_id
+
+    return _pdf(language_id(_t(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    from web2llmstxt_ray.ops.multimodal import (
+        extract_media_features, synth_media_table)
+
+    doc_ids = [str(r["doc_id"]) for r in
+               _t(sf_dir, "documents", ["doc_id"]).take(200)]
+    media = synth_media_table(doc_ids, per_doc=2)
+    return _pdf(extract_media_features(rd.from_arrow(media)))
+
+
+# ---------------------------------------------------------------------------
+# crawl-domain queries (rows-only; pytest conformance is the real gate)
+# ---------------------------------------------------------------------------
+
+_CRAWL_CACHE: dict = {}
+
+
+def _crawl_once():
+    if "result" in _CRAWL_CACHE:
+        return _CRAWL_CACHE["result"]
+    import tempfile
+
+    from web2llmstxt_ray.pipelines.crawl import (
+        CrawlConfig, DistributedCrawler, read_crawl_output)
+    from web2llmstxt_ray.synth import generate_site, site_index
+
+    site, robots = generate_site(num_pages=200, num_hosts=4, seed=42)
+    cols = robots.to_pydict()
+    disallow = dict(zip(cols["host"], cols["disallow"]))
+    run_dir = tempfile.mkdtemp(prefix="rayentry_crawl_")
+    cfg = CrawlConfig(base_url="https://site0.test", max_pages=12,
+                      run_dir=run_dir)
+    crawler = DistributedCrawler(cfg, site_index(site),
+                                 disallow_by_host=disallow)
+    crawler.run()
+    pages = read_crawl_output(run_dir, "pages")
+    spans = read_crawl_output(run_dir, "spans")
+    _CRAWL_CACHE["result"] = (pages, spans, run_dir)
+    return _CRAWL_CACHE["result"]
+
+
+def q_crawl_pages(sf_dir: str) -> pd.DataFrame:
+    pages, _, _ = _crawl_once()
+    return pages.select(["url", "title", "word_count", "score", "depth",
+                         "discovery_phase", "visit_index"]).to_pandas()
+
+
+def q_crawl_spans(sf_dir: str) -> pd.DataFrame:
+    _, spans, _ = _crawl_once()
+    out = {"doc_id": [], "span_idx": [], "kind": [], "media_ref": [],
+           "offset": []}
+    for did, sp in zip(spans.column("doc_id").to_pylist(),
+                       spans.column("spans").to_pylist()):
+        for i, s in enumerate(sp):
+            out["doc_id"].append(did)
+            out["span_idx"].append(i)
+            out["kind"].append(s["kind"])
+            out["media_ref"].append(s["media_ref"])
+            out["offset"].append(s["offset"])
+    return pd.DataFrame(out)
+
+
+def q_llms_entries(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.compute as pc
+
+    from web2llmstxt_ray.pipelines.llms import Describer
+
+    pages, _, _ = _crawl_once()
+    pages = pages.take(pc.sort_indices(pages.column("visit_index")))
+    entries = Describer()(pages)
+    return entries.select(
+        ["url", "title", "description", "index", "category"]).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "top_orders": q_top_orders,
+        "segment_revenue": q_segment_revenue,
+        "priority_revenue": q_priority_revenue,
+        "region_suppliers": q_region_suppliers,
+        "fulfilled_customers": q_fulfilled_customers,
+        "part_type_stats": q_part_type_stats,
+        "exact_dedup": q_exact_dedup,
+        "fingerprints": q_fingerprints,
+        "token_counts": q_token_counts,
+        "doc_quality": q_doc_quality,
+        "lang_hist": q_lang_hist,
+        "events_tumbling": q_events_tumbling,
+        "events_sessions": q_events_sessions,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf": q_ann_ivf,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "media_features": q_media_features,
+        "crawl_pages": q_crawl_pages,
+        "crawl_spans": q_crawl_spans,
+        "llms_entries": q_llms_entries,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOPLIST_SQL = "['the','and','of','to','a','in','is','it','for','on']"
+_SUBTOKEN_RE = "[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), {ROUND_SUM}) AS sum_qty,
+                   round(sum(l_extendedprice), {ROUND_SUM}) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), {ROUND_SUM}) AS sum_disc_price,
+                   count(*) AS count_order,
+                   round(sum(l_quantity) / count(*), {ROUND_RATIO}) AS avg_qty,
+                   round(sum(l_extendedprice) / count(*), {ROUND_RATIO}) AS avg_price
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": f"""
+            SELECT o_orderkey, round(o_totalprice, {ROUND_SUM}) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "segment_revenue": f"""
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), {ROUND_SUM}) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "priority_revenue": f"""
+            SELECT o_orderpriority, count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), {ROUND_SUM}) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "region_suppliers": f"""
+            SELECT r_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), {ROUND_SUM}) AS total_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "fulfilled_customers": f"""
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   round(sum(c_acctbal), {ROUND_SUM}) AS sum_acctbal,
+                   round(sum(c_acctbal) / count(*), {ROUND_RATIO}) AS avg_acctbal
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'F')
+            GROUP BY c_mktsegment
+        """,
+        "part_type_stats": f"""
+            SELECT p_type, count(*) AS n_parts,
+                   round(sum(p_retailprice), {ROUND_SUM}) AS sum_retail,
+                   round(sum(p_retailprice) / count(*), {ROUND_RATIO}) AS avg_retail
+            FROM part WHERE p_size < 30 GROUP BY p_type
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END
+                       AS n_tokens,
+                   len(regexp_extract_all(text, '{_SUBTOKEN_RE}')) AS n_subtokens
+            FROM documents
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars2,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END
+                       AS n_words,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE round((length(text) -
+                             length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                             / length(text), {ROUND_RATIO}) END AS punct_ratio,
+                   CASE WHEN trim(text) = '' THEN 0.0
+                        ELSE round(len(list_filter(
+                                 string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> list_contains({_STOPLIST_SQL}, x)))
+                             / len(string_split_regex(trim(text), '\\s+')),
+                             {ROUND_RATIO}) END AS stop_ratio,
+                   CASE WHEN trim(text) = '' THEN 0.0
+                        ELSE round(list_aggregate(list_transform(
+                                 string_split_regex(trim(text), '\\s+'),
+                                 x -> length(x)), 'sum')
+                             / len(string_split_regex(trim(text), '\\s+')),
+                             {ROUND_RATIO}) END AS mean_word_len
+            FROM documents
+        """,
+        "lang_hist": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "events_tumbling": f"""
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), {ROUND_SUM}) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_sessions": """
+            SELECT user_id,
+                   CAST(1 + sum(CASE WHEN gap > INTERVAL 30 MINUTE
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (SELECT user_id,
+                         ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             AS gap
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id IN (SELECT vec_id FROM embeddings
+                                        ORDER BY vec_id LIMIT {_NUM_ANN_QUERIES})),
+            sims AS (SELECT q.qid, e.vec_id,
+                            list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+                     FROM q CROSS JOIN embeddings e
+                     WHERE e.vec_id != q.qid),
+            ranked AS (SELECT qid AS query_id, vec_id, cos,
+                              row_number() OVER (PARTITION BY qid
+                                                 ORDER BY cos DESC, vec_id)
+                                  AS rank
+                       FROM sims)
+            SELECT query_id, rank, vec_id, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 10
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+    }

@@ -1,0 +1,212 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Two paths:
+
+- **Brute-force top-k** (the correctness baseline): the query matrix is
+  tiny and broadcasts via ``ray.put``; each data batch computes one
+  float64 matmul block and its per-batch partial top-k; the driver
+  merges partials (k × queries rows — small). One pass, no shuffle.
+- **IVF (inverted file)**: k-means centroids trained on a sample
+  (driver-side numpy — the model is small), every vector assigned to
+  its nearest centroid inside ``map_batches``, queries probe only the
+  ``nprobe`` nearest lists. The scale path: at 10^9+ vectors the
+  assignment column doubles as the partition key for a
+  ``write_parquet(partition_cols=["ivf_list"])`` layout so probes read
+  only matching partitions.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> pa.Table:
+    """Exact cosine top-k: (query_id, rank, vec_id, cosine).
+
+    Ties broken by ascending ``vec_id`` (total order → deterministic
+    and oracle-matchable). ``exclude_self`` drops hits where
+    ``vec_id == query_id`` (querying the corpus by its own members).
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put((qn, list(query_ids)))
+
+    class _Partial:
+        def __init__(self):
+            self.qn, self.qids = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist())
+            vecs = np.stack([np.asarray(v, dtype=np.float64)
+                             for v in batch.column(vec_col).to_pylist()])
+            sims = self.qn @ _normalize(vecs).T       # (Q, B)
+            out = {"query_id": [], "vec_id": [], "cosine": []}
+            for qi, qid in enumerate(self.qids):
+                row = sims[qi]
+                # partial top-k within the batch (argpartition then exact sort)
+                take = min(k + 1, len(row))
+                idx = np.argpartition(-row, take - 1)[:take]
+                for j in idx:
+                    out["query_id"].append(qid)
+                    out["vec_id"].append(int(ids[j]))
+                    out["cosine"].append(float(row[j]))
+            return pa.table({"query_id": pa.array(out["query_id"]),
+                             "vec_id": pa.array(out["vec_id"], pa.int64()),
+                             "cosine": pa.array(out["cosine"], pa.float64())})
+
+    partials = ds.map_batches(_Partial, batch_format="pyarrow",
+                              batch_size=1024, concurrency=(1, 8),
+                              num_cpus=0.5).take_all()
+    # driver merge: k per query from the partial top-k's
+    per_query: dict = {}
+    for r in partials:
+        per_query.setdefault(r["query_id"], []).append(
+            (-r["cosine"], r["vec_id"]))
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    for qid in query_ids:
+        cands = per_query.get(qid, [])
+        if exclude_self:
+            cands = [c for c in cands if c[1] != qid]
+        best = heapq.nsmallest(k, cands)   # (-cos, vec_id): ties → low id
+        for rank, (negcos, vid) in enumerate(best, 1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["vec_id"].append(vid)
+            rows["cosine"].append(round(-negcos, 6))
+    return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                     "rank": pa.array(rows["rank"], pa.int64()),
+                     "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                     "cosine": pa.array(rows["cosine"], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(sample: np.ndarray, num_lists: int, iters: int = 10,
+                    seed: int = 11) -> np.ndarray:
+    """Plain Lloyd k-means on a driver-side sample (deterministic)."""
+    rng = np.random.RandomState(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    centroids = sample[rng.choice(len(sample), num_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(num_lists):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                centroids[c] = v / n if n else centroids[c]
+    return centroids
+
+
+def assign_ivf_lists(ds: ray.data.Dataset, centroids: np.ndarray,
+                     vec_col: str = "embedding") -> ray.data.Dataset:
+    """Append ``ivf_list`` (nearest-centroid id) — the partition key."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    class _Assign:
+        def __init__(self):
+            self.centroids = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vecs = np.stack([np.asarray(v, dtype=np.float64)
+                             for v in batch.column(vec_col).to_pylist()])
+            assign = np.argmax(_normalize(vecs) @ self.centroids.T, axis=1)
+            return batch.append_column("ivf_list",
+                                       pa.array(assign.astype(np.int32)))
+
+    return ds.map_batches(_Assign, batch_format="pyarrow",
+                          concurrency=(1, 8), num_cpus=0.5)
+
+
+def ivf_topk(ds: ray.data.Dataset, centroids: np.ndarray,
+             queries: np.ndarray, query_ids: list, k: int = 10,
+             nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id", exclude_self: bool = True) -> pa.Table:
+    """Approximate top-k: probe only the ``nprobe`` nearest inverted
+    lists per query. Same output schema as :func:`brute_force_topk`;
+    recall measured against it in tests."""
+    assigned = assign_ivf_lists(ds, centroids, vec_col)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    probe_lists = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]   # (Q, nprobe)
+    wanted = sorted({int(l) for row in probe_lists for l in row})
+    sub = assigned.filter(
+        lambda r, _w=frozenset(wanted): r["ivf_list"] in _w)
+    qsel: dict[int, list[int]] = {}
+    for qi, row in enumerate(probe_lists):
+        for l in row:
+            qsel.setdefault(int(l), []).append(qi)
+    ref = ray.put((qn, list(query_ids), qsel))
+
+    class _Probe:
+        def __init__(self):
+            self.qn, self.qids, self.qsel = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist())
+            lists = np.asarray(batch.column("ivf_list").to_pylist())
+            vecs = np.stack([np.asarray(v, dtype=np.float64)
+                             for v in batch.column(vec_col).to_pylist()])
+            vn = _normalize(vecs)
+            out = {"query_id": [], "vec_id": [], "cosine": []}
+            for lst in np.unique(lists):
+                qis = self.qsel.get(int(lst), [])
+                if not qis:
+                    continue
+                mask = lists == lst
+                sims = self.qn[qis] @ vn[mask].T
+                sel_ids = ids[mask]
+                for row_i, qi in enumerate(qis):
+                    take = min(k, sims.shape[1])
+                    idx = np.argpartition(-sims[row_i], take - 1)[:take]
+                    for j in idx:
+                        out["query_id"].append(self.qids[qi])
+                        out["vec_id"].append(int(sel_ids[j]))
+                        out["cosine"].append(float(sims[row_i, j]))
+            return pa.table({"query_id": pa.array(out["query_id"]),
+                             "vec_id": pa.array(out["vec_id"], pa.int64()),
+                             "cosine": pa.array(out["cosine"], pa.float64())})
+
+    partials = sub.map_batches(_Probe, batch_format="pyarrow",
+                               batch_size=2048, concurrency=(1, 8),
+                               num_cpus=0.5).take_all()
+    per_query: dict = {}
+    for r in partials:
+        per_query.setdefault(r["query_id"], []).append(
+            (-r["cosine"], r["vec_id"]))
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    for qid in query_ids:
+        cands = per_query.get(qid, [])
+        if exclude_self:
+            cands = [c for c in cands if c[1] != qid]
+        best = heapq.nsmallest(k, set(cands))
+        for rank, (negcos, vid) in enumerate(best, 1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(rank)
+            rows["vec_id"].append(vid)
+            rows["cosine"].append(round(-negcos, 6))
+    return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                     "rank": pa.array(rows["rank"], pa.int64()),
+                     "vec_id": pa.array(rows["vec_id"], pa.int64()),
+                     "cosine": pa.array(rows["cosine"], pa.float64())})

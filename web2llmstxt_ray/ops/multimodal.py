@@ -1,0 +1,154 @@
+"""Multimodal column plumbing — opaque binary payloads with typed
+metadata, processed by actor-pool stages.
+
+The span documents carry media as references (``media_ref``); a
+production pipeline also moves the *bytes* (image/audio/video) through
+the engine as Arrow ``binary`` columns. The decode/resize/feature
+kernels need codec libraries absent from this container, so the codec
+layer is explicitly split out behind ``Decoder`` implementations:
+
+- :class:`StubDecoder` — raises ``NotImplementedError`` (the marked
+  production slot for PIL/ffmpeg-backed decoders).
+- :class:`FakeDecoder` — deterministic pure-python "decode" (parses a
+  tiny self-describing header from the synthetic payload) so the
+  Ray-side plumbing — schema, batch sizing, actor lifecycle, output
+  layout — is real and tested end to end.
+
+Scale notes encoded here: binary batches are kept SMALL
+(``batch_size=32`` default — payload bytes × batch_size × concurrency
+must fit a worker heap), payloads stay in Arrow buffers (no
+row-by-row Python copies of the bytes beyond the codec call), and
+outputs drop the payload column as early as possible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("doc_id", pa.string()),
+        ("kind", pa.string()),            # image | audio | video
+        ("payload", pa.large_binary()),
+        ("declared_width", pa.int32()),   # typed metadata columns
+        ("declared_height", pa.int32()),
+        ("declared_ms", pa.int32()),
+    ]
+)
+
+_MAGIC = b"SYNM"
+
+
+def make_fake_payload(media_id: str, kind: str, width: int = 0,
+                      height: int = 0, duration_ms: int = 0,
+                      body_len: int = 256) -> bytes:
+    """Deterministic synthetic media payload: a 20-byte header
+    (magic, kind byte, width, height, ms) + seeded pseudo-random body."""
+    kind_b = {"image": 1, "audio": 2, "video": 3}[kind]
+    header = _MAGIC + struct.pack("<BiiI", kind_b, width, height, duration_ms)
+    seed = int.from_bytes(hashlib.md5(media_id.encode()).digest()[:4], "little")
+    body = np.random.RandomState(seed).bytes(body_len)
+    return header + body
+
+
+class StubDecoder:
+    """Production codec slot — unavailable in this sandbox."""
+
+    def decode(self, payload: bytes) -> dict:  # pragma: no cover - stub
+        raise NotImplementedError(
+            "Real media decoding needs PIL/ffmpeg, which are not in this "
+            "container. Use FakeDecoder for tests/benchmarks; swap this "
+            "class for a real codec in production."
+        )
+
+
+class FakeDecoder:
+    """Deterministic decode of :func:`make_fake_payload` outputs."""
+
+    def decode(self, payload: bytes) -> dict:
+        if payload[:4] != _MAGIC:
+            raise ValueError("bad media payload")
+        kind_b, w, h, ms = struct.unpack("<BiiI", payload[4:17])
+        body = payload[17:]
+        return {
+            "kind": {1: "image", 2: "audio", 3: "video"}[kind_b],
+            "width": w,
+            "height": h,
+            "duration_ms": ms,
+            "n_bytes": len(payload),
+            "body_checksum": hashlib.md5(body).hexdigest(),
+        }
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode each payload, emit typed features and
+    DROP the payload (the narrow output is what flows downstream).
+
+    The decoder is constructed once per actor (the expensive part for a
+    real codec: codec contexts, GPU handles). Batches must stay small —
+    size with ``batch_size`` at call sites, not inside.
+    """
+
+    def __init__(self, decoder_cls=FakeDecoder):
+        self.decoder = decoder_cls()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = [self.decoder.decode(p) for p in payloads]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "doc_id": batch.column("doc_id"),
+            "kind": pa.array([f["kind"] for f in feats], pa.string()),
+            "width": pa.array([f["width"] for f in feats], pa.int32()),
+            "height": pa.array([f["height"] for f in feats], pa.int32()),
+            "duration_ms": pa.array([f["duration_ms"] for f in feats], pa.int32()),
+            "n_bytes": pa.array([f["n_bytes"] for f in feats], pa.int64()),
+            "body_checksum": pa.array([f["body_checksum"] for f in feats],
+                                      pa.string()),
+        })
+
+
+def extract_media_features(ds: ray.data.Dataset, decoder_cls=FakeDecoder,
+                           batch_size: int = 32,
+                           concurrency=(1, 8)) -> ray.data.Dataset:
+    """media table → per-media feature rows (payloads dropped)."""
+    return ds.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decoder_cls": decoder_cls},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+
+def synth_media_table(doc_ids: list[str], per_doc: int = 2,
+                      seed: int = 5) -> pa.Table:
+    """Deterministic media fixture attached to span documents."""
+    rng = np.random.RandomState(seed)
+    rows = {k: [] for k in ("media_id", "doc_id", "kind", "payload",
+                            "declared_width", "declared_height", "declared_ms")}
+    kinds = ["image", "audio", "video"]
+    for d in doc_ids:
+        for j in range(per_doc):
+            kind = kinds[int(rng.randint(3))]
+            mid = f"{d}#m{j}"
+            w, h, ms = 0, 0, 0
+            if kind == "image":
+                w, h = int(rng.randint(16, 512)), int(rng.randint(16, 512))
+            else:
+                ms = int(rng.randint(1000, 60000))
+            rows["media_id"].append(mid)
+            rows["doc_id"].append(d)
+            rows["kind"].append(kind)
+            rows["payload"].append(make_fake_payload(mid, kind, w, h, ms))
+            rows["declared_width"].append(w)
+            rows["declared_height"].append(h)
+            rows["declared_ms"].append(ms)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)

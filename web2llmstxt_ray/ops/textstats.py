@@ -1,0 +1,221 @@
+"""Text analysis operators: token counts, quality scoring, language ID,
+fingerprinting.
+
+Definitions are chosen to be *exactly* mirrorable in ANSI SQL (the
+driver's DuckDB oracle) where possible: whitespace-run tokenization,
+fixed punctuation set, fixed stopword list, md5 of a canonical
+whitespace-collapsed form. The n-gram language detector and the rolling
+(Rabin-Karp) fingerprint are not SQL-expressible; they're covered by
+unit tests instead.
+
+All stages are ``map_batches`` with precompiled regex state per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_WS_RE = re.compile(r"\s+")
+PUNCT_SET = ".,!?;:"
+STOPWORDS_EN = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
+
+
+def tokenize_ws(text: str) -> list[str]:
+    """Whitespace-run tokenization (SQL: string_split_regex(trim(x),'\\s+'))."""
+    t = text.strip()
+    return _WS_RE.split(t) if t else []
+
+# BPE-ish subword pre-tokenizer: word pieces / numbers / punctuation runs
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+
+
+def tokenize_bpeish(text: str) -> list[str]:
+    return _BPE_RE.findall(text)
+
+
+class TokenCounter:
+    """(doc_id, n_tokens, n_subtokens) per document."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_tokens": pa.array([len(tokenize_ws(t or "")) for t in texts],
+                                 pa.int64()),
+            "n_subtokens": pa.array([len(tokenize_bpeish(t or "")) for t in texts],
+                                    pa.int64()),
+        })
+
+
+class QualityScorer:
+    """Per-doc quality signals (SQL-mirrorable definitions):
+
+    - ``n_chars``: length(text)
+    - ``n_words``: whitespace tokens
+    - ``punct_ratio``: chars in ``.,!?;:`` / n_chars (0 when empty)
+    - ``stop_ratio``: lowercased tokens in the fixed EN stopword list
+      / n_words (0 when empty)
+    - ``mean_word_len``: (n_chars_of_words / n_words)
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 ndigits: int = 6):
+        self.text_col, self.id_col = text_col, id_col
+        self.nd = ndigits
+        self.stop = frozenset(STOPWORDS_EN)
+        self.punct = frozenset(PUNCT_SET)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        rows = {"n_chars": [], "n_words": [], "punct_ratio": [],
+                "stop_ratio": [], "mean_word_len": []}
+        for t in texts:
+            t = t or ""
+            toks = tokenize_ws(t)
+            nw = len(toks)
+            nc = len(t)
+            rows["n_chars"].append(nc)
+            rows["n_words"].append(nw)
+            rows["punct_ratio"].append(
+                round(sum(c in self.punct for c in t) / nc, self.nd) if nc else 0.0)
+            rows["stop_ratio"].append(
+                round(sum(w.lower() in self.stop for w in toks) / nw, self.nd)
+                if nw else 0.0)
+            rows["mean_word_len"].append(
+                round(sum(len(w) for w in toks) / nw, self.nd) if nw else 0.0)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_chars2": pa.array(rows["n_chars"], pa.int64()),
+            "n_words": pa.array(rows["n_words"], pa.int64()),
+            "punct_ratio": pa.array(rows["punct_ratio"], pa.float64()),
+            "stop_ratio": pa.array(rows["stop_ratio"], pa.float64()),
+            "mean_word_len": pa.array(rows["mean_word_len"], pa.float64()),
+        })
+
+
+# ---------------------------------------------------------------------------
+# language ID — character n-gram profile heuristic (not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+# tiny per-language profiles: distinctive character trigrams + stopwords
+_LANG_PROFILES: dict[str, tuple[frozenset, frozenset]] = {
+    "en": (frozenset({"the", "and", "ing", "ion", "of ", " th"}),
+           frozenset({"the", "and", "of", "is", "with", "this"})),
+    "de": (frozenset({"der", "sch", "ein", "ich", "und", "en "}),
+           frozenset({"der", "die", "das", "und", "ist", "mit"})),
+    "fr": (frozenset({"les", "ion", "ent", "de ", "que", "eau"}),
+           frozenset({"les", "des", "est", "que", "avec", "pour"})),
+    "es": (frozenset({"ión", "los", "ado", "que", "de ", "la "}),
+           frozenset({"los", "las", "que", "con", "para", "una"})),
+}
+
+
+def detect_language(text: str) -> str:
+    """n-gram + stopword profile scoring; CJK by codepoint range;
+    deterministic tie-break by language code."""
+    if not text:
+        return "unknown"
+    sample = text[:1000]
+    cjk = sum(1 for c in sample if "一" <= c <= "鿿")
+    if cjk / max(1, len(sample)) > 0.05:
+        return "zh"
+    lower = sample.lower()
+    tokens = set(lower.split())
+    grams = {lower[i:i + 3] for i in range(len(lower) - 2)}
+    best = ("unknown", 0.0)
+    for lang in sorted(_LANG_PROFILES):
+        tri, stop = _LANG_PROFILES[lang]
+        score = 2.0 * len(tokens & stop) + 1.0 * len(grams & tri)
+        if score > best[1]:
+            best = (lang, score)
+    return best[0] if best[1] > 0 else "unknown"
+
+
+class LanguageId:
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "predicted_lang": pa.array(
+                [detect_language(t or "") for t in texts], pa.string()),
+        })
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+# ---------------------------------------------------------------------------
+
+
+def canonical_fingerprint(text: str) -> str:
+    """md5 of the lowercased, whitespace-collapsed text (SQL:
+    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))))."""
+    canon = _WS_RE.sub(" ", text).lower()
+    return hashlib.md5(canon.encode("utf-8", "surrogatepass")).hexdigest()
+
+
+_RK_BASE = np.uint64(1099511628211)
+
+
+def rolling_fingerprints(text: str, window: int = 50, stride: int = 25) -> list[int]:
+    """Rabin-Karp rolling hashes over character windows — the
+    shift-resistant document fingerprint (winnowing-style; not SQL)."""
+    data = text.encode("utf-8", "surrogatepass")
+    if len(data) < window:
+        data = data + b"\x00" * (window - len(data))
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    powers = _RK_BASE ** np.arange(window, dtype=np.uint64)  # wraps mod 2^64
+    out = []
+    for start in range(0, len(arr) - window + 1, stride):
+        out.append(int((arr[start:start + window] * powers).sum()))
+    return out
+
+
+class Fingerprinter:
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "fingerprint": pa.array(
+                [canonical_fingerprint(t or "") for t in texts], pa.string()),
+            "rolling_min": pa.array(
+                [min(rolling_fingerprints(t or "")) for t in texts],
+                pa.uint64()),
+        })
+
+
+def token_counts(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return ds.map_batches(TokenCounter, fn_constructor_kwargs=kw,
+                          batch_format="pyarrow", concurrency=(1, 8),
+                          num_cpus=0.5)
+
+
+def quality_scores(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return ds.map_batches(QualityScorer, fn_constructor_kwargs=kw,
+                          batch_format="pyarrow", concurrency=(1, 8),
+                          num_cpus=0.5)
+
+
+def language_id(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return ds.map_batches(LanguageId, fn_constructor_kwargs=kw,
+                          batch_format="pyarrow", concurrency=(1, 8),
+                          num_cpus=0.5)
+
+
+def fingerprints(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    return ds.map_batches(Fingerprinter, fn_constructor_kwargs=kw,
+                          batch_format="pyarrow", concurrency=(1, 8),
+                          num_cpus=0.5)
