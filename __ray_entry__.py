@@ -104,9 +104,9 @@ def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
             sum_disc_price=("disc_price", "sum"),
             count_order=("l_quantity", "size"))
 
-    out = _pdf(partial_groupby(
+    out = partial_groupby(
         ds, ["l_returnflag", "l_linestatus"], batch_agg,
-        ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"]))
+        ["sum_qty", "sum_base_price", "sum_disc_price", "count_order"])
     out["avg_qty"] = (out.sum_qty / out.count_order).round(ROUND_RATIO)
     out["avg_price"] = (out.sum_base_price / out.count_order).round(ROUND_RATIO)
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
@@ -141,8 +141,8 @@ def q_segment_revenue(sf_dir: str) -> pd.DataFrame:
             n_orders=("o_totalprice", "size"),
             revenue=("o_totalprice", "sum"))
 
-    out = _pdf(partial_groupby(joined, ["c_mktsegment"], batch_agg,
-                               ["n_orders", "revenue"]))
+    out = partial_groupby(joined, ["c_mktsegment"], batch_agg,
+                          ["n_orders", "revenue"])
     out["revenue"] = out["revenue"].round(ROUND_SUM)
     out["n_orders"] = out["n_orders"].astype("int64")
     return out
@@ -164,8 +164,8 @@ def q_priority_revenue(sf_dir: str) -> pd.DataFrame:
         return b.groupby("o_orderpriority", as_index=False).agg(
             n_items=("rev", "size"), revenue=("rev", "sum"))
 
-    out = _pdf(partial_groupby(joined, ["o_orderpriority"], batch_agg,
-                               ["n_items", "revenue"]))
+    out = partial_groupby(joined, ["o_orderpriority"], batch_agg,
+                          ["n_items", "revenue"])
     out["revenue"] = out["revenue"].round(ROUND_SUM)
     out["n_items"] = out["n_items"].astype("int64")
     return out
@@ -192,8 +192,8 @@ def q_region_suppliers(sf_dir: str) -> pd.DataFrame:
             n_suppliers=("s_acctbal", "size"),
             total_acctbal=("s_acctbal", "sum"))
 
-    out = _pdf(partial_groupby(joined, ["r_name"], batch_agg,
-                               ["n_suppliers", "total_acctbal"]))
+    out = partial_groupby(joined, ["r_name"], batch_agg,
+                          ["n_suppliers", "total_acctbal"])
     out["total_acctbal"] = out["total_acctbal"].round(ROUND_SUM)
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     return out
@@ -229,8 +229,8 @@ def q_fulfilled_customers(sf_dir: str) -> pd.DataFrame:
         return b.groupby("c_mktsegment", as_index=False).agg(
             n_customers=("c_acctbal", "size"), sum_acctbal=("c_acctbal", "sum"))
 
-    out = _pdf(partial_groupby(filtered, ["c_mktsegment"], batch_agg,
-                               ["n_customers", "sum_acctbal"]))
+    out = partial_groupby(filtered, ["c_mktsegment"], batch_agg,
+                          ["n_customers", "sum_acctbal"])
     out["avg_acctbal"] = (out.sum_acctbal / out.n_customers).round(ROUND_RATIO)
     out["sum_acctbal"] = out["sum_acctbal"].round(ROUND_SUM)
     out["n_customers"] = out["n_customers"].astype("int64")
@@ -251,8 +251,8 @@ def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
             n_parts=("p_retailprice", "size"),
             sum_retail=("p_retailprice", "sum"))
 
-    out = _pdf(partial_groupby(ds, ["p_type"], batch_agg,
-                               ["n_parts", "sum_retail"]))
+    out = partial_groupby(ds, ["p_type"], batch_agg,
+                          ["n_parts", "sum_retail"])
     out["avg_retail"] = (out.sum_retail / out.n_parts).round(ROUND_RATIO)
     out["sum_retail"] = out["sum_retail"].round(ROUND_SUM)
     out["n_parts"] = out["n_parts"].astype("int64")
@@ -307,8 +307,7 @@ def q_lang_hist(sf_dir: str) -> pd.DataFrame:
 def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
     from web2llmstxt_ray.ops.windows import tumbling_window
 
-    out = _pdf(tumbling_window(_t(sf_dir, "events",
-                                  ["event_type", "ts", "value"])))
+    out = tumbling_window(_t(sf_dir, "events", ["event_type", "ts", "value"]))
     out["sum_value"] = out["sum_value"].round(ROUND_SUM)
     out["n_events"] = out["n_events"].astype("int64")
     return out

@@ -1,0 +1,178 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Usage:
+    python bench.py              # full bench at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling    # same job at 8 and 32 CPUs in fresh
+                                 # processes → throughput + scaling efficiency
+
+Headline pipelines (timed individually, summed into "value"):
+- crawl_listing:  seed-list fetch+extract+span pipeline over a 20k-page
+  64-host synthetic web (the BASELINE pages/s target)
+- crawl_bfs:      the wave-synchronized BFS crawler (visit-order-exact path)
+- frontier_ops:   seen-filter (cuckoo) + frontier shard ops/s microbench
+- representative testdata queries over $GRAFT_SF_DIR (default sf0.1):
+  grouped aggregate, bucketed hash join, token counting, ANN top-k,
+  sessionization, minhash dedup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import __ray_entry__ as E
+    from web2llmstxt_ray.pipelines.crawl import CrawlConfig, DistributedCrawler
+    from web2llmstxt_ray.pipelines.urllist import crawl_url_list, pages_to_span_docs
+    from web2llmstxt_ray.state.frontier import Frontier
+    from web2llmstxt_ray.state.seen import SeenFilter
+    from web2llmstxt_ray.synth import generate_site
+
+    results: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- synthetic web (untimed setup; deterministic) ----
+    # the site broadcasts as an Arrow table: zero-copy from the object
+    # store, no per-actor dict deserialization
+    site, robots = generate_site(num_pages=20000, num_hosts=64, seed=42)
+    cols = robots.to_pydict()
+    disallow = dict(zip(cols["host"], cols["disallow"]))
+    idx_ref = ray.put(site)
+    all_urls = site.column("url").to_pylist()
+
+    # warm the page cache for the parquet inputs (measure compute, not
+    # first-touch disk)
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+        with open(f"{sf_dir}/{t}.parquet", "rb") as f:
+            while f.read(1 << 22):
+                pass
+
+    # ---- representative queries over the testdata ----
+    queries = E.queries()
+    for name in ("pricing_summary", "priority_revenue", "token_counts",
+                 "ann_topk", "events_sessions", "minhash_dedup"):
+        t0 = time.perf_counter()
+        queries[name](sf_dir)
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    # ---- crawl_listing: list-crawl throughput (pages/s target) ----
+    t0 = time.perf_counter()
+    seeds = rd.from_arrow(pa.table({"url": all_urls}))
+    pages = crawl_url_list(
+        seeds, idx_ref,
+        fetch_concurrency=(1, max(2, num_cpus - 2)), fetch_batch_size=256)
+    spans = pages_to_span_docs(pages)
+    out_dir = f"/tmp/bench_spans_{num_cpus}"
+    spans.write_parquet(out_dir)
+    dt = time.perf_counter() - t0
+    results["crawl_listing"] = round(dt, 3)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n_pages = sum(pq.read_metadata(f).num_rows
+                  for f in glob.glob(f"{out_dir}/*.parquet"))
+    extras["crawl_listing_pages_per_s"] = round(n_pages / dt, 1)
+
+    # ---- crawl_bfs: wave-exact crawler (comprehensive mode: the
+    # speculative-fetch + ordered-acceptance path, mid-wave cutoff hit) ----
+    cfg = CrawlConfig(base_url="https://site0.test", max_pages=50,
+                      comprehensive=True, safety_limit=500,
+                      num_workers=max(2, num_cpus // 4),
+                      num_seen_shards=8, num_frontier_shards=8,
+                      run_dir=None)
+    crawler = DistributedCrawler(cfg, idx_ref, disallow_by_host=disallow)
+    t0 = time.perf_counter()          # actor spin-up excluded: measure waves
+    res = crawler.run()
+    dt = time.perf_counter() - t0
+    results["crawl_bfs"] = round(dt, 3)
+    extras["crawl_bfs_pages_per_s"] = round(res.total_pages / dt, 1)
+    extras["crawl_bfs_fetches_per_s"] = round(res.total_fetches / dt, 1)
+    crawler.shutdown()
+
+    # ---- frontier_ops: membership + queue ops/s ----
+    t0 = time.perf_counter()
+    seen = SeenFilter(num_shards=8, mode="cuckoo", capacity_per_shard=1 << 21)
+    frontier = Frontier(num_shards=8)
+    n_urls = 400_000
+    batch = 20_000
+    urls = [f"https://h{i % 997}.test/p/{i}" for i in range(n_urls)]
+    scores = list(np.random.RandomState(3).uniform(1, 9, n_urls))
+    ops = 0
+    for s in range(0, n_urls, batch):
+        chunk = urls[s:s + batch]
+        seen.check_and_add(chunk)
+        frontier.add(chunk, scores[s:s + batch])
+        ops += 2 * len(chunk)
+    for _ in range(5):
+        wave = frontier.select_wave(5000, 0.0)
+        ops += len(wave)
+    dt = time.perf_counter() - t0
+    results["frontier_ops"] = round(dt, 3)
+    extras["frontier_ops_per_s"] = round(ops / dt, 0)
+    seen.shutdown()
+    frontier.shutdown()
+
+    total = round(sum(results.values()), 3)
+    payload = {
+        "metric": "headline pipelines wall time (crawl listing+bfs, frontier ops, 6 queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "extras": extras,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return payload
+
+
+def _run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (same input, fresh ray.init at N and 4N cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "cpus_lo": lo, "cpus_hi": hi,
+        "pages_per_s_lo": r_lo["extras"]["crawl_listing_pages_per_s"],
+        "pages_per_s_hi": r_hi["extras"]["crawl_listing_pages_per_s"],
+        "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _run_scaling()
+    else:
+        print(json.dumps(_run_bench()))

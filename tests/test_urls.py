@@ -101,3 +101,19 @@ class TestDomains:
     def test_shard_routing_covers_all(self):
         shards = {U.shard_of(f"https://a.test/{i}", 8) for i in range(1000)}
         assert shards == set(range(8))
+
+
+class TestHashBatch:
+    def test_matches_scalar(self):
+        import random
+        rng = random.Random(11)
+        urls = ["", "a", "π∆ü", "https://example.com/path?x=1"] + [
+            "https://h%d.test/%s" % (rng.randint(0, 99),
+                                     "x" * rng.randint(0, 80))
+            for _ in range(500)]
+        vec = U.hash64_batch(urls)
+        scalar = np.array([U.hash64(u) for u in urls], dtype=np.uint64)
+        np.testing.assert_array_equal(vec, scalar)
+
+    def test_empty_batch(self):
+        assert len(U.hash64_batch([])) == 0

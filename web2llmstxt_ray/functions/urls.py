@@ -240,6 +240,31 @@ def hash64(s: str) -> int:
     return h
 
 
+def hash64_batch(strings: list[str]) -> np.ndarray:
+    """Vectorized FNV-1a over a batch — bit-identical to ``hash64`` per
+    element (property-tested). The byte matrix is walked position-wise
+    with a live-row mask, so hashing cost is O(max_len) numpy ops per
+    batch instead of O(total_chars) Python ops."""
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    encoded = [s.encode("utf-8", "surrogatepass") for s in strings]
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, b in enumerate(encoded):
+        if b:
+            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    # rows sorted by length would allow slicing; masking is simpler and
+    # the mask shrinks as positions pass shorter strings
+    for pos in range(maxlen):
+        live = lens > pos
+        h[live] = (h[live] ^ mat[live, pos]) * prime  # uint64 wraps mod 2^64
+    return h
+
+
 def shard_of(canonical_url: str, num_shards: int) -> int:
     """Owner shard of a canonical URL — single owner per URL means no
     duplicate fetches across the cluster (SURVEY D1-D2/J3)."""

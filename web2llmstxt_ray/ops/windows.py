@@ -17,12 +17,13 @@ from .relational import partial_groupby
 
 def tumbling_window(ds: ray.data.Dataset, freq: str = "h",
                     key_col: str = "event_type", ts_col: str = "ts",
-                    value_col: str = "value") -> ray.data.Dataset:
+                    value_col: str = "value") -> pd.DataFrame:
     """Per (key, window-start) count + sum over fixed windows.
 
     Window assignment is embarrassingly parallel (a floor inside
-    ``map_batches``); the aggregate uses per-batch partials so only
-    ``O(batches × windows)`` rows shuffle.
+    ``map_batches``); the aggregate uses per-block partials so only
+    ``O(blocks × windows)`` rows leave the workers (driver combine —
+    see ``partial_groupby``).
     """
 
     def batch_agg(batch: pd.DataFrame) -> pd.DataFrame:

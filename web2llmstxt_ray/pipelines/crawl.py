@@ -275,10 +275,13 @@ class CrawlResult:
 class DistributedCrawler:
     """Driver object orchestrating the wave loop over the worker pool."""
 
-    def __init__(self, config: CrawlConfig, site_index: dict[str, dict],
+    def __init__(self, config: CrawlConfig, site_index,
                  disallow_by_host: dict | None = None, fetch_log=None):
         self.cfg = config
-        site_ref = ray.put(site_index)
+        # site_index: url→page dict, Arrow site table, or an ObjectRef
+        # to either (pass a ref to share one broadcast across crawlers)
+        site_ref = (site_index if isinstance(site_index, ray.ObjectRef)
+                    else ray.put(site_index))
         self.disallow = disallow_by_host if config.respect_robots else None
         self.seen = SeenFilter(config.num_seen_shards, mode=config.seen_mode)
         self.frontier = Frontier(config.num_frontier_shards)
@@ -429,6 +432,14 @@ class DistributedCrawler:
         # 5. checkpoint
         self._commit(depth, self.metrics[-1])
         self._completed_depth = depth
+
+    def shutdown(self) -> None:
+        """Kill the worker pool and state shards (end of crawl)."""
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []
+        self.seen.shutdown()
+        self.frontier.shutdown()
 
     # ----- the loop -----
 

@@ -59,12 +59,35 @@ class MockFetcher:
     """
 
     def __init__(self, site_ref):
-        self.index: dict[str, dict] = (
-            ray.get(site_ref) if isinstance(site_ref, ray.ObjectRef) else site_ref
-        )
+        site = ray.get(site_ref) if isinstance(site_ref, ray.ObjectRef) else site_ref
+        if isinstance(site, pa.Table):
+            # zero-copy broadcast path: the Arrow site table maps from the
+            # object store without deserializing page payloads; only a
+            # url→row position dict is built per actor
+            self._table = site
+            self._pos = {u: i for i, u in
+                         enumerate(site.column("url").to_pylist())}
+            self.index = None
+        else:
+            self._table = None
+            self.index: dict[str, dict] | None = site
+
+    def _lookup(self, url: str) -> dict | None:
+        if self.index is not None:
+            return self.index.get(url)
+        i = self._pos.get(url)
+        if i is None:
+            return None
+        t = self._table
+        return {
+            "status": t.column("status")[i].as_py(),
+            "html": t.column("html")[i].as_py(),
+            "markdown": t.column("markdown")[i].as_py(),
+            "title_meta": t.column("title_meta")[i].as_py(),
+        }
 
     def fetch_one(self, url: str, score: float, depth: int) -> dict:
-        page = self.index.get(url)
+        page = self._lookup(url)
         if page is None or page["status"] != 200:
             return {
                 "url": url, "success": False, "title": "", "content": "",

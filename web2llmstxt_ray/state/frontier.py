@@ -21,9 +21,10 @@ from __future__ import annotations
 import heapq
 import pickle
 
+import numpy as np
 import ray
 
-from ..functions.urls import hash64
+from ..functions.urls import hash64_batch
 
 
 class _FrontierState:
@@ -93,16 +94,14 @@ class Frontier:
         self.num_shards = num_shards
         self.shards = [FrontierShard.remote() for _ in range(num_shards)]
 
-    def _route(self, urls: list[str]) -> list[list[int]]:
-        per_shard: list[list[int]] = [[] for _ in range(self.num_shards)]
-        for i, u in enumerate(urls):
-            per_shard[hash64(u) % self.num_shards].append(i)
-        return per_shard
+    def _route(self, urls: list[str]) -> list[np.ndarray]:
+        owners = (hash64_batch(urls) % np.uint64(self.num_shards)).astype(np.int64)
+        return [np.flatnonzero(owners == s) for s in range(self.num_shards)]
 
     def add(self, urls: list[str], scores: list[float]) -> None:
         futures = []
         for s, idxs in enumerate(self._route(urls)):
-            if idxs:
+            if len(idxs):
                 futures.append(self.shards[s].add.remote(
                     [urls[i] for i in idxs], [scores[i] for i in idxs]))
         ray.get(futures)
@@ -110,7 +109,7 @@ class Frontier:
     def remove(self, urls: list[str]) -> None:
         futures = []
         for s, idxs in enumerate(self._route(urls)):
-            if idxs:
+            if len(idxs):
                 futures.append(self.shards[s].remove.remote([urls[i] for i in idxs]))
         ray.get(futures)
 
@@ -142,3 +141,9 @@ class Frontier:
     def restore(self, blobs: list[bytes]) -> None:
         assert len(blobs) == self.num_shards
         ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])
+
+    def shutdown(self) -> None:
+        """Kill the shard actors (frees their memory immediately)."""
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

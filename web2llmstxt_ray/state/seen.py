@@ -32,14 +32,18 @@ import pickle
 import numpy as np
 import ray
 
-from ..functions.urls import hash64
+from ..functions.urls import hash64, hash64_batch
 
 _FP_MASK = np.uint64(0xFFFF)
 
 
-def _hash_batch(urls: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes for a batch of URLs."""
-    return np.fromiter((hash64(u) for u in urls), dtype=np.uint64, count=len(urls))
+def _hash_batch(urls) -> np.ndarray:
+    """Stable 64-bit hashes for a batch of URLs (pass-through when the
+    caller already hashed — the driver front end hashes once and ships
+    raw uint64 arrays to the shards)."""
+    if isinstance(urls, np.ndarray) and urls.dtype == np.uint64:
+        return urls
+    return hash64_batch(list(urls))
 
 
 class _ExactSet:
@@ -291,20 +295,18 @@ class SeenFilter:
             for _ in range(num_shards)
         ]
 
-    def _route(self, urls: list[str]):
-        owners = [hash64(u) % self.num_shards for u in urls]
-        per_shard: list[list[int]] = [[] for _ in range(self.num_shards)]
-        for i, o in enumerate(owners):
-            per_shard[o].append(i)
-        return per_shard
-
     def _scatter_gather(self, urls: list[str], method: str) -> np.ndarray:
-        per_shard = self._route(urls)
+        """Hash once (vectorized), route by ``hash % S`` with numpy, and
+        ship raw hash arrays to the shards — URLs are never re-hashed or
+        re-serialized shard-side."""
+        hashes = hash64_batch(urls)
+        owners = (hashes % np.uint64(self.num_shards)).astype(np.int64)
         futures, idx_lists = [], []
-        for s, idxs in enumerate(per_shard):
-            if idxs:
+        for s in range(self.num_shards):
+            idxs = np.flatnonzero(owners == s)
+            if len(idxs):
                 futures.append(getattr(self.shards[s], method).remote(
-                    [urls[i] for i in idxs]))
+                    hashes[idxs]))
                 idx_lists.append(idxs)
         out = np.zeros(len(urls), dtype=bool)
         for idxs, mask in zip(idx_lists, ray.get(futures)):
@@ -328,3 +330,9 @@ class SeenFilter:
     def restore(self, blobs: list[bytes]) -> None:
         assert len(blobs) == self.num_shards
         ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])
+
+    def shutdown(self) -> None:
+        """Kill the shard actors (frees their memory immediately)."""
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
