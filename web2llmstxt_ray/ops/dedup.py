@@ -33,7 +33,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Min
 
-from ..functions.urls import hash64
+from ..functions.urls import hash64, hash64_batch
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -78,11 +78,15 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 
 
 def shingles(text: str, k: int = 3) -> set[int]:
-    """Word k-gram shingle hashes (stable 64-bit)."""
+    """Word k-gram shingle hashes (stable 64-bit, batch-hashed)."""
     words = text.lower().split()
+    if not words:
+        return set()
     if len(words) < k:
-        return {hash64(" ".join(words))} if words else set()
-    return {hash64(" ".join(words[i:i + k])) for i in range(len(words) - k + 1)}
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    return set(hash64_batch(grams).tolist())
 
 
 def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -217,14 +221,18 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
 def simhash64(text: str) -> int:
     """Classic 64-bit SimHash over whitespace tokens (term-frequency
-    weighted)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.lower().split():
-        h = hash64(tok)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
+    weighted). Token hashing and the bit-vote accumulation are both
+    vectorized: hash the token batch once, unpack all 64 bit-planes in
+    one shift broadcast, sum votes per plane."""
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    hashes = hash64_batch(toks)                             # (n,)
+    shifts = np.arange(64, dtype=np.uint64)[:, None]        # (64, 1)
+    bits = ((hashes[None, :] >> shifts) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=1)                      # (64,)
     out = 0
-    for bit in np.flatnonzero(acc > 0):
+    for bit in np.flatnonzero(votes > 0):
         out |= 1 << int(bit)
     return out
 

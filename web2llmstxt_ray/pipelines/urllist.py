@@ -57,6 +57,31 @@ def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     return out
 
 
+def global_dedup(ds: ray.data.Dataset, key: str = "url",
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """Exact global dedup on ``key`` via hash buckets.
+
+    Grouping by the raw key makes one ``map_groups`` call (and one
+    1-row output block!) per distinct value — catastrophic for
+    downstream stages. Grouping by ``hash(key) % num_buckets`` instead
+    shuffles once into ``num_buckets`` well-sized groups and
+    deduplicates each with a single vectorized ``drop_duplicates``.
+    """
+    from ..functions.urls import hash64_batch
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        buckets = hash64_batch(batch.column(key).to_pylist()) % np.uint64(num_buckets)
+        return batch.append_column("_kbucket",
+                                   pa.array(buckets.astype(np.int32)))
+
+    def dedup_bucket(group):
+        return group.drop_duplicates(subset=[key], keep="first") \
+                    .drop(columns=["_kbucket"])
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+             .groupby("_kbucket").map_groups(dedup_bucket, batch_format="pandas")
+
+
 def dedup_batch(batch: pa.Table, key: str = "url") -> pa.Table:
     """Within-batch first-wins dedup on ``key`` (cheap pre-pass before
     the global groupby dedup — the partial-aggregation pattern)."""
@@ -101,6 +126,7 @@ def crawl_url_list(
     fetch_concurrency: int | tuple = (1, 8),
     fetch_batch_size: int = 64,
     min_words: int = 50,
+    parallelism: int = 64,
 ) -> ray.data.Dataset:
     """URL-list crawl pipeline → dataset of accepted page rows
     (url, title, content, word_count).
@@ -113,13 +139,17 @@ def crawl_url_list(
 
     The fetch pool autoscales (min 1) — a fixed pool sized above the
     node's free CPUs would wait forever for actors it can never place.
+
+    ``parallelism`` splits the seed list into that many blocks up front.
+    Block count propagates through every downstream stage (a
+    single-block input — e.g. ``from_arrow`` of one driver table —
+    serializes the whole pipeline onto one worker regardless of pool
+    size), so never skip this for in-memory seed tables.
     """
-    ds = seeds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    ds = seeds.repartition(parallelism)
+    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
     ds = ds.map_batches(dedup_batch, batch_format="pyarrow")
-    # global exact dedup on canonical url (D3). groupby+map_groups keeps
-    # one row per url; the preceding per-batch pass shrinks the shuffle.
-    ds = ds.groupby("url").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    ds = global_dedup(ds, "url")
     if max_pages is not None:
         # sitemap prioritization (O2): shallower, shorter URLs first
         ds = ds.sort(["path_depth", "url_len"]).limit(max_pages)
