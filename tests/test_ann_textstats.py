@@ -1,0 +1,194 @@
+"""ANN search (brute-force exactness, IVF recall) and text-stats ops."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from web2llmstxt_ray.ops import ann as A
+from web2llmstxt_ray.ops import textstats as T
+
+
+def _emb_table(n=200, d=16, seed=9):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, d)
+    return vecs, pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+
+
+class TestBruteForce:
+    def test_matches_numpy_oracle(self):
+        vecs, tbl = _emb_table()
+        ds = ray.data.from_arrow(tbl).repartition(8)
+        qids = [0, 5, 17]
+        queries = vecs[qids]
+        out = A.brute_force_topk(ds, queries, qids, k=5).to_pylist()
+        # numpy oracle (float32 values, float64 math — same as pipeline)
+        v32 = np.stack([np.asarray(r, dtype=np.float64) for r in
+                        tbl.column("embedding").to_pylist()])
+        n = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+        qn = A._normalize(np.asarray(queries, dtype=np.float64))
+        # NOTE: oracle must use the same query source as the pipeline
+        qn = n[qids]
+        sims = qn @ n.T
+        for qi, qid in enumerate(qids):
+            order = sorted(range(len(v32)), key=lambda j: (-sims[qi, j], j))
+            order = [j for j in order if j != qid][:5]
+            got = [r["vec_id"] for r in out if r["query_id"] == qid]
+            assert got == order
+
+    def test_ranks_sequential(self):
+        vecs, tbl = _emb_table(50)
+        out = A.brute_force_topk(ray.data.from_arrow(tbl), vecs[:2], [0, 1],
+                                 k=7).to_pandas()
+        for qid in (0, 1):
+            assert out[out.query_id == qid]["rank"].tolist() == list(range(1, 8))
+
+
+class TestIVF:
+    def test_recall_vs_bruteforce(self):
+        vecs, tbl = _emb_table(400, 24)
+        ds = ray.data.from_arrow(tbl).repartition(8)
+        qids = list(range(5))
+        queries = vecs[qids]
+        exact = A.brute_force_topk(ds, queries, qids, k=10).to_pylist()
+        centroids = A.train_centroids(vecs[:256], num_lists=8)
+        approx = A.ivf_topk(ds, centroids, queries, qids, k=10,
+                            nprobe=4).to_pylist()
+        recalls = []
+        for qid in qids:
+            e = {r["vec_id"] for r in exact if r["query_id"] == qid}
+            a = {r["vec_id"] for r in approx if r["query_id"] == qid}
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 lists
+
+    def test_full_probe_equals_bruteforce(self):
+        vecs, tbl = _emb_table(150, 16)
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        qids = [3, 7]
+        exact = A.brute_force_topk(ds, vecs[qids], qids, k=5).to_pylist()
+        centroids = A.train_centroids(vecs, num_lists=4)
+        approx = A.ivf_topk(ds, centroids, vecs[qids], qids, k=5,
+                            nprobe=4).to_pylist()
+        for qid in qids:
+            e = [(r["vec_id"], r["cosine"]) for r in exact if r["query_id"] == qid]
+            a = [(r["vec_id"], r["cosine"]) for r in approx if r["query_id"] == qid]
+            assert e == a
+
+    def test_centroids_deterministic(self):
+        vecs, _ = _emb_table(100)
+        c1 = A.train_centroids(vecs, 4)
+        c2 = A.train_centroids(vecs, 4)
+        np.testing.assert_array_equal(c1, c2)
+
+
+class TestTextStats:
+    def test_token_counts(self):
+        batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                          "text": ["one  two three", ""]})
+        out = T.TokenCounter()(batch)
+        assert out.column("n_tokens").to_pylist() == [3, 0]
+        assert out.column("n_subtokens").to_pylist()[0] == 3
+
+    def test_subtokens_split_mixed(self):
+        assert T.tokenize_bpeish("abc123-def") == ["abc", "123", "-", "def"]
+
+    def test_quality_scores(self):
+        batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                          "text": ["The cat, the hat."]})
+        out = T.QualityScorer()(batch).to_pylist()[0]
+        assert out["n_words"] == 4
+        assert out["n_chars2"] == 17
+        assert out["punct_ratio"] == round(2 / 17, 6)  # ',' and '.'
+        assert out["stop_ratio"] == round(2 / 4, 6)
+
+    def test_language_detection(self):
+        assert T.detect_language(
+            "the quick brown fox is jumping over the lazy dog and this "
+            "sentence is clearly written with the english language") == "en"
+        assert T.detect_language(
+            "der hund und die katze sind mit dem mann ist das haus und "
+            "schöne dinge schnell") == "de"
+        assert T.detect_language(
+            "los gatos y los perros que viven con una familia para la "
+            "casa grande") == "es"
+        assert T.detect_language(
+            "les chats et les chiens est que avec pour la maison des "
+            "choses merveilleuses") == "fr"
+        assert T.detect_language("这是一个中文句子，用于测试语言检测功能。") == "zh"
+        assert T.detect_language("") == "unknown"
+
+    def test_fingerprint_canonical(self):
+        assert T.canonical_fingerprint("A  B\nC") == \
+            T.canonical_fingerprint("a b c")
+
+    def test_rolling_fingerprints_shift_property(self):
+        text = "x" * 30 + "anchor content here for the window" + "y" * 80
+        shifted = "pad " + text
+        f1 = set(T.rolling_fingerprints(text, window=20, stride=1))
+        f2 = set(T.rolling_fingerprints(shifted, window=20, stride=1))
+        # shifted text still shares most window hashes (shift-resistant)
+        assert len(f1 & f2) / len(f1) > 0.8
+
+
+class TestWindows:
+    def test_tumbling_matches_pandas(self):
+        import pandas as pd
+
+        from web2llmstxt_ray.ops.windows import tumbling_window
+
+        ts = pd.to_datetime(["2024-01-01 10:05", "2024-01-01 10:55",
+                             "2024-01-01 11:05", "2024-01-01 10:30"])
+        tbl = pa.table({"event_type": ["a", "a", "a", "b"],
+                        "ts": pa.array(ts, pa.timestamp("us")),
+                        "value": [1.0, 2.0, 3.0, 4.0]})
+        out = tumbling_window(ray.data.from_arrow(tbl))
+        out = out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+        assert out["n_events"].tolist() == [2, 1, 1]
+        assert out["sum_value"].tolist() == [3.0, 3.0, 4.0]
+
+    def test_sessionize_gap(self):
+        import pandas as pd
+
+        from web2llmstxt_ray.ops.windows import sessionize
+
+        ts = pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:10",
+                             "2024-01-01 11:30", "2024-01-01 11:40"])
+        tbl = pa.table({"user_id": pa.array([7, 7, 7, 7], pa.int64()),
+                        "ts": pa.array(ts, pa.timestamp("us"))})
+        out = sessionize(ray.data.from_arrow(tbl)).to_pandas()
+        assert out.iloc[0]["n_sessions"] == 2
+        assert out.iloc[0]["n_events"] == 4
+
+
+class TestMultimodal:
+    def test_fake_decode_roundtrip(self):
+        from web2llmstxt_ray.ops import multimodal as M
+
+        media = M.synth_media_table(["d1", "d2"], per_doc=3)
+        out = M.extract_media_features(
+            ray.data.from_arrow(media), batch_size=4).to_pandas()
+        assert len(out) == 6
+        merged = out.merge(media.select(
+            ["media_id", "kind", "declared_width", "declared_ms"]).to_pandas(),
+            on="media_id", suffixes=("", "_declared"))
+        assert (merged["kind"] == merged["kind_declared"]).all()
+        img = merged[merged.kind == "image"]
+        if len(img):
+            assert (img["width"] == img["declared_width"]).all()
+
+    def test_stub_decoder_raises(self):
+        import pytest
+
+        from web2llmstxt_ray.ops import multimodal as M
+
+        with pytest.raises(NotImplementedError):
+            M.StubDecoder().decode(b"anything")
+
+    def test_payload_deterministic(self):
+        from web2llmstxt_ray.ops import multimodal as M
+
+        assert M.make_fake_payload("m1", "image", 10, 10) == \
+            M.make_fake_payload("m1", "image", 10, 10)

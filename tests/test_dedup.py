@@ -1,0 +1,139 @@
+"""Dedup operator family: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding cosine — verified against small sequential oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from web2llmstxt_ray.ops import dedup as D
+
+
+def _docs_table():
+    base = ("the quick brown fox jumps over the lazy dog while engineers "
+            "build distributed systems that stream arrow batches through "
+            "object stores with careful partitioning of skewed keys")
+    near = base.replace("lazy dog", "sleepy dog")          # near-dup of base
+    other = ("completely different content about cooking recipes and "
+             "gardening tips for the enthusiastic home chef with many "
+             "seasonal vegetables and herbs from the garden plot")
+    return pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "lang": ["en", "en", "en", "en", "en"],
+        "text": [base, base, near, other, other + " extended tail words"],
+    })
+
+
+class TestExactDedup:
+    def test_keeps_min_id_per_content(self):
+        ds = ray.data.from_arrow(_docs_table())
+        out = D.exact_dedup(ds).to_pandas()
+        # docs 1,2 identical → one row with doc_id 1; 3,4,5 distinct
+        assert len(out) == 4
+        kept = set(out["doc_id"])
+        assert 1 in kept and 2 not in kept
+        assert {3, 4, 5} <= kept
+
+    def test_hash_is_md5(self):
+        import hashlib
+
+        ds = ray.data.from_arrow(_docs_table())
+        out = D.exact_dedup(ds).to_pandas()
+        texts = dict(zip(_docs_table().column("doc_id").to_pylist(),
+                         _docs_table().column("text").to_pylist()))
+        row = out[out.doc_id == 3].iloc[0]
+        assert row["content_hash"] == hashlib.md5(
+            texts[3].encode()).hexdigest()
+
+
+class TestMinHash:
+    def test_signature_approximates_jaccard(self):
+        a, b = D._perm_params(256)
+        t = _docs_table()
+        s1 = D.shingles(t.column("text")[0].as_py())
+        s3 = D.shingles(t.column("text")[2].as_py())
+        sig1 = D.minhash_signature(s1, a, b)
+        sig3 = D.minhash_signature(s3, a, b)
+        est = (sig1 == sig3).mean()
+        true = D.jaccard(s1, s3)
+        assert abs(est - true) < 0.15
+
+    def test_lsh_finds_near_dups(self):
+        ds = ray.data.from_arrow(_docs_table())
+        out = D.minhash_dedup(ds, num_perm=64, num_bands=16,
+                              jaccard_threshold=0.5).to_pylist()
+        by_id = {r["doc_id"]: r for r in out}
+        # identical pair clusters together under min id
+        assert by_id[2]["cluster_id"] == 1
+        assert by_id[2]["keep"] is False
+        # near-dup (one word changed) clusters with base
+        assert by_id[3]["cluster_id"] == 1
+        # unrelated docs stay their own clusters
+        assert by_id[4]["cluster_id"] == 4
+
+    def test_deterministic(self):
+        ds = ray.data.from_arrow(_docs_table())
+        o1 = D.minhash_dedup(ds).to_pylist()
+        o2 = D.minhash_dedup(ds).to_pylist()
+        assert o1 == o2
+
+
+class TestSimHash:
+    def test_near_dup_small_hamming(self):
+        t = _docs_table()
+        h_base = D.simhash64(t.column("text")[0].as_py())
+        h_near = D.simhash64(t.column("text")[2].as_py())
+        h_other = D.simhash64(t.column("text")[3].as_py())
+        assert D.hamming64(h_base, h_near) < 12
+        assert D.hamming64(h_base, h_other) > 16
+
+    def test_empty(self):
+        assert D.simhash64("") == 0
+
+    def test_stage(self):
+        ds = ray.data.from_arrow(_docs_table())
+        out = D.add_simhash(ds).to_pandas()
+        assert out.loc[0, "simhash"] == out.loc[1, "simhash"]  # identical docs
+
+
+class TestNgramJaccard:
+    def test_pairs_above_threshold(self):
+        ds = ray.data.from_arrow(_docs_table())
+        out = D.ngram_jaccard_pairs(ds, group_col="lang", threshold=0.5)
+        pairs = {(r["a"], r["b"]): r["jaccard"] for r in out.to_pylist()}
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs
+        assert all(j >= 0.5 for j in pairs.values())
+
+    def test_matches_direct_computation(self):
+        t = _docs_table()
+        ds = ray.data.from_arrow(t)
+        out = D.ngram_jaccard_pairs(ds, group_col="lang", threshold=0.0)
+        pairs = {(r["a"], r["b"]): r["jaccard"] for r in out.to_pylist()}
+        texts = dict(zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()))
+        for (a, b), j in pairs.items():
+            direct = D.jaccard(D.shingles(texts[a]), D.shingles(texts[b]))
+            assert j == pytest.approx(direct, abs=1e-6)
+
+
+class TestEmbeddingNearDup:
+    def test_matches_numpy_oracle(self):
+        rng = np.random.RandomState(4)
+        vecs = rng.randn(60, 16).astype(np.float32)
+        vecs[10] = vecs[3] + 0.01 * rng.randn(16).astype(np.float32)  # near-dup
+        tbl = pa.table({
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        out = D.embedding_near_dup_pairs(ray.data.from_arrow(tbl),
+                                         threshold=0.9)
+        got = {(r["a"], r["b"]) for r in out.to_pylist()}
+        v = vecs.astype(np.float64)
+        n = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = n @ n.T
+        want = {(i, j) for i in range(60) for j in range(i + 1, 60)
+                if sims[i, j] >= 0.9}
+        assert got == want
+        assert (3, 10) in got

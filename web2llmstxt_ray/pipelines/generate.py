@@ -83,17 +83,12 @@ def generate_llmstxt(
     entries = pa.concat_tables([ray.get(r) for r in entries_ds.to_arrow_refs()])
     entries = entries.take(pc.sort_indices(entries.column("index")))
 
-    metadata = {
-        "source_url": base_url,
-        "domain": extract_domain_from_url(base_url),
-        "total_pages_crawled": pages.num_rows,
-        "total_entries_processed": entries.num_rows,
-        "generated_at": generated_at,
-        "model_used": "deterministic-fallback",
-        "export_format": export_format,
-        "processing_time_seconds": round(time.perf_counter() - t0, 3),
-        "crawl_strategy": crawl_strategy,
-    }
+    from ..functions.analytics import run_metadata
+
+    metadata = run_metadata(
+        base_url, extract_domain_from_url(base_url), pages, entries,
+        generated_at, "deterministic-fallback", export_format,
+        time.perf_counter() - t0, crawl_strategy)
     written = write_outputs(output_dir, base_url, entries, pages, metadata,
                             export_format)
     return GenerateResult(pages=pages, entries=entries, written=written,

@@ -53,18 +53,28 @@ class Describer:
     ``index`` carries the crawl order through (O4).
     """
 
-    def __init__(self, cache_ref=None, session_id: str = "ray_crawl"):
+    def __init__(self, cache_ref=None, session_id: str = "ray_crawl",
+                 model=None):
+        from ..models import DEFAULT_MODELS, make_client
+
         cache = (ray.get(cache_ref) if isinstance(cache_ref, ray.ObjectRef)
                  else cache_ref)
         self.cache: dict[tuple[str, str], str] = cache or {}
         self.session_id = session_id
+        # model client is constructed ONCE per actor (T1/T2: session +
+        # warm-up amortized across batches); defaults to the
+        # deterministic always-fallback test path
+        self.client = make_client(model or DEFAULT_MODELS[0])
 
     def describe_one(self, url: str, title: str, content: str) -> tuple[str, bool]:
+        from ..models import generate_description
+
         key = (url, content_hash(title, content))
         hit = self.cache.get(key)
         if hit is not None:
             return hit, True
-        return create_smart_fallback_description(title, content, url), False
+        desc, _ = generate_description(self.client, title, content, url)
+        return desc, False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
