@@ -21,17 +21,21 @@ def crawl_analytics(pages: pa.Table) -> dict:
     if pages.num_rows == 0:
         return {"total_pages": 0, "pages_per_depth": {}, "mean_score": 0.0,
                 "total_words": 0, "mean_word_count": 0.0}
-    depths = pages.column("depth")
-    counts = pc.value_counts(depths)
-    per_depth = {str(v["values"]): v["counts"] for v in counts.to_pylist()}
-    return {
+    out = {
         "total_pages": pages.num_rows,
-        "pages_per_depth": dict(sorted(per_depth.items())),
-        "mean_score": round(pc.mean(pages.column("score")).as_py(), 6),
         "total_words": pc.sum(pages.column("word_count")).as_py(),
         "mean_word_count": round(
             pc.mean(pages.column("word_count")).as_py(), 6),
     }
+    # depth/score exist only on BFS-crawl page records, not list crawls
+    names = pages.column_names
+    if "depth" in names:
+        counts = pc.value_counts(pages.column("depth"))
+        per_depth = {str(v["values"]): v["counts"] for v in counts.to_pylist()}
+        out["pages_per_depth"] = dict(sorted(per_depth.items()))
+    if "score" in names:
+        out["mean_score"] = round(pc.mean(pages.column("score")).as_py(), 6)
+    return out
 
 
 def entry_analytics(entries: pa.Table) -> dict:
