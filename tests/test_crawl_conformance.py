@@ -92,3 +92,22 @@ def test_mega_host_skew_is_spread(small_site, disallow_by_host):
     hosts = set(site.column("host").to_pylist())
     buckets = {host_bucket_of(h, 8) for h in hosts}
     assert len(buckets) > 1
+
+
+def test_conformance_with_keyword_scorer(small_site, disallow_by_host, tmp_path):
+    """Injectable priority function (F2 / §2.12): the keyword scorer
+    replaces the reference scorer in BOTH oracle and engine and the
+    visit orders still match."""
+    from web2llmstxt_ray.functions.urls import make_keyword_scorer
+
+    _, _, site_idx = small_site
+    scorer = make_keyword_scorer(("docs", "blog", "api", "team"), weight=5.0)
+    oracle = crawl_oracle(site_idx, BASE, max_pages=6,
+                          disallow_by_host=disallow_by_host, score_fn=scorer)
+    cfg = CrawlConfig(base_url=BASE, max_pages=6, score_fn=scorer,
+                      run_dir=str(tmp_path / "kw"))
+    crawler = DistributedCrawler(cfg, site_idx, disallow_by_host=disallow_by_host)
+    result = crawler.run()
+    assert result.visit_order == oracle.visit_order
+    assert len(result.visit_order) > 1
+    crawler.shutdown()

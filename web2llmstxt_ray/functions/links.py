@@ -74,7 +74,55 @@ def extract_links(page_url: str, html: str | None, markdown: str | None,
     return out
 
 
-# --- pagination (crawler/web_crawler.py:644-709) ---
+# --- pagination discovery (M3, crawler/web_crawler.py:524-632) ---
+
+_REL_NEXT_RE = re.compile(
+    r"""<(?:a|link)\s[^>]*?rel\s*=\s*["'](?:next|prev)["'][^>]*?href\s*=\s*["']([^"']+)["']""",
+    re.IGNORECASE)
+_REL_NEXT_RE2 = re.compile(
+    r"""<(?:a|link)\s[^>]*?href\s*=\s*["']([^"']+)["'][^>]*?rel\s*=\s*["'](?:next|prev)["']""",
+    re.IGNORECASE)
+_LOAD_MORE_RE = re.compile(
+    r"""\bdata-(?:load-more(?:-url)?|next-page)\s*=\s*["']([^"']+)["']""",
+    re.IGNORECASE)
+_FORM_ACTION_RE = re.compile(
+    r"""<form\s[^>]*?action\s*=\s*["']([^"']+)["']""", re.IGNORECASE)
+_NUMBERED_ANCHOR_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*["']([^"']*(?:[?&]page=\d+|/page/\d+|[?&]p=\d+|[?&]offset=\d+)[^"']*)["']""",
+    re.IGNORECASE)
+
+
+def discover_pagination_links(page_url: str, html: str | None,
+                              base_url: str) -> list[str]:
+    """Pagination targets on a page (crawler/web_crawler.py:524-632):
+    rel=next/prev links, numbered-pagination anchors, load-more data
+    attributes and form actions — resolved, same-domain filtered and
+    canonicalized (first-seen order)."""
+    if not html:
+        return []
+    raw: list[str] = []
+    for pat in (_REL_NEXT_RE, _REL_NEXT_RE2, _NUMBERED_ANCHOR_RE,
+                _LOAD_MORE_RE, _FORM_ACTION_RE):
+        raw.extend(pat.findall(html))
+    seen: set[str] = set()
+    out: list[str] = []
+    for link in raw:
+        link = link.strip()
+        if not link or link.startswith(_SKIP_PREFIXES):
+            continue
+        absolute = urljoin(page_url, link)
+        if not absolute.startswith(("http://", "https://")):
+            continue
+        if not same_domain(absolute, base_url):
+            continue
+        canon = canonicalize_url(absolute)
+        if canon != canonicalize_url(page_url) and canon not in seen:
+            seen.add(canon)
+            out.append(canon)
+    return out
+
+
+# --- pagination synthesis (M4, crawler/web_crawler.py:644-709) ---
 
 _PAGE_NUM_PATTERNS = [
     # (regex with a number group, template rebuilding the URL for page {n})

@@ -223,6 +223,28 @@ def score_urls(urls: np.ndarray | list[str], base_url: str) -> np.ndarray:
     return out
 
 
+def make_keyword_scorer(keywords: tuple[str, ...], weight: float = 1.0):
+    """Alternative priority function mirroring the best-first path's
+    ``KeywordRelevanceScorer(enhanced_keywords, weight=1.0)``
+    (``crawler/web_crawler.py:234-280``): score = weight × fraction of
+    keywords present in the lowercased URL. Returned callable has the
+    same (urls, base_url) → ndarray signature as :func:`score_urls`, so
+    it plugs into the crawler/oracle as a drop-in scorer (SURVEY §2.12
+    extension surface)."""
+    kws = tuple(k.lower() for k in keywords)
+    n = max(1, len(kws))
+
+    def scorer(urls, base_url: str) -> np.ndarray:
+        out = np.empty(len(urls), dtype=np.float64)
+        for i, url in enumerate(urls):
+            u = url.lower()
+            out[i] = weight * sum(k in u for k in kws) / n
+        return out
+
+    scorer.__name__ = f"keyword_scorer_{weight}"
+    return scorer
+
+
 # ---------------------------------------------------------------------------
 # Partitioning keys (SURVEY §7.3)
 # ---------------------------------------------------------------------------

@@ -91,6 +91,7 @@ class CrawlConfig:
     run_dir: str | None = None         # checkpoint root; None = no checkpoints
     host_delays_ms: dict = field(default_factory=dict)
     timestamp_us: int = 0              # run timestamp (fixed → deterministic)
+    score_fn: object = None            # (urls, base_url)->ndarray; None = reference scorer
 
     @property
     def depth_limit(self) -> int:
@@ -136,7 +137,9 @@ class CrawlWorker:
     def __init__(self, site_ref, base_url: str, disallow: dict | None,
                  host_delays_ms: dict, score_threshold: float,
                  session_id: str, ts_us: int,
-                 seen_shards, frontier_shards, fetch_log=None):
+                 seen_shards, frontier_shards, fetch_log=None,
+                 score_fn=None):
+        self.score_fn = score_fn or score_urls
         self.fetcher = MockFetcher(site_ref)
         self.base_url = base_url
         self.disallow = disallow
@@ -228,7 +231,7 @@ class CrawlWorker:
                 )
                 if not links:
                     continue
-                for link, sc in zip(links, score_urls(links, self.base_url)):
+                for link, sc in zip(links, self.score_fn(links, self.base_url)):
                     if sc > self.threshold and link not in candidates:
                         candidates[link] = sc
             if candidates:
@@ -291,6 +294,7 @@ class DistributedCrawler:
                 config.host_delays_ms, config.score_threshold,
                 config.session_id, config.timestamp_us,
                 self.seen.shards, self.frontier.shards, fetch_log,
+                config.score_fn,
             )
             for _ in range(config.num_workers)
         ]

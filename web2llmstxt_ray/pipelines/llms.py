@@ -166,11 +166,18 @@ def render_llms_txt(base_url: str, entries: pa.Table, pages: pa.Table,
              f"Generated from {len(page_urls)} pages on {generated_date} "
              "using automated crawling.", ""]
 
+    # J1: url → content map probed for description backfill
+    # (llmsgen/utils/file_utils.py:122-133)
+    content_map = dict(zip(page_urls, page_contents))
     by_cat: dict[str, list[tuple[str, str, str]]] = {}
     for url, title, desc, cat in zip(entries.column("url").to_pylist(),
                                      entries.column("title").to_pylist(),
                                      entries.column("description").to_pylist(),
                                      entries.column("category").to_pylist()):
+        if not desc:
+            content = content_map.get(url, "")
+            desc = (" ".join(content.split()[:30]) + "..."
+                    if content else "No content available.")
         by_cat.setdefault(cat, []).append((title, url, desc))
     for cat in CATEGORY_ORDER:
         if cat not in by_cat:
@@ -179,6 +186,24 @@ def render_llms_txt(base_url: str, entries: pa.Table, pages: pa.Table,
         lines.append("")
         for title, url, desc in by_cat[cat]:
             lines.append(f"- [{title}]({url}): {desc}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def render_llms_txt_live(base_url: str, entries: pa.Table) -> str:
+    """K1: the live-tree format (``generator/llms_generator.py:782-802``):
+    ``# {DOMAIN} - LLMs.txt`` header + flat per-entry ``## title`` blocks
+    with URL/Description lines, in crawl order."""
+    from ..functions.urls import extract_domain_from_url
+
+    domain = extract_domain_from_url(base_url).upper()
+    lines = [f"# {domain} - LLMs.txt", ""]
+    for url, title, desc in zip(entries.column("url").to_pylist(),
+                                entries.column("title").to_pylist(),
+                                entries.column("description").to_pylist()):
+        lines.append(f"## {title}")
+        lines.append(f"URL: {url}")
+        lines.append(f"Description: {desc}")
         lines.append("")
     return "\n".join(lines)
 

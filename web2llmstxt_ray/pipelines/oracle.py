@@ -65,6 +65,7 @@ def crawl_oracle(
     comprehensive: bool = False,
     safety_limit: int | None = None,
     disallow_by_host: dict[str, list[str]] | None = None,
+    score_fn=None,
 ) -> OracleResult:
     """Sequential reference crawl (SURVEY §2.3 pseudocode, verbatim).
 
@@ -73,6 +74,7 @@ def crawl_oracle(
     against.
     """
     res = OracleResult()
+    score_fn = score_fn or score_urls
     depth_limit = 5 if comprehensive else 3                  # pyc line 208
     safety = safety_limit or max_pages * (10 if comprehensive else 5)  # line 209
     threshold = 0.0 if comprehensive else 1.0                # line 218
@@ -111,7 +113,7 @@ def crawl_oracle(
         if len(res.pages) >= safety:                         # line 212
             break
         uncrawled = [u for u in discovered if u not in res.seen]  # line 215
-        scores = score_urls(uncrawled, base_url)
+        scores = score_fn(uncrawled, base_url)
         scored = sorted(
             ((u, s) for u, s in zip(uncrawled, scores) if s > threshold),
             key=lambda x: (-x[1], x[0]),                     # total order
