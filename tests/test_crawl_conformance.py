@@ -111,3 +111,31 @@ def test_conformance_with_keyword_scorer(small_site, disallow_by_host, tmp_path)
     assert result.visit_order == oracle.visit_order
     assert len(result.visit_order) > 1
     crawler.shutdown()
+
+
+def test_conformance_medium_scale(tmp_path):
+    """Deeper check on a bigger, more-host site (comprehensive mode →
+    5 depth levels, speculative fetch, mid-wave cutoff exercised)."""
+    from web2llmstxt_ray.synth import generate_site, site_index
+
+    site, robots = generate_site(num_pages=600, num_hosts=6, seed=7)
+    idx = site_index(site)
+    cols = robots.to_pydict()
+    disallow = dict(zip(cols["host"], cols["disallow"]))
+
+    oracle = crawl_oracle(idx, BASE, max_pages=12, comprehensive=True,
+                          safety_limit=150, disallow_by_host=disallow)
+    cfg = CrawlConfig(base_url=BASE, max_pages=12, comprehensive=True,
+                      safety_limit=150, num_workers=4, num_seen_shards=8,
+                      num_frontier_shards=8,
+                      run_dir=str(tmp_path / "med"))
+    crawler = DistributedCrawler(cfg, idx, disallow_by_host=disallow)
+    result = crawler.run()
+    assert result.visit_order == oracle.visit_order
+    assert crawler.seen.count() == len(oracle.seen)
+    spans = read_crawl_output(result.run_dir, "spans")
+    got = dict(zip(spans.column("doc_id").to_pylist(),
+                   spans.column("spans").to_pylist()))
+    for doc_id, ospans in oracle.span_docs.items():
+        assert spans_key(got[doc_id]) == spans_key(ospans)
+    crawler.shutdown()
