@@ -112,3 +112,24 @@ class TestUrlListPipeline:
             assert set(spans.columns) == {"doc_id", "spans"}
             first = spans["spans"].iloc[0]
             assert {"kind", "text", "media_ref", "offset"} <= set(first[0].keys())
+
+
+class TestUrlListPoliteness:
+    def test_same_host_paced(self, small_site):
+        import time
+
+        site, _, idx = small_site
+        host0_urls = [u for u, h in zip(site.column("url").to_pylist(),
+                                        site.column("host").to_pylist())
+                      if h == "site0.test"][:6]
+        seeds = pa.table({"url": host0_urls})
+        delay_ms = 50
+        t0 = time.perf_counter()
+        ds = crawl_url_list(ray.data.from_arrow(seeds), ray.put(idx),
+                            fetch_concurrency=2, parallelism=2,
+                            host_delays_ms={"site0.test": delay_ms})
+        n = ds.count()
+        elapsed = time.perf_counter() - t0
+        # pacing must introduce at least ~(n_urls-1)*delay of serial time
+        # across the host's batches (allow slack for batch splits)
+        assert elapsed >= (len(host0_urls) - 3) * delay_ms / 1000.0

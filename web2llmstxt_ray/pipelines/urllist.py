@@ -100,15 +100,43 @@ def dedup_batch(batch: pa.Table, key: str = "url") -> pa.Table:
 class UrlListFetcher(MockFetcher):
     """Actor-pool fetch stage for list crawls: batch of URL rows in,
     page-record rows out (only metadata the pipeline needs — content,
-    title, word_count). Session state lives in ``__init__`` (T5)."""
+    title, word_count). Session state lives in ``__init__`` (T5).
 
-    def __init__(self, site_ref, min_words: int = 50):
+    Per-host politeness: when ``host_delays_ms`` is set, consecutive
+    fetches of the same host inside this actor are spaced by the host's
+    crawl-delay (each actor keeps its own host clocks — pair with
+    host-bucket partitioning upstream so a host maps to one actor,
+    making the budget global; the reference instead slept 1 s globally
+    between whole batches, ``crawler/web_crawler.py:1174-1176``)."""
+
+    def __init__(self, site_ref, min_words: int = 50,
+                 host_delays_ms: dict | None = None):
         super().__init__(site_ref)
         self.min_words = min_words
+        self.host_delays_ms = host_delays_ms or {}
+        self._last_fetch: dict[str, float] = {}
+
+    def _pace(self, url: str) -> None:
+        import time
+
+        from ..functions.urls import host_of
+
+        host = host_of(url)
+        delay = self.host_delays_ms.get(host, 0) / 1000.0
+        if delay > 0:
+            prev = self._last_fetch.get(host)
+            if prev is not None:
+                wait = prev + delay - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+            self._last_fetch[host] = time.monotonic()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
-        rows = [self.fetch_one(u, 0.0, 0) for u in urls]
+        rows = []
+        for u in urls:
+            self._pace(u)
+            rows.append(self.fetch_one(u, 0.0, 0))
         keep = [r for r in rows
                 if r["success"] and r["word_count"] >= self.min_words]
         return pa.table({
@@ -127,6 +155,7 @@ def crawl_url_list(
     fetch_batch_size: int = 64,
     min_words: int = 50,
     parallelism: int = 64,
+    host_delays_ms: dict | None = None,
 ) -> ray.data.Dataset:
     """URL-list crawl pipeline → dataset of accepted page rows
     (url, title, content, word_count).
@@ -153,10 +182,15 @@ def crawl_url_list(
     if max_pages is not None:
         # sitemap prioritization (O2): shallower, shorter URLs first
         ds = ds.sort(["path_depth", "url_len"]).limit(max_pages)
+    if host_delays_ms:
+        # politeness locality: co-locate each host's URLs (sort by host
+        # → contiguous batches) so one actor's clock paces the host
+        ds = ds.sort("host")
     ds = ds.map_batches(
         UrlListFetcher,
         fn_constructor_kwargs={"site_ref": site_index_ref,
-                               "min_words": min_words},
+                               "min_words": min_words,
+                               "host_delays_ms": host_delays_ms},
         batch_format="pyarrow",
         batch_size=fetch_batch_size,
         concurrency=fetch_concurrency,
