@@ -143,24 +143,37 @@ def minhash_candidates(ds: ray.data.Dataset, text_col: str = "text",
     Pipeline: minhash+explode (actor pool) → groupby(band, band_hash)
     → per-group pairs. Returns the (small) candidate pair list.
     """
+    from .stagecache import cached_stage
+
     exploded = ds.map_batches(
-        _MinHasher,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
-                               "num_perm": num_perm, "num_bands": num_bands,
-                               "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=0.5,
+        cached_stage(_MinHasher, text_col=text_col, id_col=id_col,
+                     num_perm=num_perm, num_bands=num_bands,
+                     shingle_k=shingle_k),
+        batch_format="pyarrow", batch_size=None,
     )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        a, b = zip(*[(ids[i], ids[j]) for i in range(len(ids))
-                     for j in range(i + 1, len(ids))])
-        return pd.DataFrame({"a": a, "b": b})
+    # shuffle by band-hash BUCKET (not the raw hash: grouping on the
+    # high-cardinality key makes one map_groups call + 1-row block per
+    # bucket) and enumerate colliding sets pandas-side per bucket
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (np.asarray(batch.column("band_hash")) % np.uint64(256)).astype(np.int32)
+        return batch.append_column("_hbucket", pa.array(b))
 
-    cand = exploded.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        for _, sub in group.groupby(["band", "band_hash"], sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sorted(sub[id_col].tolist())
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    cand = exploded.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("_hbucket").map_groups(pairs, batch_format="pandas")
     seen = set()
     for row in cand.take_all():
         seen.add((row["a"], row["b"]))
@@ -239,12 +252,10 @@ def simhash64(text: str) -> int:
 
 def add_simhash(ds: ray.data.Dataset, text_col: str = "text",
                 out_col: str = "simhash") -> ray.data.Dataset:
-    class _S:
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
-            return batch.append_column(out_col, pa.array(vals, pa.uint64()))
-    return ds.map_batches(_S, batch_format="pyarrow", concurrency=(1, 8),
-                          num_cpus=0.5)
+    def _s(batch: pa.Table) -> pa.Table:
+        vals = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
+        return batch.append_column(out_col, pa.array(vals, pa.uint64()))
+    return ds.map_batches(_s, batch_format="pyarrow", batch_size=None)
 
 
 def hamming64(a: int, b: int) -> int:
@@ -335,7 +346,7 @@ def embedding_near_dup_pairs(ds: ray.data.Dataset, threshold: float,
                              "cosine": pa.array(rows["cosine"], pa.float64())})
 
     out = ds.map_batches(_Block, batch_format="pyarrow", batch_size=256,
-                         concurrency=(1, 8), num_cpus=0.5)
+                         concurrency=(1, 8), num_cpus=0.5)  # matmul state is heavy → pool ok
     rows = out.take_all()
     order = sorted(range(len(rows)), key=lambda i: (rows[i]["a"], rows[i]["b"]))
     return pa.table({

@@ -29,6 +29,9 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+# per-worker-process cache for broadcast join sides (keyed by object ref)
+_BROADCAST_CACHE: dict = {}
+
 
 def partial_groupby(
     ds: ray.data.Dataset,
@@ -77,16 +80,18 @@ def broadcast_join(
         keys = [on] if isinstance(on, str) else list(on)
         small_df = small_df[list(dict.fromkeys(keys + small_cols))]
     small_ref = ray.put(small_df)
+    key = small_ref.hex()
 
-    class _Probe:
-        def __init__(self):
-            self.small = ray.get(small_ref)
+    # task-based probe with per-worker-process memoized broadcast side:
+    # runs in prestarted warm workers (no actor-pool spawn tax per query)
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        side = _BROADCAST_CACHE.get(key)
+        if side is None:
+            side = ray.get(small_ref)
+            _BROADCAST_CACHE[key] = side
+        return batch.merge(side, on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
-
-    return big.map_batches(_Probe, batch_format="pandas", num_cpus=0.5,
-                           concurrency=(1, 8))
+    return big.map_batches(probe, batch_format="pandas", batch_size=None)
 
 
 def hash_join(
@@ -120,8 +125,9 @@ def hash_join(
             return batch
         return _t
 
-    unioned = left.map_batches(tag("L"), batch_format="pandas").union(
-        right.map_batches(tag("R"), batch_format="pandas"))
+    unioned = left.map_batches(tag("L"), batch_format="pandas",
+                               batch_size=None).union(
+        right.map_batches(tag("R"), batch_format="pandas", batch_size=None))
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group.loc[group["_side"] == "L", [on, *left_cols]]

@@ -197,25 +197,32 @@ class Fingerprinter:
         })
 
 
+# These stages carry only regex/constant state → task-based with
+# per-worker memoization (see ops.stagecache), not actor pools.
+
 def token_counts(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
-    return ds.map_batches(TokenCounter, fn_constructor_kwargs=kw,
-                          batch_format="pyarrow", concurrency=(1, 8),
-                          num_cpus=0.5)
+    from .stagecache import cached_stage
+
+    return ds.map_batches(cached_stage(TokenCounter, **kw),
+                          batch_format="pyarrow", batch_size=None)
 
 
 def quality_scores(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
-    return ds.map_batches(QualityScorer, fn_constructor_kwargs=kw,
-                          batch_format="pyarrow", concurrency=(1, 8),
-                          num_cpus=0.5)
+    from .stagecache import cached_stage
+
+    return ds.map_batches(cached_stage(QualityScorer, **kw),
+                          batch_format="pyarrow", batch_size=None)
 
 
 def language_id(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
-    return ds.map_batches(LanguageId, fn_constructor_kwargs=kw,
-                          batch_format="pyarrow", concurrency=(1, 8),
-                          num_cpus=0.5)
+    from .stagecache import cached_stage
+
+    return ds.map_batches(cached_stage(LanguageId, **kw),
+                          batch_format="pyarrow", batch_size=None)
 
 
 def fingerprints(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
-    return ds.map_batches(Fingerprinter, fn_constructor_kwargs=kw,
-                          batch_format="pyarrow", concurrency=(1, 8),
-                          num_cpus=0.5)
+    from .stagecache import cached_stage
+
+    return ds.map_batches(cached_stage(Fingerprinter, **kw),
+                          batch_format="pyarrow", batch_size=None)
