@@ -129,6 +129,7 @@ def _run_bench() -> dict:
                       num_seen_shards=8, num_frontier_shards=8,
                       run_dir=None)
     crawler = DistributedCrawler(cfg, idx_ref, disallow_by_host=disallow)
+    ray.get([w.warm.remote() for w in crawler.workers])
     t0 = time.perf_counter()          # actor spin-up excluded: measure waves
     res = crawler.run()
     dt = time.perf_counter() - t0

@@ -153,6 +153,11 @@ class CrawlWorker:
         self.last_fetch_by_host: dict[str, float] = {}
         self._wave: list[dict] = []          # this wave's fetched payloads
 
+    def warm(self) -> bool:
+        """Force constructor side effects (site-index position map) so a
+        benchmark can exclude one-time warmup from timed waves."""
+        return self.fetcher is not None
+
     def fetch(self, urls: list[str], scores: list[float], ranks: list[int],
               depth: int) -> pa.Table:
         """Fetch a wave slice (politeness-paced per host); keep payloads

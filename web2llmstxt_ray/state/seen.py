@@ -191,7 +191,10 @@ class _Cuckoo:
         i2 = int(self._alt(i1, fp))
         if self._try_insert(i1, fp) or self._try_insert(i2, fp):
             return
-        i = i1 if (h & 1) else i2
+        self._kick(i1 if (h & 1) else i2, fp)
+
+    def _kick(self, i: int, fp: int) -> None:
+        """Eviction chain starting at full bucket ``i`` carrying ``fp``."""
         cur = fp
         for _ in range(self.MAX_KICKS):
             slot = int(self._rng.randint(self.SLOTS))
@@ -217,17 +220,66 @@ class _Cuckoo:
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         new = ~self.contains(hashes)
-        # sequential insert for the new ones (duplicates within the batch
-        # must dedupe too)
-        seen_in_batch: set[int] = set()
-        for idx in np.flatnonzero(new):
-            h = int(hashes[idx])
-            if h in seen_in_batch:
-                new[idx] = False
-                continue
-            seen_in_batch.add(h)
-            self._insert(h)
-            self.n += 1
+        if not new.any():
+            return new
+        idxs = np.flatnonzero(new)
+        h_new = hashes[idxs]
+        # intra-batch dedupe: only first occurrence of a hash is new
+        _, first = np.unique(h_new, return_index=True)
+        dup_mask = np.ones(len(idxs), dtype=bool)
+        dup_mask[first] = False
+        if dup_mask.any():
+            new[idxs[dup_mask]] = False
+            idxs = idxs[~dup_mask]
+            h_new = hashes[idxs]
+        if not len(idxs):
+            return new
+
+        fps = self._fp(h_new)
+        i1s = self._i1(h_new)
+        # vectorized bulk placement: keys whose primary bucket is unique
+        # within the batch AND has an empty slot are written with two
+        # fancy-indexed assignments; the remainder (bucket collisions in
+        # the batch, full buckets) goes through the per-key path
+        _, first_bucket = np.unique(i1s, return_index=True)
+        uniq = np.zeros(len(i1s), dtype=bool)
+        uniq[first_bucket] = True
+        rows = self.table[i1s]                        # (m, 4) copy
+        empty_slot = (rows == 0).argmax(axis=1)
+        has_empty = rows[np.arange(len(rows)), empty_slot] == 0
+        fast = uniq & has_empty
+        self.table[i1s[fast], empty_slot[fast]] = fps[fast]
+        self.n += int(fast.sum())
+
+        slow = ~fast
+        if slow.any():
+            table = self.table
+            mask = self.nb - 1
+            for h, fp, i1 in zip(h_new[slow].tolist(), fps[slow].tolist(),
+                                 i1s[slow].tolist()):
+                row = table[i1]
+                if row[0] == 0:
+                    row[0] = fp
+                elif row[1] == 0:
+                    row[1] = fp
+                elif row[2] == 0:
+                    row[2] = fp
+                elif row[3] == 0:
+                    row[3] = fp
+                else:
+                    i2 = (i1 ^ (fp * 0x5BD1E995)) & mask
+                    row = table[i2]
+                    if row[0] == 0:
+                        row[0] = fp
+                    elif row[1] == 0:
+                        row[1] = fp
+                    elif row[2] == 0:
+                        row[2] = fp
+                    elif row[3] == 0:
+                        row[3] = fp
+                    else:
+                        self._kick(i1 if (h & 1) else i2, fp)
+                self.n += 1
         return new
 
     def __len__(self) -> int:
