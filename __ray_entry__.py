@@ -404,6 +404,21 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     return _pdf(language_id(_t(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def q_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type via mergeable HLL
+    sketches (shuffle-free; deterministic given the stable hash, so the
+    rows-only check is repeatable). Accuracy vs exact is pytest-gated
+    in tests/test_sketch.py."""
+    from web2llmstxt_ray.ops.sketch import approx_distinct_by_key
+
+    est = approx_distinct_by_key(
+        _t(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id", p=12)
+    rows = sorted(est.items())
+    return pd.DataFrame({"event_type": [k for k, _ in rows],
+                         "approx_users": [round(v, 1) for _, v in rows]})
+
+
 def q_media_features(sf_dir: str) -> pd.DataFrame:
     from web2llmstxt_ray.ops.multimodal import (
         extract_media_features, synth_media_table)
@@ -506,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
+        "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
         "crawl_pages": q_crawl_pages,
         "crawl_spans": q_crawl_spans,
