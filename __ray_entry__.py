@@ -264,6 +264,84 @@ def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_orders_by_month(sf_dir: str) -> pd.DataFrame:
+    """Date-bucketed aggregate (month floor both sides)."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(order_month=b.o_orderdate.values.astype("datetime64[M]"))
+        return b.groupby("order_month", as_index=False).agg(
+            n_orders=("o_totalprice", "size"),
+            revenue=("o_totalprice", "sum"))
+
+    out = partial_groupby(ds, ["order_month"], batch_agg,
+                          ["n_orders", "revenue"])
+    out["revenue"] = out["revenue"].round(ROUND_SUM)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["order_month"] = pd.to_datetime(out["order_month"])
+    return out
+
+
+def q_discount_bands(sf_dir: str) -> pd.DataFrame:
+    """CASE-style banding + aggregate (band logic mirrored in SQL)."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    ds = _t(sf_dir, "lineitem", ["l_discount", "l_extendedprice"])
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        band = np.where(b.l_discount < 0.03, "low",
+                        np.where(b.l_discount < 0.07, "mid", "high"))
+        b = b.assign(discount_band=band)
+        return b.groupby("discount_band", as_index=False).agg(
+            n_items=("l_extendedprice", "size"),
+            total_price=("l_extendedprice", "sum"))
+
+    out = partial_groupby(ds, ["discount_band"], batch_agg,
+                          ["n_items", "total_price"])
+    out["total_price"] = out["total_price"].round(ROUND_SUM)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out
+
+
+def q_orders_per_customer_hist(sf_dir: str) -> pd.DataFrame:
+    """Two-level aggregate: orders per customer, then histogram of that
+    count (distribution shape)."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    ds = _t(sf_dir, "orders", ["o_custkey"])
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", as_index=False).agg(n=("o_custkey", "size"))
+        return g
+
+    per_cust = partial_groupby(ds, ["o_custkey"], batch_agg, ["n"])
+    hist = per_cust.groupby("n", as_index=False).agg(
+        n_customers=("o_custkey", "size"))
+    hist = hist.rename(columns={"n": "orders_per_customer"})
+    hist["n_customers"] = hist["n_customers"].astype("int64")
+    hist["orders_per_customer"] = hist["orders_per_customer"].astype("int64")
+    return hist
+
+
+def q_top_parts_per_type(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k: 3 priciest parts per p_type (groupby →
+    sort-within-group; SQL row_number window)."""
+    ds = _t(sf_dir, "part", ["p_type", "p_partkey", "p_retailprice"])
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["p_retailprice", "p_partkey"],
+                              ascending=[False, True]).head(3)
+        g = g.assign(rank=range(1, len(g) + 1))
+        return g
+
+    out = ds.groupby("p_type").map_groups(topk, batch_format="pandas")         .to_pandas()
+    out["p_retailprice"] = out["p_retailprice"].round(ROUND_SUM)
+    out["rank"] = out["rank"].astype("int64")
+    return out[["p_type", "rank", "p_partkey", "p_retailprice"]]
+
+
 def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     from web2llmstxt_ray.ops.dedup import exact_dedup
 
@@ -507,6 +585,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_suppliers": q_region_suppliers,
         "fulfilled_customers": q_fulfilled_customers,
         "part_type_stats": q_part_type_stats,
+        "orders_by_month": q_orders_by_month,
+        "discount_bands": q_discount_bands,
+        "orders_per_customer_hist": q_orders_per_customer_hist,
+        "top_parts_per_type": q_top_parts_per_type,
         "exact_dedup": q_exact_dedup,
         "fingerprints": q_fingerprints,
         "token_counts": q_token_counts,
@@ -585,6 +667,40 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(p_retailprice), {ROUND_SUM}) AS sum_retail,
                    round(sum(p_retailprice) / count(*), {ROUND_RATIO}) AS avg_retail
             FROM part WHERE p_size < 30 GROUP BY p_type
+        """,
+        "orders_by_month": f"""
+            SELECT date_trunc('month', o_orderdate) AS order_month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), {ROUND_SUM}) AS revenue
+            FROM orders GROUP BY date_trunc('month', o_orderdate)
+        """,
+        "discount_bands": f"""
+            SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+                        WHEN l_discount < 0.07 THEN 'mid'
+                        ELSE 'high' END AS discount_band,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice), {ROUND_SUM}) AS total_price
+            FROM lineitem
+            GROUP BY CASE WHEN l_discount < 0.03 THEN 'low'
+                          WHEN l_discount < 0.07 THEN 'mid'
+                          ELSE 'high' END
+        """,
+        "orders_per_customer_hist": """
+            SELECT n AS orders_per_customer, count(*) AS n_customers
+            FROM (SELECT o_custkey, count(*) AS n FROM orders
+                  GROUP BY o_custkey)
+            GROUP BY n
+        """,
+        "top_parts_per_type": f"""
+            SELECT p_type, rank, p_partkey,
+                   round(p_retailprice, {ROUND_SUM}) AS p_retailprice
+            FROM (SELECT p_type, p_partkey, p_retailprice,
+                         CAST(row_number() OVER (
+                             PARTITION BY p_type
+                             ORDER BY p_retailprice DESC, p_partkey)
+                             AS BIGINT) AS rank
+                  FROM part)
+            WHERE rank <= 3
         """,
         "exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
