@@ -368,6 +368,30 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     return _pdf(quality_scores(_t(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def q_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style composite quality filter: keep documents passing all
+    rule thresholds (rules computed with the same SQL-mirrorable
+    definitions as doc_quality). Returns the surviving doc ids with
+    their signals."""
+    from web2llmstxt_ray.ops.textstats import quality_scores
+
+    scored = quality_scores(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(batch["n_words"], 20),
+                    pc.less_equal(batch["punct_ratio"], 0.2)),
+            pc.and_(pc.greater_equal(batch["mean_word_len"], 2.0),
+                    pc.less_equal(batch["mean_word_len"], 12.0)),
+        )
+        return batch.filter(mask)
+
+    out = _pdf(scored.map_batches(keep, batch_format="pyarrow"))
+    return out[["doc_id", "n_words", "punct_ratio", "mean_word_len"]]
+
+
 def q_lang_hist(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count
 
@@ -593,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
+        "quality_filter": q_quality_filter,
         "lang_hist": q_lang_hist,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
@@ -742,6 +767,27 @@ def oracle_sql() -> dict[str, str]:
                              / len(string_split_regex(trim(text), '\\s+')),
                              {ROUND_RATIO}) END AS mean_word_len
             FROM documents
+        """,
+        "quality_filter": f"""
+            WITH scored AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END
+                           AS n_words,
+                       CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE round((length(text) -
+                                 length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                 / length(text), {ROUND_RATIO}) END AS punct_ratio,
+                       CASE WHEN trim(text) = '' THEN 0.0
+                            ELSE round(list_aggregate(list_transform(
+                                     string_split_regex(trim(text), '\\s+'),
+                                     x -> length(x)), 'sum')
+                                 / len(string_split_regex(trim(text), '\\s+')),
+                                 {ROUND_RATIO}) END AS mean_word_len
+                FROM documents)
+            SELECT doc_id, n_words, punct_ratio, mean_word_len FROM scored
+            WHERE n_words >= 20 AND punct_ratio <= 0.2
+              AND mean_word_len BETWEEN 2.0 AND 12.0
         """,
         "lang_hist": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "events_tumbling": f"""
