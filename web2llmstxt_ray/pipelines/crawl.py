@@ -288,26 +288,31 @@ class DistributedCrawler:
         self.cfg = config
         # site_index: url→page dict, Arrow site table, or an ObjectRef
         # to either (pass a ref to share one broadcast across crawlers)
-        site_ref = (site_index if isinstance(site_index, ray.ObjectRef)
-                    else ray.put(site_index))
+        self._site_ref = (site_index if isinstance(site_index, ray.ObjectRef)
+                          else ray.put(site_index))
+        self._fetch_log = fetch_log
         self.disallow = disallow_by_host if config.respect_robots else None
         self.seen = SeenFilter(config.num_seen_shards, mode=config.seen_mode)
         self.frontier = Frontier(config.num_frontier_shards)
-        self.workers = [
-            CrawlWorker.remote(
-                site_ref, config.base_url, self.disallow,
-                config.host_delays_ms, config.score_threshold,
-                config.session_id, config.timestamp_us,
-                self.seen.shards, self.frontier.shards, fetch_log,
-                config.score_fn,
-            )
-            for _ in range(config.num_workers)
-        ]
+        self._build_workers()
         self.pages_so_far = 0
         self.visit_order: list[str] = []
         self.metrics: list[dict] = []
         self.total_fetches = 0
         self._completed_depth = -1  # -1 = nothing done; 0 = main page done
+
+    def _build_workers(self) -> None:
+        cfg = self.cfg
+        self.workers = [
+            CrawlWorker.remote(
+                self._site_ref, cfg.base_url, self.disallow,
+                cfg.host_delays_ms, cfg.score_threshold,
+                cfg.session_id, cfg.timestamp_us,
+                self.seen.shards, self.frontier.shards, self._fetch_log,
+                cfg.score_fn,
+            )
+            for _ in range(cfg.num_workers)
+        ]
 
     # ----- checkpoint plumbing -----
 
@@ -486,6 +491,37 @@ class DistributedCrawler:
             waves=self._completed_depth + 1,
             metrics=self.metrics,
         )
+
+
+def run_with_recovery(crawler: "DistributedCrawler",
+                      max_attempts: int = 3) -> CrawlResult:
+    """Fault-tolerant wave loop: on worker/actor failure mid-wave the
+    partial wave's side effects are discarded by restoring the LAST
+    COMMITTED checkpoint (atomic manifest — a half-finished wave is
+    never visible), the worker pool is rebuilt, and the crawl continues.
+    Requires ``cfg.run_dir``; visit order/seen set stay oracle-exact
+    because recovery replays from a wave boundary.
+    """
+    assert crawler.cfg.run_dir, "recovery needs a checkpointed run_dir"
+    last_exc: Exception | None = None
+    for _ in range(max_attempts):
+        try:
+            return crawler.run()
+        except ray.exceptions.RayActorError as exc:  # actor lost
+            last_exc = exc
+            crawler._build_workers()
+            # roll driver + shard state back to the last committed wave
+            # (fresh shard actors when restore finds no checkpoint yet)
+            if not crawler.resume():
+                crawler.seen = SeenFilter(crawler.cfg.num_seen_shards,
+                                          mode=crawler.cfg.seen_mode)
+                crawler.frontier = Frontier(crawler.cfg.num_frontier_shards)
+                crawler.pages_so_far = 0
+                crawler.visit_order = []
+                crawler.total_fetches = 0
+                crawler._completed_depth = -1
+                crawler._build_workers()
+    raise last_exc  # out of attempts
 
 
 def read_crawl_output(run_dir: str, what: str = "pages") -> pa.Table:
