@@ -141,3 +141,21 @@ class TestGenerateEndToEnd:
             max_pages=4, export_format="yaml",
             disallow_by_host=disallow_by_host)
         assert res2.written[0].endswith(".yaml")
+
+
+class TestStreamingRender:
+    def test_streaming_full_text(self, tmp_path):
+        import ray.data
+
+        from web2llmstxt_ray.pipelines.llms import write_llms_full_streaming
+
+        pages = _pages_table()
+        out = str(tmp_path / "full.txt")
+        n = write_llms_full_streaming(
+            ray.data.from_arrow(pages), out, BASE, "2025-06-26", "m",
+            total_pages=3)
+        assert n == 3
+        text = open(out).read()
+        assert "## Page 1: Site Zero Home" in text
+        assert "## Page 3: A Blog Post" in text
+        assert text.count("---") == 3

@@ -239,6 +239,42 @@ def render_llms_full_txt(base_url: str, pages: pa.Table,
     return "\n".join(lines)
 
 
+def write_llms_full_streaming(pages_ds: ray.data.Dataset, out_path: str,
+                              base_url: str, generated_at: str = "",
+                              model_used: str = "fallback",
+                              total_pages: int | None = None,
+                              batch_size: int = 256) -> int:
+    """K3 at scale: stream page batches (sorted by ``visit_index``
+    upstream) straight to the output file — the full corpus never
+    materializes on the driver (a 1M-page llms-full.txt renders in
+    O(batch) memory). Returns pages written."""
+    import os
+
+    d = os.path.dirname(os.path.abspath(out_path))
+    os.makedirs(d, exist_ok=True)
+    tmp = out_path + ".tmp"
+    i = 0
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(f"# {base_url} llms-full.txt\n")
+        f.write(f"# Generated on {generated_at} using {model_used}\n")
+        if total_pages is not None:
+            f.write(f"# Total pages crawled: {total_pages}\n")
+        f.write("\n")
+        for batch in pages_ds.iter_batches(batch_size=batch_size,
+                                           batch_format="pyarrow"):
+            for u, t, c in zip(batch.column("url").to_pylist(),
+                               batch.column("title").to_pylist(),
+                               batch.column("content").to_pylist()):
+                i += 1
+                f.write(f"## Page {i}: {t}\n**URL:** {u}\n\n")
+                f.write(c or "No content available.")
+                f.write("\n\n---\n\n")
+    import os as _os
+
+    _os.replace(tmp, out_path)
+    return i
+
+
 def export_payload(metadata: dict, entries: pa.Table, pages: pa.Table) -> dict:
     """K4/K5 payload: {metadata, llms_entries, full_content}
     (``llmsgen/utils/file_utils.py:166-202``)."""
