@@ -45,27 +45,41 @@ def _pdf(ds: rd.Dataset) -> pd.DataFrame:
 
 
 def entry() -> Any:
-    """sf0.001 documents → span extraction → flattened span rows.
-
-    The engine's core data model (interleaved text+media spans) applied
-    to the driver's documents table: each text is parsed into ordered
-    spans, exploded to flat rows (stable schema, no nested types)."""
+    """Flagship: sf0.001 documents through the engine's core per-document
+    pipeline — interleaved span extraction (the input_hint data model)
+    fused with the extraction suite signals (tokens, language, quality,
+    fingerprint, SimHash) in one zero-copy ``map_batches`` pass.
+    Output: one flat row per span with the document-level signals
+    attached (stable schema, no nested types)."""
+    from web2llmstxt_ray.ops.dedup import simhash64
+    from web2llmstxt_ray.ops.textstats import (
+        canonical_fingerprint, detect_language, tokenize_ws)
     from web2llmstxt_ray.stages.spans import extract_spans
 
     docs = _t("/root/testdata/sf0.001", "documents", ["doc_id", "text"])
 
-    def explode(batch: pa.Table) -> pa.Table:
+    def process(batch: pa.Table) -> pa.Table:
         out = {"doc_id": [], "span_idx": [], "kind": [], "text": [],
-               "media_ref": [], "offset": []}
+               "media_ref": [], "offset": [], "n_tokens": [],
+               "predicted_lang": [], "fingerprint": [], "simhash": []}
         for did, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
-            for i, s in enumerate(extract_spans(text or "")):
+            text = text or ""
+            n_tokens = len(tokenize_ws(text))
+            lang = detect_language(text)
+            fp = canonical_fingerprint(text)
+            sh = f"{simhash64(text):016x}"
+            for i, s in enumerate(extract_spans(text)):
                 out["doc_id"].append(did)
                 out["span_idx"].append(i)
                 out["kind"].append(s["kind"])
                 out["text"].append(s["text"])
                 out["media_ref"].append(s["media_ref"])
                 out["offset"].append(s["offset"])
+                out["n_tokens"].append(n_tokens)
+                out["predicted_lang"].append(lang)
+                out["fingerprint"].append(fp)
+                out["simhash"].append(sh)
         return pa.table({
             "doc_id": pa.array(out["doc_id"], pa.int64()),
             "span_idx": pa.array(out["span_idx"], pa.int32()),
@@ -73,9 +87,13 @@ def entry() -> Any:
             "text": pa.array(out["text"], pa.string()),
             "media_ref": pa.array(out["media_ref"], pa.string()),
             "offset": pa.array(out["offset"], pa.int32()),
+            "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+            "predicted_lang": pa.array(out["predicted_lang"], pa.string()),
+            "fingerprint": pa.array(out["fingerprint"], pa.string()),
+            "simhash": pa.array(out["simhash"], pa.string()),
         })
 
-    return docs.map_batches(explode, batch_format="pyarrow")
+    return docs.map_batches(process, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
