@@ -11,7 +11,6 @@ columns (payloads dropped).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import ray.data
 

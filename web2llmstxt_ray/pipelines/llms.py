@@ -29,7 +29,7 @@ import ray.data
 
 from .. import schema as S
 from ..functions.categorize import CATEGORY_ORDER, categorize_entry, site_name, site_summary
-from ..functions.text import content_hash, create_smart_fallback_description
+from ..functions.text import content_hash
 
 ENTRY_SCHEMA = pa.schema(
     [
