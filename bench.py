@@ -209,8 +209,51 @@ def _run_scaling() -> None:
     }))
 
 
+def _run_stats() -> None:
+    """Per-operator wall-time breakdown of the headline pipeline
+    (`ds.stats()` evidence that wall time is dominated by the fused
+    fetch+extract compute, not shuffles or scheduling)."""
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from web2llmstxt_ray.pipelines.extract_suite import fetch_extract_suite
+    from web2llmstxt_ray.pipelines.urllist import (
+        canonicalize_batch, dedup_batch, global_dedup)
+    from web2llmstxt_ray.synth import generate_site
+
+    N_PAGES, N_HOSTS, SEED = 180_000, 128, 42
+    cache = f"/tmp/graft_bench_site_{N_PAGES}_{N_HOSTS}_{SEED}"
+    if os.path.exists(f"{cache}/site.parquet"):
+        site = pq.read_table(f"{cache}/site.parquet")
+    else:
+        site, _ = generate_site(num_pages=N_PAGES, num_hosts=N_HOSTS, seed=SEED)
+    idx_ref = ray.put(site)
+    seeds = rd.from_arrow(pa.table({"url": site.column("url").to_pylist()}))
+    seeds = seeds.repartition(4 * num_cpus)
+    seeds = seeds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    seeds = seeds.map_batches(dedup_batch, batch_format="pyarrow")
+    seeds = global_dedup(seeds, "url")
+    suite = fetch_extract_suite(seeds, idx_ref, batch_size=256).materialize()
+    for line in suite.stats().splitlines():
+        if ("executed in" in line or "Remote wall time" in line
+                or line.startswith("Operator")):
+            print(line.rstrip())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         _run_scaling()
+    elif "--stats" in sys.argv:
+        _run_stats()
     else:
         print(json.dumps(_run_bench()))

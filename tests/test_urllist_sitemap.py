@@ -133,3 +133,23 @@ class TestUrlListPoliteness:
         # pacing must introduce at least ~(n_urls-1)*delay of serial time
         # across the host's batches (allow slack for batch splits)
         assert elapsed >= (len(host0_urls) - 3) * delay_ms / 1000.0
+
+
+class TestSeenFilterDedup:
+    def test_exact_one_winner_per_key(self):
+        from web2llmstxt_ray.pipelines.urllist import seen_filter_dedup
+
+        urls = [f"https://a.test/p{i % 50}" for i in range(400)]
+        ds = ray.data.from_arrow(pa.table({"url": urls})).repartition(8)
+        out = seen_filter_dedup(ds, "url", num_shards=4).to_pandas()
+        assert sorted(out["url"]) == sorted(set(urls))
+
+    def test_no_duplicates_across_concurrent_batches(self):
+        from web2llmstxt_ray.pipelines.urllist import seen_filter_dedup
+
+        # every url duplicated in two far-apart blocks → races exercised
+        base = [f"https://b.test/x{i}" for i in range(200)]
+        ds = ray.data.from_arrow(pa.table({"url": base + base})).repartition(16)
+        out = seen_filter_dedup(ds, "url", num_shards=4).to_pandas()
+        assert len(out) == 200
+        assert out["url"].is_unique
