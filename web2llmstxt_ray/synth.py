@@ -147,11 +147,16 @@ def generate_site(
 
     for host in hosts:
         urls = urls_by_host[host]
+        n_host = len(urls)
         for i, url in enumerate(urls):
             is_root = i == 0
-            n_out = min(len(urls) - 1, rng.randint(8, 16) if is_root else rng.randint(2, 6))
-            peers = [u for u in urls if u != url]
-            out = rng.sample(peers, n_out) if peers else []
+            n_out = min(n_host - 1, rng.randint(8, 16) if is_root else rng.randint(2, 6))
+            # sample peer INDICES (a per-page peers-list copy is O(n) and
+            # makes generation O(n²) on the mega host)
+            out = []
+            if n_out > 0:
+                picked = rng.sample(range(n_host), min(n_host, n_out + 1))
+                out = [urls[j] for j in picked if j != i][:n_out]
             # occasional cross-host edge (filtered by same_domain in-engine)
             if rng.random() < 0.2 and len(hosts) > 1:
                 other = rng.choice([h for h in hosts if h != host])
