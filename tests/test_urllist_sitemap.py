@@ -153,3 +153,18 @@ class TestSeenFilterDedup:
         out = seen_filter_dedup(ds, "url", num_shards=4).to_pandas()
         assert len(out) == 200
         assert out["url"].is_unique
+
+
+class TestDeterminism:
+    def test_limit_cut_repeatable(self, small_site):
+        site, _, idx = small_site
+        seeds = pa.table({"url": site.column("url").to_pylist()})
+        ref = None
+        for _ in range(2):
+            ds = crawl_url_list(ray.data.from_arrow(seeds), ray.put(idx),
+                                max_pages=17, fetch_concurrency=2)
+            got = sorted(ds.to_pandas()["url"])
+            if ref is None:
+                ref = got
+            else:
+                assert got == ref

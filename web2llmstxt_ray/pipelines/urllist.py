@@ -224,8 +224,11 @@ def crawl_url_list(
     ds = ds.map_batches(dedup_batch, batch_format="pyarrow")
     ds = global_dedup(ds, "url")
     if max_pages is not None:
-        # sitemap prioritization (O2): shallower, shorter URLs first
-        ds = ds.sort(["path_depth", "url_len"]).limit(max_pages)
+        # sitemap prioritization (O2): shallower, shorter URLs first;
+        # the url itself breaks (depth, len) ties so the limit() cut is
+        # a total order → repeatable page sets (Ray's sort is not
+        # stable, and the reference's tie order was incidental)
+        ds = ds.sort(["path_depth", "url_len", "url"]).limit(max_pages)
     if host_delays_ms:
         # politeness locality: co-locate each host's URLs (sort by host
         # → contiguous batches) so one actor's clock paces the host
