@@ -138,6 +138,26 @@ def _run_bench() -> dict:
     extras["crawl_bfs_fetches_per_s"] = round(res.total_fetches / dt, 1)
     crawler.shutdown()
 
+    # ---- ann_search: vector similarity at scale (200k x 64 corpus) ----
+    t0 = time.perf_counter()
+    from web2llmstxt_ray.ops.ann import brute_force_topk
+
+    rng = np.random.RandomState(17)
+    n_vec, dim, n_q = 200_000, 64, 64
+    vecs = rng.randn(n_vec, dim).astype(np.float32)
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(n_vec), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })).repartition(4 * num_cpus)
+    setup_s = time.perf_counter() - t0     # corpus build excluded below
+    t0 = time.perf_counter()
+    out = brute_force_topk(emb, vecs[:n_q], list(range(n_q)), k=10)
+    dt = time.perf_counter() - t0
+    assert out.num_rows == n_q * 10
+    results["ann_search"] = round(dt, 3)
+    extras["ann_vectors_scanned_per_s"] = round(n_vec * n_q / dt)
+
     # ---- frontier_ops: membership + queue ops/s ----
     t0 = time.perf_counter()
     seen = SeenFilter(num_shards=8, mode="cuckoo", capacity_per_shard=1 << 21)

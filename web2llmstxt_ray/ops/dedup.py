@@ -349,9 +349,10 @@ def embedding_near_dup_pairs(ds: ray.data.Dataset, threshold: float,
             self.ids, self.matn = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from .ann import vec_matrix
+
             bids = np.asarray(batch.column(id_col).to_pylist())
-            vecs = np.stack([np.asarray(v, dtype=np.float64)
-                             for v in batch.column(vec_col).to_pylist()])
+            vecs = vec_matrix(batch, vec_col)
             n = np.linalg.norm(vecs, axis=1)
             n[n == 0] = 1.0
             sims = (vecs / n[:, None]) @ self.matn.T
