@@ -52,6 +52,28 @@ def vec_matrix(batch, vec_col: str) -> np.ndarray:
                      for v in arr.to_pylist()])
 
 
+class _PartialTopK:
+    """Per-batch partial top-k against the broadcast query matrix
+    (task stage with per-worker memoized state — see ops.stagecache)."""
+
+    def __init__(self, qref, k: int, vec_col: str, id_col: str):
+        self.qn, self.qids = ray.get(qref)
+        self.k, self.vec_col, self.id_col = k, vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        sims = self.qn @ _normalize(vec_matrix(batch, self.vec_col)).T  # (Q, B)
+        take = min(self.k + 1, sims.shape[1])
+        # vectorized partial top-k across all queries at once
+        idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]   # (Q, take)
+        rows_q = np.repeat(np.asarray(self.qids), take)
+        rows_v = ids[idx].ravel()
+        rows_c = np.take_along_axis(sims, idx, axis=1).ravel()
+        return pa.table({"query_id": pa.array(rows_q),
+                         "vec_id": pa.array(rows_v.astype(np.int64)),
+                         "cosine": pa.array(rows_c, pa.float64())})
+
+
 def brute_force_topk(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -70,31 +92,12 @@ def brute_force_topk(
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     qref = ray.put((qn, list(query_ids)))
 
-    class _Partial:
-        def __init__(self):
-            self.qn, self.qids = ray.get(qref)
+    from .stagecache import cached_stage
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col).to_pylist())
-            vecs = vec_matrix(batch, vec_col)
-            sims = self.qn @ _normalize(vecs).T       # (Q, B)
-            out = {"query_id": [], "vec_id": [], "cosine": []}
-            for qi, qid in enumerate(self.qids):
-                row = sims[qi]
-                # partial top-k within the batch (argpartition then exact sort)
-                take = min(k + 1, len(row))
-                idx = np.argpartition(-row, take - 1)[:take]
-                for j in idx:
-                    out["query_id"].append(qid)
-                    out["vec_id"].append(int(ids[j]))
-                    out["cosine"].append(float(row[j]))
-            return pa.table({"query_id": pa.array(out["query_id"]),
-                             "vec_id": pa.array(out["vec_id"], pa.int64()),
-                             "cosine": pa.array(out["cosine"], pa.float64())})
-
-    partials = ds.map_batches(_Partial, batch_format="pyarrow",
-                              batch_size=1024, concurrency=(1, 8),
-                              num_cpus=0.5).take_all()
+    partials = ds.map_batches(
+        cached_stage(_PartialTopK, qref=qref, k=k, vec_col=vec_col,
+                     id_col=id_col),
+        batch_format="pyarrow", batch_size=4096).take_all()
     # driver merge: k per query from the partial top-k's
     per_query: dict = {}
     for r in partials:
