@@ -178,7 +178,9 @@ class CrawlWorker:
             rows.append(row)
         if self.fetch_log is not None:
             self.fetch_log.log.remote(urls)
-        self._wave.extend(rows)
+        # REPLACE (not extend): exactly one fetch per worker per wave, so
+        # assignment also discards any stale buffer from an aborted wave
+        self._wave = rows
         return pa.table({
             "wave_rank": pa.array([r["wave_rank"] for r in rows], pa.int64()),
             "url": [r["url"] for r in rows],
