@@ -223,8 +223,11 @@ class CrawlWorker:
                 },
                 schema=S.SPAN_DOCUMENTS,
             )
-            # one file per worker per wave → naturally partitioned output
-            tag = f"{hash64(acc_rows[0]['url']) % (1 << 30):08x}"
+            # one file per worker per commit → naturally partitioned
+            # output; a per-worker sequence keeps chunked-wave commits
+            # from ever colliding
+            self._commit_seq = getattr(self, "_commit_seq", 0) + 1
+            tag = f"{hash64(acc_rows[0]['url']) % (1 << 30):08x}-{self._commit_seq:04d}"
             pq.write_table(pages, os.path.join(wave_dir, f"pages-{tag}.parquet"))
             pq.write_table(spans, os.path.join(wave_dir, f"spans-{tag}.parquet"))
 
@@ -394,12 +397,16 @@ class DistributedCrawler:
         b = hash64(host_of(url)) % self.cfg.num_host_buckets
         return b % self.cfg.num_workers
 
-    def _run_wave(self, wave: list[tuple[str, float]], depth: int,
-                  phase: str) -> None:
+    def _process_slice(self, wave_slice: list[tuple[str, float]], depth: int,
+                       phase: str) -> tuple[int, int]:
+        """Fetch + ordered-acceptance + commit + expand for one
+        rank-contiguous slice of a wave. Returns (accepted, links_added).
+        Acceptance across slices stays sequential because slices are
+        processed in rank order by the caller."""
         cfg = self.cfg
         # 2. fetch — partition by owner worker
         per_worker: dict[int, list[tuple[int, str, float]]] = {}
-        for rank, (url, score) in enumerate(wave):
+        for rank, (url, score) in enumerate(wave_slice):
             per_worker.setdefault(self._owner(url), []).append((rank, url, score))
         futures = [
             self.workers[w].fetch.remote(
@@ -409,7 +416,7 @@ class DistributedCrawler:
         ]
         small = pa.concat_tables(ray.get(futures))
         small = small.take(pc.sort_indices(small.column("wave_rank")))
-        self.total_fetches += len(wave)
+        self.total_fetches += len(wave_slice)
 
         # 3. decide — sequential replay in rank order
         accepted: dict[str, int] = {}
@@ -441,9 +448,40 @@ class DistributedCrawler:
                 accepted_ref, depth, phase, wave_dir, expand)
             for w in per_worker
         ])
+        return len(accepted), sum(s["links_added"] for s in stats)
+
+    def _run_wave(self, wave: list[tuple[str, float]], depth: int,
+                  phase: str) -> None:
+        """One full wave. In comprehensive mode a wave holds EVERY
+        candidate above the threshold while acceptance stops at the
+        safety cutoff — fetching the whole wave speculatively wastes the
+        tail. Budget-aware chunking fetches rank-ordered slices of
+        ~1.25× the remaining budget until the cutoff resolves; the
+        un-fetched remainder returns to the frontier untouched (exactly
+        the reference's mid-wave break semantics, minus the wasted
+        fetches). Identical final state to whole-wave processing —
+        covered by the comprehensive conformance suite."""
+        cfg = self.cfg
+        remaining = cfg.effective_safety - self.pages_so_far
+        n_accepted = 0
+        n_links = 0
+        if cfg.comprehensive and len(wave) > remaining * 1.5:
+            pos = 0
+            while pos < len(wave) and self.pages_so_far < cfg.effective_safety:
+                need = cfg.effective_safety - self.pages_so_far
+                size = max(16, int(need * 1.25))
+                a, l = self._process_slice(wave[pos:pos + size], depth, phase)
+                n_accepted += a
+                n_links += l
+                pos += size
+            rest = wave[pos:]
+            if rest:  # never fetched: back to the frontier, not seen
+                self.frontier.add([u for u, _ in rest], [s for _, s in rest])
+        else:
+            n_accepted, n_links = self._process_slice(wave, depth, phase)
         self.metrics.append({
-            "depth": depth, "wave_size": len(wave), "accepted": len(accepted),
-            "links_added": sum(s["links_added"] for s in stats),
+            "depth": depth, "wave_size": len(wave), "accepted": n_accepted,
+            "links_added": n_links,
         })
         # 5. checkpoint
         self._commit(depth, self.metrics[-1])
