@@ -139,3 +139,24 @@ def test_conformance_medium_scale(tmp_path):
     for doc_id, ospans in oracle.span_docs.items():
         assert spans_key(got[doc_id]) == spans_key(ospans)
     crawler.shutdown()
+
+
+def test_comprehensive_overfetch_bounded(tmp_path):
+    """Budget-aware chunking: in comprehensive mode the engine's fetch
+    count stays within a small factor of the oracle's sequential
+    minimum (whole-wave speculation would be several times larger)."""
+    from web2llmstxt_ray.synth import generate_site, site_index
+
+    site, robots = generate_site(num_pages=800, num_hosts=6, seed=13)
+    idx = site_index(site)
+    cols = robots.to_pydict()
+    disallow = dict(zip(cols["host"], cols["disallow"]))
+    oracle = crawl_oracle(idx, BASE, max_pages=10, comprehensive=True,
+                          safety_limit=120, disallow_by_host=disallow)
+    cfg = CrawlConfig(base_url=BASE, max_pages=10, comprehensive=True,
+                      safety_limit=120, run_dir=str(tmp_path / "of"))
+    crawler = DistributedCrawler(cfg, idx, disallow_by_host=disallow)
+    result = crawler.run()
+    assert result.visit_order == oracle.visit_order
+    assert result.total_fetches <= oracle.fetch_attempts * 1.4 + 32
+    crawler.shutdown()
