@@ -90,3 +90,16 @@ class TestShardedFilter:
         f2.restore(blobs)
         assert f2.contains(urls).all()
         assert f2.count() == f1.count()
+
+
+class TestPressure:
+    def test_pressure_telemetry(self):
+        f = SeenFilter(num_shards=2, mode="cuckoo", capacity_per_shard=1 << 12)
+        f.check_and_add(_urls(3000))
+        stats = f.pressure()
+        assert len(stats) == 2
+        for s in stats:
+            assert s["mode"] == "cuckoo"
+            assert 0 < s["load"]
+            assert "overflow" in s and "slot_load" in s
+        assert sum(s["n"] for s in stats) == 3000

@@ -309,7 +309,24 @@ class SeenFilterShard:
 
     def __init__(self, mode: str = "exact", capacity: int = 1 << 20):
         self.mode = mode
+        self.capacity = capacity
         self.impl = _BACKENDS[mode](capacity)
+
+    def pressure(self) -> dict:
+        """Operator telemetry: load factor and (cuckoo) overflow size.
+        A cuckoo shard past ~90% load or with a growing overflow set
+        needs resizing at the next checkpoint boundary (fingerprints
+        alone cannot be rehashed into a bigger table — resize = replay
+        the exact key stream from snapshots/lineage, which the per-wave
+        checkpoint layout provides)."""
+        out = {"mode": self.mode, "n": len(self.impl),
+               "capacity": self.capacity,
+               "load": round(len(self.impl) / max(1, self.capacity), 4)}
+        if isinstance(self.impl, _Cuckoo):
+            out["slots"] = self.impl.nb * _Cuckoo.SLOTS
+            out["slot_load"] = round(len(self.impl) / out["slots"], 4)
+            out["overflow"] = len(self.impl.overflow)
+        return out
 
     def check_and_add(self, urls: list[str]) -> np.ndarray:
         """True per URL ⇔ the URL was new (and is now marked seen)."""
@@ -374,6 +391,10 @@ class SeenFilter:
 
     def count(self) -> int:
         return sum(ray.get([s.count.remote() for s in self.shards]))
+
+    def pressure(self) -> list[dict]:
+        """Per-shard load/overflow telemetry (degradation signal)."""
+        return ray.get([s.pressure.remote() for s in self.shards])
 
     def snapshot(self) -> list[bytes]:
         """Per-shard snapshots (written to the wave checkpoint)."""
