@@ -7,6 +7,14 @@ Mirrors the reference lifecycle (SURVEY §3.1/§3.3:
 rendering — re-expressed as: DistributedCrawler or the Ray Data
 url-list pipeline → ``describe_pages`` actor stage → driver-side
 render of the small ordered entry table.
+
+Scale note: this function targets the reference's per-SITE scale
+(llms.txt for one site — at most thousands of pages), so rendering
+materializes that site's pages on the driver like the reference does.
+For corpus-scale jobs compose the pieces directly: ``crawl_url_list``
+/ ``resumable.run_resumable`` for fetching, ``describe_pages`` over
+the parquet output, and ``llms.write_llms_full_streaming`` so content
+never gathers on the driver.
 """
 
 from __future__ import annotations
