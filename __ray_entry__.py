@@ -18,8 +18,26 @@ in ``tests/`` instead.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# The driver imports this module by file path (importlib.spec_from_file_location)
+# from an arbitrary cwd, so the repo root is not necessarily on sys.path and
+# ``web2llmstxt_ray`` would not import — this was exactly the round-1 failure
+# mode (every query raised ModuleNotFoundError → empty CORRECTNESS artifact).
+# And since Ray was initialised by the driver BEFORE this import, workers
+# captured their environment without the repo root either; the bootstrap
+# registers the package for cloudpickle pickle-by-value so shipped
+# closures/actor classes are self-contained (see bootstrap.py).
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from web2llmstxt_ray.bootstrap import ensure_worker_importable  # noqa: E402
+
+ensure_worker_importable()
 
 import numpy as np
 import pandas as pd
@@ -224,18 +242,20 @@ def q_fulfilled_customers(sf_dir: str) -> pd.DataFrame:
     f_orders = _t(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
         lambda t: t.filter(pa.compute.equal(t["o_orderstatus"], "F")),
         batch_format="pyarrow")
-    keys = set()
-    for r in f_orders.select_columns(["o_custkey"]).take_all():
-        keys.add(r["o_custkey"])
-    key_ref = ray.put(keys)
+    # collect the key column as Arrow blocks (no Python row dicts),
+    # distinct it vectorized, broadcast once; probe with pc.is_in
+    key_tbl = pa.concat_tables(
+        [ray.get(r) for r in
+         f_orders.select_columns(["o_custkey"]).to_arrow_refs()])
+    key_ref = ray.put(pa.compute.unique(key_tbl.column("o_custkey")))
 
     class _Semi:
         def __init__(self):
             self.keys = ray.get(key_ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            mask = pa.array([k in self.keys
-                             for k in b.column("c_custkey").to_pylist()])
+            mask = pa.compute.is_in(b.column("c_custkey"),
+                                    value_set=self.keys)
             return b.filter(mask)
 
     customer = _t(sf_dir, "customer",

@@ -23,6 +23,11 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from web2llmstxt_ray.bootstrap import ensure_worker_importable  # noqa: E402
+
+ensure_worker_importable()  # PYTHONPATH for Ray workers + pickle-by-value
+
 
 def _run_bench() -> dict:
     import ray

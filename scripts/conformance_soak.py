@@ -14,6 +14,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from web2llmstxt_ray.bootstrap import ensure_worker_importable  # noqa: E402
+
+ensure_worker_importable()  # PYTHONPATH for Ray workers + pickle-by-value
 
 
 def main() -> int:

@@ -17,6 +17,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from web2llmstxt_ray.bootstrap import ensure_worker_importable  # noqa: E402
+
+ensure_worker_importable()  # PYTHONPATH for Ray workers + pickle-by-value
 
 from web2llmstxt_ray.functions.urls import hash64_batch  # noqa: E402
 from web2llmstxt_ray.state.seen import _Bloom, _Cuckoo  # noqa: E402

@@ -61,11 +61,11 @@ class TestMinHash:
     def test_lsh_finds_near_dups(self):
         ds = ray.data.from_arrow(_docs_table())
         out = D.minhash_dedup(ds, num_perm=64, num_bands=16,
-                              jaccard_threshold=0.5).to_pylist()
+                              jaccard_threshold=0.5).take_all()
         by_id = {r["doc_id"]: r for r in out}
         # identical pair clusters together under min id
         assert by_id[2]["cluster_id"] == 1
-        assert by_id[2]["keep"] is False
+        assert not by_id[2]["keep"]
         # near-dup (one word changed) clusters with base
         assert by_id[3]["cluster_id"] == 1
         # unrelated docs stay their own clusters
@@ -73,8 +73,9 @@ class TestMinHash:
 
     def test_deterministic(self):
         ds = ray.data.from_arrow(_docs_table())
-        o1 = D.minhash_dedup(ds).to_pylist()
-        o2 = D.minhash_dedup(ds).to_pylist()
+        key = lambda r: r["doc_id"]
+        o1 = sorted(D.minhash_dedup(ds).take_all(), key=key)
+        o2 = sorted(D.minhash_dedup(ds).take_all(), key=key)
         assert o1 == o2
 
 
@@ -137,3 +138,32 @@ class TestEmbeddingNearDup:
                 if sims[i, j] >= 0.9}
         assert got == want
         assert (3, 10) in got
+
+
+class TestEmbeddingNearDupIVF:
+    def test_recall_vs_exact(self):
+        import web2llmstxt_ray.ops.dedup as D2
+
+        rng = np.random.RandomState(9)
+        # clustered corpus: near-dups are perturbations of cluster reps
+        reps = rng.randn(12, 16)
+        vecs = []
+        for i in range(300):
+            vecs.append(reps[i % 12] + 0.15 * rng.randn(16))
+        vecs = np.asarray(vecs)
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tbl)
+        exact = {(r["a"], r["b"])
+                 for r in D2.embedding_near_dup_pairs(ds, threshold=0.92).to_pylist()}
+        approx = {(r["a"], r["b"])
+                  for r in D2.embedding_near_dup_pairs_ivf(
+                      ds, threshold=0.92, num_lists=8,
+                      assign_probes=2).to_pylist()}
+        assert approx <= exact  # no false pairs: same exact verify kernel
+        assert exact, "test needs at least one qualifying pair"
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.8, f"IVF recall {recall:.2f} too low"

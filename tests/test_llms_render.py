@@ -135,7 +135,9 @@ class TestGenerateEndToEnd:
             disallow_by_host=disallow_by_host)
         with open(res.written[0]) as f:
             payload = json.load(f)
-        assert set(payload) == {"metadata", "llms_entries", "full_content"}
+        # reference-exact keys (llmsgen/utils/file_utils.py:176-178)
+        assert set(payload) == {"metadata", "llms_entries",
+                                "full_content_pages"}
         res2 = generate_llmstxt(
             idx, BASE, str(tmp_path / "outy"), str(tmp_path / "runy"),
             max_pages=4, export_format="yaml",
@@ -159,3 +161,30 @@ class TestStreamingRender:
         assert "## Page 1: Site Zero Home" in text
         assert "## Page 3: A Blog Post" in text
         assert text.count("---") == 3
+
+
+class TestExportPayloadGating:
+    def test_include_full_text_gate_and_unicode(self, tmp_path):
+        """include_full_text=False drops full_content_pages; non-ASCII
+        text survives unescaped (ensure_ascii=False), both mirroring
+        llmsgen/utils/file_utils.py:166-183."""
+        import json as _json
+
+        import pyarrow as pa
+
+        from web2llmstxt_ray.pipelines.llms import (
+            ENTRY_SCHEMA, export_payload, write_outputs)
+
+        entries = pa.Table.from_pylist([{
+            "url": "https://x.test/", "title": "Café",
+            "description": "déjà vu", "word_count": 60,
+            "session_id": "s", "index": 0, "category": "Main",
+            "from_cache": False}], schema=ENTRY_SCHEMA)
+        pages = pa.table({"url": ["https://x.test/"], "title": ["Café"],
+                          "content": ["café content"]})
+        assert "full_content_pages" not in export_payload(
+            {}, entries, pages, include_full_text=False)
+        paths = write_outputs(str(tmp_path), "https://x.test/", entries,
+                              pages, {}, export_format="json")
+        raw = open(paths[0], encoding="utf-8").read()
+        assert "Café" in raw and "\\u00e9" not in raw

@@ -103,3 +103,66 @@ class TestPressure:
             assert 0 < s["load"]
             assert "overflow" in s and "slot_load" in s
         assert sum(s["n"] for s in stats) == 3000
+
+
+class TestFrontierPaging:
+    """Shard-side wave freeze + exact-global-order paging
+    (comprehensive-mode selection without O(frontier) driver memory)."""
+
+    def _mk(self, n=200, shards=4):
+        from web2llmstxt_ray.state.frontier import Frontier
+
+        f = Frontier(num_shards=shards)
+        urls = [f"https://x.test/p{i:04d}" for i in range(n)]
+        scores = [float((i * 37) % 100) / 10.0 for i in range(n)]
+        f.add(urls, scores)
+        return f, urls, scores
+
+    def test_paged_equals_select_wave(self):
+        f1, urls, scores = self._mk()
+        whole = f1.select_wave(None, 0.5)
+        f1.shutdown()
+
+        f2, _, _ = self._mk()
+        total = f2.begin_wave(0.5)
+        paged = []
+        while True:
+            chunk = f2.next_wave_chunk(17)
+            if not chunk:
+                break
+            paged.append(chunk)
+        f2.end_wave()
+        flat = [x for c in paged for x in c]
+        assert total == len(whole)
+        assert flat == whole  # exact global (-score, url) order
+        f2.shutdown()
+
+    def test_unconsumed_stay_pending(self):
+        f, urls, scores = self._mk(n=100)
+        total = f.begin_wave(0.5)
+        first = f.next_wave_chunk(10)
+        f.end_wave()
+        assert len(first) == 10
+        # consumed ones are gone from pending; everything else stays
+        assert f.count() == len(urls) - 10
+        nxt = f.select_wave(5, 0.5)
+        assert len(nxt) == 5
+        assert not set(u for u, _ in nxt) & set(u for u, _ in first)
+        f.shutdown()
+
+    def test_mid_wave_adds_not_in_frozen_wave(self):
+        f, urls, scores = self._mk(n=50)
+        total = f.begin_wave(0.5)
+        f.add(["https://x.test/new-high"], [99.0])  # discovered mid-wave
+        seen_urls = []
+        while True:
+            chunk = f.next_wave_chunk(16)
+            if not chunk:
+                break
+            seen_urls.extend(u for u, _ in chunk)
+        f.end_wave()
+        assert "https://x.test/new-high" not in seen_urls  # next wave only
+        assert len(seen_urls) == total
+        nxt = f.select_wave(1, 0.5)
+        assert nxt[0][0] == "https://x.test/new-high"
+        f.shutdown()

@@ -11,10 +11,13 @@ Mirrors the reference's provider surface from scratch:
   uses ``create_smart_fallback_description`` (pyc
   ``generate_description_with_fallbacks`` docstring: "FOR TESTING:
   Always uses fallback description logic").
-- :class:`OllamaClient` / :class:`GeminiClient` — clearly-marked stubs:
-  no network exists in this sandbox. Their construction cost is exactly
-  what the Describer actor pool amortizes (one warm-up per actor, T2:
-  ``models/client.py:102-137``).
+- :class:`OllamaClient` — REAL Ollama-protocol HTTP provider logic
+  (session pooling, warm-up, adaptive timeouts, retry/backoff, stats —
+  ``llmsgen/models/client.py:16-169``), exercised in-sandbox against
+  the loopback fixture server. Its construction cost is exactly what
+  the Describer actor pool amortizes (one warm-up per actor, T2).
+- :class:`GeminiClient` — stub: a cloud API with an SDK dependency
+  that has no loopback-testable contract in this sandbox.
 - :func:`pick_model` — the RAM-gate model selection
   (``models/client.py:149-157``; psutil-gated, heuristic preserved).
 
@@ -82,22 +85,152 @@ class ExtractiveClient:
         return extract_key_sentences(title, content)
 
 
-class OllamaClient:  # pragma: no cover - network stub
-    """STUB — local Ollama HTTP provider (T1,
-    ``llmsgen/models/client.py:16-139``). In production ``__init__``
-    holds one pooled HTTP session + does the warm-up prompt (T2) and
-    ``generate`` POSTs /api/generate with the ModelConfig sampling
-    params; per-call failures return None so the hallucination-gated
-    fallback chain still yields a description."""
+MAX_GEN_OUTPUT_TOKENS = 300      # description budget
+LOCAL_MODEL_TIMEOUT_S = 180.0    # llmsgen/models/client.py:45-52
 
-    def __init__(self, config: ModelConfig, base_url: str = "http://localhost:11434"):
-        raise NotImplementedError(
-            "No network in this sandbox; use DeterministicClient or "
-            "ExtractiveClient. This class documents the production slot."
-        )
+
+class OllamaClient:
+    """Local Ollama-protocol HTTP provider (T1,
+    ``llmsgen/models/client.py:16-139``) — real request/retry/stats/
+    warm-up logic, exercised in-sandbox against the loopback fixture
+    server (``web2llmstxt_ray.testing`` serves the same
+    ``POST /api/generate`` contract).
+
+    Reference behaviors mirrored:
+
+    - one pooled HTTP session per client, JSON content type (``:22-23``);
+    - warm-up prompt on construction (T2, ``models/client.py:102-137``:
+      tiny "respond with just 'Ready'" generation, 60 s timeout;
+      failure leaves the client usable — calls may still succeed);
+    - adaptive timeout by model RAM class (``llmsgen/models/client.py:
+      45-52``): base 180 s, ×1.5 above 8 GB, ×2 above 12 GB;
+    - 3 attempts with exponential backoff 4→10 s (tenacity policy at
+      ``:55``; implemented inline — tenacity isn't vendored here);
+    - rolling stats {requests, tokens, seconds, timeouts, errors} and
+      the tokens/s rating bands >50 excellent / >20 good / >10 fair
+      (``:141-169``).
+
+    ``generate`` returns None on exhausted retries so the
+    hallucination-gated fallback chain still yields a description.
+    """
+
+    WARMUP_PROMPT = "Hello, respond with just 'Ready'"
+
+    def __init__(self, config: ModelConfig,
+                 base_url: str = "http://localhost:11434",
+                 warm_up: bool = True, retry_sleep_s: float | None = None):
+        import requests
+
+        self.config = config
+        self.base_url = base_url.rstrip("/")
+        self.session = requests.Session()
+        self.session.headers.update({"Content-Type": "application/json"})
+        self.stats = {"total_requests": 0, "total_tokens_generated": 0,
+                      "total_time_seconds": 0.0, "timeouts": 0, "errors": 0}
+        self._retry_sleep_s = retry_sleep_s  # test override for backoff
+        self.warmed_up = self.warm_up() if warm_up else False
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _adaptive_timeout_s(self) -> float:
+        base = LOCAL_MODEL_TIMEOUT_S
+        if self.config.est_ram_gb > 12:
+            return base * 2
+        if self.config.est_ram_gb > 8:
+            return base * 1.5
+        return base
+
+    def _post_generate(self, prompt: str, num_predict: int,
+                       timeout_s: float) -> str:
+        """One POST /api/generate; raises on transport errors or bad
+        status so the retry loop can count and back off."""
+        import time as _time
+
+        import requests
+
+        t0 = _time.monotonic()
+        self.stats["total_requests"] += 1
+        try:
+            resp = self.session.post(
+                f"{self.base_url}/api/generate",
+                json={
+                    "model": self.config.model_id,
+                    "prompt": prompt,
+                    "stream": False,
+                    "options": {
+                        "temperature": self.config.temperature,
+                        "num_predict": num_predict,
+                        "num_ctx": self.config.context_window,
+                        "top_k": self.config.top_k,
+                        "top_p": self.config.top_p,
+                        "repeat_penalty": self.config.repeat_penalty,
+                    },
+                },
+                timeout=timeout_s,
+            )
+            resp.raise_for_status()
+        except requests.exceptions.Timeout:
+            self.stats["timeouts"] += 1
+            raise
+        except requests.exceptions.RequestException:
+            self.stats["errors"] += 1
+            raise
+        text = (resp.json().get("response") or "").strip()
+        self.stats["total_time_seconds"] += _time.monotonic() - t0
+        self.stats["total_tokens_generated"] += len(text.split())
+        return text
+
+    def _with_retries(self, prompt: str, num_predict: int,
+                      timeout_s: float, attempts: int = 3) -> str | None:
+        import time as _time
+
+        import requests
+
+        for attempt in range(attempts):
+            try:
+                return self._post_generate(prompt, num_predict, timeout_s)
+            except requests.exceptions.RequestException:
+                if attempt == attempts - 1:
+                    return None
+                sleep = (self._retry_sleep_s if self._retry_sleep_s is not None
+                         else min(4 * 2 ** attempt, 10))
+                _time.sleep(sleep)
+        return None
+
+    # -- API ---------------------------------------------------------------
+
+    def warm_up(self) -> bool:
+        """T2: one tiny generation to page the model in (60 s budget);
+        False on failure without raising."""
+        import requests
+
+        try:
+            self._post_generate(self.WARMUP_PROMPT, num_predict=10,
+                                timeout_s=60.0)
+            return True
+        except requests.exceptions.RequestException:
+            return False
 
     def generate(self, title: str, content: str, url: str) -> str | None:
-        raise NotImplementedError
+        prompt = (
+            "Write a one-sentence description of this web page for an "
+            "llms.txt index. Respond with only the description.\n"
+            f"URL: {url}\nTitle: {title}\nContent:\n{content[:2000]}"
+        )
+        return self._with_retries(prompt, MAX_GEN_OUTPUT_TOKENS,
+                                  self._adaptive_timeout_s())
+
+    def performance_report(self) -> dict:
+        """Rolling stats + the reference's tokens/s rating bands."""
+        s = self.stats
+        tps = (s["total_tokens_generated"] / s["total_time_seconds"]
+               if s["total_time_seconds"] > 0 else 0.0)
+        rating = ("excellent" if tps > 50 else "good" if tps > 20
+                  else "fair" if tps > 10 else "slow")
+        ok = s["total_requests"] - s["errors"] - s["timeouts"]
+        return {**s, "tokens_per_second": round(tps, 2), "rating": rating,
+                "success_rate": (ok / s["total_requests"]
+                                 if s["total_requests"] else 0.0)}
 
 
 class GeminiClient:  # pragma: no cover - network stub

@@ -31,25 +31,7 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
-def vec_matrix(batch, vec_col: str) -> np.ndarray:
-    """Arrow ``list<float>`` column → (n, dim) float64 matrix without a
-    per-row Python conversion: flatten the list values buffer (zero-copy
-    for contiguous arrays) and reshape when all rows share one length —
-    ~20× faster than ``np.stack([np.asarray(v) for v in ...])``."""
-    import pyarrow as _pa
-
-    col = batch.column(vec_col) if hasattr(batch, "column") else batch
-    arr = col.combine_chunks() if isinstance(col, _pa.ChunkedArray) else col
-    offsets = arr.offsets.to_numpy(zero_copy_only=False)
-    widths = np.diff(offsets)
-    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    if len(widths) and (widths == widths[0]).all():
-        # account for a possible non-zero start offset (sliced arrays)
-        start = offsets[0]
-        return flat[start:start + len(widths) * widths[0]].reshape(
-            len(widths), widths[0])
-    return np.stack([np.asarray(v, dtype=np.float64)
-                     for v in arr.to_pylist()])
+from .veckit import vec_matrix  # noqa: F401  (re-export: public API here)
 
 
 class _PartialTopK:
@@ -173,8 +155,15 @@ def ivf_topk(ds: ray.data.Dataset, centroids: np.ndarray,
     cn = _normalize(np.asarray(centroids, dtype=np.float64))
     probe_lists = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]   # (Q, nprobe)
     wanted = sorted({int(l) for row in probe_lists for l in row})
-    sub = assigned.filter(
-        lambda r, _w=frozenset(wanted): r["ivf_list"] in _w)
+    wanted_arr = pa.array(wanted, pa.int32())
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("ivf_list"),
+                                     value_set=wanted_arr))
+
+    sub = assigned.map_batches(probe_filter, batch_format="pyarrow")
     qsel: dict[int, list[int]] = {}
     for qi, row in enumerate(probe_lists):
         for l in row:

@@ -34,6 +34,7 @@ import ray.data
 from ray.data.aggregate import Min
 
 from ..functions.urls import hash64, hash64_batch
+from .veckit import vec_matrix
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -201,21 +202,54 @@ def minhash_candidates(ds: ray.data.Dataset, text_col: str = "text",
     return sorted(seen)
 
 
+class _ClusterEmit:
+    """Distributed cluster emission: the (small) verified-pair parent
+    map broadcasts once per worker; each batch is a vectorized probe —
+    the dataset itself never materializes on the driver."""
+
+    def __init__(self, pref, id_col: str):
+        self.parent: dict = ray.get(pref)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        p = self.parent
+        clusters = [p.get(i, i) for i in ids]
+        keep = [c == i for c, i in zip(clusters, ids)]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "cluster_id": pa.array(clusters),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+
 def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", num_perm: int = 64,
                   num_bands: int = 16, shingle_k: int = 3,
-                  jaccard_threshold: float = 0.8) -> pa.Table:
+                  jaccard_threshold: float = 0.8) -> ray.data.Dataset:
     """Near-dup clustering: LSH candidates → exact Jaccard verify →
-    union-find on verified pairs (candidate set is small by
-    construction) → (doc_id, cluster_id=min doc in cluster, keep)."""
+    union-find on VERIFIED PAIR IDS ONLY (small by construction) →
+    broadcast the root map → distributed (doc_id, cluster_id, keep)
+    emission via ``map_batches``.
+
+    Scale shape: the driver only ever holds candidate pairs and the
+    texts of docs *involved in a candidate pair* (near-dup corpora keep
+    this a tiny fraction of N); the full corpus streams through the
+    final emission stage without materializing.
+    """
+    from .stagecache import cached_stage
+
     cands = minhash_candidates(ds, text_col, id_col, num_perm, num_bands,
                                shingle_k)
     # verify with true shingle Jaccard — fetch only the involved docs
+    # (vectorized is_in filter; only (id, text) of involved rows move)
     involved = sorted({x for p in cands for x in p})
-    id_set = set(involved)
+    involved_arr = pa.array(involved)
 
     def grab(batch: pa.Table) -> pa.Table:
-        mask = pa.array([i in id_set for i in batch.column(id_col).to_pylist()])
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch.column(id_col), value_set=involved_arr)
         return batch.filter(mask).select([id_col, text_col])
 
     texts = {}
@@ -238,14 +272,14 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
-    all_ids = [r[id_col] for r in
-               ds.select_columns([id_col]).take_all()]
-    clusters = {i: find(i) if i in parent else i for i in all_ids}
-    return pa.table({
-        id_col: pa.array(sorted(all_ids)),
-        "cluster_id": pa.array([clusters[i] for i in sorted(all_ids)]),
-        "keep": pa.array([clusters[i] == i for i in sorted(all_ids)]),
-    })
+    # full path compression → flat {id: root} for only the ids that are
+    # in some cluster; everything else maps to itself worker-side
+    root_map = {x: find(x) for x in list(parent)}
+    root_map = {x: r for x, r in root_map.items() if x != r or x in parent}
+    pref = ray.put(root_map)
+    return ds.select_columns([id_col]).map_batches(
+        cached_stage(_ClusterEmit, pref=pref, id_col=id_col),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -290,27 +324,101 @@ def hamming64(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+_FIB_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _id_blocks(ids: list, num_blocks: int) -> np.ndarray:
+    """Deterministic block id per doc id (Fibonacci-mix for ints,
+    FNV for strings) — vectorized."""
+    arr = np.asarray(ids)
+    if np.issubdtype(arr.dtype, np.integer):
+        return ((arr.astype(np.uint64) * _FIB_MIX) >> np.uint64(56)).astype(
+            np.int32) % np.int32(num_blocks)
+    return (hash64_batch([str(x) for x in ids])
+            % np.uint64(num_blocks)).astype(np.int32)
+
+
 def ngram_jaccard_pairs(ds: ray.data.Dataset, group_col: str,
                         text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 3, threshold: float = 0.5) -> pa.Table:
+                        k: int = 3, threshold: float = 0.5,
+                        num_blocks: int = 4) -> pa.Table:
     """All (a, b, jaccard) pairs ≥ threshold within each ``group_col``
-    partition — groupby bounds the quadratic verify to group size."""
+    partition — EXACT, with the quadratic verify distributed.
 
-    def per_group(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].tolist()
-        shs = [shingles(t or "", k) for t in group[text_col].tolist()]
+    Grouping by the raw value alone is a scale hazard when the key is
+    skewed (e.g. one language ≈ the whole corpus → one O(n²) task).
+    Instead each doc is assigned a block ``b = hash(id) % num_blocks``
+    and replicated to every block-pair task ``(p, q), p ≤ q`` touching
+    ``b``; one ``groupby(group, task)`` shuffle then verifies each
+    block pair independently (cross pairs for p<q, i<j within for
+    p==q), so per-task work is (n/B)² and a skewed group fans out over
+    B(B+1)/2 tasks instead of one. Replication cost: each doc's
+    shingle set ships B times (shingles — not text — are what shuffle).
+
+    Every unordered pair lands in exactly ONE task (the (block_a,
+    block_b) task), so the output is duplicate-free by construction
+    and equal to the single-task result. Pairs output is assumed small
+    (it's a report of near-dups); it collects to one Arrow table.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        groups = batch.column(group_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        blocks = _id_blocks(ids, num_blocks)
+        out = {"_gtask": [], "_block": [], id_col: [], "_sh": []}
+        for i, (did, grp, txt) in enumerate(zip(ids, groups, texts)):
+            sh = np.fromiter(shingles(txt or "", k), dtype=np.uint64)
+            sh.sort()
+            b = int(blocks[i])
+            for other in range(num_blocks):
+                p, q = min(b, other), max(b, other)
+                out["_gtask"].append(f"{grp}\x00{p}:{q}")
+                out["_block"].append(b)
+                out[id_col].append(did)
+                out["_sh"].append(sh)
+        return pa.table({
+            "_gtask": pa.array(out["_gtask"], pa.string()),
+            "_block": pa.array(out["_block"], pa.int32()),
+            id_col: pa.array(out[id_col]),
+            "_sh": pa.array([s.tolist() for s in out["_sh"]],
+                            pa.list_(pa.uint64())),
+        })
+
+    def verify_task(group: pd.DataFrame) -> pd.DataFrame:
+        task = group["_gtask"].iloc[0]
+        p, q = (int(x) for x in task.rsplit("\x00", 1)[1].split(":"))
         rows = {"a": [], "b": [], "jaccard": []}
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = jaccard(shs[i], shs[j])
-                if jac >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    rows["a"].append(a)
-                    rows["b"].append(b)
-                    rows["jaccard"].append(round(jac, 6))
+
+        def emit(ia, sa, ib, sb):
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 0.0
+            if jac >= threshold:
+                a, b = sorted((ia, ib))
+                rows["a"].append(a)
+                rows["b"].append(b)
+                rows["jaccard"].append(round(jac, 6))
+
+        ids = group[id_col].to_numpy()
+        shs = [np.asarray(s, dtype=np.uint64) for s in group["_sh"]]
+        blk = group["_block"].to_numpy()
+        if p == q:
+            order = np.argsort(ids)
+            for x in range(len(order)):
+                for y in range(x + 1, len(order)):
+                    emit(ids[order[x]], shs[order[x]],
+                         ids[order[y]], shs[order[y]])
+        else:
+            left = np.flatnonzero(blk == p)
+            right = np.flatnonzero(blk == q)
+            for x in left:
+                for y in right:
+                    emit(ids[x], shs[x], ids[y], shs[y])
         return pd.DataFrame(rows)
 
-    out = ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+    out = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("_gtask").map_groups(verify_task, batch_format="pandas")
     rows = out.take_all()
     return pa.table({
         "a": pa.array([r["a"] for r in rows]),
@@ -324,53 +432,121 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, group_col: str,
 # ---------------------------------------------------------------------------
 
 
+def _norm_block(tbl: pa.Table, id_col: str, vec_col: str):
+    """(ids, L2-normalized matrix) from one Arrow block."""
+    ids = np.asarray(tbl.column(id_col).to_pylist())
+    mat = vec_matrix(tbl, vec_col)
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    return ids, mat / n[:, None]
+
+
+def _emit_pairs(ids_a, mat_a, ids_b, mat_b, threshold: float,
+                same_block: bool) -> dict:
+    """cosine ≥ threshold pairs between two normalized blocks (i<j
+    within a block when ``same_block``), a<b normalized once."""
+    sims = mat_a @ mat_b.T
+    if same_block:
+        ii, jj = np.triu_indices(len(ids_a), k=1)
+        keep = sims[ii, jj] >= threshold
+        ii, jj = ii[keep], jj[keep]
+    else:
+        ii, jj = np.nonzero(sims >= threshold)
+    a = ids_a[ii]
+    b = ids_b[jj]
+    cos = sims[ii, jj]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    return {"a": a2.astype(np.int64), "b": b2.astype(np.int64),
+            "cosine": np.round(cos, 6)}
+
+
+class _BlockPairVerify:
+    """Actor-pool stage over (i, j) block-index rows: fetch the two
+    blocks from the object store (local shared memory on colocated
+    nodes), normalize once per worker (memoized), matmul, emit pairs."""
+
+    MAX_CACHED_BLOCKS = 8  # bound worker heap: ≥ 2 × batch_size pairs
+
+    def __init__(self, refs_ref, threshold: float, id_col: str,
+                 vec_col: str):
+        self.refs = ray.get(refs_ref)
+        self.threshold = threshold
+        self.id_col, self.vec_col = id_col, vec_col
+        self._cache: dict[int, tuple] = {}  # LRU via dict insertion order
+
+    def _block(self, i: int):
+        hit = self._cache.pop(i, None)
+        if hit is None:
+            hit = _norm_block(ray.get(self.refs[i]),
+                              self.id_col, self.vec_col)
+            while len(self._cache) >= self.MAX_CACHED_BLOCKS:
+                self._cache.pop(next(iter(self._cache)))
+        self._cache[i] = hit
+        return hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = {"a": [], "b": [], "cosine": []}
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            ids_a, mat_a = self._block(i)
+            ids_b, mat_b = self._block(j)
+            if not len(ids_a) or not len(ids_b):
+                continue
+            pairs = _emit_pairs(ids_a, mat_a, ids_b, mat_b,
+                                self.threshold, same_block=(i == j))
+            outs["a"].append(pairs["a"])
+            outs["b"].append(pairs["b"])
+            outs["cosine"].append(pairs["cosine"])
+        if not outs["a"]:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "a": pa.array(np.concatenate(outs["a"])),
+            "b": pa.array(np.concatenate(outs["b"])),
+            "cosine": pa.array(np.concatenate(outs["cosine"])),
+        })
+
+
 def embedding_near_dup_pairs(ds: ray.data.Dataset, threshold: float,
                              vec_col: str = "embedding",
-                             id_col: str = "vec_id") -> pa.Table:
-    """(a, b, cosine) pairs with cosine ≥ threshold, a < b.
+                             id_col: str = "vec_id",
+                             max_blocks: int = 64) -> pa.Table:
+    """EXACT (a, b, cosine) pairs with cosine ≥ threshold, a < b —
+    distributed block-pair verification, no driver-side matrix.
 
-    The full matrix broadcasts once (``ray.put``); each batch computes
-    its block-row of similarities with one float64 matmul. At corpus
-    sizes where the matrix can't broadcast, use the LSH/IVF bucketing in
-    ``ops.ann`` first and verify within buckets.
+    The corpus materializes as Arrow blocks in the OBJECT STORE (never
+    the driver heap); a tiny Dataset of (i, j) block-index pairs,
+    i ≤ j, drives an actor pool that pulls the two blocks per task
+    (zero-copy locally, spillable), normalizes each block once per
+    worker (memoized), and emits its pairs from one matmul. Every
+    unordered pair lands in exactly one block-pair task → exact and
+    duplicate-free. Per-task memory is two blocks; compute is the
+    inherent O(N²·d/ B²) per task over B(B+1)/2 tasks.
+
+    Exact all-pairs is inherently quadratic — for 10^9-vector corpora
+    use :func:`embedding_near_dup_pairs_ivf` (IVF-bucketed, approximate
+    recall, linear-ish) instead; this function is the threshold-exact
+    semantics the SQL oracle checks.
     """
-    all_rows = ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in all_rows])
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in all_rows])
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    order = np.argsort(ids)
-    ids, matn = ids[order], matn[order]
-    ref = ray.put((ids, matn))
+    slim = ds.select_columns([id_col, vec_col])
+    refs = slim.to_arrow_refs()
+    if len(refs) > max_blocks:
+        refs = slim.repartition(max_blocks).to_arrow_refs()
+    nb = len(refs)
+    refs_ref = ray.put(refs)
+    pair_rows = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
 
-    class _Block:
-        def __init__(self):
-            self.ids, self.matn = ray.get(ref)
+    from .stagecache import cached_stage
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from .ann import vec_matrix
-
-            bids = np.asarray(batch.column(id_col).to_pylist())
-            vecs = vec_matrix(batch, vec_col)
-            n = np.linalg.norm(vecs, axis=1)
-            n[n == 0] = 1.0
-            sims = (vecs / n[:, None]) @ self.matn.T
-            rows = {"a": [], "b": [], "cosine": []}
-            for i, bid in enumerate(bids):
-                hits = np.flatnonzero(sims[i] >= threshold)
-                for j in hits:
-                    other = self.ids[j]
-                    if bid < other:  # a<b once, skip self
-                        rows["a"].append(int(bid))
-                        rows["b"].append(int(other))
-                        rows["cosine"].append(round(float(sims[i, j]), 6))
-            return pa.table({"a": pa.array(rows["a"], pa.int64()),
-                             "b": pa.array(rows["b"], pa.int64()),
-                             "cosine": pa.array(rows["cosine"], pa.float64())})
-
-    out = ds.map_batches(_Block, batch_format="pyarrow", batch_size=256,
-                         concurrency=(1, 8), num_cpus=0.5)  # matmul state is heavy → pool ok
+    pairs_ds = ray.data.from_items(pair_rows).repartition(
+        min(len(pair_rows), 32))
+    out = pairs_ds.map_batches(
+        cached_stage(_BlockPairVerify, refs_ref=refs_ref,
+                     threshold=threshold, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow", batch_size=4)
     rows = out.take_all()
     order = sorted(range(len(rows)), key=lambda i: (rows[i]["a"], rows[i]["b"]))
     return pa.table({
@@ -378,3 +554,79 @@ def embedding_near_dup_pairs(ds: ray.data.Dataset, threshold: float,
         "b": pa.array([rows[i]["b"] for i in order], pa.int64()),
         "cosine": pa.array([rows[i]["cosine"] for i in order], pa.float64()),
     })
+
+
+def embedding_near_dup_pairs_ivf(
+        ds: ray.data.Dataset, threshold: float,
+        vec_col: str = "embedding", id_col: str = "vec_id",
+        num_lists: int = 16, assign_probes: int = 2,
+        sample_size: int = 2048) -> pa.Table:
+    """APPROXIMATE near-dup pairs via IVF bucketing — the linear-ish
+    scale path for corpora where all-pairs verification is infeasible.
+
+    Every vector is multi-assigned to its ``assign_probes`` nearest
+    k-means centroids (recall knob: two near-dups land in a shared
+    list whenever any of their probe sets intersect — multi-probe makes
+    boundary misses rare); one ``groupby(ivf_list)`` shuffle co-locates
+    each list; pairs verify within lists with the same matmul kernel;
+    duplicates from shared multi-assignments dedupe in the final
+    groupby. Misses are possible (measured recall vs the exact path is
+    pytest-gated in tests/test_dedup.py).
+    """
+    from .ann import train_centroids, vec_matrix
+
+    sample = np.array([r[vec_col] for r in ds.take(sample_size)],
+                      dtype=np.float64)
+    centroids = train_centroids(sample, num_lists=min(num_lists, len(sample)))
+    cref = ray.put(_normalize_rows(centroids))
+
+    def multi_assign(batch: pa.Table) -> pa.Table:
+        # plain task fn: ray.get of the small centroid matrix is a
+        # local plasma hit per batch — no stage-cache key collisions
+        # between invocations with different centroids
+        cn = ray.get(cref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        mat = vec_matrix(batch, vec_col)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        matn = mat / n[:, None]
+        sims = matn @ cn.T
+        nearest = np.argsort(-sims, axis=1)[:, :assign_probes]
+        out_id, out_list, out_vec = [], [], []
+        for r in range(len(ids)):
+            for l in nearest[r]:
+                out_id.append(int(ids[r]))
+                out_list.append(int(l))
+                out_vec.append(matn[r].tolist())
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "ivf_list": pa.array(out_list, pa.int32()),
+            "_vecn": pa.array(out_vec, pa.list_(pa.float64())),
+        })
+
+    def verify_list(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g["_vecn"]])
+        pairs = _emit_pairs(ids, mat, ids, mat, threshold, same_block=True)
+        return pd.DataFrame(pairs)
+
+    exploded = ds.map_batches(multi_assign, batch_format="pyarrow")
+    pairs = exploded.groupby("ivf_list").map_groups(
+        verify_list, batch_format="pandas")
+    # multi-assignment can emit the same pair from ≥2 shared lists
+    rows = {(r["a"], r["b"]): r["cosine"] for r in pairs.take_all()}
+    keys = sorted(rows)
+    return pa.table({
+        "a": pa.array([k[0] for k in keys], pa.int64()),
+        "b": pa.array([k[1] for k in keys], pa.int64()),
+        "cosine": pa.array([rows[k] for k in keys], pa.float64()),
+    })
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    return mat / n[:, None]

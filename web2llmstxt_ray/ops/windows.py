@@ -36,47 +36,70 @@ def tumbling_window(ds: ray.data.Dataset, freq: str = "h",
                            ["n_events", "sum_value"])
 
 
+def _add_key_bucket(ds: ray.data.Dataset, key_col: str,
+                    num_buckets: int) -> ray.data.Dataset:
+    """Append ``_sbucket = hash(key) % num_buckets`` (vectorized)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..ops.dedup import _id_blocks
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = _id_blocks(batch.column(key_col).to_pylist(), num_buckets)
+        return batch.append_column("_sbucket", pa.array(b, pa.int32()))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
 def sessionize(ds: ray.data.Dataset, gap_minutes: float = 30.0,
-               key_col: str = "user_id", ts_col: str = "ts") -> ray.data.Dataset:
+               key_col: str = "user_id", ts_col: str = "ts",
+               num_buckets: int = 64) -> ray.data.Dataset:
     """Session windows: a new session starts when the gap since the
     previous event of the same key exceeds ``gap_minutes``.
 
-    Requires all of one key's events in one group → ``groupby(key)``
-    shuffle, then an ordered scan per group (the stated partitioning
-    assumption: session state never spans keys).
+    Sessionization needs all of one key's events co-located — but
+    ``groupby(user_id)`` makes one map_groups call (and a 1-row output
+    block) per USER, the high-cardinality-key pathology. Instead the
+    shuffle key is ``hash(user) % num_buckets``: one well-sized group
+    per bucket, and a vectorized pandas groupby inside the bucket does
+    every user in that bucket at once. Same output, ~num_buckets tasks.
     Output: (key, n_sessions, n_events).
     """
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group[ts_col].sort_values()
-        breaks = (ts.diff() > gap).sum()
-        return pd.DataFrame({
-            key_col: [group[key_col].iloc[0]],
-            "n_sessions": [int(breaks) + 1],
-            "n_events": [len(group)],
-        })
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col])
+        brk = g.groupby(key_col)[ts_col].diff() > gap
+        out = g.assign(_brk=brk.astype("int64")).groupby(
+            key_col, as_index=False).agg(
+            n_sessions=("_brk", "sum"), n_events=("_brk", "size"))
+        out["n_sessions"] = out["n_sessions"] + 1
+        return out[[key_col, "n_sessions", "n_events"]]
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _add_key_bucket(ds, key_col, num_buckets).groupby(
+        "_sbucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def session_stats(ds: ray.data.Dataset, gap_minutes: float = 30.0,
                   key_col: str = "user_id", ts_col: str = "ts",
-                  value_col: str = "value") -> ray.data.Dataset:
+                  value_col: str = "value",
+                  num_buckets: int = 64) -> ray.data.Dataset:
     """Exploded per-session rows: (key, session_idx, n_events,
-    duration_s, sum_value) — the windowed-aggregate building block."""
+    duration_s, sum_value) — the windowed-aggregate building block.
+    Same bucket-then-vectorized-groupby shape as :func:`sessionize`."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col)
-        new_session = (g[ts_col].diff() > gap).cumsum()
-        out = g.groupby(new_session).agg(
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col])
+        brk = (g.groupby(key_col)[ts_col].diff() > gap).astype("int64")
+        g = g.assign(_sess=brk.groupby(g[key_col]).cumsum())
+        out = g.groupby([key_col, "_sess"], as_index=False).agg(
             first_ts=(ts_col, "min"), last_ts=(ts_col, "max"),
             n_events=(ts_col, "size"), sum_value=(value_col, "sum"))
-        out = out.reset_index(drop=True)
-        out["session_idx"] = range(len(out))
+        out = out.rename(columns={"_sess": "session_idx"})
         out["duration_s"] = (out["last_ts"] - out["first_ts"]).dt.total_seconds()
-        out[key_col] = g[key_col].iloc[0]
-        return out[[key_col, "session_idx", "n_events", "duration_s", "sum_value"]]
+        return out[[key_col, "session_idx", "n_events", "duration_s",
+                    "sum_value"]]
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _add_key_bucket(ds, key_col, num_buckets).groupby(
+        "_sbucket").map_groups(per_bucket, batch_format="pandas")

@@ -92,6 +92,7 @@ class CrawlConfig:
     host_delays_ms: dict = field(default_factory=dict)
     timestamp_us: int = 0              # run timestamp (fixed → deterministic)
     score_fn: object = None            # (urls, base_url)->ndarray; None = reference scorer
+    fetcher_factory: object = None     # (site_ref)->fetcher; None = MockFetcher
 
     @property
     def depth_limit(self) -> int:
@@ -138,9 +139,13 @@ class CrawlWorker:
                  host_delays_ms: dict, score_threshold: float,
                  session_id: str, ts_us: int,
                  seen_shards, frontier_shards, fetch_log=None,
-                 score_fn=None):
+                 score_fn=None, fetcher_factory=None):
         self.score_fn = score_fn or score_urls
-        self.fetcher = MockFetcher(site_ref)
+        # fetcher seam: MockFetcher by default; a factory swaps in the
+        # real NetworkFetcher (conformance-tested equal over the
+        # loopback fixture server, tests/test_network_models.py)
+        self.fetcher = (fetcher_factory(site_ref) if fetcher_factory
+                        else MockFetcher(site_ref))
         self.base_url = base_url
         self.disallow = disallow
         self.host_delays_ms = host_delays_ms or {}
@@ -307,6 +312,13 @@ class DistributedCrawler:
         self._completed_depth = -1  # -1 = nothing done; 0 = main page done
 
     def _build_workers(self) -> None:
+        # recovery path calls this to REBUILD the pool: reap any
+        # surviving old actors first or they leak for the session
+        for w in getattr(self, "workers", []):
+            try:
+                ray.kill(w)
+            except Exception:
+                pass
         cfg = self.cfg
         self.workers = [
             CrawlWorker.remote(
@@ -314,7 +326,7 @@ class DistributedCrawler:
                 cfg.host_delays_ms, cfg.score_threshold,
                 cfg.session_id, cfg.timestamp_us,
                 self.seen.shards, self.frontier.shards, self._fetch_log,
-                cfg.score_fn,
+                cfg.score_fn, cfg.fetcher_factory,
             )
             for _ in range(cfg.num_workers)
         ]
@@ -341,10 +353,12 @@ class DistributedCrawler:
             json.dump(wave_metrics, f)
         # manifest pointer written LAST and atomically: a partially
         # written wave is never visible (SURVEY §7.4.6)
+        # counters ONLY — visit order lives in the per-wave page records
+        # (url, visit_index); a manifest that embeds the full visit list
+        # would be a multi-GB driver-held JSON at 10^8 pages
         manifest = {
             "completed_depth": depth,
             "pages_so_far": self.pages_so_far,
-            "visit_order": self.visit_order,
             "total_fetches": self.total_fetches,
             "config": {"base_url": self.cfg.base_url,
                        "max_pages": self.cfg.max_pages,
@@ -384,10 +398,17 @@ class DistributedCrawler:
         self.seen.restore(seen_blobs)
         self.frontier.restore(frontier_blobs)
         self.pages_so_far = manifest["pages_so_far"]
-        self.visit_order = list(manifest["visit_order"])
+        self.visit_order = self._load_visit_order()
         self.total_fetches = manifest["total_fetches"]
         self._completed_depth = depth
         return True
+
+    def _load_visit_order(self) -> list[str]:
+        """Rebuild the visit order from the committed page records
+        (sorted on their ``visit_index`` column) — the parquet is the
+        source of truth; the manifest only stores counters."""
+        t = read_crawl_output(self.cfg.run_dir, "pages")
+        return t.column("url").to_pylist()
 
     # ----- wave steps -----
 
@@ -487,6 +508,38 @@ class DistributedCrawler:
         self._commit(depth, self.metrics[-1])
         self._completed_depth = depth
 
+    def _run_wave_paged(self, total: int, depth: int, phase: str) -> None:
+        """Comprehensive-mode wave via the frontier's shard-side paging
+        protocol: the wave is FROZEN on the shards (``begin_wave``, done
+        by the caller) and streamed here in exact global rank order in
+        budget-aware slices — the driver never holds more than one
+        slice, where ``select_wave(None, …)`` held the whole
+        above-threshold frontier. Un-consumed candidates simply stay in
+        their shards' pending sets (never shipped, never re-added).
+        Identical visit order / seen set to whole-wave processing —
+        covered by the comprehensive conformance suite."""
+        cfg = self.cfg
+        n_accepted = 0
+        n_links = 0
+        processed = 0
+        while processed < total and self.pages_so_far < cfg.effective_safety:
+            need = cfg.effective_safety - self.pages_so_far
+            size = max(16, int(need * 1.25))
+            chunk = self.frontier.next_wave_chunk(size)
+            if not chunk:
+                break
+            a, l = self._process_slice(chunk, depth, phase)
+            n_accepted += a
+            n_links += l
+            processed += len(chunk)
+        self.frontier.end_wave()
+        self.metrics.append({
+            "depth": depth, "wave_size": total, "accepted": n_accepted,
+            "links_added": n_links,
+        })
+        self._commit(depth, self.metrics[-1])
+        self._completed_depth = depth
+
     def shutdown(self) -> None:
         """Kill the worker pool and state shards (end of crawl)."""
         for w in self.workers:
@@ -514,12 +567,17 @@ class DistributedCrawler:
                 break
             if self.pages_so_far >= cfg.effective_safety:    # pyc line 212
                 break
-            budget = (None if cfg.comprehensive
-                      else cfg.effective_safety - self.pages_so_far)
-            wave = self.frontier.select_wave(budget, cfg.score_threshold)
-            if not wave:                                     # pyc line 221
-                break
-            self._run_wave(wave, depth, f"depth_{depth}")
+            if cfg.comprehensive:
+                total = self.frontier.begin_wave(cfg.score_threshold)
+                if not total:                                # pyc line 221
+                    break
+                self._run_wave_paged(total, depth, f"depth_{depth}")
+            else:
+                budget = cfg.effective_safety - self.pages_so_far
+                wave = self.frontier.select_wave(budget, cfg.score_threshold)
+                if not wave:                                 # pyc line 221
+                    break
+                self._run_wave(wave, depth, f"depth_{depth}")
 
         elapsed = time.perf_counter() - t0
         self.metrics.append({"elapsed_s": elapsed})
@@ -568,9 +626,11 @@ def read_crawl_output(run_dir: str, what: str = "pages") -> pa.Table:
     """Concatenate the per-wave Parquet partitions of a crawl run,
     ordered by visit_index for pages (O4: crawl-order preservation)."""
     parts = []
-    for name in sorted(os.listdir(run_dir)):
+    wave_names = [n for n in os.listdir(run_dir) if n.startswith("wave_")]
+    # numeric order: lexicographic would put wave_10 before wave_2
+    for name in sorted(wave_names, key=lambda n: int(n.split("_")[1])):
         wd = os.path.join(run_dir, name)
-        if not (name.startswith("wave_") and os.path.isdir(wd)):
+        if not os.path.isdir(wd):
             continue
         for f in sorted(os.listdir(wd)):
             if f.startswith(f"{what}-") and f.endswith(".parquet"):

@@ -82,7 +82,12 @@ def generate_llmstxt(
         )
         crawler = DistributedCrawler(cfg, site_index,
                                      disallow_by_host=disallow_by_host)
-        crawler.run()
+        try:
+            crawler.run()
+        finally:
+            # actors die with the run — repeated invocations in one Ray
+            # session must not accumulate worker/shard actors
+            crawler.shutdown()
         pages = read_crawl_output(run_dir, "pages")
         pages_for_describe = ray.data.read_parquet(
             [f for f in _wave_files(run_dir, "pages")])

@@ -30,6 +30,8 @@ import ray.data
 from .. import schema as S
 from ..functions.categorize import CATEGORY_ORDER, categorize_entry, site_name, site_summary
 from ..functions.text import content_hash
+from ..functions.urls import extract_domain_from_url
+from ..models import DEFAULT_MODELS, generate_description, make_client
 
 ENTRY_SCHEMA = pa.schema(
     [
@@ -55,8 +57,6 @@ class Describer:
 
     def __init__(self, cache_ref=None, session_id: str = "ray_crawl",
                  model=None):
-        from ..models import DEFAULT_MODELS, make_client
-
         cache = (ray.get(cache_ref) if isinstance(cache_ref, ray.ObjectRef)
                  else cache_ref)
         self.cache: dict[tuple[str, str], str] = cache or {}
@@ -67,8 +67,6 @@ class Describer:
         self.client = make_client(model or DEFAULT_MODELS[0])
 
     def describe_one(self, url: str, title: str, content: str) -> tuple[str, bool]:
-        from ..models import generate_description
-
         key = (url, content_hash(title, content))
         hit = self.cache.get(key)
         if hit is not None:
@@ -194,8 +192,6 @@ def render_llms_txt_live(base_url: str, entries: pa.Table) -> str:
     """K1: the live-tree format (``generator/llms_generator.py:782-802``):
     ``# {DOMAIN} - LLMs.txt`` header + flat per-entry ``## title`` blocks
     with URL/Description lines, in crawl order."""
-    from ..functions.urls import extract_domain_from_url
-
     domain = extract_domain_from_url(base_url).upper()
     lines = [f"# {domain} - LLMs.txt", ""]
     for url, title, desc in zip(entries.column("url").to_pylist(),
@@ -275,29 +271,33 @@ def write_llms_full_streaming(pages_ds: ray.data.Dataset, out_path: str,
     return i
 
 
-def export_payload(metadata: dict, entries: pa.Table, pages: pa.Table) -> dict:
-    """K4/K5 payload: {metadata, llms_entries, full_content}
-    (``llmsgen/utils/file_utils.py:166-202``)."""
-    return {
+def export_payload(metadata: dict, entries: pa.Table, pages: pa.Table,
+                   include_full_text: bool = True) -> dict:
+    """K4/K5 payload: {metadata, llms_entries[, full_content_pages]} —
+    reference-exact keys and gating
+    (``llmsgen/utils/file_utils.py:166-202``: the pages list appears
+    under ``full_content_pages`` and only when ``include_full_text``)."""
+    payload = {
         "metadata": metadata,
         "llms_entries": entries.drop_columns(["from_cache"]).to_pylist(),
-        "full_content": [
+    }
+    if include_full_text:
+        payload["full_content_pages"] = [
             {"url": u, "title": t, "content": c}
             for u, t, c in zip(pages.column("url").to_pylist(),
                                pages.column("title").to_pylist(),
                                pages.column("content").to_pylist())
-        ],
-    }
+        ]
+    return payload
 
 
 def write_outputs(output_dir: str, base_url: str, entries: pa.Table,
                   pages: pa.Table, metadata: dict,
-                  export_format: str = "text") -> list[str]:
+                  export_format: str = "text",
+                  include_full_text: bool = True) -> list[str]:
     """K1-K5 dispatch (``generator/llms_generator.py:766-780``):
     text → llms.txt + llms-full.txt; json/yaml → single payload file."""
     import os
-
-    from ..functions.urls import extract_domain_from_url
 
     os.makedirs(output_dir, exist_ok=True)
     domain = extract_domain_from_url(base_url)
@@ -318,15 +318,18 @@ def write_outputs(output_dir: str, base_url: str, entries: pa.Table,
     elif export_format == "json":
         p = os.path.join(output_dir, f"{domain}-llms.json")
         with open(p, "w", encoding="utf-8") as f:
-            json.dump(export_payload(metadata, entries, pages), f, indent=2)
+            json.dump(export_payload(metadata, entries, pages,
+                                     include_full_text),
+                      f, indent=2, ensure_ascii=False)
         written.append(p)
     elif export_format == "yaml":
         import yaml
 
         p = os.path.join(output_dir, f"{domain}-llms.yaml")
         with open(p, "w", encoding="utf-8") as f:
-            yaml.safe_dump(export_payload(metadata, entries, pages), f,
-                           sort_keys=False, allow_unicode=True)
+            yaml.safe_dump(export_payload(metadata, entries, pages,
+                                          include_full_text),
+                           f, sort_keys=False, allow_unicode=True)
         written.append(p)
     else:
         raise ValueError(f"unknown export format: {export_format}")

@@ -28,7 +28,7 @@ import ray
 import ray.data
 
 from .. import schema as S
-from ..functions.urls import canonicalize_url, host_of
+from ..functions.urls import canonicalize_url, hash64_batch, host_of
 from ..stages.fetch import MockFetcher
 from ..stages.spans import extract_spans
 
@@ -66,8 +66,6 @@ def global_dedup(ds: ray.data.Dataset, key: str = "url",
     shuffles once into ``num_buckets`` well-sized groups and
     deduplicates each with a single vectorized ``drop_duplicates``.
     """
-    from ..functions.urls import hash64_batch
-
     def add_bucket(batch: pa.Table) -> pa.Table:
         buckets = hash64_batch(batch.column(key).to_pylist()) % np.uint64(num_buckets)
         return batch.append_column("_kbucket",
@@ -82,7 +80,8 @@ def global_dedup(ds: ray.data.Dataset, key: str = "url",
 
 
 def seen_filter_dedup(ds: ray.data.Dataset, key: str = "url",
-                      num_shards: int = 8) -> ray.data.Dataset:
+                      num_shards: int = 8,
+                      teardown: list | None = None) -> ray.data.Dataset:
     """Exact global dedup WITHOUT a shuffle barrier: batches stream
     through ``map_batches`` tasks that test-and-set the key against the
     engine's sharded seen-filter actors (the crawl frontier's own D1
@@ -103,10 +102,10 @@ def seen_filter_dedup(ds: ray.data.Dataset, key: str = "url",
 
     seen = SeenFilter(num_shards=num_shards, mode="exact")
     shards = seen.shards
+    if teardown is not None:
+        teardown.append(seen)   # caller owns shard lifetime (leak-free reuse)
 
     def filter_new(batch: pa.Table) -> pa.Table:
-        from ..functions.urls import hash64_batch
-
         keys = batch.column(key).to_pylist()
         hashes = hash64_batch(keys)
         owners = (hashes % np.uint64(num_shards)).astype(np.int64)
@@ -163,8 +162,6 @@ class UrlListFetcher(MockFetcher):
     def _pace(self, url: str) -> None:
         import time
 
-        from ..functions.urls import host_of
-
         host = host_of(url)
         delay = self.host_delays_ms.get(host, 0) / 1000.0
         if delay > 0:
@@ -218,6 +215,15 @@ def crawl_url_list(
     single-block input — e.g. ``from_arrow`` of one driver table —
     serializes the whole pipeline onto one worker regardless of pool
     size), so never skip this for in-memory seed tables.
+
+    POLITENESS CONTRACT (``host_delays_ms``): pacing is PER-ACTOR, not
+    global. Sorting makes same-host URLs batch-contiguous, but the
+    autoscaling pool may hand consecutive batches of one host to
+    different actors whose clocks are independent, so the crawl-delay
+    can be violated across batch boundaries by up to the actor count.
+    This is the streaming-throughput trade-off; for a globally-enforced
+    budget use the wave crawler, which pins each host bucket to exactly
+    one owner worker (``pipelines.crawl.DistributedCrawler._owner``).
     """
     ds = seeds.repartition(parallelism)
     ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")

@@ -7,12 +7,15 @@ The reference fetches sequentially through one Playwright browser
 per actor in ``__init__`` and every batch of URLs is processed in
 ``__call__`` — ``ds.map_batches(Fetcher, concurrency=N, batch_size=B)``.
 
-The in-sandbox fetcher is a deterministic mock over a broadcast synthetic
-site (``ray.put`` once on the driver; each actor ``ray.get``s it once —
-zero-copy for the Arrow-backed strings, never re-shipped per batch). The
-network fetcher is a clearly-marked stub: no network and no browser
-exist in this container, but the Ray-side plumbing (schema, batching,
-actor signature) is identical, so swapping it in is a one-line change.
+Two interchangeable fetchers share the ``fetch_one``/``__call__``
+interface and the FETCH_RESULT schema: :class:`MockFetcher`, a
+deterministic in-process lookup over a broadcast synthetic site
+(``ray.put`` once on the driver; each actor ``ray.get``s it once —
+zero-copy for the Arrow-backed strings, never re-shipped per batch),
+and :class:`NetworkFetcher`, a real pooled-HTTP client with the
+reference's timeout/retry policy — exercised in-sandbox against the
+loopback fixture server (``web2llmstxt_ray.testing``; no outbound
+network exists here) and conformance-tested equal to the mock.
 
 Content selection follows M6 (``fit_markdown or raw_markdown else
 cleaned_html`` → here ``markdown else html``,
@@ -22,10 +25,24 @@ cleaned_html`` → here ``markdown else html``,
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import ray
 
 from ..functions.text import extract_title
+
+_SCRIPT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1>",
+                        re.IGNORECASE | re.DOTALL)
+_LINK_RE = re.compile(r"<a\b[^>]*href=[\"']([^\"']*)[\"'][^>]*>(.*?)</a>",
+                      re.IGNORECASE | re.DOTALL)
+_HEADING_RE = re.compile(r"<h([1-6])\b[^>]*>(.*?)</h\1>",
+                         re.IGNORECASE | re.DOTALL)
+_BLOCK_RE = re.compile(r"</?(p|div|br|li|ul|ol|tr|table|section|article"
+                       r"|header|footer|nav)\b[^>]*>", re.IGNORECASE)
+_TAG_STRIP_RE = re.compile(r"<[^>]+>")
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>",
+                       re.IGNORECASE | re.DOTALL)
 
 # fetch-result schema: page-record fields + success flag; the wave loop
 # downstream assigns visit_index / discovery_phase / timestamps.
@@ -113,23 +130,132 @@ class MockFetcher:
         return pa.Table.from_pylist(rows, schema=FETCH_RESULT)
 
 
-class NetworkFetcher:
-    """STUB — real HTTP/browser fetching (no network in this sandbox).
+def html_to_markdown(html: str) -> str:
+    """Minimal deterministic HTML → markdown-ish text for the raw-HTML
+    parse path: scripts/styles dropped, links become ``[text](href)``,
+    headings become ``#`` lines, remaining tags stripped, whitespace
+    collapsed per line. NOT a full renderer — the production renderer
+    is a service seam (the reference delegates rendering to Crawl4AI,
+    ``crawler/web_crawler.py:293-303``, and consumes its markdown)."""
+    import html as _html
 
-    In production this actor would hold one browser / HTTP session
-    created in ``__init__`` (mirroring the reference's single
-    ``AsyncWebCrawler`` context, ``crawler/web_crawler.py:101,293``) and
-    fetch each batch's URLs concurrently with per-URL timeouts (30 s deep
-    crawl / 15 s list mode, ``crawler/web_crawler.py:287,1106``),
-    returning the same ``FETCH_RESULT`` schema as :class:`MockFetcher`.
+    text = _SCRIPT_RE.sub(" ", html)
+    text = _LINK_RE.sub(lambda m: f"[{m.group(2).strip()}]({m.group(1)})", text)
+
+    def _heading(m):
+        level = int(m.group(1))
+        return "\n" + "#" * level + " " + m.group(2).strip() + "\n"
+
+    text = _HEADING_RE.sub(_heading, text)
+    text = _BLOCK_RE.sub("\n", text)
+    text = _TAG_STRIP_RE.sub(" ", text)
+    text = _html.unescape(text)
+    lines = [" ".join(l.split()) for l in text.splitlines()]
+    return "\n".join(l for l in lines if l)
+
+
+class NetworkFetcher:
+    """Real HTTP fetch/extract actor — exercised in-sandbox against a
+    loopback fixture server (``web2llmstxt_ray.testing``); in production
+    it points at the real web (or a rendering gateway).
+
+    One pooled HTTP session per actor (``__init__``, T5 — mirroring the
+    reference's single crawler context, ``crawler/web_crawler.py:101,
+    293``) with the reference's retry policy: up to 3 retries on
+    429/5xx with exponential backoff (``crawler/web_crawler.py:832-838``)
+    and per-URL timeouts — 30 s deep-crawl / 15 s list mode
+    (``crawler/web_crawler.py:287,1106``). Batches fetch concurrently
+    on a per-actor thread pool; order is preserved.
+
+    Two response shapes:
+
+    - ``application/json`` — a rendered-page payload ``{status, html,
+      markdown, title_meta}`` (the rendering-service contract; the
+      reference likewise consumes Crawl4AI's rendered markdown rather
+      than rendering itself). Content selection then follows M6
+      exactly as :class:`MockFetcher`.
+    - ``text/html`` — raw HTML: content via :func:`html_to_markdown`,
+      title from ``<title>``.
+
+    ``url_rewriter`` maps a crawl URL to the transport URL (identity in
+    production; the loopback gateway in tests).
     """
 
-    def __init__(self, page_timeout_s: float = 30.0):
-        self.page_timeout_s = page_timeout_s
-        raise NotImplementedError(
-            "NetworkFetcher requires a network/browser runtime; use "
-            "MockFetcher with a synthetic site in this environment."
-        )
+    def __init__(self, page_timeout_s: float | None = None,
+                 list_mode: bool = False, max_retries: int = 3,
+                 backoff_factor: float = 1.0, pool_size: int = 8,
+                 url_rewriter=None):
+        import requests
+        from requests.adapters import HTTPAdapter
+        from urllib3.util.retry import Retry
 
-    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
-        raise NotImplementedError
+        self.timeout_s = (page_timeout_s if page_timeout_s is not None
+                          else (15.0 if list_mode else 30.0))
+        self.rewrite = url_rewriter or (lambda u: u)
+        session = requests.Session()
+        retry = Retry(total=max_retries, backoff_factor=backoff_factor,
+                      status_forcelist=[429, 500, 502, 503, 504],
+                      allowed_methods=["GET"])
+        adapter = HTTPAdapter(max_retries=retry, pool_connections=pool_size,
+                              pool_maxsize=pool_size)
+        session.mount("http://", adapter)
+        session.mount("https://", adapter)
+        self.session = session
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.pool = ThreadPoolExecutor(max_workers=pool_size)
+        self.stats = {"requests": 0, "failures": 0, "timeouts": 0,
+                      "retried_or_errored": 0}
+
+    def _fail(self, url: str, score: float, depth: int) -> dict:
+        return {"url": url, "success": False, "title": "", "content": "",
+                "html": "", "word_count": 0, "score": score, "depth": depth}
+
+    def fetch_one(self, url: str, score: float, depth: int) -> dict:
+        import requests
+
+        self.stats["requests"] += 1
+        try:
+            resp = self.session.get(self.rewrite(url), timeout=self.timeout_s)
+        except requests.exceptions.Timeout:
+            self.stats["timeouts"] += 1
+            self.stats["failures"] += 1
+            return self._fail(url, score, depth)
+        except requests.exceptions.RequestException:
+            self.stats["retried_or_errored"] += 1
+            self.stats["failures"] += 1
+            return self._fail(url, score, depth)
+        if resp.status_code != 200:
+            self.stats["failures"] += 1
+            return self._fail(url, score, depth)
+
+        ctype = resp.headers.get("Content-Type", "")
+        if ctype.startswith("application/json"):
+            page = resp.json()
+            if page.get("status", 200) != 200:
+                self.stats["failures"] += 1
+                return self._fail(url, score, depth)
+            markdown = page.get("markdown") or ""
+            html = page.get("html") or ""
+            content = markdown or html   # M6 content selection
+            title = extract_title(page.get("title_meta"), markdown, url)
+        else:
+            html = resp.text
+            content = html_to_markdown(html)
+            m = _TITLE_RE.search(html)
+            title = extract_title(m.group(1).strip() if m else None,
+                                  content, url)
+        return {
+            "url": url, "success": True, "title": title, "content": content,
+            "html": html, "word_count": len(content.split()),
+            "score": score, "depth": depth,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        scores = (batch.column("score").to_pylist()
+                  if "score" in batch.column_names else [0.0] * len(urls))
+        depths = (batch.column("depth").to_pylist()
+                  if "depth" in batch.column_names else [0] * len(urls))
+        rows = list(self.pool.map(self.fetch_one, urls, scores, depths))
+        return pa.Table.from_pylist(rows, schema=FETCH_RESULT)

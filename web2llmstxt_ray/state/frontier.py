@@ -33,6 +33,8 @@ class _FrontierState:
 
     def __init__(self) -> None:
         self.pending: dict[str, float] = {}
+        self._wave: list[tuple[float, str]] = []
+        self._cursor = 0
 
     def add(self, urls: list[str], scores: list[float]) -> int:
         added = 0
@@ -57,6 +59,50 @@ class _FrontierState:
             items = heapq.nsmallest(k, items)
         return [(u, -negs) for negs, u in items]
 
+    # ----- wave paging (comprehensive mode) -----
+    #
+    # ``top_k(None, …)`` ships the WHOLE above-threshold frontier to the
+    # driver — O(frontier) driver memory per wave. The paging protocol
+    # keeps selection shard-side: ``freeze_wave`` snapshots this shard's
+    # above-threshold keys in rank order (links discovered later in the
+    # wave go to ``pending`` only, preserving wave semantics), then the
+    # driver streams it with peek/advance in O(chunk) slices.
+
+    def freeze_wave(self, min_score_exclusive: float) -> int:
+        self._wave = sorted(
+            (-s, u) for u, s in self.pending.items() if s > min_score_exclusive)
+        self._cursor = 0
+        return len(self._wave)
+
+    def peek_chunk(self, k: int) -> list[tuple[str, float]]:
+        """Next ≤k frozen candidates in rank order, WITHOUT consuming."""
+        out = []
+        i = self._cursor
+        wave = self._wave
+        while i < len(wave) and len(out) < k:
+            negs, u = wave[i]
+            if u in self.pending:        # skip anything popped elsewhere
+                out.append((u, -negs))
+            i += 1
+        return out
+
+    def advance(self, n: int) -> None:
+        """Consume the first ``n`` peeked candidates (pop from pending)."""
+        taken = 0
+        wave = self._wave
+        while self._cursor < len(wave) and taken < n:
+            negs, u = wave[self._cursor]
+            self._cursor += 1
+            if u in self.pending:
+                self.pending.pop(u, None)
+                taken += 1
+
+    def release_wave(self) -> None:
+        """End of wave: drop the snapshot; un-consumed candidates simply
+        stay in ``pending`` for later waves (they were never removed)."""
+        self._wave = []
+        self._cursor = 0
+
     def __len__(self) -> int:
         return len(self.pending)
 
@@ -76,6 +122,18 @@ class FrontierShard:
 
     def top_k(self, k: int | None, min_score_exclusive: float) -> list[tuple[str, float]]:
         return self.state.top_k(k, min_score_exclusive)
+
+    def freeze_wave(self, min_score_exclusive: float) -> int:
+        return self.state.freeze_wave(min_score_exclusive)
+
+    def peek_chunk(self, k: int) -> list[tuple[str, float]]:
+        return self.state.peek_chunk(k)
+
+    def advance(self, n: int) -> None:
+        self.state.advance(n)
+
+    def release_wave(self) -> None:
+        self.state.release_wave()
 
     def count(self) -> int:
         return len(self.state)
@@ -131,6 +189,37 @@ class Frontier:
         if wave:
             self.remove([u for u, _ in wave])
         return wave
+
+    # ----- paged wave selection (comprehensive mode) -----
+
+    def begin_wave(self, min_score_exclusive: float) -> int:
+        """Freeze the above-threshold frontier shard-side; returns the
+        total wave size. Driver memory stays O(shards)."""
+        return sum(ray.get([
+            s.freeze_wave.remote(min_score_exclusive) for s in self.shards]))
+
+    def next_wave_chunk(self, k: int) -> list[tuple[str, float]]:
+        """Next ≤k candidates of the frozen wave in EXACT global
+        ``(-score, url)`` order. Each shard's stream is rank-sorted, so
+        the global top-k of the union of per-shard top-k peeks is the
+        global top-k; the selected per-shard prefixes are then consumed
+        with ``advance``. Driver memory: O(k × shards) per call."""
+        peeks = ray.get([s.peek_chunk.remote(k) for s in self.shards])
+        merged = sorted(
+            (-score, url, si)
+            for si, cand in enumerate(peeks)
+            for url, score in cand)
+        take = merged[:k]
+        consumed = [0] * len(self.shards)
+        for _, _, si in take:
+            consumed[si] += 1
+        futures = [self.shards[si].advance.remote(n)
+                   for si, n in enumerate(consumed) if n]
+        ray.get(futures)
+        return [(url, -negs) for negs, url, _ in take]
+
+    def end_wave(self) -> None:
+        ray.get([s.release_wave.remote() for s in self.shards])
 
     def count(self) -> int:
         return sum(ray.get([s.count.remote() for s in self.shards]))

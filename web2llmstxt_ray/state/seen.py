@@ -7,16 +7,21 @@ actors by ``hash64(canonical_url) % S`` — a single owner per URL means a
 URL can never be fetched twice anywhere in the cluster. Each shard runs
 one of three membership structures:
 
-- ``exact``  — a Python set. Used for conformance tests and any scale
-  where ~100 B/url is acceptable.
+- ``exact``  — a Python set of 64-bit URL hashes. "Exact" means
+  HASH-exact: a 64-bit collision would mark a genuinely new URL as
+  seen (odds ~n²/2⁶⁵ — ~0.3% cumulative at the 10^10-URL design
+  point, negligible below 10^8). Store canonical URLs themselves if
+  even that is unacceptable. Used for conformance tests and any scale
+  where ~40 B/url is acceptable.
 - ``cuckoo`` — a partial-key cuckoo filter (4-slot buckets, 16-bit
   fingerprints ≈ 18 bits/key at 95% load): the 10^10-URL design point
   (~20 GB cluster-wide). Deletions unused; lookups O(2 buckets).
 - ``bloom``  — a plain k-hash bloom bit array: the degraded/spill mode
   for cold partitions (smaller, no eviction cascades, higher FP rate).
 
-Approximate modes trade false positives (a *new* URL reported as seen ⇒
-skipped) for memory — never false negatives — so conformance suites run
+All modes share the hash-collision caveat above; the approximate
+modes additionally trade false positives (a *new* URL reported as
+seen ⇒ skipped) for memory — never false negatives — so conformance suites run
 shards in exact mode and the approximate modes are property-tested for
 FP rate separately (BASELINE.md / SURVEY §7.4.3).
 
