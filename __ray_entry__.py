@@ -462,6 +462,21 @@ def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_session_stats(sf_dir: str) -> pd.DataFrame:
+    """Exploded per-session windows (user_id, session_idx, n_events,
+    duration_s, sum_value) — SQL window-function oracle."""
+    from web2llmstxt_ray.ops.windows import session_stats
+
+    out = _pdf(session_stats(
+        _t(sf_dir, "events", ["user_id", "ts", "value"])))
+    out["session_idx"] = out["session_idx"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["duration_s"] = out["duration_s"].round(ROUND_RATIO)
+    out["sum_value"] = out["sum_value"].round(ROUND_SUM)
+    return out[["user_id", "session_idx", "n_events", "duration_s",
+                "sum_value"]]
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search (brute-force SQL-oracled; IVF rows-only)
 # ---------------------------------------------------------------------------
@@ -494,6 +509,21 @@ def q_embedding_near_dup(sf_dir: str) -> pd.DataFrame:
 
     out = embedding_near_dup_pairs(
         _t(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4)
+    df = out.to_pandas()
+    df["cosine"] = df["cosine"].round(4)
+    return df
+
+
+def q_embedding_near_dup_ivf(sf_dir: str) -> pd.DataFrame:
+    """Approximate (IVF multi-probe) near-dup pairs — the linear-ish
+    scale path; deterministic (seeded k-means on a deterministic
+    sample), so the rows-only check is repeatable. Recall vs the exact
+    path is pytest-gated in tests/test_dedup.py."""
+    from web2llmstxt_ray.ops.dedup import embedding_near_dup_pairs_ivf
+
+    out = embedding_near_dup_pairs_ivf(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4,
+        num_lists=8, assign_probes=2)
     df = out.to_pandas()
     df["cosine"] = df["cosine"].round(4)
     return df
@@ -659,8 +689,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_hist": q_lang_hist,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
+        "session_stats": q_session_stats,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
         "ann_ivf": q_ann_ivf,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
@@ -833,6 +865,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), {ROUND_SUM}) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "session_stats": f"""
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events),
+            s AS (
+                SELECT user_id, ts, value,
+                       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session_idx
+                FROM g)
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   round(epoch(max(ts) - min(ts)), {ROUND_RATIO}) AS duration_s,
+                   round(sum(value), {ROUND_SUM}) AS sum_value
+            FROM s GROUP BY user_id, session_idx
         """,
         "events_sessions": """
             SELECT user_id,

@@ -150,6 +150,10 @@ def _run_bench() -> dict:
     rng = np.random.RandomState(17)
     n_vec, dim, n_q = 200_000, 64, 64
     vecs = rng.randn(n_vec, dim).astype(np.float32)
+    # plant near-dups (1%) so the near-dup stages below have real hits
+    n_dup = 2_000
+    vecs[-n_dup:] = vecs[:n_dup] + 0.03 * rng.randn(n_dup, dim).astype(
+        np.float32)
     emb = rd.from_arrow(pa.table({
         "vec_id": pa.array(range(n_vec), pa.int64()),
         "embedding": pa.array([v.tolist() for v in vecs],
@@ -162,6 +166,74 @@ def _run_bench() -> dict:
     assert out.num_rows == n_q * 10
     results["ann_search"] = round(dt, 3)
     extras["ann_vectors_scanned_per_s"] = round(n_vec * n_q / dt)
+
+    # ---- near_dup at scale: 200k × 64 ≈ 100 MB fp64 matrix — the size
+    # class the round-1 implementation take_all'd to the driver and
+    # broadcast whole to every worker (~10× the sf0.1 embeddings table).
+    # IVF path: multi-probe bucketing, verify within lists ----
+    from web2llmstxt_ray.ops.dedup import (
+        embedding_near_dup_pairs, embedding_near_dup_pairs_ivf)
+
+    t0 = time.perf_counter()
+    pairs_ivf = embedding_near_dup_pairs_ivf(
+        emb, threshold=0.9, num_lists=128, assign_probes=2)
+    dt = time.perf_counter() - t0
+    results["near_dup_ivf"] = round(dt, 3)
+    extras["near_dup_ivf_pairs"] = pairs_ivf.num_rows
+    extras["near_dup_ivf_vectors_per_s"] = round(n_vec / dt)
+
+    # exact block-pair path at the same scale (driver never holds the
+    # matrix; object-store blocks + B(B+1)/2 pair tasks)
+    t0 = time.perf_counter()
+    pairs_exact = embedding_near_dup_pairs(emb, threshold=0.9)
+    dt = time.perf_counter() - t0
+    results["near_dup_exact"] = round(dt, 3)
+    extras["near_dup_exact_pairs"] = pairs_exact.num_rows
+    extras["near_dup_ivf_recall"] = round(
+        pairs_ivf.num_rows / max(1, pairs_exact.num_rows), 4)
+
+    # ---- sessionize at scale: bucketed shuffle vs per-user map_groups ----
+    # The pathology is KEY CARDINALITY (one map_groups task + 1-row
+    # block per user): sf0.1's events table has only ~1.5k users, which
+    # hides it, so this stage synthesizes a 2M-event / 400k-user log.
+    # Only the bucketed path is timed into the headline (the naive path
+    # is reported in extras — measured 68x slower at this cardinality;
+    # re-measured here each round).
+    import pandas as _pd
+
+    from web2llmstxt_ray.ops.windows import sessionize
+
+    s_rng = np.random.RandomState(5)
+    n_ev, n_users = 2_000_000, 400_000
+    ev_ts = (_pd.Timestamp("2025-01-01").value
+             + s_rng.randint(0, 86400 * 7, n_ev).astype("int64") * 10 ** 9)
+    ev_tbl = pa.table({
+        "user_id": pa.array(s_rng.randint(0, n_users, n_ev).astype(np.int64)),
+        "ts": pa.array(_pd.to_datetime(ev_ts)),
+    })
+    events = rd.from_arrow(ev_tbl).repartition(4 * num_cpus).materialize()
+    t0 = time.perf_counter()
+    n_bucketed = sessionize(events).count()
+    dt_bucketed = time.perf_counter() - t0
+    results["sessionize_400k_users"] = round(dt_bucketed, 3)
+    extras["sessionize_events_per_s"] = round(n_ev / dt_bucketed)
+    extras["sessionize_result_rows"] = n_bucketed
+
+    if os.environ.get("GRAFT_BENCH_NAIVE_SESSIONIZE"):
+        def _per_user(group: _pd.DataFrame) -> _pd.DataFrame:
+            ts = group["ts"].sort_values()
+            breaks = (ts.diff() > _pd.Timedelta(minutes=30)).sum()
+            return _pd.DataFrame({"user_id": [group["user_id"].iloc[0]],
+                                  "n_sessions": [int(breaks) + 1],
+                                  "n_events": [len(group)]})
+
+        t0 = time.perf_counter()
+        n_naive = events.groupby("user_id").map_groups(
+            _per_user, batch_format="pandas").count()
+        dt_naive = time.perf_counter() - t0
+        assert n_bucketed == n_naive
+        extras["sessionize_per_user_groupby_s"] = round(dt_naive, 3)
+        extras["sessionize_bucket_speedup"] = round(dt_naive / dt_bucketed, 2)
 
     # ---- frontier_ops: membership + queue ops/s ----
     t0 = time.perf_counter()

@@ -442,24 +442,36 @@ def _norm_block(tbl: pa.Table, id_col: str, vec_col: str):
 
 
 def _emit_pairs(ids_a, mat_a, ids_b, mat_b, threshold: float,
-                same_block: bool) -> dict:
+                same_block: bool, row_chunk: int = 1024) -> dict:
     """cosine ≥ threshold pairs between two normalized blocks (i<j
-    within a block when ``same_block``), a<b normalized once."""
-    sims = mat_a @ mat_b.T
-    if same_block:
-        ii, jj = np.triu_indices(len(ids_a), k=1)
-        keep = sims[ii, jj] >= threshold
-        ii, jj = ii[keep], jj[keep]
-    else:
+    within a block when ``same_block``), a<b normalized once.
+
+    The similarity matrix is computed in ``row_chunk``-row slabs so a
+    large block never materializes an O(n²) float matrix — peak memory
+    is ``row_chunk × |B|`` floats regardless of block size."""
+    out_a, out_b, out_c = [], [], []
+    for s in range(0, len(ids_a), row_chunk):
+        sims = mat_a[s:s + row_chunk] @ mat_b.T      # (chunk, |B|)
         ii, jj = np.nonzero(sims >= threshold)
-    a = ids_a[ii]
-    b = ids_b[jj]
-    cos = sims[ii, jj]
-    swap = a > b
-    a2 = np.where(swap, b, a)
-    b2 = np.where(swap, a, b)
-    return {"a": a2.astype(np.int64), "b": b2.astype(np.int64),
-            "cosine": np.round(cos, 6)}
+        if same_block:
+            keep = jj > (ii + s)                      # strict upper triangle
+            ii, jj = ii[keep], jj[keep]
+        if not len(ii):
+            continue
+        a = ids_a[ii + s]
+        b = ids_b[jj]
+        cos = sims[ii, jj]
+        swap = a > b
+        out_a.append(np.where(swap, b, a))
+        out_b.append(np.where(swap, a, b))
+        out_c.append(np.round(cos, 6))
+    if not out_a:
+        empty = np.empty(0)
+        return {"a": empty.astype(np.int64), "b": empty.astype(np.int64),
+                "cosine": empty}
+    return {"a": np.concatenate(out_a).astype(np.int64),
+            "b": np.concatenate(out_b).astype(np.int64),
+            "cosine": np.concatenate(out_c)}
 
 
 class _BlockPairVerify:
@@ -513,7 +525,7 @@ class _BlockPairVerify:
 def embedding_near_dup_pairs(ds: ray.data.Dataset, threshold: float,
                              vec_col: str = "embedding",
                              id_col: str = "vec_id",
-                             max_blocks: int = 64) -> pa.Table:
+                             max_blocks: int = 32) -> pa.Table:
     """EXACT (a, b, cosine) pairs with cosine ≥ threshold, a < b —
     distributed block-pair verification, no driver-side matrix.
 
@@ -591,31 +603,45 @@ def embedding_near_dup_pairs_ivf(
         n[n == 0] = 1.0
         matn = mat / n[:, None]
         sims = matn @ cn.T
-        nearest = np.argsort(-sims, axis=1)[:, :assign_probes]
-        out_id, out_list, out_vec = [], [], []
-        for r in range(len(ids)):
-            for l in nearest[r]:
-                out_id.append(int(ids[r]))
-                out_list.append(int(l))
-                out_vec.append(matn[r].tolist())
+        if assign_probes == 1:
+            nearest = np.argmax(sims, axis=1)[:, None]
+        else:
+            nearest = np.argpartition(-sims, assign_probes - 1,
+                                      axis=1)[:, :assign_probes]
+        # fully vectorized explode: ids/vectors repeated per probe, the
+        # normalized vectors shipped as a fixed-size-list column (no
+        # per-row Python lists)
+        reps = nearest.shape[1]
+        flat = np.repeat(matn, reps, axis=0).ravel()
+        vec_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.float64()), matn.shape[1])
         return pa.table({
-            id_col: pa.array(out_id, pa.int64()),
-            "ivf_list": pa.array(out_list, pa.int32()),
-            "_vecn": pa.array(out_vec, pa.list_(pa.float64())),
+            id_col: pa.array(np.repeat(ids, reps).astype(np.int64)),
+            "ivf_list": pa.array(nearest.ravel().astype(np.int32)),
+            "_vecn": vec_arr,
         })
 
-    def verify_list(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
+    def verify_list(group: pa.Table) -> pa.Table:
+        # zero-copy: fixed-size-list values buffer → (n, dim) matrix;
+        # np.unique dedupes multi-assigned ids (sorted, first index)
+        ids = np.asarray(group.column(id_col))
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g["_vecn"]])
-        pairs = _emit_pairs(ids, mat, ids, mat, threshold, same_block=True)
-        return pd.DataFrame(pairs)
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        arr = group.column("_vecn").combine_chunks()
+        dim = arr.type.list_size
+        mat = arr.values.to_numpy(zero_copy_only=False).reshape(len(ids), dim)
+        uniq, first = np.unique(ids, return_index=True)
+        mat = np.ascontiguousarray(mat[first])
+        pairs = _emit_pairs(uniq, mat, uniq, mat, threshold, same_block=True)
+        return pa.table({"a": pa.array(pairs["a"]),
+                         "b": pa.array(pairs["b"]),
+                         "cosine": pa.array(pairs["cosine"], pa.float64())})
 
     exploded = ds.map_batches(multi_assign, batch_format="pyarrow")
     pairs = exploded.groupby("ivf_list").map_groups(
-        verify_list, batch_format="pandas")
+        verify_list, batch_format="pyarrow")
     # multi-assignment can emit the same pair from ≥2 shared lists
     rows = {(r["a"], r["b"]): r["cosine"] for r in pairs.take_all()}
     keys = sorted(rows)

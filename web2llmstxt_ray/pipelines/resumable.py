@@ -24,6 +24,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.urls import hash64_batch
+from ..sinks import write_span_docs
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -63,6 +64,7 @@ def run_resumable(
     pipeline_fn,
     num_partitions: int = 16,
     fail_after: int | None = None,
+    fmt: str = "auto",
 ) -> dict:
     """Run ``pipeline_fn(seed_url_list) -> ray.data.Dataset`` once per
     incomplete partition, writing each to its own directory atomically.
@@ -87,7 +89,7 @@ def run_resumable(
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(target, ignore_errors=True)
         ds = pipeline_fn(parts[b])
-        ds.write_parquet(tmp)
+        write_span_docs(ds, tmp, fmt=fmt)   # format seam: lance|parquet
         os.replace(tmp, target)
         _commit_partition(out_dir, name)
         stats["executed"] += 1
