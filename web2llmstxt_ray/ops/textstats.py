@@ -129,11 +129,14 @@ def detect_language(text: str) -> str:
         return "zh"
     lower = sample.lower()
     tokens = set(lower.split())
-    grams = {lower[i:i + 3] for i in range(len(lower) - 2)}
     best = ("unknown", 0.0)
     for lang in sorted(_LANG_PROFILES):
         tri, stop = _LANG_PROFILES[lang]
-        score = 2.0 * len(tokens & stop) + 1.0 * len(grams & tri)
+        # len(grams(text) ∩ tri) == number of profile trigrams present:
+        # probe the ~6 profile grams directly instead of materializing
+        # the ~1000-element trigram set per document (profiled hot)
+        score = (2.0 * len(tokens & stop)
+                 + 1.0 * sum(1 for g in tri if g in lower))
         if score > best[1]:
             best = (lang, score)
     return best[0] if best[1] > 0 else "unknown"

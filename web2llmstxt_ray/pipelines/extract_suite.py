@@ -11,13 +11,14 @@ columns (payloads dropped).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
 from ..ops.dedup import (
     _perm_params, minhash_signature, shingles_from_hashes,
     simhash_from_hashes, word_hashes)
-from ..ops.textstats import detect_language, tokenize_ws
+from ..ops.textstats import detect_language
 from ..stages.fetch import MockFetcher
 from ..stages.spans import extract_spans
 
@@ -37,29 +38,57 @@ SUITE_SCHEMA = pa.schema(
 
 
 class FetchExtractSuite(MockFetcher):
-    """Fetch + extract + fingerprint, one pass per page batch."""
+    """Fetch + extract + fingerprint, one pass per page batch.
+
+    Word hashing is batched across the WHOLE page batch: every page's
+    lowercased tokens go through one ``hash64_batch`` call (the
+    vectorized FNV path amortizes its setup over ~10⁵ words instead of
+    paying it per page) and per-page slices view into the shared array;
+    simhash, shingle-minhash AND the stop-ratio all derive from those
+    hashes (stopwords are membership-tested by hash — same 64-bit-exact
+    semantics as string comparison up to FNV collisions, ~1e-19/doc).
+    """
+
+    STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it",
+                 "for", "on")
 
     def __init__(self, site_ref, min_words: int = 50, num_perm: int = 128):
         super().__init__(site_ref)
         self.min_words = min_words
         self.a, self.b = _perm_params(num_perm)
-        self.stop = frozenset(("the", "and", "of", "to", "a", "in", "is",
-                               "it", "for", "on"))
+        from ..functions.urls import hash64_batch
+
+        self.stop_hashes = np.sort(hash64_batch(list(self.STOPWORDS)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.urls import hash64_batch
+
         urls = batch.column("url").to_pylist()
         rows = {k: [] for k in SUITE_SCHEMA.names}
+        kept: list[dict] = []
+        counts: list[int] = []
+        all_words: list[str] = []
         for u in urls:
             r = self.fetch_one(u, 0.0, 0)
             if not r["success"] or r["word_count"] < self.min_words:
                 continue
+            words = r["content"].lower().split()
+            kept.append(r)
+            counts.append(len(words))
+            all_words.extend(words)
+        if not kept:
+            return pa.Table.from_pydict(rows, schema=SUITE_SCHEMA)
+        hw_all = hash64_batch(all_words)     # ONE vectorized hash pass
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        for i, r in enumerate(kept):
             content = r["content"]
+            hw = hw_all[offsets[i]:offsets[i + 1]]
+            nw = len(hw)
             spans = extract_spans(content)
-            toks = tokenize_ws(content)
-            nw = len(toks)
-            hw = word_hashes(content)      # hash words ONCE; simhash and
-            sig = minhash_signature(       # minhash both derive from it
-                shingles_from_hashes(hw), self.a, self.b)
+            sig = minhash_signature(         # minhash + simhash + stop
+                shingles_from_hashes(hw), self.a, self.b)  # share hashes
+            stop_n = int(np.isin(hw, self.stop_hashes).sum()) if nw else 0
             rows["url"].append(r["url"])
             rows["title"].append(r["title"])
             rows["word_count"].append(r["word_count"])
@@ -67,9 +96,7 @@ class FetchExtractSuite(MockFetcher):
             rows["n_media_spans"].append(
                 sum(s["kind"] in ("image", "link_media") for s in spans))
             rows["predicted_lang"].append(detect_language(content))
-            rows["stop_ratio"].append(
-                round(sum(t.lower() in self.stop for t in toks) / nw, 6)
-                if nw else 0.0)
+            rows["stop_ratio"].append(round(stop_n / nw, 6) if nw else 0.0)
             rows["simhash"].append(simhash_from_hashes(hw))
             rows["minhash_min"].append(int(sig.min()))
         return pa.Table.from_pydict(rows, schema=SUITE_SCHEMA)
