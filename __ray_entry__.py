@@ -430,6 +430,38 @@ def q_quality_filter(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_words", "punct_ratio", "mean_word_len"]]
 
 
+def q_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary top-50: per-batch Counter partials -> hash-bucket
+    merge -> per-bucket top-k -> driver merge of B*k rows."""
+    from web2llmstxt_ray.ops.corpus import top_tokens
+
+    out = top_tokens(_t(sf_dir, "documents", ["text"]), k=50)
+    return out
+
+
+def q_doc_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic mod-sample: exact, reproducible train/eval split."""
+    from web2llmstxt_ray.ops.corpus import sample_mod
+
+    out = _pdf(sample_mod(_t(sf_dir, "documents", ["doc_id", "lang"]),
+                          "doc_id", modulus=10, keep_below=3))
+    return out[["doc_id", "lang"]]
+
+
+def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Greedy FFD sequence packing over per-doc token counts (rows-only:
+    pack layout is invariant-tested in tests/test_corpus.py)."""
+    from web2llmstxt_ray.ops.corpus import pack_sequences
+    from web2llmstxt_ray.ops.textstats import token_counts
+
+    counts = token_counts(_t(sf_dir, "documents", ["doc_id", "text"])) \
+        .select_columns(["doc_id", "n_tokens"])
+    packs = pack_sequences(counts, max_tokens=2048).to_pandas()
+    packs = packs.drop(columns=["doc_ids"])  # list col: keep schema flat
+    packs["pack_id"] = packs["pack_id"].map(lambda v: f"{int(v):016x}")
+    return packs.sort_values("pack_id").reset_index(drop=True)
+
+
 def q_lang_hist(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count
 
@@ -686,6 +718,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
         "quality_filter": q_quality_filter,
+        "top_tokens": q_top_tokens,
+        "doc_sample": q_doc_sample,
+        "pack_sequences": q_pack_sequences,
         "lang_hist": q_lang_hist,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
@@ -860,6 +895,16 @@ def oracle_sql() -> dict[str, str]:
               AND mean_word_len BETWEEN 2.0 AND 12.0
         """,
         "lang_hist": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "top_tokens": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                      AS token
+                  FROM documents WHERE trim(text) != '')
+            GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        "doc_sample": """
+            SELECT doc_id, lang FROM documents WHERE doc_id % 10 < 3
+        """,
         "events_tumbling": f"""
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events,

@@ -1,0 +1,95 @@
+"""Corpus-prep operators: vocabulary top-k, deterministic sampling,
+sequence packing (invariants + direct oracles)."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from web2llmstxt_ray.ops.corpus import pack_sequences, sample_mod, top_tokens
+
+
+def _docs(n=80, seed=3):
+    rng = np.random.RandomState(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "the",
+             "and", "of", "data"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(5, 40)))
+             for _ in range(n)]
+    return pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+class TestTopTokens:
+    def test_matches_counter_oracle(self):
+        t = _docs()
+        ds = ray.data.from_arrow(t).repartition(4)
+        got = top_tokens(ds, k=5)
+        c = Counter()
+        for txt in t.column("text").to_pylist():
+            c.update(txt.lower().split())
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        assert list(zip(got["token"], got["n"])) == want
+
+    def test_empty_and_null_texts(self):
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["", None, "a a b"], pa.string())})
+        got = top_tokens(ray.data.from_arrow(t), k=10)
+        assert list(zip(got["token"], got["n"])) == [("a", 2), ("b", 1)]
+
+
+class TestSampleMod:
+    def test_exact_membership(self):
+        t = _docs(200)
+        out = sample_mod(ray.data.from_arrow(t), "doc_id",
+                         modulus=10, keep_below=3).to_pandas()
+        assert set(out.doc_id) == {i for i in range(200) if i % 10 < 3}
+
+    def test_deterministic_across_runs(self):
+        ds = ray.data.from_arrow(_docs(100)).repartition(5)
+        a = sorted(sample_mod(ds, "doc_id").to_pandas().doc_id)
+        b = sorted(sample_mod(ds, "doc_id").to_pandas().doc_id)
+        assert a == b
+
+
+class TestPackSequences:
+    def _toks(self, n=60, seed=8, big=2):
+        rng = np.random.RandomState(seed)
+        toks = rng.randint(10, 900, n).tolist()
+        for i in range(big):
+            toks[i] = 5000   # oversized docs → singleton packs
+        return pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                         "n_tokens": pa.array(toks, pa.int64())})
+
+    def test_invariants(self):
+        t = self._toks()
+        toks = dict(zip(t.column("doc_id").to_pylist(),
+                        t.column("n_tokens").to_pylist()))
+        out = pack_sequences(ray.data.from_arrow(t).repartition(3),
+                             max_tokens=2048).take_all()
+        seen: list = []
+        for p in out:
+            ids = list(p["doc_ids"])
+            seen.extend(ids)
+            assert p["n_docs"] == len(ids)
+            assert p["total_tokens"] == sum(toks[i] for i in ids)
+            # budget respected unless a single oversized doc
+            assert p["total_tokens"] <= 2048 or len(ids) == 1
+        assert sorted(seen) == sorted(toks)   # exactly-once cover
+
+    def test_packing_is_tight(self):
+        """FFD on uniform sizes should do far better than one doc per
+        pack: utilization ≥ 70%."""
+        t = self._toks(200, big=0)
+        out = pack_sequences(ray.data.from_arrow(t), max_tokens=2048).take_all()
+        total = sum(p["total_tokens"] for p in out)
+        assert total / (2048 * len(out)) > 0.7
+
+    def test_deterministic(self):
+        t = self._toks()
+        a = sorted(r["pack_id"] for r in
+                   pack_sequences(ray.data.from_arrow(t), 2048).take_all())
+        b = sorted(r["pack_id"] for r in
+                   pack_sequences(ray.data.from_arrow(t), 2048).take_all())
+        assert a == b

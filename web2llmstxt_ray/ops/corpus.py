@@ -1,0 +1,132 @@
+"""Corpus-preparation operators a large-scale training-data pipeline
+needs beyond cleaning/dedup: vocabulary building, deterministic
+sampling, and sequence packing.
+
+Scale shapes:
+
+- **top_tokens** — global token top-k: per-batch Counter partials
+  (only (token, partial_count) rows leave the worker — never the
+  text), hash-bucket groupby so one vectorized merge per bucket, then
+  per-bucket top-k (each token lives in exactly ONE bucket, so the
+  union of per-bucket top-k's contains the global top-k); the driver
+  merges B×k rows.
+- **sample_mod** — deterministic mod-sampling on a key column: pure
+  vectorized filter, no shuffle, reproducible across runs/workers.
+- **pack_sequences** — greedy first-fit-decreasing packing of
+  documents into ≤max_tokens training sequences, one independent
+  packing per block (the stated partitioning assumption: packs never
+  span blocks — at training time packs are shuffled anyway, so
+  cross-block packing buys nothing and would cost a barrier).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.urls import hash64_batch
+
+
+def top_tokens(ds: ray.data.Dataset, k: int = 50, text_col: str = "text",
+               num_buckets: int = 64) -> pd.DataFrame:
+    """Global top-k most frequent whitespace tokens (lowercased) with
+    deterministic (count desc, token asc) tie-break.
+
+    Returns (token, n) — the vocabulary-building primitive.
+    """
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            if t:
+                c.update(t.lower().split())
+        if not c:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "_tbucket": pa.array([], pa.int32())})
+        toks = list(c.keys())
+        buckets = (hash64_batch(toks) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "n": pa.array([c[t] for t in toks], pa.int64()),
+            "_tbucket": pa.array(buckets),
+        })
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        merged = group.groupby("token", as_index=False)["n"].sum()
+        merged = merged.sort_values(["n", "token"],
+                                    ascending=[False, True]).head(k)
+        return merged[["token", "n"]]
+
+    per_bucket = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("_tbucket").map_groups(bucket_topk, batch_format="pandas")
+    out = per_bucket.to_pandas()
+    out = out.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def sample_mod(ds: ray.data.Dataset, key_col: str, modulus: int = 100,
+               keep_below: int = 10) -> ray.data.Dataset:
+    """Deterministic sample: keep rows where ``key % modulus <
+    keep_below`` (an exact ``keep_below/modulus`` rate for dense integer
+    keys). Reproducible across runs and engines — the property that
+    matters for train/eval splits; no shuffle, no RNG state."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        mask = (keys % modulus) < keep_below   # vectorized; pc has no mod
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def pack_sequences(ds: ray.data.Dataset, max_tokens: int,
+                   id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens") -> ray.data.Dataset:
+    """Greedy first-fit-decreasing packing of documents into training
+    sequences of ≤ ``max_tokens`` tokens.
+
+    Output rows: (pack_id, doc_ids list, n_docs, total_tokens). Docs
+    longer than ``max_tokens`` get a singleton pack (truncation is the
+    tokenizer's job, not the packer's). Packing is per input block —
+    deterministic given the block contents.
+    """
+
+    def pack_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        toks = batch.column(tokens_col).to_pylist()
+        order = sorted(range(len(ids)), key=lambda i: (-toks[i], ids[i]))
+        packs: list[list] = []                # [doc_ids, total]
+        for i in order:
+            t = toks[i]
+            placed = False
+            for p in packs:                   # first fit
+                if p[1] + t <= max_tokens:
+                    p[0].append(ids[i])
+                    p[1] += t
+                    placed = True
+                    break
+            if not placed:
+                packs.append([[ids[i]], t])
+        if not packs:
+            return pa.table({
+                "pack_id": pa.array([], pa.uint64()),
+                "doc_ids": pa.array([], pa.list_(pa.int64())),
+                "n_docs": pa.array([], pa.int32()),
+                "total_tokens": pa.array([], pa.int64()),
+            })
+        pack_ids = hash64_batch([",".join(map(str, p[0])) for p in packs])
+        return pa.table({
+            "pack_id": pa.array(pack_ids),
+            "doc_ids": pa.array([sorted(p[0]) for p in packs],
+                                pa.list_(pa.int64())),
+            "n_docs": pa.array([len(p[0]) for p in packs], pa.int32()),
+            "total_tokens": pa.array([p[1] for p in packs], pa.int64()),
+        })
+
+    return ds.map_batches(pack_batch, batch_format="pyarrow")

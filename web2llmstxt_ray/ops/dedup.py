@@ -142,18 +142,22 @@ class _MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        out_id, out_band, out_hash = [], [], []
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(shingles(t or "", self.k), self.a, self.b)
-            for band in range(self.num_bands):
-                seg = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                out_id.append(i)
-                out_band.append(band)
-                out_hash.append(hash64(seg.tobytes().hex()))
+        n = len(ids)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        for r, t in enumerate(texts):
+            sigs[r] = minhash_signature(shingles(t or "", self.k),
+                                        self.a, self.b)
+        # band hashes folded arithmetically over each segment's lanes
+        # (equal segment ⇔ equal hash; one vector op per lane instead of
+        # a per-(doc,band) hex string + Python FNV — profiled hot)
+        seg = sigs.reshape(n, self.num_bands, self.rows_per_band)
+        acc = seg[:, :, 0].copy()
+        for j in range(1, self.rows_per_band):
+            acc = acc * _SHINGLE_MIX ^ seg[:, :, j]
         return pa.table({
-            self.id_col: pa.array(out_id),
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.uint64()),
+            self.id_col: pa.array(np.repeat(np.asarray(ids), self.num_bands)),
+            "band": pa.array(np.tile(np.arange(self.num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(acc.ravel()),
         })
 
 
