@@ -167,3 +167,4 @@ class TestEmbeddingNearDupIVF:
         assert exact, "test needs at least one qualifying pair"
         recall = len(approx & exact) / len(exact)
         assert recall >= 0.8, f"IVF recall {recall:.2f} too low"
+

@@ -17,7 +17,7 @@ import ray.data
 
 from ..ops.dedup import (
     _perm_params, minhash_signature, shingles_from_hashes,
-    simhash_from_hashes, word_hashes)
+    simhash_from_hashes)
 from ..ops.textstats import detect_language
 from ..stages.fetch import MockFetcher
 from ..stages.spans import extract_spans
@@ -81,14 +81,19 @@ class FetchExtractSuite(MockFetcher):
         hw_all = hash64_batch(all_words)     # ONE vectorized hash pass
         offsets = np.zeros(len(counts) + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
+        # per-doc signature kernels: each doc's outer product / bit
+        # unpack fits in L2 — measured 3-30x FASTER than "fully batched"
+        # segmented-reduceat variants whose giant intermediates are
+        # memory-bandwidth bound (tried and reverted)
+        stop_mask = np.isin(hw_all, self.stop_hashes)
         for i, r in enumerate(kept):
             content = r["content"]
             hw = hw_all[offsets[i]:offsets[i + 1]]
-            nw = len(hw)
+            nw = counts[i]
             spans = extract_spans(content)
-            sig = minhash_signature(         # minhash + simhash + stop
-                shingles_from_hashes(hw), self.a, self.b)  # share hashes
-            stop_n = int(np.isin(hw, self.stop_hashes).sum()) if nw else 0
+            sig = minhash_signature(
+                shingles_from_hashes(hw), self.a, self.b)
+            stop_n = int(stop_mask[offsets[i]:offsets[i + 1]].sum())
             rows["url"].append(r["url"])
             rows["title"].append(r["title"])
             rows["word_count"].append(r["word_count"])
