@@ -77,6 +77,41 @@ class TestIVF:
             a = [(r["vec_id"], r["cosine"]) for r in approx if r["query_id"] == qid]
             assert e == a
 
+    def test_partitioned_layout_probe(self, tmp_path):
+        """The 10^9-vector layout: assign ivf_list, write Parquet
+        partitioned by it, then PROBE BY READING ONLY the wanted list
+        partitions — results identical to probing the full dataset
+        (the partition column prunes the read at scale)."""
+        vecs, tbl = _emb_table(300, 16)
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        centroids = A.train_centroids(vecs[:128], num_lists=8)
+        assigned = A.assign_ivf_lists(ds, centroids)
+        root = str(tmp_path / "ivf_layout")
+        assigned.write_parquet(root, partition_cols=["ivf_list"])
+
+        qids = [1, 4]
+        queries = vecs[qids]
+        import numpy as _np
+
+        qn = queries / _np.linalg.norm(queries, axis=1, keepdims=True)
+        cn = centroids / _np.linalg.norm(centroids, axis=1, keepdims=True)
+        wanted = sorted({int(l) for row in _np.argsort(-(qn @ cn.T), axis=1)[:, :2]
+                         for l in row})
+        # read ONLY the wanted partitions back (partition pruning)
+        import os as _os
+
+        import glob as _glob
+
+        parts = [f for l in wanted
+                 for f in _glob.glob(f"{root}/ivf_list={l}/*.parquet")]
+        pruned = ray.data.read_parquet(parts)
+        assert pruned.count() < 300          # genuinely pruned
+        full = A.ivf_topk(ds, centroids, queries, qids, k=5,
+                          nprobe=2).to_pylist()
+        via_layout = A.ivf_topk(pruned.drop_columns(["ivf_list"]), centroids,
+                                queries, qids, k=5, nprobe=2).to_pylist()
+        assert via_layout == full
+
     def test_centroids_deterministic(self):
         vecs, _ = _emb_table(100)
         c1 = A.train_centroids(vecs, 4)
