@@ -65,15 +65,21 @@ class FetchExtractSuite(MockFetcher):
 
         urls = batch.column("url").to_pylist()
         rows = {k: [] for k in SUITE_SCHEMA.names}
-        kept: list[dict] = []
+        kept: list[tuple] = []               # (url, content, title)
         counts: list[int] = []
         all_words: list[str] = []
         for u in urls:
-            r = self.fetch_one(u, 0.0, 0)
-            if not r["success"] or r["word_count"] < self.min_words:
+            hit = self.fetch_content(u)      # html column only if needed
+            if hit is None:
                 continue
-            words = r["content"].lower().split()
-            kept.append(r)
+            content, title = hit
+            # one split serves the min-words gate, word_count and the
+            # hash pass: lowercasing never changes whitespace, so
+            # len(lower().split()) == len(split())
+            words = content.lower().split()
+            if len(words) < self.min_words:
+                continue
+            kept.append((u, content, title))
             counts.append(len(words))
             all_words.extend(words)
         if not kept:
@@ -86,17 +92,16 @@ class FetchExtractSuite(MockFetcher):
         # segmented-reduceat variants whose giant intermediates are
         # memory-bandwidth bound (tried and reverted)
         stop_mask = np.isin(hw_all, self.stop_hashes)
-        for i, r in enumerate(kept):
-            content = r["content"]
+        for i, (url, content, title) in enumerate(kept):
             hw = hw_all[offsets[i]:offsets[i + 1]]
             nw = counts[i]
             spans = extract_spans(content)
             sig = minhash_signature(
                 shingles_from_hashes(hw), self.a, self.b)
             stop_n = int(stop_mask[offsets[i]:offsets[i + 1]].sum())
-            rows["url"].append(r["url"])
-            rows["title"].append(r["title"])
-            rows["word_count"].append(r["word_count"])
+            rows["url"].append(url)
+            rows["title"].append(title)
+            rows["word_count"].append(nw)
             rows["n_spans"].append(len(spans))
             rows["n_media_spans"].append(
                 sum(s["kind"] in ("image", "link_media") for s in spans))

@@ -103,6 +103,31 @@ class MockFetcher:
             "title_meta": t.column("title_meta")[i].as_py(),
         }
 
+    def fetch_content(self, url: str) -> tuple[str, str] | None:
+        """(content, title) for extract-only consumers, touching the
+        heavy ``html`` column ONLY when markdown is empty (M6 selection
+        and M8 title semantics identical to :meth:`fetch_one`; html is
+        the widest column of the broadcast site table, and skipping it
+        roughly halves per-page memory traffic in the fused suite —
+        the full-load bottleneck)."""
+        if self.index is not None:
+            page = self.index.get(url)
+            if page is None or page["status"] != 200:
+                return None
+            md = page["markdown"]
+            return (md or page["html"] or "",
+                    extract_title(page["title_meta"], md, url))
+        i = self._pos.get(url)
+        if i is None:
+            return None
+        t = self._table
+        if t.column("status")[i].as_py() != 200:
+            return None
+        md = t.column("markdown")[i].as_py()
+        content = md or t.column("html")[i].as_py() or ""
+        return content, extract_title(t.column("title_meta")[i].as_py(),
+                                      md, url)
+
     def fetch_one(self, url: str, score: float, depth: int) -> dict:
         page = self._lookup(url)
         if page is None or page["status"] != 200:
