@@ -471,6 +471,82 @@ def q_lang_hist(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+# scrub patterns for q_redact_terms: one that actually occurs in the
+# synthetic corpus (so the oracle exercises real replacement) plus a
+# real email pattern (regex-dialect-portable; see ops/scrub.py)
+_REDACT_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "term": r"value [a-z]+",
+}
+
+
+def q_redact_terms(sf_dir: str) -> pd.DataFrame:
+    """Pattern redaction (the PII-scrub stage) over documents; output
+    is the redacted text + per-doc replacement count."""
+    from web2llmstxt_ray.ops.scrub import redact
+
+    out = _pdf(redact(_t(sf_dir, "documents", ["doc_id", "text"]),
+                      patterns=_REDACT_PATTERNS))
+    out["n_redactions"] = out["n_redactions"].astype("int64")
+    return out[["doc_id", "text", "n_redactions"]]
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag documents containing any snippet
+    of the (deterministically chosen) benchmark set — docs whose id is
+    divisible by 97 contribute text[10:60]. Snippets broadcast once via
+    ray.put; per-batch probe is vectorized pc.match_substring."""
+    from web2llmstxt_ray.ops.scrub import decontaminate_flags
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        keep = [(t or "")[10:60] for i, t in zip(ids, texts)
+                if i % 97 == 0 and len(t or "") >= 60]
+        return pa.table({"snippet": pa.array(keep, pa.string())})
+
+    snippets = [r["snippet"] for r in
+                docs.map_batches(bench_rows, batch_format="pyarrow")
+                .take_all()]
+    out = _pdf(decontaminate_flags(docs, snippets))
+    out["contaminated"] = out["contaminated"].astype("int64")
+    return out[["doc_id", "contaminated"]]
+
+
+def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition signals as exact integer numerators
+    (n_words, n_distinct, top_bigram_cnt)."""
+    from web2llmstxt_ray.ops.scrub import repetition_stats
+
+    out = _pdf(repetition_stats(_t(sf_dir, "documents",
+                                   ["doc_id", "text"])))
+    return out[["doc_id", "n_words", "n_distinct", "top_bigram_cnt"]]
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 20-per-language sample via per-block partial top-N
+    on a multiplicative-hash order key."""
+    from web2llmstxt_ray.ops.corpus import stratified_sample
+
+    out = stratified_sample(_t(sf_dir, "documents",
+                               ["doc_id", "lang", "source"]),
+                            "lang", 20, keep_cols=("source",))
+    return out[["doc_id", "lang", "source"]]
+
+
+def q_chars_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-language nearest-rank quantiles of n_chars via the
+    distributed value-count histogram (no global sort)."""
+    from web2llmstxt_ray.ops.corpus import int_quantiles
+
+    out = int_quantiles(_t(sf_dir, "documents", ["lang", "n_chars"]),
+                        "n_chars", (0.25, 0.5, 0.75), group_col="lang")
+    out["value"] = out["value"].astype("int64")
+    return out[["lang", "q", "value"]]
+
+
 # ---------------------------------------------------------------------------
 # events: windows (SQL-oracled)
 # ---------------------------------------------------------------------------
@@ -507,6 +583,47 @@ def q_session_stats(sf_dir: str) -> pd.DataFrame:
     out["sum_value"] = out["sum_value"].round(ROUND_SUM)
     return out[["user_id", "session_idx", "n_events", "duration_s",
                 "sum_value"]]
+
+
+def _events_of(sf_dir: str, etype: str) -> rd.Dataset:
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return ds.map_batches(
+        lambda t, e=etype: t.filter(pa.compute.equal(t["event_type"], e)),
+        batch_format="pyarrow")
+
+
+def q_events_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each purchase gets the latest same-user view at or
+    before it (bucketed merge_asof — one shuffle of narrow columns)."""
+    from web2llmstxt_ray.ops.joins import asof_join
+
+    out = _pdf(asof_join(_events_of(sf_dir, "purchase"),
+                         _events_of(sf_dir, "view")))
+    return out[["event_id", "user_id", "ts", "prior_ts"]]
+
+
+def q_events_range_counts(sf_dir: str) -> pd.DataFrame:
+    """Trailing-interval range join: views in the hour before each
+    purchase, counted per purchase via two vectorized searchsorted
+    probes per user (no pairwise expansion)."""
+    from web2llmstxt_ray.ops.joins import range_join_count
+
+    out = _pdf(range_join_count(_events_of(sf_dir, "purchase"),
+                                _events_of(sf_dir, "view"),
+                                window_s=3600.0))
+    out["n_in_window"] = out["n_in_window"].astype("int64")
+    return out[["event_id", "user_id", "ts", "n_in_window"]]
+
+
+def q_events_hopping(sf_dir: str) -> pd.DataFrame:
+    """Hopping windows (1 h size / 15 min hop): vectorized 4x event
+    expansion inside map_batches, then the partial-agg combine path."""
+    from web2llmstxt_ray.ops.windows import hopping_window
+
+    out = hopping_window(_t(sf_dir, "events", ["event_type", "ts", "value"]))
+    out["sum_value"] = out["sum_value"].round(ROUND_SUM)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -722,6 +839,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": q_doc_sample,
         "pack_sequences": q_pack_sequences,
         "lang_hist": q_lang_hist,
+        "redact_terms": q_redact_terms,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
+        "chars_quantiles": q_chars_quantiles,
+        "events_asof": q_events_asof,
+        "events_range_counts": q_events_range_counts,
+        "events_hopping": q_events_hopping,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
         "session_stats": q_session_stats,
@@ -940,6 +1065,102 @@ def oracle_sql() -> dict[str, str]:
                              AS gap
                   FROM events)
             GROUP BY user_id
+        """,
+        "redact_terms": """
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                       'value [a-z]+', '[TERM]', 'g') AS text,
+                   CAST(len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                        + len(regexp_extract_all(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                               '[EMAIL]', 'g'),
+                           'value [a-z]+'))
+                        AS BIGINT) AS n_redactions
+            FROM documents
+        """,
+        "decontaminate": """
+            WITH bench AS (
+                SELECT DISTINCT substr(text, 11, 50) AS snippet
+                FROM documents
+                WHERE doc_id % 97 = 0 AND length(text) >= 60)
+            SELECT d.doc_id,
+                   CAST(EXISTS (SELECT 1 FROM bench b
+                                WHERE contains(d.text, b.snippet))
+                        AS BIGINT) AS contaminated
+            FROM documents d
+        """,
+        "repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS tk
+                FROM documents),
+            grams AS (
+                SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS g
+                FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1))
+                     AS t(i)
+                WHERE len(tk) >= 2),
+            gc AS (SELECT doc_id, max(c) AS mc FROM (
+                       SELECT doc_id, g, count(*) AS c FROM grams
+                       GROUP BY doc_id, g)
+                   GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(t.tk)) AS BIGINT) AS n_distinct,
+                   CAST(coalesce(gc.mc, 0) AS BIGINT) AS top_bigram_cnt
+            FROM toks t LEFT JOIN gc ON t.doc_id = gc.doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 20
+        """,
+        "chars_quantiles": """
+            SELECT lang, CAST(0.25 AS DOUBLE) AS q,
+                   quantile_disc(n_chars, 0.25) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, CAST(0.5 AS DOUBLE) AS q,
+                   quantile_disc(n_chars, 0.5) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, CAST(0.75 AS DOUBLE) AS q,
+                   quantile_disc(n_chars, 0.75) AS value
+            FROM documents GROUP BY lang
+        """,
+        "events_asof": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   (SELECT max(v.ts) FROM events v
+                    WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                      AND v.ts <= p.ts) AS prior_ts
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "events_range_counts": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   (SELECT count(*) FROM events v
+                    WHERE v.user_id = p.user_id AND v.event_type = 'view'
+                      AND v.ts > p.ts - INTERVAL 1 HOUR
+                      AND v.ts <= p.ts) AS n_in_window
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "events_hopping": f"""
+            SELECT event_type,
+                   make_timestamp(CAST(
+                       (floor(epoch(ts) / 900) - j) * 900 * 1000000
+                       AS BIGINT)) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), {ROUND_SUM}) AS sum_value
+            FROM events, (SELECT unnest([0, 1, 2, 3]) AS j)
+            GROUP BY 1, 2
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

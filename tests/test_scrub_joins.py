@@ -1,0 +1,259 @@
+"""Scrub operators (redaction / decontamination / repetition stats),
+temporal joins (as-of, range-count), hopping windows, stratified
+sampling and histogram quantiles — brute-force oracles + invariants."""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from web2llmstxt_ray.ops.corpus import int_quantiles, stratified_sample
+from web2llmstxt_ray.ops.joins import asof_join, range_join_count
+from web2llmstxt_ray.ops.scrub import (
+    PII_PATTERNS, decontaminate_flags, redact, repetition_stats)
+from web2llmstxt_ray.ops.windows import hopping_window
+
+
+def _events(n=600, users=17, seed=11):
+    rng = np.random.RandomState(seed)
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        np.sort(rng.randint(0, 6 * 3600, size=n)), unit="s")
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.randint(0, users, size=n), pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "event_type": pa.array(
+            rng.choice(["purchase", "view"], size=n), pa.string()),
+        "value": pa.array(rng.uniform(0, 10, size=n), pa.float64()),
+    })
+
+
+def _split(t):
+    df = t.to_pandas()
+    p = df[df.event_type == "purchase"]
+    v = df[df.event_type == "view"]
+    mk = lambda d: ray.data.from_pandas(d.reset_index(drop=True)).repartition(5)
+    return p, v, mk(p), mk(v)
+
+
+class TestAsofJoin:
+    def test_matches_bruteforce(self):
+        p, v, dp, dv = _split(_events())
+        got = asof_join(dp, dv, num_buckets=7).to_pandas()
+        got = got.sort_values("event_id").reset_index(drop=True)
+        want = []
+        for _, r in p.sort_values("event_id").iterrows():
+            prior = v[(v.user_id == r.user_id) & (v.ts <= r.ts)]["ts"]
+            want.append(prior.max() if len(prior) else pd.NaT)
+        assert len(got) == len(p)
+        assert list(got["prior_ts"]) == want
+
+    def test_no_right_rows_at_all(self):
+        p, v, dp, _ = _split(_events(80))
+        empty = ray.data.from_pandas(v.head(0).reset_index(drop=True))
+        got = asof_join(dp, empty, num_buckets=3).to_pandas()
+        assert len(got) == len(p)
+        assert got["prior_ts"].isna().all()
+
+    def test_bucket_count_invariance(self):
+        _, _, dp, dv = _split(_events(300))
+        a = asof_join(dp, dv, num_buckets=2).to_pandas()
+        b = asof_join(dp, dv, num_buckets=31).to_pandas()
+        key = ["event_id", "user_id", "ts", "prior_ts"]
+        pd.testing.assert_frame_equal(
+            a[key].sort_values("event_id").reset_index(drop=True),
+            b[key].sort_values("event_id").reset_index(drop=True))
+
+
+class TestRangeJoinCount:
+    def test_matches_bruteforce(self):
+        p, v, dp, dv = _split(_events())
+        w = 1800.0
+        got = range_join_count(dp, dv, window_s=w, num_buckets=7).to_pandas()
+        got = got.sort_values("event_id").reset_index(drop=True)
+        lo = pd.Timedelta(seconds=w)
+        want = [
+            int(((v.user_id == r.user_id) & (v.ts <= r.ts)
+                 & (v.ts > r.ts - lo)).sum())
+            for _, r in p.sort_values("event_id").iterrows()]
+        assert list(got["n_in_window"]) == want
+
+
+class TestHoppingWindow:
+    def test_matches_replication_oracle(self):
+        t = _events(400)
+        ds = ray.data.from_arrow(t).repartition(6)
+        got = hopping_window(ds, size_s=3600, hop_s=900,
+                             key_col="event_type")
+        got = got.sort_values(["event_type", "window_start"]).reset_index(
+            drop=True)
+        df = t.to_pandas()
+        rows = []
+        for _, r in df.iterrows():
+            sec = int(r.ts.value // 10**9)
+            base = (sec // 900) * 900
+            for j in range(4):
+                rows.append((r.event_type,
+                             pd.Timestamp((base - j * 900) * 10**9), r.value))
+        rep = pd.DataFrame(rows, columns=["event_type", "window_start",
+                                          "value"])
+        want = rep.groupby(["event_type", "window_start"],
+                           as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        want = want.sort_values(["event_type", "window_start"]).reset_index(
+            drop=True)
+        assert len(got) == len(want)
+        assert (got["n_events"].to_numpy() ==
+                want["n_events"].to_numpy()).all()
+        assert np.allclose(got["sum_value"], want["sum_value"])
+
+    def test_every_event_in_exactly_k_windows(self):
+        t = _events(100)
+        got = hopping_window(ray.data.from_arrow(t), size_s=3600, hop_s=900)
+        assert got["n_events"].sum() == 4 * len(t)
+
+
+class TestRedactor:
+    def test_pii_patterns(self):
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "mail me at bob.smith+x@example.co.uk today",
+                "server 192.168.1.254 and phone +1 555-867-5309x",
+                "clean text with nothing to hide",
+                None,
+            ], pa.string())})
+        out = redact(ray.data.from_arrow(t)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out.loc[0, "text"] == "mail me at [EMAIL] today"
+        assert out.loc[0, "n_redactions"] == 1
+        assert "[IPV4]" in out.loc[1, "text"]
+        assert "[PHONE]" in out.loc[1, "text"]
+        assert out.loc[1, "n_redactions"] == 2
+        assert out.loc[2, "n_redactions"] == 0
+        assert out.loc[3, "text"] == "" and out.loc[3, "n_redactions"] == 0
+
+    def test_patterns_are_portable_to_duckdb(self):
+        import duckdb
+        s = "a@b.io or 10.0.0.1 or +44 123 456 7890"
+        con = duckdb.connect()
+        for tag in sorted(PII_PATTERNS):
+            py_n = len(__import__("re").findall(PII_PATTERNS[tag], s))
+            sql_n = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))",
+                [s, PII_PATTERNS[tag]]).fetchone()[0]
+            assert py_n == sql_n, tag
+
+
+class TestDecontaminate:
+    def test_flags_exact_containment(self):
+        docs = ["the quick brown fox", "lazy dog sleeps", "quick brown",
+                "unrelated text entirely"]
+        t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+        out = decontaminate_flags(
+            ray.data.from_arrow(t).repartition(2),
+            ["quick brown", "zzz"]).to_pandas()
+        out = out.sort_values("doc_id")
+        assert list(out["contaminated"]) == [True, False, True, False]
+
+    def test_empty_snippets_flags_nothing(self):
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["abc"], pa.string())})
+        out = decontaminate_flags(ray.data.from_arrow(t), []).to_pandas()
+        assert not out["contaminated"].any()
+
+
+class TestRepetitionStats:
+    def test_hand_cases(self):
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b a b a", "x", "", "w w w w"], pa.string())})
+        out = repetition_stats(ray.data.from_arrow(t)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # "a b a b a": 5 words, 2 distinct, bigrams a-b x2 / b-a x2 -> 2
+        assert list(out["n_words"]) == [5, 1, 0, 4]
+        assert list(out["n_distinct"]) == [2, 1, 0, 1]
+        assert list(out["top_bigram_cnt"]) == [2, 0, 0, 3]
+
+    def test_counter_oracle(self):
+        rng = np.random.RandomState(5)
+        texts = [" ".join(rng.choice(list("abcde"), size=rng.randint(0, 30)))
+                 for _ in range(50)]
+        t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        out = repetition_stats(
+            ray.data.from_arrow(t).repartition(4)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        for i, txt in enumerate(texts):
+            toks = txt.split()
+            assert out.loc[i, "n_words"] == len(toks)
+            assert out.loc[i, "n_distinct"] == len(set(toks))
+            want = (max(Counter(zip(toks, toks[1:])).values())
+                    if len(toks) >= 2 else 0)
+            assert out.loc[i, "top_bigram_cnt"] == want
+
+
+class TestStratifiedSample:
+    def _docs(self, n=400):
+        rng = np.random.RandomState(9)
+        return pa.table({
+            "doc_id": pa.array(rng.permutation(n * 3)[:n].astype("int64")),
+            "lang": pa.array(rng.choice(["en", "de", "fr"], size=n)),
+            "source": pa.array(rng.choice(["a", "b"], size=n))})
+
+    def test_exact_counts_and_determinism(self):
+        t = self._docs()
+        a = stratified_sample(ray.data.from_arrow(t).repartition(8),
+                              "lang", 15, keep_cols=("source",))
+        b = stratified_sample(ray.data.from_arrow(t).repartition(2),
+                              "lang", 15, keep_cols=("source",))
+        assert (a.groupby("lang").size() == 15).all()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_matches_global_order_oracle(self):
+        t = self._docs(120)
+        got = stratified_sample(ray.data.from_arrow(t).repartition(6),
+                                "lang", 10)
+        df = t.to_pandas()
+        df["_ok"] = (df.doc_id.to_numpy(dtype=np.uint64)
+                     * np.uint64(2654435761)) % np.uint64(1 << 32)
+        want = (df.sort_values(["_ok", "doc_id"]).groupby("lang").head(10))
+        assert set(got["doc_id"]) == set(want["doc_id"])
+
+    def test_small_stratum_returns_all(self):
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "lang": pa.array(["en", "xx"], pa.string())})
+        out = stratified_sample(ray.data.from_arrow(t), "lang", 5)
+        assert len(out) == 2
+
+
+class TestIntQuantiles:
+    def test_nearest_rank_vs_duckdb(self):
+        import duckdb
+        rng = np.random.RandomState(3)
+        vals = rng.randint(0, 50, size=777)
+        t = pa.table({"v": pa.array(vals, pa.int64())})
+        got = int_quantiles(ray.data.from_arrow(t).repartition(5), "v",
+                            (0.1, 0.5, 0.9))
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        for _, r in got.iterrows():
+            want = con.execute(
+                f"SELECT quantile_disc(v, {r.q}) FROM t").fetchone()[0]
+            assert r.value == want, r.q
+
+    def test_grouped(self):
+        rng = np.random.RandomState(4)
+        t = pa.table({
+            "g": pa.array(rng.choice(["x", "y"], size=500)),
+            "v": pa.array(rng.randint(0, 30, size=500), pa.int64())})
+        got = int_quantiles(ray.data.from_arrow(t).repartition(4), "v",
+                            (0.5,), group_col="g")
+        df = t.to_pandas()
+        for g in ("x", "y"):
+            sv = np.sort(df[df.g == g]["v"].to_numpy())
+            want = sv[int(np.ceil(0.5 * len(sv))) - 1]
+            assert got[(got.g == g)]["value"].iloc[0] == want

@@ -85,6 +85,82 @@ def sample_mod(ds: ray.data.Dataset, key_col: str, modulus: int = 100,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def stratified_sample(ds: ray.data.Dataset, strata_col: str,
+                      n_per_stratum: int, key_col: str = "doc_id",
+                      keep_cols: tuple[str, ...] = ()) -> pd.DataFrame:
+    """Deterministic N-per-stratum sample: within each stratum keep the
+    ``n_per_stratum`` rows with the smallest ``(knuth_hash(key), key)``
+    order key. The multiplicative hash makes the pick pseudo-random yet
+    reproducible across engines and runs (same property as
+    :func:`sample_mod`, but with an exact per-stratum count — the
+    balanced-eval-set primitive).
+
+    Scale shape: each block keeps at most ``strata × N`` candidate rows
+    (a vectorized partial top-N inside ``map_batches``), so only
+    ``O(blocks × strata × N)`` rows ever leave the workers; the final
+    per-stratum merge handles candidates only. No full-dataset shuffle,
+    no RNG state.
+    """
+    cols = list(dict.fromkeys([key_col, strata_col, *keep_cols]))
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        df["_ok"] = (df[key_col].to_numpy(dtype=np.uint64, na_value=0)
+                     * np.uint64(2654435761)) % np.uint64(1 << 32)
+        df = df.sort_values(["_ok", key_col], kind="stable")
+        df = df.groupby(strata_col, sort=False).head(n_per_stratum)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(partial_topn, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["_ok", key_col], kind="stable")
+    out = cand.groupby(strata_col, sort=False).head(n_per_stratum)
+    return (out.drop(columns=["_ok"])
+            .sort_values([strata_col, key_col])
+            .reset_index(drop=True))
+
+
+def int_quantiles(ds: ray.data.Dataset, col: str,
+                  qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                  group_col: str | None = None) -> pd.DataFrame:
+    """Exact nearest-rank quantiles of a bounded-integer column via a
+    distributed value-count histogram — the scale-safe alternative to
+    a global sort: per-block ``value_counts`` partials (≤ distinct
+    values rows each) shuffle instead of the data, the driver merges
+    ``O(blocks × distinct)`` counter rows and walks the CDF.
+
+    Nearest-rank = the ``ceil(q·n)``-th smallest element of the
+    multiset — DuckDB's ``quantile_disc`` semantics (verified
+    empirically across sizes), so the op is SQL-oracle-able.
+    Output: (group?, q, value).
+    """
+    gcols = [group_col] if group_col else []
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby([*gcols, col], as_index=False).agg(
+            n=(col, "size"))
+        return g
+
+    merged_ds = ds.map_batches(partial_counts, batch_format="pandas")
+    merged = merged_ds.to_pandas().groupby([*gcols, col], as_index=False)[
+        "n"].sum()
+
+    def walk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(col)
+        vals = df[col].to_numpy()
+        cum = df["n"].to_numpy().cumsum()
+        n = int(cum[-1])
+        ranks = np.maximum(np.ceil(np.asarray(qs) * n), 1.0)
+        picks = vals[np.searchsorted(cum, ranks, "left")]
+        return pd.DataFrame({"q": list(qs), "value": picks})
+
+    if not gcols:
+        return walk(merged).reset_index(drop=True)
+    out = (merged.groupby(group_col, group_keys=True)
+           .apply(walk, include_groups=False).reset_index(level=0)
+           .reset_index(drop=True))
+    return out.sort_values([group_col, "q"]).reset_index(drop=True)
+
+
 def pack_sequences(ds: ray.data.Dataset, max_tokens: int,
                    id_col: str = "doc_id",
                    tokens_col: str = "n_tokens") -> ray.data.Dataset:

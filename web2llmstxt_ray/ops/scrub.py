@@ -1,0 +1,167 @@
+"""Corpus scrubbing operators: pattern redaction (PII), benchmark
+decontamination, and repetition-based quality statistics.
+
+All three are embarrassingly parallel ``map_batches`` stages — no
+shuffle at any size. The only cross-task state is the decontamination
+snippet list, broadcast once via ``ray.put`` and probed per batch with
+vectorized Arrow substring kernels (never re-shipped per batch, never
+a join).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+# PII patterns chosen to be regex-dialect-portable (Python re, RE2,
+# DuckDB) — no backrefs, no lookaround — so the same pattern string
+# drives the engine and any SQL oracle.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",
+}
+
+
+class Redactor:
+    """Replace every match of ``patterns`` with its ``[TAG]`` and count
+    replacements. Patterns compile once per actor/worker (``__init__``),
+    not per batch; the per-batch loop is one ``re.subn`` per pattern
+    per doc (Python-level, but regex scanning is C — the cost is the
+    scan itself, which any engine pays).
+
+    Output: id column + ``text`` (redacted) + ``n_redactions``.
+    """
+
+    def __init__(self, patterns: dict[str, str] | None = None,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        pats = patterns if patterns is not None else PII_PATTERNS
+        self.compiled = [(re.compile(p), f"[{tag.upper()}]")
+                         for tag, p in sorted(pats.items())]
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        out, counts = [], []
+        for t in texts:
+            t = t or ""
+            n = 0
+            for rx, repl in self.compiled:
+                t, k = rx.subn(repl, t)
+                n += k
+            out.append(t)
+            counts.append(n)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "text": pa.array(out, pa.string()),
+            "n_redactions": pa.array(counts, pa.int64()),
+        })
+
+
+def redact(ds: ray.data.Dataset, patterns: dict[str, str] | None = None,
+           **kw) -> ray.data.Dataset:
+    from .stagecache import cached_stage
+    return ds.map_batches(cached_stage(Redactor, patterns=patterns, **kw),
+                          batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# decontamination — drop training docs that contain benchmark text
+# ---------------------------------------------------------------------------
+
+
+class ContainsAnyFlagger:
+    """Flag rows whose text contains ANY of a broadcast snippet list.
+
+    The snippet list is a ``ray.put`` handle resolved once per
+    actor/worker; per batch the probe is one vectorized
+    ``pc.match_substring`` pass per snippet OR-ed into a mask — Arrow
+    kernels over the whole column, no per-row Python. This is the
+    exact-containment tier of decontamination; the 100-TB tier for
+    large benchmark sets is the same shape with the snippet list
+    replaced by an n-gram-hash bloom filter (same broadcast-once
+    pattern, constant-size probe state).
+    """
+
+    def __init__(self, snippets_ref, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.snippets = (ray.get(snippets_ref)
+                         if isinstance(snippets_ref, ray.ObjectRef)
+                         else list(snippets_ref))
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col)
+        mask = None
+        for s in self.snippets:
+            m = pc.match_substring(col, s)
+            mask = m if mask is None else pc.or_(mask, m)
+        if mask is None:
+            mask = pa.array([False] * len(batch))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "contaminated": pc.fill_null(mask, False),
+        })
+
+
+def decontaminate_flags(ds: ray.data.Dataset, snippets: list[str],
+                        **kw) -> ray.data.Dataset:
+    """(id, contaminated) for every row; filter on it to drop, or join
+    it back for auditing. Snippets are broadcast ONCE via ``ray.put``."""
+    from .stagecache import cached_stage
+    ref = ray.put(sorted(set(s for s in snippets if s)))
+    return ds.map_batches(cached_stage(ContainsAnyFlagger, snippets_ref=ref,
+                                       **kw),
+                          batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics — Gopher-style quality signals
+# ---------------------------------------------------------------------------
+
+
+class RepetitionStats:
+    """Per-doc repetition signals used by Gopher/C4-style quality
+    filters: distinct-token count and the occurrence count of the most
+    common 2-gram. Pure per-doc work — a Counter over the token
+    stream; no shuffle. Outputs are INTEGER numerators (the caller
+    derives ``distinct_ratio = n_distinct/n_words`` and
+    ``top_bigram_frac = top_bigram_cnt/(n_words-1)``) so cross-engine
+    comparison is exact — no float-rounding-tie hazard.
+
+    Output: id + n_words + n_distinct + top_bigram_cnt (0 when <2
+    tokens).
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"n_words": [], "n_distinct": [], "top_bigram_cnt": []}
+        for t in batch.column(self.text_col).to_pylist():
+            toks = (t or "").lower().split()
+            n = len(toks)
+            rows["n_words"].append(n)
+            rows["n_distinct"].append(len(set(toks)))
+            if n < 2:
+                rows["top_bigram_cnt"].append(0)
+                continue
+            grams = Counter(zip(toks, toks[1:]))
+            rows["top_bigram_cnt"].append(max(grams.values()))
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_words": pa.array(rows["n_words"], pa.int64()),
+            "n_distinct": pa.array(rows["n_distinct"], pa.int64()),
+            "top_bigram_cnt": pa.array(rows["top_bigram_cnt"], pa.int64()),
+        })
+
+
+def repetition_stats(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    from .stagecache import cached_stage
+    return ds.map_batches(cached_stage(RepetitionStats, **kw),
+                          batch_format="pyarrow")

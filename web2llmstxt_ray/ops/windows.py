@@ -36,6 +36,41 @@ def tumbling_window(ds: ray.data.Dataset, freq: str = "h",
                            ["n_events", "sum_value"])
 
 
+def hopping_window(ds: ray.data.Dataset, size_s: int = 3600,
+                   hop_s: int = 900, key_col: str = "event_type",
+                   ts_col: str = "ts",
+                   value_col: str = "value") -> pd.DataFrame:
+    """Per (key, window-start) count + sum over OVERLAPPING windows of
+    ``size_s`` seconds advancing every ``hop_s`` (``size_s`` must be a
+    multiple of ``hop_s``). An event at time t belongs to exactly
+    ``size_s/hop_s`` windows; the expansion is a vectorized numpy
+    repeat inside ``map_batches`` (each event contributes its
+    replicas *before* aggregation), and the aggregate then rides the
+    same partial-combine path as :func:`tumbling_window` — only
+    ``O(blocks × windows)`` partial rows shuffle, never the replicated
+    events themselves.
+    """
+    if size_s % hop_s:
+        raise ValueError("size_s must be a multiple of hop_s")
+    k = size_s // hop_s
+
+    def batch_agg(batch: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        # normalize to ns first: Arrow-backed frames surface M8[us]
+        epoch = (batch[ts_col].astype("datetime64[ns]").astype("int64")
+                 // 1_000_000_000)
+        base = (epoch // hop_s) * hop_s
+        starts = (np.repeat(base.to_numpy(), k)
+                  - np.tile(np.arange(k) * hop_s, len(batch)))
+        rep = batch.loc[batch.index.repeat(k)].assign(
+            window_start=pd.to_datetime(starts, unit="s"))
+        return rep.groupby([key_col, "window_start"], as_index=False).agg(
+            n_events=(value_col, "size"), sum_value=(value_col, "sum"))
+
+    return partial_groupby(ds, [key_col, "window_start"], batch_agg,
+                           ["n_events", "sum_value"])
+
+
 def _add_key_bucket(ds: ray.data.Dataset, key_col: str,
                     num_buckets: int) -> ray.data.Dataset:
     """Append ``_sbucket = hash(key) % num_buckets`` (vectorized)."""
