@@ -525,6 +525,40 @@ def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "n_words", "n_distinct", "top_bigram_cnt"]]
 
 
+def q_decontaminate_ngram(sf_dir: str) -> pd.DataFrame:
+    """Scale-tier decontamination: word-8-gram bloom probe (constant
+    broadcast size, O(words)/doc, no false negatives). Rows-only: the
+    bloom verdict is deterministic but not SQL-expressible; the exact
+    tier (q_decontaminate) is the SQL-oracled sibling."""
+    from web2llmstxt_ray.ops.scrub import decontaminate_ngram_flags
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        keep = [t or "" for i, t in zip(ids, texts) if i % 97 == 0]
+        return pa.table({"text": pa.array(keep, pa.string())})
+
+    bench = [r["text"] for r in
+             docs.map_batches(bench_rows, batch_format="pyarrow").take_all()]
+    out = _pdf(decontaminate_ngram_flags(docs, bench, n=8))
+    out["contaminated"] = out["contaminated"].astype("int64")
+    out["n_hit_grams"] = out["n_hit_grams"].astype("int64")
+    return out[["doc_id", "contaminated", "n_hit_grams"]]
+
+
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Count-Min + per-batch candidates: approximate top-10 users by
+    event count with one sketch per batch (no key shuffle). Rows-only:
+    CM estimates are deterministic upper bounds, not SQL values."""
+    from web2llmstxt_ray.ops.sketch import heavy_hitters
+
+    top = heavy_hitters(_t(sf_dir, "events", ["user_id"]), "user_id",
+                        k=10)
+    return pd.DataFrame(top, columns=["user_id", "est_n"])
+
+
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic 20-per-language sample via per-block partial top-N
     on a multiplicative-hash order key."""
@@ -841,6 +875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_hist": q_lang_hist,
         "redact_terms": q_redact_terms,
         "decontaminate": q_decontaminate,
+        "decontaminate_ngram": q_decontaminate_ngram,
+        "heavy_hitters": q_heavy_hitters,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "chars_quantiles": q_chars_quantiles,

@@ -257,3 +257,53 @@ class TestIntQuantiles:
             sv = np.sort(df[df.g == g]["v"].to_numpy())
             want = sv[int(np.ceil(0.5 * len(sv))) - 1]
             assert got[(got.g == g)]["value"].iloc[0] == want
+
+
+class TestNgramBloomDecontamination:
+    def _corpus(self):
+        rng = np.random.RandomState(21)
+        vocab = [f"w{i}" for i in range(120)]
+        bench = [" ".join(rng.choice(vocab, size=40)) for _ in range(6)]
+        clean = [" ".join(rng.choice(vocab, size=60)) for _ in range(30)]
+        # contaminated: clean doc with an 8-gram of a bench doc spliced in
+        dirty = []
+        for i in range(8):
+            b = bench[i % len(bench)].split()
+            start = rng.randint(0, len(b) - 8)
+            core = " ".join(b[start:start + 8])
+            dirty.append(f"{clean[i]} {core} trailing words here")
+        return bench, clean, dirty
+
+    def test_no_false_negatives_and_oracle(self):
+        from web2llmstxt_ray.ops.scrub import (
+            _gram_strings, decontaminate_ngram_flags)
+
+        bench, clean, dirty = self._corpus()
+        docs = clean + dirty
+        t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+        out = decontaminate_ngram_flags(
+            ray.data.from_arrow(t).repartition(4), bench, n=8).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        bench_grams = set()
+        for b in bench:
+            bench_grams.update(_gram_strings(b, 8))
+        for i, d in enumerate(docs):
+            truth = any(g in bench_grams for g in _gram_strings(d, 8))
+            if truth:                      # bloom may over-flag, never under
+                assert out.loc[i, "contaminated"], i
+        # every planted dirty doc is flagged
+        assert out.loc[len(clean):, "contaminated"].all()
+        # over-flagging is the bloom's contract (never under-flagging);
+        # at these sizes ~1.6 FPs are expected over 30x~53 probes, and
+        # the fixed seed makes the observed count reproducible
+        assert out.loc[:len(clean) - 1, "contaminated"].sum() <= 3
+
+    def test_short_and_empty_docs_unflagged(self):
+        from web2llmstxt_ray.ops.scrub import decontaminate_ngram_flags
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["too short", None], pa.string())})
+        out = decontaminate_ngram_flags(
+            ray.data.from_arrow(t), ["a b c d e f g h i j"], n=8).to_pandas()
+        assert not out["contaminated"].any()

@@ -1,5 +1,7 @@
 """HyperLogLog sketch: accuracy, mergeability, shuffle-free distinct."""
 
+from collections import Counter
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -57,3 +59,53 @@ class TestDatasetIntegration:
         est = approx_distinct_by_key(ds, "k", "v", p=12)
         assert abs(est["a"] - 500) / 500 < 0.08
         assert abs(est["b"] - 50) / 50 < 0.08
+
+
+class TestCountMin:
+    def test_overestimate_and_accuracy(self):
+        from web2llmstxt_ray.ops.sketch import CountMinSketch
+
+        rng = np.random.RandomState(7)
+        vals = [f"k{int(v)}" for v in rng.zipf(1.3, size=20_000)]
+        cms = CountMinSketch(depth=4, width=4096)
+        cms.add(vals)
+        true = Counter(vals)
+        keys = list(true)
+        est = cms.estimate(keys)
+        for k, e in zip(keys, est):
+            assert e >= true[k]                      # never underestimates
+        heavy = [k for k in keys if true[k] > 100]
+        for k, e in zip(keys, est):
+            if k in heavy:
+                assert e - true[k] <= 0.01 * len(vals)
+
+    def test_merge_equals_single(self):
+        from web2llmstxt_ray.ops.sketch import CountMinSketch
+
+        a, b, whole = (CountMinSketch(4, 512) for _ in range(3))
+        v1, v2 = ["x"] * 30 + ["y"] * 5, ["y"] * 7 + ["z"] * 2
+        a.add(v1), b.add(v2), whole.add(v1 + v2)
+        merged = a.merge(b)
+        assert (merged.table == whole.table).all()
+
+    def test_serialization_roundtrip(self):
+        from web2llmstxt_ray.ops.sketch import CountMinSketch
+
+        cms = CountMinSketch(3, 256)
+        cms.add(["a", "b", "a"])
+        again = CountMinSketch.loads(cms.dumps())
+        assert (again.table == cms.table).all()
+        assert (again.estimate(["a", "b", "c"]) == cms.estimate(["a", "b", "c"])).all()
+
+    def test_heavy_hitters_dataset(self):
+        from web2llmstxt_ray.ops.sketch import heavy_hitters
+
+        vals = (["hot1"] * 4000 + ["hot2"] * 2500 + ["hot3"] * 1500
+                + [f"cold{i}" for i in range(4000)])
+        np.random.RandomState(1).shuffle(vals)
+        ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(6)
+        top = heavy_hitters(ds, "v", k=3)
+        assert [v for v, _ in top] == ["hot1", "hot2", "hot3"]
+        true = {"hot1": 4000, "hot2": 2500, "hot3": 1500}
+        for v, est in top:
+            assert true[v] <= est <= true[v] + 0.01 * 12000

@@ -13,10 +13,17 @@ from __future__ import annotations
 import re
 from collections import Counter
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+
+# module-level so cloudpickle captures them by value for workers driven
+# from a foreign cwd (see bootstrap.py — call-time relative imports
+# inside worker-executed __call__ bodies fail there)
+from ..functions.urls import hash64_batch
+from .sketch import HyperLogLog
 
 # PII patterns chosen to be regex-dialect-portable (Python re, RE2,
 # DuckDB) — no backrefs, no lookaround — so the same pattern string
@@ -118,6 +125,115 @@ def decontaminate_flags(ds: ray.data.Dataset, snippets: list[str],
     return ds.map_batches(cached_stage(ContainsAnyFlagger, snippets_ref=ref,
                                        **kw),
                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# decontamination, scale tier — word n-gram overlap via a bloom filter
+# ---------------------------------------------------------------------------
+#
+# `ContainsAnyFlagger` scans every document against every snippet —
+# O(docs × snippets) — fine for benchmark sets of thousands of
+# snippets, quadratic death when the benchmark corpus is itself large.
+# The standard scale path (the n-gram-overlap decontamination used for
+# LLM training sets) replaces the snippet list with a constant-size
+# probe: every word n-gram of the benchmark set goes into ONE bloom
+# filter (bits, not strings), broadcast once; a document is flagged if
+# ANY of its n-grams hits. Cost per doc is O(words), independent of
+# benchmark size; false-positive rate is the bloom's (tunable via
+# bits_per_gram), false negatives are impossible — the safe direction
+# for decontamination (over-dropping, never under-dropping).
+
+
+_BLOOM_SALTS = (np.arange(1, 5, dtype=np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1))
+
+
+def _gram_strings(text: str, n: int) -> list[str]:
+    toks = (text or "").lower().split()
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _bloom_positions(hashes: np.ndarray, m: int) -> np.ndarray:
+    """(k, len) bit positions; reuses the fmix64 avalanche."""
+    out = np.empty((len(_BLOOM_SALTS), len(hashes)), dtype=np.int64)
+    for j, salt in enumerate(_BLOOM_SALTS):
+        out[j] = (HyperLogLog._fmix64(hashes * salt)
+                  % np.uint64(m)).astype(np.int64)
+    return out
+
+
+def build_ngram_bloom(texts: list[str], n: int = 8,
+                      bits_per_gram: int = 16) -> tuple[bytes, int]:
+    """Bloom filter over every word ``n``-gram of ``texts``; returns
+    (bit-blob, m). k=4 hash functions; at 16 bits/gram the FP rate is
+    ~0.24%. Build is one vectorized hash pass over all grams."""
+    grams: list[str] = []
+    for t in texts:
+        grams.extend(_gram_strings(t, n))
+    m = max(64, 1 << int(np.ceil(np.log2(max(1, len(grams))
+                                         * bits_per_gram))))
+    bits = np.zeros(m, dtype=bool)
+    if grams:
+        pos = _bloom_positions(hash64_batch(grams), m)
+        bits[pos.ravel()] = True
+    return np.packbits(bits).tobytes(), m
+
+
+class NgramBloomFlagger:
+    """Flag rows sharing any word ``n``-gram with the benchmark bloom.
+
+    The bloom blob resolves from its ``ray.put`` handle once per
+    worker; per batch, ALL documents' grams hash in one vectorized
+    pass and per-doc verdicts come from a segmented any-reduction —
+    no per-row Python in the probe itself.
+
+    Output: id + ``contaminated`` (bool) + ``n_hit_grams``.
+    """
+
+    def __init__(self, bloom_ref, m: int, n: int = 8,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        blob = (ray.get(bloom_ref) if isinstance(bloom_ref, ray.ObjectRef)
+                else bloom_ref)
+        self.bits = np.unpackbits(
+            np.frombuffer(blob, dtype=np.uint8)).astype(bool)[:m]
+        self.m, self.n = m, n
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams_all: list[str] = []
+        counts = np.zeros(len(batch), dtype=np.int64)
+        for i, t in enumerate(batch.column(self.text_col).to_pylist()):
+            g = _gram_strings(t, self.n)
+            counts[i] = len(g)
+            grams_all.extend(g)
+        if grams_all:
+            pos = _bloom_positions(hash64_batch(grams_all), self.m)
+            hit = self.bits[pos].all(axis=0)          # all k bits set
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            n_hits = np.array([int(hit[s:e].sum())
+                               for s, e in zip(starts, ends)])
+        else:
+            n_hits = counts
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "contaminated": pa.array(n_hits > 0),
+            "n_hit_grams": pa.array(n_hits, pa.int64()),
+        })
+
+
+def decontaminate_ngram_flags(ds: ray.data.Dataset, bench_texts: list[str],
+                              n: int = 8, bits_per_gram: int = 16,
+                              **kw) -> ray.data.Dataset:
+    """Scale-tier decontamination: constant-size broadcast probe
+    (bloom bits) instead of a snippet scan. No false negatives."""
+    from .stagecache import cached_stage
+
+    blob, m = build_ngram_bloom(bench_texts, n, bits_per_gram)
+    ref = ray.put(blob)
+    return ds.map_batches(
+        cached_stage(NgramBloomFlagger, bloom_ref=ref, m=m, n=n, **kw),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

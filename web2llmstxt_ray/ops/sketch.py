@@ -83,6 +83,118 @@ class HyperLogLog:
         return obj
 
 
+class CountMinSketch:
+    """Count-Min: a ``depth × width`` counter grid; a key increments one
+    counter per row (row hash = ``fmix64`` of key hash + row salt), and
+    its estimate is the MIN over rows — always an OVERestimate, with
+    error ≤ (e/width)·N at confidence 1-(1/e)^depth. Linear in both
+    arguments under merge (+), so the per-batch-partial / driver-merge
+    pattern applies like HLL.
+
+    Paired with a per-batch exact candidate top-k it yields heavy
+    hitters without shuffling the keys themselves (see
+    :func:`heavy_hitters`)."""
+
+    def __init__(self, depth: int = 4, width: int = 2048):
+        self.depth, self.width = depth, width
+        self.table = np.zeros((depth, width), dtype=np.int64)
+        # deterministic odd salts, one per row
+        self.salts = (np.arange(1, depth + 1, dtype=np.uint64)
+                      * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1))
+
+    def _cols(self, hashes: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices."""
+        out = np.empty((self.depth, len(hashes)), dtype=np.int64)
+        for d in range(self.depth):
+            out[d] = (HyperLogLog._fmix64(hashes * self.salts[d])
+                      % np.uint64(self.width)).astype(np.int64)
+        return out
+
+    def add_hashes(self, hashes: np.ndarray,
+                   counts: np.ndarray | None = None) -> None:
+        if len(hashes) == 0:
+            return
+        if counts is None:
+            counts = np.ones(len(hashes), dtype=np.int64)
+        cols = self._cols(hashes)
+        for d in range(self.depth):
+            np.add.at(self.table[d], cols[d], counts)
+
+    def add(self, values: list, counts=None) -> None:
+        if values:
+            self.add_hashes(hash64_batch([str(v) for v in values]),
+                            None if counts is None
+                            else np.asarray(counts, dtype=np.int64))
+
+    def estimate_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=np.int64)
+        cols = self._cols(hashes)
+        est = self.table[0][cols[0]]
+        for d in range(1, self.depth):
+            est = np.minimum(est, self.table[d][cols[d]])
+        return est
+
+    def estimate(self, values: list) -> np.ndarray:
+        return self.estimate_hashes(hash64_batch([str(v) for v in values]))
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.depth, self.width) == (other.depth, other.width)
+        self.table += other.table
+        return self
+
+    def dumps(self) -> bytes:
+        return (np.array([self.depth, self.width], dtype=np.int64).tobytes()
+                + self.table.tobytes())
+
+    @classmethod
+    def loads(cls, blob: bytes) -> "CountMinSketch":
+        depth, width = np.frombuffer(blob[:16], dtype=np.int64)
+        obj = cls(int(depth), int(width))
+        obj.table = np.frombuffer(blob[16:], dtype=np.int64).reshape(
+            int(depth), int(width)).copy()
+        return obj
+
+
+def heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 10,
+                  depth: int = 4, width: int = 4096,
+                  candidates_per_batch: int = 64) -> list[tuple[str, int]]:
+    """Approximate global top-k frequent values without shuffling keys:
+    each batch emits ONE CM sketch + its local exact top candidates
+    (any global heavy hitter is a local heavy hitter in at least one
+    batch at this candidate width); the driver merges the sketches and
+    ranks the candidate union by CM estimate. Returns [(value, est)]
+    sorted by (est desc, value asc).
+
+    Per-batch output is O(width·depth + candidates) regardless of rows
+    — the shuffle-free alternative to groupby().count().sort() when an
+    approximate ranking suffices.
+    """
+    from collections import Counter
+
+    import pyarrow as pa
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        vals = [str(v) for v in batch.column(col).to_pylist()]
+        cms = CountMinSketch(depth, width)
+        cms.add(vals)
+        cand = [v for v, _ in Counter(vals).most_common(candidates_per_batch)]
+        return pa.table({
+            "sketch": pa.array([cms.dumps()], pa.binary()),
+            "candidates": pa.array([cand], pa.list_(pa.string())),
+        })
+
+    merged = CountMinSketch(depth, width)
+    cand: set[str] = set()
+    for row in ds.map_batches(sketch_batch, batch_format="pyarrow",
+                              batch_size=None).take_all():
+        merged.merge(CountMinSketch.loads(row["sketch"]))
+        cand.update(row["candidates"])
+    ranked = sorted(zip(sorted(cand), merged.estimate(sorted(cand))),
+                    key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(v, int(n)) for v, n in ranked]
+
+
 def approx_distinct(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
     """Approximate COUNT(DISTINCT col): one HLL per batch, driver merge.
 
