@@ -559,6 +559,39 @@ def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(top, columns=["user_id", "est_n"])
 
 
+def q_corpus_prep(sf_dir: str) -> pd.DataFrame:
+    """Composition flagship: the full corpus-prep chain (exact dedup →
+    MinHash near-dup → fused annotate with lang/repetition/
+    decontamination verdicts → packs) over the documents table; returns
+    the audit table. Rows-only: the verdict composition (LSH + bloom)
+    is not SQL-expressible, but each constituent operator has its own
+    SQL-oracled query, and tests/test_corpus_prep.py verifies planted
+    defects of every drop class plus stage-checkpoint resume."""
+    import tempfile
+
+    from web2llmstxt_ray.pipelines.corpus_prep import prepare_corpus
+    from web2llmstxt_ray.sinks import read_span_docs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        keep = [t or "" for i, t in zip(ids, texts) if i % 97 == 0]
+        return pa.table({"text": pa.array(keep, pa.string())})
+
+    bench = [r["text"] for r in
+             docs.map_batches(bench_rows, batch_format="pyarrow").take_all()]
+    with tempfile.TemporaryDirectory() as wd:
+        prepare_corpus(docs, wd, bench_texts=bench, min_words=20,
+                       langs=(), max_bigram_frac=0.5)
+        out = read_span_docs(f"{wd}/annotated",
+                             columns=["doc_id", "predicted_lang", "n_words",
+                                      "keep", "drop_reason"]).to_pandas()
+    out["keep"] = out["keep"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic 20-per-language sample via per-block partial top-N
     on a multiplicative-hash order key."""
@@ -877,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "decontaminate_ngram": q_decontaminate_ngram,
         "heavy_hitters": q_heavy_hitters,
+        "corpus_prep": q_corpus_prep,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "chars_quantiles": q_chars_quantiles,

@@ -1,0 +1,122 @@
+"""End-to-end corpus-prep pipeline: planted defects of every drop
+class, verdict precedence, stage-checkpoint resume."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from web2llmstxt_ray.pipelines.corpus_prep import prepare_corpus
+
+
+def _corpus():
+    rng = np.random.RandomState(33)
+    vocab = [f"tok{i}" for i in range(200)]
+    mk = lambda n: " ".join(rng.choice(vocab, size=n))
+    docs = {}
+    nid = iter(range(1000))
+    # 40 good english-looking docs (inject stopwords so lang ID says en)
+    good = []
+    for _ in range(40):
+        base = mk(60).split()
+        for j in range(0, 60, 6):
+            base[j] = ["the", "and", "of", "is", "with", "this"][j // 6 % 6]
+        good.append(" ".join(base))
+    for g in good:
+        docs[next(nid)] = g
+    # exact duplicates of the first 5 good docs
+    exact_dup_ids = []
+    for i in range(5):
+        did = next(nid)
+        docs[did] = good[i]
+        exact_dup_ids.append(did)
+    # near-dups: good doc with 2 words changed
+    near_ids = []
+    for i in range(5, 9):
+        toks = good[i].split()
+        toks[3], toks[7] = "changed", "words"
+        did = next(nid)
+        docs[did] = " ".join(toks)
+        near_ids.append(did)
+    # short
+    short_id = next(nid)
+    docs[short_id] = "the of tiny"
+    # repetitive
+    rep_id = next(nid)
+    docs[rep_id] = "the spam " * 40
+    bench = [good[-1]]          # contaminates the last good doc
+    return docs, bench, exact_dup_ids, near_ids, short_id, rep_id, good
+
+
+class TestPrepareCorpus:
+    @pytest.fixture()
+    def run(self, tmp_path):
+        docs, bench, exact_ids, near_ids, short_id, rep_id, good = _corpus()
+        t = pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+        })
+        ds = ray.data.from_arrow(t).repartition(4)
+        wd = str(tmp_path / "prep")
+        manifest = prepare_corpus(
+            ds, wd, bench_texts=bench, min_words=20, langs=("en",),
+            max_bigram_frac=0.3, jaccard_threshold=0.7)
+        return docs, bench, exact_ids, near_ids, short_id, rep_id, \
+            good, wd, manifest
+
+    def test_verdicts(self, run):
+        (docs, bench, exact_ids, near_ids, short_id, rep_id, good, wd,
+         manifest) = run
+        from web2llmstxt_ray.sinks import read_span_docs
+
+        ann = read_span_docs(os.path.join(wd, "annotated")).to_pandas() \
+            .set_index("doc_id")
+        # exact duplicates never reach the annotated table (stage 1)
+        surviving = set(ann.index)
+        assert sum(1 for i in exact_ids if i in surviving) == 0 or \
+            all(docs[i] in set(docs[j] for j in surviving) for i in exact_ids)
+        # near-dups flagged (either the original or the copy loses)
+        assert manifest["dropped"].get("near_dup", 0) >= len(near_ids) - 1
+        assert ann.loc[short_id, "drop_reason"] == "short"
+        assert ann.loc[rep_id, "drop_reason"] == "repetitive"
+        # the contaminated good doc is flagged with reason contaminated
+        assert manifest["dropped"].get("contaminated", 0) >= 1
+        # most good docs survive
+        assert manifest["kept"] >= 30
+        # packs exist and cover exactly the kept docs
+        packs = read_span_docs(os.path.join(wd, "packs")).to_pandas()
+        packed = sorted(x for lst in packs["doc_ids"] for x in lst)
+        kept_ids = sorted(ann[ann["keep"]].index)
+        assert packed == kept_ids
+        assert manifest["n_packs"] == len(packs)
+
+    def test_manifest_totals(self, run):
+        *_, wd, manifest = run
+        from web2llmstxt_ray.sinks import read_span_docs
+
+        ann = read_span_docs(os.path.join(wd, "annotated"),
+                             columns=["keep"]).to_pandas()
+        assert manifest["kept"] == int(ann["keep"].sum())
+        assert manifest["kept"] + sum(manifest["dropped"].values()) \
+            == len(ann)
+        on_disk = json.load(open(os.path.join(wd, "manifest.json")))
+        assert on_disk == manifest
+
+    def test_resume_skips_completed_stages(self, run, tmp_path):
+        docs, bench, *_ , wd, manifest = run
+        t = pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+        })
+        before = os.path.getmtime(os.path.join(wd, "annotated", ".done"))
+        m2 = prepare_corpus(
+            ray.data.from_arrow(t).repartition(4), wd,
+            bench_texts=bench, min_words=20, langs=("en",),
+            max_bigram_frac=0.3, jaccard_threshold=0.7)
+        assert m2 == manifest
+        assert os.path.getmtime(
+            os.path.join(wd, "annotated", ".done")) == before

@@ -64,6 +64,36 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
         Min(id_col, alias_name=id_col))
 
 
+def exact_dedup_rows(ds: ray.data.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Exact dedup that KEEPS full rows: one hash-bucket shuffle of the
+    rows, per-bucket vectorized min-id winner. Unlike :func:`exact_dedup`
+    (which ships only (hash, id) pairs and returns winner ids), this
+    variant pays one all-to-all of the row payload — the unavoidable
+    cost when the deduped text itself is the product and the input
+    isn't re-readable by key. Bucketing by ``hash(content) % B`` keeps
+    every duplicate class in exactly one well-sized group (never the
+    1-row-block-per-distinct-value pathology); winner = min ``id_col``
+    per content, deterministic regardless of partitioning."""
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        hashes = [content_md5(t or "")
+                  for t in batch.column(text_col).to_pylist()]
+        b = _id_blocks(hashes, num_buckets)
+        return batch.append_column(
+            "content_hash", pa.array(hashes, pa.string())).append_column(
+            "_hbucket", pa.array(b, pa.int32()))
+
+    def dedup_bucket(group):
+        g = group.sort_values(["content_hash", id_col], kind="stable")
+        return g.drop_duplicates(subset=["content_hash"], keep="first") \
+            .drop(columns=["_hbucket", "content_hash"])
+
+    return ds.map_batches(add_keys, batch_format="pyarrow") \
+        .groupby("_hbucket").map_groups(dedup_bucket, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1,0 +1,212 @@
+"""End-to-end training-corpus preparation: the composition flagship.
+
+Chains the engine's LLM-data operators the way a real ingest pipeline
+would, with a STAGE-CHECKPOINT layout so a killed run resumes at the
+last completed stage (the same resumability contract as the crawl):
+
+    input docs
+      → exact dedup            (hash-bucket row shuffle, min-id winner)
+      → near-dup drop set      (MinHash LSH → verified clusters;
+                                losers only — small by construction)
+      → one fused annotate pass  (language ID, token/repetition stats,
+                                n-gram-bloom decontamination, near-dup
+                                flag, keep/drop_reason verdict)
+      → annotated table        (checkpoint: EVERY doc + signals + verdict
+                                — the audit artifact)
+      → sequence packs         (greedy FFD over kept docs' token counts,
+                                column-pruned read of the checkpoint)
+      → manifest.json          (per-reason drop counts via partial-agg,
+                                never a driver-side row scan)
+
+Scale shape: two heavy passes over the text (dedup shuffle; fused
+annotate), both streaming; everything the driver holds is bounded
+(near-dup losers, bloom bits, per-reason counters). Stages write
+through the storage seam (``sinks.write_span_docs``) so the layout
+flips to Lance by installing pylance; a ``.done`` marker per stage
+directory makes re-runs skip completed stages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..ops.dedup import exact_dedup_rows, minhash_dedup
+from ..ops.scrub import NgramBloomFlagger, build_ngram_bloom
+from ..ops.textstats import detect_language
+from ..sinks import resolve_format, write_span_docs
+
+DROP_PRECEDENCE = ("near_dup", "short", "lang", "repetitive",
+                   "contaminated")
+
+
+class CorpusAnnotator:
+    """One fused per-doc pass producing every quality signal and the
+    keep/drop verdict. Broadcast state (near-dup loser ids, bloom bits)
+    resolves from ``ray.put`` handles once per actor/worker."""
+
+    def __init__(self, drop_ref, bloom_ref, bloom_m: int, ngram_n: int,
+                 min_words: int, langs: tuple[str, ...],
+                 max_bigram_frac: float, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        drop = (ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef)
+                else drop_ref)
+        self.drop = set(drop)
+        self.flagger = NgramBloomFlagger(bloom_ref, bloom_m, ngram_n,
+                                         text_col, id_col)
+        self.min_words = min_words
+        self.langs = set(langs)
+        self.max_bigram_frac = max_bigram_frac
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        contaminated = self.flagger(batch).column("contaminated").to_pylist()
+        n_words, langs, reasons = [], [], []
+        for did, text, contam in zip(ids, texts, contaminated):
+            toks = (text or "").lower().split()
+            n = len(toks)
+            lang = detect_language(text or "")
+            top_bg = (max(Counter(zip(toks, toks[1:])).values())
+                      if n >= 2 else 0)
+            reason = ""
+            if did in self.drop:
+                reason = "near_dup"
+            elif n < self.min_words:
+                reason = "short"
+            elif self.langs and lang not in self.langs:
+                reason = "lang"
+            elif n >= 2 and top_bg / (n - 1) > self.max_bigram_frac:
+                reason = "repetitive"
+            elif contam:
+                reason = "contaminated"
+            n_words.append(n)
+            langs.append(lang)
+            reasons.append(reason)
+        keep = [r == "" for r in reasons]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            self.text_col: batch.column(self.text_col),
+            "predicted_lang": pa.array(langs, pa.string()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+            "drop_reason": pa.array(reasons, pa.string()),
+        })
+
+
+def _stage_done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, ".done"))
+
+
+def _mark_done(path: str) -> None:
+    with open(os.path.join(path, ".done"), "w") as f:
+        f.write("ok")
+
+
+def _read_stage(path: str, columns=None) -> rd.Dataset:
+    if resolve_format("auto") == "parquet":
+        return rd.read_parquet(path, columns=columns)
+    from ..sinks import read_span_docs
+
+    return rd.from_arrow(read_span_docs(path, columns=columns))
+
+
+def prepare_corpus(docs: rd.Dataset, workdir: str, *,
+                   bench_texts: list[str] | None = None,
+                   min_words: int = 20,
+                   langs: tuple[str, ...] = (),
+                   max_bigram_frac: float = 0.2,
+                   jaccard_threshold: float = 0.8,
+                   ngram_n: int = 8,
+                   max_tokens: int = 2048,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> dict:
+    """Run the full prep chain; returns the manifest dict (also written
+    to ``workdir/manifest.json``). Resumable per stage directory."""
+    os.makedirs(workdir, exist_ok=True)
+    dedup_dir = os.path.join(workdir, "dedup")
+    annotated_dir = os.path.join(workdir, "annotated")
+    packs_dir = os.path.join(workdir, "packs")
+
+    # stage 1 — exact dedup keeping rows (checkpointed). One
+    # all-to-all of the row payload — the unavoidable shuffle when the
+    # deduped text is itself the product (see ops/dedup.exact_dedup_rows).
+    if not _stage_done(dedup_dir):
+        deduped = exact_dedup_rows(docs, text_col=text_col, id_col=id_col)
+        write_span_docs(deduped, dedup_dir)
+        _mark_done(dedup_dir)
+
+    # stage 2 — near-dup loser ids (cluster losers; keep=False rows).
+    # Bounded by the near-dup fraction of the corpus — the broadcast
+    # assumption this pipeline documents and tests.
+    clusters = minhash_dedup(_read_stage(dedup_dir, [id_col, text_col]),
+                             text_col=text_col, id_col=id_col,
+                             jaccard_threshold=jaccard_threshold)
+    losers = [r[id_col] for r in clusters.map_batches(
+        lambda t: t.filter(pc.invert(t["keep"])).select([id_col]),
+        batch_format="pyarrow").take_all()]
+
+    # stage 3 — fused annotate pass (checkpointed audit table)
+    if not _stage_done(annotated_dir):
+        blob, m = build_ngram_bloom(bench_texts or [], n=ngram_n)
+        from ..ops.stagecache import cached_stage
+
+        annotated = _read_stage(dedup_dir, [id_col, text_col]).map_batches(
+            cached_stage(CorpusAnnotator, drop_ref=ray.put(sorted(losers)),
+                         bloom_ref=ray.put(blob), bloom_m=m,
+                         ngram_n=ngram_n, min_words=min_words,
+                         langs=tuple(langs),
+                         max_bigram_frac=max_bigram_frac,
+                         text_col=text_col, id_col=id_col),
+            batch_format="pyarrow")
+        write_span_docs(annotated, annotated_dir)
+        _mark_done(annotated_dir)
+
+    # stage 4 — sequence packs over kept docs (column-pruned read)
+    if not _stage_done(packs_dir):
+        from ..ops.corpus import pack_sequences
+
+        kept = _read_stage(annotated_dir, [id_col, "n_words", "keep"]) \
+            .map_batches(
+                lambda t: t.filter(t["keep"]).select([id_col, "n_words"]),
+                batch_format="pyarrow")
+        packs = pack_sequences(kept, max_tokens=max_tokens, id_col=id_col,
+                               tokens_col="n_words")
+        write_span_docs(packs, packs_dir)
+        _mark_done(packs_dir)
+
+    # manifest — per-reason counts via partial aggregation (counter
+    # rows shuffle, never documents)
+    def count_batch(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        vc = pd.Series(batch.column("drop_reason").to_pylist()) \
+            .value_counts()
+        return pa.table({"drop_reason": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    partials = _read_stage(annotated_dir, ["drop_reason"]) \
+        .map_batches(count_batch, batch_format="pyarrow").to_pandas()
+    by_reason = partials.groupby("drop_reason")["n"].sum().to_dict()
+    n_packs = _read_stage(packs_dir, ["n_docs"]).count()
+    manifest = {
+        "kept": int(by_reason.get("", 0)),
+        "dropped": {k: int(v) for k, v in sorted(by_reason.items()) if k},
+        "near_dup_losers": len(losers),
+        "n_packs": int(n_packs),
+        "params": {"min_words": min_words, "langs": list(langs),
+                   "max_bigram_frac": max_bigram_frac,
+                   "jaccard_threshold": jaccard_threshold,
+                   "ngram_n": ngram_n, "max_tokens": max_tokens},
+    }
+    with open(os.path.join(workdir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
