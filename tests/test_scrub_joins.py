@@ -307,3 +307,34 @@ class TestNgramBloomDecontamination:
         out = decontaminate_ngram_flags(
             ray.data.from_arrow(t), ["a b c d e f g h i j"], n=8).to_pandas()
         assert not out["contaminated"].any()
+
+
+class TestAsofDirections:
+    def test_forward_and_nearest_bruteforce(self):
+        p, v, dp, dv = _split(_events(400))
+        for direction in ("forward", "nearest"):
+            got = asof_join(dp, dv, direction=direction,
+                            num_buckets=7).to_pandas()
+            got = got.sort_values("event_id").reset_index(drop=True)
+            want = []
+            for _, r in p.sort_values("event_id").iterrows():
+                mine = v[v.user_id == r.user_id]["ts"]
+                if direction == "forward":
+                    cand = mine[mine >= r.ts]
+                    want.append(cand.min() if len(cand) else pd.NaT)
+                else:
+                    if not len(mine):
+                        want.append(pd.NaT)
+                        continue
+                    d = (mine - r.ts).abs()
+                    best = d.min()
+                    # earlier wins ties (pandas merge_asof nearest)
+                    tied = mine[d == best]
+                    want.append(tied.min())
+            assert list(got["prior_ts"]) == want, direction
+
+    def test_bad_direction_raises(self):
+        _, _, dp, dv = _split(_events(50))
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            asof_join(dp, dv, direction="sideways")

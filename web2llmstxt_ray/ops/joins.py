@@ -50,17 +50,23 @@ def _bucketed_two_sided(left: ray.data.Dataset, right: ray.data.Dataset,
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
               key_col: str = "user_id", ts_col: str = "ts",
               out_cols: tuple[str, ...] = ("event_id",),
+              direction: str = "backward",
               num_buckets: int = 64) -> ray.data.Dataset:
-    """For every left row, attach the timestamp of the latest right row
-    of the same key with ``right.ts <= left.ts`` (backward as-of,
-    inclusive). Output: left's ``out_cols`` + ``key_col`` + ``ts_col``
-    + ``prior_ts`` (NaT when no prior right event exists).
+    """For every left row, attach the timestamp of the matched right
+    row of the same key: the latest with ``right.ts <= left.ts``
+    (``direction="backward"``), the earliest with ``right.ts >=
+    left.ts`` (``"forward"``), or the temporally closest
+    (``"nearest"``, earlier wins ties — pandas semantics). Output:
+    left's ``out_cols`` + ``key_col`` + ``ts_col`` + ``prior_ts``
+    (NaT when no match exists).
 
     Inside a bucket, ``pandas.merge_asof(by=key, on=ts)`` does the
     whole bucket in one vectorized pass. ``prior_ts`` (not the matched
     row id) is the output so results are deterministic under timestamp
     ties.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction}")
     keep = list(dict.fromkeys([*out_cols, key_col, ts_col]))
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
@@ -73,7 +79,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
             return l.assign(prior_ts=pd.Series(
                 pd.NaT, index=l.index, dtype=l[ts_col].dtype))
         out = pd.merge_asof(l, r, on=ts_col, by=key_col,
-                            direction="backward", allow_exact_matches=True)
+                            direction=direction, allow_exact_matches=True)
         return out[keep + ["prior_ts"]]
 
     return _bucketed_two_sided(left, right, key_col, keep, num_buckets,
