@@ -295,6 +295,31 @@ def _run_bench() -> dict:
     results["asof_join_2m_events"] = round(dt_asof, 3)
     extras["asof_rows_per_s"] = round(n_asof / dt_asof)
 
+    # ---- corpus_prep over 100k real-ish docs (the synthetic site's
+    # markdown): the composition flagship end-to-end — row-shuffle
+    # exact dedup, MinHash near-dup, fused annotate (langID +
+    # repetition + bloom decontamination), packs, manifest ----
+    from web2llmstxt_ray.pipelines.corpus_prep import prepare_corpus
+
+    n_docs = 100_000
+    doc_tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": site.column("markdown").combine_chunks()[:n_docs],
+    })
+    prep_dir = f"/tmp/bench_corpus_prep_{num_cpus}"
+    shutil.rmtree(prep_dir, ignore_errors=True)
+    bench_texts = doc_tbl.column("text").to_pylist()[::997]
+    docs_ds = rd.from_arrow(doc_tbl).repartition(4 * num_cpus)
+    t0 = time.perf_counter()
+    manifest = prepare_corpus(docs_ds, prep_dir, bench_texts=bench_texts,
+                              min_words=20, langs=(),
+                              max_bigram_frac=0.5)
+    dt_prep = time.perf_counter() - t0
+    results["corpus_prep_100k"] = round(dt_prep, 3)
+    extras["corpus_prep_docs_per_s"] = round(n_docs / dt_prep)
+    extras["corpus_prep_kept"] = manifest["kept"]
+    extras["corpus_prep_packs"] = manifest["n_packs"]
+
     if os.environ.get("GRAFT_BENCH_NAIVE_SESSIONIZE"):
         def _per_user(group: _pd.DataFrame) -> _pd.DataFrame:
             ts = group["ts"].sort_values()
@@ -345,8 +370,16 @@ def _run_scaling() -> None:
         r = json.loads(out.strip().splitlines()[-1])
         return r["extras"]["crawl_listing_pages_per_s"]
 
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
-    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    # Default pair 2→8: on ONE box, any level-pair measures engine
+    # scaling TIMES memory-bus sharing; the higher the total core
+    # subscription the more the bus dominates (measured gradient:
+    # 2→8 ≈ 0.83, 4→16 ≈ 0.71, 8→32 ≈ 0.71 on the same engine, while
+    # per-task CPU seconds stay within 1.14× — see BASELINE.md). A
+    # real N→4N-NODE cluster adds memory buses with nodes, so the
+    # least-subscribed pair is the least-distorted proxy. Override
+    # with GRAFT_SCALE_LO/HI to reproduce the other pairs.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
     runs_lo, runs_hi = [], []
     for _ in range(reps):
