@@ -120,3 +120,36 @@ class TestPrepareCorpus:
         assert m2 == manifest
         assert os.path.getmtime(
             os.path.join(wd, "annotated", ".done")) == before
+
+
+class TestMinhashLosers:
+    def test_losers_match_dedup_emission(self):
+        import ray.data as rd
+
+        from web2llmstxt_ray.ops.dedup import minhash_dedup, minhash_losers
+
+        rng = np.random.RandomState(8)
+        vocab = [f"v{i}" for i in range(150)]
+        base = [" ".join(rng.choice(vocab, size=50)) for _ in range(30)]
+        near = []
+        for i in range(6):
+            toks = base[i].split()
+            toks[5] = "tweaked"
+            near.append(" ".join(toks))
+        docs = base + near
+        t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+        ds = ray.data.from_arrow(t).repartition(3)
+        emitted = minhash_dedup(ds, jaccard_threshold=0.7).to_pandas()
+        want = sorted(emitted[~emitted["keep"]]["doc_id"])
+        got = minhash_losers(ds, jaccard_threshold=0.7)
+        assert got == want and len(got) >= 5
+
+    def test_no_dups_returns_empty(self):
+        rng = np.random.RandomState(9)
+        docs = [" ".join(rng.choice([f"w{i}" for i in range(500)], size=40))
+                for _ in range(20)]
+        t = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+        from web2llmstxt_ray.ops.dedup import minhash_losers
+        assert minhash_losers(ray.data.from_arrow(t)) == []

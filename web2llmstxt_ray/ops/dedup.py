@@ -291,11 +291,26 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
     """
     from .stagecache import cached_stage
 
+    root_map = _verified_root_map(ds, text_col, id_col, num_perm,
+                                  num_bands, shingle_k, jaccard_threshold)
+    pref = ray.put(root_map)
+    return ds.select_columns([id_col]).map_batches(
+        cached_stage(_ClusterEmit, pref=pref, id_col=id_col),
+        batch_format="pyarrow")
+
+
+def _verified_root_map(ds, text_col, id_col, num_perm, num_bands,
+                       shingle_k, jaccard_threshold) -> dict:
+    """LSH candidates → exact-Jaccard verify → union-find; returns the
+    flat {id: cluster-root} map covering ONLY ids in some verified
+    cluster (small by construction for near-dup corpora)."""
     cands = minhash_candidates(ds, text_col, id_col, num_perm, num_bands,
                                shingle_k)
     # verify with true shingle Jaccard — fetch only the involved docs
     # (vectorized is_in filter; only (id, text) of involved rows move)
     involved = sorted({x for p in cands for x in p})
+    if not involved:
+        return {}
     involved_arr = pa.array(involved)
 
     def grab(batch: pa.Table) -> pa.Table:
@@ -327,11 +342,21 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
     # full path compression → flat {id: root} for only the ids that are
     # in some cluster; everything else maps to itself worker-side
     root_map = {x: find(x) for x in list(parent)}
-    root_map = {x: r for x, r in root_map.items() if x != r or x in parent}
-    pref = ray.put(root_map)
-    return ds.select_columns([id_col]).map_batches(
-        cached_stage(_ClusterEmit, pref=pref, id_col=id_col),
-        batch_format="pyarrow")
+    return {x: r for x, r in root_map.items() if x != r or x in parent}
+
+
+def minhash_losers(ds: ray.data.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id", num_perm: int = 64,
+                   num_bands: int = 16, shingle_k: int = 3,
+                   jaccard_threshold: float = 0.8) -> list:
+    """Sorted ids of near-dup cluster LOSERS (everything but each
+    cluster's min-id root) — the drop set a filtering pipeline needs.
+    Reads straight off the driver-side verified union-find map: no
+    cluster-emission pass over the corpus (which :func:`minhash_dedup`
+    pays to produce per-row verdicts)."""
+    root_map = _verified_root_map(ds, text_col, id_col, num_perm,
+                                  num_bands, shingle_k, jaccard_threshold)
+    return sorted(x for x, r in root_map.items() if x != r)
 
 
 # ---------------------------------------------------------------------------

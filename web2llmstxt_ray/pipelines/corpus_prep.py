@@ -32,11 +32,10 @@ import json
 import os
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..ops.dedup import exact_dedup_rows, minhash_dedup
+from ..ops.dedup import exact_dedup_rows, minhash_losers
 from ..ops.scrub import NgramBloomFlagger, build_ngram_bloom
 from ..ops.textstats import detect_language
 from ..sinks import resolve_format, write_span_docs
@@ -147,12 +146,9 @@ def prepare_corpus(docs: rd.Dataset, workdir: str, *,
     # stage 2 — near-dup loser ids (cluster losers; keep=False rows).
     # Bounded by the near-dup fraction of the corpus — the broadcast
     # assumption this pipeline documents and tests.
-    clusters = minhash_dedup(_read_stage(dedup_dir, [id_col, text_col]),
-                             text_col=text_col, id_col=id_col,
-                             jaccard_threshold=jaccard_threshold)
-    losers = [r[id_col] for r in clusters.map_batches(
-        lambda t: t.filter(pc.invert(t["keep"])).select([id_col]),
-        batch_format="pyarrow").take_all()]
+    losers = minhash_losers(_read_stage(dedup_dir, [id_col, text_col]),
+                            text_col=text_col, id_col=id_col,
+                            jaccard_threshold=jaccard_threshold)
 
     # stage 3 — fused annotate pass (checkpointed audit table)
     if not _stage_done(annotated_dir):
