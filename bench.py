@@ -371,10 +371,9 @@ def _run_scaling() -> None:
         return r["extras"]["crawl_listing_pages_per_s"]
 
     # Default pair 2→8: on ONE box, any level-pair measures engine
-    # scaling TIMES memory-bus sharing; the higher the total core
-    # subscription the more the bus dominates (measured gradient:
-    # 2→8 ≈ 0.83, 4→16 ≈ 0.71, 8→32 ≈ 0.71 on the same engine, while
-    # per-task CPU seconds stay within 1.14× — see BASELINE.md). A
+    # scaling TIMES memory-bus sharing (per-task CPU seconds inflate
+    # up to 1.14-1.28× as subscription rises — see BASELINE.md's
+    # measured matrix: 2→8 0.831, 8→32 0.816, 4→16 0.713 median). A
     # real N→4N-NODE cluster adds memory buses with nodes, so the
     # least-subscribed pair is the least-distorted proxy. Override
     # with GRAFT_SCALE_LO/HI to reproduce the other pairs.
