@@ -603,6 +603,29 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "lang", "source"]]
 
 
+_MIX_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
+
+
+def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Domain-mixture reweighting: per-language fractional quotas
+    (ceil(rate·n) smallest-hash rows; unlisted languages dropped)."""
+    from web2llmstxt_ray.ops.corpus import quota_sample
+
+    out = quota_sample(_t(sf_dir, "documents", ["doc_id", "lang"]),
+                       "lang", _MIX_RATES)
+    return out[["doc_id", "lang"]]
+
+
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding (class prototypes) via per-block
+    partial sum vectors — no shuffle of the vectors."""
+    from web2llmstxt_ray.ops.ann import label_centroids
+
+    out = label_centroids(_t(sf_dir, "embeddings", ["label", "embedding"]),
+                          round_to=ROUND_RATIO)
+    return out[["label", "dim", "mean_v"]]
+
+
 def q_chars_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-language nearest-rank quantiles of n_chars via the
     distributed value-count histogram (no global sort)."""
@@ -913,6 +936,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": q_corpus_prep,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
+        "mixture_sample": q_mixture_sample,
+        "label_centroids": q_label_centroids,
         "chars_quantiles": q_chars_quantiles,
         "events_asof": q_events_asof,
         "events_range_counts": q_events_range_counts,
@@ -1193,6 +1218,35 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rn
                 FROM documents)
             WHERE rn <= 20
+        """,
+        "mixture_sample": """
+            WITH totals AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            quotas AS (
+                SELECT lang,
+                       CAST(ceil(n * CASE lang WHEN 'en' THEN 0.5
+                                               WHEN 'de' THEN 1.0
+                                               WHEN 'fr' THEN 0.25 END)
+                            AS BIGINT) AS q
+                FROM totals WHERE lang IN ('en', 'de', 'fr')),
+            ranked AS (
+                SELECT doc_id, d.lang,
+                       row_number() OVER (
+                           PARTITION BY d.lang
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id) AS rn
+                FROM documents d WHERE d.lang IN ('en', 'de', 'fr'))
+            SELECT r.doc_id, r.lang FROM ranked r
+            JOIN quotas USING (lang) WHERE r.rn <= quotas.q
+        """,
+        "label_centroids": f"""
+            SELECT label, i.dim AS dim,
+                   round(sum(embedding[i.dim]) / count(*), {ROUND_RATIO})
+                       AS mean_v
+            FROM embeddings,
+                 LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                          AS dim) i
+            GROUP BY label, i.dim
         """,
         "chars_quantiles": """
             SELECT lang, CAST(0.25 AS DOUBLE) AS q,

@@ -338,3 +338,59 @@ class TestAsofDirections:
         import pytest as _pt
         with _pt.raises(ValueError):
             asof_join(dp, dv, direction="sideways")
+
+
+class TestQuotaSample:
+    def test_quota_counts_and_membership(self):
+        rng = np.random.RandomState(12)
+        n = 300
+        t = pa.table({
+            "doc_id": pa.array(rng.permutation(n * 2)[:n].astype("int64")),
+            "lang": pa.array(rng.choice(["en", "de", "fr", "zz"], size=n))})
+        from web2llmstxt_ray.ops.corpus import quota_sample
+
+        rates = {"en": 0.5, "de": 1.0, "fr": 0.1}
+        out = quota_sample(ray.data.from_arrow(t).repartition(6),
+                           "lang", rates)
+        df = t.to_pandas()
+        for g, rate in rates.items():
+            n_g = (df.lang == g).sum()
+            assert (out.lang == g).sum() == int(np.ceil(rate * n_g)), g
+        assert not (out.lang == "zz").any()
+        # deterministic: smallest knuth-hash rows per stratum
+        df["_ok"] = (df.doc_id.to_numpy(dtype=np.uint64)
+                     * np.uint64(2654435761)) % np.uint64(1 << 32)
+        for g, rate in rates.items():
+            sub = df[df.lang == g].sort_values(["_ok", "doc_id"])
+            want = set(sub.head(int(np.ceil(rate * len(sub))))["doc_id"])
+            assert set(out[out.lang == g]["doc_id"]) == want, g
+
+    def test_partition_invariance(self):
+        rng = np.random.RandomState(13)
+        t = pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                      "lang": pa.array(rng.choice(["a", "b"], size=120))})
+        from web2llmstxt_ray.ops.corpus import quota_sample
+
+        r = {"a": 0.3, "b": 0.7}
+        x = quota_sample(ray.data.from_arrow(t).repartition(2), "lang", r)
+        y = quota_sample(ray.data.from_arrow(t).repartition(11), "lang", r)
+        pd.testing.assert_frame_equal(x, y)
+
+
+class TestLabelCentroids:
+    def test_matches_numpy(self):
+        rng = np.random.RandomState(14)
+        n, d = 400, 8
+        vecs = rng.randn(n, d).astype(np.float32)
+        labels = rng.randint(0, 3, size=n).astype(np.int32)
+        t = pa.table({
+            "label": pa.array(labels),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32()))})
+        from web2llmstxt_ray.ops.ann import label_centroids
+
+        out = label_centroids(ray.data.from_arrow(t).repartition(5))
+        for lab in range(3):
+            want = vecs[labels == lab].astype(np.float64).mean(axis=0)
+            got = out[out.label == lab].sort_values("dim")["mean_v"].to_numpy()
+            assert np.allclose(got, want, atol=1e-6), lab

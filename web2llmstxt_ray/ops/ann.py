@@ -102,6 +102,57 @@ def brute_force_topk(
                      "cosine": pa.array(rows["cosine"], pa.float64())})
 
 
+def label_centroids(ds: ray.data.Dataset, label_col: str = "label",
+                    vec_col: str = "embedding",
+                    round_to: int = 6):
+    """Per-label mean embedding via the partial-aggregation pattern:
+    each batch emits one (label, sum-vector, count) partial — a handful
+    of rows per block regardless of row count — and the driver combines
+    ``O(blocks × labels)`` partials and divides. The embedding-QA /
+    class-prototype primitive; no shuffle of the vectors themselves.
+
+    Returns a pandas frame (label, dim, mean_v) — flat so it is
+    SQL-oracle-comparable.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from .veckit import vec_matrix
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        mat = vec_matrix(batch, vec_col)
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(labels):
+            sel = mat[labels == lab]
+            out_l.append(int(lab))
+            out_s.append(sel.sum(axis=0).tolist())
+            out_n.append(len(sel))
+        return pa.table({
+            label_col: pa.array(out_l, pa.int64()),
+            "_sum": pa.array(out_s, pa.list_(pa.float64())),
+            "_n": pa.array(out_n, pa.int64()),
+        })
+
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        lab = row[label_col]
+        v = np.asarray(row["_sum"], dtype=np.float64)
+        if lab in sums:
+            sums[lab] += v
+            counts[lab] += row["_n"]
+        else:
+            sums[lab] = v
+            counts[lab] = row["_n"]
+    rows = []
+    for lab in sorted(sums):
+        mean = sums[lab] / counts[lab]
+        for d, v in enumerate(mean):
+            rows.append((lab, d + 1, round(float(v), round_to)))
+    return pd.DataFrame(rows, columns=[label_col, "dim", "mean_v"])
+
+
 # ---------------------------------------------------------------------------
 # IVF
 # ---------------------------------------------------------------------------

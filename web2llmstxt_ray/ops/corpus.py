@@ -119,6 +119,55 @@ def stratified_sample(ds: ray.data.Dataset, strata_col: str,
             .reset_index(drop=True))
 
 
+def quota_sample(ds: ray.data.Dataset, strata_col: str,
+                 rates: dict, key_col: str = "doc_id",
+                 keep_cols: tuple[str, ...] = ()) -> pd.DataFrame:
+    """Deterministic per-stratum FRACTIONAL sampling — the domain-
+    mixture-reweighting primitive: stratum ``g`` keeps its
+    ``ceil(rates[g] · n_g)`` rows with the smallest
+    ``(knuth_hash(key), key)`` order key (strata absent from ``rates``
+    are dropped). Same reproducible-order machinery as
+    :func:`stratified_sample`, but the cut is a per-stratum rate, so a
+    pipeline can up/down-weight sources to a target mixture without an
+    RNG.
+
+    Scale shape: needs per-stratum totals first — ONE cheap counting
+    aggregate over the strata column (partial per block, tiny combine;
+    strata cardinality is assumed small: sources/languages, not ids) —
+    then the same partial top-N pruning per block bounded by the
+    stratum's quota.
+    """
+    cols = list(dict.fromkeys([key_col, strata_col, *keep_cols]))
+
+    def count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(strata_col, as_index=False).agg(
+            n=(strata_col, "size"))
+
+    totals = ds.map_batches(count_batch, batch_format="pandas") \
+        .to_pandas().groupby(strata_col)["n"].sum().to_dict()
+    quotas = {g: int(np.ceil(rates[g] * totals.get(g, 0)))
+              for g in rates}
+    max_quota = max(quotas.values(), default=0)
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        df = df[df[strata_col].isin(quotas)]
+        df["_ok"] = (df[key_col].to_numpy(dtype=np.uint64, na_value=0)
+                     * np.uint64(2654435761)) % np.uint64(1 << 32)
+        df = df.sort_values(["_ok", key_col], kind="stable")
+        df = df.groupby(strata_col, sort=False).head(max_quota)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(partial_topn, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["_ok", key_col], kind="stable")
+    out = pd.concat([g.head(quotas[name]) for name, g in
+                     cand.groupby(strata_col, sort=False)],
+                    ignore_index=True) if len(cand) else cand
+    return (out.drop(columns=["_ok"])
+            .sort_values([strata_col, key_col])
+            .reset_index(drop=True))
+
+
 def int_quantiles(ds: ray.data.Dataset, col: str,
                   qs: tuple[float, ...] = (0.25, 0.5, 0.75),
                   group_col: str | None = None) -> pd.DataFrame:
