@@ -117,3 +117,29 @@ class TestHashBatch:
 
     def test_empty_batch(self):
         assert len(U.hash64_batch([])) == 0
+
+
+class TestHash64DictionaryPath:
+    def test_large_repetitive_batch_equals_scalar(self):
+        # >=1024 strings with heavy repetition triggers the
+        # dictionary-encode fast path; must stay bit-identical
+        import numpy as np
+
+        from web2llmstxt_ray.functions import urls as U
+
+        words = [f"w{i % 37}" for i in range(5000)] + ["", "x", "étude"] * 10
+        vec = U.hash64_batch(words)
+        scalar = np.array([U.hash64(w) for w in words], dtype=np.uint64)
+        assert (vec == scalar).all()
+
+    def test_large_distinct_batch_equals_scalar(self):
+        # all-distinct large batch skips the gather (ratio guard) but
+        # must still match
+        import numpy as np
+
+        from web2llmstxt_ray.functions import urls as U
+
+        words = [f"unique-{i}" for i in range(3000)]
+        vec = U.hash64_batch(words)
+        scalar = np.array([U.hash64(w) for w in words], dtype=np.uint64)
+        assert (vec == scalar).all()
