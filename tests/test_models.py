@@ -24,9 +24,14 @@ class TestRegistry:
         assert isinstance(c, M.OllamaClient)
         assert c.warmed_up is False
 
-    def test_gemini_stub_raises(self):
-        with pytest.raises(NotImplementedError):
-            M.GeminiClient(M.ModelConfig("g", "g", provider="gemini"), "key")
+    def test_gemini_constructs_and_degrades_without_key(self):
+        # real REST client (protocol behavior tested over loopback in
+        # test_network_models.py); keyless generate degrades to None
+        # without any network traffic
+        c = M.GeminiClient(M.ModelConfig("g", "g", provider="gemini"),
+                           api_key="")
+        assert c.generate("t", "c", "https://x.test/") is None
+        assert c.stats["total_requests"] == 0
 
     def test_pick_model_ram_gate(self):
         huge = M.ModelConfig("big", "big", provider="ollama", est_ram_gb=1e9)

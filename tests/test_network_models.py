@@ -232,3 +232,67 @@ class TestOllamaClient:
         rep = c.performance_report()
         assert rep["rating"] in ("excellent", "good", "fair", "slow")
         assert rep["success_rate"] == 1.0
+
+
+class TestGeminiClient:
+    def _cfg(self):
+        return ModelConfig("gemini-1.5-flash", "Gemini Flash",
+                           provider="gemini")
+
+    def test_generate_roundtrip(self, site_and_server):
+        from web2llmstxt_ray.models import GeminiClient
+
+        _, _, server = site_and_server
+        c = GeminiClient(self._cfg(), api_key="test-key",
+                         base_url=server.base_url, retry_sleep_s=0.05)
+        out = c.generate("Title", "Some page content.", "https://x.test/")
+        assert out is not None and out.startswith("Gemini summary:")
+        assert c.stats["total_requests"] == 1
+        rep = c.performance_report()
+        assert rep["success_rate"] == 1.0
+
+    def test_missing_api_key_returns_none(self, site_and_server):
+        from web2llmstxt_ray.models import GeminiClient
+
+        _, _, server = site_and_server
+        c = GeminiClient(self._cfg(), api_key="",
+                         base_url=server.base_url, retry_sleep_s=0.05)
+        assert c.generate("T", "c", "https://x.test/") is None
+        assert c.stats["total_requests"] == 0     # short-circuits locally
+
+    def test_retries_then_success_and_exhaustion(self, site_and_server):
+        from web2llmstxt_ray.models import GeminiClient
+
+        _, _, server = site_and_server
+        path = "/v1beta/models/gemini-1.5-flash:generateContent"
+        c = GeminiClient(self._cfg(), api_key="k",
+                         base_url=server.base_url, retry_sleep_s=0.01)
+        server.request_counts.pop(path, None)
+        server.fail_first[path] = (2, 500)
+        assert c.generate("T", "content", "https://x.test/") is not None
+        assert c.stats["errors"] == 2
+        server.request_counts.pop(path, None)
+        server.fail_first[path] = (5, 503)
+        assert c.generate("T", "content", "https://x.test/") is None
+        server.fail_first.pop(path, None)
+
+    def test_empty_candidates_returns_none(self, site_and_server):
+        from web2llmstxt_ray.models import GeminiClient
+
+        _, _, server = site_and_server
+        c = GeminiClient(self._cfg(), api_key="k",
+                         base_url=server.base_url, retry_sleep_s=0.01)
+        assert c.generate("T", "please send empty-response",
+                          "https://x.test/") is None
+
+    def test_invalid_key_rejected_by_server(self, site_and_server):
+        import requests
+
+        from web2llmstxt_ray.models import GeminiClient
+
+        _, _, server = site_and_server
+        r = requests.post(
+            server.base_url
+            + "/v1beta/models/gemini-1.5-flash:generateContent",
+            json={"contents": [{"parts": [{"text": "hi"}]}]}, timeout=5)
+        assert r.status_code == 403

@@ -28,6 +28,7 @@ That flow lives in :func:`generate_description`.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Protocol
 
@@ -233,14 +234,114 @@ class OllamaClient:
                                  if s["total_requests"] else 0.0)}
 
 
-class GeminiClient:  # pragma: no cover - network stub
-    """STUB — Gemini API provider (models/client.py:343-379)."""
+class GeminiClient:
+    """Cloud Gemini provider over the public ``generateContent`` REST
+    protocol (the reference drives the same API through the
+    ``google-generativeai`` SDK — ``models/client.py:302-311,385-411``).
+    Real request/retry/stats logic, exercised in-sandbox against the
+    loopback fixture server's Gemini route.
 
-    def __init__(self, config: ModelConfig, api_key: str):
-        raise NotImplementedError("No network in this sandbox.")
+    Reference behaviors mirrored:
+
+    - API key from ``GEMINI_API_KEY`` (``models/client.py:36``); a
+      missing key makes ``generate`` return None (the reference logs
+      and degrades, ``:389-391``);
+    - 60 s cloud timeout (``_get_adaptive_timeout``, ``:313-317``);
+    - 3 attempts, exponential backoff 4→10 s (tenacity policy,
+      ``:320,384``);
+    - temperature + max output tokens in the generation config
+      (``:397-400``); empty candidate list → None (``:407-410``);
+    - no warm-up: the reference warms only local models.
+    """
+
+    def __init__(self, config: ModelConfig, api_key: str | None = None,
+                 base_url: str =
+                 "https://generativelanguage.googleapis.com",
+                 retry_sleep_s: float | None = None):
+        import requests
+
+        self.config = config
+        self.api_key = (api_key if api_key is not None
+                        else os.environ.get("GEMINI_API_KEY", ""))
+        self.base_url = base_url.rstrip("/")
+        self.session = requests.Session()
+        self.session.headers.update({"Content-Type": "application/json"})
+        self.stats = {"total_requests": 0, "total_tokens_generated": 0,
+                      "total_time_seconds": 0.0, "timeouts": 0, "errors": 0}
+        self._retry_sleep_s = retry_sleep_s
+
+    TIMEOUT_S = 60.0  # cloud models: fixed budget, no RAM banding
+
+    def _post_generate(self, prompt: str, max_tokens: int) -> str:
+        import time as _time
+
+        import requests
+
+        t0 = _time.monotonic()
+        self.stats["total_requests"] += 1
+        url = (f"{self.base_url}/v1beta/models/"
+               f"{self.config.model_id}:generateContent")
+        try:
+            resp = self.session.post(
+                url, params={"key": self.api_key},
+                json={
+                    "contents": [{"parts": [{"text": prompt}]}],
+                    "generationConfig": {
+                        "temperature": self.config.temperature,
+                        "maxOutputTokens": max_tokens,
+                    },
+                },
+                timeout=self.TIMEOUT_S,
+            )
+            resp.raise_for_status()
+        except requests.exceptions.Timeout:
+            self.stats["timeouts"] += 1
+            raise
+        except requests.exceptions.RequestException:
+            self.stats["errors"] += 1
+            raise
+        cands = resp.json().get("candidates") or []
+        parts = (cands[0].get("content", {}).get("parts", [])
+                 if cands else [])
+        text = " ".join(p.get("text", "") for p in parts).strip()
+        self.stats["total_time_seconds"] += _time.monotonic() - t0
+        self.stats["total_tokens_generated"] += len(text.split())
+        return text
 
     def generate(self, title: str, content: str, url: str) -> str | None:
-        raise NotImplementedError
+        import time as _time
+
+        import requests
+
+        if not self.api_key:
+            return None
+        prompt = (
+            "Write a one-sentence description of this web page for an "
+            "llms.txt index. Respond with only the description.\n"
+            f"URL: {url}\nTitle: {title}\nContent:\n{content[:2000]}"
+        )
+        for attempt in range(3):
+            try:
+                text = self._post_generate(prompt, MAX_GEN_OUTPUT_TOKENS)
+                return text or None          # empty candidates → None
+            except requests.exceptions.RequestException:
+                if attempt == 2:
+                    return None
+                sleep = (self._retry_sleep_s if self._retry_sleep_s is not None
+                         else min(4 * 2 ** attempt, 10))
+                _time.sleep(sleep)
+        return None
+
+    def performance_report(self) -> dict:
+        s = self.stats
+        tps = (s["total_tokens_generated"] / s["total_time_seconds"]
+               if s["total_time_seconds"] > 0 else 0.0)
+        rating = ("excellent" if tps > 50 else "good" if tps > 20
+                  else "fair" if tps > 10 else "slow")
+        ok = s["total_requests"] - s["errors"] - s["timeouts"]
+        return {**s, "tokens_per_second": round(tps, 2), "rating": rating,
+                "success_rate": (ok / s["total_requests"]
+                                 if s["total_requests"] else 0.0)}
 
 
 _CLIENTS = {

@@ -114,10 +114,15 @@ class FixtureHTTPServer:
                     self._send(404, b'{"error": "bad path"}')
 
             def do_POST(self):
-                if self.path != "/api/generate":
+                parsed = urllib.parse.urlparse(self.path)
+                if (parsed.path.startswith("/v1beta/models/")
+                        and parsed.path.endswith(":generateContent")):
+                    self._gemini(parsed)
+                    return
+                if parsed.path != "/api/generate":
                     self._send(404, b'{"error": "bad path"}')
                     return
-                status = self._maybe_fault(self.path)
+                status = self._maybe_fault(parsed.path)
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 if status is not None:
@@ -135,6 +140,38 @@ class FixtureHTTPServer:
                     "model": payload.get("model", ""),
                     "response": text,
                     "done": True,
+                }).encode())
+
+            def _gemini(self, parsed):
+                """Gemini ``generateContent`` REST protocol mock:
+                requires ``?key=``, echoes a deterministic candidate;
+                ``empty-response`` prompts yield zero candidates (the
+                reference's empty-text branch)."""
+                status = self._maybe_fault(parsed.path)
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                if status is not None:
+                    self._send(status, b'{"error": {"message": "injected"}}')
+                    return
+                qs = urllib.parse.parse_qs(parsed.query)
+                if not qs.get("key", [""])[0]:
+                    self._send(403, json.dumps({
+                        "error": {"code": 403,
+                                  "message": "API key not valid"}}).encode())
+                    return
+                parts = (payload.get("contents") or [{}])[0].get("parts", [])
+                prompt = " ".join(p.get("text", "") for p in parts)
+                if "empty-response" in prompt:
+                    self._send(200, json.dumps({"candidates": []}).encode())
+                    return
+                seed = prompt.strip().splitlines()[-1][:60] if prompt else ""
+                self._send(200, json.dumps({
+                    "candidates": [{
+                        "content": {"parts": [
+                            {"text": f"Gemini summary: {seed}".strip()}],
+                            "role": "model"},
+                        "finishReason": "STOP",
+                    }],
                 }).encode())
 
         self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
