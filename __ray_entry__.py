@@ -439,6 +439,15 @@ def q_top_tokens(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_top_tokens_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Per-language vocabulary top-10 (count desc, token asc) —
+    bucketed-by-token partial merge, driver holds buckets x langs x k."""
+    from web2llmstxt_ray.ops.corpus import top_tokens_by_group
+
+    return top_tokens_by_group(
+        _t(sf_dir, "documents", ["lang", "text"]), "lang", k=10)
+
+
 def q_doc_sample(sf_dir: str) -> pd.DataFrame:
     """Deterministic mod-sample: exact, reproducible train/eval split."""
     from web2llmstxt_ray.ops.corpus import sample_mod
@@ -926,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "quality_filter": q_quality_filter,
         "top_tokens": q_top_tokens,
+        "top_tokens_by_lang": q_top_tokens_by_lang,
         "doc_sample": q_doc_sample,
         "pack_sequences": q_pack_sequences,
         "lang_hist": q_lang_hist,
@@ -1121,6 +1131,22 @@ def oracle_sql() -> dict[str, str]:
                       AS token
                   FROM documents WHERE trim(text) != '')
             GROUP BY token ORDER BY n DESC, token LIMIT 50
+        """,
+        "top_tokens_by_lang": """
+            WITH toks AS (
+                SELECT lang,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS token
+                FROM documents),
+            tc AS (SELECT lang, token, count(*) AS n FROM toks
+                   GROUP BY lang, token),
+            ranked AS (
+                SELECT lang, token, n,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, token) AS rn
+                FROM tc)
+            SELECT lang, token, n FROM ranked WHERE rn <= 10
         """,
         "doc_sample": """
             SELECT doc_id, lang FROM documents WHERE doc_id % 10 < 3

@@ -93,3 +93,35 @@ class TestPackSequences:
         b = sorted(r["pack_id"] for r in
                    pack_sequences(ray.data.from_arrow(t), 2048).take_all())
         assert a == b
+
+
+class TestTopTokensByGroup:
+    def test_matches_counter_oracle(self):
+        from web2llmstxt_ray.ops.corpus import top_tokens_by_group
+
+        rng = np.random.RandomState(6)
+        vocab = ["alpha", "beta", "gamma", "delta", "the", "and"]
+        rows = {"lang": [], "text": []}
+        for _ in range(100):
+            rows["lang"].append(str(rng.choice(["en", "de"])))
+            rows["text"].append(" ".join(rng.choice(vocab, size=20)))
+        t = pa.table({"lang": pa.array(rows["lang"]),
+                      "text": pa.array(rows["text"])})
+        got = top_tokens_by_group(
+            ray.data.from_arrow(t).repartition(5), "lang", k=3)
+        for g in ("en", "de"):
+            c = Counter()
+            for lg, txt in zip(rows["lang"], rows["text"]):
+                if lg == g:
+                    c.update(txt.lower().split())
+            want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+            sub = got[got.lang == g]
+            assert list(zip(sub["token"], sub["n"])) == want, g
+
+    def test_empty_group_col_values(self):
+        from web2llmstxt_ray.ops.corpus import top_tokens_by_group
+
+        t = pa.table({"lang": pa.array(["en", "en"]),
+                      "text": pa.array(["a b a", None])})
+        got = top_tokens_by_group(ray.data.from_arrow(t), "lang", k=5)
+        assert list(zip(got["token"], got["n"])) == [("a", 2), ("b", 1)]

@@ -70,6 +70,58 @@ def top_tokens(ds: ray.data.Dataset, k: int = 50, text_col: str = "text",
     return out.reset_index(drop=True)
 
 
+def top_tokens_by_group(ds: ray.data.Dataset, group_col: str,
+                        k: int = 10, text_col: str = "text",
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Per-group token top-k (count desc, token asc): the per-language
+    vocabulary primitive. Same shape as :func:`top_tokens` — per-batch
+    (group, token) Counter partials, hash-bucket shuffle on the TOKEN
+    (each token's total per group completes inside one bucket, so
+    per-bucket per-group top-k's union contains every group's global
+    top-k), driver merge of ``O(buckets × groups × k)`` rows. Group
+    cardinality is assumed small (languages/sources)."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for g, t in zip(batch.column(group_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            if t:
+                for w in t.lower().split():
+                    c[(g, w)] += 1
+        if not c:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "_tbucket": pa.array([], pa.int32())})
+        keys = list(c.keys())
+        toks = [w for _, w in keys]
+        buckets = (hash64_batch(toks) % np.uint64(num_buckets)).astype(
+            np.int32)
+        return pa.table({
+            group_col: pa.array([g for g, _ in keys], pa.string()),
+            "token": pa.array(toks, pa.string()),
+            "n": pa.array([c[key] for key in keys], pa.int64()),
+            "_tbucket": pa.array(buckets),
+        })
+
+    def bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        merged = group.groupby([group_col, "token"], as_index=False)[
+            "n"].sum()
+        merged = merged.sort_values(["n", "token"],
+                                    ascending=[False, True])
+        return merged.groupby(group_col, sort=False).head(k)
+
+    cand = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("_tbucket").map_groups(bucket_topk, batch_format="pandas") \
+        .to_pandas()
+    cand = cand.sort_values(["n", "token"], ascending=[False, True])
+    out = cand.groupby(group_col, sort=False).head(k)
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values([group_col, "n", "token"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
 def sample_mod(ds: ray.data.Dataset, key_col: str, modulus: int = 100,
                keep_below: int = 10) -> ray.data.Dataset:
     """Deterministic sample: keep rows where ``key % modulus <
