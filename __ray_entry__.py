@@ -387,6 +387,31 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     return out[["content_hash", "doc_id"]]
 
 
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-run dedup: flag documents whose content already exists in
+    a prior corpus (docs with id % 3 == 0), via a broadcast exact-hash
+    digest — the corpus analogue of the crawl's persistent seen filter
+    (bloom digest is the constant-size scale tier, pytest-verified)."""
+    from web2llmstxt_ray.ops.dedup import (
+        dedup_against_prior, prior_corpus_digest)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def third(keep_prior):
+        def f(t: pa.Table) -> pa.Table:
+            arr = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (arr % 3 == 0) if keep_prior else (arr % 3 != 0)
+            return t.filter(pa.array(mask))
+        return f
+
+    prior = docs.map_batches(third(True), batch_format="pyarrow")
+    new = docs.map_batches(third(False), batch_format="pyarrow")
+    digest = prior_corpus_digest(prior, mode="exact")
+    out = _pdf(dedup_against_prior(new, digest))
+    out["is_dup"] = out["is_dup"].astype("int64")
+    return out[["doc_id", "is_dup"]]
+
+
 def q_fingerprints(sf_dir: str) -> pd.DataFrame:
     from web2llmstxt_ray.ops.textstats import fingerprints
 
@@ -930,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_customer_hist": q_orders_per_customer_hist,
         "top_parts_per_type": q_top_parts_per_type,
         "exact_dedup": q_exact_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "fingerprints": q_fingerprints,
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
@@ -1065,6 +1091,14 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "incremental_dedup": """
+            SELECT d.doc_id,
+                   CAST(EXISTS (SELECT 1 FROM documents p
+                                WHERE p.doc_id % 3 = 0
+                                  AND p.text = d.text)
+                        AS BIGINT) AS is_dup
+            FROM documents d WHERE d.doc_id % 3 <> 0
         """,
         "fingerprints": """
             SELECT doc_id,

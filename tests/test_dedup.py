@@ -168,3 +168,57 @@ class TestEmbeddingNearDupIVF:
         recall = len(approx & exact) / len(exact)
         assert recall >= 0.8, f"IVF recall {recall:.2f} too low"
 
+
+
+class TestIncrementalDedup:
+    def _tables(self):
+        rng = np.random.RandomState(17)
+        vocab = [f"w{i}" for i in range(300)]
+        prior = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+        fresh = [" ".join(rng.choice(vocab, size=30)) for _ in range(35)]
+        new_docs = fresh + prior[:5]            # 5 cross-run dups
+        pt = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                       "text": pa.array(prior, pa.string())})
+        nt = pa.table({"doc_id": pa.array(range(100, 100 + len(new_docs)),
+                                          pa.int64()),
+                       "text": pa.array(new_docs, pa.string())})
+        return pt, nt
+
+    def test_exact_mode_flags_exactly(self):
+        from web2llmstxt_ray.ops.dedup import (
+            dedup_against_prior, prior_corpus_digest)
+
+        pt, nt = self._tables()
+        digest = prior_corpus_digest(
+            ray.data.from_arrow(pt).repartition(3), mode="exact")
+        out = dedup_against_prior(
+            ray.data.from_arrow(nt).repartition(4), digest).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        assert list(out["is_dup"]) == [False] * 35 + [True] * 5
+
+    def test_bloom_mode_no_false_negatives(self):
+        from web2llmstxt_ray.ops.dedup import (
+            dedup_against_prior, prior_corpus_digest)
+
+        pt, nt = self._tables()
+        digest = prior_corpus_digest(
+            ray.data.from_arrow(pt).repartition(3), mode="bloom")
+        assert digest[0] == "bloom"
+        out = dedup_against_prior(
+            ray.data.from_arrow(nt).repartition(4), digest).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        # every true dup flagged; over-flagging bounded by bloom FP
+        assert out["is_dup"].iloc[35:].all()
+        assert out["is_dup"].iloc[:35].sum() <= 2
+
+    def test_empty_prior(self):
+        from web2llmstxt_ray.ops.dedup import (
+            dedup_against_prior, prior_corpus_digest)
+
+        _, nt = self._tables()
+        empty = ray.data.from_arrow(nt.slice(0, 0))
+        for mode in ("exact", "bloom"):
+            digest = prior_corpus_digest(empty, mode=mode)
+            out = dedup_against_prior(
+                ray.data.from_arrow(nt), digest).to_pandas()
+            assert not out["is_dup"].any(), mode

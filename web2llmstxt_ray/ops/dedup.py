@@ -34,6 +34,7 @@ import ray.data
 from ray.data.aggregate import Min
 
 from ..functions.urls import hash64, hash64_batch
+from .scrub import _bloom_positions
 from .veckit import vec_matrix
 
 # ---------------------------------------------------------------------------
@@ -62,6 +63,89 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
         ["content_hash", id_col])
     return hashed.groupby("content_hash").aggregate(
         Min(id_col, alias_name=id_col))
+
+
+class _PriorHashFlagger:
+    """Flag rows whose content hash appears in a broadcast prior-corpus
+    digest: either an exact hash set (``mode='exact'``) or a bloom bit
+    array (``mode='bloom'``, m bits / 4 salts — over-flags at the bloom
+    FP rate, never under-flags: the safe direction for dedup)."""
+
+    def __init__(self, digest_ref, mode: str, m: int = 0,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        digest = (ray.get(digest_ref)
+                  if isinstance(digest_ref, ray.ObjectRef) else digest_ref)
+        self.mode = mode
+        if mode == "exact":
+            self.prior = digest if isinstance(digest, set) else set(digest)
+        else:
+            self.bits = np.unpackbits(
+                np.frombuffer(digest, dtype=np.uint8)).astype(bool)[:m]
+            self.m = m
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
+        if self.mode == "exact":
+            dup = [content_md5(t) in self.prior for t in texts]
+        else:
+            hashes = hash64_batch([content_md5(t) for t in texts])
+            pos = _bloom_positions(hashes, self.m)
+            dup = self.bits[pos].all(axis=0).tolist()
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "is_dup": pa.array(dup, pa.bool_()),
+        })
+
+
+def prior_corpus_digest(prior: ray.data.Dataset, text_col: str = "text",
+                        mode: str = "bloom",
+                        bits_per_key: int = 16) -> tuple:
+    """Digest of a prior corpus's content hashes for incremental dedup:
+    ``('exact', set)`` (driver holds every md5 — only for priors known
+    to fit) or ``('bloom', bits, m)`` (constant-size broadcast; FP rate
+    set by ``bits_per_key``). Built distributively: each batch emits
+    its hashes (exact) or a pre-sized OR-able bloom chunk; the text
+    itself never reaches the driver."""
+
+    def hashes_batch(batch: pa.Table) -> pa.Table:
+        hs = [content_md5(t or "")
+              for t in batch.column(text_col).to_pylist()]
+        return pa.table({"h": pa.array(hs, pa.string())})
+
+    hs = [r["h"] for r in prior.map_batches(
+        hashes_batch, batch_format="pyarrow").take_all()]
+    if mode == "exact":
+        return ("exact", set(hs))
+    m = max(64, 1 << int(np.ceil(np.log2(max(1, len(hs)) * bits_per_key))))
+    bits = np.zeros(m, dtype=bool)
+    if hs:
+        pos = _bloom_positions(hash64_batch(hs), m)
+        bits[pos.ravel()] = True
+    return ("bloom", np.packbits(bits).tobytes(), m)
+
+
+def dedup_against_prior(ds: ray.data.Dataset, digest: tuple,
+                        **kw) -> ray.data.Dataset:
+    """Incremental dedup: (id, is_dup) flags for ``ds`` against a
+    :func:`prior_corpus_digest` — the cross-run tier that no per-job
+    shuffle can express (the corpus analogue of the crawl's persistent
+    seen filter). Digest broadcasts once via ``ray.put``; exact mode is
+    FP-free, bloom mode over-flags at the bloom rate (documented safe
+    direction). Filter on ``is_dup`` or join back for auditing."""
+    from .stagecache import cached_stage
+
+    if digest[0] == "exact":
+        ref = ray.put(digest[1])
+        return ds.map_batches(
+            cached_stage(_PriorHashFlagger, digest_ref=ref, mode="exact",
+                         **kw),
+            batch_format="pyarrow")
+    ref = ray.put(digest[1])
+    return ds.map_batches(
+        cached_stage(_PriorHashFlagger, digest_ref=ref, mode="bloom",
+                     m=digest[2], **kw),
+        batch_format="pyarrow")
 
 
 def exact_dedup_rows(ds: ray.data.Dataset, text_col: str = "text",
