@@ -165,21 +165,28 @@ def _run_bench() -> dict:
     warm = rd.from_arrow(pa.table({"url": all_urls[: 4 * num_cpus]}))
     fetch_extract_suite(warm.repartition(2 * num_cpus), idx_ref,
                         batch_size=2).count()
-    t0 = time.perf_counter()
-    seeds = rd.from_arrow(pa.table({"url": all_urls}))
-    # block count propagates: a 1-block seed table serializes every
-    # downstream stage onto one worker
-    seeds = seeds.repartition(4 * num_cpus)
-    seeds = seeds.map_batches(canonicalize_batch, batch_format="pyarrow")
-    seeds = seeds.map_batches(dedup_batch, batch_format="pyarrow")
-    seeds = global_dedup(seeds, "url")
-    suite = fetch_extract_suite(seeds, idx_ref, batch_size=256)
-    suite.write_parquet(out_dir)
-    dt = time.perf_counter() - t0
+    # best of 2 (both recorded): single-run wall noise on a shared
+    # host is ±20-30%, larger than most optimizations being tracked
+    listing_runs = []
+    for _ in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        seeds = rd.from_arrow(pa.table({"url": all_urls}))
+        # block count propagates: a 1-block seed table serializes every
+        # downstream stage onto one worker
+        seeds = seeds.repartition(4 * num_cpus)
+        seeds = seeds.map_batches(canonicalize_batch, batch_format="pyarrow")
+        seeds = seeds.map_batches(dedup_batch, batch_format="pyarrow")
+        seeds = global_dedup(seeds, "url")
+        suite = fetch_extract_suite(seeds, idx_ref, batch_size=256)
+        suite.write_parquet(out_dir)
+        listing_runs.append(time.perf_counter() - t0)
+    dt = min(listing_runs)
     results["crawl_listing"] = round(dt, 3)
     n_pages = sum(_pq.read_metadata(f).num_rows
                   for f in glob.glob(f"{out_dir}/*.parquet"))
     extras["crawl_listing_pages"] = n_pages
+    extras["crawl_listing_runs_s"] = [round(d, 3) for d in listing_runs]
     extras["crawl_listing_pages_per_s"] = round(n_pages / dt, 1)
 
     if headline_only:
