@@ -644,7 +644,11 @@ def _emit_pairs(ids_a, mat_a, ids_b, mat_b, threshold: float,
         swap = a > b
         out_a.append(np.where(swap, b, a))
         out_b.append(np.where(swap, a, b))
-        out_c.append(np.round(cos, 6))
+        # RAW f64 cosine: rounding here would manufacture exact
+        # half-way values that a SECOND rounding downstream (engine
+        # pandas vs DuckDB) resolves differently — consumers round
+        # once, from raw (bit the sf0.1 oracle at 3 pairs)
+        out_c.append(cos)
     if not out_a:
         empty = np.empty(0)
         return {"a": empty.astype(np.int64), "b": empty.astype(np.int64),
