@@ -833,6 +833,19 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash Hamming-ball near-dup pairs via pigeonhole block
+    bucketing (signature-only tier; rows-only — SimHash is not
+    SQL-expressible; brute-force-oracled in tests/test_dedup.py)."""
+    from web2llmstxt_ray.ops.dedup import simhash_near_dup_pairs
+
+    out = simhash_near_dup_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text"]), max_hamming=8)
+    df = out.to_pandas()
+    df["hamming"] = df["hamming"].astype("int64")
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     from web2llmstxt_ray.ops.dedup import ngram_jaccard_pairs
 
@@ -987,6 +1000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
         "distinct_users_hll": q_distinct_users_hll,

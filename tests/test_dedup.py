@@ -222,3 +222,44 @@ class TestIncrementalDedup:
             out = dedup_against_prior(
                 ray.data.from_arrow(nt), digest).to_pandas()
             assert not out["is_dup"].any(), mode
+
+
+class TestSimhashNearDupPairs:
+    def _corpus(self):
+        rng = np.random.RandomState(23)
+        vocab = [f"w{i}" for i in range(400)]
+        base = [" ".join(rng.choice(vocab, size=80)) for _ in range(25)]
+        near = []
+        for i in range(6):
+            toks = base[i].split()
+            toks[10] = "edited"                  # tiny perturbation
+            near.append(" ".join(toks))
+        return base + near
+
+    def test_matches_bruteforce(self):
+        docs = self._corpus()
+        t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+        got = D.simhash_near_dup_pairs(
+            ray.data.from_arrow(t).repartition(4), max_hamming=6)
+        got_pairs = {(a, b): h for a, b, h in
+                     zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                         got["hamming"].to_pylist())}
+        sigs = [D.simhash64(d) for d in docs]
+        want = {}
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                h = D.hamming64(sigs[i], sigs[j])
+                if h <= 6:
+                    want[(i, j)] = h
+        assert got_pairs == want and len(want) >= 5
+
+    def test_zero_distance_exact_dups(self):
+        docs = ["alpha beta gamma delta"] * 3 + ["something else entirely"]
+        t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+        got = D.simhash_near_dup_pairs(ray.data.from_arrow(t),
+                                       max_hamming=0)
+        assert got["a"].to_pylist() == [0, 0, 1]
+        assert got["b"].to_pylist() == [1, 2, 2]
+        assert got["hamming"].to_pylist() == [0, 0, 0]

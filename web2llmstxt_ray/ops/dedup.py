@@ -35,6 +35,7 @@ from ray.data.aggregate import Min
 
 from ..functions.urls import hash64, hash64_batch
 from .scrub import _bloom_positions
+from .sketch import HyperLogLog
 from .veckit import vec_matrix
 
 # ---------------------------------------------------------------------------
@@ -474,6 +475,96 @@ def add_simhash(ds: ray.data.Dataset, text_col: str = "text",
         vals = [simhash64(t or "") for t in batch.column(text_col).to_pylist()]
         return batch.append_column(out_col, pa.array(vals, pa.uint64()))
     return ds.map_batches(_s, batch_format="pyarrow", batch_size=None)
+
+
+def simhash_near_dup_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           num_buckets: int = 256) -> pa.Table:
+    """All (a, b, hamming) pairs with SimHash Hamming distance ≤
+    ``max_hamming`` — the signature-only near-dup tier (no shingle
+    sets, no text comparison; catches heavy token overlap).
+
+    Scale shape (the classic pigeonhole search): split each 64-bit
+    signature into ``B = max_hamming + 1`` blocks — any pair within
+    distance ``max_hamming`` agrees EXACTLY on at least one block — and
+    shuffle (block_idx, block_value, id, sig) rows grouped by
+    ``hash(block key) % num_buckets`` (bucketed: the raw key space is
+    ~B·2^16 mostly-singleton groups, the 1-row-block pathology).
+    Within a bucket one pandas groupby enumerates each exact-block
+    collision set; the full signatures ride along so the Hamming
+    verify is inline and exact. A pair can collide on several blocks
+    (different buckets), so the (small, near-dup) pair list dedupes on
+    the driver. Only (id, 4×uint16, sig) rows ever shuffle.
+    """
+    B = max_hamming + 1
+    # any B-way partition of the 64 bits works for the pigeonhole;
+    # linspace gives near-even widths for every B
+    bounds = np.linspace(0, 64, B + 1, dtype=np.int64)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sigs = np.array([simhash64(t or "")
+                         for t in batch.column(text_col).to_pylist()],
+                        dtype=np.uint64)
+        out = {"_bkt": [], id_col: [], "_sig": []}
+        n = len(ids)
+        for bi in range(B):
+            lo, hi = int(bounds[bi]), int(bounds[bi + 1])
+            width = hi - lo
+            key = (sigs >> np.uint64(lo)) & np.uint64((1 << width) - 1)
+            # bucket on (block index, block value)
+            mixed = HyperLogLog._fmix64(
+                key ^ (np.uint64(bi) * np.uint64(0x9E3779B97F4A7C15)))
+            bkt = (mixed % np.uint64(num_buckets)).astype(np.int32)
+            # carry the exact block key for in-bucket grouping
+            out["_bkt"].extend(
+                (int(b) * (1 << 20) + bi for b in bkt))  # disambiguate bi
+            out[id_col].extend(ids)
+            out["_sig"].extend(int(s) for s in sigs)
+        t = pa.table({
+            "_bkt": pa.array(out["_bkt"], pa.int64()),
+            id_col: pa.array(out[id_col]),
+            "_sig": pa.array(out["_sig"], pa.uint64()),
+            "_key": pa.array(
+                np.concatenate([
+                    ((sigs >> np.uint64(int(bounds[bi])))
+                     & np.uint64((1 << int(bounds[bi + 1] - bounds[bi])) - 1)
+                     ).astype(np.uint64)
+                    for bi in range(B)]) if n else
+                np.empty(0, dtype=np.uint64)),
+        })
+        return t
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, sub in group.groupby("_key", sort=False):
+            if len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            sigs = sub["_sig"].to_numpy(dtype=np.uint64)
+            order = np.argsort(ids)
+            ids, sigs = ids[order], sigs[order]
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    if ids[x] == ids[y]:
+                        continue
+                    h = int(bin(int(sigs[x]) ^ int(sigs[y])).count("1"))
+                    if h <= max_hamming:
+                        out_a.append(ids[x])
+                        out_b.append(ids[y])
+                        out_h.append(h)
+        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+
+    cand = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("_bkt").map_groups(pairs, batch_format="pandas")
+    seen: dict = {}
+    for row in cand.take_all():
+        seen[(row["a"], row["b"])] = row["hamming"]
+    return pa.table({
+        "a": pa.array([k[0] for k in sorted(seen)]),
+        "b": pa.array([k[1] for k in sorted(seen)]),
+        "hamming": pa.array([seen[k] for k in sorted(seen)], pa.int32()),
+    })
 
 
 def hamming64(a: int, b: int) -> int:
