@@ -846,6 +846,40 @@ def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_graph_components(sf_dir: str) -> pd.DataFrame:
+    """Distributed connected components (alternating star contraction,
+    Kiveris et al. SoCC'14) over a deterministic chain graph derived
+    from documents: edge (doc_id, doc_id-1) unless doc_id % 8 == 0 —
+    chains of 8 that need multiple contraction rounds. Oracle: DuckDB
+    recursive CTE computing min-reachable label."""
+    from web2llmstxt_ray.ops.graph import connected_components
+
+    def chain_edges(batch):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        keep = ids % 8 != 0
+        return pa.table({"a": ids[keep], "b": ids[keep] - 1})
+
+    edges = _t(sf_dir, "documents", ["doc_id"]).map_batches(
+        chain_edges, batch_format="pyarrow")
+    out = connected_components(edges, "a", "b").to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_minhash_clusters_scale(sf_dir: str) -> pd.DataFrame:
+    """Fully-distributed near-dup clustering (LSH-precision tier: no
+    driver-side pair list, star-contraction components). Rows-only —
+    equivalence to the exact-verify tier on candidate-precision-1
+    corpora is pytest-gated in tests/test_graph.py."""
+    from web2llmstxt_ray.ops.dedup import minhash_clusters_scale
+
+    out = minhash_clusters_scale(
+        _t(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     from web2llmstxt_ray.ops.dedup import ngram_jaccard_pairs
 
@@ -1001,6 +1035,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "graph_components": q_graph_components,
+        "minhash_clusters_scale": q_minhash_clusters_scale,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
         "distinct_users_hll": q_distinct_users_hll,
@@ -1105,6 +1141,25 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "graph_components": """
+            WITH RECURSIVE
+            edges AS (
+                SELECT doc_id AS a, doc_id - 1 AS b
+                FROM documents WHERE doc_id % 8 <> 0
+            ),
+            und AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT b AS a, a AS b FROM edges
+            ),
+            reach(node, comp) AS (
+                SELECT a, a FROM und
+                UNION
+                SELECT u.a, r.comp FROM und u JOIN reach r ON u.b = r.node
+            )
+            SELECT node, min(comp) AS component
+            FROM reach GROUP BY node ORDER BY node
         """,
         "incremental_dedup": """
             SELECT d.doc_id,

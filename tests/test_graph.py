@@ -1,0 +1,125 @@
+"""Distributed connected components (alternating star contraction) —
+verified against a sequential union-find oracle, plus the fully
+distributed minhash clustering tier built on it."""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from web2llmstxt_ray.ops import dedup as D
+from web2llmstxt_ray.ops.graph import connected_components
+
+
+def _uf_oracle(pairs):
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _pairs_ds(pairs):
+    return ray.data.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+
+
+def _cc_dict(pairs, **kw):
+    out = connected_components(_pairs_ds(pairs), **kw).take_all()
+    got = {r["node"]: r["component"] for r in out}
+    assert len(got) == len(out), "duplicate node rows emitted"
+    return got
+
+
+class TestConnectedComponents:
+    def test_long_chain_multiple_rounds(self):
+        # a 150-node path needs several contraction rounds — the case
+        # naive one-hop propagation gets wrong / slow
+        pairs = [(i, i + 1) for i in range(150)]
+        assert _cc_dict(pairs, num_buckets=8) == _uf_oracle(pairs)
+
+    def test_random_clusters(self):
+        rng = random.Random(11)
+        pairs = []
+        for _ in range(40):
+            nodes = rng.sample(range(100000), rng.randint(2, 30))
+            for i in range(len(nodes) - 1):
+                pairs.append((nodes[rng.randint(0, i)], nodes[i + 1]))
+        rng.shuffle(pairs)
+        assert _cc_dict(pairs, num_buckets=16) == _uf_oracle(pairs)
+
+    def test_self_loops_and_duplicates(self):
+        pairs = [(1, 1), (2, 3), (3, 2), (2, 3), (4, 5), (5, 6), (6, 4)]
+        got = _cc_dict(pairs)
+        assert got == {2: 2, 3: 2, 4: 4, 5: 4, 6: 4}
+
+    def test_star_already(self):
+        pairs = [(10, 11), (10, 12), (10, 13)]
+        assert _cc_dict(pairs) == {10: 10, 11: 10, 12: 10, 13: 10}
+
+    def test_empty(self):
+        assert _cc_dict([]) == {}
+
+    def test_bucket_count_invariance(self):
+        pairs = [(i, i + 3) for i in range(0, 90)]
+        assert _cc_dict(pairs, num_buckets=4) == \
+            _cc_dict(pairs, num_buckets=32)
+
+
+class TestMinhashClustersScale:
+    def _corpus(self):
+        rng = random.Random(5)
+        words = [f"tok{i}" for i in range(400)]
+        rows = {"doc_id": [], "text": []}
+        did = 0
+        for g in range(12):
+            base = " ".join(rng.choices(words, k=80))
+            rows["doc_id"].append(did)
+            rows["text"].append(base)
+            did += 1
+            for _ in range(rng.randint(1, 3)):   # true near-dups
+                toks = base.split()
+                toks[rng.randrange(len(toks))] = rng.choice(words)
+                rows["doc_id"].append(did)
+                rows["text"].append(" ".join(toks))
+                did += 1
+        return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                         "text": rows["text"]})
+
+    def test_matches_exact_tier_on_high_precision_corpus(self):
+        """On a corpus whose LSH candidates are all true near-dups
+        (planted ≥0.97-Jaccard groups, unrelated docs far below any
+        band-collision odds), the LSH-precision scale tier must equal
+        the exact-verify tier's clustering."""
+        tbl = self._corpus()
+        ds = ray.data.from_arrow(tbl)
+
+        exact = {r["doc_id"]: r["cluster_id"]
+                 for r in D.minhash_dedup(ds, jaccard_threshold=0.7).take_all()}
+        scale = {r["node"]: r["component"]
+                 for r in D.minhash_clusters_scale(ds).take_all()}
+        # scale tier emits only docs in some candidate pair; fill
+        # singletons with identity to compare like-for-like
+        for i in exact:
+            scale.setdefault(i, i)
+        assert scale == exact
+
+    def test_no_corpus_sized_driver_state(self):
+        """The pairs stay a Dataset: candidate generation feeding the
+        scale tier returns ray.data.Dataset, not a list."""
+        ds = ray.data.from_arrow(self._corpus())
+        pairs = D.minhash_candidate_pairs(ds)
+        assert isinstance(pairs, ray.data.Dataset)

@@ -3,7 +3,8 @@
 import numpy as np
 import pytest
 
-from web2llmstxt_ray.state.seen import SeenFilter, _Bloom, _Cuckoo, _ExactSet, _hash_batch
+from web2llmstxt_ray.state.seen import (SeenFilter, _Bloom, _Cuckoo,
+                                         _CuckooChain, _ExactSet, _hash_batch)
 
 
 def _urls(n, prefix="https://h.test/p"):
@@ -11,14 +12,14 @@ def _urls(n, prefix="https://h.test/p"):
 
 
 class TestBackendsDirect:
-    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo])
+    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo, _CuckooChain])
     def test_no_false_negatives(self, cls):
         impl = cls(1 << 14)
         hashes = _hash_batch(_urls(5000))
         impl.check_and_add(hashes)
         assert impl.contains(hashes).all()
 
-    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo])
+    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo, _CuckooChain])
     def test_check_and_add_reports_new_once(self, cls):
         impl = cls(1 << 14)
         h = _hash_batch(_urls(1000))
@@ -27,7 +28,7 @@ class TestBackendsDirect:
         assert first.sum() >= 990  # approx modes may have a few FPs
         assert not second.any()
 
-    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo])
+    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo, _CuckooChain])
     def test_intra_batch_duplicates_detected(self, cls):
         impl = cls(1 << 12)
         urls = ["https://h.test/a", "https://h.test/b", "https://h.test/a"]
@@ -41,7 +42,8 @@ class TestBackendsDirect:
         other = impl.contains(_hash_batch(_urls(5000, prefix="https://x.test/q")))
         assert not other.any()
 
-    @pytest.mark.parametrize("cls,limit", [(_Bloom, 0.03), (_Cuckoo, 0.02)])
+    @pytest.mark.parametrize("cls,limit", [(_Bloom, 0.03), (_Cuckoo, 0.02),
+                                           (_CuckooChain, 0.02)])
     def test_false_positive_rate_within_design(self, cls, limit):
         impl = cls(1 << 16)
         impl.check_and_add(_hash_batch(_urls(40000)))
@@ -49,7 +51,7 @@ class TestBackendsDirect:
         fp = impl.contains(probe).sum() / len(probe)
         assert fp < limit
 
-    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo])
+    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo, _CuckooChain])
     def test_snapshot_restore_roundtrip(self, cls):
         impl = cls(1 << 14)
         h = _hash_batch(_urls(3000))
@@ -63,6 +65,48 @@ class TestBackendsDirect:
         h = _hash_batch(_urls(2000))
         impl.check_and_add(h)
         assert impl.contains(h).all()  # still no false negatives
+
+
+class TestCuckooAuto:
+    def test_grows_generations_under_overfill(self):
+        impl = _CuckooChain(256)  # tiny initial capacity
+        h = _hash_batch(_urls(20000))
+        for i in range(0, len(h), 1000):       # batched inserts
+            impl.check_and_add(h[i:i + 1000])
+        assert len(impl.gens) > 1              # it actually grew
+        assert impl.contains(h).all()          # no false negatives
+        # overflow stays bounded (growth absorbs pressure, unlike the
+        # fixed-size filter whose overflow set balloons)
+        assert sum(len(g.overflow) for g in impl.gens) <= \
+            len(impl.gens) * _CuckooChain.OVERFLOW_LIMIT + 64
+        # geometric chain: generations stay few even at 78× overfill
+        assert len(impl.gens) <= 10
+
+    def test_rejects_across_generations(self):
+        impl = _CuckooChain(128)
+        urls = _urls(5000)
+        h = _hash_batch(urls)
+        first = impl.check_and_add(h)
+        again = impl.check_and_add(h)          # spans many generations
+        assert not again.any()
+        assert first.sum() == len(urls)
+
+    def test_chain_snapshot_roundtrip_preserves_generations(self):
+        impl = _CuckooChain(128)
+        h = _hash_batch(_urls(4000))
+        impl.check_and_add(h)
+        restored = _CuckooChain.load(impl.dump())
+        assert len(restored.gens) == len(impl.gens)
+        assert restored.contains(h).all()
+
+    def test_shard_pressure_reports_generations(self):
+        f = SeenFilter(num_shards=2, mode="cuckoo-auto",
+                       capacity_per_shard=256)
+        f.check_and_add(_urls(6000))
+        for s in f.pressure():
+            assert s["mode"] == "cuckoo-auto"
+            assert s["generations"] >= 1
+            assert s["slot_load"] < 1.0
 
 
 class TestShardedFilter:

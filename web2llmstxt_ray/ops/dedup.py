@@ -294,13 +294,17 @@ class _MinHasher:
         })
 
 
-def minhash_candidates(ds: ray.data.Dataset, text_col: str = "text",
-                       id_col: str = "doc_id", num_perm: int = 64,
-                       num_bands: int = 16, shingle_k: int = 3) -> list[tuple]:
-    """Candidate duplicate pairs from LSH banding (before verification).
+def minhash_candidate_pairs(ds: ray.data.Dataset, text_col: str = "text",
+                            id_col: str = "doc_id", num_perm: int = 64,
+                            num_bands: int = 16,
+                            shingle_k: int = 3) -> ray.data.Dataset:
+    """Candidate duplicate pairs from LSH banding, AS A DATASET —
+    never collected to the driver. Pairs may repeat across bands
+    (consumers like :func:`ops.graph.connected_components` are
+    duplicate-tolerant; driver consumers dedupe on collect).
 
-    Pipeline: minhash+explode (actor pool) → groupby(band, band_hash)
-    → per-group pairs. Returns the (small) candidate pair list.
+    Pipeline: minhash+explode (cached task stage) → bucket by
+    band-hash → per-bucket colliding-set pair enumeration.
     """
     from .stagecache import cached_stage
 
@@ -331,12 +335,49 @@ def minhash_candidates(ds: ray.data.Dataset, text_col: str = "text",
                     out_b.append(ids[j])
         return pd.DataFrame({"a": out_a, "b": out_b})
 
-    cand = exploded.map_batches(add_bucket, batch_format="pyarrow") \
+    return exploded.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_hbucket").map_groups(pairs, batch_format="pandas")
+
+
+def minhash_candidates(ds: ray.data.Dataset, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 64,
+                       num_bands: int = 16, shingle_k: int = 3) -> list[tuple]:
+    """Driver-side deduped candidate pair list (small by construction
+    for near-dup corpora) — the exact-verify tier collects it to fetch
+    involved texts; the scale tier keeps the Dataset form instead
+    (:func:`minhash_candidate_pairs` → ``connected_components``)."""
+    cand = minhash_candidate_pairs(ds, text_col, id_col, num_perm,
+                                   num_bands, shingle_k)
     seen = set()
     for row in cand.take_all():
         seen.add((row["a"], row["b"]))
     return sorted(seen)
+
+
+def minhash_clusters_scale(ds: ray.data.Dataset, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 64,
+                           num_bands: int = 16, shingle_k: int = 3,
+                           num_buckets: int = 64) -> ray.data.Dataset:
+    """Fully-distributed near-dup clustering — the 100-TB tier.
+
+    ``minhash_candidate_pairs`` (Dataset, never on the driver) →
+    ``ops.graph.connected_components`` (alternating star contraction,
+    O(log n) bucketed shuffles) → (node, component) labels. NOTHING
+    corpus-sized ever reaches the driver, unlike :func:`minhash_dedup`
+    whose exact-Jaccard verify collects the candidate texts.
+
+    Semantics note: precision comes from the banding parameters alone
+    (collision P ≈ J^(num_perm/num_bands) per band) — there is no
+    exact-verify pass, the standard trade at web scale (NeMo-Curator /
+    BigQuery-dedup style). With defaults (64 perm, 16 bands) docs at
+    Jaccard 0.8 band-collide with P≈0.41 per band (≥1-of-16 P≈0.9998)
+    while J=0.3 pairs are ≈1-in-125k per band. Returns one row per
+    doc involved in any candidate pair; absent docs are singletons.
+    """
+    pairs = minhash_candidate_pairs(ds, text_col, id_col, num_perm,
+                                    num_bands, shingle_k)
+    from .graph import connected_components
+    return connected_components(pairs, "a", "b", num_buckets=num_buckets)
 
 
 class _ClusterEmit:

@@ -305,7 +305,92 @@ class _Cuckoo:
         return obj
 
 
-_BACKENDS = {"exact": _ExactSet, "bloom": _Bloom, "cuckoo": _Cuckoo}
+class _CuckooChain:
+    """Auto-degrading cuckoo filter: a geometric chain of `_Cuckoo`
+    generations (the standard dynamic-cuckoo construction — a
+    partial-key filter cannot rehash from fingerprints, so growth
+    appends a 2× generation instead of resizing in place).
+
+    Inserts land in the newest generation; lookups OR across all of
+    them (vectorized per generation). A generation is frozen when its
+    slot-load passes ``GROW_LOAD`` or its overflow set passes
+    ``OVERFLOW_LIMIT`` — the manual "resize at the next checkpoint"
+    escape hatch the plain ``cuckoo`` mode documents becomes automatic
+    here, at the cost of k× probe work for k generations (k stays
+    small: geometric growth ⇒ k ≤ log2(final/initial)). No false
+    negatives ever; the false-positive rate is the sum over
+    generations, bounded by 2× the final generation's rate.
+    """
+
+    GROW_LOAD = 0.90          # of slots (nb × 4), the cuckoo ceiling
+    OVERFLOW_LIMIT = 64       # failed-kick strandings before freezing
+
+    def __init__(self, capacity: int):
+        self.gens = [_Cuckoo(capacity)]
+
+    def _newest_pressured(self) -> bool:
+        g = self.gens[-1]
+        return (g.n / (g.nb * g.SLOTS) > self.GROW_LOAD
+                or len(g.overflow) > self.OVERFLOW_LIMIT)
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        out = self.gens[0].contains(hashes)
+        for g in self.gens[1:]:
+            miss = ~out
+            if not miss.any():
+                break
+            out[miss] = g.contains(hashes[miss])
+        return out
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        new = np.ones(len(hashes), dtype=bool)
+        for g in self.gens[:-1]:
+            idx = np.flatnonzero(new)
+            if not len(idx):
+                break
+            new[idx[g.contains(hashes[idx])]] = False
+        idx = np.flatnonzero(new)
+        if not len(idx):
+            return new
+        # intra-batch dedupe up front (a dup's first copy may land in a
+        # generation created mid-call, which later chunks don't probe)
+        _, first = np.unique(hashes[idx], return_index=True)
+        dup = np.ones(len(idx), dtype=bool)
+        dup[first] = False
+        new[idx[dup]] = False
+        idx = idx[~dup]
+        # insert in headroom-bounded chunks so one oversized batch
+        # cannot balloon a small generation's overflow set before the
+        # pressure check runs
+        pos = 0
+        while pos < len(idx):
+            if self._newest_pressured():
+                # nb*SLOTS through the constructor rounds up to the
+                # next power of two ⇒ the new generation has 2× buckets
+                self.gens.append(_Cuckoo(self.gens[-1].nb * _Cuckoo.SLOTS))
+            g = self.gens[-1]
+            headroom = max(256, int(g.nb * g.SLOTS * self.GROW_LOAD) - g.n)
+            chunk = idx[pos:pos + headroom]
+            sub = g.check_and_add(hashes[chunk])
+            new[chunk[~sub]] = False       # newest-generation FP ⇒ seen
+            pos += len(chunk)
+        return new
+
+    def __len__(self) -> int:
+        return sum(g.n for g in self.gens)
+
+    def dump(self) -> bytes:
+        return pickle.dumps([g.dump() for g in self.gens], protocol=5)
+
+    @classmethod
+    def load(cls, blob: bytes) -> "_CuckooChain":
+        obj = cls.__new__(cls)
+        obj.gens = [_Cuckoo.load(b) for b in pickle.loads(blob)]
+        return obj
+
+
+_BACKENDS = {"exact": _ExactSet, "bloom": _Bloom, "cuckoo": _Cuckoo,
+             "cuckoo-auto": _CuckooChain}
 
 
 @ray.remote
@@ -331,6 +416,11 @@ class SeenFilterShard:
             out["slots"] = self.impl.nb * _Cuckoo.SLOTS
             out["slot_load"] = round(len(self.impl) / out["slots"], 4)
             out["overflow"] = len(self.impl.overflow)
+        elif isinstance(self.impl, _CuckooChain):
+            out["slots"] = sum(g.nb * _Cuckoo.SLOTS for g in self.impl.gens)
+            out["slot_load"] = round(len(self.impl) / out["slots"], 4)
+            out["overflow"] = sum(len(g.overflow) for g in self.impl.gens)
+            out["generations"] = len(self.impl.gens)
         return out
 
     def check_and_add(self, urls: list[str]) -> np.ndarray:
