@@ -134,6 +134,30 @@ class TestUrlListPoliteness:
         # across the host's batches (allow slack for batch splits)
         assert elapsed >= (len(host0_urls) - 3) * delay_ms / 1000.0
 
+    def test_strict_mode_single_clock_per_host(self, small_site):
+        """strict_politeness pins every host to one task: the full
+        (n-1)*delay serial budget is enforced with NO slack for
+        cross-actor batch splits, and results match the default path."""
+        import time
+
+        site, _, idx = small_site
+        host0_urls = [u for u, h in zip(site.column("url").to_pylist(),
+                                        site.column("host").to_pylist())
+                      if h == "site0.test"][:6]
+        seeds = pa.table({"url": host0_urls})
+        delay_ms = 50
+        t0 = time.perf_counter()
+        ds = crawl_url_list(ray.data.from_arrow(seeds), ray.put(idx),
+                            fetch_concurrency=2, parallelism=2,
+                            host_delays_ms={"site0.test": delay_ms},
+                            strict_politeness=True, politeness_buckets=4)
+        got = sorted(ds.to_pandas()["url"])
+        elapsed = time.perf_counter() - t0
+        assert elapsed >= (len(host0_urls) - 1) * delay_ms / 1000.0
+        base = crawl_url_list(ray.data.from_arrow(seeds), ray.put(idx),
+                              parallelism=2)
+        assert got == sorted(base.to_pandas()["url"])
+
 
 class TestSeenFilterDedup:
     def test_exact_one_winner_per_key(self):

@@ -197,6 +197,8 @@ def crawl_url_list(
     min_words: int = 50,
     parallelism: int = 64,
     host_delays_ms: dict | None = None,
+    strict_politeness: bool = False,
+    politeness_buckets: int = 32,
 ) -> ray.data.Dataset:
     """URL-list crawl pipeline → dataset of accepted page rows
     (url, title, content, word_count).
@@ -216,14 +218,21 @@ def crawl_url_list(
     serializes the whole pipeline onto one worker regardless of pool
     size), so never skip this for in-memory seed tables.
 
-    POLITENESS CONTRACT (``host_delays_ms``): pacing is PER-ACTOR, not
-    global. Sorting makes same-host URLs batch-contiguous, but the
-    autoscaling pool may hand consecutive batches of one host to
-    different actors whose clocks are independent, so the crawl-delay
-    can be violated across batch boundaries by up to the actor count.
-    This is the streaming-throughput trade-off; for a globally-enforced
-    budget use the wave crawler, which pins each host bucket to exactly
-    one owner worker (``pipelines.crawl.DistributedCrawler._owner``).
+    POLITENESS CONTRACT (``host_delays_ms``): by default pacing is
+    PER-ACTOR, not global. Sorting makes same-host URLs
+    batch-contiguous, but the autoscaling pool may hand consecutive
+    batches of one host to different actors whose clocks are
+    independent, so the crawl-delay can be violated across batch
+    boundaries by up to the actor count. This is the
+    streaming-throughput trade-off. ``strict_politeness=True`` buys
+    the global guarantee: URLs shuffle once on
+    ``hash(host) % politeness_buckets`` and each bucket is fetched by
+    ONE task (per-worker memoized fetcher), so exactly one clock owns
+    every host — the list-crawl analogue of the wave crawler's
+    host-bucket→owner-worker pinning
+    (``pipelines.crawl.DistributedCrawler._owner``). Parallelism is
+    then bounded by ``politeness_buckets``, which is the point:
+    politeness serializes per host.
     """
     ds = seeds.repartition(parallelism)
     ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
@@ -235,6 +244,25 @@ def crawl_url_list(
         # a total order → repeatable page sets (Ray's sort is not
         # stable, and the reference's tie order was incidental)
         ds = ds.sort(["path_depth", "url_len", "url"]).limit(max_pages)
+    if host_delays_ms and strict_politeness:
+        from ..ops.stagecache import cached_stage
+
+        def add_hbucket(batch: pa.Table) -> pa.Table:
+            hosts = [host_of(u) for u in batch.column("url").to_pylist()]
+            b = (hash64_batch(hosts) % np.uint64(politeness_buckets)) \
+                .astype(np.int32)
+            return batch.append_column("_hbucket", pa.array(b))
+
+        fetch_fn = cached_stage(
+            UrlListFetcher, site_ref=site_index_ref, min_words=min_words,
+            host_delays_ms=host_delays_ms)
+
+        def fetch_bucket(group: pa.Table) -> pa.Table:
+            return fetch_fn(group.drop_columns(["_hbucket"]))
+
+        return ds.map_batches(add_hbucket, batch_format="pyarrow") \
+            .groupby("_hbucket").map_groups(fetch_bucket,
+                                            batch_format="pyarrow")
     if host_delays_ms:
         # politeness locality: co-locate each host's URLs (sort by host
         # → contiguous batches) so one actor's clock paces the host

@@ -18,6 +18,11 @@ one of three membership structures:
   (~20 GB cluster-wide). Deletions unused; lookups O(2 buckets).
 - ``bloom``  — a plain k-hash bloom bit array: the degraded/spill mode
   for cold partitions (smaller, no eviction cascades, higher FP rate).
+- ``cuckoo-auto`` — cuckoo with automatic growth: a geometric chain of
+  generations (partial-key filters can't rehash from fingerprints), so
+  a shard that outgrows its sizing degrades to k-probe lookups instead
+  of ballooning its overflow set. Use when per-shard cardinality is
+  unpredictable; plain ``cuckoo`` + pressure telemetry when it is.
 
 All modes share the hash-collision caveat above; the approximate
 modes additionally trade false positives (a *new* URL reported as
