@@ -888,6 +888,21 @@ def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
         group_col="lang", threshold=0.2).to_pandas()
 
 
+_BM25_TERMS = ["table", "hash", "merge", "window"]
+
+
+def q_bm25_scores(sf_dir: str) -> pd.DataFrame:
+    """BM25 lexical retrieval: shuffle-free stats pass (only the query
+    terms' df reaches the driver) + broadcast scoring pass. Oracle:
+    the full Robertson/Lucene formula in SQL over the same whitespace
+    tokenization."""
+    from web2llmstxt_ray.ops.retrieval import bm25_scores
+
+    out = bm25_scores(_t(sf_dir, "documents", ["doc_id", "text"]),
+                      _BM25_TERMS).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     from web2llmstxt_ray.ops.textstats import language_id
 
@@ -1038,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": q_graph_components,
         "minhash_clusters_scale": q_minhash_clusters_scale,
         "ngram_jaccard": q_ngram_jaccard,
+        "bm25_scores": q_bm25_scores,
         "lang_id": q_lang_id,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
@@ -1141,6 +1157,47 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        "bm25_scores": """
+            WITH dl AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS len
+                FROM documents
+            ),
+            stats AS (
+                SELECT count(*) AS n, sum(len) * 1.0 / count(*) AS avgdl
+                FROM dl
+            ),
+            toks AS (
+                SELECT doc_id, t.tok
+                FROM documents,
+                     LATERAL unnest(string_split_regex(trim(text), '\\s+'))
+                         AS t(tok)
+                WHERE trim(text) <> ''
+            ),
+            q(term) AS (
+                SELECT unnest(['table', 'hash', 'merge', 'window'])
+            ),
+            df AS (
+                SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                WHERE tok IN (SELECT term FROM q) GROUP BY tok
+            ),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM toks
+                WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok
+            )
+            SELECT tf.doc_id,
+                   sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * (1.2 + 1)
+                       / (tf.tf + 1.2 * (1 - 0.75
+                                         + 0.75 * dl.len / stats.avgdl)))
+                       AS score
+            FROM tf
+            JOIN df ON tf.tok = df.tok
+            JOIN dl ON tf.doc_id = dl.doc_id, stats
+            GROUP BY tf.doc_id
         """,
         "graph_components": """
             WITH RECURSIVE

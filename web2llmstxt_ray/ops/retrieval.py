@@ -1,0 +1,154 @@
+"""BM25 lexical retrieval over a document corpus.
+
+A training-data pipeline needs cheap lexical search (benchmark-overlap
+probes, topic slicing, corpus QA) alongside the embedding ANN path
+(``ops/ann.py``). BM25 here is shaped for 100 TB:
+
+- **Pass 1 (stats) is shuffle-free.** Only the QUERY TERMS' document
+  frequencies matter — not the full vocabulary — so each batch emits a
+  single partial row (doc count, token count, per-term df vector) and
+  the driver folds a handful of tiny rows. No vocabulary groupby, no
+  inverted-index materialization.
+- **Pass 2 (scoring) is a broadcast map.** The per-term idf vector and
+  ``avgdl`` ship once via ``ray.put``; every batch scores its docs
+  locally and emits only matching (doc_id, score) rows.
+- ``bm25_topk`` adds the partial-top-k-per-batch → tiny driver merge
+  finale (same shape as ``ops/ann.py:brute_force_topk``).
+
+Scoring uses the Lucene/Robertson formulation with definitions mirrored
+exactly by the driver's DuckDB oracle (whitespace tokenization from
+``ops/textstats.py``):
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .textstats import tokenize_ws
+
+
+def bm25_stats(ds: ray.data.Dataset, terms: list[str],
+               text_col: str = "text") -> tuple[int, float, np.ndarray]:
+    """(N, avgdl, df-per-term) for the corpus — one shuffle-free pass;
+    each batch contributes a single partial row."""
+    terms = list(terms)
+    t_index = {t: i for i, t in enumerate(terms)}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = np.zeros(len(terms), dtype=np.int64)
+        n_docs = 0
+        n_toks = 0
+        for text in batch.column(text_col).to_pylist():
+            toks = tokenize_ws(text or "")
+            n_docs += 1
+            n_toks += len(toks)
+            seen = set(toks) if toks else ()
+            for t, i in t_index.items():
+                if t in seen:
+                    df[i] += 1
+        return pa.table({"n_docs": pa.array([n_docs], pa.int64()),
+                         "n_toks": pa.array([n_toks], pa.int64()),
+                         "df": pa.array([df.tolist()],
+                                        pa.list_(pa.int64()))})
+
+    n = 0
+    total = 0
+    df = np.zeros(len(terms), dtype=np.int64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        n += row["n_docs"]
+        total += row["n_toks"]
+        df += np.asarray(row["df"], dtype=np.int64)
+    avgdl = total / n if n else 0.0
+    return n, avgdl, df
+
+
+class _BM25Scorer:
+    """Broadcast-stats scoring stage: tf counting + the BM25 sum per
+    doc, emitting only docs that match at least one term."""
+
+    def __init__(self, stats_ref, text_col: str, id_col: str,
+                 k1: float, b: float):
+        self.terms, self.idf, self.avgdl = ray.get(stats_ref)
+        self.t_index = {t: i for i, t in enumerate(self.terms)}
+        self.text_col, self.id_col = text_col, id_col
+        self.k1, self.b = k1, b
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        out_ids: list = []
+        out_scores: list[float] = []
+        k1, b, avgdl, idf = self.k1, self.b, self.avgdl, self.idf
+        for did, text in zip(ids, batch.column(self.text_col).to_pylist()):
+            toks = tokenize_ws(text or "")
+            if not toks:
+                continue
+            tf = np.zeros(len(self.terms), dtype=np.int64)
+            t_index = self.t_index
+            for tok in toks:
+                i = t_index.get(tok)
+                if i is not None:
+                    tf[i] += 1
+            hit = tf > 0
+            if not hit.any():
+                continue
+            dl = len(toks)
+            denom = tf[hit] + k1 * (1 - b + b * dl / avgdl)
+            score = float(np.sum(idf[hit] * tf[hit] * (k1 + 1) / denom))
+            out_ids.append(did)
+            out_scores.append(score)
+        return pa.table({self.id_col: pa.array(out_ids, pa.int64()),
+                         "score": pa.array(out_scores, pa.float64())})
+
+
+def bm25_scores(ds: ray.data.Dataset, terms: list[str],
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> ray.data.Dataset:
+    """(doc_id, score) for every document matching ≥1 query term.
+
+    Two linear passes (stats, then score); the only driver-held state
+    is the per-term stats vector. The input is materialized once so
+    the second pass doesn't re-execute the parent lineage.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    ds = ds.materialize()
+    n, avgdl, df = bm25_stats(ds, terms, text_col)
+    idf = np.array([math.log(1 + (n - d + 0.5) / (d + 0.5)) for d in df],
+                   dtype=np.float64)
+    from .stagecache import cached_stage
+
+    stats_ref = ray.put((list(terms), idf, avgdl))
+    return ds.map_batches(
+        cached_stage(_BM25Scorer, stats_ref=stats_ref, text_col=text_col,
+                     id_col=id_col, k1=k1, b=b),
+        batch_format="pyarrow")
+
+
+def bm25_topk(ds: ray.data.Dataset, terms: list[str], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75) -> list[dict]:
+    """Top-k (doc_id, score), ties broken by doc_id ascending — partial
+    top-k per batch, driver merges only ≤k rows per block."""
+    scored = bm25_scores(ds, terms, text_col, id_col, k1, b)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        sc = np.asarray(batch.column("score"), dtype=np.float64)
+        if len(ids) > k:
+            # lexsort: primary score desc, secondary id asc
+            order = np.lexsort((ids, -sc))[:k]
+            ids, sc = ids[order], sc[order]
+        return pa.table({id_col: ids, "score": sc})
+
+    rows = scored.map_batches(partial_topk,
+                              batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["score"], r[id_col]))
+    return rows[:k]
