@@ -888,6 +888,20 @@ def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
         group_col="lang", threshold=0.2).to_pandas()
 
 
+def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Distributed spherical Lloyd k-means (per-iteration shuffle-free
+    partial sums, broadcast centroids) + assignment. Rows-only —
+    iterative clustering isn't SQL-expressible; purity/SSE gates are in
+    tests/test_ann_textstats.py::TestKMeans."""
+    from web2llmstxt_ray.ops.ann import kmeans_assign, kmeans_fit
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent, _ = kmeans_fit(ds, k=8, iters=6, sample_size=512)
+    out = kmeans_assign(ds, cent).to_pandas()[["vec_id", "cluster"]]
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 _BM25_TERMS = ["table", "hash", "merge", "window"]
 
 
@@ -1054,6 +1068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters_scale": q_minhash_clusters_scale,
         "ngram_jaccard": q_ngram_jaccard,
         "bm25_scores": q_bm25_scores,
+        "kmeans_clusters": q_kmeans_clusters,
         "lang_id": q_lang_id,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,

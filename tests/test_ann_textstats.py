@@ -119,6 +119,67 @@ class TestIVF:
         np.testing.assert_array_equal(c1, c2)
 
 
+class TestKMeans:
+    def _blobs(self, n_per=120, d=12, k=3, seed=3):
+        rng = np.random.RandomState(seed)
+        centers = rng.randn(k, d) * 6
+        vecs = np.concatenate([c + rng.randn(n_per, d) * 0.2
+                               for c in centers])
+        labels = np.repeat(np.arange(k), n_per)
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs.tolist(),
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels.astype(np.int32)),
+        })
+        return vecs, labels, tbl
+
+    def test_recovers_separated_blobs(self):
+        vecs, labels, tbl = self._blobs()
+        ds = ray.data.from_arrow(tbl).repartition(6)
+        cent, info = A.kmeans_fit(ds, k=3, iters=8, sample_size=64)
+        assert cent.shape == (3, 12)
+        assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+        out = A.kmeans_assign(ds, cent).to_pandas()[["vec_id", "cluster"]]
+        # perfect purity: every true blob maps to exactly one cluster
+        m = out.merge(
+            __import__("pandas").DataFrame(
+                {"vec_id": np.arange(len(labels)), "label": labels}),
+            on="vec_id")
+        for lab, grp in m.groupby("label"):
+            assert grp["cluster"].nunique() == 1
+        assert m.groupby("cluster")["label"].nunique().max() == 1
+
+    def test_sse_decreases(self):
+        _, _, tbl = self._blobs(seed=17)
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        _, info = A.kmeans_fit(ds, k=3, iters=6, sample_size=16)
+        sse = info["sse_per_iter"]
+        assert all(b <= a + 1e-9 for a, b in zip(sse, sse[1:]))
+
+    def test_more_clusters_than_blobs_stays_finite(self):
+        _, _, tbl = self._blobs(n_per=40, k=2, seed=5)
+        ds = ray.data.from_arrow(tbl)
+        cent, _ = A.kmeans_fit(ds, k=8, iters=4, sample_size=80)
+        assert cent.shape[0] == 8
+        assert np.isfinite(cent).all()
+
+    def test_full_corpus_refinement_beats_tiny_sample_init(self):
+        """The point of the distributed pass: a 12-vector sample init
+        mis-places centroids; full-data Lloyd recovers them."""
+        vecs, labels, tbl = self._blobs(n_per=200, seed=23)
+        ds = ray.data.from_arrow(tbl).repartition(6)
+        cent, info = A.kmeans_fit(ds, k=3, iters=10, sample_size=12)
+        out = A.kmeans_assign(ds, cent).to_pandas()[["vec_id", "cluster"]]
+        m = out.merge(
+            __import__("pandas").DataFrame(
+                {"vec_id": np.arange(len(labels)), "label": labels}),
+            on="vec_id")
+        purity = (m.groupby("cluster")["label"]
+                   .agg(lambda s: s.value_counts().iloc[0] / len(s)).min())
+        assert purity > 0.95
+
+
 class TestTextStats:
     def test_token_counts(self):
         batch = pa.table({"doc_id": pa.array([1, 2], pa.int64()),

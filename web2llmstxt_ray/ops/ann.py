@@ -175,6 +175,97 @@ def train_centroids(sample: np.ndarray, num_lists: int, iters: int = 10,
     return centroids
 
 
+def kmeans_fit(ds: ray.data.Dataset, k: int, vec_col: str = "embedding",
+               iters: int = 10, seed: int = 11, sample_size: int = 4096,
+               tol: float = 1e-6) -> tuple[np.ndarray, dict]:
+    """Distributed spherical Lloyd k-means over the FULL dataset.
+
+    ``train_centroids`` runs on a driver-side sample — fine for IVF
+    bootstrap, but at 10^9+ vectors the sample can miss cluster
+    structure. This refinement keeps every iteration shuffle-free:
+    each batch assigns its vectors to the nearest centroid (one GEMM)
+    and emits ONE partial row of per-centroid (sum-vector, count, sse);
+    the driver folds O(blocks × k) partials — k×d state, never the
+    vectors — and broadcasts the new centroids for the next pass. The
+    classic MapReduce-Lloyd shape.
+
+    Init: deterministic driver-sample Lloyd (``train_centroids`` on
+    the first ``sample_size`` rows). Cosine geometry throughout
+    (inputs and centroids L2-normalized — matches the IVF index).
+    Empty clusters keep their previous centroid. Stops early when the
+    max centroid shift drops below ``tol``.
+
+    Returns (centroids, info) with info = {iters_run, sse_per_iter}.
+    """
+    ds = ds.materialize()
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    centroids = train_centroids(sample, k, iters=3, seed=seed)
+
+    sse_hist: list[float] = []
+    it_run = 0
+    for it in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cent = ray.get(cref)
+            vn = _normalize(vec_matrix(batch, vec_col))
+            sims = vn @ cent.T                       # (B, k)
+            assign = np.argmax(sims, axis=1)
+            best = sims[np.arange(len(vn)), assign]
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, vn)
+            counts = np.bincount(assign, minlength=len(cent))
+            # spherical SSE: sum of (1 - cos) to the assigned centroid
+            sse = float(np.sum(1.0 - best))
+            return pa.table({
+                "cid": pa.array(np.arange(len(cent), dtype=np.int64)),
+                "_sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                "_n": pa.array(counts.astype(np.int64)),
+                "_sse": pa.array([sse] + [0.0] * (len(cent) - 1),
+                                 pa.float64()),
+            })
+
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        sse = 0.0
+        for row in ds.map_batches(partial,
+                                  batch_format="pyarrow").take_all():
+            sums[row["cid"]] += np.asarray(row["_sum"], dtype=np.float64)
+            counts[row["cid"]] += row["_n"]
+            sse += row["_sse"]
+        newc = centroids.copy()
+        nonempty = counts > 0
+        means = sums[nonempty] / counts[nonempty, None]
+        norms = np.linalg.norm(means, axis=1)
+        ok = norms > 0
+        rows_idx = np.flatnonzero(nonempty)[ok]
+        newc[rows_idx] = means[ok] / norms[ok, None]
+        shift = float(np.max(np.linalg.norm(newc - centroids, axis=1)))
+        centroids = newc
+        sse_hist.append(sse)
+        it_run = it + 1
+        if shift < tol:
+            break
+    return centroids, {"iters_run": it_run, "sse_per_iter": sse_hist}
+
+
+def kmeans_assign(ds: ray.data.Dataset, centroids: np.ndarray,
+                  vec_col: str = "embedding",
+                  out_col: str = "cluster") -> ray.data.Dataset:
+    """Append the nearest-centroid id (cosine) — identical broadcast
+    shape to :func:`assign_ivf_lists`, with a caller-chosen column."""
+    cref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
+        a = np.argmax(_normalize(vec_matrix(batch, vec_col)) @ cent.T,
+                      axis=1)
+        return batch.append_column(out_col, pa.array(a.astype(np.int32)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def assign_ivf_lists(ds: ray.data.Dataset, centroids: np.ndarray,
                      vec_col: str = "embedding") -> ray.data.Dataset:
     """Append ``ivf_list`` (nearest-centroid id) — the partition key."""
