@@ -909,12 +909,16 @@ def q_bm25_scores(sf_dir: str) -> pd.DataFrame:
     """BM25 lexical retrieval: shuffle-free stats pass (only the query
     terms' df reaches the driver) + broadcast scoring pass. Oracle:
     the full Robertson/Lucene formula in SQL over the same whitespace
-    tokenization."""
-    from web2llmstxt_ray.ops.retrieval import bm25_scores
+    tokenization, at (doc, term) granularity so every score is a
+    single association-defined arithmetic chain (bit-exact vs DuckDB;
+    a per-doc SUM would expose the oracle's unspecified addition
+    order). The per-doc sum feeds ``bm25_topk`` and is formula-oracled
+    in tests/test_retrieval.py."""
+    from web2llmstxt_ray.ops.retrieval import bm25_term_scores
 
-    out = bm25_scores(_t(sf_dir, "documents", ["doc_id", "text"]),
-                      _BM25_TERMS).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = bm25_term_scores(_t(sf_dir, "documents", ["doc_id", "text"]),
+                           _BM25_TERMS).to_pandas()
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
 
 
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
@@ -1203,16 +1207,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, tok, count(*) AS tf FROM toks
                 WHERE tok IN (SELECT term FROM q) GROUP BY doc_id, tok
             )
-            SELECT tf.doc_id,
-                   sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+            SELECT tf.doc_id, tf.tok AS term,
+                   ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
                        * tf.tf * (1.2 + 1)
                        / (tf.tf + 1.2 * (1 - 0.75
-                                         + 0.75 * dl.len / stats.avgdl)))
+                                         + 0.75 * dl.len / stats.avgdl))
                        AS score
             FROM tf
             JOIN df ON tf.tok = df.tok
             JOIN dl ON tf.doc_id = dl.doc_id, stats
-            GROUP BY tf.doc_id
         """,
         "graph_components": """
             WITH RECURSIVE

@@ -79,6 +79,19 @@ class TestBM25:
         assert top[0]["score"] > top[1]["score"]
         assert top[1]["score"] == pytest.approx(top[2]["score"])
 
+    def test_term_scores_sum_to_doc_scores(self):
+        from web2llmstxt_ray.ops.retrieval import bm25_term_scores
+
+        terms = ["table", "hash", "window"]
+        ds = ray.data.from_arrow(_corpus()).repartition(2)
+        per_term = bm25_term_scores(ds, terms).to_pandas()
+        summed = per_term.groupby("doc_id")["score"].sum()
+        direct = {r["doc_id"]: r["score"]
+                  for r in bm25_scores(ds, terms).take_all()}
+        assert set(summed.index) == set(direct)
+        for d, s in summed.items():
+            assert s == pytest.approx(direct[d])
+
     def test_empty_terms_rejected(self):
         with pytest.raises(ValueError):
             bm25_scores(ray.data.from_arrow(_corpus()), [])

@@ -108,6 +108,57 @@ class _BM25Scorer:
                          "score": pa.array(out_scores, pa.float64())})
 
 
+class _BM25TermScorer(_BM25Scorer):
+    """Per-(doc, term) granularity — each score is one multiply/divide
+    chain with a DEFINED association order, so it is bit-reproducible
+    against the SQL oracle (a per-doc SUM is not: the oracle's addition
+    order across terms is unspecified, and float addition does not
+    associate)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        out_ids: list = []
+        out_terms: list[str] = []
+        out_scores: list[float] = []
+        k1, b, avgdl, idf = self.k1, self.b, self.avgdl, self.idf
+        for did, text in zip(ids, batch.column(self.text_col).to_pylist()):
+            toks = tokenize_ws(text or "")
+            if not toks:
+                continue
+            dl = len(toks)
+            norm = k1 * (1 - b + b * dl / avgdl)
+            for i, term in enumerate(self.terms):
+                tf = toks.count(term)
+                if tf:
+                    out_ids.append(did)
+                    out_terms.append(term)
+                    out_scores.append(idf[i] * tf * (k1 + 1) / (tf + norm))
+        return pa.table({self.id_col: pa.array(out_ids, pa.int64()),
+                         "term": pa.array(out_terms, pa.string()),
+                         "score": pa.array(out_scores, pa.float64())})
+
+
+def bm25_term_scores(ds: ray.data.Dataset, terms: list[str],
+                     text_col: str = "text", id_col: str = "doc_id",
+                     k1: float = 1.2, b: float = 0.75) -> ray.data.Dataset:
+    """(doc_id, term, score) per matching doc×term — the
+    term-attribution form (and the oracle-exact one; see
+    ``_BM25TermScorer``). ``bm25_scores`` sums it per doc."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    ds = ds.materialize()
+    n, avgdl, df = bm25_stats(ds, terms, text_col)
+    idf = np.array([math.log(1 + (n - d + 0.5) / (d + 0.5)) for d in df],
+                   dtype=np.float64)
+    from .stagecache import cached_stage
+
+    stats_ref = ray.put((list(terms), idf, avgdl))
+    return ds.map_batches(
+        cached_stage(_BM25TermScorer, stats_ref=stats_ref,
+                     text_col=text_col, id_col=id_col, k1=k1, b=b),
+        batch_format="pyarrow")
+
+
 def bm25_scores(ds: ray.data.Dataset, terms: list[str],
                 text_col: str = "text", id_col: str = "doc_id",
                 k1: float = 1.2, b: float = 0.75) -> ray.data.Dataset:
