@@ -297,6 +297,72 @@ def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_idle_customers(sf_dir: str) -> pd.DataFrame:
+    """Bucketed ANTI join: customers with no high-value (>300k) order.
+    The right side is projected to its key before the shuffle —
+    membership semantics, so the order payload never moves. (Every
+    customer has SOME order in this synthetic data, so the filter makes
+    the anti set non-trivial.)"""
+    from web2llmstxt_ray.ops.relational import hash_join
+
+    customer = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(
+            lambda t: t.filter(
+                pa.compute.greater(t["o_totalprice"], 300_000.0)).select(
+                ["o_custkey"]).rename_columns(["c_custkey"]),
+            batch_format="pyarrow")
+    out = hash_join(customer, orders, on="c_custkey", num_buckets=16,
+                    how="anti").to_pandas()
+    out = out.reindex(columns=["c_custkey", "c_acctbal"])
+    out["c_acctbal"] = out["c_acctbal"].astype("float64").round(ROUND_SUM)
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_customer_order_stats(sf_dir: str) -> pd.DataFrame:
+    """Bucketed LEFT OUTER join + per-customer aggregate: customers
+    without orders survive with n_orders=0 / total_spent=0 (the rows an
+    inner join silently drops)."""
+    from web2llmstxt_ray.ops.relational import hash_join, partial_groupby
+
+    customer = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey", "o_totalprice"]),
+        batch_format="pyarrow")
+    joined = hash_join(customer, orders, on="c_custkey", num_buckets=16,
+                       how="left")
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_custkey", as_index=False).agg(
+            n_orders=("o_totalprice", "count"),      # NaN (no order) → 0
+            total_spent=("o_totalprice", "sum"))     # all-NaN group → 0.0
+
+    # per-customer groups: high-cardinality → distributed combine
+    out = partial_groupby(joined, ["c_custkey"], batch_agg,
+                          ["n_orders", "total_spent"],
+                          distributed_combine=True).to_pandas()
+    out["total_spent"] = out["total_spent"].round(ROUND_SUM)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_latest_events(sf_dir: str) -> pd.DataFrame:
+    """Per-key argmax (latest event per user): per-batch partial winners
+    → bucketed distributed combine; only O(batches × keys) rows
+    shuffle."""
+    from web2llmstxt_ray.ops.relational import argmax_by_key
+
+    events = _t(sf_dir, "events",
+                ["event_id", "ts", "user_id", "event_type", "value"])
+    out = argmax_by_key(events, key="user_id", order_col="ts",
+                        tie_col="event_id", distributed_combine=True,
+                        num_buckets=16).to_pandas()
+    out["value"] = out["value"].round(ROUND_RATIO)
+    out = out[["user_id", "event_id", "ts", "event_type", "value"]]
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup / fingerprints / text stats (SQL-oracled)
 # ---------------------------------------------------------------------------
@@ -1030,6 +1096,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_suppliers": q_region_suppliers,
         "fulfilled_customers": q_fulfilled_customers,
         "part_type_stats": q_part_type_stats,
+        "idle_customers": q_idle_customers,
+        "customer_order_stats": q_customer_order_stats,
+        "latest_events": q_latest_events,
         "orders_by_month": q_orders_by_month,
         "discount_bands": q_discount_bands,
         "orders_per_customer_hist": q_orders_per_customer_hist,
@@ -1138,6 +1207,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(p_retailprice), {ROUND_SUM}) AS sum_retail,
                    round(sum(p_retailprice) / count(*), {ROUND_RATIO}) AS avg_retail
             FROM part WHERE p_size < 30 GROUP BY p_type
+        """,
+        "idle_customers": f"""
+            SELECT c_custkey, round(c_acctbal, {ROUND_SUM}) AS c_acctbal
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 300000)
+        """,
+        "customer_order_stats": f"""
+            SELECT c.c_custkey,
+                   count(o.o_totalprice) AS n_orders,
+                   round(coalesce(sum(o.o_totalprice), 0), {ROUND_SUM})
+                       AS total_spent
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        """,
+        "latest_events": f"""
+            SELECT user_id, event_id, ts, event_type,
+                   round(value, {ROUND_RATIO}) AS value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id
+                      ORDER BY ts DESC, event_id ASC) AS rn
+                  FROM events)
+            WHERE rn = 1
         """,
         "orders_by_month": f"""
             SELECT date_trunc('month', o_orderdate) AS order_month,

@@ -394,3 +394,119 @@ class TestLabelCentroids:
             want = vecs[labels == lab].astype(np.float64).mean(axis=0)
             got = out[out.label == lab].sort_values("dim")["mean_v"].to_numpy()
             assert np.allclose(got, want, atol=1e-6), lab
+
+
+class TestHashJoinModes:
+    """left / semi / anti modes of the bucketed hash join vs pandas."""
+
+    def _sides(self, seed=21):
+        rng = np.random.RandomState(seed)
+        left = pd.DataFrame({
+            "k": np.arange(40, dtype=np.int64),
+            "lv": rng.uniform(0, 1, 40).round(3)})
+        # right covers only part of the key space, with duplicates
+        right = pd.DataFrame({
+            "k": rng.choice(np.arange(25, 55, dtype=np.int64), size=60),
+            "rv": rng.uniform(0, 1, 60).round(3)})
+        mk = lambda d: ray.data.from_pandas(d).repartition(4)
+        return left, right, mk(left), mk(right)
+
+    def test_left_join(self):
+        from web2llmstxt_ray.ops.relational import hash_join
+
+        left, right, dl, dr = self._sides()
+        got = hash_join(dl, dr, on="k", num_buckets=5, how="left") \
+            .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)
+        want = left.merge(right, on="k", how="left") \
+            .sort_values(["k", "rv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "lv", "rv"]], want[["k", "lv", "rv"]])
+        # unmatched keys survive with null right columns
+        assert got.loc[got.k < 25, "rv"].isna().all()
+        assert len(got) >= len(left)
+
+    def test_semi_and_anti_partition_left(self):
+        from web2llmstxt_ray.ops.relational import hash_join
+
+        left, right, dl, dr = self._sides()
+        semi = hash_join(dl, dr, on="k", num_buckets=5, how="semi") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        anti = hash_join(dl, dr, on="k", num_buckets=5, how="anti") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        rk = set(right.k)
+        assert set(semi.k) == {k for k in left.k if k in rk}
+        assert set(anti.k) == {k for k in left.k if k not in rk}
+        # exactly-once per left row (no fan-out from right duplicates),
+        # payload intact, and together they partition the left side
+        both = pd.concat([semi, anti]).sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(both, left.sort_values("k")
+                                      .reset_index(drop=True))
+        assert list(semi.columns) == ["k", "lv"]
+
+    def test_anti_with_empty_right(self):
+        from web2llmstxt_ray.ops.relational import hash_join
+
+        left, _, dl, _ = self._sides()
+        empty = ray.data.from_pandas(
+            pd.DataFrame({"k": pd.Series([], dtype="int64")}))
+        anti = hash_join(dl, empty, on="k", num_buckets=5, how="anti") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            anti, left.sort_values("k").reset_index(drop=True))
+
+    def test_bucket_count_invariance(self):
+        from web2llmstxt_ray.ops.relational import hash_join
+
+        _, _, dl, dr = self._sides()
+        a = hash_join(dl, dr, on="k", num_buckets=3, how="left") \
+            .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)
+        b = hash_join(dl, dr, on="k", num_buckets=11, how="left") \
+            .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestArgmaxByKey:
+    def _oracle(self, df):
+        d = df.sort_values(["ts", "event_id"], ascending=[False, True],
+                           kind="stable")
+        return d.drop_duplicates(subset=["user_id"], keep="first") \
+            .sort_values("user_id").reset_index(drop=True)
+
+    def test_matches_window_oracle(self):
+        from web2llmstxt_ray.ops.relational import argmax_by_key
+
+        t = _events(n=500, users=23, seed=31)
+        ds = ray.data.from_arrow(t).repartition(7)
+        got = argmax_by_key(ds, key="user_id", order_col="ts",
+                            tie_col="event_id") \
+            .sort_values("user_id").reset_index(drop=True)
+        want = self._oracle(t.to_pandas())
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+    def test_distributed_equals_driver(self):
+        from web2llmstxt_ray.ops.relational import argmax_by_key
+
+        t = _events(n=500, users=23, seed=31)
+        ds = ray.data.from_arrow(t).repartition(7)
+        driver = argmax_by_key(ds, key="user_id", order_col="ts",
+                               tie_col="event_id") \
+            .sort_values("user_id").reset_index(drop=True)
+        dist = argmax_by_key(ds, key="user_id", order_col="ts",
+                             tie_col="event_id", distributed_combine=True,
+                             num_buckets=6).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(dist[driver.columns.tolist()], driver)
+
+    def test_ascending_min(self):
+        from web2llmstxt_ray.ops.relational import argmax_by_key
+
+        t = _events(n=300, users=11, seed=5)
+        ds = ray.data.from_arrow(t).repartition(4)
+        got = argmax_by_key(ds, key="user_id", order_col="ts",
+                            tie_col="event_id", descending=False) \
+            .sort_values("user_id").reset_index(drop=True)
+        df = t.to_pandas().sort_values(["ts", "event_id"],
+                                       ascending=[True, True], kind="stable")
+        want = df.drop_duplicates(subset=["user_id"], keep="first") \
+            .sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)

@@ -103,21 +103,35 @@ def hash_join(
 ) -> ray.data.Dataset:
     """Explicit partitioned hash join of two large Datasets.
 
-    Both sides get ``_bucket = key % num_buckets`` (keys are int join
-    keys here; string keys would hash first) and a ``_side`` tag, their
-    schemas are aligned so the union is well-typed, the union shuffles
-    ONCE on the bucket, and each bucket merges pandas-side. Hot buckets
-    can be split by raising ``num_buckets`` — the skew knob the
-    all-at-once ``Dataset.join`` hides. (Measured at sf0.1
-    lineitem⋈orders / 32 CPUs: this explicit form 4.1 s vs Ray's native
-    ``Dataset.join`` 5.1 s.)
+    ``how`` ∈ {``inner``, ``left``, ``semi``, ``anti``}. Both sides get
+    ``_bucket = key % num_buckets`` (keys are int join keys here; string
+    keys would hash first) and a ``_side`` tag, their schemas are
+    aligned so the union is well-typed, the union shuffles ONCE on the
+    bucket, and each bucket merges pandas-side. Hot buckets can be split
+    by raising ``num_buckets`` — the skew knob the all-at-once
+    ``Dataset.join`` hides. (Measured at sf0.1 lineitem⋈orders /
+    32 CPUs: this explicit form 4.1 s vs Ray's native ``Dataset.join``
+    5.1 s.)
+
+    ``semi``/``anti`` output only left columns, and the right side is
+    projected to its key column BEFORE the shuffle (membership is the
+    semantics, so the right payload never moves — distinct from the
+    broadcast semi-join in ``__ray_entry__.q_fulfilled_customers``,
+    which needs the key set to fit in one object; this form shuffles
+    and works at any right-side cardinality). ``left`` emits unmatched
+    left rows with null right columns (pandas NaN).
     """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    if how in ("semi", "anti"):
+        right = right.select_columns([on])
     left_cols = [c for c in left.schema().names if c != on]
     right_cols = [c for c in right.schema().names if c != on]
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"non-key column overlap: {overlap}")
     all_cols = [on, *left_cols, *right_cols]
+    out_cols = [on, *left_cols] if how in ("semi", "anti") else all_cols
 
     def tag(side: str):
         def _t(batch: pd.DataFrame) -> pd.DataFrame:
@@ -134,11 +148,63 @@ def hash_join(
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group.loc[group["_side"] == "L", [on, *left_cols]]
         rhs = group.loc[group["_side"] == "R", [on, *right_cols]]
-        if lhs.empty or rhs.empty:
-            if how == "inner":
-                return pd.DataFrame(columns=all_cols)
-            raise NotImplementedError("only inner bucketed join implemented")
+        if lhs.empty:
+            # typed empty (dtypes from the group) — keeps block schemas
+            # consistent across buckets
+            return group[out_cols].iloc[0:0]
+        if rhs.empty:
+            if how == "anti":
+                return lhs
+            if how == "left":
+                return lhs.reindex(columns=all_cols)
+            return group[out_cols].iloc[0:0]
+        if how == "semi":
+            return lhs[lhs[on].isin(rhs[on].unique())]
+        if how == "anti":
+            return lhs[~lhs[on].isin(rhs[on].unique())]
         return lhs.merge(rhs, on=on, how=how)
 
     return unioned.groupby("_bucket").map_groups(merge_bucket,
                                                  batch_format="pandas")
+
+
+def argmax_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    tie_col: str,
+    descending: bool = True,
+    distributed_combine: bool = False,
+    num_buckets: int = 32,
+) -> pd.DataFrame | ray.data.Dataset:
+    """One winner row per key: the row with the max (``descending``) or
+    min ``order_col``, ties broken by min ``tie_col`` (deterministic for
+    unique tie values). The classic "latest event per user" /
+    "best-scoring page per domain" operator.
+
+    Scale shape: argmax is idempotent under composition, so each batch
+    reduces to its local winners first — only ``O(batches × keys)``
+    rows ever leave the map stage. Default finale is a driver-side
+    pandas pick (bounded-key case, same economics as
+    :func:`partial_groupby`); ``distributed_combine=True`` re-buckets
+    the partial winners by ``hash(key) % num_buckets`` and picks inside
+    each bucket — nothing key-cardinality-sized reaches the driver.
+    """
+    from .windows import _add_key_bucket
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values([order_col, tie_col],
+                          ascending=[not descending, True], kind="stable")
+        return b.drop_duplicates(subset=[key], keep="first")
+
+    partials = ds.map_batches(pick, batch_format="pandas", batch_size=None)
+    if distributed_combine:
+        bucketed = _add_key_bucket(partials, key, num_buckets)
+
+        def pick_bucket(group: pd.DataFrame) -> pd.DataFrame:
+            return pick(group).drop(columns=["_sbucket"])
+
+        return bucketed.groupby("_sbucket").map_groups(
+            pick_bucket, batch_format="pandas")
+    pdf = partials.to_pandas()
+    return pick(pdf) if not pdf.empty else pdf
