@@ -2,6 +2,7 @@
 embedding cosine — verified against small sequential oracles."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -263,3 +264,79 @@ class TestSimhashNearDupPairs:
         assert got["a"].to_pylist() == [0, 0, 1]
         assert got["b"].to_pylist() == [1, 2, 2]
         assert got["hamming"].to_pylist() == [0, 0, 0]
+
+
+class TestSemanticDedup:
+    def _corpus(self, seed=23, n_clusters=5, per=40, dim=12, n_dup=15):
+        """Clustered corpus with planted within-cluster near-dups."""
+        rng = np.random.RandomState(seed)
+        reps = rng.randn(n_clusters, dim) * 4
+        base = np.vstack([
+            reps[c] + 0.5 * rng.randn(per, dim) for c in range(n_clusters)])
+        n = len(base)
+        # planted near-dups: tiny perturbations of the first n_dup rows
+        dups = base[:n_dup] + 1e-3 * rng.randn(n_dup, dim)
+        vecs = np.vstack([base, dups]).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        return tbl, vecs, n, n_dup
+
+    def test_planted_dups_grouped_one_keeper(self):
+        tbl, vecs, n, n_dup = self._corpus()
+        out = D.semantic_dedup(
+            ray.data.from_arrow(tbl).repartition(6), threshold=0.999,
+            k=5, kmeans_iters=8).to_pandas()
+        assert len(out) == len(vecs)
+        by_id = out.set_index("vec_id")
+        for i in range(n_dup):
+            dup_id = n + i
+            # original and its copy share a group and a cluster…
+            assert by_id.loc[i, "dup_group"] == by_id.loc[dup_id, "dup_group"]
+            # …and exactly one of the group's members is kept
+            grp = out[out.dup_group == by_id.loc[i, "dup_group"]]
+            assert int(grp.keep.sum()) == 1
+        # singletons are their own kept group
+        singles = out[~out.vec_id.isin(
+            list(range(n_dup)) + list(range(n, n + n_dup)))]
+        assert singles.keep.all()
+        assert (singles.dup_group == singles.vec_id).all()
+
+    def test_keeper_is_lowest_centroid_cosine(self):
+        """Paper rule: within a dup group, keep the member with the
+        LOWEST cosine to the cluster centroid (ties → min id)."""
+        tbl, vecs, n, n_dup = self._corpus(seed=7)
+        out = D.semantic_dedup(
+            ray.data.from_arrow(tbl).repartition(4), threshold=0.999,
+            k=4, kmeans_iters=8).to_pandas()
+        # reconstruct per-cluster centroids from the output grouping
+        v = vecs.astype(np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        for gid, grp in out.groupby("dup_group"):
+            if len(grp) == 1:
+                continue
+            cl = grp.sem_cluster.iloc[0]
+            members = out[out.sem_cluster == cl].vec_id.to_numpy()
+            cent = vn[members].mean(axis=0)
+            cent /= np.linalg.norm(cent)
+            gids = np.sort(grp.vec_id.to_numpy())
+            cos = vn[gids] @ cent
+            kept = grp[grp.keep].vec_id.to_numpy()
+            assert len(kept) == 1
+            # kept member has (approximately) the minimal centroid
+            # cosine — exact equality isn't assertable because the test
+            # recomputes the centroid from member means while the op
+            # uses the kmeans centroid, so allow a small slack
+            assert cos[np.flatnonzero(gids == kept[0])[0]] <= cos.min() + 1e-3
+
+    def test_partition_invariance(self):
+        tbl, *_ = self._corpus(seed=13)
+        a = D.semantic_dedup(ray.data.from_arrow(tbl).repartition(3),
+                             threshold=0.99, k=5).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        b = D.semantic_dedup(ray.data.from_arrow(tbl).repartition(9),
+                             threshold=0.99, k=5).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

@@ -973,3 +973,98 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(mat, axis=1)
     n[n == 0] = 1.0
     return mat / n[:, None]
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(ids: np.ndarray, pa_: np.ndarray,
+                           pb_: np.ndarray) -> np.ndarray:
+    """Component root (min member id) per id, given edge lists — plain
+    union-find over a bounded (per-cluster) id set."""
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pa_.tolist(), pb_.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return np.asarray([find(int(i)) for i in ids], dtype=np.int64)
+
+
+def semantic_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
+                   k: int = 16, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   kmeans_iters: int = 5) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): embedding-level
+    semantic deduplication. K-means partitions the corpus; within each
+    cluster, pairs with cosine ≥ ``threshold`` form duplicate groups
+    (connected components of the similarity graph — exact within the
+    cluster); each group KEEPS exactly one member — per the paper, the
+    one with the LOWEST cosine similarity to the cluster centroid
+    (diversity-preserving choice), ties broken by min id.
+
+    Scale shape: one shuffle-free k-means fit (:func:`ops.ann.kmeans_fit`
+    — per-batch partial sums, broadcast centroids), one
+    ``groupby(cluster)`` shuffle of (id, vector) rows, then per-cluster
+    work is O(n_c²·d) via the slabbed f32-scan/f64-verify GEMM kernel
+    shared with :func:`embedding_near_dup_pairs`. Size ``k``
+    proportionally to the corpus (n_c ≈ N/k bounded ⇒ near-linear
+    total work — the paper runs k=50k at 100M scale). Duplicates
+    across cluster boundaries are missed by construction (the paper's
+    documented trade).
+
+    Returns (id, sem_cluster, dup_group, keep): ``dup_group`` is the
+    min member id of the duplicate component (== own id for uniques),
+    ``keep`` marks the retained member.
+    """
+    from .ann import kmeans_assign, kmeans_fit
+
+    ds = ds.materialize()
+    centroids, _info = kmeans_fit(ds, k, vec_col=vec_col,
+                                  iters=kmeans_iters)
+    assigned = kmeans_assign(ds.select_columns([id_col, vec_col]),
+                             centroids, vec_col=vec_col,
+                             out_col="sem_cluster")
+    cref = ray.put(_normalize_rows(np.asarray(centroids, dtype=np.float64)))
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group.column(id_col).to_pylist())
+        cid = int(group.column("sem_cluster")[0].as_py())
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "sem_cluster": pa.array([], pa.int32()),
+            "dup_group": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.bool_()),
+        })
+        if not len(ids):
+            return empty
+        mat = _normalize_rows(vec_matrix(group, vec_col))
+        order = np.argsort(ids)
+        ids, mat = ids[order], np.ascontiguousarray(mat[order])
+        pairs = _emit_pairs(ids, mat, ids, mat, threshold, same_block=True)
+        roots = _union_find_components(ids, pairs["a"], pairs["b"])
+        # keeper per group: LOWEST cosine to the cluster centroid
+        # (paper's rule), ties → min id (ids sorted ⇒ stable argmin)
+        cent = ray.get(cref)[cid]
+        cos_c = mat @ cent
+        keep = np.zeros(len(ids), dtype=bool)
+        for root in np.unique(roots):
+            members = np.flatnonzero(roots == root)
+            keep[members[np.argmin(cos_c[members])]] = True
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "sem_cluster": pa.array(np.full(len(ids), cid, dtype=np.int32)),
+            "dup_group": pa.array(roots, pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return assigned.groupby("sem_cluster").map_groups(
+        dedup_cluster, batch_format="pyarrow")
