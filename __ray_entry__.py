@@ -868,6 +868,19 @@ def q_embedding_near_dup_ivf(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup: k-means partition → within-cluster cosine dup groups →
+    keep the member farthest from the centroid. Deterministic (seeded
+    sample-init + full-corpus Lloyd), rows-only check (k-means isn't
+    SQL-expressible); the grouping/keeper invariants are pytest-gated
+    in tests/test_dedup.py::TestSemanticDedup."""
+    from web2llmstxt_ray.ops.dedup import semantic_dedup
+
+    out = semantic_dedup(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                         threshold=0.9, k=8).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     from web2llmstxt_ray.ops.ann import ivf_topk, train_centroids
 
@@ -991,6 +1004,23 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     from web2llmstxt_ray.ops.textstats import language_id
 
     return _pdf(language_id(_t(sf_dir, "documents", ["doc_id", "text"])))
+
+
+def q_lm_quality(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style model-based quality: train a char-trigram LM on the
+    corpus (one partial-Counter pass, no corpus shuffle), score every
+    doc's log2 perplexity against the broadcast model. Deterministic
+    (integer counts, and the trigram context space is far below the
+    pruning bound at these scales, so the fold is partition-invariant);
+    rows-only check — the train/score math is sequential-oracled in
+    tests/test_lm.py."""
+    from web2llmstxt_ray.ops.lm import perplexity_scores, train_char_lm
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    model = train_char_lm(docs, n=3)
+    out = perplexity_scores(docs, model).to_pandas()
+    out["log2_ppl"] = out["log2_ppl"].round(ROUND_RATIO)
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
@@ -1133,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
+        "semantic_dedup": q_semantic_dedup,
         "ann_ivf": q_ann_ivf,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
@@ -1143,6 +1174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": q_bm25_scores,
         "kmeans_clusters": q_kmeans_clusters,
         "lang_id": q_lang_id,
+        "lm_quality": q_lm_quality,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
         "crawl_pages": q_crawl_pages,

@@ -1,0 +1,195 @@
+"""Character-n-gram language-model quality scoring (CCNet-style).
+
+CCNet (Wenzek et al., LREC 2020) filters web corpora by the perplexity
+of a small LM trained on a trusted corpus: low-perplexity documents
+read like the reference text, high-perplexity ones are boilerplate,
+gibberish or the wrong register. The reference engine has no model-
+based quality tier (its quality signals are ratio heuristics —
+`ops/textstats.py:QualityScorer`); at 100 TB a trained scorer is the
+standard next tier, so this module implements the full train→score
+loop on Ray Data with a character n-gram model (no external deps, no
+tokenizer):
+
+- **train** (:func:`train_char_lm`): one pass of per-batch n-gram
+  Counter partials → driver fold. The model is a (context → next-char
+  counts) table over the TOP ``max_contexts`` contexts by count — the
+  count table is pruned DISTRIBUTIVELY per batch (only each batch's
+  top candidates ship) and exactly on the driver, so the driver never
+  holds the unbounded tail. Probabilities are add-k smoothed over the
+  observed character vocabulary.
+- **score** (:func:`perplexity_scores`): the (small, pruned) model
+  broadcasts once via ``ray.put``; each batch scores vectorized-ish
+  per doc: mean negative log2 P(c | context) over the doc's n-grams
+  (= log2 perplexity). Unseen contexts back off to the unigram char
+  distribution; unseen chars get the smoothed floor.
+
+Determinism: counts are integers (order-free), the pruning tie-break
+is (count desc, context asc), and scoring is a pure function of the
+model — byte-identical across runs and partitionings.
+
+Scale notes: the per-batch partial prune bounds the shuffle at
+``O(batches × keep)`` rows; the final model is O(max_contexts · vocab)
+and broadcasts once. Training never shuffles the corpus; scoring is
+map-only. (The exact top-M by global count may differ from the fold of
+per-batch top-M' candidates only for contexts straddling the per-batch
+cut — mitigated by keeping ``prune_factor``× more candidates per batch;
+the resulting model is still a deterministic function of the corpus +
+partitioning, and tests pin both the exact-small case and partition
+invariance of scoring through `queries()`.)
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+__all__ = ["train_char_lm", "perplexity_scores", "CharLM"]
+
+
+def _doc_ngrams(text: str, n: int) -> zip:
+    """(context, next_char) pairs with a leading boundary pad."""
+    padded = "\x02" * (n - 1) + text
+    return zip((padded[i:i + n - 1] for i in range(len(text))), text)
+
+
+class CharLM:
+    """Pruned char-n-gram model: {context: {char: count}} + unigram
+    fallback. Plain dicts — pickles small, probes O(1)."""
+
+    def __init__(self, n: int, contexts: dict[str, dict[str, int]],
+                 unigram: dict[str, int], add_k: float = 0.1):
+        self.n = n
+        self.contexts = contexts
+        self.unigram = unigram
+        self.add_k = add_k
+        self.vocab = sorted(unigram)
+        self.v = max(1, len(self.vocab))
+        self.total_uni = sum(unigram.values())
+        # precomputed log2 tables: context → {char: logp} plus the
+        # per-context unseen floor; probe is two dict hops per char
+        self._logp: dict[str, dict[str, float]] = {}
+        self._floor: dict[str, float] = {}
+        k, v = self.add_k, self.v
+        for ctx, counts in contexts.items():
+            tot = sum(counts.values()) + k * v
+            self._logp[ctx] = {c: math.log2((cnt + k) / tot)
+                               for c, cnt in counts.items()}
+            self._floor[ctx] = math.log2(k / tot)
+        utot = self.total_uni + k * v
+        self._uni_logp = {c: math.log2((cnt + k) / utot)
+                          for c, cnt in unigram.items()}
+        self._uni_floor = math.log2(k / utot)
+
+    def log2p(self, ctx: str, ch: str) -> float:
+        tab = self._logp.get(ctx)
+        if tab is None:                      # unseen context → unigram
+            return self._uni_logp.get(ch, self._uni_floor)
+        return tab.get(ch, self._floor[ctx])
+
+    def doc_log2_ppl(self, text: str) -> float:
+        """Mean −log2 P per char (= log2 perplexity); 0.0 for empty."""
+        if not text:
+            return 0.0
+        s = 0.0
+        n_chars = 0
+        for ctx, ch in _doc_ngrams(text, self.n):
+            s -= self.log2p(ctx, ch)
+            n_chars += 1
+        return s / n_chars
+
+
+def train_char_lm(ds: ray.data.Dataset, n: int = 3,
+                  text_col: str = "text", max_contexts: int = 20_000,
+                  prune_factor: int = 4, add_k: float = 0.1) -> CharLM:
+    """One-pass distributed training. Each batch emits its (context,
+    char, count) partials pruned to the batch's top
+    ``prune_factor × max_contexts`` contexts (plus the full char
+    unigram — vocab-bounded); the driver folds partials and takes the
+    exact global top ``max_contexts`` of the folded counts."""
+    keep_per_batch = prune_factor * max_contexts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ctx_counts: dict[str, Counter] = {}
+        uni: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            t = t or ""
+            uni.update(t)
+            for ctx, ch in _doc_ngrams(t, n):
+                c = ctx_counts.get(ctx)
+                if c is None:
+                    c = ctx_counts[ctx] = Counter()
+                c[ch] += 1
+        if len(ctx_counts) > keep_per_batch:
+            by_total = sorted(ctx_counts,
+                              key=lambda c: (-sum(ctx_counts[c].values()), c))
+            ctx_counts = {c: ctx_counts[c] for c in by_total[:keep_per_batch]}
+        ctxs, chars, counts = [], [], []
+        for ctx, cc in ctx_counts.items():
+            for ch, cnt in cc.items():
+                ctxs.append(ctx)
+                chars.append(ch)
+                counts.append(cnt)
+        for ch, cnt in uni.items():          # unigram rows: ctx = ""
+            ctxs.append("")
+            chars.append(ch)
+            counts.append(cnt)
+        return pa.table({"ctx": pa.array(ctxs, pa.string()),
+                         "ch": pa.array(chars, pa.string()),
+                         "cnt": pa.array(counts, pa.int64())})
+
+    folded: dict[str, Counter] = {}
+    unigram: Counter = Counter()
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        if row["ctx"] == "":
+            unigram[row["ch"]] += row["cnt"]
+        else:
+            c = folded.get(row["ctx"])
+            if c is None:
+                c = folded[row["ctx"]] = Counter()
+            c[row["ch"]] += row["cnt"]
+    if len(folded) > max_contexts:
+        by_total = sorted(folded,
+                          key=lambda c: (-sum(folded[c].values()), c))
+        folded = {c: folded[c] for c in by_total[:max_contexts]}
+    return CharLM(n, {k: dict(v) for k, v in folded.items()},
+                  dict(unigram), add_k=add_k)
+
+
+class _PplScorer:
+    """map_batches stage: model broadcasts once per worker."""
+
+    def __init__(self, model_ref, text_col: str, id_col: str):
+        self.model: CharLM = (ray.get(model_ref)
+                              if isinstance(model_ref, ray.ObjectRef)
+                              else model_ref)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.model
+        ppl = [m.doc_log2_ppl(t or "")
+               for t in batch.column(self.text_col).to_pylist()]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "log2_ppl": pa.array(np.asarray(ppl, dtype=np.float64)),
+        })
+
+
+def perplexity_scores(ds: ray.data.Dataset, model: CharLM,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> ray.data.Dataset:
+    """(id, log2_ppl) per doc — low = reads like the training corpus.
+    Filter downstream with a threshold or per-language quantile
+    (:func:`ops.corpus.int_quantiles` on the scaled score)."""
+    from .stagecache import cached_stage
+
+    mref = ray.put(model)
+    return ds.map_batches(
+        cached_stage(_PplScorer, model_ref=mref, text_col=text_col,
+                     id_col=id_col),
+        batch_format="pyarrow")
