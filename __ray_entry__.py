@@ -1006,6 +1006,19 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     return _pdf(language_id(_t(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def q_epoch_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic epoch shuffle: bijective multiplicative
+    permutation key + global range-partitioned sort. The oracle
+    reproduces the exact mod-2^64 key arithmetic in HUGEINT, so the
+    permutation itself is SQL-verified; global sortedness of the
+    output order is pytest-gated (tests/test_corpus.py)."""
+    from web2llmstxt_ray.ops.corpus import epoch_shuffle
+
+    out = epoch_shuffle(_t(sf_dir, "documents", ["doc_id"]),
+                        seed=3).to_pandas()
+    return out
+
+
 def q_lm_quality(sf_dir: str) -> pd.DataFrame:
     """CCNet-style model-based quality: train a char-trigram LM on the
     corpus (one partial-Counter pass, no corpus shuffle), score every
@@ -1175,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "lang_id": q_lang_id,
         "lm_quality": q_lm_quality,
+        "epoch_shuffle": q_epoch_shuffle,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
         "crawl_pages": q_crawl_pages,
@@ -1427,6 +1441,13 @@ def oracle_sql() -> dict[str, str]:
               AND mean_word_len BETWEEN 2.0 AND 12.0
         """,
         "lang_hist": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   (((doc_id::HUGEINT + 3) % 18446744073709551616)
+                    * 2685821657736338717::HUGEINT
+                    % 18446744073709551616)::UBIGINT AS shuffle_key
+            FROM documents
+        """,
         "top_tokens": """
             SELECT token, count(*) AS n
             FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))

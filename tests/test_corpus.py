@@ -125,3 +125,41 @@ class TestTopTokensByGroup:
                       "text": pa.array(["a b a", None])})
         got = top_tokens_by_group(ray.data.from_arrow(t), "lang", k=5)
         assert list(zip(got["token"], got["n"])) == [("a", 2), ("b", 1)]
+
+
+class TestEpochShuffle:
+    def _ids(self, n=500):
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(n), pa.int64())})
+        ).repartition(7)
+
+    def test_permutation_and_sorted(self):
+        from web2llmstxt_ray.ops.corpus import epoch_shuffle
+
+        out = epoch_shuffle(self._ids(), seed=3).to_pandas()
+        # bijective: every input id appears exactly once
+        assert sorted(out["doc_id"]) == list(range(500))
+        # distinct keys (A odd => multiplicative permutation mod 2^64)
+        assert out["shuffle_key"].nunique() == 500
+        # globally sorted output realizes the permutation
+        assert out["shuffle_key"].is_monotonic_increasing
+        # actually shuffled, not identity-ordered
+        assert list(out["doc_id"]) != list(range(500))
+
+    def test_deterministic_and_seed_sensitive(self):
+        from web2llmstxt_ray.ops.corpus import epoch_shuffle
+
+        a = epoch_shuffle(self._ids(), seed=1).to_pandas()
+        b = epoch_shuffle(self._ids(200), seed=1).to_pandas()
+        # same seed => same relative order regardless of partitioning
+        sub = a[a.doc_id < 200].reset_index(drop=True)
+        assert list(sub["doc_id"]) == list(b["doc_id"])
+        c = epoch_shuffle(self._ids(200), seed=2).to_pandas()
+        assert list(b["doc_id"]) != list(c["doc_id"])
+
+    def test_matches_int_oracle(self):
+        from web2llmstxt_ray.ops.corpus import _SHUFFLE_MULT, epoch_shuffle
+
+        out = epoch_shuffle(self._ids(64), seed=9).to_pandas()
+        for did, key in zip(out["doc_id"], out["shuffle_key"]):
+            assert int(key) == ((int(did) + 9) * _SHUFFLE_MULT) % (1 << 64)

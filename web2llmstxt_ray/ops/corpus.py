@@ -307,3 +307,42 @@ def pack_sequences(ds: ray.data.Dataset, max_tokens: int,
         })
 
     return ds.map_batches(pack_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle
+# ---------------------------------------------------------------------------
+
+# odd ⇒ multiplication is a bijection mod 2^64 (Fibonacci/splitmix-style
+# multiplicative permutation); < 2^62 so (key·A) also fits an int128
+# oracle (DuckDB HUGEINT) without overflow
+_SHUFFLE_MULT = 0x2545F4914F6CDD1D
+
+
+def epoch_shuffle(ds: ray.data.Dataset, key_col: str = "doc_id",
+                  seed: int = 0,
+                  out_col: str = "shuffle_key") -> ray.data.Dataset:
+    """Deterministic global shuffle for training epochs: every row gets
+    ``shuffle_key = ((key + seed) mod 2^64) · A mod 2^64`` (A odd ⇒ a
+    bijective multiplicative permutation — equidistributed for
+    sequential ids, collision-free for distinct keys), then a global
+    ``ds.sort(shuffle_key)`` realizes the permutation as a
+    range-partitioned distributed sort.
+
+    Why not ``random_shuffle()``: epoch reproducibility. The same
+    (corpus, seed) yields the SAME order on any cluster shape, any
+    partitioning, any run — resumable training and A/B-comparable data
+    order — and per-epoch reshuffling is just ``seed=epoch``. The key
+    derivation is one vectorized multiply per batch; the sort is the
+    one unavoidable all-to-all.
+    """
+    mult = np.uint64(_SHUFFLE_MULT)
+    s = np.uint64(seed % (1 << 64))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(key_col)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            k = (ids + s) * mult               # uint64 wraps = mod 2^64
+        return batch.append_column(out_col, pa.array(k))
+
+    return ds.map_batches(add_key, batch_format="pyarrow").sort(out_col)
