@@ -1019,6 +1019,28 @@ def q_epoch_shuffle(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_knn_join(sf_dir: str) -> pd.DataFrame:
+    """Exact KNN self-join (per-vector top-5 cosine neighbor graph):
+    chunked query broadcast over streaming corpus scans — O(N²) work,
+    O(chunk·k) driver state. SQL oracle = cross join + row_number."""
+    from web2llmstxt_ray.ops.ann import knn_join
+
+    return knn_join(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                    k=5, chunk_size=128).to_pandas()
+
+
+def q_knn_join_ivf(sf_dir: str) -> pd.DataFrame:
+    """Approximate KNN self-join, fully distributed (replicate-to-
+    nprobe-lists → per-list GEMM → bucketed per-query merge; no corpus
+    broadcast, nothing corpus-sized on the driver). Rows-only driver
+    check; recall vs the exact join is pytest-gated
+    (tests/test_ann_textstats.py)."""
+    from web2llmstxt_ray.ops.ann import knn_join_ivf
+
+    return knn_join_ivf(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                        k=5, num_lists=8, nprobe=4).to_pandas()
+
+
 def q_lm_quality(sf_dir: str) -> pd.DataFrame:
     """CCNet-style model-based quality: train a char-trigram LM on the
     corpus (one partial-Counter pass, no corpus shuffle), score every
@@ -1189,6 +1211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "lm_quality": q_lm_quality,
         "epoch_shuffle": q_epoch_shuffle,
+        "knn_join": q_knn_join,
+        "knn_join_ivf": q_knn_join_ivf,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
         "crawl_pages": q_crawl_pages,
@@ -1634,6 +1658,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), {ROUND_SUM}) AS sum_value
             FROM events, (SELECT unnest([0, 1, 2, 3]) AS j)
             GROUP BY 1, 2
+        """,
+        "knn_join": """
+            WITH sims AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS vid,
+                       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[]))
+                           AS cos
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE a.vec_id != b.vec_id),
+            ranked AS (
+                SELECT query_id, vid, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vid) AS rank
+                FROM sims)
+            SELECT query_id, rank, vid AS vec_id, round(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 5
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

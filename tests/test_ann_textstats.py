@@ -288,3 +288,61 @@ class TestMultimodal:
 
         assert M.make_fake_payload("m1", "image", 10, 10) == \
             M.make_fake_payload("m1", "image", 10, 10)
+
+
+class TestKnnJoin:
+    def _clustered(self, n=240, d=16, c=6, seed=4):
+        rng = np.random.RandomState(seed)
+        centers = rng.randn(c, d)
+        vecs = np.stack([centers[i % c] + 0.3 * rng.randn(d)
+                         for i in range(n)]).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        return vecs, tbl
+
+    def _oracle(self, vecs, k):
+        vn = vecs.astype(np.float64)
+        vn = vn / np.linalg.norm(vn, axis=1)[:, None]
+        sims = vn @ vn.T
+        np.fill_diagonal(sims, -2.0)
+        want = {}
+        for q in range(len(vecs)):
+            want[q] = sorted(range(len(vecs)),
+                             key=lambda j: (-sims[q, j], j))[:k]
+        return want
+
+    def test_exact_matches_numpy_oracle_any_chunk(self):
+        vecs, tbl = self._clustered()
+        ds = ray.data.from_arrow(tbl).repartition(6)
+        want = self._oracle(vecs, 5)
+        for chunk in (64, 1000):
+            out = A.knn_join(ds, k=5, chunk_size=chunk).to_pandas()
+            assert len(out) == 240 * 5
+            for q, grp in out.groupby("query_id"):
+                assert list(grp.sort_values("rank")["vec_id"]) == want[q]
+
+    def test_ivf_recall_and_schema(self):
+        vecs, tbl = self._clustered()
+        ds = ray.data.from_arrow(tbl).repartition(6)
+        want = self._oracle(vecs, 5)
+        out = A.knn_join_ivf(ds, k=5, num_lists=6, nprobe=3).to_pandas()
+        assert list(out.columns) == ["query_id", "rank", "vec_id",
+                                     "cosine"]
+        hits = sum(len(set(g["vec_id"]) & set(want[q]))
+                   for q, g in out.groupby("query_id"))
+        assert hits / (240 * 5) >= 0.9
+        # ranks contiguous from 1, cosine non-increasing per query
+        for q, g in out.groupby("query_id"):
+            g = g.sort_values("rank")
+            assert list(g["rank"]) == list(range(1, len(g) + 1))
+            assert (g["cosine"].diff().dropna() <= 1e-12).all()
+
+    def test_ivf_deterministic(self):
+        _, tbl = self._clustered(n=120)
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        a = A.knn_join_ivf(ds, k=3, num_lists=5, nprobe=2).to_pandas()
+        b = A.knn_join_ivf(ds, k=3, num_lists=5, nprobe=2).to_pandas()
+        assert a.equals(b)

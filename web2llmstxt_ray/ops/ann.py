@@ -361,3 +361,130 @@ def ivf_topk(ds: ray.data.Dataset, centroids: np.ndarray,
                      "rank": pa.array(rows["rank"], pa.int64()),
                      "vec_id": pa.array(rows["vec_id"], pa.int64()),
                      "cosine": pa.array(rows["cosine"], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# KNN self-join (per-document neighbor graph)
+# ---------------------------------------------------------------------------
+
+
+def knn_join(ds: ray.data.Dataset, k: int = 5, chunk_size: int = 4096,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    """Exact k-nearest-neighbor SELF-join: for every vector, its top-k
+    cosine neighbors (excluding itself) — the document-similarity-graph
+    primitive behind SemDeDup-style curation and diversity analysis.
+
+    Exact all-pairs KNN is inherently O(N²); the distributed shape
+    keeps every pass streaming: queries are taken CHUNK at a time
+    (``iter_batches`` — one chunk of driver memory, never the corpus),
+    each chunk broadcasts via ``ray.put`` and scans the corpus with the
+    same per-batch partial-top-k GEMM as :func:`brute_force_topk`.
+    Total passes = N / chunk_size; per-pass driver state is
+    O(chunk × k). The sub-quadratic scale tier is
+    :func:`knn_join_ivf`.
+
+    Ties broken by ascending neighbor id (oracle-matchable).
+    """
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+    parts: list[pa.Table] = []
+    for qb in ds.iter_batches(batch_size=chunk_size,
+                              batch_format="pyarrow"):
+        qids = qb.column(id_col).to_pylist()
+        parts.append(brute_force_topk(
+            ds, vec_matrix(qb, vec_col), qids, k=k,
+            vec_col=vec_col, id_col=id_col, exclude_self=True))
+    return pa.concat_tables(parts)
+
+
+def knn_join_ivf(ds: ray.data.Dataset, k: int = 5, num_lists: int = 16,
+                 nprobe: int = 3, vec_col: str = "embedding",
+                 id_col: str = "vec_id", sample_size: int = 4096,
+                 merge_buckets: int = 32, seed: int = 11) -> pa.Table:
+    """Approximate KNN self-join, fully distributed — nothing
+    corpus-sized touches the driver and no corpus broadcast:
+
+    1. k-means centroids on a bounded sample (small model, broadcast).
+    2. Every vector is REPLICATED to its ``nprobe`` nearest lists
+       (×nprobe expansion) tagged ``_owner`` on its rank-0 list.
+    3. ``groupby(list).map_groups``: within a list, queries = all
+       replicas, members = owners only; one GEMM + per-query partial
+       top-k. List count ~sqrt(N) keeps group cardinality bounded
+       (no 1-row-block pathology); balance comes from k-means.
+    4. Per-query merge of the ≤ nprobe×k candidates via hash-bucketed
+       pandas top-k (a (q, m) pair occurs at most once globally: m has
+       one owner list).
+
+    Recall vs :func:`knn_join` is measured in tests; raise ``nprobe``
+    / ``num_lists`` to trade cost for recall.
+    """
+    import pandas as pd
+
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[vec_col] for r in sample_rows],
+                        dtype=np.float64)
+    centroids = train_centroids(sample, num_lists, seed=seed)
+    cref = ray.put(_normalize(centroids))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
+        vn = _normalize(vec_matrix(batch, vec_col))
+        order = np.argsort(-(vn @ cent.T), axis=1)[:, :nprobe]  # (B, P)
+        n = len(vn)
+        ids = np.repeat(
+            np.asarray(batch.column(id_col).to_pylist(), np.int64), nprobe)
+        vecs = np.repeat(np.arange(n), nprobe)
+        owner = np.tile(np.arange(nprobe) == 0, n)
+        emb = batch.column(vec_col).to_pylist()
+        return pa.table({
+            id_col: pa.array(ids),
+            vec_col: pa.array([emb[i] for i in vecs]),
+            "_plist": pa.array(order.ravel().astype(np.int32)),
+            "_owner": pa.array(owner),
+        })
+
+    replicated = ds.map_batches(replicate, batch_format="pyarrow")
+
+    def knn_within(group: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize(np.stack(
+            [np.asarray(v, np.float64) for v in group[vec_col]]))
+        own = group["_owner"].to_numpy()
+        if not own.any():
+            return pd.DataFrame({"query_id": [], "vec_id": [],
+                                 "cosine": []})
+        qids = group[id_col].to_numpy()
+        mids = qids[own]
+        sims = mat @ mat[own].T                        # (Q, M)
+        sims[qids[:, None] == mids[None, :]] = -2.0    # exclude self
+        take = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        return pd.DataFrame({
+            "query_id": np.repeat(qids, take),
+            "vec_id": mids[idx].ravel(),
+            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+        })
+
+    cands = replicated.groupby("_plist").map_groups(
+        knn_within, batch_format="pandas")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch.column("query_id").to_pylist(), np.uint64)
+        b = ((q * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+             ).astype(np.int32) % merge_buckets
+        return batch.append_column("_mb", pa.array(b))
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        group = group[group["cosine"] > -2.0]
+        group = group.sort_values(
+            ["query_id", "cosine", "vec_id"],
+            ascending=[True, False, True], kind="mergesort")
+        top = group.groupby("query_id", sort=True).head(k).copy()
+        top["rank"] = top.groupby("query_id").cumcount() + 1
+        top["cosine"] = top["cosine"].round(6)
+        return top[["query_id", "rank", "vec_id", "cosine"]]
+
+    out = (cands.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("_mb")
+                .map_groups(merge_bucket, batch_format="pandas"))
+    df = out.to_pandas().sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(df.reset_index(drop=True))
