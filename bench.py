@@ -248,6 +248,19 @@ def _run_bench() -> dict:
     extras["near_dup_ivf_recall"] = round(
         pairs_ivf.num_rows / max(1, pairs_exact.num_rows), 4)
 
+    # ---- knn_join at scale: 200k-vector neighbor graph, IVF tier ----
+    # (exact all-pairs would be 4×10^10 dots; the IVF join replicates
+    # each vector to 2 lists and GEMMs within lists — no broadcast,
+    # nothing corpus-sized on the driver)
+    from web2llmstxt_ray.ops.ann import knn_join_ivf
+
+    t0 = time.perf_counter()
+    knn = knn_join_ivf(emb, k=5, num_lists=128, nprobe=2)
+    dt = time.perf_counter() - t0
+    results["knn_join_ivf_200k"] = round(dt, 3)
+    extras["knn_join_rows"] = knn.num_rows
+    extras["knn_join_vectors_per_s"] = round(n_vec / dt)
+
     # ---- sessionize at scale: bucketed shuffle vs per-user map_groups ----
     # The pathology is KEY CARDINALITY (one map_groups task + 1-row
     # block per user): sf0.1's events table has only ~1.5k users, which

@@ -427,45 +427,54 @@ def knn_join_ivf(ds: ray.data.Dataset, k: int = 5, num_lists: int = 16,
     cref = ray.put(_normalize(centroids))
 
     def replicate(batch: pa.Table) -> pa.Table:
+        # vectors normalized ONCE here and shipped as a fixed-size-list
+        # f64 column: zero-copy reshape on the other side of the
+        # shuffle, no per-row conversion anywhere
         cent = ray.get(cref)
         vn = _normalize(vec_matrix(batch, vec_col))
         order = np.argsort(-(vn @ cent.T), axis=1)[:, :nprobe]  # (B, P)
         n = len(vn)
-        ids = np.repeat(
-            np.asarray(batch.column(id_col).to_pylist(), np.int64), nprobe)
-        vecs = np.repeat(np.arange(n), nprobe)
+        take_idx = pa.array(np.repeat(np.arange(n), nprobe))
         owner = np.tile(np.arange(nprobe) == 0, n)
-        emb = batch.column(vec_col).to_pylist()
+        flat = np.repeat(vn, nprobe, axis=0).ravel()
+        vec_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.float64()), vn.shape[1])
         return pa.table({
-            id_col: pa.array(ids),
-            vec_col: pa.array([emb[i] for i in vecs]),
+            id_col: batch.column(id_col).take(take_idx),
+            "_vecn": vec_arr,
             "_plist": pa.array(order.ravel().astype(np.int32)),
             "_owner": pa.array(owner),
         })
 
     replicated = ds.map_batches(replicate, batch_format="pyarrow")
 
-    def knn_within(group: pd.DataFrame) -> pd.DataFrame:
-        mat = _normalize(np.stack(
-            [np.asarray(v, np.float64) for v in group[vec_col]]))
-        own = group["_owner"].to_numpy()
+    _empty = pa.table({"query_id": pa.array([], pa.int64()),
+                       "vec_id": pa.array([], pa.int64()),
+                       "cosine": pa.array([], pa.float64())})
+
+    def knn_within(group: pa.Table) -> pa.Table:
+        own = group.column("_owner").to_numpy(zero_copy_only=False)
         if not own.any():
-            return pd.DataFrame({"query_id": [], "vec_id": [],
-                                 "cosine": []})
-        qids = group[id_col].to_numpy()
+            return _empty
+        arr = group.column("_vecn").combine_chunks()
+        mat = arr.values.to_numpy(zero_copy_only=False).reshape(
+            len(own), arr.type.list_size)
+        qids = group.column(id_col).to_numpy(zero_copy_only=False)
         mids = qids[own]
         sims = mat @ mat[own].T                        # (Q, M)
         sims[qids[:, None] == mids[None, :]] = -2.0    # exclude self
         take = min(k, sims.shape[1])
         idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-        return pd.DataFrame({
-            "query_id": np.repeat(qids, take),
-            "vec_id": mids[idx].ravel(),
-            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+        return pa.table({
+            "query_id": pa.array(np.repeat(qids, take)),
+            "vec_id": pa.array(mids[idx].ravel()),
+            "cosine": pa.array(
+                np.take_along_axis(sims, idx, axis=1).ravel(),
+                pa.float64()),
         })
 
     cands = replicated.groupby("_plist").map_groups(
-        knn_within, batch_format="pandas")
+        knn_within, batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         q = np.asarray(batch.column("query_id").to_pylist(), np.uint64)
