@@ -1041,6 +1041,28 @@ def q_knn_join_ivf(sf_dir: str) -> pd.DataFrame:
                         k=5, num_lists=8, nprobe=4).to_pandas()
 
 
+def q_dsir_sample(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed-n-gram
+    target/raw models, log-ratio doc weights, deterministic Gumbel
+    top-k. Target = English docs, raw = whole corpus. Rows-only driver
+    check; the weight math is sequential-oracled in tests/test_dsir.py
+    (hash-based noise isn't SQL-expressible)."""
+    import pyarrow.compute as pc
+
+    from web2llmstxt_ray.ops.dsir import dsir_sample
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def only_en(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("lang"), "en"))
+
+    target = docs.map_batches(only_en, batch_format="pyarrow")
+    out = dsir_sample(docs.select_columns(["doc_id", "text"]),
+                      target.select_columns(["doc_id", "text"]),
+                      k=40, num_buckets=4096, seed=7)
+    return out.to_pandas()
+
+
 def q_lm_quality(sf_dir: str) -> pd.DataFrame:
     """CCNet-style model-based quality: train a char-trigram LM on the
     corpus (one partial-Counter pass, no corpus shuffle), score every
@@ -1213,6 +1235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "knn_join": q_knn_join,
         "knn_join_ivf": q_knn_join_ivf,
+        "dsir_sample": q_dsir_sample,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
         "crawl_pages": q_crawl_pages,
