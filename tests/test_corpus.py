@@ -163,3 +163,22 @@ class TestEpochShuffle:
         out = epoch_shuffle(self._ids(64), seed=9).to_pandas()
         for did, key in zip(out["doc_id"], out["shuffle_key"]):
             assert int(key) == ((int(did) + 9) * _SHUFFLE_MULT) % (1 << 64)
+
+
+class TestQuantileThresholdFilter:
+    def test_matches_numpy_oracle(self):
+        from web2llmstxt_ray.ops.corpus import quantile_threshold_filter
+
+        rng = np.random.RandomState(2)
+        vals = rng.randint(10, 500, size=200)
+        t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                      "n": pa.array(vals, pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(6)
+        out = quantile_threshold_filter(ds, "n", 0.75).to_pandas()
+        thr = np.sort(vals)[int(np.ceil(0.75 * 200)) - 1]  # nearest-rank
+        want = {i for i, v in enumerate(vals) if v >= thr}
+        assert set(out["doc_id"]) == want
+        lo = quantile_threshold_filter(ds, "n", 0.25, keep="le").to_pandas()
+        thr_lo = np.sort(vals)[int(np.ceil(0.25 * 200)) - 1]
+        assert set(lo["doc_id"]) == {i for i, v in enumerate(vals)
+                                     if v <= thr_lo}

@@ -237,18 +237,20 @@ def int_quantiles(ds: ray.data.Dataset, col: str,
     gcols = [group_col] if group_col else []
 
     def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        # count column name must not collide with a user value column
+        # (a column literally named "n" broke the ungrouped path)
         g = batch.groupby([*gcols, col], as_index=False).agg(
-            n=(col, "size"))
+            _cnt=(col, "size"))
         return g
 
     merged_ds = ds.map_batches(partial_counts, batch_format="pandas")
     merged = merged_ds.to_pandas().groupby([*gcols, col], as_index=False)[
-        "n"].sum()
+        "_cnt"].sum()
 
     def walk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(col)
         vals = df[col].to_numpy()
-        cum = df["n"].to_numpy().cumsum()
+        cum = df["_cnt"].to_numpy().cumsum()
         n = int(cum[-1])
         ranks = np.maximum(np.ceil(np.asarray(qs) * n), 1.0)
         picks = vals[np.searchsorted(cum, ranks, "left")]
@@ -346,3 +348,23 @@ def epoch_shuffle(ds: ray.data.Dataset, key_col: str = "doc_id",
         return batch.append_column(out_col, pa.array(k))
 
     return ds.map_batches(add_key, batch_format="pyarrow").sort(out_col)
+
+
+def quantile_threshold_filter(ds: ray.data.Dataset, col: str, q: float,
+                              keep: str = "ge") -> ray.data.Dataset:
+    """Filter rows against a GLOBAL exact quantile of ``col`` — "keep
+    the top quartile by length/score" without a global sort: one
+    histogram pass computes the nearest-rank threshold
+    (:func:`int_quantiles`), then a vectorized map filter applies it.
+    ``keep``: "ge" keeps rows ≥ threshold, "le" keeps ≤.
+    """
+    import pyarrow.compute as pc
+
+    ds = ds.materialize()              # consumed twice: quantile + filter
+    thr = int(int_quantiles(ds, col, (q,))["value"].iloc[0])
+    op = pc.greater_equal if keep == "ge" else pc.less_equal
+
+    def apply(batch: pa.Table) -> pa.Table:
+        return batch.filter(op(batch.column(col), thr))
+
+    return ds.map_batches(apply, batch_format="pyarrow")
