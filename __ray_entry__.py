@@ -1041,6 +1041,38 @@ def q_knn_join_ivf(sf_dir: str) -> pd.DataFrame:
                         k=5, num_lists=8, nprobe=4).to_pandas()
 
 
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Integer fixed-point PageRank (3 damped iterations) over the
+    order→part bipartite graph (src=2·l_orderkey, dst=2·l_partkey+1).
+    Fixed-point arithmetic makes float-sum order irrelevant, so the
+    distributed result is BIT-EXACT against the unrolled SQL oracle."""
+    from web2llmstxt_ray.ops.graph import pagerank
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "src": pc.multiply(batch.column("l_orderkey"), 2),
+            "dst": pc.add(pc.multiply(batch.column("l_partkey"), 2), 1),
+        })
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    return pagerank(edges, iters=3).to_pandas()
+
+
+def q_quantile_filter(sf_dir: str) -> pd.DataFrame:
+    """Keep documents at/above the global p75 of n_chars: distributed
+    histogram quantile (no global sort) + vectorized threshold filter."""
+    from web2llmstxt_ray.ops.corpus import quantile_threshold_filter
+
+    out = quantile_threshold_filter(
+        _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        "n_chars", 0.75, keep="ge")
+    return out.to_pandas()
+
+
 def q_dsir_sample(sf_dir: str) -> pd.DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed-n-gram
     target/raw models, log-ratio doc weights, deterministic Gumbel
@@ -1236,6 +1268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": q_knn_join,
         "knn_join_ivf": q_knn_join_ivf,
         "dsir_sample": q_dsir_sample,
+        "quantile_filter_p75": q_quantile_filter,
+        "pagerank": q_pagerank,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
         "crawl_pages": q_crawl_pages,
@@ -1488,6 +1522,53 @@ def oracle_sql() -> dict[str, str]:
               AND mean_word_len BETWEEN 2.0 AND 12.0
         """,
         "lang_hist": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "quantile_filter_p75": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75)
+                              FROM documents)
+        """,
+        "pagerank": """
+            WITH edges AS (SELECT DISTINCT 2 * l_orderkey AS src,
+                                  2 * l_partkey + 1 AS dst
+                           FROM lineitem),
+            nodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            p AS (SELECT count(*) AS n FROM nodes),
+            r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, p),
+            i1 AS (SELECT e.dst AS node,
+                          SUM((85 * r.r) // (100 * d.deg)) AS s
+                   FROM edges e
+                   JOIN deg d ON e.src = d.src
+                   JOIN r0 r ON e.src = r.node
+                   GROUP BY e.dst),
+            r1 AS (SELECT nd.node,
+                          (150000000000 // p.n) + COALESCE(i.s, 0) AS r
+                   FROM nodes nd CROSS JOIN p
+                   LEFT JOIN i1 i ON nd.node = i.node),
+            i2 AS (SELECT e.dst AS node,
+                          SUM((85 * r.r) // (100 * d.deg)) AS s
+                   FROM edges e
+                   JOIN deg d ON e.src = d.src
+                   JOIN r1 r ON e.src = r.node
+                   GROUP BY e.dst),
+            r2 AS (SELECT nd.node,
+                          (150000000000 // p.n) + COALESCE(i.s, 0) AS r
+                   FROM nodes nd CROSS JOIN p
+                   LEFT JOIN i2 i ON nd.node = i.node),
+            i3 AS (SELECT e.dst AS node,
+                          SUM((85 * r.r) // (100 * d.deg)) AS s
+                   FROM edges e
+                   JOIN deg d ON e.src = d.src
+                   JOIN r2 r ON e.src = r.node
+                   GROUP BY e.dst),
+            r3 AS (SELECT nd.node,
+                          (150000000000 // p.n) + COALESCE(i.s, 0) AS r
+                   FROM nodes nd CROSS JOIN p
+                   LEFT JOIN i3 i ON nd.node = i.node)
+            SELECT node, r::BIGINT AS r FROM r3
+        """,
         "epoch_shuffle": """
             SELECT doc_id,
                    (((doc_id::HUGEINT + 3) % 18446744073709551616)

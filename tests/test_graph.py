@@ -123,3 +123,57 @@ class TestMinhashClustersScale:
         ds = ray.data.from_arrow(self._corpus())
         pairs = D.minhash_candidate_pairs(ds)
         assert isinstance(pairs, ray.data.Dataset)
+
+
+class TestPageRank:
+    def _seq_oracle(self, pairs, iters=3, num=85, den=100,
+                    scale=10 ** 12):
+        edges = sorted(set(pairs))
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        deg = {}
+        for u, _ in edges:
+            deg[u] = deg.get(u, 0) + 1
+        n = len(nodes)
+        base = ((den - num) * scale) // den // n
+        r = {v: scale // n for v in nodes}
+        for _ in range(iters):
+            inflow = {v: 0 for v in nodes}
+            for u, v in edges:
+                inflow[v] += (num * r[u]) // (den * deg[u])
+            r = {v: base + inflow[v] for v in nodes}
+        return r
+
+    def _run(self, pairs, reps=5, **kw):
+        import pyarrow as pa
+        import ray.data
+
+        from web2llmstxt_ray.ops.graph import pagerank
+
+        t = pa.table({"src": pa.array([p[0] for p in pairs], pa.int64()),
+                      "dst": pa.array([p[1] for p in pairs], pa.int64())})
+        ds = ray.data.from_arrow(t).repartition(reps)
+        out = pagerank(ds, **kw).to_pandas()
+        return dict(zip(out["node"], out["r"]))
+
+    def test_matches_sequential_oracle(self):
+        rng = np.random.RandomState(3)
+        pairs = [(int(rng.randint(0, 40)), int(rng.randint(0, 40)))
+                 for _ in range(300)]
+        pairs = [(u, v) for u, v in pairs if u != v]
+        got = self._run(pairs, num_buckets=8)
+        want = self._seq_oracle(pairs)
+        assert got == want
+
+    def test_multi_edges_deduped_and_partition_invariant(self):
+        pairs = [(1, 2), (1, 2), (2, 3), (3, 1), (1, 4), (4, 2)]
+        a = self._run(pairs, reps=1, num_buckets=4)
+        b = self._run(pairs, reps=6, num_buckets=16)
+        assert a == b == self._seq_oracle(pairs)
+
+    def test_mass_conservation_bound(self):
+        # total rank ≤ scale (dangling + floor loss only shrink mass)
+        rng = np.random.RandomState(9)
+        pairs = [(int(rng.randint(0, 30)), int(rng.randint(30, 60)))
+                 for _ in range(120)]
+        got = self._run(pairs, num_buckets=8)
+        assert 0 < sum(got.values()) <= 10 ** 12

@@ -187,3 +187,174 @@ def connected_components(pairs: ray.data.Dataset, col_a: str = "a",
 
     return out.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("_gb").map_groups(per_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer fixed-point — bit-exact across engines)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(edges: ray.data.Dataset, iters: int = 3,
+             damping_num: int = 85, damping_den: int = 100,
+             scale: int = 10 ** 12, num_buckets: int = 64,
+             src_col: str = "src",
+             dst_col: str = "dst") -> ray.data.Dataset:
+    """Damped PageRank over an edge list, in INTEGER fixed-point.
+
+    Float PageRank is not reproducible across engines: three rounds of
+    differently-ordered float sums drift in the last ulps, which makes
+    an independent oracle impossible to hash-match. This implementation
+    runs the whole recurrence in scaled int64 (``scale`` = 1.0), where
+    addition is associative and floor-division is deterministic:
+
+        r_0(v)     = scale // N
+        base       = ((den-num) * scale) // den // N
+        r_{i+1}(v) = base + Σ_{u→v} (num * r_i(u)) // (den * deg(u))
+
+    so ANY execution order — and an unrolled SQL translation — produces
+    bit-identical ranks (dangling-node mass is dropped, the standard
+    simplification). Precision loss vs floats is ≤ 1/scale per edge.
+
+    Distributed shape (nothing node- or edge-sized on the driver):
+    edges are deduped and annotated with out-degree in ONE bucketed
+    pass (all edges of a src share its bucket); each iteration
+    co-groups the adjacency with the current rank table by
+    ``bucket(src)`` (union-with-tag, no join operator), partial-sums
+    contributions by dst in-bucket, then finishes the sum and applies
+    the base term grouped by ``bucket(dst)``. 2 bucketed shuffles per
+    iteration; ranks live as a Dataset throughout.
+
+    Returns a Dataset (node, rank) with rank in units of 1/``scale``.
+    """
+    num, den = damping_num, damping_den
+
+    def tag_src_bucket(batch: pa.Table) -> pa.Table:
+        b = _bucket_of(
+            batch.column(src_col).to_numpy(zero_copy_only=False),
+            num_buckets)
+        return batch.append_column("_gb", pa.array(b.astype(np.int32)))
+
+    # --- adjacency with degree: dedupe + count per src, one shuffle ---
+    def dedup_and_degree(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[src_col, dst_col])
+        deg = g.groupby(src_col)[dst_col].transform("size")
+        return pd.DataFrame({"src": g[src_col], "dst": g[dst_col],
+                             "deg": deg.astype(np.int64)})
+
+    adj = (edges.map_batches(tag_src_bucket, batch_format="pyarrow")
+           .groupby("_gb").map_groups(dedup_and_degree,
+                                      batch_format="pandas")
+           ).materialize()
+
+    # --- node table (distinct src ∪ dst), bucketed dedupe ---
+    def emit_nodes(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        n = np.unique(np.concatenate([s, d]))
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "_gb": pa.array(_bucket_of(n, num_buckets)
+                                         .astype(np.int32))})
+
+    def dedup_nodes(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["node"])[["node"]]
+
+    nodes = (adj.map_batches(emit_nodes, batch_format="pyarrow")
+             .groupby("_gb").map_groups(dedup_nodes,
+                                        batch_format="pandas")
+             ).materialize()
+    n_nodes = nodes.count()
+    r0 = scale // n_nodes
+    base = ((den - num) * scale) // den // n_nodes
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "node": batch.column("node"),
+            "r": pa.array(np.full(n, r0, dtype=np.int64)),
+        })
+
+    ranks = nodes.map_batches(init_rank,
+                              batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        # union-with-tag: adjacency rows carry (src,dst,deg), rank rows
+        # carry (node=src, r); same bucket space ⇒ co-grouped
+        def adj_rows(batch: pa.Table) -> pa.Table:
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_gb": pa.array(_bucket_of(s, num_buckets)
+                                .astype(np.int32)),
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "deg": batch.column("deg"),
+                "r": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            })
+
+        def rank_rows(batch: pa.Table) -> pa.Table:
+            narr = batch.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_gb": pa.array(_bucket_of(narr, num_buckets)
+                                .astype(np.int32)),
+                "src": batch.column("node"),
+                "dst": pa.array(np.full(batch.num_rows, -1, np.int64)),
+                "deg": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "r": batch.column("r"),
+            })
+
+        tagged = (adj.map_batches(adj_rows, batch_format="pyarrow")
+                  .union(ranks.map_batches(rank_rows,
+                                           batch_format="pyarrow")))
+
+        def contribute(group: pd.DataFrame) -> pd.DataFrame:
+            is_rank = group["dst"].to_numpy() == -1
+            rmap = group[is_rank].set_index("src")["r"]
+            e = group[~is_rank]
+            if not len(e):
+                return pd.DataFrame({"node": pd.Series([], "int64"),
+                                     "s": pd.Series([], "int64")})
+            rv = rmap.reindex(e["src"]).to_numpy()
+            contrib = (num * rv) // (den * e["deg"].to_numpy())
+            out = pd.DataFrame({"node": e["dst"].to_numpy(),
+                                "s": contrib.astype(np.int64)})
+            return out.groupby("node", as_index=False)["s"].sum()
+
+        inflow = (tagged.groupby("_gb")
+                  .map_groups(contribute, batch_format="pandas"))
+
+        # finish by dst bucket: nodes (all) ∪ inflow partials
+        def node_rows(batch: pa.Table) -> pa.Table:
+            narr = batch.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_gb": pa.array(_bucket_of(narr, num_buckets)
+                                .astype(np.int32)),
+                "node": batch.column("node"),
+                "s": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            })
+
+        def inflow_rows(batch: pa.Table) -> pa.Table:
+            narr = batch.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_gb": pa.array(_bucket_of(narr, num_buckets)
+                                .astype(np.int32)),
+                "node": batch.column("node"),
+                "s": batch.column("s"),
+            })
+
+        merged = (nodes.map_batches(node_rows, batch_format="pyarrow")
+                  .union(inflow.map_batches(inflow_rows,
+                                            batch_format="pyarrow")))
+
+        def apply_base(group: pd.DataFrame) -> pd.DataFrame:
+            marker = group[group["s"] == -1]
+            flows = group[group["s"] != -1]
+            sums = flows.groupby("node")["s"].sum()
+            nvals = marker["node"].to_numpy()
+            r = base + sums.reindex(nvals, fill_value=0).to_numpy()
+            return pd.DataFrame({"node": nvals,
+                                 "r": r.astype(np.int64)})
+
+        ranks = (merged.groupby("_gb")
+                 .map_groups(apply_base,
+                             batch_format="pandas")).materialize()
+
+    return ranks
