@@ -1041,6 +1041,18 @@ def q_knn_join_ivf(sf_dir: str) -> pd.DataFrame:
                         k=5, num_lists=8, nprobe=4).to_pandas()
 
 
+def q_bpe_tokens(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer trained on the corpus word histogram (distributed
+    pruned-Counter pass, driver merge loop over the bounded vocab),
+    then broadcast-encode. Rows-only driver check; training and
+    encoding are sequential-oracled in tests/test_bpe.py."""
+    from web2llmstxt_ray.ops.bpe import bpe_encode, train_bpe
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    merges = train_bpe(docs, num_merges=40)
+    return bpe_encode(docs, merges).to_pandas()
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """Integer fixed-point PageRank (3 damped iterations) over the
     order→part bipartite graph (src=2·l_orderkey, dst=2·l_partkey+1).
@@ -1270,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_sample": q_dsir_sample,
         "quantile_filter_p75": q_quantile_filter,
         "pagerank": q_pagerank,
+        "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
         "crawl_pages": q_crawl_pages,
