@@ -1053,6 +1053,19 @@ def q_bpe_tokens(sf_dir: str) -> pd.DataFrame:
     return bpe_encode(docs, merges).to_pandas()
 
 
+def q_shared_substrings(sf_dir: str) -> pd.DataFrame:
+    """Cross-document exact repeated-substring detection (Lee et al.
+    2022 semantics via winnowing fingerprints instead of a suffix
+    array): fingerprint map → bucketed candidate shuffle → anchor
+    extension joins. Rows-only driver check; exactness (length and
+    offsets of the maximal shared run vs a brute-force LCS oracle) is
+    pytest-gated in tests/test_substr.py."""
+    from web2llmstxt_ray.ops.substr import shared_substring_pairs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return shared_substring_pairs(docs, k=24, w=8).to_pandas()
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """Integer fixed-point PageRank (3 damped iterations) over the
     order→part bipartite graph (src=2·l_orderkey, dst=2·l_partkey+1).
@@ -1282,6 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_sample": q_dsir_sample,
         "quantile_filter_p75": q_quantile_filter,
         "pagerank": q_pagerank,
+        "shared_substrings": q_shared_substrings,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,

