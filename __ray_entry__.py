@@ -1053,6 +1053,31 @@ def q_bpe_tokens(sf_dir: str) -> pd.DataFrame:
     return bpe_encode(docs, merges).to_pandas()
 
 
+def q_span_flat(sf_dir: str) -> pd.DataFrame:
+    """Interleaved span-doc build → zero-copy explode. The nested
+    list<struct> table is constructed distributively (vectorized slice
+    kernels), exploded via ListArray.flatten + list_parent_indices, and
+    hash-compared against a DuckDB UNNEST oracle that regenerates the
+    same deterministic spans."""
+    from web2llmstxt_ray.ops.nested import build_span_docs, explode_spans
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = explode_spans(build_span_docs(docs)).to_pandas()
+    out["span_idx"] = out["span_idx"].astype("int64")
+    out["span_offset"] = out["span_offset"].astype("int64")
+    return out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
+def q_span_kind_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-kind span aggregates over the exploded interleaved table
+    (partial-agg combiner: one skinny row per block per kind)."""
+    from web2llmstxt_ray.ops.nested import (
+        build_span_docs, explode_spans, span_kind_stats)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return span_kind_stats(explode_spans(build_span_docs(docs)))
+
+
 def q_shared_substrings(sf_dir: str) -> pd.DataFrame:
     """Cross-document exact repeated-substring detection (Lee et al.
     2022 semantics via winnowing fingerprints instead of a suffix
@@ -1296,6 +1321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter_p75": q_quantile_filter,
         "pagerank": q_pagerank,
         "shared_substrings": q_shared_substrings,
+        "span_flat": q_span_flat,
+        "span_kind_stats": q_span_kind_stats,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
@@ -1553,6 +1580,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75)
                               FROM documents)
+        """,
+        "span_flat": """
+            WITH flat AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       text AS full_text,
+                       unnest(range(CAST(ceil(length(text) / 64.0)
+                                         AS BIGINT))) AS i
+                FROM documents)
+            SELECT doc_id,
+                   i AS span_idx,
+                   CASE WHEN i % 3 = 2 THEN 'image'
+                        ELSE 'text' END AS kind,
+                   CASE WHEN i % 3 = 2 THEN ''
+                        ELSE substr(full_text,
+                                    CAST(i * 64 + 1 AS INT), 64)
+                        END AS text,
+                   CASE WHEN i % 3 = 2
+                        THEN 'media://' || doc_id || '/'
+                             || CAST(i AS VARCHAR)
+                        ELSE '' END AS media_ref,
+                   i * 64 AS span_offset
+            FROM flat
+        """,
+        "span_kind_stats": """
+            WITH flat AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       text AS full_text,
+                       unnest(range(CAST(ceil(length(text) / 64.0)
+                                         AS BIGINT))) AS i
+                FROM documents),
+            spans AS (
+                SELECT CASE WHEN i % 3 = 2 THEN 'image'
+                            ELSE 'text' END AS kind,
+                       CASE WHEN i % 3 = 2 THEN ''
+                            ELSE substr(full_text,
+                                        CAST(i * 64 + 1 AS INT), 64)
+                            END AS text
+                FROM flat)
+            SELECT kind, count(*) AS n_spans,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM spans GROUP BY kind ORDER BY kind
         """,
         "pagerank": """
             WITH edges AS (SELECT DISTINCT 2 * l_orderkey AS src,

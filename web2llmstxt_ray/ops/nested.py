@@ -1,0 +1,203 @@
+"""Operators over the nested interleaved span-document table.
+
+The engine's primary payload (``schema.SPAN_DOCUMENTS``) is
+``(doc_id:string, spans:list<struct<kind,text,media_ref,offset>>)`` —
+the interleaved text+media shape the reference crawler emits one page
+at a time (dict-of-lists, ``crawler/web_crawler.py:324-334``). These
+operators treat the nested column as a first-class distributed type:
+
+- ``build_span_docs``: deterministically synthesize span docs from a
+  flat text table (fixed-width chunking, every ``media_every``-th span
+  a media placeholder) — the SQL-mirrorable generator used by the
+  driver oracle, built with ≤ max-spans-per-doc vectorized slice
+  kernels (no per-row Python).
+- ``explode_spans``: nested → flat, zero-copy. ``ListArray.flatten()``
+  reuses the child buffers; only the repeated ``doc_id`` is gathered
+  (``pc.list_parent_indices`` + take). At 100 TB this is the map-only
+  "UNNEST" that feeds any per-span stage without a shuffle.
+- ``span_kind_stats``: per-kind counts/char totals via the partial-agg
+  combiner (one skinny row per block per kind reaches the shuffle).
+- ``regroup_spans``: flat → nested, order restored from ``span_idx``
+  inside hash(doc_id) buckets — the inverse map so pipelines can
+  explode, transform per-span, and re-nest without ever holding a
+  whole document's spans on the driver. Round-trip equality (kind,
+  text, media_ref, order) is the engine's per-row invariant
+  (pytest-gated in tests/test_nested.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..functions.urls import hash64_batch
+from ..schema import SPAN_STRUCT
+
+__all__ = ["build_span_docs", "explode_spans", "span_kind_stats",
+           "regroup_spans"]
+
+FLAT_COLS = ["doc_id", "span_idx", "kind", "text", "media_ref",
+             "span_offset"]
+
+
+def _flat_spans_batch(batch: pa.Table, chunk: int,
+                      media_every: int) -> dict:
+    """Vectorized flat span arrays for one batch of (doc_id, text).
+
+    One ``utf8_slice_codeunits`` kernel call per span ordinal (bounded
+    by the longest doc's span count), everything else numpy."""
+    ids = pc.cast(batch.column("doc_id"), pa.string())
+    text = pc.cast(batch.column("text"), pa.string())
+    nchars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+    counts = -(-nchars // chunk)            # ceil; len 0 -> 0 spans
+    total = int(counts.sum())
+    parent = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    starts = np.zeros(len(batch), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    span_idx = np.arange(total, dtype=np.int64) - np.repeat(starts,
+                                                            counts)
+    is_media = (span_idx % media_every) == (media_every - 1)
+
+    # text slices: one vectorized kernel per span ordinal k, gathered
+    # onto the rows whose span_idx == k
+    flat_text = np.full(total, "", dtype=object)
+    max_k = int(counts.max()) if len(counts) else 0
+    for k in range(max_k):
+        sel = np.flatnonzero((span_idx == k) & ~is_media)
+        if len(sel) == 0:
+            continue
+        sliced = pc.utf8_slice_codeunits(text, k * chunk,
+                                         (k + 1) * chunk)
+        flat_text[sel] = sliced.take(
+            pa.array(parent[sel])).to_numpy(zero_copy_only=False)
+
+    id_np = ids.to_numpy(zero_copy_only=False)
+    flat_ids = id_np[parent]
+    media_ref = np.full(total, "", dtype=object)
+    midx = np.flatnonzero(is_media)
+    media_ref[midx] = np.char.add(
+        np.char.add("media://", flat_ids[midx].astype(str)),
+        np.char.add("/", span_idx[midx].astype(str)))
+    return {
+        "ids": flat_ids, "counts": counts, "span_idx": span_idx,
+        "kind": np.where(is_media, "image", "text"),
+        "text": flat_text, "media_ref": media_ref,
+        "span_offset": span_idx * chunk,
+    }
+
+
+def build_span_docs(ds: ray.data.Dataset, chunk: int = 64,
+                    media_every: int = 3) -> ray.data.Dataset:
+    """(doc_id, spans) nested span docs from a flat (doc_id, text)
+    table: fixed ``chunk``-character text spans, every
+    ``media_every``-th span replaced by an image placeholder whose
+    ``media_ref`` is ``media://{doc_id}/{span_idx}``. Deterministic and
+    SQL-expressible (the driver oracle regenerates the same rows with
+    ``unnest(range(ceil(length(text)/chunk)))``)."""
+    def emit(batch: pa.Table) -> pa.Table:
+        f = _flat_spans_batch(batch, chunk, media_every)
+        struct = pa.StructArray.from_arrays(
+            [pa.array(f["kind"], pa.string()),
+             pa.array(f["text"], pa.string()),
+             pa.array(f["media_ref"], pa.string()),
+             pa.array(f["span_offset"], pa.int32())],
+            fields=list(SPAN_STRUCT))
+        offsets = np.zeros(len(batch) + 1, np.int64)
+        np.cumsum(f["counts"], out=offsets[1:])
+        spans = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), struct)
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.string()),
+            "spans": spans,
+        })
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def explode_spans(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Nested → flat (doc_id, span_idx, kind, text, media_ref,
+    span_offset). Child columns are zero-copy ``flatten()`` views; only
+    doc_id is gathered."""
+    def emit(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        parent = pc.list_parent_indices(spans)
+        flat = spans.flatten()
+        # span ordinal inside each list from the list offsets
+        lens = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.zeros(len(lens), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        span_idx = (np.arange(int(lens.sum()), dtype=np.int64)
+                    - np.repeat(starts, lens))
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(parent),
+            "span_idx": pa.array(span_idx),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+            "span_offset": pc.cast(flat.field("offset"), pa.int64()),
+        })
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def span_kind_stats(flat: ray.data.Dataset) -> pd.DataFrame:
+    """(kind, n_spans, total_chars): per-block partials, tiny combine."""
+    from .relational import partial_groupby
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(_chars=b["text"].str.len())
+        return b.groupby("kind", as_index=False).agg(
+            n_spans=("span_idx", "size"), total_chars=("_chars", "sum"))
+
+    out = partial_groupby(flat, ["kind"], agg,
+                          ["n_spans", "total_chars"])
+    out["n_spans"] = out["n_spans"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return out.sort_values("kind").reset_index(drop=True)
+
+
+def regroup_spans(flat: ray.data.Dataset,
+                  num_buckets: int = 32) -> ray.data.Dataset:
+    """Flat → nested: hash(doc_id) buckets co-locate each document's
+    spans, a within-bucket sort restores (doc_id, span_idx) order, and
+    the list<struct> column is rebuilt per bucket. No document's spans
+    ever leave worker memory.
+
+    Contract: zero-span documents do not survive an explode → regroup
+    cycle (explode emits no row for them, exactly like SQL UNNEST);
+    every document with ≥1 span round-trips with span-sequence
+    equality (kind, text, media_ref, order)."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = (hash64_batch(batch.column("doc_id").to_pylist())
+             % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("_db", pa.array(h))
+
+    def rebuild(group: pd.DataFrame) -> pa.Table:
+        if group.empty or "doc_id" not in group.columns:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "spans": pa.array([], pa.list_(SPAN_STRUCT))})
+        g = group.sort_values(["doc_id", "span_idx"], kind="stable")
+        struct = pa.StructArray.from_arrays(
+            [pa.array(g["kind"], pa.string()),
+             pa.array(g["text"], pa.string()),
+             pa.array(g["media_ref"], pa.string()),
+             pa.array(g["span_offset"].to_numpy(), pa.int32())],
+            fields=list(SPAN_STRUCT))
+        ids = g["doc_id"].to_numpy()
+        change = np.flatnonzero(np.concatenate(
+            ([True], ids[1:] != ids[:-1])))
+        offsets = np.concatenate((change, [len(ids)]))
+        spans = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), struct)
+        return pa.table({"doc_id": pa.array(ids[change], pa.string()),
+                         "spans": spans})
+
+    return (flat.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_db").map_groups(rebuild, batch_format="pandas"))
