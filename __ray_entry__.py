@@ -751,6 +751,20 @@ def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_running_totals(sf_dir: str) -> pd.DataFrame:
+    """Per-event cumulative aggregates (running count / sum / max per
+    user ordered by time) — bucketed shuffle + vectorized within-bucket
+    cumulatives; integer-cent running sums make it bit-exact vs the SQL
+    window oracle."""
+    from web2llmstxt_ray.ops.windows import running_totals
+
+    out = _pdf(running_totals(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])))
+    for c in ("run_n", "run_sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_events_sessions(sf_dir: str) -> pd.DataFrame:
     from web2llmstxt_ray.ops.windows import sessionize
 
@@ -1298,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
+        "running_totals": q_running_totals,
         "session_stats": q_session_stats,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1721,6 +1736,17 @@ def oracle_sql() -> dict[str, str]:
                    round(epoch(max(ts) - min(ts)), {ROUND_RATIO}) AS duration_s,
                    round(sum(value), {ROUND_SUM}) AS sum_value
             FROM s GROUP BY user_id, session_idx
+        """,
+        "running_totals": """
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w AS BIGINT) AS run_n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS run_sum_cents,
+                   max(value) OVER w AS run_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
         """,
         "events_sessions": """
             SELECT user_id,

@@ -258,6 +258,44 @@ class TestWindows:
         assert out.iloc[0]["n_sessions"] == 2
         assert out.iloc[0]["n_events"] == 4
 
+    def test_running_totals_sequential_oracle(self):
+        import numpy as np
+        import pandas as pd
+
+        from web2llmstxt_ray.ops.windows import running_totals
+
+        rng = np.random.RandomState(5)
+        n = 500
+        tbl = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(rng.randint(0, 20, n), pa.int64()),
+            "ts": pa.array(pd.to_datetime("2024-01-01")
+                           + pd.to_timedelta(rng.randint(0, 10**6, n),
+                                             unit="s"),
+                           pa.timestamp("us")),
+            "value": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+        })
+        got = (running_totals(ray.data.from_arrow(tbl).repartition(5))
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        # sequential per-user oracle
+        df = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        df["_c"] = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        by = df.groupby("user_id", sort=False)
+        want = pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "run_n": (by.cumcount() + 1).to_numpy(),
+            "run_sum_cents": by["_c"].cumsum().to_numpy(),
+            "run_max": by["value"].cummax().to_numpy(),
+        }).sort_values("event_id").reset_index(drop=True)
+        for c in ("run_n", "run_sum_cents", "run_max"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+        # partition invariance
+        got1 = (running_totals(ray.data.from_arrow(tbl).repartition(1))
+                .to_pandas().sort_values("event_id")
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, got1)
+
 
 class TestMultimodal:
     def test_fake_decode_roundtrip(self):

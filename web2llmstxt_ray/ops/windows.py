@@ -115,6 +115,48 @@ def sessionize(ds: ray.data.Dataset, gap_minutes: float = 30.0,
         "_sbucket").map_groups(per_bucket, batch_format="pandas")
 
 
+def running_totals(ds: ray.data.Dataset, key_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   value_col: str = "value",
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-event cumulative window aggregates — the SQL
+    ``... OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)`` family, which Ray Data has no native operator for.
+
+    Shape: one bucketed shuffle of the skinny projection
+    (hash(key) % num_buckets, same anti-pathology as
+    :func:`sessionize`), a within-bucket sort, then vectorized pandas
+    ``groupby(...).cumsum/cumcount/cummax`` computes every key in the
+    bucket at once. The running sum is carried in integer cents
+    (``round(value·100)``) so sequential accumulation is BIT-EXACT
+    against the SQL window oracle — float cumsum association order
+    would otherwise diverge between engines.
+
+    Output: (event_id, user_id, run_n, run_sum_cents, run_max).
+    """
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        cents = np.rint(g[value_col].to_numpy() * 100).astype("int64")
+        g = g.assign(_cents=cents)
+        by = g.groupby(key_col, sort=False)
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "run_n": (by.cumcount() + 1).to_numpy(),
+            "run_sum_cents": by["_cents"].cumsum().to_numpy(),
+            "run_max": by[value_col].cummax().to_numpy(),
+        })
+        return out
+
+    return (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, value_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
+
+
 def session_stats(ds: ray.data.Dataset, gap_minutes: float = 30.0,
                   key_col: str = "user_id", ts_col: str = "ts",
                   value_col: str = "value",
