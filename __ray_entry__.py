@@ -1105,6 +1105,21 @@ def q_shared_substrings(sf_dir: str) -> pd.DataFrame:
     return shared_substring_pairs(docs, k=24, w=8).to_pandas()
 
 
+def q_substring_dedup(sf_dir: str) -> pd.DataFrame:
+    """Substring-level dedup removal (Lee et al. 2022): verified
+    cross-doc repeated runs are excised from all but the canonical
+    (lowest-id) document via one broadcast + map-only pass. Rows-only
+    driver check; interval-merge and exact-removal semantics are
+    pytest-gated in tests/test_substr.py."""
+    from web2llmstxt_ray.ops.substr import excise_shared_substrings
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = excise_shared_substrings(docs, k=24, w=8).to_pandas()
+    out["n_chars_after"] = out["text"].str.len().astype("int64")
+    return (out[["doc_id", "n_removed_bytes", "n_chars_after"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q_pagerank(sf_dir: str) -> pd.DataFrame:
     """Integer fixed-point PageRank (3 damped iterations) over the
     order→part bipartite graph (src=2·l_orderkey, dst=2·l_partkey+1).
@@ -1338,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_substrings": q_shared_substrings,
         "span_flat": q_span_flat,
         "span_kind_stats": q_span_kind_stats,
+        "substring_dedup": q_substring_dedup,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,

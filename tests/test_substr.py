@@ -6,7 +6,8 @@ import pyarrow as pa
 import ray.data
 
 from web2llmstxt_ray.ops.substr import (
-    _window_hashes, _winnow, shared_substring_pairs, winnow_fingerprints)
+    _window_hashes, _winnow, excise_shared_substrings,
+    shared_substring_pairs, winnow_fingerprints)
 
 _B = 1099511628211
 _M = 1 << 64
@@ -109,3 +110,42 @@ class TestSharedSubstrings:
         s0 = {r["fp"] for r in fps if r["doc_id"] == 0}
         s1 = {r["fp"] for r in fps if r["doc_id"] == 1}
         assert s0 & s1
+
+
+class TestExcise:
+    def test_removes_duplicate_keeps_canonical(self):
+        shared = "the quick brown fox jumps over the lazy dog repeatedly"
+        t = _docs(shared, n_other=8, seed=6)
+        ds = ray.data.from_arrow(t).repartition(3)
+        out = (excise_shared_substrings(ds, k=16, w=4)
+               .to_pandas().sort_values("doc_id")
+               .reset_index(drop=True))
+        texts = t.column("text").to_pylist()
+        # canonical doc (lower id) untouched
+        assert out.loc[0, "text"] == texts[0]
+        assert out.loc[0, "n_removed_bytes"] == 0
+        # dup doc had exactly the maximal shared run excised
+        want_len = _lcs_len(texts[0].encode(), texts[1].encode())
+        assert out.loc[1, "n_removed_bytes"] == want_len
+        assert shared not in out.loc[1, "text"]
+        assert len(out.loc[1, "text"]) == len(texts[1]) - want_len
+        # untouched noise docs pass through byte-identical
+        for i in range(2, len(texts)):
+            assert out.loc[i, "text"] == texts[i]
+
+    def test_overlapping_intervals_merge(self):
+        # one doc duplicating runs from TWO canonical docs with overlap
+        import pyarrow as pa
+
+        base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOP"
+        texts = [base[:40] + "~~~1~~~", "###2###" + base[20:] + "!!!",
+                 "<<" + base + ">>"]   # doc2 contains both runs, overlapping
+        t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                      "text": pa.array(texts)})
+        out = (excise_shared_substrings(
+            ray.data.from_arrow(t), k=16, w=4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # doc 2 loses the union of the two overlapping runs = all of base
+        assert base not in out.loc[2, "text"]
+        assert out.loc[2, "n_removed_bytes"] == len(base)
+        assert out.loc[2, "text"] == "<<>>"

@@ -42,7 +42,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
-__all__ = ["winnow_fingerprints", "shared_substring_pairs"]
+__all__ = ["winnow_fingerprints", "shared_substring_pairs",
+           "excise_shared_substrings"]
 
 _B = np.uint64(1099511628211)          # odd ⇒ invertible mod 2^64
 _BINV = np.uint64(pow(1099511628211, -1, 1 << 64))
@@ -237,3 +238,78 @@ def shared_substring_pairs(
     df = (df.astype({c: "int64" for c in _out_cols})
             .sort_values(["a", "b"]).reset_index(drop=True))
     return pa.Table.from_pandas(df)
+
+
+def excise_shared_substrings(
+        ds: ray.data.Dataset, pairs: pa.Table | None = None,
+        min_len: int | None = None, k: int = 24, w: int = 8,
+        text_col: str = "text", id_col: str = "doc_id",
+        **pair_kwargs) -> ray.data.Dataset:
+    """Substring-level dedup REMOVAL (Lee et al. 2022 semantics): each
+    verified cross-document repeated run survives only in its
+    canonical occurrence (the lower doc_id); the higher doc_id's copy
+    is cut out byte-wise.
+
+    The verified pair table is tiny relative to the corpus (bounded by
+    the candidate caps), so the per-doc excision intervals travel as a
+    single broadcast (``ray.put`` once, read per task) and the corpus
+    itself streams through one map-only pass — no second shuffle.
+    Overlapping intervals within a doc are merged before cutting.
+
+    Output: (doc_id, text, n_removed_bytes). Byte intervals come from
+    the verified runs, which begin and end on identical byte sequences
+    in both documents; decoding after the cut uses surrogatepass so a
+    pathological mid-codepoint boundary cannot raise.
+    """
+    if pairs is None:
+        pairs = shared_substring_pairs(
+            ds, min_len=min_len, k=k, w=w, text_col=text_col,
+            id_col=id_col, **pair_kwargs)
+
+    intervals: dict = {}
+    for b, ln, ob in zip(pairs.column("b").to_pylist(),
+                         pairs.column("length").to_pylist(),
+                         pairs.column("off_b").to_pylist()):
+        intervals.setdefault(b, []).append((int(ob), int(ob + ln)))
+    iv_ref = ray.put(intervals)
+
+    class _Excise:
+        def __init__(self):
+            self.iv = ray.get(iv_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            out_text, removed = [], []
+            for did, t in zip(ids, texts):
+                spans = self.iv.get(did)
+                if not spans:
+                    out_text.append(t)
+                    removed.append(0)
+                    continue
+                data = (t or "").encode("utf-8", "surrogatepass")
+                spans = sorted(spans)
+                merged = [list(spans[0])]
+                for s, e in spans[1:]:
+                    if s <= merged[-1][1]:
+                        merged[-1][1] = max(merged[-1][1], e)
+                    else:
+                        merged.append([s, e])
+                kept, prev = [], 0
+                cut = 0
+                for s, e in merged:
+                    kept.append(data[prev:s])
+                    cut += min(e, len(data)) - s
+                    prev = e
+                kept.append(data[prev:])
+                out_text.append(b"".join(kept).decode(
+                    "utf-8", "surrogatepass"))
+                removed.append(cut)
+            names = list(batch.schema.names)
+            cols = {n: batch.column(n) for n in names}
+            cols[text_col] = pa.array(out_text, pa.string())
+            cols["n_removed_bytes"] = pa.array(removed, pa.int64())
+            return pa.table(cols)
+
+    return ds.map_batches(_Excise, batch_format="pyarrow",
+                          concurrency=(1, 8), num_cpus=0.5)
