@@ -1105,6 +1105,20 @@ def q_shared_substrings(sf_dir: str) -> pd.DataFrame:
     return shared_substring_pairs(docs, k=24, w=8).to_pandas()
 
 
+def q_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Distributed inverted index: per-doc tf rows (one per distinct
+    token per doc) shuffle once by hash(token) bucket; posting lists
+    built vectorized per bucket. Hash-compared against a DuckDB
+    string_agg oracle including the doc:tf posting strings."""
+    from web2llmstxt_ray.ops.retrieval import inverted_index
+
+    out = _pdf(inverted_index(_t(sf_dir, "documents",
+                                 ["doc_id", "text"])))
+    out["df"] = out["df"].astype("int64")
+    out["cf"] = out["cf"].astype("int64")
+    return out.sort_values("token").reset_index(drop=True)
+
+
 def q_substring_dedup(sf_dir: str) -> pd.DataFrame:
     """Substring-level dedup removal (Lee et al. 2022): verified
     cross-doc repeated runs are excised from all but the canonical
@@ -1354,6 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_flat": q_span_flat,
         "span_kind_stats": q_span_kind_stats,
         "substring_dedup": q_substring_dedup,
+        "inverted_index": q_inverted_index,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
@@ -1611,6 +1626,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75)
                               FROM documents)
+        """,
+        "inverted_index": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS token
+                FROM documents),
+            tf AS (SELECT token, doc_id, count(*) AS tf
+                   FROM toks GROUP BY token, doc_id)
+            SELECT token, count(*) AS df,
+                   CAST(sum(tf) AS BIGINT) AS cf,
+                   string_agg(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(tf AS VARCHAR),
+                              ',' ORDER BY doc_id) AS postings
+            FROM tf GROUP BY token
         """,
         "span_flat": """
             WITH flat AS (

@@ -203,3 +203,68 @@ def bm25_topk(ds: ray.data.Dataset, terms: list[str], k: int = 10,
                               batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: (-r["score"], r[id_col]))
     return rows[:k]
+
+
+def inverted_index(ds: ray.data.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id", num_buckets: int = 64,
+                   min_df: int = 1) -> ray.data.Dataset:
+    """Distributed inverted-index construction: one skinny-row shuffle.
+
+    Map phase emits per-document term frequencies (token, doc_id, tf)
+    — already aggregated within the document, so a doc contributes one
+    row per DISTINCT token. Rows shuffle by ``hash(token) %
+    num_buckets`` (bounded groups — the vocabulary itself is heavy-
+    tailed, and grouping by raw token would put a stopword's whole
+    posting set in one 1-group block); each bucket then builds every
+    posting list it owns with one vectorized pandas pass.
+
+    Output: (token, df, cf, postings) where postings is the
+    ``doc:tf`` list sorted by doc_id — comparable against a DuckDB
+    ``string_agg(... ORDER BY doc_id)`` oracle. At web scale the
+    pathological rows are stopword postings (O(corpus) string); real
+    deployments cap or block-split those — ``min_df`` trims the
+    hapax tail here and the cap seam is the per-bucket pandas pass.
+    """
+    import pandas as pd
+    from collections import Counter
+
+    from ..functions.urls import hash64_batch
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        toks, ids, tfs = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            for tok, n in Counter(
+                    tokenize_ws((t or "").lower())).items():
+                toks.append(tok)
+                ids.append(did)
+                tfs.append(n)
+        buckets = (hash64_batch(toks) % np.uint64(num_buckets)
+                   ).astype(np.int32)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            id_col: pa.array(ids, pa.int64()),
+            "tf": pa.array(tfs, pa.int64()),
+            "_tb": pa.array(buckets),
+        })
+
+    def build_postings(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty or "token" not in group.columns:
+            return pd.DataFrame({
+                "token": pd.Series([], dtype="object"),
+                "df": pd.Series([], dtype="int64"),
+                "cf": pd.Series([], dtype="int64"),
+                "postings": pd.Series([], dtype="object")})
+        g = group.sort_values(["token", id_col], kind="stable")
+        g = g.assign(_p=g[id_col].astype(str) + ":"
+                     + g["tf"].astype(str))
+        out = g.groupby("token", as_index=False, sort=False).agg(
+            df=(id_col, "size"), cf=("tf", "sum"),
+            postings=("_p", ",".join))
+        if min_df > 1:
+            out = out[out["df"] >= min_df]
+        return out[["token", "df", "cf", "postings"]]
+
+    return (ds.map_batches(tf_rows, batch_format="pyarrow")
+            .groupby("_tb").map_groups(build_postings,
+                                       batch_format="pandas"))
