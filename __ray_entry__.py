@@ -1105,6 +1105,19 @@ def q_shared_substrings(sf_dir: str) -> pd.DataFrame:
     return shared_substring_pairs(docs, k=24, w=8).to_pandas()
 
 
+def q_segment_dedup(sf_dir: str) -> pd.DataFrame:
+    """Segment-level exact dedup (C4/Gopher line-dedup shape over
+    fixed 16-char segments): global first-occurrence-wins in
+    (doc_id, seg_idx) order, documents reconstructed from kept
+    segments. Two bucketed shuffles; hash-compared against a DuckDB
+    substr + row_number window oracle including reconstructed text."""
+    from web2llmstxt_ray.ops.dedup import segment_dedup
+
+    out = _pdf(segment_dedup(_t(sf_dir, "documents",
+                                ["doc_id", "text"]), chunk=16))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_inverted_index(sf_dir: str) -> pd.DataFrame:
     """Distributed inverted index: per-doc tf rows (one per distinct
     token per doc) shuffle once by hash(token) bucket; posting lists
@@ -1369,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_stats": q_span_kind_stats,
         "substring_dedup": q_substring_dedup,
         "inverted_index": q_inverted_index,
+        "segment_dedup": q_segment_dedup,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
@@ -1626,6 +1640,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75)
                               FROM documents)
+        """,
+        "segment_dedup": """
+            WITH segs AS (
+                SELECT doc_id, i AS seg_idx,
+                       substr(text, CAST(i * 16 + 1 AS INT), 16) AS seg
+                FROM (SELECT doc_id, text,
+                             unnest(range(CAST(ceil(length(text) / 16.0)
+                                               AS BIGINT))) AS i
+                      FROM documents)),
+            flag AS (
+                SELECT doc_id, seg_idx, seg,
+                       row_number() OVER (PARTITION BY seg
+                                          ORDER BY doc_id, seg_idx)
+                           AS rn
+                FROM segs)
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+                                       '' ORDER BY seg_idx), '')
+                       AS text_dedup,
+                   count(*) AS n_segments,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM flag GROUP BY doc_id
         """,
         "inverted_index": """
             WITH toks AS (

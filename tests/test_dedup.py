@@ -340,3 +340,56 @@ class TestSemanticDedup:
                              threshold=0.99, k=5).to_pandas() \
             .sort_values("vec_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSegmentDedup:
+    def _run(self, texts, chunk, parts=3):
+        import pyarrow as pa
+        import ray.data
+
+        from web2llmstxt_ray.ops.dedup import segment_dedup
+
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        return (segment_dedup(ray.data.from_arrow(t).repartition(parts),
+                              chunk=chunk)
+                .to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+    def test_first_occurrence_wins(self):
+        # doc0 and doc2 share a 16-char-aligned segment; doc0 keeps it
+        seg = "ABCDEFGHIJKLMNOP"          # exactly one chunk
+        texts = [seg + "0123456789abcdef",
+                 "zzzzzzzzzzzzzzzz",
+                 seg + "qrstuvwxyz!!!!!!"]
+        out = self._run(texts, chunk=16)
+        assert out.loc[0, "text_dedup"] == texts[0]
+        assert out.loc[0, "n_kept"] == 2
+        assert out.loc[2, "text_dedup"] == "qrstuvwxyz!!!!!!"
+        assert out.loc[2, "n_kept"] == 1
+        assert out.loc[2, "n_segments"] == 2
+
+    def test_within_doc_repeat_collapses(self):
+        seg = "ABCDEFGHIJKLMNOP"
+        out = self._run([seg + seg + seg], chunk=16, parts=1)
+        assert out.loc[0, "text_dedup"] == seg
+        assert out.loc[0, "n_segments"] == 3
+        assert out.loc[0, "n_kept"] == 1
+
+    def test_all_dup_doc_empties(self):
+        seg = "ABCDEFGHIJKLMNOP"
+        out = self._run([seg, seg], chunk=16)
+        assert out.loc[1, "text_dedup"] == ""
+        assert out.loc[1, "n_kept"] == 0
+
+    def test_partition_invariant(self):
+        import numpy as np
+        rng = np.random.RandomState(2)
+        segs = ["".join(chr(rng.randint(97, 110)) for _ in range(8))
+                for _ in range(30)]
+        texts = ["".join(segs[i] for i in rng.randint(0, 30, 12))
+                 for _ in range(25)]
+        a = self._run(texts, chunk=8, parts=1)
+        b = self._run(texts, chunk=8, parts=9)
+        import pandas as pd
+        pd.testing.assert_frame_equal(a, b)

@@ -1068,3 +1068,105 @@ def semantic_dedup(ds: ray.data.Dataset, threshold: float = 0.95,
 
     return assigned.groupby("sem_cluster").map_groups(
         dedup_cluster, batch_format="pyarrow")
+
+
+def segment_dedup(ds: ray.data.Dataset, chunk: int = 16,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Within-corpus SEGMENT-level exact dedup (the C4/Gopher
+    line-dedup shape): documents split into fixed ``chunk``-character
+    segments; every repeated segment survives only at its first
+    occurrence in global (doc_id, seg_idx) order, and each document is
+    reconstructed from its kept segments.
+
+    Fixed-width splitting keeps the splitter SQL-mirrorable
+    (``substr`` + ``row_number() OVER (PARTITION BY seg)``); swap the
+    segmenter for lines/paragraphs in corpora that have them — the
+    dedup/reconstruct machinery is splitter-agnostic.
+
+    Two bucketed shuffles of skinny rows, never a global sort:
+    1. segments shuffle by ``hash(seg) % num_buckets``; each bucket
+       picks every segment's global first occurrence vectorized
+       (sort + drop_duplicates inside the bucket — a segment's
+       occurrences all land in one bucket).
+    2. flagged segments shuffle by ``hash(doc_id) % num_buckets`` and
+       each doc concatenates its kept segments in seg_idx order.
+
+    Output: (doc_id, text_dedup, n_segments, n_kept).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column(text_col), pa.string())
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        nchars = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        counts = -(-nchars // chunk)
+        total = int(counts.sum())
+        parent = np.repeat(np.arange(len(batch), dtype=np.int64),
+                           counts)
+        starts = np.zeros(len(batch), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        seg_idx = (np.arange(total, dtype=np.int64)
+                   - np.repeat(starts, counts))
+        segs = np.full(total, "", dtype=object)
+        for k in range(int(counts.max()) if len(counts) else 0):
+            sel = np.flatnonzero(seg_idx == k)
+            if not len(sel):
+                continue
+            sl = pc.utf8_slice_codeunits(text, k * chunk,
+                                         (k + 1) * chunk)
+            segs[sel] = sl.take(pa.array(parent[sel])).to_numpy(
+                zero_copy_only=False)
+        sb = (hash64_batch(segs.tolist())
+              % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(ids[parent]),
+            "seg_idx": pa.array(seg_idx),
+            "seg": pa.array(segs, pa.string()),
+            "_sb": pa.array(sb),
+        })
+
+    def flag_first(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty or "seg" not in group.columns:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "seg_idx": pd.Series([], dtype="int64"),
+                "seg": pd.Series([], dtype="object"),
+                "keep": pd.Series([], dtype="bool")})
+        g = group.sort_values(["seg", id_col, "seg_idx"],
+                              kind="stable")
+        g = g.assign(keep=~g["seg"].duplicated())
+        return g[[id_col, "seg_idx", "seg", "keep"]]
+
+    def add_db(batch: pa.Table) -> pa.Table:
+        b = (_id_blocks(batch.column(id_col).to_pylist(), num_buckets)
+             ).astype(np.int32)
+        return batch.append_column("_db", pa.array(b))
+
+    def rebuild(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty or id_col not in group.columns:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "text_dedup": pd.Series([], dtype="object"),
+                "n_segments": pd.Series([], dtype="int64"),
+                "n_kept": pd.Series([], dtype="int64")})
+        g = group.sort_values([id_col, "seg_idx"], kind="stable")
+        kept = g[g["keep"]]
+        out = g.groupby(id_col, as_index=False, sort=False).agg(
+            n_segments=("seg_idx", "size"))
+        joined = kept.groupby(id_col, sort=False).agg(
+            text_dedup=("seg", "".join), n_kept=("seg", "size"))
+        out = out.merge(joined, on=id_col, how="left")
+        out["text_dedup"] = out["text_dedup"].fillna("")
+        out["n_kept"] = out["n_kept"].fillna(0).astype("int64")
+        out["n_segments"] = out["n_segments"].astype("int64")
+        return out[[id_col, "text_dedup", "n_segments", "n_kept"]]
+
+    flagged = (ds.select_columns([id_col, text_col])
+               .map_batches(explode, batch_format="pyarrow")
+               .groupby("_sb").map_groups(flag_first,
+                                          batch_format="pandas"))
+    return (flagged.map_batches(add_db, batch_format="pyarrow")
+            .groupby("_db").map_groups(rebuild,
+                                       batch_format="pandas"))
