@@ -320,6 +320,36 @@ def q_idle_customers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
+def q_segment_order_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER bucketed hash join: high-balance customers ⟗
+    per-customer order counts. Unmatched rows from BOTH sides survive
+    (rich customers with no orders; ordering customers below the
+    balance cut) — deterministic null fills so the hash compare is
+    well-defined."""
+    from web2llmstxt_ray.ops.relational import hash_join, partial_groupby
+
+    customer = _t(sf_dir, "customer",
+                  ["c_custkey", "c_mktsegment", "c_acctbal"]).map_batches(
+        lambda t: t.filter(pa.compute.greater(t["c_acctbal"], 7500.0))
+                   .select(["c_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_custkey", as_index=False).agg(
+            n_orders=("c_custkey", "size"))
+
+    counts = partial_groupby(orders, ["c_custkey"], batch_agg,
+                             ["n_orders"], distributed_combine=True)
+    out = hash_join(customer, counts, on="c_custkey",
+                    num_buckets=16, how="outer").to_pandas()
+    out["c_mktsegment"] = out["c_mktsegment"].fillna("NONE")
+    out["n_orders"] = out["n_orders"].fillna(-1).astype("int64")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def q_customer_order_stats(sf_dir: str) -> pd.DataFrame:
     """Bucketed LEFT OUTER join + per-customer aggregate: customers
     without orders survive with n_orders=0 / total_spent=0 (the rows an
@@ -1323,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": q_part_type_stats,
         "idle_customers": q_idle_customers,
         "customer_order_stats": q_customer_order_stats,
+        "segment_order_outer": q_segment_order_outer,
         "latest_events": q_latest_events,
         "orders_by_month": q_orders_by_month,
         "discount_bands": q_discount_bands,
@@ -1640,6 +1671,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75)
                               FROM documents)
+        """,
+        "segment_order_outer": """
+            WITH lhs AS (SELECT c_custkey, c_mktsegment FROM customer
+                         WHERE c_acctbal > 7500.0),
+            rhs AS (SELECT o_custkey AS c_custkey,
+                           count(*) AS n_orders
+                    FROM orders GROUP BY o_custkey)
+            SELECT c_custkey,
+                   coalesce(l.c_mktsegment, 'NONE') AS c_mktsegment,
+                   CAST(coalesce(r.n_orders, -1) AS BIGINT) AS n_orders
+            FROM lhs l FULL OUTER JOIN rhs r USING (c_custkey)
         """,
         "segment_dedup": """
             WITH segs AS (

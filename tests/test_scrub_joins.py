@@ -425,6 +425,22 @@ class TestHashJoinModes:
         assert got.loc[got.k < 25, "rv"].isna().all()
         assert len(got) >= len(left)
 
+    def test_outer_join(self):
+        from web2llmstxt_ray.ops.relational import hash_join
+
+        left, right, dl, dr = self._sides()
+        got = hash_join(dl, dr, on="k", num_buckets=5, how="outer") \
+            .to_pandas().sort_values(["k", "lv", "rv"]) \
+            .reset_index(drop=True)
+        want = left.merge(right, on="k", how="outer") \
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["k", "lv", "rv"]],
+            want[["k", "lv", "rv"]].astype({"k": "int64"}))
+        # right-only keys survive with null left columns
+        assert got.loc[got.k >= 40, "lv"].isna().all()
+        assert set(got.k) == set(left.k) | set(right.k)
+
     def test_semi_and_anti_partition_left(self):
         from web2llmstxt_ray.ops.relational import hash_join
 

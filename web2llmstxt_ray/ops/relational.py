@@ -103,7 +103,8 @@ def hash_join(
 ) -> ray.data.Dataset:
     """Explicit partitioned hash join of two large Datasets.
 
-    ``how`` ∈ {``inner``, ``left``, ``semi``, ``anti``}. Both sides get
+    ``how`` ∈ {``inner``, ``left``, ``outer``, ``semi``, ``anti``}.
+    Both sides get
     ``_bucket = key % num_buckets`` (keys are int join keys here; string
     keys would hash first) and a ``_side`` tag, their schemas are
     aligned so the union is well-typed, the union shuffles ONCE on the
@@ -119,9 +120,12 @@ def hash_join(
     broadcast semi-join in ``__ray_entry__.q_fulfilled_customers``,
     which needs the key set to fit in one object; this form shuffles
     and works at any right-side cardinality). ``left`` emits unmatched
-    left rows with null right columns (pandas NaN).
+    left rows with null right columns (pandas NaN); ``outer`` emits
+    unmatched rows from BOTH sides (a full outer join — correct
+    because a key's rows from both sides always co-locate in one
+    bucket, so every unmatched row surfaces exactly once).
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "outer", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     if how in ("semi", "anti"):
         right = right.select_columns([on])
@@ -149,13 +153,15 @@ def hash_join(
         lhs = group.loc[group["_side"] == "L", [on, *left_cols]]
         rhs = group.loc[group["_side"] == "R", [on, *right_cols]]
         if lhs.empty:
+            if how == "outer":
+                return rhs.reindex(columns=all_cols)
             # typed empty (dtypes from the group) — keeps block schemas
             # consistent across buckets
             return group[out_cols].iloc[0:0]
         if rhs.empty:
             if how == "anti":
                 return lhs
-            if how == "left":
+            if how in ("left", "outer"):
                 return lhs.reindex(columns=all_cols)
             return group[out_cols].iloc[0:0]
         if how == "semi":
