@@ -1135,6 +1135,18 @@ def q_shared_substrings(sf_dir: str) -> pd.DataFrame:
     return shared_substring_pairs(docs, k=24, w=8).to_pandas()
 
 
+def q_normalize_text(sf_dir: str) -> pd.DataFrame:
+    """Deterministic text canonicalization (NFC, control strip,
+    whitespace-run collapse, trim) — map-only; byte-exact vs the
+    DuckDB nfc_normalize + regexp_replace oracle."""
+    from web2llmstxt_ray.ops.scrub import normalize_text
+
+    out = _pdf(normalize_text(_t(sf_dir, "documents",
+                                 ["doc_id", "text"])))
+    out["n_chars_norm"] = out["text"].str.len().astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_segment_dedup(sf_dir: str) -> pd.DataFrame:
     """Segment-level exact dedup (C4/Gopher line-dedup shape over
     fixed 16-char segments): global first-occurrence-wins in
@@ -1414,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": q_substring_dedup,
         "inverted_index": q_inverted_index,
         "segment_dedup": q_segment_dedup,
+        "normalize_text": q_normalize_text,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
@@ -1671,6 +1684,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75)
                               FROM documents)
+        """,
+        "normalize_text": """
+            SELECT doc_id, text, length(text) AS n_chars_norm
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(
+                             regexp_replace(nfc_normalize(text),
+                                 '[\\x00-\\x08\\x0e-\\x1f\\x7f]',
+                                 '', 'g'),
+                             '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))
+                             AS text
+                  FROM documents)
         """,
         "segment_order_outer": """
             WITH lhs AS (SELECT c_custkey, c_mktsegment FROM customer

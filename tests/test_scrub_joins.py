@@ -526,3 +526,28 @@ class TestArgmaxByKey:
         want = df.drop_duplicates(subset=["user_id"], keep="first") \
             .sort_values("user_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+class TestNormalizeText:
+    def test_canonicalization(self):
+        from web2llmstxt_ray.ops.scrub import normalize_text
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["  a\t\tb\n\nc  ", "x\x07y\x00z",
+                              "Café  time"]),  # NFC combining
+        })
+        out = (normalize_text(ray.data.from_arrow(t)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert out.loc[0, "text"] == "a b c"
+        assert out.loc[1, "text"] == "xyz"
+        assert out.loc[2, "text"] == "Café time"
+
+    def test_nbsp_preserved(self):
+        # U+00A0 is NOT ascii whitespace: neither engine collapses it
+        from web2llmstxt_ray.ops.scrub import normalize_text
+
+        t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array(["a b"])})
+        out = normalize_text(ray.data.from_arrow(t)).to_pandas()
+        assert out.loc[0, "text"] == "a b"

@@ -281,3 +281,37 @@ def repetition_stats(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
     from .stagecache import cached_stage
     return ds.map_batches(cached_stage(RepetitionStats, **kw),
                           batch_format="pyarrow")
+
+
+_CTRL_RE = re.compile(r"[\x00-\x08\x0e-\x1f\x7f]")
+_WSRUN_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+
+
+class TextNormalizer:
+    """Deterministic text canonicalization for dedup/fingerprint
+    pre-passes: NFC unicode normalization → ASCII control-char strip →
+    ASCII-whitespace-run collapse → edge trim. Every step is mirrored
+    exactly by the DuckDB oracle (nfc_normalize + two regexp_replace;
+    the whitespace class is spelled explicitly because RE2's ``\\s``
+    and Python's unicode-aware ``\\s`` disagree on e.g. U+00A0, and
+    the control class excludes the ASCII whitespace controls so a tab
+    between words collapses to a space rather than vanishing).
+    Compiled patterns are module-level; the class exists so actor
+    pools can host it unchanged."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import unicodedata
+
+        out = []
+        for t in batch.column("text").to_pylist():
+            t = unicodedata.normalize("NFC", t or "")
+            t = _CTRL_RE.sub("", t)
+            out.append(_WSRUN_RE.sub(" ", t).strip(" "))
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text",
+            pa.array(out, pa.string()))
+
+
+def normalize_text(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Map-only canonicalization pass (see :class:`TextNormalizer`)."""
+    return ds.map_batches(TextNormalizer(), batch_format="pyarrow")
