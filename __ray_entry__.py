@@ -1135,6 +1135,29 @@ def q_shared_substrings(sf_dir: str) -> pd.DataFrame:
     return shared_substring_pairs(docs, k=24, w=8).to_pandas()
 
 
+def q_similarity_join(sf_dir: str) -> pd.DataFrame:
+    """Cross-table fuzzy join (entity resolution): even-id documents
+    matched to odd-id documents at word-3-gram Jaccard ≥ 0.5. LSH
+    banding → cross-side candidates → exact Jaccard verify; the SQL
+    oracle computes the exact shingle-set Jaccard for every cross
+    pair. Raw-double jaccard column: both engines divide the same two
+    integers, so values are bit-identical."""
+    from web2llmstxt_ray.ops.dedup import similarity_join
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(par: int):
+        def _f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = pc.equal(pc.bit_wise_and(t["doc_id"], 1), par)
+            return t.filter(mask)
+        return _f
+
+    left = docs.map_batches(side(0), batch_format="pyarrow")
+    right = docs.map_batches(side(1), batch_format="pyarrow")
+    return similarity_join(left, right, threshold=0.5).to_pandas()
+
+
 def q_normalize_text(sf_dir: str) -> pd.DataFrame:
     """Deterministic text canonicalization (NFC, control strip,
     whitespace-run collapse, trim) — map-only; byte-exact vs the
@@ -1427,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "segment_dedup": q_segment_dedup,
         "normalize_text": q_normalize_text,
+        "similarity_join": q_similarity_join,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
@@ -1684,6 +1708,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75)
                               FROM documents)
+        """,
+        "similarity_join": """
+            WITH lw AS (SELECT doc_id,
+                               string_split_regex(lower(trim(text)),
+                                                  '\\s+') AS ws
+                        FROM documents WHERE doc_id % 2 = 0),
+            rw AS (SELECT doc_id,
+                          string_split_regex(lower(trim(text)),
+                                             '\\s+') AS ws
+                   FROM documents WHERE doc_id % 2 = 1),
+            lg AS (SELECT DISTINCT doc_id,
+                          ws[i + 1] || ' ' || ws[i + 2] || ' '
+                              || ws[i + 3] AS gram
+                   FROM (SELECT doc_id, ws,
+                                unnest(range(len(ws) - 2)) AS i
+                         FROM lw)),
+            rg AS (SELECT DISTINCT doc_id,
+                          ws[i + 1] || ' ' || ws[i + 2] || ' '
+                              || ws[i + 3] AS gram
+                   FROM (SELECT doc_id, ws,
+                                unnest(range(len(ws) - 2)) AS i
+                         FROM rw)),
+            ls AS (SELECT doc_id, count(*) AS n FROM lg GROUP BY doc_id),
+            rs AS (SELECT doc_id, count(*) AS n FROM rg GROUP BY doc_id),
+            inter AS (SELECT l.doc_id AS a_id, r.doc_id AS b_id,
+                             count(*) AS ni
+                      FROM lg l JOIN rg r ON l.gram = r.gram
+                      GROUP BY a_id, b_id)
+            SELECT a_id, b_id,
+                   ni / (ls.n + rs.n - ni) AS jaccard
+            FROM inter
+            JOIN ls ON ls.doc_id = a_id
+            JOIN rs ON rs.doc_id = b_id
+            WHERE ni / (ls.n + rs.n - ni) >= 0.5
         """,
         "normalize_text": """
             SELECT doc_id, text, length(text) AS n_chars_norm

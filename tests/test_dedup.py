@@ -393,3 +393,65 @@ class TestSegmentDedup:
         b = self._run(texts, chunk=8, parts=9)
         import pandas as pd
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSimilarityJoin:
+    def test_planted_fuzzy_matches(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from web2llmstxt_ray.ops.dedup import similarity_join
+
+        rng = np.random.RandomState(8)
+        vocab = [f"w{i}" for i in range(50)]
+
+        def doc(n):
+            return " ".join(rng.choice(vocab, n))
+
+        base = doc(60)
+        words = base.split()
+        words[5] = "CHANGED"                      # high-jaccard variant
+        near = " ".join(words)
+        left = [base, doc(50), doc(55)]           # ids 0..2
+        right = [near, doc(52), base]             # ids 10..12
+        lt = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                       "text": pa.array(left)})
+        rt = pa.table({"doc_id": pa.array([10, 11, 12], pa.int64()),
+                       "text": pa.array(right)})
+        out = similarity_join(
+            ray.data.from_arrow(lt).repartition(2),
+            ray.data.from_arrow(rt).repartition(2),
+            threshold=0.5).to_pandas()
+        got = set(zip(out.a_id, out.b_id))
+        assert (0, 12) in got                     # exact dup: J = 1.0
+        assert (0, 10) in got                     # near variant
+        exact = out[(out.a_id == 0) & (out.b_id == 12)]
+        assert float(exact["jaccard"].iloc[0]) == 1.0
+        # no random-pair pollution
+        assert (1, 11) not in got
+
+    def test_partition_invariant(self):
+        import numpy as np
+        import pyarrow as pa
+        import pandas as pd
+        import ray.data
+
+        from web2llmstxt_ray.ops.dedup import similarity_join
+
+        rng = np.random.RandomState(3)
+        vocab = [f"t{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, 40)) for _ in range(20)]
+        texts[17] = texts[2]                       # cross-side dup
+        lt = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                       "text": pa.array(texts[:10])})
+        rt = pa.table({"doc_id": pa.array(range(10, 20), pa.int64()),
+                       "text": pa.array(texts[10:])})
+        runs = []
+        for p in (1, 7):
+            runs.append(similarity_join(
+                ray.data.from_arrow(lt).repartition(p),
+                ray.data.from_arrow(rt).repartition(p),
+                threshold=0.4).to_pandas())
+        pd.testing.assert_frame_equal(runs[0], runs[1])
+        assert (2, 17) in set(zip(runs[0].a_id, runs[0].b_id))

@@ -1170,3 +1170,119 @@ def segment_dedup(ds: ray.data.Dataset, chunk: int = 16,
     return (flagged.map_batches(add_db, batch_format="pyarrow")
             .groupby("_db").map_groups(rebuild,
                                        batch_format="pandas"))
+
+
+def similarity_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                    threshold: float = 0.5, text_col: str = "text",
+                    id_col: str = "doc_id", num_perm: int = 64,
+                    num_bands: int = 32, shingle_k: int = 3,
+                    num_buckets: int = 64,
+                    max_per_band: int = 200) -> pa.Table:
+    """Fuzzy JOIN between two tables: (a_id, b_id, jaccard) for every
+    cross-table pair whose exact word-``shingle_k``-gram Jaccard is
+    ≥ ``threshold`` — subject to the LSH recall of the banding
+    parameters (with the default 32 bands × 2 rows a J=0.5 pair
+    band-collides with P≈1−0.75³² ≈ 0.9999; J=0.9 is ≈certain; all
+    collisions are DETERMINISTIC functions of the texts — fixed
+    permutations and hashes — so a result is reproducible run to run).
+
+    Shape (entity-resolution at corpus scale): both sides run the same
+    cached minhash+banding map; band rows carry a side tag and shuffle
+    ONCE by band-hash bucket; only CROSS-side collisions become
+    candidates (capped per hot band, the boilerplate-band bomb guard);
+    exact Jaccard verification attaches both texts via two bucketed
+    hash joins — the full tables never co-locate and nothing
+    corpus-sized reaches the driver except the verified matches.
+    """
+    from .relational import hash_join
+    from .stagecache import cached_stage
+
+    def bands(ds: ray.data.Dataset, side_id: str) -> ray.data.Dataset:
+        ex = ds.map_batches(
+            cached_stage(_MinHasher, text_col=text_col, id_col=id_col,
+                         num_perm=num_perm, num_bands=num_bands,
+                         shingle_k=shingle_k),
+            batch_format="pyarrow", batch_size=None)
+
+        def tag(batch: pa.Table) -> pa.Table:
+            hb = (np.asarray(batch.column("band_hash"))
+                  % np.uint64(num_buckets)).astype(np.int32)
+            names = {id_col: side_id}
+            cols = {names.get(n, n): batch.column(n)
+                    for n in batch.schema.names}
+            cols["_sjside"] = pa.array([side_id] * len(batch))
+            cols["_hb"] = pa.array(hb)
+            return pa.table(cols)
+
+        return ex.map_batches(tag, batch_format="pyarrow")
+
+    lb = bands(left.select_columns([id_col, text_col]), "a_id")
+    rb = bands(right.select_columns([id_col, text_col]), "b_id")
+
+    def cross_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, sub in group.groupby(["band", "band_hash"], sort=False):
+            ls = sub.loc[sub["_sjside"] == "a_id", "a_id"].dropna()
+            rs = sub.loc[sub["_sjside"] == "b_id", "b_id"].dropna()
+            if ls.empty or rs.empty:
+                continue
+            ls = np.unique(ls.to_numpy())[:max_per_band]
+            rs = np.unique(rs.to_numpy())[:max_per_band]
+            grid_a = np.repeat(ls, len(rs))
+            grid_b = np.tile(rs, len(ls))
+            out_a.append(grid_a)
+            out_b.append(grid_b)
+        if not out_a:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({
+            "a_id": np.concatenate(out_a).astype("int64"),
+            "b_id": np.concatenate(out_b).astype("int64")})
+        return df.drop_duplicates()
+
+    cand = (lb.union(rb).groupby("_hb")
+            .map_groups(cross_pairs, batch_format="pandas"))
+
+    def rn(frm: str, to: str):
+        def _r(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [to if n == frm else n for n in batch.schema.names])
+        return _r
+
+    la = (left.select_columns([id_col, text_col])
+          .map_batches(rn(id_col, "a_id"), batch_format="pyarrow")
+          .map_batches(rn(text_col, "_ta"), batch_format="pyarrow"))
+    rb2 = (right.select_columns([id_col, text_col])
+           .map_batches(rn(id_col, "b_id"), batch_format="pyarrow")
+           .map_batches(rn(text_col, "_tb"), batch_format="pyarrow"))
+    joined = hash_join(cand, la, on="a_id", num_buckets=num_buckets)
+    joined = hash_join(joined, rb2, on="b_id", num_buckets=num_buckets)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"a_id": [], "b_id": [], "jaccard": []}
+        for a, b, ta, tb in zip(batch.get("a_id", []),
+                                batch.get("b_id", []),
+                                batch.get("_ta", []),
+                                batch.get("_tb", [])):
+            sa = shingles_from_hashes(word_hashes(ta or ""), shingle_k)
+            sb = shingles_from_hashes(word_hashes(tb or ""), shingle_k)
+            union = len(sa | sb)
+            if union == 0:
+                continue
+            j = len(sa & sb) / union
+            if j >= threshold:
+                rows["a_id"].append(int(a))
+                rows["b_id"].append(int(b))
+                # raw double: both engines divide the same two ints,
+                # so the IEEE result is bit-identical — no rounding
+                rows["jaccard"].append(j)
+        return pd.DataFrame(rows, columns=["a_id", "b_id", "jaccard"])
+
+    out = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    if "a_id" not in out.columns:
+        out = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                            "b_id": pd.Series([], dtype="int64"),
+                            "jaccard": pd.Series([], dtype="float64")})
+    out = (out.drop_duplicates(subset=["a_id", "b_id"])
+           .sort_values(["a_id", "b_id"]).reset_index(drop=True))
+    return pa.Table.from_pandas(out)
