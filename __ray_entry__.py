@@ -1135,6 +1135,56 @@ def q_shared_substrings(sf_dir: str) -> pd.DataFrame:
     return shared_substring_pairs(docs, k=24, w=8).to_pandas()
 
 
+def q_spans_media_stats(sf_dir: str) -> pd.DataFrame:
+    """Interleaved multimodal composition: span-doc build → zero-copy
+    explode → image spans get deterministic synthetic payloads
+    (header + seeded body) → actor-pool decode (FakeDecoder — the
+    production codec slot's real plumbing) → per-doc media feature
+    aggregates via the partial-agg combiner. The DuckDB oracle
+    recomputes the decode arithmetic (declared dims round-trip the
+    payload header; n_bytes = 17-byte header + 256 body)."""
+    from web2llmstxt_ray.ops.multimodal import (extract_media_features,
+                                                make_fake_payload)
+    from web2llmstxt_ray.ops.nested import build_span_docs, explode_spans
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    flat = explode_spans(build_span_docs(docs))
+
+    def synth_payloads(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        img = batch.filter(pc.equal(batch.column("kind"), "image"))
+        dids = img.column("doc_id").to_pylist()
+        idxs = img.column("span_idx").to_pylist()
+        refs = img.column("media_ref").to_pylist()
+        payloads = []
+        for d, i, r in zip(dids, idxs, refs):
+            di = int(d)
+            w = 64 + (di * 31 + i) % 256
+            h = 48 + (di * 17 + i * 3) % 128
+            payloads.append(make_fake_payload(r, "image", w, h, 0))
+        return pa.table({
+            "media_id": pa.array(refs, pa.string()),
+            "doc_id": pa.array(dids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    media = flat.map_batches(synth_payloads, batch_format="pyarrow")
+    feats = extract_media_features(media, batch_size=64)
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("doc_id", as_index=False).agg(
+            n_media=("media_id", "size"), sum_width=("width", "sum"),
+            sum_height=("height", "sum"), total_bytes=("n_bytes", "sum"))
+
+    out = partial_groupby(feats, ["doc_id"], agg,
+                          ["n_media", "sum_width", "sum_height",
+                           "total_bytes"])
+    for c in ("n_media", "sum_width", "sum_height", "total_bytes"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_similarity_join(sf_dir: str) -> pd.DataFrame:
     """Cross-table fuzzy join (entity resolution): even-id documents
     matched to odd-id documents at word-3-gram Jaccard ≥ 0.5. LSH
@@ -1451,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": q_segment_dedup,
         "normalize_text": q_normalize_text,
         "similarity_join": q_similarity_join,
+        "spans_media_stats": q_spans_media_stats,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
@@ -1708,6 +1759,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75)
                               FROM documents)
+        """,
+        "spans_media_stats": """
+            WITH m AS (
+                SELECT doc_id, i
+                FROM (SELECT doc_id,
+                             unnest(range(CAST(ceil(length(text) / 64.0)
+                                               AS BIGINT))) AS i
+                      FROM documents)
+                WHERE i % 3 = 2)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   count(*) AS n_media,
+                   CAST(sum(64 + (doc_id * 31 + i) % 256)
+                        AS BIGINT) AS sum_width,
+                   CAST(sum(48 + (doc_id * 17 + i * 3) % 128)
+                        AS BIGINT) AS sum_height,
+                   CAST(count(*) * 273 AS BIGINT) AS total_bytes
+            FROM m GROUP BY doc_id
         """,
         "similarity_join": """
             WITH lw AS (SELECT doc_id,
