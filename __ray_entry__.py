@@ -1135,6 +1135,26 @@ def q_shared_substrings(sf_dir: str) -> pd.DataFrame:
     return shared_substring_pairs(docs, k=24, w=8).to_pandas()
 
 
+def q_value_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Global per-row percentile rank of event values without a global
+    sort (broadcast value-count CDF + map-only searchsorted probe) —
+    bit-exact vs SQL percent_rank()."""
+    from web2llmstxt_ray.ops.corpus import global_percent_rank
+
+    return _pdf(global_percent_rank(
+        _t(sf_dir, "events", ["event_id", "value"]), "value",
+        id_col="event_id")).sort_values("event_id").reset_index(drop=True)
+
+
+def q_event_type_mode(sf_dir: str) -> pd.DataFrame:
+    """Most frequent value per event_type (deterministic smallest-value
+    tie-break) via partial (group,value) counts."""
+    from web2llmstxt_ray.ops.corpus import grouped_mode
+
+    return grouped_mode(_t(sf_dir, "events", ["event_type", "value"]),
+                        "event_type", "value")
+
+
 def q_spans_media_stats(sf_dir: str) -> pd.DataFrame:
     """Interleaved multimodal composition: span-doc build → zero-copy
     explode → image spans get deterministic synthetic payloads
@@ -1502,6 +1522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "similarity_join": q_similarity_join,
         "spans_media_stats": q_spans_media_stats,
+        "value_percent_rank": q_value_percent_rank,
+        "event_type_mode": q_event_type_mode,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
@@ -1759,6 +1781,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75)
                               FROM documents)
+        """,
+        "value_percent_rank": """
+            SELECT event_id, value,
+                   percent_rank() OVER (ORDER BY value) AS pr
+            FROM events
+        """,
+        "event_type_mode": """
+            SELECT event_type, mode_value, mode_count FROM (
+                SELECT event_type, value AS mode_value,
+                       count(*) AS mode_count,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY count(*) DESC, value)
+                           AS rn
+                FROM events GROUP BY event_type, value)
+            WHERE rn = 1
         """,
         "spans_media_stats": """
             WITH m AS (

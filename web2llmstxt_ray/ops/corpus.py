@@ -368,3 +368,74 @@ def quantile_threshold_filter(ds: ray.data.Dataset, col: str, q: float,
         return batch.filter(op(batch.column(col), thr))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def global_percent_rank(ds: ray.data.Dataset, col: str,
+                        id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-row global percentile rank — SQL's
+    ``percent_rank() OVER (ORDER BY col)`` — without a global sort.
+
+    Pass 1 builds the value-count histogram distributively (per-block
+    ``value_counts`` partials, same bounded-distinct-cardinality
+    contract as :func:`int_quantiles`); the sorted values + cumulative
+    strictly-less counts broadcast once. Pass 2 is a map-only
+    vectorized ``searchsorted`` probe: pr = n_less / (n − 1) — the
+    window-function identity ``(rank − 1)/(n − 1)``, bit-exact against
+    the SQL oracle (both engines divide the same two integers).
+    For unbounded-cardinality floats, quantize first (the caller owns
+    the bucketing; rank over buckets is then exact for the buckets).
+    """
+    import ray as _ray
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(col, as_index=False).agg(_cnt=(col, "size"))
+
+    merged = (ds.map_batches(partial_counts, batch_format="pandas")
+              .to_pandas().groupby(col, as_index=False)["_cnt"].sum()
+              .sort_values(col))
+    vals = merged[col].to_numpy()
+    counts = merged["_cnt"].to_numpy()
+    n = int(counts.sum())
+    less = np.concatenate(([0], counts.cumsum()[:-1]))
+    state = _ray.put((vals, less, n))
+
+    class _Rank:
+        def __init__(self):
+            self.vals, self.less, self.n = _ray.get(state)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.vals, v, "left")
+            pr = self.less[idx] / max(1, self.n - 1)
+            return pa.table({
+                id_col: batch.column(id_col),
+                col: batch.column(col),
+                "pr": pa.array(pr, pa.float64()),
+            })
+
+    return ds.map_batches(_Rank, batch_format="pyarrow",
+                          concurrency=(1, 8), num_cpus=0.5)
+
+
+def grouped_mode(ds: ray.data.Dataset, group_col: str,
+                 col: str) -> pd.DataFrame:
+    """Most frequent value per group, ties broken by smallest value —
+    deterministic (unlike SQL's unspecified ``mode()`` tie-break, the
+    oracle spells the same ordering with a window). Partial (group,
+    value) counts shrink each block to its distinct pairs; the driver
+    folds ``O(blocks × distinct)`` rows. Output: (group, mode_value,
+    mode_count)."""
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby([group_col, col], as_index=False).agg(
+            _cnt=(col, "size"))
+
+    merged = (ds.map_batches(partial_counts, batch_format="pandas")
+              .to_pandas().groupby([group_col, col], as_index=False)[
+                  "_cnt"].sum())
+    merged = merged.sort_values([group_col, "_cnt", col],
+                                ascending=[True, False, True])
+    out = merged.drop_duplicates(subset=[group_col], keep="first")
+    out = out.rename(columns={col: "mode_value", "_cnt": "mode_count"})
+    out["mode_count"] = out["mode_count"].astype("int64")
+    return out.reset_index(drop=True)
