@@ -1135,6 +1135,64 @@ def q_shared_substrings(sf_dir: str) -> pd.DataFrame:
     return shared_substring_pairs(docs, k=24, w=8).to_pandas()
 
 
+def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """zlib compression-ratio quality signal per doc (map-only;
+    deterministic for fixed zlib level). Rows-only driver check —
+    no SQL zlib; pytest gates vs direct zlib."""
+    from web2llmstxt_ray.ops.textstats import compression_ratio
+
+    return _pdf(compression_ratio(
+        _t(sf_dir, "documents", ["doc_id", "text"]))).sort_values(
+        "doc_id").reset_index(drop=True)
+
+
+def q_winsorized_values(sf_dir: str) -> pd.DataFrame:
+    """Per-group winsorization (clip to [p25, p75] per event_type):
+    grouped exact quantiles via the distributed value-count histogram,
+    bounds broadcast, map-only clip — integer cents end-to-end so the
+    SQL quantile_disc oracle matches bit-exact."""
+    import numpy as np
+
+    from web2llmstxt_ray.ops.corpus import int_quantiles
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def add_cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return t.select(["event_id", "event_type"]).append_column(
+            "cents", cents)
+
+    ev = ev.map_batches(add_cents, batch_format="pyarrow").materialize()
+    q = int_quantiles(ev, "cents", qs=(0.25, 0.75),
+                      group_col="event_type")
+    bounds = {g: (int(sub[sub.q == 0.25]["value"].iloc[0]),
+                  int(sub[sub.q == 0.75]["value"].iloc[0]))
+              for g, sub in q.groupby("event_type")}
+    bref = ray.put(bounds)
+
+    class _Clip:
+        def __init__(self):
+            self.b = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            et = t.column("event_type").to_pylist()
+            c = t.column("cents").to_numpy(zero_copy_only=False)
+            lo = np.asarray([self.b[e][0] for e in et], np.int64)
+            hi = np.asarray([self.b[e][1] for e in et], np.int64)
+            return pa.table({
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "cents_winsorized": pa.array(
+                    np.minimum(np.maximum(c, lo), hi)),
+            })
+
+    out = _pdf(ev.map_batches(_Clip, batch_format="pyarrow",
+                              concurrency=(1, 4), num_cpus=0.5))
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_value_percent_rank(sf_dir: str) -> pd.DataFrame:
     """Global per-row percentile rank of event values without a global
     sort (broadcast value-count CDF + map-only searchsorted probe) —
@@ -1523,6 +1581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_join": q_similarity_join,
         "spans_media_stats": q_spans_media_stats,
         "value_percent_rank": q_value_percent_rank,
+        "winsorized_values": q_winsorized_values,
+        "compression_ratio": q_compression_ratio,
         "event_type_mode": q_event_type_mode,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
@@ -1781,6 +1841,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75)
                               FROM documents)
+        """,
+        "winsorized_values": """
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(cents, 0.25) AS lo,
+                         quantile_disc(cents, 0.75) AS hi
+                  FROM c GROUP BY event_type)
+            SELECT event_id, event_type,
+                   least(greatest(cents, lo), hi) AS cents_winsorized
+            FROM c JOIN q USING (event_type)
         """,
         "value_percent_rank": """
             SELECT event_id, value,

@@ -384,3 +384,27 @@ class TestKnnJoin:
         a = A.knn_join_ivf(ds, k=3, num_lists=5, nprobe=2).to_pandas()
         b = A.knn_join_ivf(ds, k=3, num_lists=5, nprobe=2).to_pandas()
         assert a.equals(b)
+
+
+class TestCompressionRatio:
+    def test_vs_direct_zlib(self):
+        import zlib
+
+        import pyarrow as pa
+        import ray.data
+
+        from web2llmstxt_ray.ops.textstats import compression_ratio
+
+        texts = ["abc " * 200, "the quick brown fox", "", "x"]
+        t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                      "text": pa.array(texts)})
+        out = (compression_ratio(ray.data.from_arrow(t).repartition(2))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        for i, s in enumerate(texts):
+            raw = s.encode()
+            comp = zlib.compress(raw, 6)
+            assert out.loc[i, "n_bytes"] == len(raw)
+            assert out.loc[i, "n_compressed"] == len(comp)
+        # repetitive text compresses far better than prose
+        assert out.loc[0, "ratio"] < 0.1 < out.loc[1, "ratio"]
+        assert out.loc[2, "ratio"] == 1.0

@@ -229,3 +229,34 @@ def fingerprints(ds: ray.data.Dataset, **kw) -> ray.data.Dataset:
 
     return ds.map_batches(cached_stage(Fingerprinter, **kw),
                           batch_format="pyarrow", batch_size=None)
+
+
+def compression_ratio(ds: ray.data.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      level: int = 6) -> ray.data.Dataset:
+    """zlib compression ratio per document — the cheap redundancy
+    signal modern corpus filters use alongside Gopher rules (highly
+    compressible text ⇒ repetitive boilerplate; incompressible ⇒
+    often binary junk mis-parsed as text). Map-only; zlib at a fixed
+    level is deterministic for a given input, so results are
+    reproducible (pytest-gated vs direct zlib — no SQL equivalent).
+    Output: (id, n_bytes, n_compressed, ratio)."""
+    import zlib
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        nb, nc, ratio = [], [], []
+        for t in batch.column(text_col).to_pylist():
+            raw = (t or "").encode("utf-8", "surrogatepass")
+            comp = zlib.compress(raw, level)
+            nb.append(len(raw))
+            nc.append(len(comp))
+            ratio.append(len(comp) / len(raw) if raw else 1.0)
+        return pa.table({
+            id_col: ids,
+            "n_bytes": pa.array(nb, pa.int64()),
+            "n_compressed": pa.array(nc, pa.int64()),
+            "ratio": pa.array(ratio, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
