@@ -1135,6 +1135,39 @@ def q_shared_substrings(sf_dir: str) -> pd.DataFrame:
     return shared_substring_pairs(docs, k=24, w=8).to_pandas()
 
 
+def q_lineitem_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (returnflag, linestatus) from one distributed
+    partial-agg pass: subtotals and the grand total re-summed from the
+    same partials — integer quantities, exact vs SQL ROLLUP."""
+    from web2llmstxt_ray.ops.relational import rollup_agg
+
+    li = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(qty=b["l_quantity"].round().astype("int64"))
+        return b.groupby(["l_returnflag", "l_linestatus"],
+                         as_index=False).agg(
+            n_rows=("qty", "size"), sum_qty=("qty", "sum"))
+
+    out = rollup_agg(li, ["l_returnflag", "l_linestatus"], batch_agg,
+                     ["n_rows", "sum_qty"])
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return out
+
+
+def q_value_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-event delta vs the user's previous event (SQL lag window),
+    first event coalesced to 0; integer cents ⇒ bit-exact."""
+    from web2llmstxt_ray.ops.windows import lag_delta
+
+    out = _pdf(lag_delta(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])))
+    out["delta_cents"] = out["delta_cents"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
     """zlib compression-ratio quality signal per doc (map-only;
     deterministic for fixed zlib level). Rows-only driver check —
@@ -1583,6 +1616,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percent_rank": q_value_percent_rank,
         "winsorized_values": q_winsorized_values,
         "compression_ratio": q_compression_ratio,
+        "lineitem_rollup": q_lineitem_rollup,
+        "value_lag_delta": q_value_lag_delta,
         "event_type_mode": q_event_type_mode,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
@@ -1841,6 +1876,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75)
                               FROM documents)
+        """,
+        "lineitem_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "value_lag_delta": """
+            SELECT event_id, user_id,
+                   CAST(coalesce(
+                       cents - lag(cents) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id),
+                       0) AS BIGINT) AS delta_cents
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
         """,
         "winsorized_values": """
             WITH c AS (SELECT event_id, event_type,

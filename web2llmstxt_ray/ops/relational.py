@@ -214,3 +214,28 @@ def argmax_by_key(
             pick_bucket, batch_format="pandas")
     pdf = partials.to_pandas()
     return pick(pdf) if not pdf.empty else pdf
+
+
+def rollup_agg(ds: ray.data.Dataset, keys: list[str], batch_agg,
+               sum_cols: list[str],
+               all_label: str = "ALL") -> pd.DataFrame:
+    """GROUP BY ROLLUP over additive measures from ONE distributed
+    pass: the finest-granularity partials (``partial_groupby``
+    economics — one skinny row per block per group) are re-summed
+    driver-side at every coarser level, so k rollup levels cost one
+    scan instead of k. Keys must be strings (the subtotal marker is
+    ``all_label``, mirroring the oracle's ``coalesce(col, 'ALL')``
+    over SQL ROLLUP's NULLs)."""
+    fine = partial_groupby(ds, keys, batch_agg, sum_cols)
+    frames = []
+    for lvl in range(len(keys), -1, -1):
+        g = keys[:lvl]
+        if g:
+            f = fine.groupby(g, as_index=False)[sum_cols].sum()
+        else:
+            f = fine[sum_cols].sum().to_frame().T
+        for k in keys[lvl:]:
+            f[k] = all_label
+        frames.append(f[[*keys, *sum_cols]])
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(keys, kind="stable").reset_index(drop=True)

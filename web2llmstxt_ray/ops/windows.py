@@ -180,3 +180,35 @@ def session_stats(ds: ray.data.Dataset, gap_minutes: float = 30.0,
 
     return _add_key_bucket(ds, key_col, num_buckets).groupby(
         "_sbucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def lag_delta(ds: ray.data.Dataset, key_col: str = "user_id",
+              ts_col: str = "ts", id_col: str = "event_id",
+              value_col: str = "value",
+              num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-event delta vs the key's PREVIOUS event — SQL's
+    ``value − lag(value) OVER (PARTITION BY key ORDER BY ts, id)``,
+    first event coalesced to 0. Same bucketed-shuffle +
+    vectorized-groupby-shift shape as :func:`running_totals`; deltas
+    carried in integer cents so the oracle comparison is exact.
+    Output: (event_id, user_id, delta_cents)."""
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        cents = pd.Series(
+            np.rint(g[value_col].to_numpy() * 100).astype("int64"),
+            index=g.index)
+        prev = cents.groupby(g[key_col], sort=False).shift(1)
+        delta = (cents - prev).fillna(0).astype("int64")
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "delta_cents": delta.to_numpy(),
+        })
+
+    return (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, value_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
