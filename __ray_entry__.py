@@ -1157,6 +1157,25 @@ def q_lineitem_rollup(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_user_event_pivot(sf_dir: str) -> pd.DataFrame:
+    """Long→wide pivot: per-user event counts by type. One distributed
+    partial-agg pass; the reshape is a driver-side grid over the
+    bounded |users| × |types| cells. Fixed column set so absent
+    combinations emit 0 (schema-stable vs the conditional-aggregation
+    SQL oracle)."""
+    from web2llmstxt_ray.ops.relational import pivot_agg
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["user_id", "event_type"],
+                         as_index=False).agg(n=("event_type", "size"))
+
+    return pivot_agg(ev, "user_id", "event_type", batch_agg, ["n"],
+                     column_values=["click", "error", "purchase",
+                                    "signup", "view"])
+
+
 def q_value_lag_delta(sf_dir: str) -> pd.DataFrame:
     """Per-event delta vs the user's previous event (SQL lag window),
     first event coalesced to 0; integer cents ⇒ bit-exact."""
@@ -1618,6 +1637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": q_compression_ratio,
         "lineitem_rollup": q_lineitem_rollup,
         "value_lag_delta": q_value_lag_delta,
+        "user_event_pivot": q_user_event_pivot,
         "event_type_mode": q_event_type_mode,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
@@ -1885,6 +1905,20 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                            ELSE 0 END) AS BIGINT) AS click_n,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1
+                            ELSE 0 END) AS BIGINT) AS error_n,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END) AS BIGINT) AS purchase_n,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1
+                            ELSE 0 END) AS BIGINT) AS signup_n,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                            ELSE 0 END) AS BIGINT) AS view_n
+            FROM events GROUP BY user_id
         """,
         "value_lag_delta": """
             SELECT event_id, user_id,

@@ -239,3 +239,30 @@ def rollup_agg(ds: ray.data.Dataset, keys: list[str], batch_agg,
         frames.append(f[[*keys, *sum_cols]])
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(keys, kind="stable").reset_index(drop=True)
+
+
+def pivot_agg(ds: ray.data.Dataset, index: str, columns: str,
+              batch_agg, sum_cols: list[str],
+              column_values: list[str] | None = None,
+              fill: int = 0) -> pd.DataFrame:
+    """Long → wide pivot over additive measures: the distributed work
+    is exactly one :func:`partial_groupby` on (index, columns) — the
+    pivot itself is a driver-side reshape of the (bounded)
+    ``|index| × |columns|`` cell grid. ``column_values`` fixes the
+    output column set (and order) so absent combinations still emit
+    ``fill`` — required for schema-stable comparisons. Output columns:
+    ``index, then {col}_{measure}`` for each column value × measure."""
+    fine = partial_groupby(ds, [index, columns], batch_agg, sum_cols)
+    if column_values is None:
+        column_values = sorted(fine[columns].unique())
+    wide = fine.pivot(index=index, columns=columns, values=sum_cols)
+    out = pd.DataFrame({index: wide.index})
+    for m in sum_cols:
+        for cv in column_values:
+            col = f"{cv}_{m}"
+            if (m, cv) in wide.columns:
+                out[col] = wide[(m, cv)].fillna(fill).to_numpy()
+            else:
+                out[col] = fill
+            out[col] = out[col].astype("int64")
+    return out.sort_values(index).reset_index(drop=True)
