@@ -1552,6 +1552,50 @@ def q_llms_entries(sf_dir: str) -> pd.DataFrame:
         ["url", "title", "description", "index", "category"]).to_pandas()
 
 
+def q_lineitem_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (returnflag, linestatus) — all 2^k grouping
+    subsets re-summed from ONE distributed partial-agg pass (integer
+    quantities, exact vs SQL CUBE)."""
+    from web2llmstxt_ray.ops.relational import cube_agg
+
+    li = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(qty=b["l_quantity"].round().astype("int64"))
+        return b.groupby(["l_returnflag", "l_linestatus"],
+                         as_index=False).agg(
+            n_rows=("qty", "size"), sum_qty=("qty", "sum"))
+
+    out = cube_agg(li, ["l_returnflag", "l_linestatus"], batch_agg,
+                   ["n_rows", "sum_qty"])
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return out
+
+
+def q_value_ntile(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) per user ordered by (ts, event_id): exact piecewise
+    tile formula, bucketed shuffle — integer-exact vs the SQL window
+    oracle."""
+    from web2llmstxt_ray.ops.windows import ntile
+
+    out = _pdf(ntile(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"]), n=4))
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_value_rolling_sum(sf_dir: str) -> pd.DataFrame:
+    """Bounded sliding window frame (ROWS 3 PRECEDING..CURRENT) per
+    user: integer cents ⇒ bit-exact vs the SQL window oracle."""
+    from web2llmstxt_ray.ops.windows import rolling_sum
+
+    out = _pdf(rolling_sum(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        window=4))
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1638,6 +1682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": q_lineitem_rollup,
         "value_lag_delta": q_value_lag_delta,
         "user_event_pivot": q_user_event_pivot,
+        "lineitem_cube": q_lineitem_cube,
+        "value_ntile": q_value_ntile,
+        "value_rolling_sum": q_value_rolling_sum,
         "event_type_mode": q_event_type_mode,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
@@ -1919,6 +1966,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'view' THEN 1
                             ELSE 0 END) AS BIGINT) AS view_n
             FROM events GROUP BY user_id
+        """,
+        "lineitem_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "value_ntile": """
+            SELECT event_id, user_id,
+                   CAST(ntile(4) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                        AS BIGINT) AS tile
+            FROM events
+        """,
+        "value_rolling_sum": """
+            SELECT event_id, user_id,
+                   CAST(sum(cents) OVER w AS BIGINT) AS win_sum_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS win_n
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "value_lag_delta": """
             SELECT event_id, user_id,

@@ -1,0 +1,75 @@
+"""NTILE / rolling-frame edge cases the sf-data oracle may not hit:
+partitions smaller than the tile count, exact tile-size convention,
+window shorter than the frame."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from web2llmstxt_ray.ops.windows import ntile, rolling_sum
+
+
+def _events(sizes: dict[int, int]) -> pd.DataFrame:
+    rows = []
+    eid = 0
+    for uid, n in sizes.items():
+        for i in range(n):
+            rows.append({"event_id": eid, "user_id": uid,
+                         "ts": pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(minutes=eid),
+                         "value": float(eid % 7) + 0.25})
+            eid += 1
+    return pd.DataFrame(rows)
+
+
+class TestNtile:
+    def test_ansi_tile_sizes(self):
+        # 10 rows into 4 tiles -> sizes 3,3,2,2 (first count%n larger)
+        df = _events({1: 10})
+        out = ntile(ray.data.from_pandas(df), n=4).to_pandas()
+        sizes = out["tile"].value_counts().sort_index().tolist()
+        assert sizes == [3, 3, 2, 2]
+        # order within the partition: tiles are monotone in event order
+        tiles = out.sort_values("event_id")["tile"].tolist()
+        assert tiles == sorted(tiles)
+
+    def test_partition_smaller_than_n(self):
+        # 2 rows, 4 tiles -> tiles 1 and 2 (q=0 branch)
+        df = _events({7: 2, 8: 1})
+        out = ntile(ray.data.from_pandas(df), n=4).to_pandas()
+        u7 = out[out.user_id == 7].sort_values("event_id")
+        assert u7["tile"].tolist() == [1, 2]
+        assert out[out.user_id == 8]["tile"].tolist() == [1]
+
+    def test_exact_division(self):
+        df = _events({3: 8})
+        out = ntile(ray.data.from_pandas(df), n=4).to_pandas()
+        assert out["tile"].value_counts().sort_index().tolist() == [2] * 4
+
+    def test_bucket_count_invariance(self):
+        df = _events({i: 3 + i % 5 for i in range(20)})
+        a = ntile(ray.data.from_pandas(df), n=3, num_buckets=2).to_pandas()
+        b = ntile(ray.data.from_pandas(df), n=3, num_buckets=64).to_pandas()
+        a = a.sort_values("event_id").reset_index(drop=True)
+        b = b.sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestRollingSum:
+    def test_matches_pandas_oracle(self):
+        df = _events({1: 9, 2: 3, 3: 1})
+        out = rolling_sum(ray.data.from_pandas(df), window=4).to_pandas()
+        out = out.sort_values("event_id").reset_index(drop=True)
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        ref = df.assign(_c=cents).groupby("user_id")["_c"].rolling(
+            4, min_periods=1).sum().reset_index(drop=True)
+        got = out.sort_values("event_id")["win_sum_cents"].to_numpy()
+        assert (got == ref.to_numpy().astype("int64")).all()
+
+    def test_frame_shorter_than_window(self):
+        df = _events({5: 2})
+        out = rolling_sum(ray.data.from_pandas(df), window=10).to_pandas()
+        out = out.sort_values("event_id")
+        assert out["win_n"].tolist() == [1, 2]

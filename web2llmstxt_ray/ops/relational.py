@@ -241,6 +241,33 @@ def rollup_agg(ds: ray.data.Dataset, keys: list[str], batch_agg,
     return out.sort_values(keys, kind="stable").reset_index(drop=True)
 
 
+def cube_agg(ds: ray.data.Dataset, keys: list[str], batch_agg,
+             sum_cols: list[str],
+             all_label: str = "ALL") -> pd.DataFrame:
+    """GROUP BY CUBE over additive measures from ONE distributed pass:
+    like :func:`rollup_agg` but re-summing the finest partials at every
+    one of the 2^k grouping subsets, so the full cube costs a single
+    scan. Keys must be strings (subtotal marker ``all_label`` mirrors
+    the oracle's ``coalesce(col, 'ALL')`` over SQL CUBE's NULLs)."""
+    from itertools import combinations
+
+    fine = partial_groupby(ds, keys, batch_agg, sum_cols)
+    frames = []
+    for lvl in range(len(keys), -1, -1):
+        for g in combinations(keys, lvl):
+            g = list(g)
+            if g:
+                f = fine.groupby(g, as_index=False)[sum_cols].sum()
+            else:
+                f = fine[sum_cols].sum().to_frame().T
+            for k in keys:
+                if k not in g:
+                    f[k] = all_label
+            frames.append(f[[*keys, *sum_cols]])
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(keys, kind="stable").reset_index(drop=True)
+
+
 def pivot_agg(ds: ray.data.Dataset, index: str, columns: str,
               batch_agg, sum_cols: list[str],
               column_values: list[str] | None = None,

@@ -157,6 +157,77 @@ def running_totals(ds: ray.data.Dataset, key_col: str = "user_id",
                                         batch_format="pandas"))
 
 
+def ntile(ds: ray.data.Dataset, n: int = 4, key_col: str = "user_id",
+          ts_col: str = "ts", id_col: str = "event_id",
+          num_buckets: int = 64) -> ray.data.Dataset:
+    """SQL ``NTILE(n) OVER (PARTITION BY key ORDER BY ts, id)``: rows
+    of each partition split into ``n`` near-equal ordered buckets, the
+    first ``count % n`` buckets one row larger (the ANSI/DuckDB
+    convention). Same bucketed-shuffle + within-bucket vectorized shape
+    as :func:`running_totals` — the tile index is computed for every
+    key in a bucket at once from the 0-based rank and the partition
+    size via the exact piecewise formula (no float approximation).
+    Output: (event_id, user_id, tile)."""
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        by = g.groupby(key_col, sort=False)
+        r = by.cumcount().to_numpy()                     # 0-based rank
+        c = by[id_col].transform("size").to_numpy()      # partition size
+        q, rem = c // n, c % n
+        big = rem * (q + 1)             # rows covered by the larger tiles
+        in_big = r < big
+        # q can be 0 when the partition has fewer rows than n tiles —
+        # every row is then in a "big" tile of size 1 (guarded np.divide).
+        small = np.zeros_like(r)
+        np.divide(r - big, q, out=small, where=q > 0, casting="unsafe")
+        tile = np.where(in_big, r // (q + 1), rem + small) + 1
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "tile": tile.astype("int64"),
+        })
+
+    return (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col]), key_col,
+        num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
+
+
+def rolling_sum(ds: ray.data.Dataset, window: int = 4,
+                key_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", value_col: str = "value",
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """Sliding window frame: SQL ``sum(cents) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+    Bucketed shuffle + per-bucket vectorized pandas ``groupby.rolling``
+    over integer cents, so the bounded-frame sum is BIT-EXACT vs the
+    SQL window oracle (float association order never enters).
+    Output: (event_id, user_id, win_sum_cents, win_n)."""
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        cents = np.rint(g[value_col].to_numpy() * 100).astype("int64")
+        g = g.assign(_cents=cents)
+        roll = g.groupby(key_col, sort=False)["_cents"].rolling(
+            window, min_periods=1)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "win_sum_cents": roll.sum().to_numpy().astype("int64"),
+            "win_n": roll.count().to_numpy().astype("int64"),
+        })
+
+    return (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, value_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
+
+
 def session_stats(ds: ray.data.Dataset, gap_minutes: float = 30.0,
                   key_col: str = "user_id", ts_col: str = "ts",
                   value_col: str = "value",
