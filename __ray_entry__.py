@@ -1596,6 +1596,101 @@ def q_value_rolling_sum(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_salted_brand_revenue(sf_dir: str) -> pd.DataFrame:
+    """Skew-salted hash join (lineitem × part on partkey, hot keys
+    split across salt sub-buckets, right side replicated ×salt) then
+    per-brand partial aggregation. Set-equal to a plain inner join,
+    so the SQL oracle is the unsalted join."""
+    from web2llmstxt_ray.ops.relational import partial_groupby, salted_join
+
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand"]),
+        batch_format="pyarrow")
+    joined = salted_join(li, part, on="l_partkey", num_buckets=16,
+                         salt=4, hot_keys=[1, 2, 3])
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("p_brand", as_index=False).agg(
+            n_items=("l_extendedprice", "size"),
+            revenue=("l_extendedprice", "sum"))
+
+    out = partial_groupby(joined, ["p_brand"], batch_agg,
+                          ["n_items", "revenue"])
+    out["revenue"] = out["revenue"].round(ROUND_SUM)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out
+
+
+def q_orders_price_bands(sf_dir: str) -> pd.DataFrame:
+    """Keyless interval join via grid partitioning: orders (points,
+    integer cents) against 20 OVERLAPPING price bands (step 25k,
+    width 40k ⇒ most orders match 2 bands). Cells of width = max band
+    length bound interval replication at ≤2×; exact int64 predicates."""
+    from web2llmstxt_ray.ops.joins import interval_join
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("o_totalprice"), 100.0)), pa.int64())
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "cents": cents})
+
+    pts = orders.map_batches(to_cents, batch_format="pyarrow")
+    bands = pd.DataFrame({"band_id": np.arange(20, dtype=np.int64)})
+    bands["lo"] = bands["band_id"] * 2_500_000
+    bands["hi"] = bands["lo"] + 4_000_000
+    pairs = interval_join(
+        pts, rd.from_pandas(bands), x_col="cents",
+        lo_col="lo", hi_col="hi", point_cols=("o_orderkey",),
+        interval_cols=("band_id",), num_buckets=32)
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("band_id", as_index=False).agg(
+            n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    out = partial_groupby(pairs, ["band_id"], batch_agg,
+                          ["n_orders", "sum_cents"])
+    out["band_id"] = out["band_id"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values("band_id").reset_index(drop=True)
+
+
+def q_part_triangles(sf_dir: str) -> pd.DataFrame:
+    """Exact triangle count on the part co-purchase graph (parts
+    sharing an order) via degree-ordered orientation — per-node wedge
+    volume is O(sqrt(m)) regardless of hub skew; all phases bucketed
+    shuffles, driver sees per-bucket counts only. Oracle: three-way
+    self-join over the distinct canonical edge set in SQL."""
+    from web2llmstxt_ray.ops.graph import triangle_count
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_gb"] = (b["l_orderkey"].to_numpy() % 32).astype("int32")
+        return b
+
+    def co_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["l_orderkey", "l_partkey"]]
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"u": m["l_partkey_x"].to_numpy(),
+                             "v": m["l_partkey_y"].to_numpy()})
+
+    pairs = (li.map_batches(add_bucket, batch_format="pandas",
+                            batch_size=None)
+             .groupby("_gb").map_groups(co_pairs, batch_format="pandas"))
+    n = triangle_count(pairs, num_buckets=32)
+    return pd.DataFrame({"n_triangles": [int(n)]})
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1686,6 +1781,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ntile": q_value_ntile,
         "value_rolling_sum": q_value_rolling_sum,
         "event_type_mode": q_event_type_mode,
+        "salted_brand_revenue": q_salted_brand_revenue,
+        "orders_price_bands": q_orders_price_bands,
+        "part_triangles": q_part_triangles,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
@@ -2029,6 +2127,36 @@ def oracle_sql() -> dict[str, str]:
                            AS rn
                 FROM events GROUP BY event_type, value)
             WHERE rn = 1
+        """,
+        "salted_brand_revenue": f"""
+            SELECT p_brand, count(*) AS n_items,
+                   round(sum(l_extendedprice), {ROUND_SUM}) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "orders_price_bands": """
+            SELECT b.band_id, count(*) AS n_orders,
+                   CAST(sum(o.cents) AS BIGINT) AS sum_cents
+            FROM (SELECT o_orderkey,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders) o
+            JOIN (SELECT i AS band_id, i * 2500000 AS lo,
+                         i * 2500000 + 4000000 AS hi
+                  FROM range(20) t(i)) b
+              ON b.lo <= o.cents AND o.cents < b.hi
+            GROUP BY b.band_id
+            ORDER BY b.band_id
+        """,
+        "part_triangles": """
+            WITH pairs AS (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+            e AS (SELECT DISTINCT u, v FROM pairs)
+            SELECT count(*) AS n_triangles
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         """,
         "spans_media_stats": """
             WITH m AS (

@@ -86,6 +86,99 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
                                per_bucket)
 
 
+def interval_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
+                  x_col: str, lo_col: str, hi_col: str,
+                  point_cols: tuple[str, ...] = ("event_id",),
+                  interval_cols: tuple[str, ...] = ("band_id",),
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """General (keyless) interval join: every (point, interval) pair
+    with ``lo <= x < hi`` — intervals may OVERLAP arbitrarily, so a
+    point can match many intervals. Values are int64 (callers convert
+    floats to fixed-point cents first; exact predicates, no float-edge
+    ambiguity).
+
+    Scale shape — the classic grid partitioning: the domain is cut
+    into cells of width W = max interval length (one cheap aggregate
+    over the interval side). An interval then covers at most
+    ``len/W + 1 ≤ 2`` consecutive cells, so each interval row is
+    replicated to ≤2 cells while each point lands in exactly its own
+    cell — matches can only occur inside a shared cell, and since the
+    point is in ONE cell no match is ever produced twice. Cells are
+    hashed into ``num_buckets`` shuffle buckets; the within-bucket
+    merge is a vectorized pandas equi-join on the cell id followed by
+    the exact range predicate. Total traffic: one all-to-all of the
+    narrow projections, ≤2× the interval side. (Heavily skewed point
+    domains concentrate cells; raise num_buckets or sub-salt the hot
+    cell — same knob as :func:`~web2llmstxt_ray.ops.relational
+    .salted_join`.)
+    """
+    pkeep = list(dict.fromkeys([*point_cols, x_col]))
+    ikeep = list(dict.fromkeys([*interval_cols, lo_col, hi_col]))
+
+    bounds = intervals.map_batches(
+        lambda b: pd.DataFrame(
+            {"w": [int((b[hi_col] - b[lo_col]).max())]}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    cell_w = max(int(bounds["w"].max()), 1)
+
+    def tag_points(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[pkeep].copy()
+        b["_cell"] = (b[x_col].astype("int64") // cell_w).astype("int64")
+        b["_side"] = np.int8(0)
+        return b
+
+    def tag_intervals(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[ikeep].copy()
+        c0 = (b[lo_col].astype("int64") // cell_w).to_numpy()
+        # hi is exclusive: last covered cell is (hi-1) // W
+        c1 = ((b[hi_col].astype("int64") - 1) // cell_w).to_numpy()
+        reps = (c1 - c0 + 1).astype("int64")
+        rep = b.loc[b.index.repeat(reps)].reset_index(drop=True)
+        # cell = c0 + offset-within-interval, vectorized run expansion
+        offs = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        rep["_cell"] = np.repeat(c0, reps) + offs
+        rep["_side"] = np.int8(1)
+        return rep
+
+    all_cols = list(dict.fromkeys([*pkeep, *ikeep]))
+
+    def align(b: pd.DataFrame) -> pd.DataFrame:
+        return b.reindex(columns=[*all_cols, "_cell", "_side"])
+
+    lt = points.map_batches(tag_points, batch_format="pandas",
+                            batch_size=None).map_batches(
+        align, batch_format="pandas", batch_size=None)
+    rt = intervals.map_batches(tag_intervals, batch_format="pandas",
+                               batch_size=None).map_batches(
+        align, batch_format="pandas", batch_size=None)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            h = (b["_cell"].to_numpy().astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15))
+        b["_jbucket"] = ((h >> np.uint64(33))
+                         % np.uint64(num_buckets)).astype("int32")
+        return b
+
+    unioned = lt.union(rt).map_batches(add_bucket, batch_format="pandas",
+                                       batch_size=None)
+
+    out_cols = [*point_cols, x_col, *interval_cols]
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        pts = group[group["_side"] == 0][[*pkeep, "_cell"]]
+        ivs = group[group["_side"] == 1][[*ikeep, "_cell"]]
+        if pts.empty or ivs.empty:
+            return group[out_cols].iloc[0:0]
+        m = pts.merge(ivs, on="_cell", how="inner")
+        m = m[(m[lo_col] <= m[x_col]) & (m[x_col] < m[hi_col])]
+        return m[out_cols]
+
+    return unioned.groupby("_jbucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+
+
 def range_join_count(left: ray.data.Dataset, right: ray.data.Dataset,
                      window_s: float, key_col: str = "user_id",
                      ts_col: str = "ts",

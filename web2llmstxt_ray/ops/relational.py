@@ -174,6 +174,118 @@ def hash_join(
                                                  batch_format="pandas")
 
 
+def salted_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    num_buckets: int = 32,
+    salt: int = 8,
+    hot_keys: list[int] | None = None,
+    hot_top_n: int = 16,
+) -> ray.data.Dataset:
+    """Skew-aware inner hash join: hot keys are SALTED so no single
+    bucket holds a whole hot key's left side.
+
+    The pathology :func:`hash_join` can't fix by raising
+    ``num_buckets``: if one key is 30% of the left side, that key's
+    bucket is 30% of the data no matter how many buckets exist — one
+    straggler task runs the whole join. Here the left side's heavy
+    hitters (detected by a cheap per-batch value-count partial pass —
+    O(batches × distinct-per-batch) skinny rows to the driver — or
+    passed explicitly) are split across ``salt`` sub-buckets by a
+    per-row cycle, and the RIGHT side's rows for those keys are
+    replicated into all ``salt`` sub-buckets (the usual broadcast-lite
+    trade: right side of a hot key is replicated ×salt, left side never
+    concentrates). Cold keys take the normal ``key % num_buckets``
+    path. Output is set-equal to a plain inner join — salting only
+    changes placement.
+    """
+    if hot_keys is None:
+        def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+            vc = b[on].value_counts()
+            return pd.DataFrame({on: vc.index, "n": vc.to_numpy()})
+
+        counts = left.select_columns([on]).map_batches(
+            count_partial, batch_format="pandas", batch_size=None
+        ).to_pandas()
+        if counts.empty:
+            hot_keys = []
+        else:
+            tot = counts.groupby(on)["n"].sum().sort_values(
+                ascending=False)
+            # hot = would dominate its bucket: > 2x the fair share
+            thresh = max(2 * tot.sum() // num_buckets, 1)
+            hot_keys = [int(k) for k in
+                        tot[tot > thresh].head(hot_top_n).index]
+    hot_idx = {k: i for i, k in enumerate(hot_keys)}
+
+    left_cols = [c for c in left.schema().names if c != on]
+    right_cols = [c for c in right.schema().names if c != on]
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"non-key column overlap: {overlap}")
+    all_cols = [on, *left_cols, *right_cols]
+
+    def bucket_of(keys: pd.Series) -> "pd.Series":
+        return (keys.astype("int64") % num_buckets).astype("int32")
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reindex(columns=all_cols)
+        bk = bucket_of(b[on])
+        if hot_idx:
+            hot_pos = b[on].map(hot_idx)
+            is_hot = hot_pos.notna()
+            if is_hot.any():
+                import numpy as np
+                cycle = np.arange(len(b)) % salt
+                bk = bk.where(~is_hot,
+                              (num_buckets + hot_pos.fillna(0) * salt
+                               + cycle).astype("int32"))
+        b["_bucket"] = bk.astype("int32")
+        b["_side"] = "L"
+        return b
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.reindex(columns=all_cols)
+        frames = []
+        if hot_idx:
+            hot_pos = b[on].map(hot_idx)
+            is_hot = hot_pos.notna()
+            hot = b[is_hot]
+            if len(hot):
+                import numpy as np
+                rep = hot.loc[hot.index.repeat(salt)].reset_index(
+                    drop=True)
+                s = np.tile(np.arange(salt), len(hot))
+                rep["_bucket"] = (
+                    num_buckets
+                    + hot_pos[is_hot].to_numpy().repeat(salt) * salt
+                    + s).astype("int32")
+                frames.append(rep)
+            b = b[~is_hot]
+        b = b.copy()
+        b["_bucket"] = bucket_of(b[on])
+        frames.append(b)
+        out = pd.concat(frames, ignore_index=True)
+        out["_side"] = "R"
+        return out
+
+    unioned = left.map_batches(tag_left, batch_format="pandas",
+                               batch_size=None).union(
+        right.map_batches(tag_right, batch_format="pandas",
+                          batch_size=None))
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group.loc[group["_side"] == "L", [on, *left_cols]]
+        rhs = group.loc[group["_side"] == "R", [on, *right_cols]]
+        if lhs.empty or rhs.empty:
+            return group[all_cols].iloc[0:0]
+        return lhs.merge(rhs, on=on, how="inner")
+
+    return unioned.groupby("_bucket").map_groups(merge_bucket,
+                                                 batch_format="pandas")
+
+
 def argmax_by_key(
     ds: ray.data.Dataset,
     key: str,
