@@ -1691,6 +1691,195 @@ def q_part_triangles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_triangles": [int(n)]})
 
 
+def q_qty_discount_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-group Pearson correlation + OLS slope from exact integer
+    co-moments: ONE map-only pass (six additive sums per group per
+    block), driver combine on Python ints — no shuffle of raw rows,
+    bit-exact vs the SQL engine evaluating the identical formula over
+    HUGEINT sums."""
+    from web2llmstxt_ray.ops.stats import grouped_corr_slope
+
+    li = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_quantity", "l_discount"])
+
+    def to_ints(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "qty": pc.cast(pc.round(b.column("l_quantity")), pa.int64()),
+            "disc_mils": pc.cast(pc.round(pc.multiply(
+                b.column("l_discount"), 1000.0)), pa.int64()),
+        })
+
+    ints = li.map_batches(to_ints, batch_format="pyarrow")
+    return grouped_corr_slope(ints, ["l_returnflag"], "qty", "disc_mils")
+
+
+def q_qty_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+    """Interpolated percentile_cont per group from the distributed
+    value-count histogram (no global sort): ANSI q·(n−1) linear
+    interpolation over exact integers."""
+    from web2llmstxt_ray.ops.corpus import int_quantiles_cont
+
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "qty": pc.cast(pc.round(b.column("l_quantity")), pa.int64()),
+        })
+
+    ints = li.map_batches(to_int, batch_format="pyarrow")
+    return int_quantiles_cont(ints, "qty",
+                              qs=(0.1, 0.25, 0.5, 0.75, 0.9),
+                              group_col="l_returnflag")
+
+
+def q_building_top_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape (shipping-priority): broadcast semi-filter on
+    the customer segment, date predicates pushed into the Arrow scan
+    batches, ONE bucketed hash join (orders×lineitem), distributed
+    per-orderkey combine, global top-10 by exact integer revenue.
+    Revenue in integer micro-units (cents × mils) so the top-k
+    ordering is deterministic — no float-sum-order ambiguity at the
+    rank-10 boundary."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    from web2llmstxt_ray.ops.relational import hash_join, partial_groupby
+
+    cutoff = datetime(1995, 3, 15)
+    cust = pa.concat_tables(
+        [ray.get(r) for r in
+         _t(sf_dir, "customer",
+            ["c_custkey", "c_mktsegment"]).to_arrow_refs()])
+    keyset = cust.filter(pc.equal(cust.column("c_mktsegment"),
+                                  "BUILDING")).column("c_custkey")
+    key_ref = ray.put(keyset.combine_chunks())
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                   "o_orderdate", "o_orderpriority"])
+
+    def sel_orders(b: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        m = pc.and_(pc.less(b.column("o_orderdate"), pa.scalar(cutoff)),
+                    pc.is_in(b.column("o_custkey"), value_set=ks))
+        t = b.filter(m)
+        return pa.table({"l_orderkey": t.column("o_orderkey"),
+                         "o_orderdate": t.column("o_orderdate"),
+                         "o_orderpriority": t.column("o_orderpriority")})
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice",
+                                 "l_discount", "l_shipdate"])
+
+    def sel_li(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("l_shipdate"),
+                                pa.scalar(cutoff)))
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        mils = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 1000.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(
+            pa.scalar(1000, pa.int64()), mils))
+        return pa.table({"l_orderkey": t.column("l_orderkey"),
+                         "rev_micro": rev})
+
+    joined = hash_join(
+        li.map_batches(sel_li, batch_format="pyarrow"),
+        orders.map_batches(sel_orders, batch_format="pyarrow"),
+        on="l_orderkey", num_buckets=16)
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                         as_index=False).agg(
+            rev_micro=("rev_micro", "sum"),
+            n_items=("rev_micro", "size"))
+
+    agg = partial_groupby(joined,
+                          ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                          batch_agg, ["rev_micro", "n_items"],
+                          distributed_combine=True)
+    top = agg.sort(["rev_micro", "o_orderdate", "l_orderkey"],
+                   descending=[True, False, False]).limit(10)
+    out = _pdf(top)
+    out["revenue"] = (out["rev_micro"] / 100000.0).round(ROUND_SUM)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.drop(columns=["rev_micro"])
+
+
+def q_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped count-distinct: per-block distinct (group, value)
+    pairs collapse first, ONE value-bucketed skinny shuffle dedups
+    globally — traffic is O(distinct pairs), never O(rows)."""
+    from web2llmstxt_ray.ops.stats import grouped_distinct_count
+
+    return grouped_distinct_count(
+        _t(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id")
+
+
+def q_value_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-group sample-std z-score: one exact integer co-moment pass,
+    broadcast (n, Σx, denom) lookup, map-only standardization — raw
+    rows never shuffle. Bit-exact vs the identical HUGEINT-sum SQL
+    expression."""
+    from web2llmstxt_ray.ops.stats import grouped_zscore
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "x": pc.cast(pc.round(pc.multiply(
+                b.column("value"), 100.0)), pa.int64()),
+        })
+
+    out = _pdf(grouped_zscore(ev.map_batches(to_int,
+                                             batch_format="pyarrow"),
+                              ["event_type"], "x"))
+    return (out[["event_id", "z"]].sort_values("event_id")
+            .reset_index(drop=True))
+
+
+def q_qty_skew_kurt(sf_dir: str) -> pd.DataFrame:
+    """Population skewness + excess kurtosis per group from exact
+    integer raw moments Σx..Σx⁴ (one map-only pass, algebraic central-
+    moment expansion on Python ints — overflow-proof)."""
+    from web2llmstxt_ray.ops.stats import grouped_skew_kurt
+
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "qty": pc.cast(pc.round(b.column("l_quantity")), pa.int64()),
+        })
+
+    return grouped_skew_kurt(li.map_batches(to_int,
+                                            batch_format="pyarrow"),
+                             "l_returnflag", "qty")
+
+
+def q_priority_status_mi(sf_dir: str) -> pd.DataFrame:
+    """Mutual information (nats) between two categorical columns from
+    the distributed contingency table — one partial-count pass, tiny
+    driver-side formula over exact integer counts."""
+    from web2llmstxt_ray.ops.stats import mutual_information
+
+    return mutual_information(
+        _t(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"]),
+        "o_orderpriority", "o_orderstatus")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1784,6 +1973,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_brand_revenue": q_salted_brand_revenue,
         "orders_price_bands": q_orders_price_bands,
         "part_triangles": q_part_triangles,
+        "qty_discount_corr": q_qty_discount_corr,
+        "qty_quantiles_cont": q_qty_quantiles_cont,
+        "building_top_orders": q_building_top_orders,
+        "distinct_users_by_type": q_distinct_users_by_type,
+        "value_zscore": q_value_zscore,
+        "qty_skew_kurt": q_qty_skew_kurt,
+        "priority_status_mi": q_priority_status_mi,
         "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
         "media_features": q_media_features,
@@ -2146,6 +2342,124 @@ def oracle_sql() -> dict[str, str]:
               ON b.lo <= o.cents AND o.cents < b.hi
             GROUP BY b.band_id
             ORDER BY b.band_id
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type
+        """,
+        "value_zscore": """
+            WITH i AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events),
+            m AS (SELECT event_type, count(*) AS n,
+                         sum(x) AS sx, sum(x*x) AS sxx
+                  FROM i GROUP BY event_type)
+            SELECT event_id,
+                   round(CAST(n*x - sx AS DOUBLE)
+                         / (n * sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                     / CAST(n*(n-1) AS DOUBLE))), 6) AS z
+            FROM i JOIN m USING (event_type)
+        """,
+        "qty_skew_kurt": """
+            WITH i AS (SELECT l_returnflag,
+                              CAST(round(l_quantity) AS HUGEINT) AS x
+                       FROM lineitem),
+            m AS (SELECT l_returnflag,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         sum(x) AS s1, sum(x*x) AS s2,
+                         sum(x*x*x) AS s3, sum(x*x*x*x) AS s4
+                  FROM i GROUP BY l_returnflag),
+            d AS (SELECT l_returnflag, n,
+                         n * (n*s2 - s1*s1) AS b,
+                         n*n*n*s3 - 3*n*n*s1*s2 + 2*n*s1*s1*s1 AS a,
+                         n*n*n*n*s4 - 4*n*n*n*s1*s3
+                             + 6*n*n*s1*s1*s2 - 3*n*s1*s1*s1*s1 AS c
+                  FROM m)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   round(CAST(a AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+                         / pow(CAST(b AS DOUBLE), 1.5), 6) AS skew_pop,
+                   round(CAST(n AS DOUBLE) * CAST(c AS DOUBLE)
+                         / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+                         - 3.0, 6) AS kurt_excess
+            FROM d
+        """,
+        "priority_status_mi": """
+            WITH c AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                              count(*) AS cij
+                       FROM orders GROUP BY 1, 2),
+            t AS (SELECT CAST(sum(cij) AS BIGINT) AS n FROM c),
+            ra AS (SELECT a, CAST(sum(cij) AS BIGINT) AS ri
+                   FROM c GROUP BY a),
+            cb AS (SELECT b, CAST(sum(cij) AS BIGINT) AS cj
+                   FROM c GROUP BY b)
+            SELECT t.n AS n,
+                   round(sum((CAST(cij AS DOUBLE) / t.n)
+                             * ln(CAST(t.n * cij AS DOUBLE)
+                                  / CAST(ri * cj AS DOUBLE))), 6)
+                       AS mi_nats
+            FROM c JOIN ra USING (a) JOIN cb USING (b), t
+            GROUP BY t.n
+        """,
+        "qty_discount_corr": """
+            WITH i AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_discount * 1000) AS BIGINT) AS y
+                FROM lineitem),
+            m AS (
+                SELECT l_returnflag, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x*x) AS sxx, sum(y*y) AS syy,
+                       sum(x*y) AS sxy
+                FROM i GROUP BY l_returnflag)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                                * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+                       AS corr_xy,
+                   round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope_xy
+            FROM m
+        """,
+        "qty_quantiles_cont": """
+            WITH i AS (SELECT l_returnflag,
+                              CAST(round(l_quantity) AS BIGINT) AS x
+                       FROM lineitem)
+            SELECT l_returnflag, 0.1 AS q,
+                   round(quantile_cont(x, 0.1), 6) AS value
+            FROM i GROUP BY l_returnflag
+            UNION ALL SELECT l_returnflag, 0.25,
+                   round(quantile_cont(x, 0.25), 6) FROM i
+                   GROUP BY l_returnflag
+            UNION ALL SELECT l_returnflag, 0.5,
+                   round(quantile_cont(x, 0.5), 6) FROM i
+                   GROUP BY l_returnflag
+            UNION ALL SELECT l_returnflag, 0.75,
+                   round(quantile_cont(x, 0.75), 6) FROM i
+                   GROUP BY l_returnflag
+            UNION ALL SELECT l_returnflag, 0.9,
+                   round(quantile_cont(x, 0.9), 6) FROM i
+                   GROUP BY l_returnflag
+        """,
+        "building_top_orders": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   count(*) AS n_items,
+                   round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                              * (1000 - CAST(round(l_discount*1000)
+                                             AS BIGINT))) AS DOUBLE)
+                         / 100000.0, 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (1000 - CAST(round(l_discount*1000) AS BIGINT)))
+                         DESC,
+                     o_orderdate, l_orderkey
+            LIMIT 10
         """,
         "part_triangles": """
             WITH pairs AS (

@@ -1,0 +1,159 @@
+"""Planted-data oracles for the co-moment statistics tier and the
+interpolated-quantile histogram path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from web2llmstxt_ray.ops.corpus import int_quantiles_cont
+from web2llmstxt_ray.ops.stats import grouped_corr_slope
+
+
+def _planted() -> pd.DataFrame:
+    rng = np.random.default_rng(11)
+    g = np.repeat(["a", "b", "c"], 400)
+    x = rng.integers(0, 1000, len(g))
+    # per-group known linear structure + noise
+    slope = np.select([g == "a", g == "b"], [3, -2], default=0)
+    y = slope * x + rng.integers(-50, 50, len(g))
+    return pd.DataFrame({"g": g, "x": x, "y": y})
+
+
+class TestGroupedCorrSlope:
+    def test_matches_numpy_oracle(self):
+        df = _planted()
+        out = grouped_corr_slope(
+            ray.data.from_pandas(df).repartition(7), ["g"], "x", "y")
+        for _, r in out.iterrows():
+            sub = df[df["g"] == r["g"]]
+            want_corr = np.corrcoef(sub["x"], sub["y"])[0, 1]
+            want_slope = np.polyfit(sub["x"], sub["y"], 1)[0]
+            assert abs(r["corr_xy"] - want_corr) < 1e-6, r["g"]
+            assert abs(r["slope_xy"] - want_slope) < 1e-6, r["g"]
+            assert r["n"] == len(sub)
+
+    def test_partition_invariant(self):
+        df = _planted()
+        a = grouped_corr_slope(
+            ray.data.from_pandas(df).repartition(2), ["g"], "x", "y")
+        b = grouped_corr_slope(
+            ray.data.from_pandas(df).repartition(19), ["g"], "x", "y")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_overflow_beyond_int64_partials(self):
+        # values whose squared-sum total exceeds int64 across blocks:
+        # per-block partials fit, the driver combine must not wrap
+        n = 4000
+        df = pd.DataFrame({"g": ["z"] * n,
+                           "x": np.full(n, 2_000_000, dtype=np.int64),
+                           "y": np.arange(n, dtype=np.int64)})
+        # Σx² = 4e12 · 4000 = 1.6e16 per full set; push higher via x=3e6
+        df["x"] = 3_000_000 + (np.arange(n) % 7)
+        out = grouped_corr_slope(
+            ray.data.from_pandas(df).repartition(11), ["g"], "x", "y")
+        sub = df
+        want_corr = np.corrcoef(sub["x"], sub["y"])[0, 1]
+        assert abs(out["corr_xy"].iloc[0] - want_corr) < 1e-6
+
+
+class TestIntQuantilesCont:
+    def test_matches_numpy_linear(self):
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({"g": np.repeat(["u", "v"], 500),
+                           "x": rng.integers(0, 200, 1000)})
+        qs = (0.1, 0.5, 0.9)
+        out = int_quantiles_cont(
+            ray.data.from_pandas(df).repartition(9), "x", qs=qs,
+            group_col="g")
+        for grp in ("u", "v"):
+            vals = df[df["g"] == grp]["x"].to_numpy()
+            for q in qs:
+                got = out[(out["g"] == grp) & (out["q"] == q)][
+                    "value"].iloc[0]
+                want = np.quantile(vals, q)  # numpy default = linear
+                assert abs(got - want) < 1e-6, (grp, q)
+
+    def test_ungrouped_and_exact_positions(self):
+        # n=5, values 10..50: q=0.25 → pos 1.0 exactly → value 20
+        df = pd.DataFrame({"x": [10, 20, 30, 40, 50]})
+        out = int_quantiles_cont(ray.data.from_pandas(df), "x",
+                                 qs=(0.25, 0.375, 1.0))
+        assert out[out["q"] == 0.25]["value"].iloc[0] == 20.0
+        # pos = 0.375*4 = 1.5 → 20 + 0.5*(30-20) = 25
+        assert out[out["q"] == 0.375]["value"].iloc[0] == 25.0
+        assert out[out["q"] == 1.0]["value"].iloc[0] == 50.0
+
+
+class TestGroupedDistinctCount:
+    def test_matches_pandas_nunique(self):
+        from web2llmstxt_ray.ops.stats import grouped_distinct_count
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 3000),
+                           "v": rng.integers(0, 150, 3000)})
+        out = grouped_distinct_count(
+            ray.data.from_pandas(df).repartition(13), "g", "v",
+            num_buckets=8)
+        want = df.groupby("g")["v"].nunique()
+        for _, r in out.iterrows():
+            assert r["n_distinct"] == want[r["g"]]
+
+    def test_string_values(self):
+        from web2llmstxt_ray.ops.stats import grouped_distinct_count
+        df = pd.DataFrame({"g": ["x", "x", "x", "y"],
+                           "v": ["aa", "aa", "bb", "aa"]})
+        out = grouped_distinct_count(ray.data.from_pandas(df), "g", "v")
+        got = dict(zip(out["g"], out["n_distinct"]))
+        assert got == {"x": 2, "y": 1}
+
+
+class TestGroupedZscore:
+    def test_matches_scipy_formula(self):
+        from web2llmstxt_ray.ops.stats import grouped_zscore
+        rng = np.random.default_rng(21)
+        df = pd.DataFrame({"g": rng.choice(["a", "b"], 800),
+                           "x": rng.integers(-500, 500, 800)})
+        out = grouped_zscore(
+            ray.data.from_pandas(df).repartition(7), ["g"], "x") \
+            .to_pandas()
+        for grp in ("a", "b"):
+            sub = out[out["g"] == grp]
+            vals = sub["x"].to_numpy().astype(float)
+            want = (vals - vals.mean()) / vals.std(ddof=1)
+            np.testing.assert_allclose(sub["z"].to_numpy(), want,
+                                       atol=1e-6)
+
+
+class TestSkewKurtMI:
+    def test_skew_kurt_vs_scipy_population(self):
+        from web2llmstxt_ray.ops.stats import grouped_skew_kurt
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame({"g": np.repeat(["a", "b"], 600),
+                           "x": np.concatenate([
+                               rng.integers(0, 40, 600),
+                               (rng.integers(0, 7, 600) ** 2)])})
+        out = grouped_skew_kurt(
+            ray.data.from_pandas(df).repartition(5), "g", "x")
+        for _, r in out.iterrows():
+            v = df[df["g"] == r["g"]]["x"].to_numpy().astype(float)
+            m = v.mean()
+            m2 = ((v - m) ** 2).mean()
+            m3 = ((v - m) ** 3).mean()
+            m4 = ((v - m) ** 4).mean()
+            assert abs(r["skew_pop"] - m3 / m2 ** 1.5) < 1e-6
+            assert abs(r["kurt_excess"] - (m4 / m2 ** 2 - 3)) < 1e-6
+
+    def test_mutual_information_independent_and_dependent(self):
+        from web2llmstxt_ray.ops.stats import mutual_information
+        rng = np.random.default_rng(8)
+        a = rng.choice(["p", "q"], 4000)
+        indep = pd.DataFrame({"a": a, "b": rng.choice(["u", "v"], 4000)})
+        dep = pd.DataFrame({"a": a, "b": np.where(a == "p", "u", "v")})
+        mi_i = mutual_information(
+            ray.data.from_pandas(indep).repartition(6), "a", "b")
+        mi_d = mutual_information(
+            ray.data.from_pandas(dep).repartition(6), "a", "b")
+        assert mi_i["mi_nats"].iloc[0] < 0.01
+        # fully dependent binary ≈ H(A) ≈ ln 2
+        assert abs(mi_d["mi_nats"].iloc[0] - np.log(2)) < 0.01

@@ -264,6 +264,56 @@ def int_quantiles(ds: ray.data.Dataset, col: str,
     return out.sort_values([group_col, "q"]).reset_index(drop=True)
 
 
+def int_quantiles_cont(ds: ray.data.Dataset, col: str,
+                       qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                       group_col: str | None = None,
+                       ndigits: int = 6) -> pd.DataFrame:
+    """Interpolated (continuous) quantiles of a bounded-integer column
+    from the same distributed value-count histogram as
+    :func:`int_quantiles` — no global sort; only O(blocks × distinct)
+    counter rows ever move.
+
+    Semantics = ANSI ``percentile_cont`` / DuckDB ``quantile_cont``:
+    linear interpolation at zero-indexed position ``q·(n−1)`` of the
+    sorted multiset, ``v_lo + frac·(v_hi − v_lo)`` in doubles. Since
+    the interpolands are exact integers off the merged histogram, the
+    float result is bit-identical to a SQL engine evaluating the same
+    expression. Output: (group?, q, value:double).
+    """
+    gcols = [group_col] if group_col else []
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby([*gcols, col], as_index=False).agg(
+            _cnt=(col, "size"))
+
+    merged = (ds.map_batches(partial_counts, batch_format="pandas")
+              .to_pandas().groupby([*gcols, col], as_index=False)[
+                  "_cnt"].sum())
+
+    def walk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(col)
+        vals = df[col].to_numpy().astype(np.int64)
+        cum = df["_cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        pos = np.asarray(qs, dtype=np.float64) * (n - 1)
+        lo_i = np.floor(pos).astype(np.int64)
+        hi_i = np.ceil(pos).astype(np.int64)
+        # value at zero-indexed rank r = first histogram bin whose
+        # cumulative count exceeds r
+        v_lo = vals[np.searchsorted(cum, lo_i + 1, "left")]
+        v_hi = vals[np.searchsorted(cum, hi_i + 1, "left")]
+        frac = pos - lo_i
+        out = v_lo + frac * (v_hi - v_lo)
+        return pd.DataFrame({"q": list(qs), "value": out.round(ndigits)})
+
+    if not gcols:
+        return walk(merged).reset_index(drop=True)
+    out = (merged.groupby(group_col, group_keys=True)
+           .apply(walk, include_groups=False).reset_index(level=0)
+           .reset_index(drop=True))
+    return out.sort_values([group_col, "q"]).reset_index(drop=True)
+
+
 def pack_sequences(ds: ray.data.Dataset, max_tokens: int,
                    id_col: str = "doc_id",
                    tokens_col: str = "n_tokens") -> ray.data.Dataset:

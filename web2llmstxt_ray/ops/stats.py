@@ -1,0 +1,256 @@
+"""Distributed second-order statistics from exact integer co-moments.
+
+Correlation / covariance / regression over a 100-TB table need ONE
+map-only pass: per block, accumulate the six additive co-moments
+(n, Σx, Σy, Σx², Σy², Σxy) per group — O(blocks × groups) skinny
+partial rows replace the data — then combine partials and derive the
+statistic. No shuffle of the raw rows, no global sort, no second pass.
+
+Exactness contract (the repo-wide fixed-point discipline): callers
+pass INTEGER columns (scale floats to cents/mils first). Per-block
+sums stay in int64 — callers bound |x|,|y| so a block's Σx² fits —
+and the driver-side combine promotes to Python ints (arbitrary
+precision), so the final moments are EXACT regardless of block count
+or partition order. The derived float statistic is then a pure
+function of exact integers, bit-identical to a SQL engine computing
+the same formula from the same sums (both convert the same integers
+to the same doubles).
+
+Reference anchor: the reference engine has no statistics tier; this
+generalizes its per-crawl aggregate counters
+(llmsgen/generator/llms_generator.py analytics) to grouped
+second-order moments.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def grouped_comoments(ds: ray.data.Dataset, group_cols: list[str],
+                      x_col: str, y_col: str) -> pd.DataFrame:
+    """Exact per-group co-moments of two integer columns.
+
+    Returns one row per group: n, sx, sy, sxx, syy, sxy as Python-int
+    (object dtype) exact values.
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].astype("int64")
+        y = b[y_col].astype("int64")
+        g = pd.DataFrame({**{c: b[c] for c in group_cols},
+                          "_x": x, "_y": y,
+                          "_xx": x * x, "_yy": y * y, "_xy": x * y})
+        out = g.groupby(group_cols, as_index=False).agg(
+            n=("_x", "size"), sx=("_x", "sum"), sy=("_y", "sum"),
+            sxx=("_xx", "sum"), syy=("_yy", "sum"), sxy=("_xy", "sum"))
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return parts
+    # promote to Python ints BEFORE the cross-block combine: per-block
+    # int64 sums are safe by the caller's bound, their total may not be
+    mom = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    for c in mom:
+        parts[c] = parts[c].map(int)
+    return parts.groupby(group_cols, as_index=False)[mom].sum()
+
+
+def grouped_corr_slope(ds: ray.data.Dataset, group_cols: list[str],
+                       x_col: str, y_col: str,
+                       ndigits: int = 6) -> pd.DataFrame:
+    """Pearson correlation and OLS slope (y on x) per group, derived
+    from exact integer co-moments; one map-only pass + driver combine.
+
+    corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)·(n·Σy² − Σy²))
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)
+
+    All products are computed on Python ints (exact), converted to
+    float once — matching a SQL engine evaluating the same expression
+    over HUGEINT sums.
+    """
+    m = grouped_comoments(ds, group_cols, x_col, y_col)
+    if m.empty:
+        return m
+
+    def derive(r) -> pd.Series:
+        n, sx, sy, sxx, syy, sxy = (int(r["n"]), int(r["sx"]),
+                                    int(r["sy"]), int(r["sxx"]),
+                                    int(r["syy"]), int(r["sxy"]))
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        corr = float(num) / math.sqrt(float(vx) * float(vy)) \
+            if vx > 0 and vy > 0 else float("nan")
+        slope = float(num) / float(vx) if vx > 0 else float("nan")
+        return pd.Series({"corr_xy": round(corr, ndigits),
+                          "slope_xy": round(slope, ndigits)})
+
+    out = pd.concat([m[group_cols + ["n"]].copy(),
+                     m.apply(derive, axis=1)], axis=1)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(group_cols).reset_index(drop=True)
+
+def grouped_distinct_count(ds: ray.data.Dataset, group_col: str,
+                           value_col: str,
+                           num_buckets: int = 64) -> pd.DataFrame:
+    """EXACT count-distinct per group without shuffling raw rows.
+
+    Per block, the (group, value) pairs collapse to their distinct set
+    (the big win: a block with 10^6 events over 10^4 users emits 10^4
+    rows). The surviving skinny pairs shuffle ONCE, bucketed by
+    hash(value) — all copies of a value agree on the bucket, so a
+    per-bucket drop_duplicates is globally exact and each bucket emits
+    O(groups) partial counts. Driver merges buckets × groups rows.
+    Scale: traffic is O(distinct pairs), never O(rows); a hot group
+    spreads over all buckets because bucketing is on VALUE, not group.
+    """
+    def local_distinct(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[group_col, value_col]].drop_duplicates()
+        h = pd.util.hash_pandas_object(out[value_col], index=False)
+        out = out.copy()
+        out["_vb"] = (h % num_buckets).astype("int32")
+        return out
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        d = group[[group_col, value_col]].drop_duplicates()
+        return d.groupby(group_col, as_index=False).agg(
+            n_distinct=(value_col, "size"))
+
+    parts = (ds.map_batches(local_distinct, batch_format="pandas",
+                            batch_size=None)
+             .groupby("_vb").map_groups(per_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return parts
+    out = parts.groupby(group_col, as_index=False)["n_distinct"].sum()
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_zscore(ds: ray.data.Dataset, group_cols: list[str],
+                   x_col: str, out_col: str = "z",
+                   ndigits: int = 6) -> ray.data.Dataset:
+    """Per-group sample-std z-score as a broadcast + map-only pass:
+    exact integer (n, Σx, Σx²) per group (one co-moment pass), then
+    every row standardizes against its group via a broadcast lookup —
+    the raw rows never shuffle.
+
+    Bit-exactness: z = (n·x − Σx) / (n · sqrt((n·Σx² − Σx²)/(n·(n−1))))
+    is evaluated from exact integers in this exact float expression
+    order; the SQL oracle mirrors the same expression over HUGEINT
+    sums, so both sides round identical doubles.
+    """
+    m = grouped_comoments(ds, group_cols, x_col, x_col)
+    lut = {}
+    for _, r in m.iterrows():
+        key = tuple(r[c] for c in group_cols) if len(group_cols) > 1 \
+            else r[group_cols[0]]
+        n, sx, sxx = int(r["n"]), int(r["sx"]), int(r["sxx"])
+        denom = n * math.sqrt(float(n * sxx - sx * sx)
+                              / float(n * (n - 1))) if n > 1 else 0.0
+        lut[key] = (n, sx, denom)
+    lut_ref = ray.put(lut)
+
+    def std_batch(b: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lut_ref)
+        keys = (b[group_cols[0]] if len(group_cols) == 1
+                else pd.Series(list(zip(*(b[c] for c in group_cols))),
+                               index=b.index))
+        n = keys.map({k: v[0] for k, v in table.items()}).to_numpy(
+            dtype=np.float64)
+        sx = keys.map({k: v[1] for k, v in table.items()}).to_numpy(
+            dtype=np.float64)
+        dn = keys.map({k: v[2] for k, v in table.items()}).to_numpy(
+            dtype=np.float64)
+        x = b[x_col].to_numpy().astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (n * x - sx) / dn
+        b = b.copy()
+        b[out_col] = np.round(z, ndigits)
+        return b
+
+    return ds.map_batches(std_batch, batch_format="pandas",
+                          batch_size=None)
+
+
+def grouped_skew_kurt(ds: ray.data.Dataset, group_col: str,
+                      x_col: str, ndigits: int = 6) -> pd.DataFrame:
+    """Population skewness g1 and excess kurtosis g2 per group from
+    exact integer raw moments (Σx..Σx⁴), one map-only pass.
+
+    Let A = Σ(n·x−Σx)³ and C = Σ(n·x−Σx)⁴ and B = n(n·Σx²−Σx²),
+    expanded algebraically from the raw power sums so everything stays
+    an exact integer:
+        A = n³S₃ − 3n²S₁S₂ + 2nS₁³
+        C = n⁴S₄ − 4n³S₁S₃ + 6n²S₁²S₂ − 3nS₁⁴
+    then  g1 = A·√n / B^1.5   and   g2 = n·C/B² − 3.
+    The SQL oracle computes the identical expansion over HUGEINT sums
+    (caller bounds |x| so S₄·n⁴ fits int128 on the SQL side; the
+    Python side is arbitrary-precision).
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].astype("int64")
+        g = pd.DataFrame({group_col: b[group_col], "_x": x,
+                          "_x2": x * x, "_x3": x ** 3, "_x4": x ** 4})
+        return g.groupby(group_col, as_index=False).agg(
+            n=("_x", "size"), s1=("_x", "sum"), s2=("_x2", "sum"),
+            s3=("_x3", "sum"), s4=("_x4", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    for c in ["n", "s1", "s2", "s3", "s4"]:
+        parts[c] = parts[c].map(int)
+    m = parts.groupby(group_col, as_index=False)[
+        ["n", "s1", "s2", "s3", "s4"]].sum()
+
+    rows = []
+    for _, r in m.iterrows():
+        n, s1, s2, s3, s4 = (int(r["n"]), int(r["s1"]), int(r["s2"]),
+                             int(r["s3"]), int(r["s4"]))
+        B = n * (n * s2 - s1 * s1)
+        A = n**3 * s3 - 3 * n**2 * s1 * s2 + 2 * n * s1**3
+        C = (n**4 * s4 - 4 * n**3 * s1 * s3
+             + 6 * n**2 * s1 * s1 * s2 - 3 * n * s1**4)
+        g1 = float(A) * math.sqrt(n) / float(B) ** 1.5 if B > 0 \
+            else float("nan")
+        g2 = n * float(C) / (float(B) * float(B)) - 3.0 if B > 0 \
+            else float("nan")
+        rows.append({group_col: r[group_col], "n": n,
+                     "skew_pop": round(g1, ndigits),
+                     "kurt_excess": round(g2, ndigits)})
+    out = pd.DataFrame(rows)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def mutual_information(ds: ray.data.Dataset, col_a: str, col_b: str,
+                       ndigits: int = 6) -> pd.DataFrame:
+    """Mutual information I(A;B) in nats between two categorical
+    columns from the distributed contingency table: one partial-count
+    pass (O(blocks × |A|·|B|) skinny rows), driver combine, then
+    I = Σᵢⱼ (cᵢⱼ/N)·ln(N·cᵢⱼ/(rᵢ·cⱼ)) over exact integer counts.
+    Cell count is bounded (categorical), so the final sum is tiny."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby([col_a, col_b], as_index=False).agg(
+            _cnt=(col_a, "size"))
+
+    cells = (ds.map_batches(partial, batch_format="pandas",
+                            batch_size=None)
+             .to_pandas().groupby([col_a, col_b], as_index=False)[
+                 "_cnt"].sum())
+    total = int(cells["_cnt"].sum())
+    ra = cells.groupby(col_a)["_cnt"].sum()
+    cb = cells.groupby(col_b)["_cnt"].sum()
+    mi = 0.0
+    for _, r in cells.sort_values([col_a, col_b]).iterrows():
+        cij = int(r["_cnt"])
+        ri, cj = int(ra[r[col_a]]), int(cb[r[col_b]])
+        mi += (cij / total) * math.log(total * cij / (ri * cj))
+    return pd.DataFrame({"n": [total], "mi_nats": [round(mi, ndigits)]})
