@@ -1880,6 +1880,40 @@ def q_priority_status_mi(sf_dir: str) -> pd.DataFrame:
         "o_orderpriority", "o_orderstatus")
 
 
+def q_value_ewma(sf_dir: str) -> pd.DataFrame:
+    """Per-key EWMA in event-time order: one bucketed shuffle +
+    vectorized pandas groupby-ewm recursion per bucket. Rows-only
+    driver check; the recursion is sequential-oracled in
+    tests/test_stats.py::TestEwma (not SQL-expressible)."""
+    from web2llmstxt_ray.ops.windows import ewma
+
+    out = _pdf(ewma(_t(sf_dir, "events",
+                       ["event_id", "user_id", "ts", "value"]),
+                    alpha=0.3))
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_orders_validation(sf_dir: str) -> pd.DataFrame:
+    """Expectations-lite data-quality gate: every scan rule evaluated
+    in ONE additive map pass; the uniqueness rule adds one
+    value-bucketed skinny shuffle (duplicate copies meet in their hash
+    bucket). Violations intentionally non-zero (accepted set omits
+    'P', range max below the true max) to prove the counters count."""
+    from web2llmstxt_ray.ops.validate import validate
+
+    rules = [
+        {"rule": "not_null", "column": "o_custkey"},
+        {"rule": "range", "column": "o_totalprice",
+         "min": 0.0, "max": 400000.0},
+        {"rule": "accepted_values", "column": "o_orderstatus",
+         "values": ["O", "F"]},
+        {"rule": "unique", "column": "o_orderkey"},
+    ]
+    return validate(_t(sf_dir, "orders",
+                       ["o_orderkey", "o_custkey", "o_totalprice",
+                        "o_orderstatus"]), rules)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1977,6 +2011,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_quantiles_cont": q_qty_quantiles_cont,
         "building_top_orders": q_building_top_orders,
         "distinct_users_by_type": q_distinct_users_by_type,
+        "orders_validation": q_orders_validation,
+        "value_ewma": q_value_ewma,
         "value_zscore": q_value_zscore,
         "qty_skew_kurt": q_qty_skew_kurt,
         "priority_status_mi": q_priority_status_mi,
@@ -2346,6 +2382,32 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        "orders_validation": """
+            SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+                   count(*) AS n_rows,
+                   CAST(count(*) - count(o_custkey) AS BIGINT)
+                       AS n_violations,
+                   (count(*) - count(o_custkey)) = 0 AS ok
+            FROM orders
+            UNION ALL
+            SELECT 'range', 'o_totalprice', count(*),
+                   CAST(count_if(o_totalprice < 0
+                                 OR o_totalprice > 400000) AS BIGINT),
+                   count_if(o_totalprice < 0
+                            OR o_totalprice > 400000) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'accepted_values', 'o_orderstatus', count(*),
+                   CAST(count_if(o_orderstatus NOT IN ('O', 'F'))
+                        AS BIGINT),
+                   count_if(o_orderstatus NOT IN ('O', 'F')) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'unique', 'o_orderkey', count(*),
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+                   (count(*) - count(DISTINCT o_orderkey)) = 0
+            FROM orders
         """,
         "value_zscore": """
             WITH i AS (SELECT event_id, event_type,

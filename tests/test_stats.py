@@ -157,3 +157,46 @@ class TestSkewKurtMI:
         assert mi_i["mi_nats"].iloc[0] < 0.01
         # fully dependent binary ≈ H(A) ≈ ln 2
         assert abs(mi_d["mi_nats"].iloc[0] - np.log(2)) < 0.01
+
+
+class TestEwma:
+    def test_matches_sequential_pandas(self):
+        from web2llmstxt_ray.ops.windows import ewma
+        rng = np.random.default_rng(14)
+        n = 2000
+        df = pd.DataFrame({
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 60, n),
+            "ts": pd.Timestamp("2024-01-01")
+                  + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "value": rng.normal(0, 10, n),
+        })
+        out = ewma(ray.data.from_pandas(df).repartition(9),
+                   alpha=0.3).to_pandas().sort_values(
+            "event_id").reset_index(drop=True)
+        # sequential oracle: per user in (ts, event_id) order
+        want = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        want["ewma"] = (want.groupby("user_id")["value"]
+                        .transform(lambda s: s.ewm(alpha=0.3,
+                                                   adjust=False).mean())
+                        .round(6))
+        want = want.sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_series_equal(out["ewma"], want["ewma"])
+        assert (out["event_id"].to_numpy()
+                == want["event_id"].to_numpy()).all()
+
+    def test_partition_invariant(self):
+        from web2llmstxt_ray.ops.windows import ewma
+        rng = np.random.default_rng(15)
+        df = pd.DataFrame({
+            "event_id": np.arange(500),
+            "user_id": rng.integers(0, 9, 500),
+            "ts": pd.Timestamp("2024-01-01")
+                  + pd.to_timedelta(np.arange(500), unit="s"),
+            "value": rng.normal(0, 1, 500),
+        })
+        a = ewma(ray.data.from_pandas(df).repartition(2)).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        b = ewma(ray.data.from_pandas(df).repartition(17)).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

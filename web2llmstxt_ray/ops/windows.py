@@ -283,3 +283,38 @@ def lag_delta(ds: ray.data.Dataset, key_col: str = "user_id",
         key_col, num_buckets)
         .groupby("_sbucket").map_groups(per_bucket,
                                         batch_format="pandas"))
+
+def ewma(ds: ray.data.Dataset, alpha: float = 0.3,
+         key_col: str = "user_id", ts_col: str = "ts",
+         id_col: str = "event_id", value_col: str = "value",
+         num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-key exponentially-weighted moving average in event-time
+    order (``adjust=False`` recursion: z_t = (1−α)·z_{t−1} + α·x_t,
+    seeded at the key's first value).
+
+    The recursion is inherently sequential PER KEY but independent
+    ACROSS keys, so the scale shape is the same one bucketed shuffle
+    as :func:`running_totals`: hash(key) → bucket, stable sort within
+    the bucket, then pandas' C-implemented ``groupby().ewm()`` runs
+    every key's recursion vectorized — no per-key 1-row-block
+    pathology, no Python loop. Not SQL-expressible (the recursion has
+    no closed window form); conformance is the sequential pandas
+    oracle in tests.
+    Output: (event_id, key, ewma) — ewma rounded to 6 d.p.
+    """
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        z = (g.groupby(key_col, sort=False)[value_col]
+             .ewm(alpha=alpha, adjust=False).mean()
+             .droplevel(0).loc[g.index])
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "ewma": z.round(6).to_numpy(),
+        })
+
+    return (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, value_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
