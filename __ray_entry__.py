@@ -1914,6 +1914,43 @@ def q_orders_validation(sf_dir: str) -> pd.DataFrame:
                         "o_orderstatus"]), rules)
 
 
+def q_events_dedup_window(sf_dir: str) -> pd.DataFrame:
+    """Stream dedup (client-retry suppression): drop an event whose
+    same-(user,type) immediate predecessor is ≤30 s earlier. One
+    bucketed shuffle, vectorized sort+groupby-diff per bucket;
+    lag-window SQL oracle (microsecond-exact epoch diff)."""
+    from web2llmstxt_ray.ops.events import dedup_window
+
+    out = _pdf(dedup_window(_t(sf_dir, "events",
+                               ["event_id", "user_id", "event_type",
+                                "ts"]), gap_seconds=30.0))
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort-retention grid: cohort = user's first active day; count
+    distinct users per (cohort_day, day_offset). Bucketed shuffle →
+    distinct (user, day) rows tagged with the user's min day →
+    additive partial-agg grid (each row is one distinct user by
+    construction)."""
+    from web2llmstxt_ray.ops.events import cohort_retention
+
+    out = cohort_retention(_t(sf_dir, "events", ["user_id", "ts"]))
+    return (out.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True))
+
+
+def q_events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel view→click→purchase with strict time ordering:
+    per-bucket vectorized step chain (filtered groupby-min + hash
+    merge), only len(steps) counters leave each bucket."""
+    from web2llmstxt_ray.ops.events import funnel
+
+    return funnel(_t(sf_dir, "events",
+                     ["user_id", "event_type", "ts"]),
+                  steps=["view", "click", "purchase"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2013,6 +2050,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": q_distinct_users_by_type,
         "orders_validation": q_orders_validation,
         "value_ewma": q_value_ewma,
+        "events_dedup_window": q_events_dedup_window,
+        "cohort_retention": q_cohort_retention,
+        "events_funnel": q_events_funnel,
         "value_zscore": q_value_zscore,
         "qty_skew_kurt": q_qty_skew_kurt,
         "priority_status_mi": q_priority_status_mi,
@@ -2382,6 +2422,49 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        "events_dedup_window": """
+            WITH w AS (
+                SELECT event_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS d_us
+                FROM events)
+            SELECT event_id FROM w
+            WHERE d_us IS NULL OR d_us > 30000000
+        """,
+        "cohort_retention": """
+            WITH u AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                FROM events),
+            c AS (
+                SELECT user_id, min(d) AS cohort FROM u GROUP BY user_id)
+            SELECT CAST(c.cohort AS VARCHAR) AS cohort_day,
+                   date_diff('day', c.cohort, u.d) AS day_offset,
+                   count(*) AS n_users
+            FROM u JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY e.user_id),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY e.user_id)
+            SELECT 1 AS step_no, 'view' AS step,
+                   count(*) AS n_users FROM s1
+            UNION ALL
+            SELECT 2, 'click', count(*) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', count(*) FROM s3
         """,
         "orders_validation": """
             SELECT 'not_null' AS rule, 'o_custkey' AS "column",

@@ -1,0 +1,124 @@
+"""Planted-data oracles for the event-analytics tier: stream dedup,
+cohort retention, ordered funnels (sequential pandas oracles +
+partition invariance)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from web2llmstxt_ray.ops.events import cohort_retention, dedup_window, funnel
+
+
+def _events(n: int = 3000, n_users: int = 80, seed: int = 5) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    ts = (pd.Timestamp("2024-03-01")
+          + pd.to_timedelta(rng.integers(0, 21 * 86400_000_000, n), unit="us"))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, n_users, n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "purchase"], n,
+                                 p=[0.6, 0.3, 0.1]),
+        "ts": ts,
+    })
+    # plant bursts: 200 near-duplicate retries 0–10 s after a base event
+    base = df.sample(200, random_state=1)
+    dup = base.copy()
+    dup["event_id"] = np.arange(n, n + 200, dtype=np.int64)
+    dup["ts"] = dup["ts"] + pd.to_timedelta(
+        rng.integers(0, 10_000_000, 200), unit="us")
+    return pd.concat([df, dup], ignore_index=True)
+
+
+def _seq_dedup(df: pd.DataFrame, gap_s: float) -> set[int]:
+    keep: set[int] = set()
+    for (_, _), g in df.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        prev = None
+        for eid, t in zip(g["event_id"], us):
+            if prev is None or t - prev > gap_s * 1e6:
+                keep.add(int(eid))
+            prev = t
+    return keep
+
+
+class TestDedupWindow:
+    def test_matches_sequential_oracle(self):
+        df = _events()
+        out = dedup_window(ray.data.from_pandas(df).repartition(7),
+                           gap_seconds=30.0).to_pandas()
+        assert set(out["event_id"]) == _seq_dedup(df, 30.0)
+
+    def test_partition_invariant(self):
+        df = _events(800, 20, seed=9)
+        a = dedup_window(ray.data.from_pandas(df).repartition(1),
+                         gap_seconds=60.0).to_pandas()
+        b = dedup_window(ray.data.from_pandas(df).repartition(13),
+                         gap_seconds=60.0).to_pandas()
+        assert sorted(a["event_id"]) == sorted(b["event_id"])
+
+    def test_zero_gap_drops_exact_ties_only(self):
+        df = pd.DataFrame({
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 7],
+            "event_type": ["view"] * 3,
+            "ts": pd.to_datetime(["2024-01-01 00:00:00",
+                                  "2024-01-01 00:00:00",
+                                  "2024-01-01 00:00:01"]),
+        })
+        out = dedup_window(ray.data.from_pandas(df),
+                           gap_seconds=0.0).to_pandas()
+        assert sorted(out["event_id"]) == [1, 3]
+
+
+class TestCohortRetention:
+    def test_matches_pandas_oracle(self):
+        df = _events()
+        out = cohort_retention(ray.data.from_pandas(df).repartition(5))
+        u = df.assign(d=df["ts"].dt.normalize()).drop_duplicates(
+            ["user_id", "d"])[["user_id", "d"]]
+        first = u.groupby("user_id")["d"].transform("min")
+        want = (pd.DataFrame({
+            "cohort_day": first.dt.strftime("%Y-%m-%d"),
+            "day_offset": (u["d"] - first).dt.days.astype("int64"),
+        }).groupby(["cohort_day", "day_offset"], as_index=False)
+            .size().rename(columns={"size": "n_users"}))
+        merged = out.merge(want, on=["cohort_day", "day_offset"],
+                           suffixes=("", "_want"), how="outer",
+                           indicator=True)
+        assert (merged["_merge"] == "both").all()
+        assert (merged["n_users"] == merged["n_users_want"]).all()
+
+    def test_offset_zero_counts_every_user(self):
+        df = _events(500, 30, seed=3)
+        out = cohort_retention(ray.data.from_pandas(df))
+        assert out[out["day_offset"] == 0]["n_users"].sum() == \
+            df["user_id"].nunique()
+
+
+class TestFunnel:
+    def test_matches_sequential_oracle(self):
+        df = _events()
+        steps = ["view", "click", "purchase"]
+        out = funnel(ray.data.from_pandas(df).repartition(6), steps)
+        want = []
+        reached = {u: pd.Timestamp.min for u in df["user_id"].unique()}
+        for s in steps:
+            nxt = {}
+            for u, t0 in reached.items():
+                ev = df[(df["user_id"] == u) & (df["event_type"] == s)
+                        & (df["ts"] > t0)]
+                if len(ev):
+                    nxt[u] = ev["ts"].min()
+            want.append(len(nxt))
+            reached = nxt
+        assert out["n_users"].tolist() == want
+        assert out["step"].tolist() == steps
+
+    def test_monotone_nonincreasing(self):
+        out = funnel(ray.data.from_pandas(_events(seed=13)),
+                     ["view", "click", "purchase"])
+        n = out["n_users"].tolist()
+        assert n == sorted(n, reverse=True)

@@ -1,0 +1,138 @@
+"""Event-log analytics: stream dedup, cohort retention, funnels.
+
+Product-analytics shapes the reference's event semantics imply but Ray
+Data has no built-in for.  All three share ONE scale shape: the only
+shuffle is the hash(user)→bucket exchange (bounded fan-in, no per-user
+1-row blocks — the pathology ``ops/windows.py`` documents), everything
+inside a bucket is vectorized pandas, and whatever leaves a bucket is
+per-user-bounded (dedup verdicts) or aggregate-sized (cohort cells,
+funnel counters), never the raw event stream again.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+from .relational import partial_groupby
+from .windows import _add_key_bucket
+
+
+def dedup_window(ds: ray.data.Dataset, gap_seconds: float = 30.0,
+                 user_col: str = "user_id", type_col: str = "event_type",
+                 ts_col: str = "ts",
+                 id_col: str = "event_id",
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """Stream dedup: drop an event when the SAME (user, type) emitted
+    its immediate predecessor ≤ ``gap_seconds`` earlier (duplicate
+    client retries / double-clicks).  Lag semantics — each event is
+    judged against the one directly before it in (ts, id) order, so a
+    long burst keeps only rows spaced > gap from their predecessor;
+    equal-timestamp duplicates always drop (diff 0 ≤ gap).
+
+    Scale: one bucketed shuffle; within a bucket one stable sort +
+    groupby-diff (both C-vectorized).  Output is the kept ``id_col``
+    rows only.
+    """
+    gap_us = int(round(gap_seconds * 1_000_000))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([user_col, type_col, ts_col, id_col],
+                              kind="stable")
+        us = g[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+        d = us.groupby(
+            [g[user_col], g[type_col]], sort=False).diff()
+        keep = d.isna() | (d > gap_us)
+        return pd.DataFrame({id_col: g.loc[keep.to_numpy(), id_col]
+                             .to_numpy()})
+
+    return _add_key_bucket(
+        ds.select_columns([id_col, user_col, type_col, ts_col]),
+        user_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
+def cohort_retention(ds: ray.data.Dataset, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     num_buckets: int = 64) -> pd.DataFrame:
+    """Classic cohort-retention grid: cohort = a user's FIRST active
+    calendar day; one output cell per (cohort_day, day_offset) counting
+    the distinct users from that cohort active ``day_offset`` days
+    later.
+
+    Scale shape: the bucketed shuffle co-locates each user's rows, the
+    bucket pass collapses them to distinct (user, active-day) rows
+    tagged with the user's min day — per-user-bounded, typically ≪
+    events — and the grid itself rides the additive partial-aggregate
+    path (each row is one distinct user by construction, so a plain
+    count IS count-distinct).  ``cohort_day`` is emitted as an ISO
+    string so the driver's canonicalizer and DuckDB agree byte-for-byte.
+    """
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        day = group[ts_col].astype("datetime64[ns]").dt.normalize()
+        g = pd.DataFrame({user_col: group[user_col], "_day": day})
+        g = g.drop_duplicates([user_col, "_day"])
+        first = g.groupby(user_col, sort=False)["_day"].transform("min")
+        return pd.DataFrame({
+            "cohort_day": first.dt.strftime("%Y-%m-%d"),
+            "day_offset": ((g["_day"] - first).dt.days
+                           .astype("int64")),
+        })
+
+    cells = _add_key_bucket(
+        ds.select_columns([user_col, ts_col]),
+        user_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+    def count_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["cohort_day", "day_offset"],
+                             as_index=False).agg(n_users=("day_offset",
+                                                          "size"))
+
+    return partial_groupby(cells, ["cohort_day", "day_offset"],
+                           count_cells, ["n_users"])
+
+
+def funnel(ds: ray.data.Dataset, steps: list[str],
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts",
+           num_buckets: int = 64) -> pd.DataFrame:
+    """Ordered-funnel conversion: how many users completed each prefix
+    of ``steps`` strictly in time order (first step-1 event, then the
+    first step-2 event strictly after it, …).  Strict ``>`` on the
+    timestamp, so a same-instant next-step event does not convert.
+
+    Scale shape: users are independent, so the bucketed shuffle makes
+    each conversion chain local; within a bucket each step is one
+    filtered groupby-min + hash merge (vectorized, no per-user Python).
+    Only ``len(steps)`` partial counters per bucket reach the driver.
+    Returns (step_no, step, n_users) with step_no 1-based.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        # reached: user -> timestamp of completing the previous step
+        reached = None
+        for i, step in enumerate(steps):
+            ev = group[group[type_col] == step]
+            if reached is not None:
+                ev = ev.merge(reached, on=user_col, how="inner")
+                ev = ev[ev[ts_col] > ev["_prev"]]
+                ev = ev.drop(columns=["_prev"])
+            t = (ev.groupby(user_col, as_index=False)[ts_col].min()
+                 .rename(columns={ts_col: "_prev"}))
+            counts.append(len(t))
+            reached = t
+        return pd.DataFrame({"step_no": range(1, len(steps) + 1),
+                             "step": steps, "n_users": counts})
+
+    out = partial_groupby(
+        _add_key_bucket(ds.select_columns([user_col, type_col, ts_col]),
+                        user_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"),
+        ["step_no", "step"], lambda b: b, ["n_users"])
+    return out.sort_values("step_no").reset_index(drop=True)
