@@ -1951,6 +1951,101 @@ def q_events_funnel(sf_dir: str) -> pd.DataFrame:
                   steps=["view", "click", "purchase"])
 
 
+def q_customer_set_ops(sf_dir: str) -> pd.DataFrame:
+    """ANSI INTERSECT / EXCEPT over distinct keys: customers who did /
+    never placed an order. Each side dedupes locally per block before
+    the single skinny bucket shuffle; per-bucket resolve is two
+    vectorized isin masks."""
+    from web2llmstxt_ray.ops.relational import set_op
+
+    cust = _t(sf_dir, "customer", ["c_custkey"]).rename_columns(
+        {"c_custkey": "key"})
+    ords = _t(sf_dir, "orders", ["o_custkey"]).rename_columns(
+        {"o_custkey": "key"})
+    frames = []
+    for op in ("intersect", "except"):
+        part = _pdf(set_op(cust, ords, "key", op))
+        part.insert(0, "op", op)
+        frames.append(part)
+    out = pd.concat(frames, ignore_index=True)
+    # an empty side upcasts int64→float64 through concat; restore
+    out["key"] = out["key"].astype("int64")
+    return (out.sort_values(["op", "key"]).reset_index(drop=True))
+
+
+def q_bloom_orders_building(sf_dir: str) -> pd.DataFrame:
+    """Bloom-prefiltered EXACT semi join (orders of BUILDING-segment
+    customers): a broadcast Bloom bitmap built distributively from the
+    build keys prunes probe rows BEFORE the shuffle (no false
+    negatives), the exact bucketed semi join kills the false
+    positives, and revenue aggregates ride the additive partial path
+    in integer cents."""
+    from web2llmstxt_ray.ops.relational import (bloom_semi_join,
+                                                partial_groupby)
+
+    bld = (_t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+           .filter(expr="c_mktsegment == 'BUILDING'")
+           .select_columns(["c_custkey"])
+           .rename_columns({"c_custkey": "custkey"}))
+    ords = _t(sf_dir, "orders",
+              ["o_custkey", "o_orderstatus", "o_totalprice"]
+              ).rename_columns({"o_custkey": "custkey"})
+    hit = bloom_semi_join(ords, bld, "custkey")
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(revenue_cents=(b["o_totalprice"] * 100)
+                     .round().astype("int64"), n_orders=1)
+        return b.groupby("o_orderstatus", as_index=False)[
+            ["n_orders", "revenue_cents"]].sum()
+
+    return partial_groupby(hit, ["o_orderstatus"], agg,
+                           ["n_orders", "revenue_cents"])
+
+
+def q_value_minmax_norm(sf_dir: str) -> pd.DataFrame:
+    """Per-group min-max normalization over exact integer cents:
+    per-block (group, min, max) partials → broadcast bounds → map-only
+    normalize; raw rows never shuffle."""
+    from web2llmstxt_ray.ops.stats import grouped_minmax_norm
+
+    ev = _events_cents(sf_dir)
+    out = _pdf(grouped_minmax_norm(ev, "event_type", "x",
+                                   out_col="x_norm"))
+    return (out[["event_id", "x_norm"]].sort_values("event_id")
+            .reset_index(drop=True))
+
+
+def q_value_robust_scale(sf_dir: str) -> pd.DataFrame:
+    """Per-group robust scaling (x−median)/IQR over exact nearest-rank
+    integer quantiles (quantile_disc semantics) — grouped quantiles via
+    the distributed value-count histogram, then broadcast map-only
+    scale."""
+    from web2llmstxt_ray.ops.stats import grouped_robust_scale
+
+    ev = _events_cents(sf_dir)
+    out = _pdf(grouped_robust_scale(ev, "event_type", "x",
+                                    out_col="x_robust"))
+    return (out[["event_id", "x_robust"]].sort_values("event_id")
+            .reset_index(drop=True))
+
+
+def _events_cents(sf_dir: str) -> rd.Dataset:
+    """events (event_id, event_type, x=value·100 as int64)."""
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "event_type": b.column("event_type"),
+            "x": pc.cast(pc.round(pc.multiply(
+                b.column("value"), 100.0)), pa.int64()),
+        })
+
+    return ev.map_batches(to_int, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2051,6 +2146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_validation": q_orders_validation,
         "value_ewma": q_value_ewma,
         "events_dedup_window": q_events_dedup_window,
+        "customer_set_ops": q_customer_set_ops,
+        "bloom_orders_building": q_bloom_orders_building,
+        "value_minmax_norm": q_value_minmax_norm,
+        "value_robust_scale": q_value_robust_scale,
         "cohort_retention": q_cohort_retention,
         "events_funnel": q_events_funnel,
         "value_zscore": q_value_zscore,
@@ -2422,6 +2521,49 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        "customer_set_ops": """
+            SELECT 'intersect' AS op, c_custkey AS key FROM
+                (SELECT c_custkey FROM customer
+                 INTERSECT SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT 'except', c_custkey FROM
+                (SELECT c_custkey FROM customer
+                 EXCEPT SELECT o_custkey FROM orders)
+        """,
+        "bloom_orders_building": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            GROUP BY o_orderstatus
+        """,
+        "value_minmax_norm": """
+            WITH i AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events),
+            b AS (SELECT event_type, min(x) AS mn, max(x) AS mx
+                  FROM i GROUP BY event_type)
+            SELECT event_id,
+                   (x - mn) / CAST(NULLIF(mx - mn, 0) AS DOUBLE)
+                       AS x_norm
+            FROM i JOIN b USING (event_type)
+        """,
+        "value_robust_scale": """
+            WITH i AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events),
+            q AS (SELECT event_type,
+                         quantile_disc(x, 0.25) AS q1,
+                         quantile_disc(x, 0.50) AS med,
+                         quantile_disc(x, 0.75) AS q3
+                  FROM i GROUP BY event_type)
+            SELECT event_id,
+                   (x - med) / CAST(NULLIF(q3 - q1, 0) AS DOUBLE)
+                       AS x_robust
+            FROM i JOIN q USING (event_type)
         """,
         "events_dedup_window": """
             WITH w AS (

@@ -254,3 +254,85 @@ def mutual_information(ds: ray.data.Dataset, col_a: str, col_b: str,
         ri, cj = int(ra[r[col_a]]), int(cb[r[col_b]])
         mi += (cij / total) * math.log(total * cij / (ri * cj))
     return pd.DataFrame({"n": [total], "mi_nats": [round(mi, ndigits)]})
+
+
+def grouped_minmax(ds: ray.data.Dataset, group_col: str,
+                   x_col: str) -> pd.DataFrame:
+    """Exact per-group (min, max) via per-block partials — one row per
+    (block, group) reaches the driver, the raw rows never shuffle."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(group_col, as_index=False)[x_col].agg(
+            ["min", "max"])
+        return g.rename(columns={"min": "_mn", "max": "_mx"})
+
+    p = ds.select_columns([group_col, x_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    return p.groupby(group_col, as_index=False).agg(
+        _mn=("_mn", "min"), _mx=("_mx", "max"))
+
+
+def grouped_minmax_norm(ds: ray.data.Dataset, group_col: str,
+                        x_col: str, out_col: str = "x_norm",
+                        ndigits: int = 6) -> ray.data.Dataset:
+    """Per-group min-max normalization (x−min)/(max−min) as a
+    broadcast + map-only pass over exact integer bounds (zero-range
+    groups emit null, matching SQL ``NULLIF``). Same scale shape as
+    :func:`grouped_zscore`: the only reduction is the tiny
+    (block × group) partial table."""
+    mm = grouped_minmax(ds, group_col, x_col)
+    lut = {r[group_col]: (int(r["_mn"]), int(r["_mx"]))
+           for _, r in mm.iterrows()}
+    lut_ref = ray.put(lut)
+
+    def norm_batch(b: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lut_ref)
+        mn = b[group_col].map({k: v[0] for k, v in table.items()}
+                              ).to_numpy(dtype=np.float64)
+        mx = b[group_col].map({k: v[1] for k, v in table.items()}
+                              ).to_numpy(dtype=np.float64)
+        x = b[x_col].to_numpy().astype(np.float64)
+        rng = mx - mn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = np.where(rng > 0, (x - mn) / rng, np.nan)
+        b = b.copy()
+        b[out_col] = np.round(v, ndigits)
+        return b
+
+    return ds.map_batches(norm_batch, batch_format="pandas",
+                          batch_size=None)
+
+
+def grouped_robust_scale(ds: ray.data.Dataset, group_col: str,
+                         x_col: str, out_col: str = "x_robust",
+                         ndigits: int = 6) -> ray.data.Dataset:
+    """Per-group robust scaling (x − median)/IQR over exact nearest-rank
+    integer quantiles (``quantile_disc`` semantics, so the SQL oracle is
+    bit-comparable): the distributed work is the value-count histogram
+    of :func:`..corpus.int_quantiles` — grouped quantiles WITHOUT a
+    sort — then a broadcast map-only scale. Zero-IQR groups emit null
+    (SQL ``NULLIF``)."""
+    from .corpus import int_quantiles
+
+    q = int_quantiles(ds, x_col, qs=(0.25, 0.5, 0.75),
+                      group_col=group_col)
+    lut: dict = {}
+    for g, sub in q.groupby(group_col):
+        by_q = {float(r["q"]): int(r["value"]) for _, r in sub.iterrows()}
+        lut[g] = (by_q[0.5], by_q[0.75] - by_q[0.25])
+    lut_ref = ray.put(lut)
+
+    def scale_batch(b: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lut_ref)
+        med = b[group_col].map({k: v[0] for k, v in table.items()}
+                               ).to_numpy(dtype=np.float64)
+        iqr = b[group_col].map({k: v[1] for k, v in table.items()}
+                               ).to_numpy(dtype=np.float64)
+        x = b[x_col].to_numpy().astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = np.where(iqr > 0, (x - med) / iqr, np.nan)
+        b = b.copy()
+        b[out_col] = np.round(v, ndigits)
+        return b
+
+    return ds.map_batches(scale_batch, batch_format="pandas",
+                          batch_size=None)
