@@ -2029,6 +2029,143 @@ def q_value_robust_scale(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def q_sparse_dot_pairs(sf_dir: str) -> pd.DataFrame:
+    """Sparse lexical similarity join over the postings decomposition:
+    tf rows shuffle once by hash(token), pairs generate inside token
+    buckets with the stopword df-cap applied there, partial pair sums
+    reduce in hash(pair) buckets — exact integer dot products,
+    hash-exact vs the SQL self-join oracle."""
+    from web2llmstxt_ray.ops.retrieval import sparse_dot_pairs
+
+    out = _pdf(sparse_dot_pairs(_t(sf_dir, "documents",
+                                   ["doc_id", "text"]),
+                                max_df=395, min_dot=200))
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def q_regional_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: revenue per nation for one region and one order
+    year, with customer and supplier required to share the nation.
+    Composition: the two BIG sides (orders⋈customer, then
+    lineitem⋈that) go through the explicit bucketed hash join — one
+    shuffle each on the join key; the SMALL dims (supplier, nation,
+    region) broadcast once and resolve in a map-only pass; revenue
+    aggregates as exact integer price·(100−disc) partials."""
+    import numpy as np
+
+    from web2llmstxt_ray.ops.relational import hash_join, partial_groupby
+
+    # region → nation-name lookup (driver-side, 25+5 rows)
+    nat = _t(sf_dir, "nation").to_pandas()
+    reg = _t(sf_dir, "region").to_pandas()
+    asia = reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    nation_name = {int(r["n_nationkey"]): r["n_name"]
+                   for _, r in nat.iterrows()
+                   if int(r["n_regionkey"]) == int(asia)}
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+              ).to_pandas()
+    supp_nation = dict(zip(supp["s_suppkey"].astype(int),
+                           supp["s_nationkey"].astype(int)))
+    nref = ray.put((nation_name, supp_nation))
+
+    import datetime as _dt
+
+    def ord_prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lo = pa.scalar(_dt.datetime(1996, 1, 1))
+        hi = pa.scalar(_dt.datetime(1997, 1, 1))
+        m = pc.and_(pc.greater_equal(b.column("o_orderdate"), lo),
+                    pc.less(b.column("o_orderdate"), hi))
+        k = b.filter(m)
+        return pa.table({"o_orderkey": k.column("o_orderkey"),
+                         "custkey": k.column("o_custkey")})
+
+    ords = _t(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"]
+              ).map_batches(ord_prep, batch_format="pyarrow")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]
+              ).rename_columns({"c_custkey": "custkey"})
+    oc = hash_join(ords, cust, "custkey", how="inner").map_batches(
+        lambda b: b[["o_orderkey", "c_nationkey"]].rename(
+            columns={"o_orderkey": "orderkey"}),
+        batch_format="pandas", batch_size=None)
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            b.column("l_discount"), 100.0)), pa.int64())
+        return pa.table({
+            "orderkey": b.column("l_orderkey"),
+            "l_suppkey": b.column("l_suppkey"),
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, pa.int64()), disc)),
+        })
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+            ).map_batches(li_prep, batch_format="pyarrow")
+    j = hash_join(li, oc, "orderkey", how="inner")
+
+    def resolve(b: pd.DataFrame) -> pd.DataFrame:
+        names, s2n = ray.get(nref)
+        sn = b["l_suppkey"].map(s2n)
+        keep = sn.eq(b["c_nationkey"]) & b["c_nationkey"].isin(names)
+        k = b[keep]
+        out = pd.DataFrame({
+            "n_name": k["c_nationkey"].map(names),
+            "revenue_i": k["rev"],
+        })
+        return out.groupby("n_name", as_index=False)["revenue_i"].sum()
+
+    out = partial_groupby(j, ["n_name"], resolve, ["revenue_i"])
+    out["revenue_i"] = out["revenue_i"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def q_interleaved_costs(sf_dir: str) -> pd.DataFrame:
+    """Per-document token cost of the interleaved span doc (text spans
+    = ws-token count, media spans = fixed 16): map-only — explode keeps
+    a doc's spans in one block so the sum completes without a shuffle.
+    SQL oracle regenerates the same deterministic spans and mirrors
+    the tokenizer."""
+    from web2llmstxt_ray.ops.nested import build_span_docs, span_costs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = _pdf(span_costs(build_span_docs(docs), media_cost=16))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pack_interleaved(sf_dir: str) -> pd.DataFrame:
+    """FFD packing of interleaved span docs into ≤1024-token training
+    sequences (docs pack atomically so span order survives). Rows-only
+    driver check; packing invariants (every doc exactly once, budget
+    respected, determinism) are pytest-gated in tests/test_nested_pack.py."""
+    from web2llmstxt_ray.ops.nested import build_span_docs, pack_interleaved
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = _pdf(pack_interleaved(build_span_docs(docs.repartition(4)),
+                                max_tokens=1024))
+    out["doc_ids"] = out["doc_ids"].map(
+        lambda v: ",".join(map(str, v)))
+    return out.sort_values("pack_id").reset_index(drop=True)
+
+
+def q_user_journeys(sf_dir: str) -> pd.DataFrame:
+    """Grouped ordered string_agg: per-user event-type journey in
+    (ts, id) order — one bucketed shuffle + per-bucket stable sort +
+    vectorized groupby-join."""
+    from web2llmstxt_ray.ops.events import user_journeys
+
+    out = _pdf(user_journeys(_t(sf_dir, "events",
+                                ["event_id", "user_id", "event_type",
+                                 "ts"])))
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _events_cents(sf_dir: str) -> rd.Dataset:
     """events (event_id, event_type, x=value·100 as int64)."""
     ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
@@ -2150,6 +2287,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_orders_building": q_bloom_orders_building,
         "value_minmax_norm": q_value_minmax_norm,
         "value_robust_scale": q_value_robust_scale,
+        "sparse_dot_pairs": q_sparse_dot_pairs,
+        "regional_revenue": q_regional_revenue,
+        "interleaved_costs": q_interleaved_costs,
+        "pack_interleaved": q_pack_interleaved,
+        "user_journeys": q_user_journeys,
         "cohort_retention": q_cohort_retention,
         "events_funnel": q_events_funnel,
         "value_zscore": q_value_zscore,
@@ -2521,6 +2663,72 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct
             FROM events GROUP BY event_type
+        """,
+        "interleaved_costs": """
+            WITH flat AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       text AS full_text,
+                       unnest(range(CAST(ceil(length(text) / 64.0)
+                                         AS BIGINT))) AS i
+                FROM documents),
+            spans AS (
+                SELECT doc_id,
+                       CASE WHEN i % 3 = 2 THEN 16
+                            ELSE len(list_filter(
+                                regexp_split_to_array(
+                                    trim(substr(full_text,
+                                                CAST(i * 64 + 1 AS INT),
+                                                64)), '\\s+'),
+                                x -> x <> ''))
+                       END AS c
+                FROM flat)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS cost
+            FROM spans GROUP BY doc_id
+        """,
+        "user_journeys": """
+            SELECT user_id,
+                   string_agg(event_type, '>'
+                              ORDER BY ts, event_id) AS journey,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_i
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "sparse_dot_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS token
+                FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM toks GROUP BY doc_id, token),
+            keep AS (SELECT token FROM tf GROUP BY token
+                     HAVING count(*) <= 395)
+            SELECT ta.doc_id AS a, tb.doc_id AS b,
+                   CAST(sum(ta.tf * tb.tf) AS BIGINT) AS dot
+            FROM tf ta
+            JOIN tf tb USING (token)
+            JOIN keep USING (token)
+            WHERE ta.doc_id < tb.doc_id
+            GROUP BY ta.doc_id, tb.doc_id
+            HAVING sum(ta.tf * tb.tf) >= 200
         """,
         "customer_set_ops": """
             SELECT 'intersect' AS op, c_custkey AS key FROM

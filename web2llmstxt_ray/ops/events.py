@@ -136,3 +136,25 @@ def funnel(ds: ray.data.Dataset, steps: list[str],
                                         batch_format="pandas"),
         ["step_no", "step"], lambda b: b, ["n_users"])
     return out.sort_values("step_no").reset_index(drop=True)
+
+
+def user_journeys(ds: ray.data.Dataset, sep: str = ">",
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-user ordered event-type journey string (the grouped ordered
+    ``string_agg``): one bucketed shuffle, then a stable vectorized
+    sort + groupby-join per bucket. Deterministic total order
+    (ts, id) inside each user. Output: (user_id, journey, n_events)."""
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([user_col, ts_col, id_col], kind="stable")
+        out = g.groupby(user_col, as_index=False).agg(
+            journey=(type_col, sep.join), n_events=(type_col, "size"))
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return _add_key_bucket(
+        ds.select_columns([user_col, type_col, ts_col, id_col]),
+        user_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas")

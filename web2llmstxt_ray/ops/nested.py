@@ -201,3 +201,76 @@ def regroup_spans(flat: ray.data.Dataset,
 
     return (flat.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_db").map_groups(rebuild, batch_format="pandas"))
+
+
+def span_costs(docs: ray.data.Dataset, media_cost: int = 16,
+               text_kind: str = "text") -> ray.data.Dataset:
+    """Per-document token cost of an interleaved span doc: text spans
+    cost their whitespace-token count, media spans a fixed
+    ``media_cost`` (the fixed-patch-budget model multimodal trainers
+    use). Map-only: ``explode_spans`` keeps every document's spans in
+    one block (the explode is per-row), so the per-doc sum completes
+    inside the block — no shuffle. Token semantics mirror
+    ``textstats.tokenize_ws`` (SQL: split trimmed text on ``\\s+``).
+    Output: (doc_id, cost:int64)."""
+
+    def per_block(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("").str.strip()
+        ntok = np.where(t == "", 0, t.str.count(r"\s+") + 1)
+        cost = np.where(b["kind"].eq(text_kind), ntok,
+                        media_cost).astype("int64")
+        g = pd.DataFrame({"doc_id": b["doc_id"], "cost": cost})
+        return g.groupby("doc_id", as_index=False)["cost"].sum()
+
+    return explode_spans(docs).map_batches(
+        per_block, batch_format="pandas", batch_size=None)
+
+
+def pack_interleaved(docs: ray.data.Dataset, max_tokens: int,
+                     media_cost: int = 16) -> ray.data.Dataset:
+    """Greedy FFD packing of interleaved span documents into training
+    sequences of ≤ ``max_tokens`` (text spans cost ws-tokens, media
+    spans ``media_cost``). Documents pack ATOMICALLY — a doc's span
+    sequence is never split, so the per-row invariant (kind, text,
+    media_ref, order) survives packing by construction; docs larger
+    than the budget get singleton packs. Packing is per input block
+    (deterministic given block contents — the same contract as
+    ``corpus.pack_sequences``); ``pack_id`` is the content hash of the
+    member ids. Output: (pack_id, doc_ids:list<string>, n_docs,
+    total_cost)."""
+
+    def pack_block(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        costs = batch.column("cost").to_pylist()
+        order = sorted(range(len(ids)),
+                       key=lambda i: (-costs[i], ids[i]))
+        packs: list[list] = []
+        for i in order:
+            c = costs[i]
+            placed = False
+            for p in packs:
+                if p[1] + c <= max_tokens:
+                    p[0].append(ids[i])
+                    p[1] += c
+                    placed = True
+                    break
+            if not placed:
+                packs.append([[ids[i]], c])
+        if not packs:
+            return pa.table({
+                "pack_id": pa.array([], pa.uint64()),
+                "doc_ids": pa.array([], pa.list_(pa.string())),
+                "n_docs": pa.array([], pa.int32()),
+                "total_cost": pa.array([], pa.int64()),
+            })
+        pack_ids = hash64_batch([",".join(sorted(p[0])) for p in packs])
+        return pa.table({
+            "pack_id": pa.array(pack_ids),
+            "doc_ids": pa.array([sorted(p[0]) for p in packs],
+                                pa.list_(pa.string())),
+            "n_docs": pa.array([len(p[0]) for p in packs], pa.int32()),
+            "total_cost": pa.array([p[1] for p in packs], pa.int64()),
+        })
+
+    return span_costs(docs, media_cost).map_batches(
+        pack_block, batch_format="pyarrow", batch_size=None)

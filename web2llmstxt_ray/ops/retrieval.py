@@ -268,3 +268,81 @@ def inverted_index(ds: ray.data.Dataset, text_col: str = "text",
     return (ds.map_batches(tf_rows, batch_format="pyarrow")
             .groupby("_tb").map_groups(build_postings,
                                        batch_format="pandas"))
+
+
+def sparse_dot_pairs(ds: ray.data.Dataset, max_df: int = 50,
+                     min_dot: int = 1, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Sparse lexical similarity join: every document pair sharing at
+    least one (non-stopword) token, scored by the EXACT integer
+    term-frequency dot product Σ_t tf_a(t)·tf_b(t) — the raw kernel
+    under cosine/TF-IDF rankers, kept integer so the SQL oracle is
+    hash-exact and partial sums are order-free.
+
+    Scale shape (the DAAT/postings decomposition):
+      1. per-doc tf rows (one per distinct token per doc) shuffle ONCE
+         by hash(token) — same exchange as :func:`inverted_index`;
+      2. a token's pair contributions are generated inside its bucket
+         with one merge per token group, and tokens with
+         ``df > max_df`` are dropped THERE (the standard stopword-
+         posting cap: an O(corpus)-df token would otherwise emit
+         O(df²) pairs — at 100 TB this cap is what keeps the join
+         near-linear, and it is mirrored in the oracle);
+      3. per-bucket partial pair sums shuffle by hash(pair) so the
+         final per-pair reduction is vectorized and skew-free;
+      4. ``dot < min_dot`` pairs are cut after the exact sum.
+    """
+    import pandas as pd
+    from collections import Counter
+
+    from ..functions.urls import hash64_batch
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        toks, ids, tfs = [], [], []
+        for did, t in zip(batch.column(id_col).to_pylist(),
+                          batch.column(text_col).to_pylist()):
+            for tok, n in Counter(
+                    tokenize_ws((t or "").lower())).items():
+                toks.append(tok)
+                ids.append(did)
+                tfs.append(n)
+        buckets = (hash64_batch(toks) % np.uint64(num_buckets)
+                   ).astype(np.int32)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            id_col: pa.array(ids, pa.int64()),
+            "tf": pa.array(tfs, pa.int64()),
+            "_tb": pa.array(buckets),
+        })
+
+    def token_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["token", id_col, "tf"]]
+        df_per_tok = g.groupby("token", sort=False)["token"].transform(
+            "size")
+        g = g[df_per_tok <= max_df]
+        if g.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "part": pd.Series([], dtype="int64"),
+                                 "_pb": pd.Series([], dtype="int32")})
+        m = g.merge(g, on="token", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        m = m.assign(part=m["tf_a"] * m["tf_b"])
+        out = m.groupby([f"{id_col}_a", f"{id_col}_b"],
+                        as_index=False)["part"].sum()
+        out.columns = ["a", "b", "part"]
+        # route partials to the pair's reduction bucket
+        out["_pb"] = ((out["a"] * 1000003 + out["b"])
+                      % num_buckets).astype("int32")
+        return out
+
+    def pair_sum(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(["a", "b"], as_index=False)["part"].sum()
+        out = out.rename(columns={"part": "dot"})
+        return out[out["dot"] >= min_dot]
+
+    return (ds.map_batches(tf_rows, batch_format="pyarrow")
+            .groupby("_tb").map_groups(token_pairs,
+                                       batch_format="pandas")
+            .groupby("_pb").map_groups(pair_sum, batch_format="pandas"))
