@@ -146,7 +146,8 @@ class TestPolitenessPacing:
 
 
 class TestApproximateSeenModes:
-    @pytest.mark.parametrize("mode", ["cuckoo", "bloom"])
+    @pytest.mark.parametrize("mode", ["cuckoo", "bloom", "cuckoo-auto",
+                                      "cuckoo-spill"])
     def test_crawl_matches_oracle_under_approx_seen(
             self, small_site, disallow_by_host, tmp_path, mode):
         """At small scale the approximate filters have ~no false

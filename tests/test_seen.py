@@ -4,7 +4,8 @@ import numpy as np
 import pytest
 
 from web2llmstxt_ray.state.seen import (SeenFilter, _Bloom, _Cuckoo,
-                                         _CuckooChain, _ExactSet, _hash_batch)
+                                         _CuckooChain, _CuckooSpill,
+                                         _ExactSet, _hash_batch)
 
 
 def _urls(n, prefix="https://h.test/p"):
@@ -12,14 +13,16 @@ def _urls(n, prefix="https://h.test/p"):
 
 
 class TestBackendsDirect:
-    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo, _CuckooChain])
+    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo, _CuckooChain,
+                                     _CuckooSpill])
     def test_no_false_negatives(self, cls):
         impl = cls(1 << 14)
         hashes = _hash_batch(_urls(5000))
         impl.check_and_add(hashes)
         assert impl.contains(hashes).all()
 
-    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo, _CuckooChain])
+    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo, _CuckooChain,
+                                     _CuckooSpill])
     def test_check_and_add_reports_new_once(self, cls):
         impl = cls(1 << 14)
         h = _hash_batch(_urls(1000))
@@ -28,7 +31,8 @@ class TestBackendsDirect:
         assert first.sum() >= 990  # approx modes may have a few FPs
         assert not second.any()
 
-    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo, _CuckooChain])
+    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo, _CuckooChain,
+                                     _CuckooSpill])
     def test_intra_batch_duplicates_detected(self, cls):
         impl = cls(1 << 12)
         urls = ["https://h.test/a", "https://h.test/b", "https://h.test/a"]
@@ -43,7 +47,8 @@ class TestBackendsDirect:
         assert not other.any()
 
     @pytest.mark.parametrize("cls,limit", [(_Bloom, 0.03), (_Cuckoo, 0.02),
-                                           (_CuckooChain, 0.02)])
+                                           (_CuckooChain, 0.02),
+                                           (_CuckooSpill, 0.03)])
     def test_false_positive_rate_within_design(self, cls, limit):
         impl = cls(1 << 16)
         impl.check_and_add(_hash_batch(_urls(40000)))
@@ -51,7 +56,8 @@ class TestBackendsDirect:
         fp = impl.contains(probe).sum() / len(probe)
         assert fp < limit
 
-    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo, _CuckooChain])
+    @pytest.mark.parametrize("cls", [_ExactSet, _Bloom, _Cuckoo, _CuckooChain,
+                                     _CuckooSpill])
     def test_snapshot_restore_roundtrip(self, cls):
         impl = cls(1 << 14)
         h = _hash_batch(_urls(3000))
@@ -107,6 +113,48 @@ class TestCuckooAuto:
             assert s["mode"] == "cuckoo-auto"
             assert s["generations"] >= 1
             assert s["slot_load"] < 1.0
+
+
+class TestCuckooSpill:
+    def test_spills_to_bloom_partitions(self):
+        impl = _CuckooSpill(256)
+        h = _hash_batch(_urls(20000))
+        for i in range(0, len(h), 1000):
+            impl.check_and_add(h[i:i + 1000])
+        assert isinstance(impl.gens[0], _Cuckoo)
+        blooms = [g for g in impl.gens[1:] if isinstance(g, _Bloom)]
+        assert blooms                          # growth went to bloom
+        assert all(isinstance(g, _Bloom) for g in impl.gens[1:])
+        assert impl.contains(h).all()          # no false negatives
+        assert len(impl.gens) <= 10            # geometric partitions
+
+    def test_rejects_across_cuckoo_and_bloom_tiers(self):
+        impl = _CuckooSpill(128)
+        h = _hash_batch(_urls(5000))
+        first = impl.check_and_add(h)
+        again = impl.check_and_add(h)
+        assert first.sum() == 5000
+        assert not again.any()
+
+    def test_spill_snapshot_roundtrip_preserves_tiers(self):
+        impl = _CuckooSpill(128)
+        h = _hash_batch(_urls(6000))
+        impl.check_and_add(h)
+        restored = _CuckooSpill.load(impl.dump())
+        assert [type(g) for g in restored.gens] == \
+            [type(g) for g in impl.gens]
+        assert restored.contains(h).all()
+        assert len(restored) == len(impl)
+
+    def test_shard_pressure_reports_spill(self):
+        f = SeenFilter(num_shards=2, mode="cuckoo-spill",
+                       capacity_per_shard=256)
+        f.check_and_add(_urls(6000))
+        ps = f.pressure()
+        assert any(s["spill_partitions"] >= 1 for s in ps)
+        for s in ps:
+            assert s["mode"] == "cuckoo-spill"
+            assert s["spilled_n"] <= s["n"]  # spilled subset of total
 
 
 class TestShardedFilter:

@@ -86,7 +86,7 @@ class CrawlConfig:
     num_frontier_shards: int = 4
     num_host_buckets: int = 16
     num_workers: int = 4
-    seen_mode: str = "exact"          # exact | bloom | cuckoo
+    seen_mode: str = "exact"  # exact|bloom|cuckoo|cuckoo-auto|cuckoo-spill
     session_id: str = "ray_crawl"
     run_dir: str | None = None         # checkpoint root; None = no checkpoints
     host_delays_ms: dict = field(default_factory=dict)

@@ -23,6 +23,12 @@ one of three membership structures:
   a shard that outgrows its sizing degrades to k-probe lookups instead
   of ballooning its overflow set. Use when per-shard cardinality is
   unpredictable; plain ``cuckoo`` + pressure telemetry when it is.
+- ``cuckoo-spill`` — the north-star composition ("cuckoo filter …
+  bloom fallback for spill partitions"): generation 0 is a cuckoo;
+  overflow past the pressure signal lands in geometric k-hash bloom
+  spill partitions (9.6 bits/key, no eviction cascades) instead of 2×
+  cuckoo generations. Cheapest memory growth for unexpected overflow;
+  ~1% FP per spill partition.
 
 All modes share the hash-collision caveat above; the approximate
 modes additionally trade false positives (a *new* URL reported as
@@ -370,16 +376,22 @@ class _CuckooChain:
         pos = 0
         while pos < len(idx):
             if self._newest_pressured():
-                # nb*SLOTS through the constructor rounds up to the
-                # next power of two ⇒ the new generation has 2× buckets
-                self.gens.append(_Cuckoo(self.gens[-1].nb * _Cuckoo.SLOTS))
+                self._spawn()
             g = self.gens[-1]
-            headroom = max(256, int(g.nb * g.SLOTS * self.GROW_LOAD) - g.n)
-            chunk = idx[pos:pos + headroom]
+            chunk = idx[pos:pos + self._headroom()]
             sub = g.check_and_add(hashes[chunk])
             new[chunk[~sub]] = False       # newest-generation FP ⇒ seen
             pos += len(chunk)
         return new
+
+    def _spawn(self) -> None:
+        # nb*SLOTS through the constructor rounds up to the
+        # next power of two ⇒ the new generation has 2× buckets
+        self.gens.append(_Cuckoo(self.gens[-1].nb * _Cuckoo.SLOTS))
+
+    def _headroom(self) -> int:
+        g = self.gens[-1]
+        return max(256, int(g.nb * g.SLOTS * self.GROW_LOAD) - g.n)
 
     def __len__(self) -> int:
         return sum(g.n for g in self.gens)
@@ -394,8 +406,67 @@ class _CuckooChain:
         return obj
 
 
+def _bloom_design_cap(b: _Bloom) -> int:
+    """The key count a bloom of this bit width was sized for (inverse
+    of the ~9.6 bits/key ≈ 1% FP sizing in ``_Bloom.__init__``)."""
+    return max(64, int(int(b.nbits) / 9.6))
+
+
+class _CuckooSpill(_CuckooChain):
+    """North-star spill mode ("partitioned cuckoo-filter URL-seen set,
+    bloom fallback for spill partitions"): generation 0 is a cuckoo
+    filter sized for the shard's expected cardinality; when it trips
+    the pressure signal, growth appends k-hash BLOOM spill partitions
+    (geometric capacities) instead of bigger cuckoos.
+
+    Why bloom for the spill tier: a 2× cuckoo generation costs 16
+    bits/key of *reserved* slot memory up front, while a bloom spill
+    partition costs 9.6 bits/key and never suffers eviction cascades —
+    the right trade for overflow the shard was not sized for. The cost
+    is ~1% FP per spill partition (vs 2^-13 cuckoo) and no path back to
+    deletions — acceptable for seen filters, which never delete.
+
+    Same guarantees as the chain: inserts land in the newest
+    generation, lookups OR across all generations, no false negatives
+    ever; FP rate is the sum across generations.
+    """
+
+    def _spawn(self) -> None:
+        last = self.gens[-1]
+        if isinstance(last, _Cuckoo):
+            cap = int(last.nb * last.SLOTS)
+        else:
+            cap = _bloom_design_cap(last)
+        self.gens.append(_Bloom(cap * 2))
+
+    def _newest_pressured(self) -> bool:
+        g = self.gens[-1]
+        if isinstance(g, _Cuckoo):
+            return (g.n / (g.nb * g.SLOTS) > self.GROW_LOAD
+                    or len(g.overflow) > self.OVERFLOW_LIMIT)
+        return g.n >= _bloom_design_cap(g)
+
+    def _headroom(self) -> int:
+        g = self.gens[-1]
+        if isinstance(g, _Cuckoo):
+            return max(256, int(g.nb * g.SLOTS * self.GROW_LOAD) - g.n)
+        return max(256, _bloom_design_cap(g) - g.n)
+
+    def dump(self) -> bytes:
+        return pickle.dumps(
+            [("c" if isinstance(g, _Cuckoo) else "b", g.dump())
+             for g in self.gens], protocol=5)
+
+    @classmethod
+    def load(cls, blob: bytes) -> "_CuckooSpill":
+        obj = cls.__new__(cls)
+        obj.gens = [(_Cuckoo if kind == "c" else _Bloom).load(b)
+                    for kind, b in pickle.loads(blob)]
+        return obj
+
+
 _BACKENDS = {"exact": _ExactSet, "bloom": _Bloom, "cuckoo": _Cuckoo,
-             "cuckoo-auto": _CuckooChain}
+             "cuckoo-auto": _CuckooChain, "cuckoo-spill": _CuckooSpill}
 
 
 @ray.remote
@@ -422,10 +493,17 @@ class SeenFilterShard:
             out["slot_load"] = round(len(self.impl) / out["slots"], 4)
             out["overflow"] = len(self.impl.overflow)
         elif isinstance(self.impl, _CuckooChain):
-            out["slots"] = sum(g.nb * _Cuckoo.SLOTS for g in self.impl.gens)
-            out["slot_load"] = round(len(self.impl) / out["slots"], 4)
-            out["overflow"] = sum(len(g.overflow) for g in self.impl.gens)
+            cucks = [g for g in self.impl.gens if isinstance(g, _Cuckoo)]
+            out["slots"] = sum(g.nb * _Cuckoo.SLOTS for g in cucks)
+            out["slot_load"] = round(
+                sum(g.n for g in cucks) / max(1, out["slots"]), 4)
+            out["overflow"] = sum(len(g.overflow) for g in cucks)
             out["generations"] = len(self.impl.gens)
+            if isinstance(self.impl, _CuckooSpill):
+                blooms = [g for g in self.impl.gens
+                          if isinstance(g, _Bloom)]
+                out["spill_partitions"] = len(blooms)
+                out["spilled_n"] = sum(g.n for g in blooms)
         return out
 
     def check_and_add(self, urls: list[str]) -> np.ndarray:
