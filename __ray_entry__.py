@@ -935,6 +935,23 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return ivf_topk(ds, centroids, queries, qids, k=10, nprobe=4).to_pandas()
 
 
+def q_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ADC top-k (rows-only — recall vs the exact
+    brute-force scan is pytest-gated in tests/test_pq.py): codebooks
+    train driver-side on a sample and broadcast; encoding is map-only
+    (64-d float → 8 uint8 codes = 32× compression); the scan reads
+    codes only, m table lookups per vector, partial top-k per batch."""
+    from web2llmstxt_ray.ops.pq import pq_encode, pq_topk, pq_train
+
+    queries, qids = _query_vectors(sf_dir)
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = np.array([r["embedding"] for r in ds.take(512)],
+                      dtype=np.float64)
+    books = pq_train(sample, m=8, ks=32)
+    codes = pq_encode(ds, books)
+    return pq_topk(codes, books, queries, qids, k=10).to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # documents: near-dup family (rows-only — verified in tests vs oracles)
 # ---------------------------------------------------------------------------
@@ -2126,6 +2143,135 @@ def q_regional_revenue(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def q_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape: revenue between two nations by (supp_nation,
+    cust_nation, ship year). The two BIG sides (orders⋈customer, then
+    lineitem⋈that) take one bucketed hash join each; supplier→nation is
+    a broadcast map; the nation-pair predicate and year extraction are
+    map-only; revenue partials are exact integer cents."""
+    import datetime as _dt
+
+    from web2llmstxt_ray.ops.relational import hash_join, partial_groupby
+
+    nat = _t(sf_dir, "nation").to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    pair = {k for k, v in names.items()
+            if v in ("NATION_3", "NATION_7")}
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]
+              ).to_pandas()
+    s2n = dict(zip(supp["s_suppkey"].astype(int),
+                   supp["s_nationkey"].astype(int)))
+    bref = ray.put((names, pair, s2n))
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lo = pa.scalar(_dt.datetime(1996, 1, 1))
+        hi = pa.scalar(_dt.datetime(1998, 1, 1))
+        k = b.filter(pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), lo),
+            pc.less(b.column("l_shipdate"), hi)))
+        cents = pc.cast(pc.round(pc.multiply(
+            k.column("l_extendedprice"), 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            k.column("l_discount"), 100.0)), pa.int64())
+        return pa.table({
+            "orderkey": k.column("l_orderkey"),
+            "l_suppkey": k.column("l_suppkey"),
+            "l_year": pc.cast(pc.year(k.column("l_shipdate")),
+                              pa.int64()),
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, pa.int64()), disc)),
+        })
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount"]
+            ).map_batches(li_prep, batch_format="pyarrow")
+    ords = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]
+              ).rename_columns({"o_custkey": "custkey"})
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]
+              ).rename_columns({"c_custkey": "custkey"})
+    oc = hash_join(ords, cust, "custkey", how="inner").map_batches(
+        lambda b: b[["o_orderkey", "c_nationkey"]].rename(
+            columns={"o_orderkey": "orderkey"}),
+        batch_format="pandas", batch_size=None)
+    j = hash_join(li, oc, "orderkey", how="inner")
+
+    def resolve(b: pd.DataFrame) -> pd.DataFrame:
+        nm, pr, sn = ray.get(bref)
+        s_nat = b["l_suppkey"].map(sn)
+        c_nat = b["c_nationkey"].astype(int)
+        keep = (s_nat.isin(pr) & c_nat.isin(pr) & (s_nat != c_nat))
+        k = b[keep]
+        out = pd.DataFrame({
+            "supp_nation": s_nat[keep].map(nm),
+            "cust_nation": c_nat[keep].map(nm),
+            "l_year": k["l_year"],
+            "revenue_i": k["rev"],
+        })
+        return out.groupby(["supp_nation", "cust_nation", "l_year"],
+                           as_index=False)["revenue_i"].sum()
+
+    out = partial_groupby(j, ["supp_nation", "cust_nation", "l_year"],
+                          resolve, ["revenue_i"])
+    out["revenue_i"] = out["revenue_i"].astype("int64")
+    out["l_year"] = out["l_year"].astype("int64")
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]
+                           ).reset_index(drop=True)
+
+
+def q_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose summed
+    quantity exceeds a threshold, with the owning customer. The
+    HAVING subquery is a partial-agg groupby (skinny int partials
+    shuffle, never lineitem rows); survivors (~1% of orders) join
+    orders then customer through the bucketed hash join."""
+    from web2llmstxt_ray.ops.relational import hash_join
+
+    def qty_prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "o_orderkey": b.column("l_orderkey"),
+            "qty": pc.cast(pc.round(b.column("l_quantity")),
+                           pa.int64()),
+        })
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]
+            ).map_batches(qty_prep, batch_format="pyarrow")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderkey", as_index=False)["qty"].sum()
+
+    def keep_big(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.rename_columns(["o_orderkey", "sum_qty"])
+        return t.filter(pc.greater(t.column("sum_qty"),
+                                   pa.scalar(250, pa.int64())))
+
+    # partial per block, final per bucket — lineitem rows never shuffle
+    big = (li.map_batches(partial, batch_format="pandas")
+           .groupby("o_orderkey")
+           .sum("qty")
+           .map_batches(keep_big, batch_format="pyarrow"))
+    ords = _t(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    j = hash_join(big, ords, "o_orderkey", how="inner").map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas", batch_size=None)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = _pdf(hash_join(j, cust, "c_custkey", how="inner"))
+    out["price_i"] = (out["o_totalprice"] * 100).round().astype("int64")
+    # pandas-merge NaN-alignment upcasts survivors to float — restore ints
+    for c in ("c_custkey", "o_orderkey", "sum_qty"):
+        out[c] = out[c].astype("int64")
+    out = out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+               "price_i", "sum_qty"]]
+    return out.sort_values(["o_orderkey"]).reset_index(drop=True)
+
+
 def q_interleaved_costs(sf_dir: str) -> pd.DataFrame:
     """Per-document token cost of the interleaved span doc (text spans
     = ws-token count, media spans = fixed 16): map-only — explode keeps
@@ -2288,7 +2434,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_minmax_norm": q_value_minmax_norm,
         "value_robust_scale": q_value_robust_scale,
         "sparse_dot_pairs": q_sparse_dot_pairs,
+        "pq_topk": q_pq_topk,
         "regional_revenue": q_regional_revenue,
+        "volume_shipping": q_volume_shipping,
+        "large_orders": q_large_orders,
         "interleaved_costs": q_interleaved_costs,
         "pack_interleaved": q_pack_interleaved,
         "user_journeys": q_user_journeys,
@@ -2691,6 +2840,38 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts, event_id) AS journey,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        "volume_shipping": """
+            SELECT ns.n_name AS supp_nation,
+                   nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_i
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+                OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "large_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_i,
+                   sum_qty
+            FROM (SELECT l_orderkey,
+                         CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                              AS BIGINT) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "regional_revenue": """
             SELECT n_name,

@@ -86,3 +86,57 @@ def test_manifest_atomicity(small_site, disallow_by_host, tmp_path):
         site_idx, disallow_by_host=disallow_by_host)
     assert c2.resume()
     assert c2._completed_depth == 1  # torn wave ignored
+
+
+def test_lineage_records_and_integrity_gate(small_site, disallow_by_host,
+                                            tmp_path):
+    """Every committed wave carries a lineage.json whose per-partition
+    hashes match the state blobs on disk and whose output row counts
+    match the parquet footers; a corrupted blob is refused at resume."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    _, _, site_idx = small_site
+    run_dir = str(tmp_path / "lineage")
+    cfg = CrawlConfig(base_url=BASE, max_pages=8, run_dir=run_dir)
+    c = DistributedCrawler(cfg, site_idx, disallow_by_host=disallow_by_host)
+    c.run()
+    c.shutdown()
+
+    waves = sorted(n for n in os.listdir(run_dir) if n.startswith("wave_"))
+    assert waves
+    for w in waves:
+        d = os.path.join(run_dir, w)
+        with open(os.path.join(d, "lineage.json")) as f:
+            lin = json.load(f)
+        for kind in ("seen", "frontier"):
+            assert lin["partitions"][kind]
+            for rec in lin["partitions"][kind]:
+                blob = open(os.path.join(d, rec["file"]), "rb").read()
+                assert hashlib.sha256(blob).hexdigest() == rec["sha256"]
+                assert len(blob) == rec["bytes"]
+        for out in lin["outputs"]:
+            md = pq.ParquetFile(os.path.join(d, out["file"])).metadata
+            assert md.num_rows == out["rows"]
+    # parent chain is contiguous
+    depths = sorted(json.load(open(os.path.join(run_dir, w, "lineage.json")))
+                    ["depth"] for w in waves)
+    assert depths == list(range(len(waves)))
+
+    # corrupt one committed seen blob → resume must refuse
+    last = os.path.join(run_dir, waves[-1])
+    with open(os.path.join(run_dir, "manifest.json")) as f:
+        top = json.load(f)["completed_depth"]
+    victim = os.path.join(run_dir, f"wave_{top}", "state", "seen_0.bin")
+    blob = open(victim, "rb").read()
+    open(victim, "wb").write(blob[:-1] + bytes([blob[-1] ^ 0xFF]))
+    c2 = DistributedCrawler(CrawlConfig(base_url=BASE, max_pages=8,
+                                        run_dir=run_dir),
+                            site_idx, disallow_by_host=disallow_by_host)
+    with pytest.raises(RuntimeError, match="checkpoint corruption"):
+        c2.resume()
+    c2.shutdown()

@@ -55,6 +55,7 @@ Per wave:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -343,12 +344,36 @@ class DistributedCrawler:
         d = self._wave_dir(depth)
         state_dir = os.path.join(d, "state")
         os.makedirs(state_dir, exist_ok=True)
+        lineage: dict = {
+            "depth": depth,
+            "parent_depth": depth - 1 if depth > 0 else None,
+            "partitions": {"seen": [], "frontier": []},
+            "outputs": [],
+        }
         for i, blob in enumerate(self.seen.snapshot()):
             with open(os.path.join(state_dir, f"seen_{i}.bin"), "wb") as f:
                 f.write(blob)
+            lineage["partitions"]["seen"].append(
+                {"file": f"state/seen_{i}.bin", "bytes": len(blob),
+                 "sha256": hashlib.sha256(blob).hexdigest()})
         for i, blob in enumerate(self.frontier.snapshot()):
             with open(os.path.join(state_dir, f"frontier_{i}.bin"), "wb") as f:
                 f.write(blob)
+            lineage["partitions"]["frontier"].append(
+                {"file": f"state/frontier_{i}.bin", "bytes": len(blob),
+                 "sha256": hashlib.sha256(blob).hexdigest()})
+        # per-partition output accounting: parquet row counts come from
+        # the file footers (no data read) — the audit trail that lets a
+        # resumed/verifying job prove a wave's outputs are complete
+        # without re-fetching anything
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".parquet"):
+                md = pq.ParquetFile(os.path.join(d, name)).metadata
+                lineage["outputs"].append(
+                    {"file": name, "rows": md.num_rows,
+                     "bytes": os.path.getsize(os.path.join(d, name))})
+        with open(os.path.join(d, "lineage.json"), "w") as f:
+            json.dump(lineage, f)
         with open(os.path.join(d, "metrics.json"), "w") as f:
             json.dump(wave_metrics, f)
         # manifest pointer written LAST and atomically: a partially
@@ -389,6 +414,21 @@ class DistributedCrawler:
         for i in range(self.cfg.num_frontier_shards):
             with open(os.path.join(state_dir, f"frontier_{i}.bin"), "rb") as f:
                 frontier_blobs.append(f.read())
+        # lineage integrity gate: a state blob whose hash diverges from
+        # the committed lineage record means torn/corrupted storage —
+        # resuming from it would silently re-fetch or duplicate URLs
+        lpath = os.path.join(self._wave_dir(depth), "lineage.json")
+        if os.path.exists(lpath):
+            with open(lpath) as f:
+                lineage = json.load(f)
+            for kind, blobs in (("seen", seen_blobs),
+                                ("frontier", frontier_blobs)):
+                for rec, blob in zip(lineage["partitions"][kind], blobs):
+                    got = hashlib.sha256(blob).hexdigest()
+                    if got != rec["sha256"]:
+                        raise RuntimeError(
+                            f"checkpoint corruption: {rec['file']} hash "
+                            f"{got[:12]} != committed {rec['sha256'][:12]}")
         # scrub any torn wave dirs beyond the manifest pointer so a
         # partially-written wave can't contribute duplicate artifacts
         import shutil
