@@ -935,6 +935,61 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return ivf_topk(ds, centroids, queries, qids, k=10, nprobe=4).to_pandas()
 
 
+def q_value_window_ranks(sf_dir: str) -> pd.DataFrame:
+    """The four SQL ranking window functions (row_number / rank /
+    dense_rank / cume_dist per user ordered by value-cents) from ONE
+    bucketed skinny shuffle + vectorized per-bucket run arithmetic —
+    bit-exact vs the SQL window oracle (cume_dist is an exact integer
+    ratio cast once)."""
+    from web2llmstxt_ray.ops.windows import window_ranks
+
+    def to_int(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "x": pc.cast(pc.round(pc.multiply(
+                b.column("value"), 100.0)), pa.int64()),
+        })
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "value"]
+            ).map_batches(to_int, batch_format="pyarrow")
+    out = _pdf(window_ranks(ev, key_col="user_id", order_col="x",
+                            id_col="event_id"))
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_lineitem_profile(sf_dir: str) -> pd.DataFrame:
+    """One-pass ANALYZE over lineitem's numeric columns: count / nulls
+    / min / max from additive per-block partials — one scan, no
+    shuffle. (The HLL distinct column is pytest-gated separately;
+    floating sums are excluded here so the oracle hash is exact.)"""
+    from web2llmstxt_ray.ops.profile import table_profile
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    out = table_profile(_t(sf_dir, "lineitem", cols), cols,
+                        approx_distinct=False)
+    out = out.rename(columns={"column": "col_name"})
+    out["min_v"] = out["min_v"].astype(float)
+    out["max_v"] = out["max_v"].astype(float)
+    out = out[["col_name", "n_rows", "n_nulls", "min_v", "max_v"]]
+    return out.sort_values("col_name").reset_index(drop=True)
+
+
+def q_value_tdigest(sf_dir: str) -> pd.DataFrame:
+    """Approximate event-value quantiles from one t-digest per block
+    (rows-only — rank accuracy vs exact quantiles is pytest-gated in
+    tests/test_tdigest.py): values never shuffle, the driver merges
+    O(blocks·delta) centroids."""
+    from web2llmstxt_ray.ops.sketch import tdigest_quantiles
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+    out = tdigest_quantiles(ev, "value", [0.1, 0.5, 0.9, 0.99],
+                            group_col="event_type")
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
 def q_pq_topk(sf_dir: str) -> pd.DataFrame:
     """Product-quantization ADC top-k (rows-only — recall vs the exact
     brute-force scan is pytest-gated in tests/test_pq.py): codebooks
@@ -1503,6 +1558,39 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
                _t(sf_dir, "documents", ["doc_id"]).take(200)]
     media = synth_media_table(doc_ids, per_doc=2)
     return _pdf(extract_media_features(rd.from_arrow(media)))
+
+
+def q_media_frames(sf_dir: str) -> pd.DataFrame:
+    """Full media-stage chain (rows-only — stage semantics pytest-gated
+    in tests/test_media_stages.py): synthetic payloads → actor-pool
+    image resize (bounding box, aspect preserved) → actor-pool video
+    frame sampling (1→N expansion) → per-doc frame stats."""
+    from web2llmstxt_ray.ops.multimodal import (resize_images,
+                                                sample_frames,
+                                                synth_media_table)
+
+    doc_ids = [str(r["doc_id"]) for r in
+               _t(sf_dir, "documents", ["doc_id"]).take(200)]
+    media = rd.from_arrow(synth_media_table(doc_ids, per_doc=3))
+    frames = sample_frames(resize_images(media.repartition(4)), fps=1.0,
+                           max_frames=8)
+
+    def stats(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        df["frame_bytes"] = df["payload"].map(len)
+        return df.groupby("doc_id", as_index=False).agg(
+            n_frames=("frame_no", "size"),
+            n_videos=("media_id", "nunique"),
+            frame_bytes=("frame_bytes", "sum"))
+
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    out = partial_groupby(
+        frames.map_batches(stats, batch_format="pyarrow"),
+        ["doc_id"], lambda b: b, ["n_frames", "n_videos", "frame_bytes"])
+    for c in ("n_frames", "n_videos", "frame_bytes"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2435,6 +2523,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_robust_scale": q_value_robust_scale,
         "sparse_dot_pairs": q_sparse_dot_pairs,
         "pq_topk": q_pq_topk,
+        "value_tdigest": q_value_tdigest,
+        "media_frames": q_media_frames,
+        "lineitem_profile": q_lineitem_profile,
+        "value_window_ranks": q_value_window_ranks,
         "regional_revenue": q_regional_revenue,
         "volume_shipping": q_volume_shipping,
         "large_orders": q_large_orders,
@@ -2840,6 +2932,44 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts, event_id) AS journey,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        "value_window_ranks": """
+            WITH i AS (SELECT event_id, user_id,
+                              CAST(round(value * 100) AS BIGINT) AS x
+                       FROM events)
+            SELECT event_id, user_id,
+                   CAST(row_number() OVER w_id AS BIGINT) AS row_no,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+                   cume_dist() OVER w AS cume_d
+            FROM i
+            WINDOW w AS (PARTITION BY user_id ORDER BY x),
+                   w_id AS (PARTITION BY user_id ORDER BY x, event_id)
+        """,
+        "lineitem_profile": """
+            SELECT col_name, n_rows, n_nulls, min_v, max_v FROM (
+              SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+                     count(*) - count(l_quantity) AS n_nulls,
+                     CAST(min(l_quantity) AS DOUBLE) AS min_v,
+                     CAST(max(l_quantity) AS DOUBLE) AS max_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', count(*),
+                     count(*) - count(l_extendedprice),
+                     CAST(min(l_extendedprice) AS DOUBLE),
+                     CAST(max(l_extendedprice) AS DOUBLE)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', count(*),
+                     count(*) - count(l_discount),
+                     CAST(min(l_discount) AS DOUBLE),
+                     CAST(max(l_discount) AS DOUBLE)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', count(*), count(*) - count(l_tax),
+                     CAST(min(l_tax) AS DOUBLE),
+                     CAST(max(l_tax) AS DOUBLE)
+              FROM lineitem)
         """,
         "volume_shipping": """
             SELECT ns.n_name AS supp_nation,

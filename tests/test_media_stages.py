@@ -1,0 +1,114 @@
+"""Resize + frame-sample media stages: determinism, accounting,
+pass-through semantics, Ray actor-pool plumbing."""
+
+from __future__ import annotations
+
+import pytest
+import ray.data
+
+from web2llmstxt_ray.ops.multimodal import (FakeDecoder, FakeTranscoder,
+                                            FrameSampler, ImageResizer,
+                                            StubTranscoder,
+                                            make_fake_payload,
+                                            resize_images, sample_frames,
+                                            synth_media_table)
+
+
+def _media(n_docs: int = 20):
+    return synth_media_table([f"d{i}" for i in range(n_docs)], per_doc=3)
+
+
+class TestFakeTranscoder:
+    def test_resize_rewrites_header_and_scales_body(self):
+        p = make_fake_payload("m1", "image", 400, 200, body_len=4000)
+        out = FakeTranscoder().resize(p, 100, 50)
+        meta = FakeDecoder().decode(out)
+        assert (meta["width"], meta["height"]) == (100, 50)
+        # area ratio 1/16 → body ~250 bytes (+17 header)
+        assert abs((meta["n_bytes"] - 17) - 4000 / 16) <= 1
+
+    def test_resize_deterministic(self):
+        p = make_fake_payload("m2", "image", 300, 300)
+        t = FakeTranscoder()
+        assert t.resize(p, 64, 64) == t.resize(p, 64, 64)
+
+    def test_frame_deterministic_and_ts_sensitive(self):
+        p = make_fake_payload("v1", "video", duration_ms=5000)
+        t = FakeTranscoder()
+        assert t.frame(p, 0) == t.frame(p, 0)
+        assert t.frame(p, 0) != t.frame(p, 1000)
+        assert FakeDecoder().decode(t.frame(p, 0))["kind"] == "image"
+
+    def test_kind_guards(self):
+        img = make_fake_payload("m3", "image", 10, 10)
+        vid = make_fake_payload("v3", "video", duration_ms=1000)
+        t = FakeTranscoder()
+        with pytest.raises(ValueError):
+            t.resize(vid, 5, 5)
+        with pytest.raises(ValueError):
+            t.frame(img, 0)
+
+    def test_stub_is_marked_slot(self):
+        with pytest.raises(NotImplementedError):
+            StubTranscoder().resize(b"", 1, 1)
+
+
+class TestResizeStage:
+    def test_bounding_box_and_passthrough(self):
+        t = _media()
+        out = resize_images(ray.data.from_arrow(t).repartition(4),
+                            max_w=64, max_h=64).to_pandas()
+        src = t.to_pandas().set_index("media_id")
+        assert len(out) == len(src)
+        for _, r in out.iterrows():
+            orig = src.loc[r["media_id"]]
+            if r["kind"] == "image":
+                assert r["declared_width"] <= 64
+                assert r["declared_height"] <= 64
+                # aspect ratio preserved up to integer truncation:
+                # a target side of d carries up to 1/d relative error
+                if orig["declared_width"] > 64 or \
+                        orig["declared_height"] > 64:
+                    ar0 = orig["declared_width"] / orig["declared_height"]
+                    ar1 = r["declared_width"] / r["declared_height"]
+                    tol = 1.0 / min(r["declared_width"],
+                                    r["declared_height"]) + 0.02
+                    assert abs(ar0 - ar1) / ar0 <= tol
+            else:
+                assert bytes(r["payload"]) == bytes(orig["payload"])
+
+    def test_no_upscale(self):
+        t = synth_media_table(["tiny"], per_doc=1, seed=2)
+        out = ImageResizer(max_w=10_000, max_h=10_000)(t).to_pandas()
+        src = t.to_pandas()
+        assert (out["declared_width"] == src["declared_width"]).all()
+        assert [bytes(p) for p in out["payload"]] == \
+            [bytes(p) for p in src["payload"]]
+
+
+class TestFrameSampleStage:
+    def test_frame_math_and_expansion(self):
+        t = _media(30)
+        fps = 2.0
+        out = sample_frames(ray.data.from_arrow(t).repartition(3),
+                            fps=fps, max_frames=8).to_pandas()
+        vids = t.to_pandas().query("kind == 'video'")
+        expect = int(sum(min(8, max(1, int(ms / 1000.0 * fps)))
+                         for ms in vids["declared_ms"]))
+        assert len(out) == expect
+        # per-video frame numbering is 0..n-1 with fps-spaced timestamps
+        for mid, grp in out.groupby("media_id"):
+            assert sorted(grp["frame_no"]) == list(range(len(grp)))
+            assert set(grp["ts_ms"]) == {int(i * 1000 / fps)
+                                         for i in range(len(grp))}
+
+    def test_deterministic_across_batchings(self):
+        t = _media(12)
+        outs = []
+        for parts in (1, 6):
+            out = sample_frames(ray.data.from_arrow(t).repartition(parts),
+                                fps=1.0).to_pandas()
+            out["payload"] = out["payload"].map(bytes)
+            outs.append(out.sort_values(["media_id", "frame_no"])
+                        .reset_index(drop=True))
+        assert outs[0].equals(outs[1])

@@ -110,3 +110,42 @@ class TestPQTopK:
                                    out[["query_id", "rank", "vec_id"]]
                                    .itertuples(index=False))))
         assert outs[0] == outs[1]
+
+
+class TestIVFPQ:
+    def test_recall_and_pruning(self):
+        from web2llmstxt_ray.ops.ann import train_centroids
+        from web2llmstxt_ray.ops.pq import ivfpq_topk
+
+        vecs = _clustered(1000, d=32, n_clusters=90, seed=5)
+        books = pq_train(vecs[:500], m=8, ks=32)
+        cents = train_centroids(vecs[:500], num_lists=16)
+        qidx = [3, 77, 401, 888]
+        k = 10
+        approx = ivfpq_topk(_ds(vecs), books, cents, vecs[qidx], qidx,
+                            k=k, nprobe=6).to_pandas()
+        exact = brute_force_topk(_ds(vecs), vecs[qidx], qidx,
+                                 k=k).to_pandas()
+        recalls = []
+        for q in qidx:
+            a = set(approx.loc[approx["query_id"] == q, "vec_id"])
+            e = set(exact.loc[exact["query_id"] == q, "vec_id"])
+            recalls.append(len(a & e) / k)
+        # IVF pruning (6/16 lists) stacked on PQ: still must find the
+        # bulk of true neighbors on clustered data
+        assert float(np.mean(recalls)) >= 0.5
+
+    def test_probe_all_lists_equals_plain_pq(self):
+        from web2llmstxt_ray.ops.ann import train_centroids
+        from web2llmstxt_ray.ops.pq import ivfpq_topk
+
+        vecs = _clustered(400, d=32, seed=21)
+        books = pq_train(vecs, m=4, ks=16)
+        cents = train_centroids(vecs, num_lists=4)
+        qidx = [11, 200]
+        full = ivfpq_topk(_ds(vecs), books, cents, vecs[qidx], qidx,
+                          k=5, nprobe=4).to_pandas()
+        plain = pq_topk(pq_encode(_ds(vecs), books), books,
+                        vecs[qidx], qidx, k=5).to_pandas()
+        cols = ["query_id", "rank", "vec_id"]
+        assert full[cols].values.tolist() == plain[cols].values.tolist()

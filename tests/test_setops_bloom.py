@@ -93,9 +93,9 @@ class TestNormalization:
         ).to_pandas().sort_values("id")
         mn = df.groupby("g")["x"].transform("min")
         mx = df.groupby("g")["x"].transform("max")
-        want = np.round((df["x"] - mn) / (mx - mn), 6)
+        want = (df["x"] - mn) / (mx - mn)
         np.testing.assert_allclose(out["x_norm"].to_numpy(),
-                                   want.to_numpy(), atol=1e-9)
+                                   want.to_numpy(), rtol=0, atol=0)
         # range check
         assert out["x_norm"].between(0, 1).all()
 
@@ -121,10 +121,10 @@ class TestNormalization:
 
             med, iqr = nr(0.5), nr(0.75) - nr(0.25)
             got = out[out.index.isin(sub.index)]
-            want = np.round((sub["x"].to_numpy() - med) / iqr, 6)
+            want = (sub["x"].to_numpy() - med) / iqr
             np.testing.assert_allclose(
                 got.set_index(got["id"]).loc[sub["id"], "x_robust"]
-                .to_numpy(), want, atol=1e-9)
+                .to_numpy(), want, rtol=0, atol=0)
 
     def test_partition_invariant(self):
         df = self._planted()

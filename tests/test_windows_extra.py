@@ -73,3 +73,63 @@ class TestRollingSum:
         out = rolling_sum(ray.data.from_pandas(df), window=10).to_pandas()
         out = out.sort_values("event_id")
         assert out["win_n"].tolist() == [1, 2]
+
+
+class TestWindowRanks:
+    def test_matches_duckdb_bitexact(self):
+        import duckdb
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web2llmstxt_ray.ops.windows import window_ranks
+
+        rng = np.random.default_rng(17)
+        n = 5000
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 60, n).astype(np.int64),
+            "value": rng.integers(0, 12, n).astype(np.int64),
+        })
+        out = window_ranks(ray.data.from_pandas(df).repartition(9),
+                           key_col="user_id", order_col="value",
+                           id_col="event_id").to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql("""
+            SELECT event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value, event_id) AS row_no,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS dense_rnk,
+                   cume_dist() OVER w AS cume_d
+            FROM t WINDOW w AS (PARTITION BY user_id ORDER BY value)
+            ORDER BY event_id""").df()
+        for c in ("row_no", "rnk", "dense_rnk"):
+            assert out[c].astype(int).tolist() == \
+                want[c].astype(int).tolist(), c
+        assert np.array_equal(out["cume_d"].to_numpy(),
+                              want["cume_d"].to_numpy())
+
+    def test_partition_invariant(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web2llmstxt_ray.ops.windows import window_ranks
+
+        rng = np.random.default_rng(23)
+        df = pd.DataFrame({
+            "event_id": np.arange(2000, dtype=np.int64),
+            "user_id": rng.integers(0, 25, 2000).astype(np.int64),
+            "value": rng.integers(0, 6, 2000).astype(np.int64),
+        })
+        outs = []
+        for parts in (1, 13):
+            out = window_ranks(ray.data.from_pandas(df).repartition(parts),
+                               key_col="user_id", order_col="value",
+                               id_col="event_id").to_pandas() \
+                .sort_values("event_id").reset_index(drop=True)
+            outs.append(out)
+        assert outs[0].equals(outs[1])

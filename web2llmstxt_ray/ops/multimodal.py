@@ -152,3 +152,160 @@ def synth_media_table(doc_ids: list[str], per_doc: int = 2,
             rows["declared_height"].append(h)
             rows["declared_ms"].append(ms)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample — the other two actor-pool media stages
+# ---------------------------------------------------------------------------
+
+
+class StubTranscoder:
+    """Production resize/frame-extract slot (PIL/ffmpeg) — the sandbox
+    has neither, so this raises; :class:`FakeTranscoder` carries the
+    tested contract."""
+
+    def resize(self, payload: bytes, w: int, h: int) -> bytes:
+        raise NotImplementedError("real image resize needs PIL")
+
+    def frame(self, payload: bytes, ts_ms: int) -> bytes:
+        raise NotImplementedError("real frame extraction needs ffmpeg")
+
+
+class FakeTranscoder:
+    """Deterministic transcode over :func:`make_fake_payload` payloads:
+    `resize` re-emits a payload with the new header dims and a body
+    whose length scales with the pixel-area ratio (the byte-size
+    accounting a real codec shows); `frame` derives a per-timestamp
+    image payload from the video body. Both are pure functions of
+    (payload, args) — re-running a failed task reproduces bytes."""
+
+    def resize(self, payload: bytes, w: int, h: int) -> bytes:
+        meta = FakeDecoder().decode(payload)
+        if meta["kind"] != "image":
+            raise ValueError("resize: not an image payload")
+        old_area = max(1, meta["width"] * meta["height"])
+        new_len = max(16, int((len(payload) - 17) * (w * h) / old_area))
+        header = _MAGIC + struct.pack("<BiiI", 1, w, h, 0)
+        seed_src = payload[17:] + struct.pack("<ii", w, h)
+        seed = int.from_bytes(hashlib.md5(seed_src).digest()[:4], "little")
+        return header + np.random.RandomState(seed).bytes(new_len)
+
+    def frame(self, payload: bytes, ts_ms: int) -> bytes:
+        meta = FakeDecoder().decode(payload)
+        if meta["kind"] != "video":
+            raise ValueError("frame: not a video payload")
+        header = _MAGIC + struct.pack("<BiiI", 1, 64, 64, 0)
+        seed_src = payload[17:] + struct.pack("<I", ts_ms)
+        seed = int.from_bytes(hashlib.md5(seed_src).digest()[:4], "little")
+        return header + np.random.RandomState(seed).bytes(64)
+
+
+class ImageResizer:
+    """Actor-pool stage: payload→payload image resize to a bounding
+    box, preserving aspect ratio (the standard thumbnail contract).
+    Non-image rows pass through untouched. Transcoder built once per
+    actor; batches stay payload-small."""
+
+    def __init__(self, max_w: int = 256, max_h: int = 256,
+                 transcoder_cls=FakeTranscoder):
+        self.max_w, self.max_h = max_w, max_h
+        self.t = transcoder_cls()
+
+    def _target(self, w: int, h: int) -> tuple[int, int]:
+        if w <= 0 or h <= 0:
+            return w, h
+        scale = min(self.max_w / w, self.max_h / h, 1.0)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        ws = batch.column("declared_width").to_pylist()
+        hs = batch.column("declared_height").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_p, out_w, out_h = [], [], []
+        for kind, w, h, p in zip(kinds, ws, hs, payloads):
+            if kind != "image":
+                out_p.append(p)
+                out_w.append(w)
+                out_h.append(h)
+                continue
+            tw, th = self._target(w, h)
+            out_p.append(p if (tw, th) == (w, h)
+                         else self.t.resize(p, tw, th))
+            out_w.append(tw)
+            out_h.append(th)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "doc_id": batch.column("doc_id"),
+            "kind": batch.column("kind"),
+            "payload": pa.array(out_p, pa.large_binary()),
+            "declared_width": pa.array(out_w, pa.int32()),
+            "declared_height": pa.array(out_h, pa.int32()),
+            "declared_ms": batch.column("declared_ms"),
+        })
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload → one IMAGE payload row per
+    sampled frame at ``fps`` (row-expanding map_batches — the Ray-Data
+    shape for 1→N media stages). Output rows are independent of input
+    batching: (media_id, doc_id, frame_no, ts_ms, payload)."""
+
+    def __init__(self, fps: float = 1.0, max_frames: int = 32,
+                 transcoder_cls=FakeTranscoder):
+        self.fps, self.max_frames = fps, max_frames
+        self.t = transcoder_cls()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "doc_id": [], "frame_no": [],
+               "ts_ms": [], "payload": []}
+        for mid, did, kind, ms, p in zip(
+                batch.column("media_id").to_pylist(),
+                batch.column("doc_id").to_pylist(),
+                batch.column("kind").to_pylist(),
+                batch.column("declared_ms").to_pylist(),
+                batch.column("payload").to_pylist()):
+            if kind != "video":
+                continue
+            n = min(self.max_frames,
+                    max(1, int(ms / 1000.0 * self.fps)))
+            for i in range(n):
+                ts = int(i * 1000.0 / self.fps)
+                out["media_id"].append(mid)
+                out["doc_id"].append(did)
+                out["frame_no"].append(i)
+                out["ts_ms"].append(ts)
+                out["payload"].append(self.t.frame(p, ts))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.string()),
+            "doc_id": pa.array(out["doc_id"], pa.string()),
+            "frame_no": pa.array(out["frame_no"], pa.int32()),
+            "ts_ms": pa.array(out["ts_ms"], pa.int32()),
+            "payload": pa.array(out["payload"], pa.large_binary()),
+        })
+
+
+def resize_images(ds: ray.data.Dataset, max_w: int = 256,
+                  max_h: int = 256, transcoder_cls=FakeTranscoder,
+                  batch_size: int = 32,
+                  concurrency=(1, 8)) -> ray.data.Dataset:
+    """media table → media table with images bounded to (max_w, max_h)."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"max_w": max_w, "max_h": max_h,
+                               "transcoder_cls": transcoder_cls},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=0.5)
+
+
+def sample_frames(ds: ray.data.Dataset, fps: float = 1.0,
+                  max_frames: int = 32, transcoder_cls=FakeTranscoder,
+                  batch_size: int = 16,
+                  concurrency=(1, 8)) -> ray.data.Dataset:
+    """media table → frame rows (videos only; 1→N expansion)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"fps": fps, "max_frames": max_frames,
+                               "transcoder_cls": transcoder_cls},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=0.5)

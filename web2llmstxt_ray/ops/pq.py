@@ -168,3 +168,60 @@ def pq_topk(codes: ray.data.Dataset, codebooks: np.ndarray,
                      "rank": pa.array(rows["rank"], pa.int64()),
                      "vec_id": pa.array(rows["vec_id"], pa.int64()),
                      "adc_dist": pa.array(rows["adc_dist"], pa.float64())})
+
+
+def ivfpq_topk(ds: ray.data.Dataset, codebooks: np.ndarray,
+               centroids: np.ndarray, queries: np.ndarray,
+               query_ids: list, k: int = 10, nprobe: int = 4,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               exclude_self: bool = True) -> "pa.Table":
+    """IVF + PQ composed (the FAISS ``IVFx,PQy`` shape): vectors are
+    assigned to IVF lists (`ops.ann.assign_ivf_lists`) and PQ-encoded
+    in ONE fused map pass; the query scan prunes to the ``nprobe``
+    nearest lists with a vectorized Arrow ``is_in`` filter and runs the
+    ADC table scan only over surviving codes. At 10^9 vectors this is
+    the full recipe: codes are m bytes/vector AND only
+    nprobe/num_lists of them are read per query batch — with a
+    ``write_parquet(partition_cols=["ivf_list"])`` layout the pruning
+    happens at the read.
+
+    All queries share one probe-list union here (one filtered scan —
+    right when queries are a batch over the same corpus); per-query
+    list routing would shard the scan instead.
+    """
+    import pyarrow.compute as pc
+
+    from .ann import assign_ivf_lists
+
+    m, ks, sub = codebooks.shape
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    # nprobe nearest lists per query, unioned
+    sims = qn @ cn.T                                   # (Q, L)
+    nprobe = min(nprobe, sims.shape[1])
+    probe = np.unique(
+        np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe])
+    probe_arr = pa.array(probe.astype(np.int32))
+
+    assigned = assign_ivf_lists(ds, cn, vec_col=vec_col)
+
+    def encode_pruned(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.is_in(batch.column("ivf_list"),
+                                     value_set=probe_arr))
+        books = codebooks
+        x = _normalize(vec_matrix(keep, vec_col))
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            xj = x[:, j * sub:(j + 1) * sub]
+            cj = books[j]
+            scores = -2.0 * (xj @ cj.T) + (cj * cj).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(scores, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: keep.column(id_col),
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), pa.uint8()), m),
+        })
+
+    codes = assigned.map_batches(encode_pruned, batch_format="pyarrow")
+    return pq_topk(codes, codebooks, queries, query_ids, k=k,
+                   id_col=id_col, exclude_self=exclude_self)

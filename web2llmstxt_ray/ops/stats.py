@@ -273,12 +273,18 @@ def grouped_minmax(ds: ray.data.Dataset, group_col: str,
 
 def grouped_minmax_norm(ds: ray.data.Dataset, group_col: str,
                         x_col: str, out_col: str = "x_norm",
-                        ndigits: int = 6) -> ray.data.Dataset:
+                        ndigits: int | None = None) -> ray.data.Dataset:
     """Per-group min-max normalization (x−min)/(max−min) as a
     broadcast + map-only pass over exact integer bounds (zero-range
     groups emit null, matching SQL ``NULLIF``). Same scale shape as
     :func:`grouped_zscore`: the only reduction is the tiny
-    (block × group) partial table."""
+    (block × group) partial table.
+
+    ``ndigits=None`` (default) keeps the raw IEEE quotient — over
+    exact integer bounds this is BIT-IDENTICAL to the SQL
+    ``(x−mn)/CAST(mx−mn AS DOUBLE)`` (one float64 divide each side);
+    rounding engine-side while the oracle doesn't is an ulp-level
+    mismatch factory."""
     mm = grouped_minmax(ds, group_col, x_col)
     lut = {r[group_col]: (int(r["_mn"]), int(r["_mx"]))
            for _, r in mm.iterrows()}
@@ -295,7 +301,7 @@ def grouped_minmax_norm(ds: ray.data.Dataset, group_col: str,
         with np.errstate(divide="ignore", invalid="ignore"):
             v = np.where(rng > 0, (x - mn) / rng, np.nan)
         b = b.copy()
-        b[out_col] = np.round(v, ndigits)
+        b[out_col] = v if ndigits is None else np.round(v, ndigits)
         return b
 
     return ds.map_batches(norm_batch, batch_format="pandas",
@@ -304,7 +310,7 @@ def grouped_minmax_norm(ds: ray.data.Dataset, group_col: str,
 
 def grouped_robust_scale(ds: ray.data.Dataset, group_col: str,
                          x_col: str, out_col: str = "x_robust",
-                         ndigits: int = 6) -> ray.data.Dataset:
+                         ndigits: int | None = None) -> ray.data.Dataset:
     """Per-group robust scaling (x − median)/IQR over exact nearest-rank
     integer quantiles (``quantile_disc`` semantics, so the SQL oracle is
     bit-comparable): the distributed work is the value-count histogram
@@ -331,7 +337,7 @@ def grouped_robust_scale(ds: ray.data.Dataset, group_col: str,
         with np.errstate(divide="ignore", invalid="ignore"):
             v = np.where(iqr > 0, (x - med) / iqr, np.nan)
         b = b.copy()
-        b[out_col] = np.round(v, ndigits)
+        b[out_col] = v if ndigits is None else np.round(v, ndigits)
         return b
 
     return ds.map_batches(scale_batch, batch_format="pandas",

@@ -318,3 +318,65 @@ def ewma(ds: ray.data.Dataset, alpha: float = 0.3,
         key_col, num_buckets)
         .groupby("_sbucket").map_groups(per_bucket,
                                         batch_format="pandas"))
+
+
+def window_ranks(ds: ray.data.Dataset, key_col: str = "user_id",
+                 order_col: str = "value", id_col: str = "event_id",
+                 num_buckets: int = 64) -> ray.data.Dataset:
+    """The four SQL ranking window functions in one pass —
+    ``row_number() / rank() / dense_rank() / cume_dist()
+    OVER (PARTITION BY key ORDER BY v)`` — over ONE bucketed shuffle of
+    the skinny (id, key, v) projection.
+
+    row_number breaks ties by ``id_col`` (a total order, so the output
+    is deterministic and oracle-matchable: ``ORDER BY v, id``); rank /
+    dense_rank / cume_dist are functions of ``v`` alone (SQL peer
+    semantics). cume_dist = peers-cumulative / group-n, computed as an
+    exact integer ratio cast once to float64 — bit-comparable to the
+    SQL double.
+
+    Output: (event_id, user_id, row_no, rnk, dense_rnk, cume_d).
+    """
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, order_col, id_col],
+                              kind="stable")
+        by = g.groupby(key_col, sort=False)
+        row_no = (by.cumcount() + 1).to_numpy()
+        n_per = by[order_col].transform("size").to_numpy()
+        # peer groups: new (key, v) combination starts a rank run
+        keys = g[key_col].to_numpy()
+        vals = g[order_col].to_numpy()
+        new_key = np.ones(len(g), dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        new_peer = new_key.copy()
+        new_peer[1:] |= vals[1:] != vals[:-1]
+        # rank: row_no at the start of each peer run, broadcast forward
+        run_id = np.cumsum(new_peer) - 1
+        rnk = row_no[new_peer][run_id]
+        # dense_rank: per-key running count of peer runs — each row's
+        # run index minus the run index at its key's first row, +1
+        first_run_of_key = (np.cumsum(new_peer) - 1)[new_key][
+            (np.cumsum(new_key) - 1)]
+        dense = (np.cumsum(new_peer) - 1) - first_run_of_key + 1
+        # cume_dist: the peer run's LAST row_no (runs are contiguous
+        # and never span keys) broadcast over the run, / group n
+        seg_starts = np.flatnonzero(new_peer)
+        seg_ends = np.append(seg_starts[1:], len(g))
+        peers_cum = np.repeat(row_no[seg_ends - 1], seg_ends - seg_starts)
+        cume = peers_cum.astype(np.float64) / n_per.astype(np.float64)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: keys,
+            "row_no": row_no.astype("int64"),
+            "rnk": rnk.astype("int64"),
+            "dense_rnk": dense.astype("int64"),
+            "cume_d": cume,
+        })
+
+    return (_add_key_bucket(
+        ds.select_columns([id_col, key_col, order_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
