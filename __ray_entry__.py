@@ -935,6 +935,65 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return ivf_topk(ds, centroids, queries, qids, k=10, nprobe=4).to_pandas()
 
 
+def q_recrawl_priorities(sf_dir: str) -> pd.DataFrame:
+    """Recrawl scheduling (Cho & Garcia-Molina staleness): per-key
+    count/min/max partials (raw events never shuffle) → exact-integer
+    staleness ratio with ONE float division → deterministic top-50.
+    Hash-exact vs the epoch_us SQL oracle."""
+    from web2llmstxt_ray.ops.recrawl import recrawl_priorities
+
+    now_us = int(pd.Timestamp("2025-06-01").value // 1000)
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+    out = recrawl_priorities(ev, now_us, top_n=50)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_events_range_read(sf_dir: str) -> pd.DataFrame:
+    """Sorted-layout range read: events write once as range-partitioned
+    parquet (t-digest boundary sampling → searchsorted assignment →
+    one directory per range), then a [100, 300) range query reads ONLY
+    the overlapping partition directories + an exact residual filter —
+    hash-exact vs the SQL WHERE scan."""
+    import tempfile
+
+    from web2llmstxt_ray.ops.layout import (read_range_partitioned,
+                                            write_range_partitioned)
+
+    ev = _t(sf_dir, "events", ["event_id", "value"])
+    path = tempfile.mkdtemp(prefix="graft_rangelay_")
+    write_range_partitioned(ev, path, "value", num_parts=8)
+    out = _pdf(read_range_partitioned(path, 100.0, 300.0))
+    out = out[["event_id", "value"]]
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_customer_cdc(sf_dir: str) -> pd.DataFrame:
+    """Lakehouse MERGE/upsert: a per-order changelog (version =
+    orderkey, delete when orderkey % 13 = 0, else upsert with a
+    derived balance) applied to the customer base — ONE bucketed
+    shuffle co-locates each key's base row + changelog, latest version
+    wins per key. Hash-exact vs the row_number()-latest SQL oracle."""
+    from web2llmstxt_ray.ops.cdc import cdc_merge
+
+    def chg_prep(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "c_custkey": b["o_custkey"].to_numpy(np.int64),
+            "version": ok,
+            "op": np.where(ok % 13 == 0, "d", "u"),
+            "c_acctbal": (ok * 3 % 50000) / 100.0,
+        })
+
+    changes = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]
+                 ).map_batches(chg_prep, batch_format="pandas",
+                               batch_size=None)
+    base = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    out = _pdf(cdc_merge(base, changes, "c_custkey", ["c_acctbal"]))
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def q_value_window_ranks(sf_dir: str) -> pd.DataFrame:
     """The four SQL ranking window functions (row_number / rank /
     dense_rank / cume_dist per user ordered by value-cents) from ONE
@@ -2527,6 +2586,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": q_media_frames,
         "lineitem_profile": q_lineitem_profile,
         "value_window_ranks": q_value_window_ranks,
+        "customer_cdc": q_customer_cdc,
+        "events_range_read": q_events_range_read,
+        "recrawl_priorities": q_recrawl_priorities,
         "regional_revenue": q_regional_revenue,
         "volume_shipping": q_volume_shipping,
         "large_orders": q_large_orders,
@@ -2932,6 +2994,48 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts, event_id) AS journey,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        "recrawl_priorities": """
+            WITH a AS (
+                SELECT user_id, count(*) AS n_obs,
+                       epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx
+                FROM events GROUP BY user_id),
+            now_c AS (SELECT epoch_us(TIMESTAMP '2025-06-01') AS now_us)
+            SELECT user_id, n_obs,
+                   (now_us - mx) AS age_us,
+                   greatest(mx - mn, 1) AS span_us,
+                   CAST((now_us - mx) * (n_obs - 1) AS DOUBLE)
+                       / greatest(mx - mn, 1) AS priority
+            FROM a, now_c
+            ORDER BY priority DESC, user_id
+            LIMIT 50
+        """,
+        "events_range_read": """
+            SELECT event_id, value FROM events
+            WHERE value >= 100 AND value < 300
+        """,
+        "customer_cdc": """
+            WITH chg AS (
+                SELECT o_custkey AS c_custkey,
+                       o_orderkey AS version,
+                       CASE WHEN o_orderkey % 13 = 0 THEN 'd'
+                            ELSE 'u' END AS op,
+                       CAST(o_orderkey * 3 % 50000 AS DOUBLE) / 100
+                           AS c_acctbal
+                FROM orders),
+            latest AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY c_custkey
+                        ORDER BY version DESC) AS rn
+                    FROM chg) WHERE rn = 1)
+            SELECT c_custkey,
+                   CASE WHEN l.c_custkey IS NOT NULL
+                        THEN l.c_acctbal ELSE c.c_acctbal END
+                       AS c_acctbal
+            FROM customer c
+            LEFT JOIN latest l USING (c_custkey)
+            WHERE coalesce(l.op, 'u') <> 'd'
         """,
         "value_window_ranks": """
             WITH i AS (SELECT event_id, user_id,

@@ -1,0 +1,75 @@
+"""Range-partitioned layout: boundary assignment, directory pruning,
+round-trip completeness, pruned range reads vs exact filter."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from web2llmstxt_ray.ops.layout import (parts_for_range,
+                                        read_range_partitioned,
+                                        write_range_partitioned)
+
+
+def _df(n=20_000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.lognormal(size=n),
+    })
+
+
+class TestPartsForRange:
+    def test_pruning_math(self):
+        bounds = [10.0, 20.0, 30.0]
+        assert parts_for_range(bounds, None, None) == [0, 1, 2, 3]
+        assert parts_for_range(bounds, 12.0, 18.0) == [1]
+        assert parts_for_range(bounds, 5.0, 15.0) == [0, 1]
+        assert parts_for_range(bounds, 20.0, 20.5) == [2]  # v>=20 → part 2
+        assert parts_for_range(bounds, 35.0, None) == [3]
+        assert parts_for_range(bounds, None, 10.0) == [0]
+
+
+class TestRangeLayout:
+    def test_roundtrip_and_pruned_reads(self, tmp_path):
+        df = _df()
+        path = str(tmp_path / "lay")
+        manifest = write_range_partitioned(
+            ray.data.from_pandas(df).repartition(8), path, "v",
+            num_parts=8)
+        assert len(manifest["bounds"]) == 7
+        # every partition directory exists and is disjoint + complete
+        full = read_range_partitioned(path).to_pandas()
+        assert sorted(full["id"]) == sorted(df["id"])
+        # partition dirs hold only in-range rows
+        import pyarrow.parquet as pq
+        b = manifest["bounds"]
+        for p in range(manifest["num_parts"]):
+            d = os.path.join(path, f"_range_part={p}")
+            if not os.path.isdir(d):
+                continue
+            t = pq.read_table(d).to_pandas()
+            if p > 0:
+                assert (t["v"] > b[p - 1]).all()
+            if p < len(b):
+                assert (t["v"] <= b[p]).all()
+
+        lo, hi = float(np.quantile(df["v"], 0.3)), \
+            float(np.quantile(df["v"], 0.6))
+        got = read_range_partitioned(path, lo, hi).to_pandas()
+        want = df[(df["v"] >= lo) & (df["v"] < hi)]
+        assert sorted(got["id"]) == sorted(want["id"])
+        # pruning actually skipped most partitions
+        assert len(parts_for_range(manifest["bounds"], lo, hi)) \
+            <= manifest["num_parts"] - 2
+
+    def test_empty_range(self, tmp_path):
+        df = _df(2000, seed=7)
+        path = str(tmp_path / "lay2")
+        write_range_partitioned(ray.data.from_pandas(df), path, "v",
+                                num_parts=4)
+        got = read_range_partitioned(path, 10**9, None).to_pandas()
+        assert len(got) == 0

@@ -1,0 +1,81 @@
+"""Change-data-capture merge (the lakehouse MERGE/upsert): apply a
+changelog of (key, version, op, payload) rows to a base snapshot and
+emit the new snapshot.
+
+Semantics (SCD-type-1, latest-wins):
+  - for each key, the highest-version changelog row decides:
+    ``op='u'`` (upsert) → its payload is the key's new row;
+    ``op='d'`` (delete) → the key disappears;
+  - keys with no changelog row keep their base row;
+  - changelog rows for keys absent from the base INSERT (when their
+    final op is 'u').
+
+Scale shape: base and changelog are tagged and unioned, then ONE
+hash(key)-bucketed shuffle co-locates each key's base row and all its
+changelog rows; the per-bucket resolution is a vectorized pandas
+sort + drop_duplicates (no per-key groups, no driver state). This is
+the same exchange count as a single hash join — at 100 TB the base
+never moves twice and the (usually much smaller) changelog rides the
+same shuffle.
+
+Version ties break deterministically toward the changelog row with
+the lexicographically-largest op then payload — callers should use
+unique versions (commit LSNs); the tie rule only pins the test oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.urls import hash64_batch
+
+
+def _tag_bucket(ds: ray.data.Dataset, key_col: str, num_buckets: int,
+                is_base: bool, payload_cols: list[str],
+                version_col: str, op_col: str) -> ray.data.Dataset:
+    def tag(b: pa.Table) -> pd.DataFrame:
+        df = b.to_pandas()
+        keys = df[key_col]
+        if pd.api.types.is_integer_dtype(keys):
+            bk = (keys.to_numpy(np.uint64) % np.uint64(num_buckets)
+                  ).astype(np.int32)
+        else:
+            bk = (hash64_batch([str(v) for v in keys])
+                  % np.uint64(num_buckets)).astype(np.int32)
+        out = pd.DataFrame({key_col: keys})
+        for c in payload_cols:
+            out[c] = df[c]
+        out["_ver"] = (np.int64(-1) if is_base
+                       else df[version_col].astype("int64"))
+        out["_op"] = "u" if is_base else df[op_col].astype(str)
+        out["_cb"] = bk
+        return out
+
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+
+def cdc_merge(base: ray.data.Dataset, changes: ray.data.Dataset,
+              key_col: str, payload_cols: list[str],
+              version_col: str = "version", op_col: str = "op",
+              num_buckets: int = 64) -> ray.data.Dataset:
+    """Apply ``changes`` to ``base`` → the new snapshot Dataset with
+    columns (key, *payload_cols). See module docstring for semantics."""
+    tagged_base = _tag_bucket(base, key_col, num_buckets, True,
+                              payload_cols, version_col, op_col)
+    tagged_chg = _tag_bucket(changes, key_col, num_buckets, False,
+                             payload_cols, version_col, op_col)
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        # latest version wins; base rows carry _ver=-1 so any
+        # changelog row outranks the base
+        g = group.sort_values([key_col, "_ver", "_op"]
+                              + payload_cols, kind="stable")
+        last = g.drop_duplicates(key_col, keep="last")
+        keep = last[last["_op"] != "d"]
+        return keep[[key_col] + payload_cols].reset_index(drop=True)
+
+    return (tagged_base.union(tagged_chg)
+            .groupby("_cb").map_groups(resolve, batch_format="pandas"))

@@ -1,0 +1,62 @@
+"""Recrawl scheduling — which known URLs to refetch next.
+
+A production crawler re-visits pages by estimated staleness (Cho &
+Garcia-Molina, "Effective Page Refresh Policies for Web Crawlers",
+TODS 2003): pages that historically changed often and haven't been
+fetched recently outrank stable, recently-seen ones. This operator
+computes a deterministic staleness priority per key from its observed
+event history and returns the top-N due.
+
+Priority is the exact integer ratio
+
+    priority = age_us · (n_obs − 1) / max(span_us, 1)
+
+i.e. (time since last observation) × (observed change rate): ``n−1``
+changes over ``span_us`` of history. The numerator/denominator stay
+exact int64 microseconds; ONE float64 division at the end keeps the
+SQL oracle bit-comparable. Ties (priority, then key ascending) are a
+total order, so top-N is reproducible.
+
+Scale shape: a partial-agg groupby (count/min/max — three additive
+partials per key per block, raw events never shuffle) feeds a
+vectorized formula + top-N; at 10^10 URLs the per-key aggregate is the
+frontier-shard-sized table, not the event log.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def recrawl_priorities(ds: ray.data.Dataset, now_us: int,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       top_n: int = 50) -> pd.DataFrame:
+    """Top-N keys by staleness priority. Output: (key, n_obs, age_us,
+    span_us, priority) sorted by (priority desc, key)."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b[ts_col].astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame({key_col: b[key_col], "_us": us})
+        return g.groupby(key_col, as_index=False).agg(
+            n_obs=("_us", "size"), _mn=("_us", "min"), _mx=("_us", "max"))
+
+    # per-block partials (count/min/max are additive-or-idempotent), then
+    # a driver combine of the O(blocks × keys) partial rows — the same
+    # contract as relational.partial_groupby, with a min/max fold that
+    # plain column sums can't express
+    parts = ds.select_columns([key_col, ts_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    agg = parts.groupby(key_col, as_index=False).agg(
+        n_obs=("n_obs", "sum"), _mn=("_mn", "min"), _mx=("_mx", "max"))
+    age = np.int64(now_us) - agg["_mx"].to_numpy(np.int64)
+    span = np.maximum(agg["_mx"].to_numpy(np.int64)
+                      - agg["_mn"].to_numpy(np.int64), 1)
+    n = agg["n_obs"].to_numpy(np.int64)
+    pri = (age * (n - 1)).astype(np.float64) / span.astype(np.float64)
+    out = pd.DataFrame({key_col: agg[key_col], "n_obs": n,
+                        "age_us": age, "span_us": span,
+                        "priority": pri})
+    out = out.sort_values(["priority", key_col],
+                          ascending=[False, True], kind="stable")
+    return out.head(top_n).reset_index(drop=True)
