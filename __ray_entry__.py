@@ -935,6 +935,23 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return ivf_topk(ds, centroids, queries, qids, k=10, nprobe=4).to_pandas()
 
 
+def q_events_resample(sf_dir: str) -> pd.DataFrame:
+    """Time-series gap fill: every user's irregular event values
+    resampled onto a daily grid with forward fill — one bucketed
+    shuffle, one vectorized merge_asof per bucket. Hash-exact vs the
+    DuckDB ASOF LEFT JOIN oracle (duplicate-ts observations pre-resolve
+    to max(value) on both sides)."""
+    from web2llmstxt_ray.ops.windows import resample_ffill
+
+    start = int(pd.Timestamp("2024-01-01").value // 1000)
+    end = int(pd.Timestamp("2024-01-31").value // 1000)
+    day = 86_400_000_000
+    ev = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    out = _pdf(resample_ffill(ev, start, end, day))
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
+
+
 def q_recrawl_priorities(sf_dir: str) -> pd.DataFrame:
     """Recrawl scheduling (Cho & Garcia-Molina staleness): per-key
     count/min/max partials (raw events never shuffle) → exact-integer
@@ -2589,6 +2606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_cdc": q_customer_cdc,
         "events_range_read": q_events_range_read,
         "recrawl_priorities": q_recrawl_priorities,
+        "events_resample": q_events_resample,
         "regional_revenue": q_regional_revenue,
         "volume_shipping": q_volume_shipping,
         "large_orders": q_large_orders,
@@ -2994,6 +3012,23 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts, event_id) AS journey,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        "events_resample": """
+            WITH obs AS (
+                SELECT user_id, ts, max(value) AS value
+                FROM events GROUP BY user_id, ts),
+            grid AS (
+                SELECT u.user_id, g.ts AS grid_ts
+                FROM (SELECT DISTINCT user_id FROM events) u
+                CROSS JOIN (
+                    SELECT unnest(generate_series(
+                        TIMESTAMP '2024-01-01',
+                        TIMESTAMP '2024-01-30',
+                        INTERVAL 1 DAY)) AS ts) g)
+            SELECT gr.user_id, gr.grid_ts, o.value
+            FROM grid gr
+            ASOF LEFT JOIN obs o
+              ON gr.user_id = o.user_id AND gr.grid_ts >= o.ts
         """,
         "recrawl_priorities": """
             WITH a AS (

@@ -133,3 +133,72 @@ class TestWindowRanks:
                 .sort_values("event_id").reset_index(drop=True)
             outs.append(out)
         assert outs[0].equals(outs[1])
+
+
+class TestResampleFfill:
+    def _events(self, n=2000, seed=5):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "user_id": rng.integers(0, 30, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 20 * 86400, n), unit="s"),
+            "value": rng.normal(size=n).round(2),
+        })
+
+    def test_matches_pandas_oracle(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web2llmstxt_ray.ops.windows import resample_ffill
+
+        df = self._events()
+        start = int(pd.Timestamp("2024-01-01").value // 1000)
+        end = int(pd.Timestamp("2024-01-20").value // 1000)
+        day = 86_400_000_000
+        out = resample_ffill(ray.data.from_pandas(df).repartition(7),
+                             start, end, day).to_pandas() \
+            .sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
+        grid = pd.to_datetime(np.arange(start, end, day), unit="us")
+        rows = []
+        dd = df.copy()
+        dd["value_max"] = dd.groupby(["user_id", "ts"])["value"] \
+            .transform("max")
+        dd = dd.drop_duplicates(["user_id", "ts"])
+        for u, sub in dd.groupby("user_id"):
+            sub = sub.sort_values("ts")
+            for t in grid:
+                past = sub[sub["ts"] <= t]
+                rows.append((u, t, past["value_max"].iloc[-1]
+                             if len(past) else np.nan))
+        want = pd.DataFrame(rows, columns=["user_id", "grid_ts",
+                                           "value"]) \
+            .sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
+        assert len(out) == len(want)
+        assert out["user_id"].tolist() == want["user_id"].tolist()
+        assert out["grid_ts"].tolist() == want["grid_ts"].tolist()
+        np.testing.assert_allclose(out["value"].to_numpy(),
+                                   want["value"].to_numpy(),
+                                   rtol=0, atol=0, equal_nan=True)
+
+    def test_null_before_first_observation(self):
+        import pandas as pd
+        import ray.data
+
+        from web2llmstxt_ray.ops.windows import resample_ffill
+
+        df = pd.DataFrame({
+            "user_id": pd.array([1], dtype="int64"),
+            "ts": pd.to_datetime(["2024-01-05"]),
+            "value": [7.0],
+        })
+        start = int(pd.Timestamp("2024-01-01").value // 1000)
+        end = int(pd.Timestamp("2024-01-08").value // 1000)
+        out = resample_ffill(ray.data.from_pandas(df), start, end,
+                             86_400_000_000).to_pandas() \
+            .sort_values("grid_ts").reset_index(drop=True)
+        assert out["value"].isna().sum() == 4      # Jan 1-4
+        assert (out["value"].dropna() == 7.0).all()

@@ -380,3 +380,60 @@ def window_ranks(ds: ray.data.Dataset, key_col: str = "user_id",
         key_col, num_buckets)
         .groupby("_sbucket").map_groups(per_bucket,
                                         batch_format="pandas"))
+
+
+def resample_ffill(ds: ray.data.Dataset, start_us: int, end_us: int,
+                   every_us: int, key_col: str = "user_id",
+                   ts_col: str = "ts", value_col: str = "value",
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Time-series gap fill: resample each key's irregular observations
+    onto the regular grid [start, end) step ``every_us`` with
+    forward-fill (value at grid point t = last observation ≤ t; null
+    before a key's first observation) — the SQL ``ASOF LEFT JOIN``
+    against a generated calendar, which Ray Data has no operator for.
+
+    Scale shape: ONE bucketed shuffle of the skinny (key, ts, value)
+    projection co-locates each key's history; per bucket the grid is
+    materialized once (it is identical for every key) and a single
+    ``pandas.merge_asof(by=key)`` fills all of the bucket's keys in one
+    vectorized C pass. Output rows = keys × grid points — the output
+    IS the cartesian frame, so nothing smaller was possible; every
+    other structure stays O(observations).
+
+    Ties at a grid point (observation exactly at t) take that
+    observation (``<=`` semantics, matching ASOF). Duplicate (key, ts)
+    observations resolve to the LAST under a stable (ts) sort with the
+    original value order preserved per the deterministic input sort
+    below (ts, then value) — callers wanting different tie policy
+    should pre-aggregate."""
+    import numpy as np
+
+    grid = np.arange(start_us, end_us, every_us, dtype=np.int64)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        obs = group.copy()
+        obs["_us"] = obs[ts_col].astype(
+            "datetime64[us]").astype("int64")
+        # merge_asof needs BOTH frames globally sorted on the `on`
+        # column; (ts, value) order makes the last equal-ts match the
+        # max value (the documented duplicate-ts tie policy)
+        obs = obs.sort_values(["_us", value_col], kind="stable")
+        keys = np.sort(pd.unique(group[key_col].to_numpy()))
+        gframe = pd.DataFrame({
+            key_col: np.tile(keys, len(grid)),
+            "_us": np.repeat(grid, len(keys)),
+        })
+        filled = pd.merge_asof(
+            gframe, obs[[key_col, "_us", value_col]],
+            on="_us", by=key_col, direction="backward",
+            allow_exact_matches=True)
+        return pd.DataFrame({
+            key_col: filled[key_col],
+            "grid_ts": pd.to_datetime(filled["_us"], unit="us"),
+            value_col: filled[value_col],
+        })
+
+    return _add_key_bucket(
+        ds.select_columns([key_col, ts_col, value_col]),
+        key_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas")
