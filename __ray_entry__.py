@@ -1066,6 +1066,23 @@ def q_value_tdigest(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "q"]).reset_index(drop=True)
 
 
+def q_embedding_pca(sf_dir: str) -> pd.DataFrame:
+    """Distributed PCA whitening (rows-only — eigenstructure is
+    numpy-oracle-gated in tests/test_embed_pca.py): one additive
+    covariance pass (a GEMM per block), driver eigendecomposition,
+    broadcast map-only projection."""
+    from web2llmstxt_ray.ops.embed_pca import fit_pca, transform_pca
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = fit_pca(ds, k=4)
+    out = transform_pca(ds, model, whiten=True).to_pandas()
+    z = np.stack(out["pca"].to_numpy())
+    res = pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
+    for i in range(z.shape[1]):
+        res[f"pc{i}"] = z[:, i]
+    return res.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_pq_topk(sf_dir: str) -> pd.DataFrame:
     """Product-quantization ADC top-k (rows-only — recall vs the exact
     brute-force scan is pytest-gated in tests/test_pq.py): codebooks
@@ -2599,6 +2616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_robust_scale": q_value_robust_scale,
         "sparse_dot_pairs": q_sparse_dot_pairs,
         "pq_topk": q_pq_topk,
+        "embedding_pca": q_embedding_pca,
         "value_tdigest": q_value_tdigest,
         "media_frames": q_media_frames,
         "lineitem_profile": q_lineitem_profile,

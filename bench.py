@@ -443,6 +443,7 @@ def _run_scaling() -> None:
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
+        time.sleep(2)  # settle between fresh Ray clusters
         r = json.loads(out.strip().splitlines()[-1])
         return r["extras"]["crawl_listing_pages_per_s"]
 
