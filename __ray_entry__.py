@@ -952,6 +952,27 @@ def q_events_resample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "grid_ts"]).reset_index(drop=True)
 
 
+def q_events_zorder_box(sf_dir: str) -> pd.DataFrame:
+    """2-D box read over a Z-ORDERED layout (Morton-interleaved
+    (value, user_id) key → range partitions): the box touches only the
+    partitions inside the corner-bracketed z-range (sound by Morton
+    coordinate monotonicity) + exact residual — hash-exact vs the
+    two-predicate SQL WHERE scan."""
+    import tempfile
+
+    from web2llmstxt_ray.ops.layout import (read_zorder_box,
+                                            write_zorder_partitioned)
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+    path = tempfile.mkdtemp(prefix="graft_zorderlay_")
+    write_zorder_partitioned(ev, path, "value", "user_id",
+                             num_parts=16)
+    out = _pdf(read_zorder_box(path, 100.0, 300.0, 10.0, 60.0))
+    out = out[["event_id", "user_id", "value"]]
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_recrawl_priorities(sf_dir: str) -> pd.DataFrame:
     """Recrawl scheduling (Cho & Garcia-Molina staleness): per-key
     count/min/max partials (raw events never shuffle) → exact-integer
@@ -2625,6 +2646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_read": q_events_range_read,
         "recrawl_priorities": q_recrawl_priorities,
         "events_resample": q_events_resample,
+        "events_zorder_box": q_events_zorder_box,
         "regional_revenue": q_regional_revenue,
         "volume_shipping": q_volume_shipping,
         "large_orders": q_large_orders,
@@ -3030,6 +3052,11 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts, event_id) AS journey,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        "events_zorder_box": """
+            SELECT event_id, user_id, value FROM events
+            WHERE value >= 100 AND value < 300
+              AND user_id >= 10 AND user_id < 60
         """,
         "events_resample": """
             WITH obs AS (

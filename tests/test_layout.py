@@ -73,3 +73,69 @@ class TestRangeLayout:
                                 num_parts=4)
         got = read_range_partitioned(path, 10**9, None).to_pandas()
         assert len(got) == 0
+
+
+class TestZOrder:
+    def test_spread_and_zvalue_props(self):
+        from web2llmstxt_ray.ops.layout import (_spread_bits_32,
+                                                zorder_values)
+        import numpy as np
+
+        # spread: bit i of x lands at bit 2i
+        x = np.array([0b1011], dtype=np.uint32)
+        assert int(_spread_bits_32(x)[0]) == 0b1000101
+        # coordinate monotonicity (the soundness property)
+        r = (0.0, 100.0)
+        z = lambda a, b: int(zorder_values(np.array([a]),
+                                           np.array([b]), r, r)[0])
+        assert z(10, 10) <= z(20, 10) <= z(20, 20)
+        assert z(5, 50) <= z(5, 60)
+
+    def test_box_read_exact_and_pruned(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web2llmstxt_ray.ops.layout import (read_zorder_box,
+                                                write_zorder_partitioned,
+                                                zorder_parts_for_box)
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({
+            "id": np.arange(30_000, dtype=np.int64),
+            "x": rng.uniform(0, 1000, 30_000),
+            "y": rng.uniform(0, 1000, 30_000),
+        })
+        path = str(tmp_path / "zlay")
+        manifest = write_zorder_partitioned(
+            ray.data.from_pandas(df).repartition(8), path, "x", "y",
+            num_parts=32)
+        box = (100.0, 200.0, 300.0, 400.0)
+        got = read_zorder_box(path, *box).to_pandas()
+        want = df[(df["x"] >= box[0]) & (df["x"] < box[1])
+                  & (df["y"] >= box[2]) & (df["y"] < box[3])]
+        assert sorted(got["id"]) == sorted(want["id"])
+        # the 10%x10% box must prune a substantial share of partitions
+        touched = len(zorder_parts_for_box(manifest, *box))
+        assert touched < manifest["num_parts"]
+
+    def test_full_read_complete(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web2llmstxt_ray.ops.layout import (read_zorder_box,
+                                                write_zorder_partitioned)
+
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame({
+            "id": np.arange(3000, dtype=np.int64),
+            "x": rng.uniform(-5, 5, 3000),
+            "y": rng.uniform(10, 20, 3000),
+        })
+        path = str(tmp_path / "zlay2")
+        write_zorder_partitioned(ray.data.from_pandas(df), path,
+                                 "x", "y", num_parts=8)
+        got = read_zorder_box(path, -5.0, 5.0001, 10.0,
+                              20.0001).to_pandas()
+        assert sorted(got["id"]) == sorted(df["id"])
