@@ -1057,6 +1057,43 @@ def q_value_window_ranks(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_top_values_with_ties(sf_dir: str) -> pd.DataFrame:
+    """Per-user top-3 event values WITH TIES (the ANSI ``FETCH FIRST 3
+    ROWS WITH TIES`` / ``QUALIFY rank() <= 3`` shape): rank comes from
+    the one-shuffle window_ranks pass ordered by value descending
+    (negate the cents), then a map-only rank filter."""
+    from web2llmstxt_ray.ops.windows import window_ranks
+
+    def to_int(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "negx": pc.multiply(pc.cast(pc.round(pc.multiply(
+                b.column("value"), 100.0)), pa.int64()),
+                pa.scalar(-1, pa.int64())),
+        })
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "value"]
+            ).map_batches(to_int, batch_format="pyarrow")
+    ranked = window_ranks(ev, key_col="user_id", order_col="negx",
+                          id_col="event_id")
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[b["rnk"] <= 3]
+        return pd.DataFrame({"user_id": k["user_id"],
+                             "event_id": k["event_id"],
+                             "rnk": k["rnk"]})
+
+    out = _pdf(ranked.map_batches(keep, batch_format="pandas",
+                                  batch_size=None))
+    for c in ("user_id", "event_id", "rnk"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["user_id", "rnk", "event_id"]
+                           ).reset_index(drop=True)
+
+
 def q_lineitem_profile(sf_dir: str) -> pd.DataFrame:
     """One-pass ANALYZE over lineitem's numeric columns: count / nulls
     / min / max from additive per-block partials — one scan, no
@@ -2641,6 +2678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_tdigest": q_value_tdigest,
         "media_frames": q_media_frames,
         "lineitem_profile": q_lineitem_profile,
+        "top_values_with_ties": q_top_values_with_ties,
         "value_window_ranks": q_value_window_ranks,
         "customer_cdc": q_customer_cdc,
         "events_range_read": q_events_range_read,
@@ -3129,6 +3167,18 @@ def oracle_sql() -> dict[str, str]:
             FROM i
             WINDOW w AS (PARTITION BY user_id ORDER BY x),
                    w_id AS (PARTITION BY user_id ORDER BY x, event_id)
+        """,
+        "top_values_with_ties": """
+            WITH i AS (SELECT event_id, user_id,
+                              -CAST(round(value * 100) AS BIGINT)
+                                  AS negx
+                       FROM events),
+            r AS (SELECT event_id, user_id,
+                         CAST(rank() OVER (PARTITION BY user_id
+                                           ORDER BY negx) AS BIGINT)
+                             AS rnk
+                  FROM i)
+            SELECT user_id, event_id, rnk FROM r WHERE rnk <= 3
         """,
         "lineitem_profile": """
             SELECT col_name, n_rows, n_nulls, min_v, max_v FROM (
