@@ -139,3 +139,56 @@ class TestZOrder:
         got = read_zorder_box(path, -5.0, 5.0001, 10.0,
                               20.0001).to_pandas()
         assert sorted(got["id"]) == sorted(df["id"])
+
+
+class TestBigmin:
+    def test_bruteforce_small_bits(self):
+        import bisect
+        import random
+
+        from web2llmstxt_ray.ops.layout import (_merge_dims,
+                                                next_z_in_box)
+
+        bits = 4
+        N = 1 << bits
+        rng = random.Random(11)
+        for _ in range(60):
+            a0, a1 = sorted(rng.randrange(N) for _ in range(2))
+            b0, b1 = sorted(rng.randrange(N) for _ in range(2))
+            inbox = sorted(_merge_dims(a, b)
+                           for a in range(a0, a1 + 1)
+                           for b in range(b0, b1 + 1))
+            for _ in range(20):
+                z = rng.randrange(1 << (2 * bits))
+                i = bisect.bisect_left(inbox, z)
+                want = inbox[i] if i < len(inbox) else None
+                assert next_z_in_box(z, (a0, a1), (b0, b1),
+                                     bits) == want
+
+    def test_exact_pruning_subset_and_read_exact(self, tmp_path):
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web2llmstxt_ray.ops.layout import (
+            read_zorder_box, write_zorder_partitioned,
+            zorder_parts_for_box, zorder_parts_for_box_exact)
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({
+            "id": np.arange(20_000, dtype=np.int64),
+            "x": rng.uniform(0, 100, 20_000),
+            "y": rng.uniform(0, 100, 20_000),
+        })
+        path = str(tmp_path / "zb")
+        manifest = write_zorder_partitioned(
+            ray.data.from_pandas(df).repartition(6), path, "x", "y",
+            num_parts=32)
+        box = (80.0, 95.0, 5.0, 20.0)   # off-diagonal → z gaps
+        bracket = zorder_parts_for_box(manifest, *box)
+        exact = zorder_parts_for_box_exact(manifest, *box)
+        assert set(exact) <= set(bracket)
+        got = read_zorder_box(path, *box).to_pandas()
+        want = df[(df["x"] >= box[0]) & (df["x"] < box[1])
+                  & (df["y"] >= box[2]) & (df["y"] < box[3])]
+        assert sorted(got["id"]) == sorted(want["id"])

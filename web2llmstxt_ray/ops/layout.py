@@ -222,12 +222,13 @@ def zorder_parts_for_box(manifest: dict, a_lo: float, a_hi: float,
 
 def read_zorder_box(path: str, a_lo: float, a_hi: float,
                     b_lo: float, b_hi: float) -> ray.data.Dataset:
-    """2-D box read over a z-ordered layout: partition pruning via
-    :func:`zorder_parts_for_box`, exact residual predicate inside."""
+    """2-D box read over a z-ordered layout: exact BIGMIN partition
+    pruning (:func:`zorder_parts_for_box_exact`), exact residual
+    predicate inside."""
     with open(os.path.join(path, "_layout.json")) as f:
         manifest = json.load(f)
     col_a, col_b = manifest["zorder"]
-    keep = zorder_parts_for_box(manifest, a_lo, a_hi, b_lo, b_hi)
+    keep = zorder_parts_for_box_exact(manifest, a_lo, a_hi, b_lo, b_hi)
     dirs = [os.path.join(path, f"_range_part={p}") for p in keep]
     files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
@@ -242,3 +243,129 @@ def read_zorder_box(path: str, a_lo: float, a_hi: float,
 
     return ray.data.read_parquet(files).map_batches(
         residual, batch_format="pandas", batch_size=None)
+
+
+def _compact_bits_64(v: np.ndarray | int) -> np.ndarray | int:
+    """Inverse of :func:`_spread_bits_32`: gather every other bit."""
+    v = np.uint64(v) & np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def z_decode(z: int) -> tuple[int, int]:
+    """Interleaved z-code → (a, b) quantized coordinates."""
+    return (int(_compact_bits_64(z)), int(_compact_bits_64(z >> 1)))
+
+
+def _load_bits(val: int, bit: int, pattern_one: bool) -> int:
+    """Tropf-Herzog LOAD: in the single-dimension view at ``bit``
+    (counting from 0 = LSB of that dimension), set that bit to
+    ``pattern_one`` and all lower bits of the dimension to the
+    complement (10…0 or 01…1)."""
+    mask = (1 << bit) - 1
+    if pattern_one:
+        return (val & ~mask & ~(1 << bit)) | (1 << bit)
+    return (val & ~mask & ~(1 << bit)) | mask
+
+
+def zorder_bigmin(z: int, box_a: tuple[int, int], box_b: tuple[int, int],
+                  bits: int = 16) -> int | None:
+    """BIGMIN (Tropf & Herzog 1981): the smallest z-code > ``z`` whose
+    decoded point lies in the (inclusive, quantized) box — or the box
+    minimum when ``z`` precedes it; None when no in-box code > z
+    exists. Used to decide EXACTLY whether a partition's z-interval
+    contains any in-box point (the corner-bracket range test admits
+    false positives across z discontinuities; this removes them).
+
+    Implemented per dimension on the compacted coordinates (equivalent
+    to the interleaved-bit formulation, easier to verify)."""
+    a_min, a_max = box_a
+    b_min, b_max = box_b
+    bigmin = None
+    for pos in range(2 * bits - 1, -1, -1):
+        dim = pos & 1            # 0 → a (even interleave bits), 1 → b
+        dbit = pos >> 1
+        if dim == 0:
+            lo, hi = a_min, a_max
+        else:
+            lo, hi = b_min, b_max
+        zb = (z >> pos) & 1
+        lb = (lo >> dbit) & 1
+        hb = (hi >> dbit) & 1
+        if zb == 0 and lb == 0 and hb == 1:
+            # candidate: jump this dim up to 10…0; cap the max branch
+            cand_lo = _load_bits(lo, dbit, True)
+            cand = _merge_dims(cand_lo if dim == 0 else a_min,
+                               cand_lo if dim == 1 else b_min)
+            bigmin = cand if bigmin is None else min(bigmin, cand)
+            hi = _load_bits(hi, dbit, False)
+        elif zb == 0 and lb == 1 and hb == 1:
+            return _merge_dims(a_min, b_min)
+        elif zb == 1 and lb == 0 and hb == 0:
+            return bigmin
+        elif zb == 1 and lb == 0 and hb == 1:
+            lo = _load_bits(lo, dbit, True)
+        # (0,0,0) and (1,1,1): continue with current bounds
+        elif (zb, lb, hb) in ((0, 1, 0), (1, 1, 0)):
+            raise AssertionError("min > max: invalid box")
+        if dim == 0:
+            a_min, a_max = lo, hi
+        else:
+            b_min, b_max = lo, hi
+    # z itself is inside the (narrowed) box → smallest in-box code > z
+    # does not exist below; z in box means caller handles equality
+    return bigmin
+
+
+def _merge_dims(a: int, b: int) -> int:
+    return int(_spread_bits_32(np.uint32(a))
+               | (_spread_bits_32(np.uint32(b)) << np.uint64(1)))
+
+
+def z_in_box(z: int, box_a: tuple[int, int],
+             box_b: tuple[int, int]) -> bool:
+    a, b = z_decode(z)
+    return box_a[0] <= a <= box_a[1] and box_b[0] <= b <= box_b[1]
+
+
+def next_z_in_box(z: int, box_a: tuple[int, int],
+                  box_b: tuple[int, int], bits: int = 16) -> int | None:
+    """Smallest in-box z-code ≥ ``z`` (z itself when already in-box)."""
+    if z_in_box(z, box_a, box_b):
+        return z
+    return zorder_bigmin(z, box_a, box_b, bits)
+
+
+def zorder_parts_for_box_exact(manifest: dict, a_lo: float, a_hi: float,
+                               b_lo: float, b_hi: float) -> list[int]:
+    """Exact pruning: of the corner-bracketed candidate partitions,
+    keep only those whose z-interval actually contains an in-box code
+    (BIGMIN test per partition — O(candidates · bits) driver work)."""
+    bits = manifest["bits"]
+    scale = (1 << bits) - 1
+    a_r, b_r = manifest["a_range"], manifest["b_range"]
+
+    def quant(v: float, rng) -> int:
+        lo, hi = rng
+        return int(np.clip((v - lo) / max(hi - lo, 1e-300) * scale,
+                           0, scale))
+
+    box_a = (quant(a_lo, a_r), quant(a_hi, a_r))
+    box_b = (quant(b_lo, b_r), quant(b_hi, b_r))
+    bounds = manifest["bounds"]
+    n = manifest["num_parts"]
+    out = []
+    for p in zorder_parts_for_box(manifest, a_lo, a_hi, b_lo, b_hi):
+        if p >= n:
+            continue
+        zlo = 0 if p == 0 else int(np.floor(bounds[p - 1])) + 1
+        zhi = ((1 << (2 * bits)) - 1 if p >= len(bounds)
+               else int(np.floor(bounds[p])))
+        nxt = next_z_in_box(zlo, box_a, box_b, bits)
+        if nxt is not None and nxt <= zhi:
+            out.append(p)
+    return out
