@@ -128,7 +128,6 @@ def test_lineage_records_and_integrity_gate(small_site, disallow_by_host,
     assert depths == list(range(len(waves)))
 
     # corrupt one committed seen blob → resume must refuse
-    last = os.path.join(run_dir, waves[-1])
     with open(os.path.join(run_dir, "manifest.json")) as f:
         top = json.load(f)["completed_depth"]
     victim = os.path.join(run_dir, f"wave_{top}", "state", "seen_0.bin")

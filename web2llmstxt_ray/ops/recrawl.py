@@ -20,7 +20,11 @@ total order, so top-N is reproducible.
 Scale shape: a partial-agg groupby (count/min/max — three additive
 partials per key per block, raw events never shuffle) feeds a
 vectorized formula + top-N; at 10^10 URLs the per-key aggregate is the
-frontier-shard-sized table, not the event log.
+frontier-shard-sized table, not the event log. The driver fold below
+assumes bounded key cardinality (hosts / site sections); at full URL
+granularity route the same partials through a hash(key)-bucketed
+shuffle (``relational.partial_groupby(distributed_combine=True)``
+shape) and take per-bucket top-N before the driver merge.
 """
 
 from __future__ import annotations
