@@ -224,6 +224,23 @@ def _run_bench() -> dict:
     results["ann_search"] = round(dt, 3)
     extras["ann_vectors_scanned_per_s"] = round(n_vec * n_q / dt)
 
+    # ---- pq_scan: same corpus through product quantization — encode
+    # once (map-only, 64-d f32 → 8 uint8 codes = 32×), then the ADC
+    # top-k scan reads CODES only (m table lookups/vector) ----
+    from web2llmstxt_ray.ops.pq import pq_encode, pq_topk, pq_train
+
+    t0 = time.perf_counter()
+    books = pq_train(vecs[:512].astype(np.float64), m=8, ks=32)
+    codes = pq_encode(emb, books).materialize()
+    encode_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out_pq = pq_topk(codes, books, vecs[:n_q], list(range(n_q)), k=10)
+    dt = time.perf_counter() - t0
+    assert out_pq.num_rows == n_q * 10
+    results["pq_scan"] = round(dt, 3)
+    extras["pq_encode_s"] = round(encode_s, 3)
+    extras["pq_adc_vectors_per_s"] = round(n_vec * n_q / dt)
+
     # ---- near_dup at scale: 200k × 64 ≈ 100 MB fp64 matrix — the size
     # class the round-1 implementation take_all'd to the driver and
     # broadcast whole to every worker (~10× the sf0.1 embeddings table).
