@@ -107,3 +107,18 @@ class TestCdcMerge:
         a = _merge(base, chg, parts=(1, 1))
         b = _merge(base, chg, parts=(9, 6))
         assert a.equals(b)
+
+
+class TestCdcVersionValidation:
+    def test_negative_changelog_version_rejected(self):
+        # the base sentinel is _ver=-1: a changelog version <= -1 would
+        # silently lose latest-wins to the base row, so it must raise
+        import pytest
+
+        base = pd.DataFrame({"k": np.int64([1]), "v": ["a"]})
+        chg = pd.DataFrame({"k": np.int64([1]),
+                            "version": np.int64([-1]),
+                            "op": ["d"], "v": ["x"]})
+        with pytest.raises((ValueError, Exception),
+                           match="must be >= 0"):
+            _merge(base, chg)

@@ -139,3 +139,38 @@ def test_lineage_records_and_integrity_gate(small_site, disallow_by_host,
     with pytest.raises(RuntimeError, match="checkpoint corruption"):
         c2.resume()
     c2.shutdown()
+
+
+def test_lineage_count_mismatch_refused(small_site, disallow_by_host,
+                                        tmp_path):
+    """A lineage record list shorter than the on-disk blob set (e.g. a
+    missing entry) must be refused, not silently zip-truncated — the
+    extra partitions would bypass hash verification."""
+    import json
+    import os
+
+    import pytest
+
+    _, _, site_idx = small_site
+    run_dir = str(tmp_path / "lincount")
+    cfg = CrawlConfig(base_url=BASE, max_pages=8, run_dir=run_dir)
+    c = DistributedCrawler(cfg, site_idx, disallow_by_host=disallow_by_host)
+    c.run()
+    c.shutdown()
+
+    with open(os.path.join(run_dir, "manifest.json")) as f:
+        top = json.load(f)["completed_depth"]
+    lpath = os.path.join(run_dir, f"wave_{top}", "lineage.json")
+    with open(lpath) as f:
+        lin = json.load(f)
+    assert len(lin["partitions"]["seen"]) > 1
+    lin["partitions"]["seen"] = lin["partitions"]["seen"][:-1]
+    with open(lpath, "w") as f:
+        json.dump(lin, f)
+    c2 = DistributedCrawler(CrawlConfig(base_url=BASE, max_pages=8,
+                                        run_dir=run_dir),
+                            site_idx, disallow_by_host=disallow_by_host)
+    with pytest.raises(RuntimeError,
+                       match="count .* != on-disk blob count"):
+        c2.resume()
+    c2.shutdown()

@@ -165,6 +165,51 @@ class TestBigmin:
                 assert next_z_in_box(z, (a0, a1), (b0, b1),
                                      bits) == want
 
+    def test_integer_boundary_partition_not_pruned(self):
+        # regression: a z-code EQUAL to a partition boundary belongs to
+        # the right-hand partition (searchsorted side='right'); the old
+        # floor(bound)+1 lower edge excluded it from the BIGMIN test and
+        # wrongly pruned the partition when it was the only in-box code
+        from web2llmstxt_ray.ops.layout import (_merge_dims,
+                                                zorder_parts_for_box_exact)
+
+        z0 = int(_merge_dims(3, 5))
+        manifest = {"bits": 4, "a_range": [0.0, 15.0],
+                    "b_range": [0.0, 15.0], "bounds": [float(z0)],
+                    "num_parts": 2}
+        # point box (a=3, b=5) quantizes to itself: z0 is the ONLY
+        # in-box code, and it sits exactly on the boundary → part 1
+        assert zorder_parts_for_box_exact(
+            manifest, 3.0, 3.0, 5.0, 5.0) == [1]
+
+    def test_duplicate_heavy_integer_grid_box_exact(self, tmp_path):
+        # low-cardinality integer coords: t-digest boundaries interpolate
+        # between integer centroid means and can land exactly on codes
+        import numpy as np
+        import pandas as pd
+        import ray.data
+
+        from web2llmstxt_ray.ops.layout import (read_zorder_box,
+                                                write_zorder_partitioned)
+
+        rng = np.random.default_rng(17)
+        n = 12_000
+        df = pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            "x": rng.integers(0, 8, n).astype(np.float64),
+            "y": rng.integers(0, 8, n).astype(np.float64),
+        })
+        path = str(tmp_path / "zdup")
+        write_zorder_partitioned(
+            ray.data.from_pandas(df).repartition(6), path, "x", "y",
+            num_parts=16, bits=3)
+        for box in [(2.0, 5.0, 1.0, 4.0), (0.0, 1.5, 6.0, 7.5),
+                    (3.0, 3.5, 3.0, 3.5), (5.0, 8.0, 0.0, 8.0)]:
+            got = read_zorder_box(path, *box).to_pandas()
+            want = df[(df["x"] >= box[0]) & (df["x"] < box[1])
+                      & (df["y"] >= box[2]) & (df["y"] < box[3])]
+            assert sorted(got["id"]) == sorted(want["id"]), box
+
     def test_exact_pruning_subset_and_read_exact(self, tmp_path):
         import numpy as np
         import pandas as pd

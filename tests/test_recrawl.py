@@ -56,6 +56,33 @@ class TestRecrawl:
         assert pri[1] == 0.0          # n=1 → no observed change rate
         assert pri[2] > 0.0
 
+    def test_no_int64_overflow_on_huge_age_times_nobs(self):
+        # age_us ~3e15 × n_obs ~1e5 ≈ 3e20 wraps int64 (silently, in
+        # numpy); the exact Python-int numerator must stay positive and
+        # rank the high-observation key first
+        n_obs = 120_000
+        base = pd.Timestamp("1995-01-01")
+        hot = pd.DataFrame({
+            "user_id": np.full(n_obs, 7, dtype=np.int64),
+            "ts": base + pd.to_timedelta(
+                np.arange(n_obs) % 86_400, unit="s"),
+        })
+        cold = pd.DataFrame({
+            "user_id": np.int64([1, 1]),
+            "ts": pd.to_datetime(["2025-01-01", "2025-05-01"]),
+        })
+        df = pd.concat([hot, cold], ignore_index=True)
+        out = recrawl_priorities(
+            ray.data.from_pandas(df).repartition(5), NOW, top_n=5)
+        assert (out["priority"] >= 0).all()
+        age = NOW - int(hot["ts"].max().value // 1000)
+        span = int(hot["ts"].max().value // 1000) \
+            - int(hot["ts"].min().value // 1000)
+        want = float(age * (n_obs - 1)) / float(span)
+        got = dict(zip(out["user_id"], out["priority"]))[7]
+        assert got == want
+        assert out["user_id"].iloc[0] == 7
+
     def test_partition_invariant(self):
         df = _events(2000, seed=3)
         outs = []

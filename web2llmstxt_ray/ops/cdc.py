@@ -48,8 +48,18 @@ def _tag_bucket(ds: ray.data.Dataset, key_col: str, num_buckets: int,
         out = pd.DataFrame({key_col: keys})
         for c in payload_cols:
             out[c] = df[c]
-        out["_ver"] = (np.int64(-1) if is_base
-                       else df[version_col].astype("int64"))
+        if is_base:
+            out["_ver"] = np.int64(-1)
+        else:
+            ver = df[version_col].astype("int64")
+            # base rows carry the sentinel _ver=-1; a changelog version
+            # <= -1 would silently lose latest-wins to the base row, so
+            # the commit-LSN >= 0 assumption must hold — validate it
+            if len(ver) and int(ver.min()) < 0:
+                raise ValueError(
+                    f"cdc_merge: changelog {version_col} must be >= 0 "
+                    f"(commit LSNs); got min {int(ver.min())}")
+            out["_ver"] = ver
         out["_op"] = "u" if is_base else df[op_col].astype(str)
         out["_cb"] = bk
         return out

@@ -362,7 +362,11 @@ def zorder_parts_for_box_exact(manifest: dict, a_lo: float, a_hi: float,
     for p in zorder_parts_for_box(manifest, a_lo, a_hi, b_lo, b_hi):
         if p >= n:
             continue
-        zlo = 0 if p == 0 else int(np.floor(bounds[p - 1])) + 1
+        # searchsorted(side='right') puts a code EQUAL to the boundary
+        # into partition p, so the partition's lowest code is
+        # ceil(boundary) — NOT floor+1, which would exclude an
+        # integer-valued boundary code and wrongly prune the partition.
+        zlo = 0 if p == 0 else int(np.ceil(bounds[p - 1]))
         zhi = ((1 << (2 * bits)) - 1 if p >= len(bounds)
                else int(np.floor(bounds[p])))
         nxt = next_z_in_box(zlo, box_a, box_b, bits)

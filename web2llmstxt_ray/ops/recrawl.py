@@ -57,7 +57,14 @@ def recrawl_priorities(ds: ray.data.Dataset, now_us: int,
     span = np.maximum(agg["_mx"].to_numpy(np.int64)
                       - agg["_mn"].to_numpy(np.int64), 1)
     n = agg["n_obs"].to_numpy(np.int64)
-    pri = (age * (n - 1)).astype(np.float64) / span.astype(np.float64)
+    # exact-integer numerator via Python ints: age_us ~1e15 × n_obs
+    # beyond ~1e4 wraps silently in int64 (numpy doesn't raise); the SQL
+    # oracle's BIGINT product is exact, so match it with arbitrary-
+    # precision ints, then one float division (O(keys) driver rows)
+    pri = np.fromiter(
+        (float(int(a) * int(k)) / float(s)
+         for a, k, s in zip(age.tolist(), (n - 1).tolist(), span.tolist())),
+        dtype=np.float64, count=len(age))
     out = pd.DataFrame({key_col: agg[key_col], "n_obs": n,
                         "age_us": age, "span_us": span,
                         "priority": pri})

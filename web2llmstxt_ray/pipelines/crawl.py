@@ -423,7 +423,16 @@ class DistributedCrawler:
                 lineage = json.load(f)
             for kind, blobs in (("seen", seen_blobs),
                                 ("frontier", frontier_blobs)):
-                for rec, blob in zip(lineage["partitions"][kind], blobs):
+                recs = lineage["partitions"][kind]
+                # zip() would silently truncate on a count mismatch
+                # (shard-count config change, missing lineage entry),
+                # letting extra partitions bypass hash verification
+                if len(recs) != len(blobs):
+                    raise RuntimeError(
+                        f"checkpoint corruption: lineage records {kind} "
+                        f"count {len(recs)} != on-disk blob count "
+                        f"{len(blobs)}")
+                for rec, blob in zip(recs, blobs):
                     got = hashlib.sha256(blob).hexdigest()
                     if got != rec["sha256"]:
                         raise RuntimeError(
