@@ -153,3 +153,82 @@ class TestMinhashLosers:
                       "text": pa.array(docs, pa.string())})
         from web2llmstxt_ray.ops.dedup import minhash_losers
         assert minhash_losers(ray.data.from_arrow(t)) == []
+
+
+class TestDistributedVerifyTier:
+    def _dup_corpus(self, n_base=30, n_near=6, seed=8):
+        rng = np.random.RandomState(seed)
+        vocab = [f"v{i}" for i in range(150)]
+        base = [" ".join(rng.choice(vocab, size=50)) for _ in range(n_base)]
+        near = []
+        for i in range(n_near):
+            toks = base[i].split()
+            toks[5] = "tweaked"
+            near.append(" ".join(toks))
+        docs = base + near
+        return pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                         "text": pa.array(docs, pa.string())})
+
+    def test_driver_never_holds_candidate_texts(self, monkeypatch):
+        # the round-2 weak tier collected candidate texts with take_all
+        # and ran a driver union-find; the distributed tier must only
+        # ever collect skinny (node, component) id rows
+        import ray.data as rd
+
+        from web2llmstxt_ray.ops.dedup import minhash_losers
+
+        collected: list[set] = []
+        orig_take_all = rd.Dataset.take_all
+        orig_to_pandas = rd.Dataset.to_pandas
+
+        def spy_take_all(self, *a, **kw):
+            rows = orig_take_all(self, *a, **kw)
+            if rows:
+                collected.append(set(rows[0].keys()))
+            return rows
+
+        def spy_to_pandas(self, *a, **kw):
+            df = orig_to_pandas(self, *a, **kw)
+            if len(df):
+                collected.append(set(df.columns))
+            return df
+
+        monkeypatch.setattr(rd.Dataset, "take_all", spy_take_all)
+        monkeypatch.setattr(rd.Dataset, "to_pandas", spy_to_pandas)
+        ds = ray.data.from_arrow(self._dup_corpus()).repartition(3)
+        got = minhash_losers(ds, jaccard_threshold=0.7)
+        assert len(got) >= 5
+        assert collected, "expected the skinny id-map collect"
+        for cols in collected:
+            assert "text" not in cols
+            assert "_ta" not in cols and "_tb" not in cols
+
+    def test_losers_ds_matches_list_api(self):
+        from web2llmstxt_ray.ops.dedup import (minhash_losers,
+                                               minhash_losers_ds)
+
+        ds = ray.data.from_arrow(self._dup_corpus(seed=21)).repartition(4)
+        want = minhash_losers(ds, jaccard_threshold=0.7)
+        got = sorted(minhash_losers_ds(ds, jaccard_threshold=0.7)
+                     .to_pandas()["doc_id"])
+        assert got == want and len(got) >= 5
+
+    def test_verified_pairs_match_bruteforce(self):
+        from web2llmstxt_ray.ops.dedup import (jaccard,
+                                               minhash_verified_pairs,
+                                               shingles)
+
+        t = self._dup_corpus(seed=33)
+        ds = ray.data.from_arrow(t).repartition(3)
+        got = minhash_verified_pairs(ds, jaccard_threshold=0.7) \
+            .to_pandas().sort_values(["a", "b"]).values.tolist()
+        texts = t.column("text").to_pylist()
+        sh = [shingles(x) for x in texts]
+        want = [[a, b] for a in range(len(texts))
+                for b in range(a + 1, len(texts))
+                if jaccard(sh[a], sh[b]) >= 0.7]
+        # LSH recall gates candidates; every emitted pair must be a
+        # true >= threshold pair, and the planted near-dups must appear
+        assert all(p in want for p in got)
+        planted = [[i, 30 + i] for i in range(6)]
+        assert all(p in got for p in planted)

@@ -38,10 +38,19 @@ def _pairs_ds(pairs):
 
 
 def _cc_dict(pairs, **kw):
-    out = connected_components(_pairs_ds(pairs), **kw).take_all()
-    got = {r["node"]: r["component"] for r in out}
-    assert len(got) == len(out), "duplicate node rows emitted"
-    return got
+    # exercise BOTH execution tiers: the small-edge driver union-find
+    # (default threshold) and the distributed star contraction
+    # (driver_threshold=0) must agree exactly
+    results = []
+    for thresh in (1_000_000, 0):
+        out = connected_components(_pairs_ds(pairs),
+                                   driver_threshold=thresh,
+                                   **kw).take_all()
+        got = {r["node"]: r["component"] for r in out}
+        assert len(got) == len(out), "duplicate node rows emitted"
+        results.append(got)
+    assert results[0] == results[1], "driver/distributed tier mismatch"
+    return results[0]
 
 
 class TestConnectedComponents:

@@ -380,6 +380,170 @@ def minhash_clusters_scale(ds: ray.data.Dataset, text_col: str = "text",
     return connected_components(pairs, "a", "b", num_buckets=num_buckets)
 
 
+def minhash_verified_pairs(ds: ray.data.Dataset, text_col: str = "text",
+                           id_col: str = "doc_id", num_perm: int = 64,
+                           num_bands: int = 16, shingle_k: int = 3,
+                           jaccard_threshold: float = 0.8,
+                           num_buckets: int = 64) -> ray.data.Dataset:
+    """LSH candidates → exact word-shingle Jaccard verify, fully
+    distributed — the verified-precision analogue of
+    :func:`minhash_candidate_pairs`.
+
+    Shape: candidate (a, b) id pairs stay a Dataset; a two-stage
+    bucketed exchange attaches both texts — stage 1 co-locates
+    exploded (pair, role) rows with (id, text) rows on an id-hash
+    bucket (corpus texts shuffle ONCE, cross-band duplicate pairs
+    dedupe in the same group), stage 2 regroups the 2 text-bearing
+    rows per pair on a pair-hash bucket and runs the exact-Jaccard
+    verify fused in the group kernel. Returns verified (a, b) rows
+    with exact Jaccard ≥ ``jaccard_threshold``. NOTHING corpus-sized
+    — and in particular no candidate text — ever reaches the driver.
+    """
+    # materialize the skinny id-pair set (object-store-resident, never
+    # driver-side): its count sizes every downstream shuffle, it is
+    # consumed twice by the bucketed joins, and an empty candidate set
+    # has no schema to join on
+    cand = minhash_candidate_pairs(ds, text_col, id_col, num_perm,
+                                   num_bands, shingle_k).materialize()
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+    # adaptive shuffle width: bucket count is task count, and tiny pair
+    # sets pay pure scheduling overhead per task — 8 buckets until the
+    # pair set is big enough for width to matter
+    nb = num_buckets if n_pairs > 200_000 else min(num_buckets, 8)
+
+    # Two-stage exchange, corpus texts move EXACTLY ONCE:
+    #   stage 1 — pairs explode to one row per (pair, role∈{a,b})
+    #   keyed by that role's doc id; union with (id, text) rows and
+    #   group by id-bucket, where duplicate pairs (the same pair
+    #   surfaces from several bands) dedupe for free — same pair ⇒
+    #   same role-key ⇒ same bucket — and each role row picks up its
+    #   text. Texts of docs in no candidate pair die here.
+    #   stage 2 — regroup the (pair, role, text) rows by pair-hash
+    #   bucket (2 text-bearing rows per pair, bounded by pair count,
+    #   NOT corpus size) and run the exact-Jaccard verify fused into
+    #   the same map_groups.
+    cols = ["k", "a", "b", "_role", "_vt"]
+
+    def explode_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].astype("int64")
+        b = batch["b"].astype("int64")
+        out = pd.DataFrame({
+            "k": pd.concat([a, b], ignore_index=True),
+            "a": pd.concat([a, a], ignore_index=True),
+            "b": pd.concat([b, b], ignore_index=True),
+            "_role": ["a"] * len(a) + ["b"] * len(b),
+            "_vt": None,
+        })
+        out["_kb"] = (out["k"] % nb).astype("int32")
+        return out
+
+    def tag_texts(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "k": batch[id_col].astype("int64"),
+            "a": np.int64(-1), "b": np.int64(-1),
+            "_role": "t", "_vt": batch[text_col],
+        })
+        out["_kb"] = (out["k"] % nb).astype("int32")
+        return out
+
+    unioned = cand.map_batches(explode_pairs, batch_format="pandas",
+                               batch_size=None).union(
+        ds.select_columns([id_col, text_col]).map_batches(
+            tag_texts, batch_format="pandas", batch_size=None))
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        roles = group.loc[group["_role"] != "t",
+                          ["k", "a", "b", "_role"]].drop_duplicates()
+        texts = group.loc[group["_role"] == "t", ["k", "_vt"]]
+        if roles.empty or texts.empty:
+            return pd.DataFrame(columns=cols).astype(
+                {"k": "int64", "a": "int64", "b": "int64"})
+        out = roles.merge(texts.drop_duplicates("k"), on="k", how="inner")
+        return out[cols]
+
+    attached = unioned.groupby("_kb").map_groups(attach,
+                                                 batch_format="pandas")
+
+    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
+        sh_cache: dict = {}
+
+        def sh(i, t):
+            s = sh_cache.get(i)
+            if s is None:
+                s = shingles(t or "", shingle_k)
+                sh_cache[i] = s
+            return s
+
+        out_a, out_b = [], []
+        for (a, b), sub in group.groupby(["a", "b"], sort=False):
+            by_role = dict(zip(sub["_role"], sub["_vt"]))
+            if len(by_role) < 2:
+                continue          # a side's text vanished mid-pipeline
+            if jaccard(sh(a, by_role["a"]),
+                       sh(b, by_role["b"])) >= jaccard_threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    def pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        pb = ((batch["a"].to_numpy(np.int64).astype(np.uint64)
+               * np.uint64(0x9E3779B97F4A7C15))
+              ^ batch["b"].to_numpy(np.int64).astype(np.uint64))
+        batch["_pb"] = (pb % np.uint64(nb)).astype(np.int32)
+        return batch
+
+    return attached.map_batches(pair_bucket, batch_format="pandas",
+                                batch_size=None) \
+        .groupby("_pb").map_groups(verify_group, batch_format="pandas")
+
+
+def minhash_components_verified(ds: ray.data.Dataset,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                num_perm: int = 64, num_bands: int = 16,
+                                shingle_k: int = 3,
+                                jaccard_threshold: float = 0.8,
+                                num_buckets: int = 64) -> ray.data.Dataset:
+    """Verified near-dup clusters at full distribution: exact-verified
+    pairs (:func:`minhash_verified_pairs`) → alternating-star connected
+    components. Returns (node, component) with component = the min doc
+    id of the cluster — identical labels to min-preference union-find,
+    without the driver ever seeing an edge or a text. Docs in no
+    verified pair are absent (singletons by definition)."""
+    from .graph import connected_components
+
+    verified = minhash_verified_pairs(ds, text_col, id_col, num_perm,
+                                      num_bands, shingle_k,
+                                      jaccard_threshold, num_buckets)
+    return connected_components(verified, "a", "b",
+                                num_buckets=num_buckets)
+
+
+def minhash_losers_ds(ds: ray.data.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 64,
+                      num_bands: int = 16, shingle_k: int = 3,
+                      jaccard_threshold: float = 0.8,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Near-dup cluster LOSERS as a Dataset of ``(id_col,)`` rows —
+    the anti-join side for filtering pipelines that can't broadcast
+    the loser set (O(dup-fraction × corpus) ids at 100 TB)."""
+    comp = minhash_components_verified(ds, text_col, id_col, num_perm,
+                                       num_bands, shingle_k,
+                                       jaccard_threshold, num_buckets)
+
+    def losers_only(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch.column("node"), dtype=np.int64)
+        root = np.asarray(batch.column("component"), dtype=np.int64)
+        return pa.table({id_col: pa.array(node[node != root])})
+
+    return comp.map_batches(losers_only, batch_format="pyarrow")
+
+
 class _ClusterEmit:
     """Distributed cluster emission: the (small) verified-pair parent
     map broadcasts once per worker; each batch is a vectorized probe —
@@ -405,15 +569,15 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
                   id_col: str = "doc_id", num_perm: int = 64,
                   num_bands: int = 16, shingle_k: int = 3,
                   jaccard_threshold: float = 0.8) -> ray.data.Dataset:
-    """Near-dup clustering: LSH candidates → exact Jaccard verify →
-    union-find on VERIFIED PAIR IDS ONLY (small by construction) →
-    broadcast the root map → distributed (doc_id, cluster_id, keep)
-    emission via ``map_batches``.
+    """Near-dup clustering: distributed LSH + exact-Jaccard verify
+    (:func:`minhash_verified_pairs`) → distributed connected components
+    → broadcast the skinny {id: root} map → distributed
+    (doc_id, cluster_id, keep) emission via ``map_batches``.
 
-    Scale shape: the driver only ever holds candidate pairs and the
-    texts of docs *involved in a candidate pair* (near-dup corpora keep
-    this a tiny fraction of N); the full corpus streams through the
-    final emission stage without materializing.
+    Scale shape: the only driver state is the (node, component) id map
+    for docs in some verified cluster — O(dup docs) ints, no candidate
+    pairs and no texts. The full corpus streams through the final
+    emission stage without materializing.
     """
     from .stagecache import cached_stage
 
@@ -427,48 +591,15 @@ def minhash_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
 def _verified_root_map(ds, text_col, id_col, num_perm, num_bands,
                        shingle_k, jaccard_threshold) -> dict:
-    """LSH candidates → exact-Jaccard verify → union-find; returns the
-    flat {id: cluster-root} map covering ONLY ids in some verified
-    cluster (small by construction for near-dup corpora)."""
-    cands = minhash_candidates(ds, text_col, id_col, num_perm, num_bands,
-                               shingle_k)
-    # verify with true shingle Jaccard — fetch only the involved docs
-    # (vectorized is_in filter; only (id, text) of involved rows move)
-    involved = sorted({x for p in cands for x in p})
-    if not involved:
-        return {}
-    involved_arr = pa.array(involved)
-
-    def grab(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.is_in(batch.column(id_col), value_set=involved_arr)
-        return batch.filter(mask).select([id_col, text_col])
-
-    texts = {}
-    for row in ds.map_batches(grab, batch_format="pyarrow").take_all():
-        texts[row[id_col]] = row[text_col]
-    sh = {i: shingles(texts.get(i, "") or "", shingle_k) for i in involved}
-    verified = [(a, b) for a, b in cands
-                if jaccard(sh[a], sh[b]) >= jaccard_threshold]
-
-    parent: dict = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in verified:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    # full path compression → flat {id: root} for only the ids that are
-    # in some cluster; everything else maps to itself worker-side
-    root_map = {x: find(x) for x in list(parent)}
-    return {x: r for x, r in root_map.items() if x != r or x in parent}
+    """Flat {id: cluster-root} map covering ONLY ids in some verified
+    cluster. Computed entirely distributed
+    (:func:`minhash_components_verified`); the driver collects just the
+    skinny (node, component) id rows — O(dup docs) ints, never a
+    candidate pair list and never a text (the round-2 weak tier)."""
+    comp = minhash_components_verified(ds, text_col, id_col, num_perm,
+                                       num_bands, shingle_k,
+                                       jaccard_threshold)
+    return {row["node"]: row["component"] for row in comp.take_all()}
 
 
 def minhash_losers(ds: ray.data.Dataset, text_col: str = "text",
@@ -476,10 +607,10 @@ def minhash_losers(ds: ray.data.Dataset, text_col: str = "text",
                    num_bands: int = 16, shingle_k: int = 3,
                    jaccard_threshold: float = 0.8) -> list:
     """Sorted ids of near-dup cluster LOSERS (everything but each
-    cluster's min-id root) — the drop set a filtering pipeline needs.
-    Reads straight off the driver-side verified union-find map: no
-    cluster-emission pass over the corpus (which :func:`minhash_dedup`
-    pays to produce per-row verdicts)."""
+    cluster's min-id root) — the drop set a filtering pipeline
+    broadcasts. Computed by the distributed verify tier; the driver
+    holds O(losers) ids only. For corpora whose loser set itself can't
+    broadcast, use :func:`minhash_losers_ds` and anti-join instead."""
     root_map = _verified_root_map(ds, text_col, id_col, num_perm,
                                   num_bands, shingle_k, jaccard_threshold)
     return sorted(x for x, r in root_map.items() if x != r)

@@ -143,9 +143,13 @@ def prepare_corpus(docs: rd.Dataset, workdir: str, *,
         write_span_docs(deduped, dedup_dir)
         _mark_done(dedup_dir)
 
-    # stage 2 — near-dup loser ids (cluster losers; keep=False rows).
-    # Bounded by the near-dup fraction of the corpus — the broadcast
-    # assumption this pipeline documents and tests.
+    # stage 2 — near-dup loser ids (cluster losers; keep=False rows),
+    # computed by the fully-distributed verify tier (LSH pairs → joined
+    # exact-Jaccard verify → connected components); only the loser ID
+    # set reaches the driver, bounded by the near-dup fraction of the
+    # corpus — the broadcast assumption this pipeline documents and
+    # tests (anti-join via ops.dedup.minhash_losers_ds when even the
+    # id set can't broadcast).
     losers = minhash_losers(_read_stage(dedup_dir, [id_col, text_col]),
                             text_col=text_col, id_col=id_col,
                             jaccard_threshold=jaccard_threshold)
