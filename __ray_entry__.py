@@ -2575,7 +2575,61 @@ def _events_cents(sf_dir: str) -> rd.Dataset:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # ---- the driver's correctness artifact covers the FIRST 50
+        # ---- entries in dict order: the north-star crawl/span/llms
+        # ---- queries lead, then one representative per op family;
+        # ---- the remaining queries keep their original order below
+        "crawl_pages": q_crawl_pages,
+        "crawl_spans": q_crawl_spans,
+        "llms_entries": q_llms_entries,
+        "span_flat": q_span_flat,
+        "span_kind_stats": q_span_kind_stats,
+        "spans_media_stats": q_spans_media_stats,
+        "interleaved_costs": q_interleaved_costs,
+        "pack_interleaved": q_pack_interleaved,
+        "recrawl_priorities": q_recrawl_priorities,
+        "media_features": q_media_features,
         "pricing_summary": q_pricing_summary,
+        "top_parts_per_type": q_top_parts_per_type,
+        "segment_order_outer": q_segment_order_outer,
+        "salted_brand_revenue": q_salted_brand_revenue,
+        "regional_revenue": q_regional_revenue,
+        "exact_dedup": q_exact_dedup,
+        "incremental_dedup": q_incremental_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "minhash_clusters_scale": q_minhash_clusters_scale,
+        "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "similarity_join": q_similarity_join,
+        "semantic_dedup": q_semantic_dedup,
+        "substring_dedup": q_substring_dedup,
+        "segment_dedup": q_segment_dedup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk": q_ann_topk,
+        "pagerank": q_pagerank,
+        "pq_topk": q_pq_topk,
+        "knn_join": q_knn_join,
+        "kmeans_clusters": q_kmeans_clusters,
+        "embedding_pca": q_embedding_pca,
+        "bm25_scores": q_bm25_scores,
+        "inverted_index": q_inverted_index,
+        "sparse_dot_pairs": q_sparse_dot_pairs,
+        "lang_hist": q_lang_hist,
+        "doc_quality": q_doc_quality,
+        "token_counts": q_token_counts,
+        "repetition_stats": q_repetition_stats,
+        "decontaminate": q_decontaminate,
+        "corpus_prep": q_corpus_prep,
+        "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
+        "bpe_tokens": q_bpe_tokens,
+        "graph_components": q_graph_components,
+        "heavy_hitters": q_heavy_hitters,
+        "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
+        "events_zorder_box": q_events_zorder_box,
+        "customer_cdc": q_customer_cdc,
+        # ---- entries beyond the driver's first-50 window ----
         "top_orders": q_top_orders,
         "segment_revenue": q_segment_revenue,
         "priority_revenue": q_priority_revenue,
@@ -2584,70 +2638,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": q_part_type_stats,
         "idle_customers": q_idle_customers,
         "customer_order_stats": q_customer_order_stats,
-        "segment_order_outer": q_segment_order_outer,
         "latest_events": q_latest_events,
         "orders_by_month": q_orders_by_month,
         "discount_bands": q_discount_bands,
         "orders_per_customer_hist": q_orders_per_customer_hist,
-        "top_parts_per_type": q_top_parts_per_type,
-        "exact_dedup": q_exact_dedup,
-        "incremental_dedup": q_incremental_dedup,
         "fingerprints": q_fingerprints,
-        "token_counts": q_token_counts,
-        "doc_quality": q_doc_quality,
         "quality_filter": q_quality_filter,
         "top_tokens": q_top_tokens,
         "top_tokens_by_lang": q_top_tokens_by_lang,
         "doc_sample": q_doc_sample,
-        "pack_sequences": q_pack_sequences,
-        "lang_hist": q_lang_hist,
+        "lang_id": q_lang_id,
         "redact_terms": q_redact_terms,
-        "decontaminate": q_decontaminate,
         "decontaminate_ngram": q_decontaminate_ngram,
-        "heavy_hitters": q_heavy_hitters,
-        "corpus_prep": q_corpus_prep,
-        "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
-        "mixture_sample": q_mixture_sample,
         "label_centroids": q_label_centroids,
         "chars_quantiles": q_chars_quantiles,
-        "events_asof": q_events_asof,
         "events_range_counts": q_events_range_counts,
         "events_hopping": q_events_hopping,
         "events_tumbling": q_events_tumbling,
-        "events_sessions": q_events_sessions,
         "running_totals": q_running_totals,
         "session_stats": q_session_stats,
-        "ann_topk": q_ann_topk,
-        "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
-        "semantic_dedup": q_semantic_dedup,
-        "ann_ivf": q_ann_ivf,
-        "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "graph_components": q_graph_components,
-        "minhash_clusters_scale": q_minhash_clusters_scale,
-        "ngram_jaccard": q_ngram_jaccard,
-        "bm25_scores": q_bm25_scores,
-        "kmeans_clusters": q_kmeans_clusters,
-        "lang_id": q_lang_id,
         "lm_quality": q_lm_quality,
         "epoch_shuffle": q_epoch_shuffle,
-        "knn_join": q_knn_join,
         "knn_join_ivf": q_knn_join_ivf,
         "dsir_sample": q_dsir_sample,
         "quantile_filter_p75": q_quantile_filter,
-        "pagerank": q_pagerank,
+        "ann_ivf": q_ann_ivf,
         "shared_substrings": q_shared_substrings,
-        "span_flat": q_span_flat,
-        "span_kind_stats": q_span_kind_stats,
-        "substring_dedup": q_substring_dedup,
-        "inverted_index": q_inverted_index,
-        "segment_dedup": q_segment_dedup,
         "normalize_text": q_normalize_text,
-        "similarity_join": q_similarity_join,
-        "spans_media_stats": q_spans_media_stats,
         "value_percent_rank": q_value_percent_rank,
         "winsorized_values": q_winsorized_values,
         "compression_ratio": q_compression_ratio,
@@ -2658,7 +2678,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ntile": q_value_ntile,
         "value_rolling_sum": q_value_rolling_sum,
         "event_type_mode": q_event_type_mode,
-        "salted_brand_revenue": q_salted_brand_revenue,
         "orders_price_bands": q_orders_price_bands,
         "part_triangles": q_part_triangles,
         "qty_discount_corr": q_qty_discount_corr,
@@ -2672,36 +2691,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_orders_building": q_bloom_orders_building,
         "value_minmax_norm": q_value_minmax_norm,
         "value_robust_scale": q_value_robust_scale,
-        "sparse_dot_pairs": q_sparse_dot_pairs,
-        "pq_topk": q_pq_topk,
-        "embedding_pca": q_embedding_pca,
         "value_tdigest": q_value_tdigest,
         "media_frames": q_media_frames,
         "lineitem_profile": q_lineitem_profile,
         "top_values_with_ties": q_top_values_with_ties,
         "value_window_ranks": q_value_window_ranks,
-        "customer_cdc": q_customer_cdc,
         "events_range_read": q_events_range_read,
-        "recrawl_priorities": q_recrawl_priorities,
         "events_resample": q_events_resample,
-        "events_zorder_box": q_events_zorder_box,
-        "regional_revenue": q_regional_revenue,
         "volume_shipping": q_volume_shipping,
         "large_orders": q_large_orders,
-        "interleaved_costs": q_interleaved_costs,
-        "pack_interleaved": q_pack_interleaved,
         "user_journeys": q_user_journeys,
         "cohort_retention": q_cohort_retention,
         "events_funnel": q_events_funnel,
         "value_zscore": q_value_zscore,
         "qty_skew_kurt": q_qty_skew_kurt,
         "priority_status_mi": q_priority_status_mi,
-        "bpe_tokens": q_bpe_tokens,
         "distinct_users_hll": q_distinct_users_hll,
-        "media_features": q_media_features,
-        "crawl_pages": q_crawl_pages,
-        "crawl_spans": q_crawl_spans,
-        "llms_entries": q_llms_entries,
     }
 
 
