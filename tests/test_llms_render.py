@@ -188,3 +188,116 @@ class TestExportPayloadGating:
                               pages, {}, export_format="json")
         raw = open(paths[0], encoding="utf-8").read()
         assert "Café" in raw and "\\u00e9" not in raw
+
+
+def _big_site_index(n_pages=240, page_kb=512, seed=3):
+    """Synthetic sitemap site with ~n_pages × page_kb of markdown —
+    big enough that any driver materialization of content is visible."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = "https://big.test"
+    word_pool = [f"word{i}" for i in range(5000)]
+    idx, urls = {}, []
+    words_per_page = max(60, (page_kb * 1024) // 8)
+    for i in range(n_pages):
+        u = f"{base}/p{i:04d}"
+        content = " ".join(rng.choice(word_pool, size=words_per_page))
+        idx[u] = {"host": "big.test", "status": 200, "html": "",
+                  "markdown": content, "title_meta": f"Page {i}",
+                  "word_count": words_per_page}
+        urls.append(u)
+    return base, urls, idx
+
+
+class TestStreamingGenerateScale:
+    def test_driver_never_materializes_content(self, monkeypatch,
+                                               tmp_path):
+        """The generate path must not collect any content-bearing
+        Dataset to the driver: every to_arrow_refs/take_all/to_pandas
+        call during generate_llmstxt is asserted content-free (the
+        probe pass collects only 30-word snippets under 'text')."""
+        import ray.data as rd
+
+        from web2llmstxt_ray.sources.sitemap import make_sitemap_xml
+
+        offenders = []
+        orig_refs = rd.Dataset.to_arrow_refs
+        orig_take_all = rd.Dataset.take_all
+        orig_to_pandas = rd.Dataset.to_pandas
+
+        def check(self, where):
+            try:
+                names = self.schema().names
+            except Exception:
+                return
+            if "content" in names:
+                offenders.append((where, names))
+
+        def spy_refs(self, *a, **kw):
+            check(self, "to_arrow_refs")
+            return orig_refs(self, *a, **kw)
+
+        def spy_take_all(self, *a, **kw):
+            check(self, "take_all")
+            return orig_take_all(self, *a, **kw)
+
+        def spy_to_pandas(self, *a, **kw):
+            check(self, "to_pandas")
+            return orig_to_pandas(self, *a, **kw)
+
+        monkeypatch.setattr(rd.Dataset, "to_arrow_refs", spy_refs)
+        monkeypatch.setattr(rd.Dataset, "take_all", spy_take_all)
+        monkeypatch.setattr(rd.Dataset, "to_pandas", spy_to_pandas)
+
+        base, urls, idx = _big_site_index(n_pages=40, page_kb=2)
+        bodies = {f"{base}/sitemap.xml": make_sitemap_xml(urls)}
+        res = generate_llmstxt(
+            idx, base, str(tmp_path / "out"), str(tmp_path / "run"),
+            max_pages=30, crawl_strategy="sitemap",
+            sitemap_bodies=bodies)
+        assert not offenders, offenders
+        assert res.pages.num_rows == 30
+        assert "content" not in res.pages.column_names
+        full = open(res.written[1]).read()
+        assert full.count("## Page ") == 30
+
+    def test_driver_rss_flat_vs_site_size(self, tmp_path):
+        """~120 MB of page content must flow crawl → describe → render
+        without the driver's peak RSS growing by more than a fraction
+        of it (the round-2 path concatenated all content driver-side,
+        a ≥2× content-size peak)."""
+        from web2llmstxt_ray.sources.sitemap import make_sitemap_xml
+
+        def hwm_mb():
+            for line in open("/proc/self/status"):
+                if line.startswith("VmHWM"):
+                    return int(line.split()[1]) / 1024.0
+            raise RuntimeError("no VmHWM")
+
+        base, urls, idx = _big_site_index(n_pages=240, page_kb=512)
+        bodies = {f"{base}/sitemap.xml": make_sitemap_xml(urls)}
+        # charge the mock "network" (the site fixture and its one
+        # object-store broadcast) to the baseline; the crawl→render
+        # machinery under test starts from the ObjectRef
+        import gc
+
+        import ray as _ray
+
+        idx_ref = _ray.put(idx)
+        del idx
+        gc.collect()
+        before = hwm_mb()
+        res = generate_llmstxt(
+            idx_ref, base, str(tmp_path / "out"), str(tmp_path / "run"),
+            max_pages=240, crawl_strategy="sitemap",
+            sitemap_bodies=bodies)
+        after = hwm_mb()
+        assert res.pages.num_rows == 240
+        full = open(res.written[1]).read()
+        assert full.count("## Page ") == 240
+        content_mb = 240 * 512 / 1024.0
+        growth = after - before
+        assert growth < content_mb * 0.5, (
+            f"driver peak grew {growth:.0f} MB against {content_mb:.0f} "
+            "MB of site content — content is materializing driver-side")

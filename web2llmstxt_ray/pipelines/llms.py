@@ -142,6 +142,42 @@ def new_cache_rows(entries: pa.Table, pages: pa.Table) -> pa.Table:
 
 # --- renderers (llmsgen conformance formats) ---
 
+def _backfill_snippet(content: str | None) -> str:
+    """The J1 description backfill text for a page's content
+    (``llmsgen/utils/file_utils.py:122-133``)."""
+    return (" ".join(content.split()[:30]) + "..."
+            if content else "No content available.")
+
+
+def _render_llms_txt_core(name: str, summary: str, n_pages: int,
+                          entries: pa.Table, backfill: dict[str, str],
+                          generated_date: str) -> str:
+    """Shared K2 renderer over the SMALL inputs: the site name/summary,
+    the entry index, and per-url backfill snippets for entries with no
+    description — both the driver-table and the streaming path delegate
+    here, so their output is byte-identical."""
+    lines = [f"# {name}", "", f"> {summary}", "",
+             f"Generated from {n_pages} pages on {generated_date} "
+             "using automated crawling.", ""]
+    by_cat: dict[str, list[tuple[str, str, str]]] = {}
+    for url, title, desc, cat in zip(entries.column("url").to_pylist(),
+                                     entries.column("title").to_pylist(),
+                                     entries.column("description").to_pylist(),
+                                     entries.column("category").to_pylist()):
+        if not desc:
+            desc = backfill.get(url, "No content available.")
+        by_cat.setdefault(cat, []).append((title, url, desc))
+    for cat in CATEGORY_ORDER:
+        if cat not in by_cat:
+            continue
+        lines.append(f"## {cat}")
+        lines.append("")
+        for title, url, desc in by_cat[cat]:
+            lines.append(f"- [{title}]({url}): {desc}")
+        lines.append("")
+    return "\n".join(lines)
+
+
 def render_llms_txt(base_url: str, entries: pa.Table, pages: pa.Table,
                     generated_date: str = "2025-01-01") -> str:
     """K2: ``# site`` / ``> summary`` / categorized bullet sections
@@ -159,33 +195,75 @@ def render_llms_txt(base_url: str, entries: pa.Table, pages: pa.Table,
             break
     name = site_name(base_url, main_title)
     summary = site_summary(page_contents[:5])
-
-    lines = [f"# {name}", "", f"> {summary}", "",
-             f"Generated from {len(page_urls)} pages on {generated_date} "
-             "using automated crawling.", ""]
-
     # J1: url → content map probed for description backfill
-    # (llmsgen/utils/file_utils.py:122-133)
-    content_map = dict(zip(page_urls, page_contents))
-    by_cat: dict[str, list[tuple[str, str, str]]] = {}
-    for url, title, desc, cat in zip(entries.column("url").to_pylist(),
-                                     entries.column("title").to_pylist(),
-                                     entries.column("description").to_pylist(),
-                                     entries.column("category").to_pylist()):
-        if not desc:
-            content = content_map.get(url, "")
-            desc = (" ".join(content.split()[:30]) + "..."
-                    if content else "No content available.")
-        by_cat.setdefault(cat, []).append((title, url, desc))
-    for cat in CATEGORY_ORDER:
-        if cat not in by_cat:
-            continue
-        lines.append(f"## {cat}")
-        lines.append("")
-        for title, url, desc in by_cat[cat]:
-            lines.append(f"- [{title}]({url}): {desc}")
-        lines.append("")
-    return "\n".join(lines)
+    backfill = {u: _backfill_snippet(c)
+                for u, c in zip(page_urls, page_contents)}
+    return _render_llms_txt_core(name, summary, len(page_urls), entries,
+                                 backfill, generated_date)
+
+
+def collect_render_probes(pages_ds: ray.data.Dataset, base_url: str,
+                          empty_desc_urls: set[str]
+                          ) -> tuple[str | None, list[str], dict[str, str]]:
+    """ONE content-pruning pass over a page Dataset collecting only the
+    tiny driver-side bits llms.txt needs: the base-url page's title,
+    the first-5-page contents (summary input), and 30-word backfill
+    snippets for ``empty_desc_urls``. Full page content never reaches
+    the driver — each batch emits at most a handful of skinny rows."""
+    canon_base = base_url.rstrip("/")
+    empties = ray.put(set(empty_desc_urls))
+
+    class Probe:
+        def __init__(self, empties_ref):
+            self.empties: set = ray.get(empties_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            kinds, urls, vis, texts = [], [], [], []
+            has_vi = "visit_index" in batch.column_names
+            vi = (batch.column("visit_index").to_pylist() if has_vi
+                  else [None] * batch.num_rows)
+            for u, t, c, v in zip(batch.column("url").to_pylist(),
+                                  batch.column("title").to_pylist(),
+                                  batch.column("content").to_pylist(),
+                                  vi):
+                if u == base_url or u.rstrip("/") == canon_base:
+                    kinds.append("title")
+                    urls.append(u)
+                    vis.append(v if v is not None else 0)
+                    texts.append(t)
+                if v is not None and v < 5:
+                    kinds.append("head")
+                    urls.append(u)
+                    vis.append(v)
+                    texts.append(c or "")
+                if u in self.empties:
+                    kinds.append("backfill")
+                    urls.append(u)
+                    vis.append(v if v is not None else 0)
+                    texts.append(_backfill_snippet(c))
+            return pa.table({"kind": pa.array(kinds, pa.string()),
+                             "url": pa.array(urls, pa.string()),
+                             "visit_index": pa.array(vis, pa.int64()),
+                             "text": pa.array(texts, pa.string())})
+
+    rows = pages_ds.map_batches(
+        Probe, fn_constructor_kwargs={"empties_ref": empties},
+        batch_format="pyarrow", concurrency=(1, 4)).take_all()
+    main_title = None
+    heads: list[tuple[int, str]] = []
+    backfill: dict[str, str] = {}
+    best_vi = None
+    for r in rows:
+        if r["kind"] == "title":
+            if best_vi is None or r["visit_index"] < best_vi:
+                best_vi = r["visit_index"]
+                main_title = r["text"]
+        elif r["kind"] == "head":
+            heads.append((r["visit_index"], r["text"]))
+        else:
+            backfill[r["url"]] = r["text"]
+    summary_contents = [t for _, t in sorted(heads)]
+    return main_title, summary_contents, backfill
 
 
 def render_llms_txt_live(base_url: str, entries: pa.Table) -> str:
@@ -239,7 +317,9 @@ def write_llms_full_streaming(pages_ds: ray.data.Dataset, out_path: str,
                               base_url: str, generated_at: str = "",
                               model_used: str = "fallback",
                               total_pages: int | None = None,
-                              batch_size: int = 256) -> int:
+                              batch_size: int = 32,
+                              processing_time_s: float | None = None
+                              ) -> int:
     """K3 at scale: stream page batches (sorted by ``visit_index``
     upstream) straight to the output file — the full corpus never
     materializes on the driver (a 1M-page llms-full.txt renders in
@@ -255,6 +335,8 @@ def write_llms_full_streaming(pages_ds: ray.data.Dataset, out_path: str,
         f.write(f"# Generated on {generated_at} using {model_used}\n")
         if total_pages is not None:
             f.write(f"# Total pages crawled: {total_pages}\n")
+        if processing_time_s is not None:
+            f.write(f"# Processing time: {processing_time_s}s\n")
         f.write("\n")
         for batch in pages_ds.iter_batches(batch_size=batch_size,
                                            batch_format="pyarrow"):
@@ -330,6 +412,132 @@ def write_outputs(output_dir: str, base_url: str, entries: pa.Table,
             yaml.safe_dump(export_payload(metadata, entries, pages,
                                           include_full_text),
                            f, sort_keys=False, allow_unicode=True)
+        written.append(p)
+    else:
+        raise ValueError(f"unknown export format: {export_format}")
+    return written
+
+
+def _iter_page_dicts(pages_ds: ray.data.Dataset, batch_size: int = 32):
+    # 32 pages/batch bounds driver transients to ~MBs even for
+    # 100s-of-KB pages; the writer is file-I/O-bound either way
+    for batch in pages_ds.iter_batches(batch_size=batch_size,
+                                       batch_format="pyarrow"):
+        for u, t, c in zip(batch.column("url").to_pylist(),
+                           batch.column("title").to_pylist(),
+                           batch.column("content").to_pylist()):
+            yield {"url": u, "title": t, "content": c}
+
+
+def write_payload_json_streaming(path: str, metadata: dict,
+                                 entries: pa.Table,
+                                 pages_ds: ray.data.Dataset,
+                                 include_full_text: bool = True) -> None:
+    """K4 at scale: the ``export_payload`` JSON document written with
+    ``full_content_pages`` streamed batch-by-batch — page content is
+    O(batch) on the driver. Key set and unicode handling are
+    reference-exact (``llmsgen/utils/file_utils.py:166-183``)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write('{\n"metadata": ')
+        f.write(json.dumps(metadata, indent=2, ensure_ascii=False))
+        f.write(',\n"llms_entries": ')
+        f.write(json.dumps(entries.drop_columns(["from_cache"]).to_pylist(),
+                           indent=2, ensure_ascii=False))
+        if include_full_text:
+            f.write(',\n"full_content_pages": [')
+            first = True
+            for item in _iter_page_dicts(pages_ds):
+                f.write(("" if first else ",") + "\n")
+                f.write(json.dumps(item, ensure_ascii=False))
+                first = False
+            f.write("\n]" if not first else "]")
+        f.write("\n}\n")
+    import os
+
+    os.replace(tmp, path)
+
+
+def write_payload_yaml_streaming(path: str, metadata: dict,
+                                 entries: pa.Table,
+                                 pages_ds: ray.data.Dataset,
+                                 include_full_text: bool = True) -> None:
+    """K5 at scale: YAML payload with ``full_content_pages`` streamed
+    as list items batch-by-batch (each batch rendered as a YAML list
+    fragment — concatenated fragments form one valid sequence)."""
+    import yaml
+
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        yaml.safe_dump({"metadata": metadata}, f, sort_keys=False,
+                       allow_unicode=True)
+        yaml.safe_dump(
+            {"llms_entries": entries.drop_columns(["from_cache"])
+             .to_pylist()}, f, sort_keys=False, allow_unicode=True)
+        if include_full_text:
+            f.write("full_content_pages:\n")
+            wrote_any = False
+            for item in _iter_page_dicts(pages_ds):
+                f.write(yaml.safe_dump([item], sort_keys=False,
+                                       allow_unicode=True,
+                                       default_flow_style=False))
+                wrote_any = True
+            if not wrote_any:
+                f.write("  []\n")
+    import os
+
+    os.replace(tmp, path)
+
+
+def write_outputs_streaming(output_dir: str, base_url: str,
+                            entries: pa.Table, metadata: dict,
+                            pages_ds: ray.data.Dataset,
+                            export_format: str = "text",
+                            include_full_text: bool = True) -> list[str]:
+    """K1-K5 dispatch at corpus scale: the renders consume the page
+    Dataset (sorted by ``visit_index`` by the caller) via streaming
+    batches and the one-pass :func:`collect_render_probes`; full page
+    content NEVER materializes on the driver — only the small entry
+    index, the probe snippets, and metadata do. Output is
+    byte-compatible with :func:`write_outputs` (both K2 paths share
+    ``_render_llms_txt_core``)."""
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    domain = extract_domain_from_url(base_url)
+    n_pages = metadata.get("total_pages_crawled",
+                           metadata.get("analytics", {})
+                           .get("crawl", {}).get("total_pages", 0))
+    written = []
+    if export_format == "text":
+        empty_desc = {u for u, d in zip(entries.column("url").to_pylist(),
+                                        entries.column("description")
+                                        .to_pylist()) if not d}
+        main_title, head_contents, backfill = collect_render_probes(
+            pages_ds, base_url, empty_desc)
+        name = site_name(base_url, main_title)
+        summary = site_summary(head_contents)
+        p1 = os.path.join(output_dir, f"{domain}-llms.txt")
+        with open(p1, "w", encoding="utf-8") as f:
+            f.write(_render_llms_txt_core(
+                name, summary, n_pages, entries, backfill,
+                metadata.get("generated_at", "").split("T")[0]))
+        p2 = os.path.join(output_dir, f"{domain}-llms-full.txt")
+        write_llms_full_streaming(
+            pages_ds, p2, base_url, metadata.get("generated_at", ""),
+            metadata.get("model_used", "fallback"),
+            total_pages=n_pages,
+            processing_time_s=metadata.get("processing_time_seconds"))
+        written += [p1, p2]
+    elif export_format == "json":
+        p = os.path.join(output_dir, f"{domain}-llms.json")
+        write_payload_json_streaming(p, metadata, entries, pages_ds,
+                                     include_full_text)
+        written.append(p)
+    elif export_format == "yaml":
+        p = os.path.join(output_dir, f"{domain}-llms.yaml")
+        write_payload_yaml_streaming(p, metadata, entries, pages_ds,
+                                     include_full_text)
         written.append(p)
     else:
         raise ValueError(f"unknown export format: {export_format}")
