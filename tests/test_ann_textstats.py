@@ -408,3 +408,27 @@ class TestCompressionRatio:
         # repetitive text compresses far better than prose
         assert out.loc[0, "ratio"] < 0.1 < out.loc[1, "ratio"]
         assert out.loc[2, "ratio"] == 1.0
+
+
+class TestKnnJoinDatasetMode:
+    def test_dataset_parity(self):
+        rng = np.random.RandomState(4)
+        centers = rng.randn(6, 16)
+        vecs = np.stack([centers[i % 6] + 0.3 * rng.randn(16)
+                         for i in range(120)]).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(120), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        collected = A.knn_join_ivf(ds, k=3, num_lists=5,
+                                   nprobe=2).to_pandas()
+        dset = A.knn_join_ivf(ds, k=3, num_lists=5, nprobe=2,
+                              as_dataset=True)
+        import ray.data as rd
+
+        assert isinstance(dset, rd.Dataset)
+        got = dset.to_pandas().sort_values(
+            ["query_id", "rank"]).reset_index(drop=True)
+        assert got.values.tolist() == collected.values.tolist()

@@ -455,3 +455,43 @@ class TestSimilarityJoin:
                 threshold=0.4).to_pandas())
         pd.testing.assert_frame_equal(runs[0], runs[1])
         assert (2, 17) in set(zip(runs[0].a_id, runs[0].b_id))
+
+
+class TestPairOpsDatasetMode:
+    """as_dataset=True must return the identical pair set as the
+    collected form, as a Dataset that never touches the driver."""
+
+    def test_simhash_pairs_dataset_parity(self):
+        rng = np.random.RandomState(6)
+        vocab = [f"t{i}" for i in range(300)]
+        base = [" ".join(rng.choice(vocab, size=60)) for _ in range(25)]
+        near = []
+        for i in range(6):
+            toks = base[i].split()
+            toks[10] = "edited"
+            near.append(" ".join(toks))
+        docs = base + near
+        t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                      "text": pa.array(docs, pa.string())})
+        ds = ray.data.from_arrow(t).repartition(4)
+        tbl = D.simhash_near_dup_pairs(ds, max_hamming=6)
+        dset = D.simhash_near_dup_pairs(ds, max_hamming=6,
+                                        as_dataset=True)
+        import ray.data as rd
+
+        assert isinstance(dset, rd.Dataset)
+        got = dset.to_pandas().sort_values(["a", "b"])
+        want = tbl.to_pandas().sort_values(["a", "b"])
+        assert got.values.tolist() == want.values.tolist()
+        assert len(want) >= 5
+
+    def test_ngram_pairs_dataset_parity(self):
+        ds = ray.data.from_arrow(_docs_table())
+        tbl = D.ngram_jaccard_pairs(ds, group_col="lang", threshold=0.3)
+        dset = D.ngram_jaccard_pairs(ds, group_col="lang", threshold=0.3,
+                                     as_dataset=True)
+        got = sorted(map(tuple, dset.to_pandas()
+                         [["a", "b", "jaccard"]].values.tolist()))
+        want = sorted(map(tuple, tbl.to_pandas()
+                          [["a", "b", "jaccard"]].values.tolist()))
+        assert got == want and len(want) >= 2

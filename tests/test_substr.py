@@ -149,3 +149,22 @@ class TestExcise:
         assert base not in out.loc[2, "text"]
         assert out.loc[2, "n_removed_bytes"] == len(base)
         assert out.loc[2, "text"] == "<<>>"
+
+
+class TestSharedSubstringsDatasetMode:
+    def test_dataset_parity(self):
+        shared = "the quick brown fox jumps over the lazy dog repeatedly"
+        t = _docs(shared)
+        ds = ray.data.from_arrow(t).repartition(4)
+        tbl = shared_substring_pairs(ds, k=16, w=4)
+        dset = shared_substring_pairs(ds, k=16, w=4, as_dataset=True)
+        import ray.data as rd
+
+        assert isinstance(dset, rd.Dataset)
+        cols = ["a", "b", "length", "off_a", "off_b"]
+        got = sorted(map(tuple,
+                         dset.to_pandas()[cols].astype("int64")
+                         .values.tolist()))
+        want = sorted(map(tuple,
+                          tbl.to_pandas()[cols].values.tolist()))
+        assert got == want and len(want) >= 1

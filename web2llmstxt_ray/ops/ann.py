@@ -399,7 +399,9 @@ def knn_join(ds: ray.data.Dataset, k: int = 5, chunk_size: int = 4096,
 def knn_join_ivf(ds: ray.data.Dataset, k: int = 5, num_lists: int = 16,
                  nprobe: int = 3, vec_col: str = "embedding",
                  id_col: str = "vec_id", sample_size: int = 4096,
-                 merge_buckets: int = 32, seed: int = 11) -> pa.Table:
+                 merge_buckets: int = 32, seed: int = 11,
+                 as_dataset: bool = False
+                 ) -> "pa.Table | ray.data.Dataset":
     """Approximate KNN self-join, fully distributed — nothing
     corpus-sized touches the driver and no corpus broadcast:
 
@@ -495,5 +497,9 @@ def knn_join_ivf(ds: ray.data.Dataset, k: int = 5, num_lists: int = 16,
     out = (cands.map_batches(add_bucket, batch_format="pyarrow")
                 .groupby("_mb")
                 .map_groups(merge_bucket, batch_format="pandas"))
+    if as_dataset:
+        # O(N·k) result rows stay distributed (write_parquet / further
+        # stages); row set identical to the collected form, unsorted
+        return out
     df = out.to_pandas().sort_values(["query_id", "rank"])
     return pa.Table.from_pandas(df.reset_index(drop=True))

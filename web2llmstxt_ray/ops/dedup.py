@@ -651,7 +651,9 @@ def add_simhash(ds: ray.data.Dataset, text_col: str = "text",
 
 def simhash_near_dup_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
                            text_col: str = "text", id_col: str = "doc_id",
-                           num_buckets: int = 256) -> pa.Table:
+                           num_buckets: int = 256,
+                           as_dataset: bool = False
+                           ) -> "pa.Table | ray.data.Dataset":
     """All (a, b, hamming) pairs with SimHash Hamming distance ≤
     ``max_hamming`` — the signature-only near-dup tier (no shingle
     sets, no text comparison; catches heavy token overlap).
@@ -729,6 +731,26 @@ def simhash_near_dup_pairs(ds: ray.data.Dataset, max_hamming: int = 3,
 
     cand = ds.map_batches(explode, batch_format="pyarrow") \
         .groupby("_bkt").map_groups(pairs, batch_format="pandas")
+    if as_dataset:
+        # a pair can collide on several pigeonhole blocks → one skinny
+        # pair-hash shuffle dedupes distributed (hamming is a pure
+        # function of the pair, so any duplicate row carries the same
+        # value); the result never touches the driver
+        def add_pb(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            pb = pd.util.hash_pandas_object(batch[["a", "b"]],
+                                            index=False).to_numpy()
+            batch["_pb"] = (pb % np.uint64(64)).astype(np.int32)
+            return batch
+
+        def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+            return group[["a", "b", "hamming"]].drop_duplicates(
+                subset=["a", "b"])
+
+        return cand.map_batches(add_pb, batch_format="pandas",
+                                batch_size=None) \
+            .groupby("_pb").map_groups(dedup_pairs,
+                                       batch_format="pandas")
     seen: dict = {}
     for row in cand.take_all():
         seen[(row["a"], row["b"])] = row["hamming"]
@@ -765,7 +787,8 @@ def _id_blocks(ids: list, num_blocks: int) -> np.ndarray:
 def ngram_jaccard_pairs(ds: ray.data.Dataset, group_col: str,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, threshold: float = 0.5,
-                        num_blocks: int = 4) -> pa.Table:
+                        num_blocks: int = 4, as_dataset: bool = False
+                        ) -> "pa.Table | ray.data.Dataset":
     """All (a, b, jaccard) pairs ≥ threshold within each ``group_col``
     partition — EXACT, with the quadratic verify distributed.
 
@@ -843,6 +866,10 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, group_col: str,
 
     out = ds.map_batches(explode, batch_format="pyarrow") \
         .groupby("_gtask").map_groups(verify_task, batch_format="pandas")
+    if as_dataset:
+        # duplicate-free by construction (each unordered pair has one
+        # task) — stays distributed for write-through consumers
+        return out
     rows = out.take_all()
     return pa.table({
         "a": pa.array([r["a"] for r in rows]),

@@ -109,7 +109,8 @@ def shared_substring_pairs(
         ds: ray.data.Dataset, min_len: int | None = None, k: int = 24,
         w: int = 8, text_col: str = "text", id_col: str = "doc_id",
         num_buckets: int = 32, max_per_fp: int = 64,
-        max_anchors_per_diag: int = 8) -> pa.Table:
+        max_anchors_per_diag: int = 8,
+        as_dataset: bool = False) -> "pa.Table | ray.data.Dataset":
     """Verified cross-document shared substrings ≥ ``min_len`` bytes
     (default ``w + k − 1``, the winnowing guarantee threshold).
     Returns (a, b, length, off_a, off_b) with the LONGEST verified run
@@ -232,6 +233,10 @@ def shared_substring_pairs(
     out = (runs.map_batches(add_pb, batch_format="pandas")
            .groupby("_pb").map_groups(best_per_pair,
                                       batch_format="pandas"))
+    if as_dataset:
+        # already best-per-pair and duplicate-free (one _pb group owns
+        # each pair) — stays distributed, unsorted
+        return out
     df = out.to_pandas()
     if "a" not in df.columns:
         df = _empty()
