@@ -381,13 +381,36 @@ def _run_bench() -> dict:
     # level uses headline-only mode's warmup + best-of-2 to de-noise.
     # Pair 2→8 is the least memory-bus-distorted on one box (see
     # _run_scaling). Skip with GRAFT_BENCH_NO_SCALING=1.
-    if not headline_only and not os.environ.get("GRAFT_BENCH_NO_SCALING"):
+    run_scaling = (not headline_only
+                   and not os.environ.get("GRAFT_BENCH_NO_SCALING"))
+    run_isolated = (not headline_only
+                    and not os.environ.get("GRAFT_BENCH_NO_ISOLATED"))
+    if run_scaling or run_isolated:
         # the parent's 32-CPU Ray session (raylet, GCS, a 37 GiB
         # object-store mapping) must be GONE before the probe
         # subprocesses measure anything — leaving it resident was
         # worth 10-50% on the probe's hi side
         ray.shutdown()
         time.sleep(4)  # let the OS reclaim the torn-down session
+
+    # ---- isolated per-query timings: the same representative queries
+    # + crawl_bfs in a FRESH subprocess whose object store has seen
+    # nothing else — the isolation baseline that separates a real
+    # regression from in-sequence object-store/scheduler pressure
+    # (judged against the in-sequence numbers above each round).
+    if run_isolated:
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--isolated"],
+                env=dict(os.environ), capture_output=True, text=True,
+                check=True, timeout=900).stdout
+            iso = json.loads(out.strip().splitlines()[-1])
+            extras["isolated_queries"] = iso["queries"]
+            time.sleep(2)
+        except Exception as exc:
+            extras["isolated_error"] = str(exc)[:200]
+
+    if run_scaling:
         try:
             def _probe(ncpu: int) -> float:
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -443,6 +466,68 @@ def _run_bench() -> dict:
     }
     ray.shutdown()
     return payload
+
+
+def _run_isolated() -> None:
+    """Representative queries + crawl_bfs in a fresh Ray session with a
+    cold object store — the isolation baseline for the in-sequence
+    numbers (run as a subprocess by the default bench after parent
+    teardown; also useful standalone: ``python bench.py --isolated``)."""
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.parquet as _pq
+
+    import __ray_entry__ as E
+    from web2llmstxt_ray.pipelines.crawl import (CrawlConfig,
+                                                 DistributedCrawler)
+    from web2llmstxt_ray.synth import generate_site
+
+    out: dict[str, float] = {}
+    queries = E.queries()
+    for name in ("pricing_summary", "priority_revenue", "token_counts",
+                 "ann_topk", "events_sessions", "minhash_dedup"):
+        t0 = time.perf_counter()
+        queries[name](sf_dir)
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    N_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "360000"))
+    N_HOSTS, SEED = 192, 42
+    cache = f"/tmp/graft_bench_site_{N_PAGES}_{N_HOSTS}_{SEED}"
+    if os.path.exists(f"{cache}/site.parquet"):
+        site = _pq.read_table(f"{cache}/site.parquet")
+        robots = _pq.read_table(f"{cache}/robots.parquet")
+    else:
+        site, robots = generate_site(num_pages=N_PAGES,
+                                     num_hosts=N_HOSTS, seed=SEED)
+    cols = robots.to_pydict()
+    disallow = dict(zip(cols["host"], cols["disallow"]))
+    idx_ref = ray.put(site)
+    bfs_runs = []
+    for _ in range(2):
+        cfg = CrawlConfig(base_url="https://site0.test", max_pages=50,
+                          comprehensive=True, safety_limit=500,
+                          num_workers=max(2, num_cpus // 4),
+                          num_seen_shards=8, num_frontier_shards=8,
+                          run_dir=None)
+        crawler = DistributedCrawler(cfg, idx_ref,
+                                     disallow_by_host=disallow)
+        ray.get([w.warm.remote() for w in crawler.workers])
+        t0 = time.perf_counter()
+        crawler.run()
+        bfs_runs.append(round(time.perf_counter() - t0, 3))
+        crawler.shutdown()
+    out["crawl_bfs"] = min(bfs_runs)
+    out["crawl_bfs_runs_s"] = bfs_runs
+    print(json.dumps({"queries": out, "num_cpus": num_cpus,
+                      "sf": sf_dir}))
+    ray.shutdown()
 
 
 def _run_scaling() -> None:
@@ -542,6 +627,8 @@ def _run_stats() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         _run_scaling()
+    elif "--isolated" in sys.argv:
+        _run_isolated()
     elif "--stats" in sys.argv:
         _run_stats()
     else:

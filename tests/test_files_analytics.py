@@ -164,3 +164,69 @@ class TestApproximateSeenModes:
         res = c.run()
         assert res.visit_order == oracle.visit_order
         c.shutdown()
+
+
+class TestEnvWriter:
+    def test_upsert_roundtrip_preserves_other_lines(self, tmp_path):
+        from web2llmstxt_ray.functions.files import (read_env_file,
+                                                     save_env_var)
+
+        p = str(tmp_path / ".env")
+        with open(p, "w") as f:
+            f.write("# comment stays\nOTHER_KEY=abc\n"
+                    "GEMINI_API_KEY=old\nTRAILING=1\n")
+        save_env_var("GEMINI_API_KEY", "new-key-123", p)
+        lines = open(p).read().splitlines()
+        assert lines[0] == "# comment stays"
+        assert "GEMINI_API_KEY=new-key-123" in lines
+        assert lines.index("OTHER_KEY=abc") < \
+            lines.index("GEMINI_API_KEY=new-key-123") < \
+            lines.index("TRAILING=1")
+        assert read_env_file(p)["OTHER_KEY"] == "abc"
+
+    def test_append_when_missing_and_fresh_file(self, tmp_path):
+        from web2llmstxt_ray.functions.files import (read_env_file,
+                                                     save_env_var)
+
+        p = str(tmp_path / "sub" / ".env")   # dir created on demand
+        save_env_var("K1", "v1", p)
+        save_env_var("K2", "v=with=equals", p)
+        env = read_env_file(p)
+        assert env == {"K1": "v1", "K2": "v=with=equals"}
+
+    def test_crash_safety_no_torn_file(self, tmp_path, monkeypatch):
+        # a failure between tempfile write and rename must leave the
+        # original .env byte-identical and no stray temp content at the
+        # target path
+        import os as _os
+
+        from web2llmstxt_ray.functions.files import save_env_var
+
+        p = str(tmp_path / ".env")
+        with open(p, "w") as f:
+            f.write("SAFE=yes\n")
+        orig_replace = _os.replace
+
+        def boom(src, dst):
+            raise OSError("simulated crash at rename")
+
+        monkeypatch.setattr(_os, "replace", boom)
+        try:
+            save_env_var("SAFE", "clobbered", p)
+        except OSError:
+            pass
+        monkeypatch.setattr(_os, "replace", orig_replace)
+        assert open(p).read() == "SAFE=yes\n"
+        leftovers = [n for n in _os.listdir(tmp_path)
+                     if n.startswith(".env_tmp_")]
+        assert leftovers == []
+
+    def test_invalid_key_rejected(self, tmp_path):
+        import pytest
+
+        from web2llmstxt_ray.functions.files import save_env_var
+
+        with pytest.raises(ValueError):
+            save_env_var("BAD=KEY", "v", str(tmp_path / ".env"))
+        with pytest.raises(ValueError):
+            save_env_var("K", "multi\nline", str(tmp_path / ".env"))

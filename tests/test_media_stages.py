@@ -112,3 +112,64 @@ class TestFrameSampleStage:
             outs.append(out.sort_values(["media_id", "frame_no"])
                         .reset_index(drop=True))
         assert outs[0].equals(outs[1])
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+class TestPILBackedPath:
+    def test_stub_contract_without_pil(self):
+        import pytest
+
+        from web2llmstxt_ray.ops.multimodal import (PILDecoder,
+                                                    PILTranscoder)
+
+        if _pil_available():
+            pytest.skip("PIL installed — stub contract not applicable")
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            PILDecoder()
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            PILTranscoder()
+
+    def test_real_image_resize_when_pil_installed(self, tmp_path):
+        import pytest
+
+        if not _pil_available():
+            pytest.skip("PIL not installed in this environment")
+        import io
+
+        import ray.data
+        from PIL import Image
+
+        from web2llmstxt_ray.ops.multimodal import (MEDIA_SCHEMA,
+                                                    PILDecoder,
+                                                    PILTranscoder,
+                                                    resize_images)
+
+        def png_bytes(w, h):
+            buf = io.BytesIO()
+            Image.new("RGB", (w, h), (10, 20, 30)).save(buf, format="PNG")
+            return buf.getvalue()
+
+        rows = {
+            "media_id": ["m0", "m1"], "doc_id": ["d", "d"],
+            "kind": ["image", "image"],
+            "payload": [png_bytes(800, 400), png_bytes(100, 50)],
+            "declared_width": [800, 100],
+            "declared_height": [400, 50],
+            "declared_ms": [0, 0],
+        }
+        t = pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+        out = resize_images(ray.data.from_arrow(t), max_w=256, max_h=256,
+                            transcoder_cls=PILTranscoder).take_all()
+        by_id = {r["media_id"]: r for r in out}
+        # 800x400 → bounded to 256x128; 100x50 already fits, untouched
+        d = PILDecoder()
+        big = d.decode(by_id["m0"]["payload"])
+        assert (big["width"], big["height"]) == (256, 128)
+        assert by_id["m1"]["payload"] == rows["payload"][1]

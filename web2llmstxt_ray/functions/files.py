@@ -64,6 +64,58 @@ def write_safe_file(path: str, content: str) -> str:
     return path
 
 
+def save_env_var(key: str, value: str, env_path: str = ".env") -> str:
+    """Atomic upsert of one ``KEY=value`` line in a dotenv file (K7 —
+    reference ``save_api_key_to_env``, ``llmsgen/utils/file_utils.py:
+    62-92``): existing lines are preserved verbatim, every line whose
+    stripped form starts with ``KEY=`` is replaced in place, a missing
+    key is appended, and the whole rewrite is tempfile+rename so a
+    crash mid-write can never leave a torn .env. Returns the path."""
+    if not key or "=" in key or "\n" in key or "\n" in str(value):
+        raise ValueError(f"invalid dotenv key/value: {key!r}")
+    d = os.path.dirname(os.path.abspath(env_path)) or "."
+    os.makedirs(d, exist_ok=True)
+    existing: list[str] = []
+    if os.path.exists(env_path):
+        with open(env_path, encoding="utf-8") as f:
+            existing = f.readlines()
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".env_tmp_", text=True)
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            found = False
+            for line in existing:
+                if line.strip().startswith(f"{key}="):
+                    f.write(f"{key}={value}\n")
+                    found = True
+                else:
+                    f.write(line)
+            if not found:
+                f.write(f"{key}={value}\n")
+        os.replace(tmp, env_path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return env_path
+
+
+def read_env_file(env_path: str = ".env") -> dict[str, str]:
+    """Parse a dotenv file to {key: value} (comments / blank lines
+    skipped, first ``=`` splits) — the round-trip probe for
+    :func:`save_env_var`."""
+    out: dict[str, str] = {}
+    if not os.path.exists(env_path):
+        return out
+    with open(env_path, encoding="utf-8") as f:
+        for line in f:
+            s = line.strip()
+            if not s or s.startswith("#") or "=" not in s:
+                continue
+            k, v = s.split("=", 1)
+            out[k.strip()] = v
+    return out
+
+
 def normalize_seed_url(url: str) -> str:
     """CLI seed normalization (scripts/generate_llms.py:117-125):
     strip whitespace, prefix ``https://`` when scheme-less."""

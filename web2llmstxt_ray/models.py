@@ -52,6 +52,7 @@ class ModelConfig:
     repeat_penalty: float = 1.1
     timeout_s: float = 180.0          # generator/llms_generator.py:630
     tags: list[str] = field(default_factory=list)
+    status: str = "available"         # available | offline
 
 
 DEFAULT_MODELS = (
@@ -361,6 +362,100 @@ def make_client(config: ModelConfig) -> DescriptionClient:
     if config.provider in ("deterministic", "extractive"):
         return cls()
     return cls(config)  # network providers take the config
+
+
+def build_display_name(model_name: str) -> str:
+    """Ollama tag → human display name (``models/client.py:206-220``):
+    strip ``:latest``, underscores → spaces, dash-parts capitalized,
+    size indicators (7b, 3.5b…) upper-cased."""
+    clean = model_name.replace(":latest", "").replace("_", " ")
+    parts = []
+    for part in clean.split("-"):
+        if part.replace(".", "").replace("b", "").isdigit():
+            parts.append(part.upper())
+        else:
+            parts.append(part.capitalize())
+    return " ".join(parts)
+
+
+def estimate_model_ram_gb(model_name: str) -> float:
+    """Name-based RAM estimate (``models/client.py:222-236``)."""
+    m = model_name.lower()
+    if "70b" in m or "72b" in m:
+        return 40.0
+    if "13b" in m or "14b" in m:
+        return 8.0
+    if "7b" in m or "8b" in m:
+        return 4.0
+    if "3b" in m or "1b" in m:
+        return 2.0
+    return 4.0
+
+
+def list_ollama_models(base_url: str,
+                       timeout_s: float = 10.0) -> dict[str, ModelConfig]:
+    """Live local-model discovery via Ollama's ``GET /api/tags``
+    (``models/client.py:174-204``): one ModelConfig per installed
+    model, keyed ``ollama_<name>``; any connection/HTTP/JSON failure
+    (daemon not running) returns ``{}`` — discovery is best-effort."""
+    import requests
+
+    models: dict[str, ModelConfig] = {}
+    try:
+        resp = requests.get(f"{base_url.rstrip('/')}/api/tags",
+                            timeout=timeout_s)
+        if resp.status_code != 200:
+            return models
+        for info in resp.json().get("models", []):
+            name = info["name"]
+            models[f"ollama_{name}"] = ModelConfig(
+                model_id=name,
+                display_name=build_display_name(name),
+                provider="ollama",
+                context_window=8192,
+                est_ram_gb=estimate_model_ram_gb(name),
+                temperature=0.7,
+                tags=[f"Local Ollama model - {name}"],
+                status="available",
+            )
+    except Exception:
+        return {}
+    return models
+
+
+_GEMINI_CATALOG = (
+    ("gemini-1.5-flash", "Gemini 1.5 Flash", 1_048_576,
+     "Fast and efficient model optimized for speed"),
+    ("gemini-1.5-pro", "Gemini 1.5 Pro", 2_097_152,
+     "Advanced model with enhanced reasoning capabilities"),
+    ("gemini-pro", "Gemini Pro", 32_768,
+     "Production-ready model for complex tasks"),
+)
+
+
+def discover_models(ollama_base_url: str | None = None,
+                    gemini_api_key: str | None = None
+                    ) -> dict[str, ModelConfig]:
+    """The reference's ``list_models`` composition
+    (``models/client.py:159-172``): live Ollama tags (when a base url
+    is given and the daemon answers) + the static Gemini catalog, whose
+    status is ``available`` only with an API key. The deterministic /
+    extractive fallbacks are always present so :func:`pick_model` over
+    the result can never come up empty."""
+    models: dict[str, ModelConfig] = {}
+    if ollama_base_url:
+        models.update(list_ollama_models(ollama_base_url))
+    for mid, disp, ctx, desc in _GEMINI_CATALOG:
+        models[f"gemini_{mid}"] = ModelConfig(
+            model_id=mid, display_name=disp, provider="gemini",
+            context_window=ctx, est_ram_gb=0.0, temperature=0.7,
+            tags=[desc],
+            status="available" if gemini_api_key else "offline",
+        )
+    for cfg in DEFAULT_MODELS:
+        if cfg.provider in ("deterministic", "extractive"):
+            models.setdefault(f"{cfg.provider}_{cfg.model_id}", cfg)
+    return models
 
 
 def available_ram_gb() -> float:

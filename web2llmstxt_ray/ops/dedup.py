@@ -342,10 +342,10 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, text_col: str = "text",
 def minhash_candidates(ds: ray.data.Dataset, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 64,
                        num_bands: int = 16, shingle_k: int = 3) -> list[tuple]:
-    """Driver-side deduped candidate pair list (small by construction
-    for near-dup corpora) — the exact-verify tier collects it to fetch
-    involved texts; the scale tier keeps the Dataset form instead
-    (:func:`minhash_candidate_pairs` → ``connected_components``)."""
+    """Driver-side deduped candidate pair LIST — a debugging /
+    small-corpus convenience over :func:`minhash_candidate_pairs`
+    (ids only, no texts). The verify tier no longer uses it:
+    :func:`minhash_verified_pairs` keeps pairs distributed."""
     cand = minhash_candidate_pairs(ds, text_col, id_col, num_perm,
                                    num_bands, shingle_k)
     seen = set()
@@ -363,8 +363,8 @@ def minhash_clusters_scale(ds: ray.data.Dataset, text_col: str = "text",
     ``minhash_candidate_pairs`` (Dataset, never on the driver) →
     ``ops.graph.connected_components`` (alternating star contraction,
     O(log n) bucketed shuffles) → (node, component) labels. NOTHING
-    corpus-sized ever reaches the driver, unlike :func:`minhash_dedup`
-    whose exact-Jaccard verify collects the candidate texts.
+    corpus-sized ever reaches the driver. Unlike :func:`minhash_dedup`
+    there is no exact-verify pass at all — banding precision only.
 
     Semantics note: precision comes from the banding parameters alone
     (collision P ≈ J^(num_perm/num_bands) per band) — there is no

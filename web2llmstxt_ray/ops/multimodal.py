@@ -86,6 +86,66 @@ class FakeDecoder:
         }
 
 
+def _import_pil():
+    """Import Pillow or raise the same NotImplementedError contract as
+    the stub slots — callers choose the decoder class, the error tells
+    them why the real one is unavailable here."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as e:
+        raise NotImplementedError(
+            "PIL (Pillow) is not installed in this environment; use "
+            "FakeDecoder/FakeTranscoder, or install Pillow for the "
+            "real image path.") from e
+    return Image
+
+
+class PILDecoder:
+    """Real image decode via Pillow (the production slot StubDecoder
+    marks). Image payloads are any PIL-readable bytes (PNG/JPEG/…);
+    audio/video still need ffmpeg and raise. Constructed once per
+    actor, like every codec stage."""
+
+    def __init__(self):
+        self._image = _import_pil()
+
+    def decode(self, payload: bytes) -> dict:
+        import io
+
+        with self._image.open(io.BytesIO(payload)) as img:
+            w, h = img.size
+        return {
+            "kind": "image",
+            "width": int(w),
+            "height": int(h),
+            "duration_ms": 0,
+            "n_bytes": len(payload),
+            "body_checksum": hashlib.md5(payload).hexdigest(),
+        }
+
+
+class PILTranscoder:
+    """Real aspect-preserving image resize via Pillow; ``frame``
+    (video) still requires ffmpeg and raises — the honest split of the
+    two codec dependencies."""
+
+    def __init__(self):
+        self._image = _import_pil()
+
+    def resize(self, payload: bytes, w: int, h: int) -> bytes:
+        import io
+
+        with self._image.open(io.BytesIO(payload)) as img:
+            fmt = img.format or "PNG"
+            out = img.resize((max(1, w), max(1, h)))
+            buf = io.BytesIO()
+            out.save(buf, format=fmt)
+            return buf.getvalue()
+
+    def frame(self, payload: bytes, ts_ms: int) -> bytes:
+        raise NotImplementedError("real frame extraction needs ffmpeg")
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: decode each payload, emit typed features and
     DROP the payload (the narrow output is what flows downstream).

@@ -6,8 +6,9 @@ last completed stage (the same resumability contract as the crawl):
 
     input docs
       → exact dedup            (hash-bucket row shuffle, min-id winner)
-      → near-dup drop set      (MinHash LSH → verified clusters;
-                                losers only — small by construction)
+      → near-dup drop set      (MinHash LSH → DISTRIBUTED exact-Jaccard
+                                verify → connected components; only the
+                                loser-id set reaches the driver)
       → one fused annotate pass  (language ID, token/repetition stats,
                                 n-gram-bloom decontamination, near-dup
                                 flag, keep/drop_reason verdict)

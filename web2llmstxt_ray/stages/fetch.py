@@ -284,3 +284,113 @@ class NetworkFetcher:
                   if "depth" in batch.column_names else [0] * len(urls))
         rows = list(self.pool.map(self.fetch_one, urls, scores, depths))
         return pa.Table.from_pylist(rows, schema=FETCH_RESULT)
+
+
+class PlaywrightFetcher:
+    """Browser-rendered fetch actor — the JS-rendering path the
+    reference gets from Crawl4AI's ``AsyncWebCrawler``
+    (``crawler/web_crawler.py:93-103,283-303``), re-expressed as a
+    stateful map_batches actor over the public Playwright API.
+
+    One headless browser per actor (launched in ``__init__`` — the
+    browser is the expensive state; pages are cheap), sequential
+    navigation within the actor (a Playwright page is not
+    thread-safe; parallelism comes from the actor pool, exactly like
+    the reference's one-crawler-per-worker shape). Output schema,
+    M6 content selection (rendered HTML → ``html_to_markdown``) and
+    M8 title fallbacks match :class:`NetworkFetcher`, so the two are
+    drop-in interchangeable through ``CrawlConfig.fetcher_factory``::
+
+        cfg = CrawlConfig(..., fetcher_factory=playwright_fetcher_factory())
+
+    Playwright is an optional dependency: constructing the actor
+    without it raises ``NotImplementedError`` (the same honest gate as
+    the media codec slots — this sandbox has no browser).
+    """
+
+    def __init__(self, page_timeout_s: float | None = None,
+                 list_mode: bool = False, max_retries: int = 3,
+                 url_rewriter=None):
+        try:
+            from playwright.sync_api import sync_playwright
+        except ImportError as e:
+            raise NotImplementedError(
+                "playwright is not installed in this environment; use "
+                "NetworkFetcher (requests) or install playwright + a "
+                "browser for the rendered-fetch path.") from e
+        self.timeout_ms = 1000.0 * (
+            page_timeout_s if page_timeout_s is not None
+            else (15.0 if list_mode else 30.0))
+        self.max_retries = max_retries
+        self.rewrite = url_rewriter or (lambda u: u)
+        self._pw = sync_playwright().start()
+        self._browser = self._pw.chromium.launch(headless=True)
+        self._context = self._browser.new_context()
+        self.stats = {"requests": 0, "failures": 0, "timeouts": 0,
+                      "retried_or_errored": 0}
+
+    def __del__(self):  # actor teardown: close the browser cleanly
+        try:
+            self._browser.close()
+            self._pw.stop()
+        except Exception:
+            pass
+
+    def _fail(self, url: str, score: float, depth: int) -> dict:
+        return {"url": url, "success": False, "title": "", "content": "",
+                "html": "", "word_count": 0, "score": score,
+                "depth": depth}
+
+    def fetch_one(self, url: str, score: float, depth: int) -> dict:
+        self.stats["requests"] += 1
+        last_exc_timeout = False
+        for _ in range(max(1, self.max_retries)):
+            page = self._context.new_page()
+            try:
+                resp = page.goto(self.rewrite(url),
+                                 timeout=self.timeout_ms,
+                                 wait_until="load")
+                status = resp.status if resp is not None else 0
+                if status in (429, 500, 502, 503, 504):
+                    continue                      # retryable, next loop
+                if status != 200:
+                    self.stats["failures"] += 1
+                    return self._fail(url, score, depth)
+                html = page.content()             # RENDERED dom
+                title_meta = page.title() or None
+                content = html_to_markdown(html)
+                title = extract_title(title_meta, content, url)
+                return {"url": url, "success": True, "title": title,
+                        "content": content, "html": html,
+                        "word_count": len(content.split()),
+                        "score": score, "depth": depth}
+            except Exception as e:
+                last_exc_timeout = "Timeout" in type(e).__name__
+                continue
+            finally:
+                page.close()
+        if last_exc_timeout:
+            self.stats["timeouts"] += 1
+        else:
+            self.stats["retried_or_errored"] += 1
+        self.stats["failures"] += 1
+        return self._fail(url, score, depth)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        scores = (batch.column("score").to_pylist()
+                  if "score" in batch.column_names else [0.0] * len(urls))
+        depths = (batch.column("depth").to_pylist()
+                  if "depth" in batch.column_names else [0] * len(urls))
+        rows = [self.fetch_one(u, s, d)
+                for u, s, d in zip(urls, scores, depths)]
+        return pa.Table.from_pylist(rows, schema=FETCH_RESULT)
+
+
+def playwright_fetcher_factory(**kwargs):
+    """``CrawlConfig.fetcher_factory`` builder for the browser path —
+    mirrors ``testing.NetworkFetcherFactory``'s shape (the factory gets
+    the site ref, which a real browser ignores)."""
+    def factory(site_ref):
+        return PlaywrightFetcher(**kwargs)
+    return factory

@@ -51,6 +51,11 @@ class FixtureHTTPServer:
         self.fail_first: dict[str, tuple[int, int]] = {}
         self.delay_s: dict[str, float] = {}
         self.request_counts: dict[str, int] = {}
+        # served at GET /api/tags (Ollama model-listing protocol)
+        self.ollama_models: list[dict] = [
+            {"name": "llama3.2:latest", "size": 2_019_393_189},
+            {"name": "qwen2.5-coder-7b:latest", "size": 4_683_087_332},
+        ]
         self._lock = threading.Lock()
         fixture = self
 
@@ -99,6 +104,13 @@ class FixtureHTTPServer:
                         "title_meta": page["title_meta"],
                     }).encode()
                     self._send(200, body)
+                elif parsed.path == "/api/tags":
+                    status = self._maybe_fault(parsed.path)
+                    if status is not None:
+                        self._send(status, b'{"error": "injected"}')
+                        return
+                    self._send(200, json.dumps(
+                        {"models": fixture.ollama_models}).encode())
                 elif parsed.path.startswith("/html/"):
                     key = parsed.path[len("/html/"):]
                     status = self._maybe_fault(parsed.path)
