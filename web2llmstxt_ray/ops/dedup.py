@@ -414,7 +414,94 @@ def minhash_verified_pairs(ds: ray.data.Dataset, text_col: str = "text",
     # pair set is big enough for width to matter
     nb = num_buckets if n_pairs > 200_000 else min(num_buckets, 8)
 
-    # Two-stage exchange, corpus texts move EXACTLY ONCE:
+    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
+        sh_cache: dict = {}
+
+        def sh(i, t):
+            s = sh_cache.get(i)
+            if s is None:
+                s = shingles(t or "", shingle_k)
+                sh_cache[i] = s
+            return s
+
+        out_a, out_b = [], []
+        for (a, b), sub in group.groupby(["a", "b"], sort=False):
+            by_role = dict(zip(sub["_role"], sub["_vt"]))
+            if len(by_role) < 2:
+                continue          # a side's text vanished mid-pipeline
+            if jaccard(sh(a, by_role["a"]),
+                       sh(b, by_role["b"])) >= jaccard_threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64")})
+
+    # SMALL-PAIR TIER (the common near-dup case: pairs ≪ corpus).
+    # Shuffling every text through a full exchange wastes the whole
+    # corpus's bandwidth on rows that die immediately, and each extra
+    # groupby costs seconds of fixed scheduling latency. Instead the
+    # deduped pair set broadcasts as an id→[(a, b, role)] map (ids
+    # only — the same broadcast class as the loser-id set), involved
+    # texts are filtered map-only (arrow is_in) and re-blocked narrow,
+    # each text row expands map-only to its (pair, role, text) rows,
+    # and ONE pair-bucket groupby runs the fused exact-Jaccard verify.
+    # Texts never reach the driver in either tier.
+    if n_pairs <= 2_000_000:
+        # to_pandas, NOT take_all: on a materialized dataset take_all
+        # launches a fresh streaming execution (~3-4 s of pure
+        # overhead at 32 CPUs); to_pandas reads the blocks directly
+        cdf = cand.to_pandas().drop_duplicates()
+        inv_arr = pa.array(np.unique(np.concatenate(
+            [cdf["a"].to_numpy(), cdf["b"].to_numpy()])))
+        roles: dict = {}
+        for a, b in zip(cdf["a"].tolist(), cdf["b"].tolist()):
+            roles.setdefault(a, []).append((a, b, "a"))
+            roles.setdefault(b, []).append((a, b, "b"))
+        inv_ref = ray.put(inv_arr)
+        roles_ref = ray.put(roles)
+
+        class AttachRoles:
+            """Filter to involved rows, expand each to its pair-role
+            rows with the text attached — all map-only."""
+
+            def __init__(self, iref, rref):
+                self.ids = ray.get(iref)
+                self.roles: dict = ray.get(rref)
+
+            def __call__(self, batch: pa.Table) -> pd.DataFrame:
+                import pyarrow.compute as pc
+
+                sub = batch.filter(
+                    pc.is_in(batch.column(id_col), value_set=self.ids))
+                out_a, out_b, out_r, out_t = [], [], [], []
+                for i, t in zip(sub.column(id_col).to_pylist(),
+                                sub.column(text_col).to_pylist()):
+                    for a, b, role in self.roles.get(i, ()):
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_r.append(role)
+                        out_t.append(t)
+                df = pd.DataFrame({
+                    "a": pd.Series(out_a, dtype="int64"),
+                    "b": pd.Series(out_b, dtype="int64"),
+                    "_role": pd.Series(out_r, dtype="object"),
+                    "_vt": pd.Series(out_t, dtype="object")})
+                pb = ((df["a"].to_numpy(np.int64).astype(np.uint64)
+                       * np.uint64(0x9E3779B97F4A7C15))
+                      ^ df["b"].to_numpy(np.int64).astype(np.uint64))
+                df["_pb"] = (pb % np.uint64(nb)).astype("int32")
+                return df
+
+        from .stagecache import cached_stage
+
+        role_rows = ds.select_columns([id_col, text_col]).map_batches(
+            cached_stage(AttachRoles, iref=inv_ref, rref=roles_ref),
+            batch_format="pyarrow", batch_size=None).repartition(nb)
+        return role_rows.groupby("_pb").map_groups(
+            verify_group, batch_format="pandas")
+
+    # LARGE-PAIR TIER — two-stage exchange, corpus texts move
+    # EXACTLY ONCE:
     #   stage 1 — pairs explode to one row per (pair, role∈{a,b})
     #   keyed by that role's doc id; union with (id, text) rows and
     #   group by id-bucket, where duplicate pairs (the same pair
@@ -466,28 +553,6 @@ def minhash_verified_pairs(ds: ray.data.Dataset, text_col: str = "text",
 
     attached = unioned.groupby("_kb").map_groups(attach,
                                                  batch_format="pandas")
-
-    def verify_group(group: pd.DataFrame) -> pd.DataFrame:
-        sh_cache: dict = {}
-
-        def sh(i, t):
-            s = sh_cache.get(i)
-            if s is None:
-                s = shingles(t or "", shingle_k)
-                sh_cache[i] = s
-            return s
-
-        out_a, out_b = [], []
-        for (a, b), sub in group.groupby(["a", "b"], sort=False):
-            by_role = dict(zip(sub["_role"], sub["_vt"]))
-            if len(by_role) < 2:
-                continue          # a side's text vanished mid-pipeline
-            if jaccard(sh(a, by_role["a"]),
-                       sh(b, by_role["b"])) >= jaccard_threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64")})
 
     def pair_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -598,8 +663,10 @@ def _verified_root_map(ds, text_col, id_col, num_perm, num_bands,
     candidate pair list and never a text (the round-2 weak tier)."""
     comp = minhash_components_verified(ds, text_col, id_col, num_perm,
                                        num_bands, shingle_k,
-                                       jaccard_threshold)
-    return {row["node"]: row["component"] for row in comp.take_all()}
+                                       jaccard_threshold).to_pandas()
+    if "node" not in comp.columns:       # empty → schema-less frame
+        return {}
+    return dict(zip(comp["node"].tolist(), comp["component"].tolist()))
 
 
 def minhash_losers(ds: ray.data.Dataset, text_col: str = "text",

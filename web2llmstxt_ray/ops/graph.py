@@ -170,8 +170,11 @@ def connected_components(pairs: ray.data.Dataset, col_a: str = "a",
                 x = parent[x]
             return x
 
-        for row in edges.take_all():
-            ra, rb = find(int(row["u"])), find(int(row["v"]))
+        # block reads, not take_all: take_all on a materialized dataset
+        # launches a fresh streaming execution (seconds of overhead)
+        edf = edges.to_pandas()
+        for a, b in zip(edf["u"].tolist(), edf["v"].tolist()):
+            ra, rb = find(int(a)), find(int(b))
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         nodes = sorted(parent)
