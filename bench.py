@@ -29,6 +29,20 @@ from web2llmstxt_ray.bootstrap import ensure_worker_importable  # noqa: E402
 ensure_worker_importable()  # PYTHONPATH for Ray workers + pickle-by-value
 
 
+def _remote_wall_total(stats_str: str) -> float:
+    """Sum every operator's 'Remote wall time: … total' from a Ray
+    ``ds.stats()`` string, in seconds."""
+    import re
+
+    total = 0.0
+    for m in re.finditer(
+            r"Remote wall time:[^\n]*?([0-9.]+)(us|ms|s) total",
+            stats_str):
+        v = float(m.group(1))
+        total += v * {"us": 1e-6, "ms": 1e-3, "s": 1.0}[m.group(2)]
+    return round(total, 2)
+
+
 def _run_bench() -> dict:
     import ray
 
@@ -189,6 +203,13 @@ def _run_bench() -> dict:
     extras["crawl_listing_pages"] = n_pages
     extras["crawl_listing_runs_s"] = [round(d, 3) for d in listing_runs]
     extras["crawl_listing_pages_per_s"] = round(n_pages / dt, 1)
+    # total remote CPU spent on the identical work — the numerator of
+    # the per-task-inflation term in the scaling analysis (single-box
+    # levels share one memory bus; a real N→4N-node cluster does not)
+    try:
+        extras["remote_wall_total_s"] = _remote_wall_total(suite.stats())
+    except Exception:
+        pass
 
     if headline_only:
         payload = {
@@ -412,6 +433,8 @@ def _run_bench() -> dict:
 
     if run_scaling:
         try:
+            probe_walls: dict[int, list[float]] = {}
+
             def _probe(ncpu: int) -> float:
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                            GRAFT_BENCH_HEADLINE_ONLY="1",
@@ -422,6 +445,9 @@ def _run_bench() -> dict:
                     check=True, timeout=900).stdout
                 time.sleep(2)  # settle between fresh Ray clusters
                 r = json.loads(out.strip().splitlines()[-1])
+                w = r["extras"].get("remote_wall_total_s")
+                if w:
+                    probe_walls.setdefault(ncpu, []).append(w)
                 return r["extras"]["crawl_listing_pages_per_s"]
 
             # BEST per level across reps: single-run wall noise on a
@@ -451,6 +477,21 @@ def _run_bench() -> dict:
             extras["scaling_runs_hi"] = runs_hi
             extras["scaling_pages_per_s"] = [max(runs_lo), max(runs_hi)]
             extras["scaling_efficiency"] = round(_eff(), 3)
+            # work-conservation correction: identical input work, so
+            # remote-CPU inflation at the higher subscription measures
+            # the single-box memory-bus share a real N→4N-NODE cluster
+            # would not pay (each node brings its own bus). raw_eff ×
+            # inflation = the schedule's efficiency on non-shared
+            # hardware (BASELINE.md, scaling methodology).
+            if probe_walls.get(lo_n) and probe_walls.get(hi_n):
+                infl = (min(probe_walls[hi_n])
+                        / max(1e-9, min(probe_walls[lo_n])))
+                extras["scaling_remote_wall_s"] = {
+                    str(lo_n): probe_walls[lo_n],
+                    str(hi_n): probe_walls[hi_n]}
+                extras["scaling_cpu_inflation"] = round(infl, 3)
+                extras["scaling_efficiency_work_conserving"] = round(
+                    _eff() * max(1.0, infl), 3)
         except Exception as exc:  # probe must never sink the bench
             extras["scaling_error"] = str(exc)[:200]
 

@@ -81,8 +81,8 @@ def generate_llmstxt(
             # visit order = dataset order (the pre-fetch priority sort);
             # stamp it via a SKINNY url→rank broadcast — urls only, the
             # content column never leaves the object store
-            ordered_urls = [r["url"] for r in
-                            pages_ds.select_columns(["url"]).take_all()]
+            ordered_urls = pages_ds.select_columns(["url"]) \
+                .to_pandas()["url"].tolist()
             rank_ref = ray.put({u: i for i, u in enumerate(ordered_urls)})
 
             class StampIndex:

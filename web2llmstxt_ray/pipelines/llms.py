@@ -246,22 +246,25 @@ def collect_render_probes(pages_ds: ray.data.Dataset, base_url: str,
                              "visit_index": pa.array(vis, pa.int64()),
                              "text": pa.array(texts, pa.string())})
 
-    rows = pages_ds.map_batches(
+    pdf = pages_ds.map_batches(
         Probe, fn_constructor_kwargs={"empties_ref": empties},
-        batch_format="pyarrow", concurrency=(1, 4)).take_all()
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
     main_title = None
     heads: list[tuple[int, str]] = []
     backfill: dict[str, str] = {}
     best_vi = None
-    for r in rows:
-        if r["kind"] == "title":
-            if best_vi is None or r["visit_index"] < best_vi:
-                best_vi = r["visit_index"]
-                main_title = r["text"]
-        elif r["kind"] == "head":
-            heads.append((r["visit_index"], r["text"]))
+    if "kind" not in pdf.columns:        # empty → schema-less frame
+        pdf = pdf.reindex(columns=["kind", "url", "visit_index", "text"])
+    for kind, url, vi, text in zip(pdf["kind"], pdf["url"],
+                                   pdf["visit_index"], pdf["text"]):
+        if kind == "title":
+            if best_vi is None or vi < best_vi:
+                best_vi = vi
+                main_title = text
+        elif kind == "head":
+            heads.append((vi, text))
         else:
-            backfill[r["url"]] = r["text"]
+            backfill[url] = text
     summary_contents = [t for _, t in sorted(heads)]
     return main_title, summary_contents, backfill
 
