@@ -566,6 +566,31 @@ def _run_isolated() -> None:
         crawler.shutdown()
     out["crawl_bfs"] = min(bfs_runs)
     out["crawl_bfs_runs_s"] = bfs_runs
+
+    # corpus_prep on a cold store (in-sequence it follows the 200k-
+    # vector stages and reads high from object-store churn)
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web2llmstxt_ray.pipelines.corpus_prep import prepare_corpus
+
+    n_docs = 100_000
+    doc_tbl = pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": site.column("markdown").combine_chunks()[:n_docs],
+    })
+    prep_dir = f"/tmp/bench_corpus_prep_iso_{num_cpus}"
+    shutil.rmtree(prep_dir, ignore_errors=True)
+    bench_texts = doc_tbl.column("text").to_pylist()[::997]
+    docs_ds = rd.from_arrow(doc_tbl).repartition(4 * num_cpus)
+    t0 = time.perf_counter()
+    prepare_corpus(docs_ds, prep_dir, bench_texts=bench_texts,
+                   min_words=20, langs=(), max_bigram_frac=0.5)
+    out["corpus_prep_100k"] = round(time.perf_counter() - t0, 3)
+
     print(json.dumps({"queries": out, "num_cpus": num_cpus,
                       "sf": sf_dir}))
     ray.shutdown()

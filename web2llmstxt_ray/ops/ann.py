@@ -198,8 +198,11 @@ def kmeans_fit(ds: ray.data.Dataset, k: int, vec_col: str = "embedding",
     Returns (centroids, info) with info = {iters_run, sse_per_iter}.
     """
     ds = ds.materialize()
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.asarray([r[vec_col] for r in sample_rows], dtype=np.float64)
+    # to_pandas, not take_all: take_all on a materialized dataset
+    # launches a fresh streaming execution (~seconds of overhead)
+    sample = np.asarray(
+        ds.limit(sample_size).to_pandas()[vec_col].tolist(),
+        dtype=np.float64)
     centroids = train_centroids(sample, k, iters=3, seed=seed)
 
     sse_hist: list[float] = []
@@ -422,9 +425,11 @@ def knn_join_ivf(ds: ray.data.Dataset, k: int = 5, num_lists: int = 16,
     import pandas as pd
 
     ds = ds.select_columns([id_col, vec_col]).materialize()
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.asarray([r[vec_col] for r in sample_rows],
-                        dtype=np.float64)
+    # to_pandas, not take_all (fresh-execution overhead on a
+    # materialized dataset — see BASELINE.md round-3 finding)
+    sample = np.asarray(
+        ds.limit(sample_size).to_pandas()[vec_col].tolist(),
+        dtype=np.float64)
     centroids = train_centroids(sample, num_lists, seed=seed)
     cref = ray.put(_normalize(centroids))
 
