@@ -2573,6 +2573,42 @@ def _events_cents(sf_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def q_value_rolling_median(sf_dir: str) -> pd.DataFrame:
+    """Order-statistic sliding frame (ROWS 4 PRECEDING..CURRENT) per
+    user: median of <=5 integer cents is an order statistic / .5-exact
+    mean of two ints => bit-exact vs the SQL window oracle."""
+    from web2llmstxt_ray.ops.windows import rolling_median
+
+    out = _pdf(rolling_median(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        window=5))
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_orders_above_median(sf_dir: str) -> pd.DataFrame:
+    """Decorrelated-subquery shape: orders strictly above their
+    customer's median price (one bucketed shuffle, per-key vectorized
+    median transform; comparison in exact integer cents)."""
+    from web2llmstxt_ray.ops.windows import above_partition_median
+
+    out = _pdf(above_partition_median(
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        key_col="o_custkey", value_col="o_totalprice",
+        id_col="o_orderkey"))
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_weighted_doc_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic A-ES weighted sampling without replacement
+    (Efraimidis-Spirakis): per-block partial top-k by ln(u)/w with a
+    fixed multiplicative id hash, driver merges O(blocks x k) skinny
+    rows — the SQL oracle replays the exact selection."""
+    from web2llmstxt_ray.ops.corpus import weighted_sample_aes
+
+    return weighted_sample_aes(
+        _t(sf_dir, "documents", ["doc_id", "n_chars"]), k=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -2707,6 +2743,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_skew_kurt": q_qty_skew_kurt,
         "priority_status_mi": q_priority_status_mi,
         "distinct_users_hll": q_distinct_users_hll,
+        "value_rolling_median": q_value_rolling_median,
+        "orders_above_median": q_orders_above_median,
+        "weighted_doc_sample": q_weighted_doc_sample,
     }
 
 
@@ -2997,6 +3036,32 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY ts, event_id)
                         AS BIGINT) AS tile
             FROM events
+        """,
+        "value_rolling_median": """
+            SELECT event_id, user_id,
+                   CAST(median(cents) OVER w AS DOUBLE) AS win_med_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS win_n
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "orders_above_median": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders)
+            QUALIFY cents > median(cents) OVER (PARTITION BY o_custkey)
+        """,
+        "weighted_doc_sample": """
+            SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                       ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+                          / 4294967296.0) / n_chars AS k
+                FROM documents WHERE n_chars > 0
+                ORDER BY k DESC, doc_id LIMIT 100)
+            ORDER BY doc_id
         """,
         "value_rolling_sum": """
             SELECT event_id, user_id,

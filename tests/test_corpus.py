@@ -182,3 +182,34 @@ class TestQuantileThresholdFilter:
         thr_lo = np.sort(vals)[int(np.ceil(0.25 * 200)) - 1]
         assert set(lo["doc_id"]) == {i for i, v in enumerate(vals)
                                      if v <= thr_lo}
+
+
+class TestWeightedSampleAES:
+    def test_matches_bruteforce_and_block_invariant(self):
+        from web2llmstxt_ray.ops.corpus import weighted_sample_aes
+
+        n = 2000
+        ids = np.arange(n, dtype=np.int64)
+        w = (ids % 97 + 1).astype(np.int64)
+        t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+        outs = []
+        for parts in (1, 9):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            outs.append(weighted_sample_aes(ds, k=150)
+                        ["doc_id"].tolist())
+        assert outs[0] == outs[1]
+        u = ((ids * 2654435761) % (1 << 32) + 0.5) / float(1 << 32)
+        key = np.log(u) / w
+        want = sorted(ids[np.argsort(-key, kind="stable")][:150].tolist())
+        assert outs[0] == want
+
+    def test_heavier_weights_oversampled(self):
+        from web2llmstxt_ray.ops.corpus import weighted_sample_aes
+
+        n = 4000
+        ids = np.arange(n, dtype=np.int64)
+        w = np.where(ids < 200, 1000, 1).astype(np.int64)  # 5% heavy
+        t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+        out = weighted_sample_aes(ray.data.from_arrow(t), k=200)
+        heavy = (out["doc_id"] < 200).sum()
+        assert heavy > 120     # heavy ids dominate the sample

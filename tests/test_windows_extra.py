@@ -202,3 +202,50 @@ class TestResampleFfill:
             .sort_values("grid_ts").reset_index(drop=True)
         assert out["value"].isna().sum() == 4      # Jan 1-4
         assert (out["value"].dropna() == 7.0).all()
+
+
+class TestRollingMedianAndAboveMedian:
+    def _events(self, n=3000, seed=4):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 40, n).astype(np.int64),
+            "ts": pd.Timestamp("2025-01-01")
+            + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+            "value": np.round(rng.uniform(0, 50, n), 2),
+        })
+
+    def test_rolling_median_sequential_oracle(self):
+        from web2llmstxt_ray.ops.windows import rolling_median
+
+        df = self._events()
+        got = rolling_median(ray.data.from_pandas(df).repartition(7),
+                             window=5).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        g = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        g["_c"] = np.rint(g["value"] * 100).astype("int64")
+        want = g.groupby("user_id")["_c"].rolling(
+            5, min_periods=1).median().reset_index(level=0)
+        g["med"] = want["_c"].to_numpy()
+        ref = dict(zip(g["event_id"], g["med"]))
+        assert all(ref[e] == m for e, m in
+                   zip(got["event_id"], got["win_med_cents"]))
+        assert len(got) == len(df)
+
+    def test_above_median_strictness_and_partition_invariance(self):
+        from web2llmstxt_ray.ops.windows import above_partition_median
+
+        df = self._events(800, seed=9)
+        outs = []
+        for parts in (1, 6):
+            out = above_partition_median(
+                ray.data.from_pandas(df).repartition(parts),
+                key_col="user_id", value_col="value",
+                id_col="event_id").to_pandas()
+            outs.append(sorted(out["event_id"].tolist()))
+        assert outs[0] == outs[1]
+        g = df.copy()
+        g["_c"] = np.rint(g["value"] * 100).astype("int64")
+        med = g.groupby("user_id")["_c"].transform("median")
+        want = sorted(g.loc[g["_c"] > med, "event_id"].tolist())
+        assert outs[0] == want and 0 < len(want) < len(df)

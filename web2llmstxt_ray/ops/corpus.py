@@ -489,3 +489,50 @@ def grouped_mode(ds: ray.data.Dataset, group_col: str,
     out = out.rename(columns={col: "mode_value", "_cnt": "mode_count"})
     out["mode_count"] = out["mode_count"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def weighted_sample_aes(ds: ray.data.Dataset, k: int = 100,
+                        weight_col: str = "n_chars",
+                        id_col: str = "doc_id") -> "pd.DataFrame":
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): keep the k rows with the largest
+    ``u^(1/w)`` ⇔ largest ``ln(u)/w``, where u is a fixed multiplicative
+    hash of the id (Knuth 2654435761 mod 2^32, +0.5 to stay inside
+    (0,1)) — reproducible across engines, so a SQL oracle can replay
+    the exact selection. Rows with weight ≤ 0 are excluded.
+
+    Distributed shape (the textbook A-ES reduction): each block emits
+    ONLY its local top-k by key (map-only, no shuffle); the driver
+    merges O(blocks × k) skinny rows and takes the global top-k.
+    Requires ``id × 2654435761`` to fit int64 (ids < ~3.5e9).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        w = np.asarray(batch.column(weight_col), dtype=np.float64)
+        mask = w > 0
+        ids, w = ids[mask], w[mask]
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             weight_col: pa.array([], pa.int64()),
+                             "_key": pa.array([], pa.float64())})
+        u = ((ids * 2654435761) % (1 << 32) + 0.5) / float(1 << 32)
+        key = np.log(u) / w
+        take = min(k, len(ids))
+        top = np.argpartition(-key, take - 1)[:take]
+        return pa.table({
+            id_col: pa.array(ids[top]),
+            weight_col: pa.array(
+                np.asarray(batch.column(weight_col))[mask][top]),
+            "_key": pa.array(key[top], pa.float64()),
+        })
+
+    parts = ds.select_columns([id_col, weight_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    parts = parts.sort_values(["_key", id_col],
+                              ascending=[False, True], kind="stable")
+    out = parts.head(k)[[id_col, weight_col]]
+    return out.sort_values(id_col).reset_index(drop=True)

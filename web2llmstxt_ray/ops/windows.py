@@ -437,3 +437,64 @@ def resample_ffill(ds: ray.data.Dataset, start_us: int, end_us: int,
         ds.select_columns([key_col, ts_col, value_col]),
         key_col, num_buckets).groupby("_sbucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+def rolling_median(ds: ray.data.Dataset, window: int = 5,
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id", value_col: str = "value",
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Order-statistic sliding frame: SQL ``median(cents) OVER
+    (PARTITION BY key ORDER BY ts, id ROWS BETWEEN window-1 PRECEDING
+    AND CURRENT ROW)``. Same bucketed one-shuffle shape as
+    :func:`rolling_sum`; the median of ≤window integer cents is an
+    order statistic (odd count) or the mean of two ints (even count —
+    exactly representable at .0/.5), so the result is bit-exact vs the
+    SQL oracle. Output: (event_id, user_id, win_med_cents, win_n)."""
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        cents = np.rint(g[value_col].to_numpy() * 100).astype("int64")
+        g = g.assign(_cents=cents)
+        roll = g.groupby(key_col, sort=False)["_cents"].rolling(
+            window, min_periods=1)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "win_med_cents": roll.median().to_numpy().astype("float64"),
+            "win_n": roll.count().to_numpy().astype("int64"),
+        })
+
+    return (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, value_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
+
+
+def above_partition_median(ds: ray.data.Dataset, key_col: str,
+                           value_col: str, id_col: str,
+                           num_buckets: int = 64) -> ray.data.Dataset:
+    """The decorrelated-subquery shape: rows whose value is STRICTLY
+    above their partition's median (SQL ``WHERE v > median(v) OVER
+    (PARTITION BY key)``) — one bucketed shuffle, per-key vectorized
+    median transform inside the bucket. Comparison runs in integer
+    cents against the .0/.5-exact median, so the row set is exact.
+    Output: (id, key, value) of qualifying rows."""
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(group[value_col].to_numpy() * 100).astype(
+            "int64")
+        g = group.assign(_cents=cents)
+        med = g.groupby(key_col, sort=False)["_cents"].transform(
+            "median")
+        keep = g["_cents"] > med
+        out = g.loc[keep, [id_col, key_col, value_col]]
+        return out.reset_index(drop=True)
+
+    return (_add_key_bucket(
+        ds.select_columns([id_col, key_col, value_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
