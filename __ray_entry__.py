@@ -2609,6 +2609,52 @@ def q_weighted_doc_sample(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "documents", ["doc_id", "n_chars"]), k=100)
 
 
+def q_events_range_hour_sum(sf_dir: str) -> pd.DataFrame:
+    """Event-time RANGE frame (INTERVAL 1 HOUR PRECEDING..CURRENT ROW,
+    peers included): one bucketed shuffle, all keys windowed at once
+    via two searchsorted calls on a composite int64 axis — tie-order
+    independent and exact in integer cents."""
+    from web2llmstxt_ray.ops.windows import range_window_sum
+
+    out = _pdf(range_window_sum(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        range_seconds=3600))
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_value_peak_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Running partition max + drawdown (ROWS UNBOUNDED PRECEDING):
+    one bucketed shuffle, vectorized per-key cummax in integer cents."""
+    from web2llmstxt_ray.ops.windows import running_peak_drawdown
+
+    out = _pdf(running_peak_drawdown(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])))
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_user_streaks(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands: maximal consecutive-active-day runs per user
+    (row_number-difference idiom over the deduped (user, epoch-day)
+    set; exact int64 days on both sides)."""
+    from web2llmstxt_ray.ops.events import activity_streaks
+
+    out = _pdf(activity_streaks(_t(sf_dir, "events",
+                                   ["user_id", "ts"])))
+    return out.sort_values(["user_id", "streak_start_day"]) \
+        .reset_index(drop=True)
+
+
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition counts over per-user (ts, id)
+    order — the LAG window shape; per-bucket vectorized groupby-shift
+    collapses to O(buckets x |types|^2) partials before the driver
+    combine."""
+    from web2llmstxt_ray.ops.events import transition_counts
+
+    return transition_counts(_t(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -2746,6 +2792,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_rolling_median": q_value_rolling_median,
         "orders_above_median": q_orders_above_median,
         "weighted_doc_sample": q_weighted_doc_sample,
+        "events_range_hour_sum": q_events_range_hour_sum,
+        "value_peak_drawdown": q_value_peak_drawdown,
+        "user_streaks": q_user_streaks,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -3062,6 +3112,53 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE n_chars > 0
                 ORDER BY k DESC, doc_id LIMIT 100)
             ORDER BY doc_id
+        """,
+        "events_range_hour_sum": """
+            SELECT event_id, user_id,
+                   CAST(sum(cents) OVER w AS BIGINT) AS win_sum_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS win_n
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                         AND CURRENT ROW)
+        """,
+        "value_peak_drawdown": """
+            SELECT event_id, user_id,
+                   CAST(max(cents) OVER w AS BIGINT) AS peak_cents,
+                   CAST(max(cents) OVER w - cents AS BIGINT)
+                       AS drawdown_cents
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "user_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            numbered AS (
+                SELECT user_id, day,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS rn
+                FROM days)
+            SELECT user_id,
+                   CAST(min(day) AS BIGINT) AS streak_start_day,
+                   CAST(max(day) AS BIGINT) AS streak_end_day,
+                   CAST(count(*) AS BIGINT) AS n_days
+            FROM numbered GROUP BY user_id, day - rn
+        """,
+        "event_transitions": """
+            SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT event_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_type
+                  FROM events)
+            WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
         "value_rolling_sum": """
             SELECT event_id, user_id,

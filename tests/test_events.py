@@ -122,3 +122,77 @@ class TestFunnel:
                      ["view", "click", "purchase"])
         n = out["n_users"].tolist()
         assert n == sorted(n, reverse=True)
+
+
+class TestStreaksAndTransitions:
+    def _events(self, n=2000, seed=7, users=25):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, users, n).astype(np.int64),
+            "event_type": rng.choice(
+                ["view", "click", "buy", "error"], n),
+            "ts": pd.Timestamp("2025-01-01")
+            + pd.to_timedelta(rng.randint(0, 40 * 86400, n), unit="s"),
+        })
+
+    def test_streaks_sequential_oracle_and_partition_invariance(self):
+        from web2llmstxt_ray.ops.events import activity_streaks
+
+        df = self._events()
+        outs = []
+        for parts in (1, 7):
+            out = activity_streaks(
+                ray.data.from_pandas(df).repartition(parts)) \
+                .to_pandas() \
+                .sort_values(["user_id", "streak_start_day"]) \
+                .reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # sequential oracle: row_number-difference idiom in pandas
+        day = (df["ts"].astype("datetime64[ns]").astype("int64")
+               // 1000 // 86_400_000_000)
+        d = (pd.DataFrame({"u": df["user_id"], "d": day})
+             .drop_duplicates().sort_values(["u", "d"]))
+        rn = d.groupby("u").cumcount()
+        d["anchor"] = d["d"] - rn
+        ref = d.groupby(["u", "anchor"], as_index=False).agg(
+            streak_start_day=("d", "min"), streak_end_day=("d", "max"),
+            n_days=("d", "size")) \
+            .sort_values(["u", "streak_start_day"]) \
+            .reset_index(drop=True)
+        assert len(outs[0]) == len(ref)
+        assert (outs[0]["streak_start_day"].to_numpy()
+                == ref["streak_start_day"].to_numpy()).all()
+        assert (outs[0]["n_days"].to_numpy()
+                == ref["n_days"].to_numpy()).all()
+        # streaks of one user never overlap and are separated by gaps
+        for _, grp in outs[0].groupby("user_id"):
+            s = grp.sort_values("streak_start_day")
+            assert (s["streak_end_day"] - s["streak_start_day"] + 1
+                    == s["n_days"]).all()
+            assert (s["streak_start_day"].to_numpy()[1:]
+                    > s["streak_end_day"].to_numpy()[:-1] + 1).all()
+
+    def test_transitions_sequential_oracle(self):
+        from web2llmstxt_ray.ops.events import transition_counts
+
+        df = self._events(1500, seed=12)
+        outs = []
+        for parts in (1, 6):
+            outs.append(transition_counts(
+                ray.data.from_pandas(df).repartition(parts)))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        g = df.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id")["event_type"].shift(1)
+        ref = (pd.DataFrame({"prev_type": prev,
+                             "event_type": g["event_type"]})
+               .dropna().groupby(["prev_type", "event_type"],
+                                 as_index=False).size()
+               .rename(columns={"size": "n"})
+               .sort_values(["prev_type", "event_type"])
+               .reset_index(drop=True))
+        ref["n"] = ref["n"].astype("int64")
+        pd.testing.assert_frame_equal(outs[0], ref)
+        # total transitions = events minus one per active user
+        assert outs[0]["n"].sum() == len(df) - df["user_id"].nunique()

@@ -249,3 +249,58 @@ class TestRollingMedianAndAboveMedian:
         med = g.groupby("user_id")["_c"].transform("median")
         want = sorted(g.loc[g["_c"] > med, "event_id"].tolist())
         assert outs[0] == want and 0 < len(want) < len(df)
+
+
+class TestRangeWindowAndDrawdown:
+    def _events(self, n=2500, seed=11, users=30):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, users, n).astype(np.int64),
+            "ts": pd.Timestamp("2025-03-01")
+            + pd.to_timedelta(rng.randint(0, 3 * 10**5, n), unit="s"),
+            "value": np.round(rng.uniform(0, 80, n), 2),
+        })
+
+    def test_range_window_sequential_oracle_and_peers(self):
+        from web2llmstxt_ray.ops.windows import range_window_sum
+
+        df = self._events()
+        # force equal-ts peers inside one user: RANGE must include all
+        df.loc[1:4, ["user_id", "ts"]] = df.loc[0, ["user_id", "ts"]].values
+        got = range_window_sum(
+            ray.data.from_pandas(df).repartition(6),
+            range_seconds=3600).to_pandas() \
+            .set_index("event_id").sort_index()
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        us = df["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        for eid in list(df["event_id"].sample(60, random_state=0)) + [0, 1]:
+            u, t = df.loc[eid, "user_id"], us[eid]
+            m = ((df["user_id"] == u) & (us >= t - 3600 * 10**6)
+                 & (us <= t)).to_numpy()
+            assert got.loc[eid, "win_sum_cents"] == cents[m].sum()
+            assert got.loc[eid, "win_n"] == m.sum()
+        # peers (equal user+ts) must share identical window values
+        assert got.loc[0:4, "win_sum_cents"].nunique() == 1
+        assert len(got) == len(df)
+
+    def test_peak_drawdown_sequential_oracle(self):
+        from web2llmstxt_ray.ops.windows import running_peak_drawdown
+
+        df = self._events(1200, seed=3)
+        outs = []
+        for parts in (1, 5):
+            out = running_peak_drawdown(
+                ray.data.from_pandas(df).repartition(parts)) \
+                .to_pandas().sort_values("event_id") \
+                .reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        g = df.sort_values(["user_id", "ts", "event_id"]).copy()
+        g["_c"] = np.rint(g["value"] * 100).astype("int64")
+        g["peak"] = g.groupby("user_id")["_c"].cummax()
+        ref = g.set_index("event_id").sort_index()
+        got = outs[0].set_index("event_id").sort_index()
+        assert (got["peak_cents"] == ref["peak"]).all()
+        assert (got["drawdown_cents"]
+                == ref["peak"] - ref["_c"]).all()

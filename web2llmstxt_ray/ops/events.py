@@ -158,3 +158,92 @@ def user_journeys(ds: ray.data.Dataset, sep: str = ">",
         ds.select_columns([user_col, type_col, ts_col, id_col]),
         user_col, num_buckets).groupby("_sbucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+def activity_streaks(ds: ray.data.Dataset, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active calendar
+    days per user (the SQL row_number-difference idiom — group by
+    ``day - row_number() OVER (PARTITION BY user ORDER BY day)`` over
+    the distinct (user, day) set). Days are exact integer epoch-days
+    (``epoch_us // 86400e6``, int64 floor division on both sides), so
+    the result is hash-exact.
+
+    Scale shape: one bucketed shuffle of the (user, day)-deduped
+    skinny pairs; inside a bucket one sort + cumcount + groupby does
+    every user at once. Output: (user, streak_start_day,
+    streak_end_day, n_days) — one row per island.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    day_us = 86_400_000_000
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        us = np.asarray(
+            batch.column(ts_col).cast(pa.timestamp("us"))
+            .cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            user_col: batch.column(user_col),
+            "_day": pa.array(us // day_us, pa.int64()),
+        })
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group[[user_col, "_day"]]
+             .drop_duplicates()
+             .sort_values([user_col, "_day"], kind="stable"))
+        rn = g.groupby(user_col, sort=False).cumcount()
+        g = g.assign(_anchor=g["_day"].to_numpy() - rn.to_numpy())
+        out = g.groupby([user_col, "_anchor"], as_index=False).agg(
+            streak_start_day=("_day", "min"),
+            streak_end_day=("_day", "max"),
+            n_days=("_day", "size"))
+        out["n_days"] = out["n_days"].astype("int64")
+        return out[[user_col, "streak_start_day", "streak_end_day",
+                    "n_days"]]
+
+    skinny = ds.select_columns([user_col, ts_col]).map_batches(
+        to_days, batch_format="pyarrow")
+    return _add_key_bucket(skinny, user_col, num_buckets).groupby(
+        "_sbucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def transition_counts(ds: ray.data.Dataset, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """First-order Markov transition counts: for each user's event
+    stream ordered by (ts, id), count global (previous type → type)
+    pairs — the SQL ``lag(type) OVER (PARTITION BY user ORDER BY ts,
+    id)`` shape; each user's first event has no predecessor and is
+    excluded.
+
+    Scale shape: one bucketed shuffle co-locates each user's events;
+    inside a bucket one sort + vectorized groupby-shift computes lags
+    for every user at once and collapses to per-bucket partial counts,
+    so only ``O(buckets × |types|²)`` skinny rows reach the driver
+    combine. Output: (prev_type, event_type, n).
+    """
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([user_col, ts_col, id_col], kind="stable")
+        prev = g.groupby(user_col, sort=False)[type_col].shift(1)
+        m = prev.notna().to_numpy()
+        part = pd.DataFrame({
+            "prev_type": prev.to_numpy()[m],
+            type_col: g[type_col].to_numpy()[m],
+        }).groupby(["prev_type", type_col], as_index=False).size()
+        return part.rename(columns={"size": "n"})
+
+    parts = (_add_key_bucket(
+        ds.select_columns([id_col, user_col, type_col, ts_col]),
+        user_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas")
+        .to_pandas())
+    out = parts.groupby(["prev_type", type_col], as_index=False)["n"] \
+        .sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", type_col]).reset_index(
+        drop=True)

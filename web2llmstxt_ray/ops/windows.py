@@ -498,3 +498,84 @@ def above_partition_median(ds: ray.data.Dataset, key_col: str,
         key_col, num_buckets)
         .groupby("_sbucket").map_groups(per_bucket,
                                         batch_format="pandas"))
+
+
+def range_window_sum(ds: ray.data.Dataset, range_seconds: int = 3600,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id", value_col: str = "value",
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Event-time RANGE frame: SQL ``sum(cents) OVER (PARTITION BY key
+    ORDER BY ts RANGE BETWEEN INTERVAL range_seconds SECOND PRECEDING
+    AND CURRENT ROW)`` — every row of the key whose ts lies in
+    ``[t - range, t]``, INCLUDING all equal-ts peers (RANGE, not ROWS,
+    so the result is tie-order independent and exact in integer cents).
+
+    Scale shape: one bucketed shuffle; inside a bucket ALL keys are
+    windowed at once with two global ``searchsorted`` calls on a
+    composite (dense-key-rank, relative-ts) int64 axis — consecutive
+    keys are spaced further apart than the frame width, so a frame can
+    never straddle keys and no per-key Python loop runs.
+    Output: (id, key, win_sum_cents, win_n).
+    """
+    import numpy as np
+
+    range_us = int(range_seconds) * 1_000_000
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        us = (g[ts_col].astype("datetime64[ns]").astype("int64")
+              // 1000).to_numpy()
+        cents = np.rint(g[value_col].to_numpy() * 100).astype("int64")
+        codes = pd.factorize(g[key_col].to_numpy(), sort=False)[0]
+        rel = us - us.min()
+        stride = int(rel.max()) + range_us + 2
+        axis = codes.astype("int64") * stride + rel
+        cum = np.cumsum(cents)
+        lo = np.searchsorted(axis, axis - range_us, side="left")
+        hi = np.searchsorted(axis, axis, side="right") - 1
+        win = cum[hi] - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "win_sum_cents": win.astype("int64"),
+            "win_n": (hi - lo + 1).astype("int64"),
+        })
+
+    return (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, value_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
+
+
+def running_peak_drawdown(ds: ray.data.Dataset,
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          id_col: str = "event_id",
+                          value_col: str = "value",
+                          num_buckets: int = 64) -> ray.data.Dataset:
+    """Running partition maximum and drawdown: SQL ``max(cents) OVER
+    (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` and
+    ``peak - cents``. One bucketed shuffle; inside the bucket a single
+    stable sort + C-vectorized ``groupby(...).cummax()`` covers every
+    key at once. Exact integer cents throughout.
+    Output: (id, key, peak_cents, drawdown_cents).
+    """
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        cents = np.rint(g[value_col].to_numpy() * 100).astype("int64")
+        peak = (pd.Series(cents).groupby(
+            g[key_col].to_numpy(), sort=False).cummax().to_numpy())
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "peak_cents": peak,
+            "drawdown_cents": peak - cents,
+        })
+
+    return (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, value_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
