@@ -2655,6 +2655,121 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
         sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]))
 
 
+def q_value_mad(sf_dir: str) -> pd.DataFrame:
+    """Per-user median + median-absolute-deviation in integer cents
+    (order statistics — .0/.5/.25-exact doubles, hash-exact vs the
+    nested-median SQL oracle); one bucketed shuffle."""
+    from web2llmstxt_ray.ops.stats import grouped_mad
+
+    out = _pdf(grouped_mad(
+        _t(sf_dir, "events", ["user_id", "value"]),
+        "user_id", "value"))
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_user_type_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of each user's event-type mix from exact
+    per-(user, type) counts — per-block partial histograms, driver
+    combine O(users x types)."""
+    from web2llmstxt_ray.ops.stats import grouped_entropy
+
+    return grouped_entropy(
+        _t(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type")
+
+
+def q_late_ship_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (EXISTS semi-join + aggregate): orders with at
+    least one lineitem shipped > 60 days after the order date, counted
+    per priority. Composition: bucketed hash join -> vectorized late
+    filter -> exact value-bucketed distinct count (orderkey is unique
+    per order, so distinct-orderkey == EXISTS)."""
+    import pyarrow as pa
+
+    from web2llmstxt_ray.ops.relational import hash_join
+    from web2llmstxt_ray.ops.stats import grouped_distinct_count
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    line = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
+        .map_batches(
+            lambda b: b.rename_columns(["o_orderkey", "l_shipdate"]),
+            batch_format="pyarrow")
+
+    def late_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["l_shipdate"] > b["o_orderdate"] + pd.Timedelta(days=60)
+        return b.loc[m, ["o_orderpriority", "o_orderkey"]] \
+            .drop_duplicates()
+
+    pairs = hash_join(orders, line, on="o_orderkey").map_batches(
+        late_pairs, batch_format="pandas", batch_size=None)
+    out = grouped_distinct_count(pairs, "o_orderpriority",
+                                 "o_orderkey")
+    out = out.rename(columns={"n_distinct": "n_late"})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_dormant_rich_custs(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO recent order (none on/after 2000-06-01), per nation. The
+    average test is the exact integer cross-multiplication
+    ``cents * n_pos > sum_pos`` (no float boundary); the dormancy test
+    is the bucketed exact anti join against the date-filtered orders
+    (right side projected to its key before the shuffle)."""
+    import pyarrow as pa
+
+    from web2llmstxt_ray.ops.relational import hash_join, partial_groupby
+
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_stats(b: pa.Table) -> pa.Table:
+        import numpy as np
+        cents = np.rint(
+            np.asarray(b.column("c_acctbal"), dtype=np.float64)
+            * 100).astype("int64")
+        pos = cents[cents > 0]
+        return pa.table({"n": pa.array([len(pos)], pa.int64()),
+                         "s": pa.array([int(pos.sum())], pa.int64())})
+
+    parts = cust.map_batches(bal_stats, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    n_pos, s_pos = int(parts["n"].sum()), int(parts["s"].sum())
+
+    def rich_only(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        cents = np.rint(b["c_acctbal"].to_numpy() * 100) \
+            .astype("int64")
+        b = b.assign(_bal=cents)
+        return b.loc[cents * n_pos > s_pos,
+                     ["c_custkey", "c_nationkey", "_bal"]]
+
+    rich = cust.map_batches(rich_only, batch_format="pandas",
+                            batch_size=None)
+    cutoff = pd.Timestamp("2000-06-01")
+
+    def recent_keys(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["o_orderdate"] >= cutoff, ["o_custkey"]] \
+            .rename(columns={"o_custkey": "c_custkey"})
+
+    recent = _t(sf_dir, "orders",
+                ["o_custkey", "o_orderdate"]).map_batches(
+        recent_keys, batch_format="pandas", batch_size=None)
+    no_orders = hash_join(rich, recent, on="c_custkey", how="anti")
+
+    def per_nation(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_nationkey", as_index=False).agg(
+            n_cust=("_bal", "size"), total_bal_cents=("_bal", "sum"))
+
+    out = partial_groupby(no_orders, ["c_nationkey"], per_nation,
+                          ["n_cust", "total_bal_cents"])
+    # the anti join's frame union NaN-pads and upcasts ints to float;
+    # restore the exact integer dtypes before hashing
+    for c in ("c_nationkey", "n_cust", "total_bal_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -2796,6 +2911,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_peak_drawdown": q_value_peak_drawdown,
         "user_streaks": q_user_streaks,
         "event_transitions": q_event_transitions,
+        "value_mad": q_value_mad,
+        "user_type_entropy": q_user_type_entropy,
+        "late_ship_priority": q_late_ship_priority,
+        "dormant_rich_custs": q_dormant_rich_custs,
     }
 
 
@@ -3159,6 +3278,58 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE prev_type IS NOT NULL
             GROUP BY prev_type, event_type
+        """,
+        "value_mad": """
+            WITH c AS (SELECT user_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            m AS (SELECT user_id, median(cents) AS med
+                  FROM c GROUP BY user_id)
+            SELECT c.user_id,
+                   CAST(any_value(m.med) AS DOUBLE) AS med_cents,
+                   CAST(median(abs(c.cents - m.med)) AS DOUBLE)
+                       AS mad_cents
+            FROM c JOIN m USING (user_id)
+            GROUP BY c.user_id
+        """,
+        "user_type_entropy": """
+            WITH cnt AS (SELECT user_id, event_type,
+                                CAST(count(*) AS BIGINT) AS c
+                         FROM events GROUP BY user_id, event_type),
+            tot AS (SELECT user_id, sum(c) AS t FROM cnt
+                    GROUP BY user_id)
+            SELECT cnt.user_id,
+                   -sum((CAST(c AS DOUBLE) / t)
+                        * ln(CAST(c AS DOUBLE) / t)) AS entropy,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM cnt JOIN tot USING (user_id)
+            GROUP BY cnt.user_id
+        """,
+        "late_ship_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate
+                                             + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "dormant_rich_custs": """
+            WITH cents AS (SELECT c_custkey, c_nationkey,
+                                  CAST(round(c_acctbal * 100) AS BIGINT)
+                                      AS bal
+                           FROM customer),
+            pos AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(bal) AS BIGINT) AS s
+                    FROM cents WHERE bal > 0)
+            SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(bal) AS BIGINT) AS total_bal_cents
+            FROM cents, pos
+            WHERE bal * n > s
+              AND c_custkey NOT IN (
+                  SELECT o_custkey FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '2000-06-01')
+            GROUP BY c_nationkey
         """,
         "value_rolling_sum": """
             SELECT event_id, user_id,

@@ -200,3 +200,63 @@ class TestEwma:
         b = ewma(ray.data.from_pandas(df).repartition(17)).to_pandas() \
             .sort_values("event_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestGroupedMadEntropy:
+    def test_mad_sequential_oracle_and_partition_invariance(self):
+        from web2llmstxt_ray.ops.stats import grouped_mad
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 30, 2000).astype(np.int64),
+            "value": np.round(rng.uniform(0, 90, 2000), 2),
+        })
+        outs = []
+        for parts in (1, 6):
+            out = grouped_mad(ray.data.from_pandas(df)
+                              .repartition(parts),
+                              "user_id", "value").to_pandas() \
+                .sort_values("user_id").reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        g = df.copy()
+        g["_c"] = np.rint(g["value"] * 100).astype("int64")
+        med = g.groupby("user_id")["_c"].transform("median")
+        g["_dev"] = (g["_c"] - med).abs()
+        ref = g.groupby("user_id", as_index=False).agg(
+            med_cents=("_c", "median"), mad_cents=("_dev", "median"))
+        got = outs[0]
+        assert (got["med_cents"].to_numpy()
+                == ref["med_cents"].to_numpy()).all()
+        assert (got["mad_cents"].to_numpy()
+                == ref["mad_cents"].to_numpy()).all()
+        # exactness contract: every MAD lands on a .25 multiple
+        assert (np.mod(got["mad_cents"].to_numpy() * 4, 1) == 0).all()
+
+    def test_entropy_exact_counts_and_bounds(self):
+        from web2llmstxt_ray.ops.stats import grouped_entropy
+
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 20, 3000).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c", "d"], 3000,
+                                     p=[0.5, 0.3, 0.15, 0.05]),
+        })
+        # one single-type user: entropy must be exactly 0
+        df.loc[df["user_id"] == 0, "event_type"] = "a"
+        out = grouped_entropy(ray.data.from_pandas(df).repartition(5),
+                              "user_id", "event_type")
+        assert len(out) == df["user_id"].nunique()
+        z = out.loc[out["user_id"] == 0].iloc[0]
+        assert z["entropy"] == 0.0 and z["n_types"] == 1
+        # sequential oracle
+        cnt = df.groupby(["user_id", "event_type"]).size()
+        for uid, grp in cnt.groupby(level=0):
+            p = grp.to_numpy() / grp.sum()
+            want = float(-(p * np.log(p)).sum())
+            got = float(out.loc[out["user_id"] == uid, "entropy"]
+                        .iloc[0])
+            assert abs(got - want) < 1e-12
+        # bound: entropy <= ln(n_types)
+        assert (out["entropy"].to_numpy()
+                <= np.log(out["n_types"].to_numpy()) + 1e-12).all()

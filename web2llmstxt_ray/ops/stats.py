@@ -342,3 +342,68 @@ def grouped_robust_scale(ds: ray.data.Dataset, group_col: str,
 
     return ds.map_batches(scale_batch, batch_format="pandas",
                           batch_size=None)
+
+
+def grouped_mad(ds: ray.data.Dataset, group_col: str, value_col: str,
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-group median and median-absolute-deviation, bit-exact.
+
+    Works in integer cents: the group median is an order statistic or
+    a .5-exact mean of two ints; absolute deviations are then exact
+    multiples of 0.5 and THEIR median lands on .25 multiples — all
+    exactly representable doubles, so the result hash-matches a SQL
+    ``median(abs(cents - median(cents) OVER ...))`` oracle.
+
+    One bucketed shuffle (hash(group) → bucket, the high-cardinality-
+    safe shape from ``ops/windows.py``); inside a bucket two vectorized
+    groupby passes (median transform, then deviation median) cover all
+    groups at once. Output: (group, med_cents, mad_cents).
+    """
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(group[value_col].to_numpy() * 100) \
+            .astype("int64")
+        g = group.assign(_cents=cents)
+        med = g.groupby(group_col, sort=False)["_cents"] \
+            .transform("median")
+        g = g.assign(_dev=(g["_cents"] - med).abs(), _med=med)
+        out = g.groupby(group_col, as_index=False).agg(
+            med_cents=("_med", "first"), mad_cents=("_dev", "median"))
+        return out
+
+    from .windows import _add_key_bucket
+    return _add_key_bucket(
+        ds.select_columns([group_col, value_col]),
+        group_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
+def grouped_entropy(ds: ray.data.Dataset, group_col: str,
+                    cat_col: str) -> pd.DataFrame:
+    """Shannon entropy (natural log) of a categorical column per group,
+    computed from EXACT per-(group, category) counts.
+
+    Scale shape: per-block partial counts collapse each block to its
+    distinct (group, category) histogram rows, so only
+    ``O(blocks × groups × |categories|)`` skinny rows reach the driver
+    combine (the ``partial_groupby`` bound — appropriate while
+    groups × categories stays driver-sized; the count table is exact
+    integers, the final ``-Σ p·ln p`` is a deterministic float over
+    ≤|categories| terms). Output: (group, entropy, n_types).
+    """
+    from .relational import partial_groupby
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby([group_col, cat_col], as_index=False).agg(
+            c=(cat_col, "size"))
+
+    cnt = partial_groupby(ds.select_columns([group_col, cat_col]),
+                          [group_col, cat_col], batch_agg, ["c"])
+    cnt = cnt.sort_values([group_col, cat_col], kind="stable")
+    tot = cnt.groupby(group_col, sort=False)["c"].transform("sum")
+    p = cnt["c"].to_numpy() / tot.to_numpy()
+    cnt = cnt.assign(_term=-p * np.log(p))
+    out = cnt.groupby(group_col, as_index=False).agg(
+        entropy=("_term", "sum"), n_types=("c", "size"))
+    out["n_types"] = out["n_types"].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
