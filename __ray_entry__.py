@@ -2770,6 +2770,44 @@ def q_dormant_rich_custs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
+def q_supplier_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Lower weighted median of extended price per supplier, weighted
+    by quantity — exact integer 2·cumw ≥ totw rule after per-(key,
+    value) weight collapse; one bucketed shuffle."""
+    from web2llmstxt_ray.ops.stats import grouped_weighted_median
+
+    out = _pdf(grouped_weighted_median(
+        _t(sf_dir, "lineitem",
+           ["l_suppkey", "l_extendedprice", "l_quantity"]),
+        "l_suppkey", "l_extendedprice", "l_quantity"))
+    return out.sort_values("l_suppkey").reset_index(drop=True)
+
+
+def q_price_histogram(sf_dir: str) -> pd.DataFrame:
+    """Exact 20-bin equi-width histogram of order totals: exact
+    min/max partials pass, then a map-only pure-integer bin rule with
+    additive counts — no shuffle, SQL-replayable."""
+    from web2llmstxt_ray.ops.stats import equi_width_histogram
+
+    return equi_width_histogram(
+        _t(sf_dir, "orders", ["o_totalprice"]), "o_totalprice",
+        nbins=20)
+
+
+def q_top_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-type top-3 heaviest users (QUALIFY row_number shape,
+    deterministic count-desc/user-asc tie-break): two skinny
+    shuffles — value-bucketed exact counts, then group-bucketed rank
+    filter."""
+    from web2llmstxt_ray.ops.stats import grouped_heavy_hitters
+
+    out = _pdf(grouped_heavy_hitters(
+        _t(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id", k=3))
+    return out.sort_values(["event_type", "rnk"]).reset_index(
+        drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -2915,6 +2953,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_entropy": q_user_type_entropy,
         "late_ship_priority": q_late_ship_priority,
         "dormant_rich_custs": q_dormant_rich_custs,
+        "supplier_weighted_median": q_supplier_weighted_median,
+        "price_histogram": q_price_histogram,
+        "top_users_by_type": q_top_users_by_type,
     }
 
 
@@ -3330,6 +3371,46 @@ def oracle_sql() -> dict[str, str]:
                   SELECT o_custkey FROM orders
                   WHERE o_orderdate >= TIMESTAMP '2000-06-01')
             GROUP BY c_nationkey
+        """,
+        "supplier_weighted_median": """
+            WITH g AS (SELECT l_suppkey,
+                              CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS v,
+                              CAST(sum(CAST(round(l_quantity)
+                                            AS BIGINT)) AS BIGINT) AS w
+                       FROM lineitem GROUP BY l_suppkey, v),
+            c AS (SELECT l_suppkey, v, w,
+                         sum(w) OVER (PARTITION BY l_suppkey
+                                      ORDER BY v) AS cw,
+                         sum(w) OVER (PARTITION BY l_suppkey) AS tw
+                  FROM g)
+            SELECT l_suppkey,
+                   CAST(min(v) FILTER (WHERE 2 * cw >= tw) AS BIGINT)
+                       AS wmedian_cents,
+                   CAST(any_value(tw) AS BIGINT) AS total_weight
+            FROM c GROUP BY l_suppkey
+        """,
+        "price_histogram": """
+            WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents FROM orders),
+            mm AS (SELECT min(cents) AS lo, max(cents) AS hi FROM c)
+            SELECT bin,
+                   CAST(lo + bin * (hi - lo + 1) // 20 AS BIGINT)
+                       AS bin_lo_cents,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT least(19, (cents - lo) * 20
+                                    // (hi - lo + 1)) AS bin, lo, hi
+                  FROM c, mm)
+            GROUP BY bin, lo, hi
+        """,
+        "top_users_by_type": """
+            SELECT event_type, user_id, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (SELECT event_type, user_id, count(*) AS cnt,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY count(*) DESC, user_id) AS rnk
+                  FROM events GROUP BY event_type, user_id)
+            WHERE rnk <= 3
         """,
         "value_rolling_sum": """
             SELECT event_id, user_id,

@@ -260,3 +260,89 @@ class TestGroupedMadEntropy:
         # bound: entropy <= ln(n_types)
         assert (out["entropy"].to_numpy()
                 <= np.log(out["n_types"].to_numpy()) + 1e-12).all()
+
+
+class TestWeightedMedianHistHH:
+    def test_weighted_median_sequential_oracle(self):
+        from web2llmstxt_ray.ops.stats import grouped_weighted_median
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame({
+            "k": rng.randint(0, 25, 1500).astype(np.int64),
+            "v": np.round(rng.uniform(1, 50, 1500), 2),
+            "w": rng.randint(1, 10, 1500).astype(np.int64),
+        })
+        outs = []
+        for parts in (1, 6):
+            out = grouped_weighted_median(
+                ray.data.from_pandas(df).repartition(parts),
+                "k", "v", "w").to_pandas() \
+                .sort_values("k").reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        g = df.copy()
+        g["_c"] = np.rint(g["v"] * 100).astype("int64")
+        for _, row in outs[0].iterrows():
+            sub = (g.loc[g["k"] == row["k"]]
+                   .groupby("_c", as_index=False)["w"].sum()
+                   .sort_values("_c"))
+            cw = sub["w"].cumsum()
+            tw = sub["w"].sum()
+            want = int(sub.loc[(2 * cw >= tw).to_numpy(), "_c"]
+                       .iloc[0])
+            assert row["wmedian_cents"] == want
+            assert row["total_weight"] == tw
+        # half-weight property: >= half the weight sits at or below
+        # the weighted median, and the answer is row-order invariant
+        shuf = df.sample(frac=1, random_state=1).reset_index(drop=True)
+        out2 = grouped_weighted_median(
+            ray.data.from_pandas(shuf).repartition(4),
+            "k", "v", "w").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(outs[0], out2)
+
+    def test_histogram_counts_and_edges(self):
+        from web2llmstxt_ray.ops.stats import equi_width_histogram
+
+        rng = np.random.RandomState(8)
+        vals = np.round(rng.uniform(10, 500, 4000), 2)
+        df = pd.DataFrame({"v": vals})
+        out = equi_width_histogram(
+            ray.data.from_pandas(df).repartition(7), "v", nbins=16)
+        assert out["n"].sum() == len(df)
+        assert out["bin"].between(0, 15).all()
+        c = np.rint(vals * 100).astype("int64")
+        lo, hi = int(c.min()), int(c.max())
+        span = hi - lo + 1
+        bins = np.minimum(15, (c - lo) * 16 // span)
+        want = pd.Series(bins).value_counts().sort_index()
+        got = out.set_index("bin")["n"]
+        assert (got.to_numpy() == want.to_numpy()).all()
+        # min and max rows land in the first and last bin
+        assert got.index.min() == 0 and got.index.max() == 15
+
+    def test_heavy_hitters_exact_topk_and_ties(self):
+        from web2llmstxt_ray.ops.stats import grouped_heavy_hitters
+
+        rng = np.random.RandomState(2)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], 5000),
+            "v": rng.zipf(1.6, 5000).astype(np.int64) % 40,
+        })
+        outs = []
+        for parts in (1, 8):
+            out = grouped_heavy_hitters(
+                ray.data.from_pandas(df).repartition(parts),
+                "g", "v", k=4).to_pandas() \
+                .sort_values(["g", "rnk"]).reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        cnt = df.groupby(["g", "v"], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        for grp, sub in cnt.groupby("g"):
+            want = sub.sort_values(["cnt", "v"],
+                                   ascending=[False, True]).head(4)
+            got = outs[0].loc[outs[0]["g"] == grp]
+            assert got["v"].tolist() == want["v"].tolist()
+            assert got["cnt"].tolist() == want["cnt"].tolist()
+            assert got["rnk"].tolist() == [1, 2, 3, 4]

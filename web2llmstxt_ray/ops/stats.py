@@ -407,3 +407,133 @@ def grouped_entropy(ds: ray.data.Dataset, group_col: str,
         entropy=("_term", "sum"), n_types=("c", "size"))
     out["n_types"] = out["n_types"].astype("int64")
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_weighted_median(ds: ray.data.Dataset, group_col: str,
+                            value_col: str, weight_col: str,
+                            num_buckets: int = 64) -> ray.data.Dataset:
+    """Lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total weight
+    (``2·cumw ≥ totw``, exact integer comparison — the SQL
+    window-cumsum idiom). Weights collapse per (group, value) BEFORE
+    the cumulative pass, so the result is independent of row order.
+
+    Values are integer cents, weights exact integers; one bucketed
+    shuffle, per-bucket vectorized: groupby-sum → sort → cumsum →
+    first index where 2·cumw ≥ totw. Output: (group,
+    wmedian_cents, total_weight).
+    """
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(group[value_col].to_numpy() * 100) \
+            .astype("int64")
+        w = np.rint(group[weight_col].to_numpy()).astype("int64")
+        g = (pd.DataFrame({group_col: group[group_col].to_numpy(),
+                           "_v": cents, "_w": w})
+             .groupby([group_col, "_v"], as_index=False)["_w"].sum()
+             .sort_values([group_col, "_v"], kind="stable"))
+        cw = g.groupby(group_col, sort=False)["_w"].cumsum()
+        tw = g.groupby(group_col, sort=False)["_w"].transform("sum")
+        hit = g.loc[(2 * cw >= tw).to_numpy()]
+        out = hit.groupby(group_col, as_index=False).agg(
+            wmedian_cents=("_v", "first"))
+        tot = g.groupby(group_col, as_index=False)["_w"].sum() \
+            .rename(columns={"_w": "total_weight"})
+        return out.merge(tot, on=group_col)
+
+    from .windows import _add_key_bucket
+    return _add_key_bucket(
+        ds.select_columns([group_col, value_col, weight_col]),
+        group_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
+def equi_width_histogram(ds: ray.data.Dataset, value_col: str,
+                         nbins: int = 20) -> pd.DataFrame:
+    """Exact equi-width histogram over integer cents in two passes:
+    (1) exact global min/max from per-block partials (O(blocks) driver
+    fold), (2) map-only integer bin assignment
+    ``min(nbins-1, (cents-lo)·nbins // (hi-lo+1))`` + additive partial
+    counts — no shuffle, both passes stream. The pure-integer bin rule
+    is replayable in SQL, so the histogram is hash-exact.
+    Output: (bin, bin_lo_cents, n).
+    """
+    import pyarrow as pa
+
+    def minmax(b: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(b.column(value_col), dtype=np.float64)
+                    * 100).astype("int64")
+        if not len(c):
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([int(c.min())], pa.int64()),
+                         "hi": pa.array([int(c.max())], pa.int64())})
+
+    skinny = ds.select_columns([value_col])
+    mm = skinny.map_batches(minmax, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    span = hi - lo + 1
+
+    def binify(b: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(b.column(value_col), dtype=np.float64)
+                    * 100).astype("int64")
+        bins = np.minimum(nbins - 1, (c - lo) * nbins // span)
+        u, n = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(u, pa.int64()),
+                         "n": pa.array(n.astype("int64"), pa.int64())})
+
+    parts = skinny.map_batches(binify, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    out = parts.groupby("bin", as_index=False)["n"].sum()
+    out["bin_lo_cents"] = lo + out["bin"] * span // nbins
+    out["n"] = out["n"].astype("int64")
+    return out[["bin", "bin_lo_cents", "n"]].sort_values("bin") \
+        .reset_index(drop=True)
+
+
+def grouped_heavy_hitters(ds: ray.data.Dataset, group_col: str,
+                          value_col: str, k: int = 3,
+                          num_buckets: int = 64) -> ray.data.Dataset:
+    """EXACT per-group top-k most frequent values, deterministic
+    tie-break (count desc, value asc) — the SQL ``QUALIFY
+    row_number() OVER (PARTITION BY group ORDER BY cnt DESC, val)
+    ≤ k`` shape.
+
+    Two skinny shuffles, raw rows move once: (1) per-block partial
+    (group, value) counts shuffle bucketed by hash(value) — all copies
+    of a value land together, so per-bucket sums are globally exact;
+    (2) the exact count rows (O(distinct pairs)) re-shuffle bucketed
+    by hash(group) and a vectorized per-bucket rank filter keeps each
+    group's top k. Output: (group, value, cnt, rnk).
+    """
+
+    def local_counts(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby([group_col, value_col], as_index=False) \
+            .size().rename(columns={"size": "cnt"})
+        h = pd.util.hash_pandas_object(out[value_col], index=False)
+        out["_vb"] = (h % num_buckets).astype("int32")
+        return out
+
+    def exact_counts(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby([group_col, value_col],
+                             as_index=False)["cnt"].sum()
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([group_col, "cnt", value_col],
+                              ascending=[True, False, True],
+                              kind="stable")
+        rnk = g.groupby(group_col, sort=False).cumcount() + 1
+        g = g.assign(rnk=rnk.astype("int64"))
+        out = g.loc[g["rnk"] <= k].copy()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out[[group_col, value_col, "cnt", "rnk"]]
+
+    from .windows import _add_key_bucket
+    counts = (ds.select_columns([group_col, value_col])
+              .map_batches(local_counts, batch_format="pandas",
+                           batch_size=None)
+              .groupby("_vb").map_groups(exact_counts,
+                                         batch_format="pandas"))
+    return _add_key_bucket(counts, group_col, num_buckets).groupby(
+        "_sbucket").map_groups(topk, batch_format="pandas")
