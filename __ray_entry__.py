@@ -2808,6 +2808,466 @@ def q_top_users_by_type(sf_dir: str) -> pd.DataFrame:
         drop=True)
 
 
+def q_nation_year_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape (profit per supplier-nation per order year,
+    part-name LIKE filter; supply cost adapted to p_retailprice since
+    the synthetic schema has no partsupp). The two BIG sides
+    (lineitem, orders) meet in ONE bucketed hash join on orderkey;
+    part — pre-filtered to the matching names, so only a skinny
+    partkey→retail-cents map ships — and supplier→nation broadcast
+    once via ray.put. Profit accumulates as exact integer
+    ``cents·(100−disc) − retail_cents·100·qty`` partials."""
+    from web2llmstxt_ray.ops.relational import hash_join, partial_groupby
+
+    part = _t(sf_dir, "part",
+              ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    sel = part.loc[part["p_name"].str.contains("widget")]
+    retail = dict(zip(
+        sel["p_partkey"].astype(int),
+        np.rint(sel["p_retailprice"].to_numpy() * 100)
+        .astype("int64")))
+    supp = _t(sf_dir, "supplier",
+              ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    s2n = dict(zip(supp["s_suppkey"].astype(int),
+                   supp["s_nationkey"].astype(int)))
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    ref = ray.put((retail, s2n, names))
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        retail, s2n, names = ray.get(ref)
+        rc = b["l_partkey"].map(retail)
+        k = b.loc[rc.notna()]
+        cents = np.rint(k["l_extendedprice"].to_numpy() * 100) \
+            .astype("int64")
+        disc = np.rint(k["l_discount"].to_numpy() * 100) \
+            .astype("int64")
+        qty = np.rint(k["l_quantity"].to_numpy()).astype("int64")
+        cost = rc.loc[k.index].to_numpy().astype("int64") * 100 * qty
+        return pd.DataFrame({
+            "o_orderkey": k["l_orderkey"].to_numpy(),
+            "n_name": k["l_suppkey"].map(s2n).map(names).to_numpy(),
+            "profit_i": cents * (100 - disc) - cost,
+        })
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+             "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pandas", batch_size=None)
+
+    def ord_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(),
+            "o_year": b["o_orderdate"].dt.year.to_numpy()
+            .astype("int64"),
+        })
+
+    ords = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(ord_prep, batch_format="pandas", batch_size=None)
+    j = hash_join(li, ords, "o_orderkey")
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["n_name", "o_year"],
+                         as_index=False)["profit_i"].sum()
+
+    out = partial_groupby(j, ["n_name", "o_year"], agg, ["profit_i"])
+    out["profit_i"] = out["profit_i"].astype("int64")
+    out["o_year"] = out["o_year"].astype("int64")
+    return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+def q_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of PROMO-part revenue sold to
+    EUROPE-region customers, per order year (1996–97). Orders filter +
+    customer join resolve the region (orders⋈customer is the ONE
+    bucketed hash join on custkey; li⋈that on orderkey is the second);
+    the part-type set and supplier→nation broadcast. Numerator and
+    denominator are exact integer cents·(100−disc) sums; the share is
+    their single float division — bit-exact vs the SQL."""
+    import datetime as _dt
+
+    from web2llmstxt_ray.ops.relational import hash_join, partial_groupby
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = set(part.loc[part["p_type"] == "PROMO", "p_partkey"]
+                .astype(int))
+    supp = _t(sf_dir, "supplier",
+              ["s_suppkey", "s_nationkey"]).to_pandas()
+    s2n = dict(zip(supp["s_suppkey"].astype(int),
+                   supp["s_nationkey"].astype(int)))
+    nat = _t(sf_dir, "nation",
+             ["n_nationkey", "n_regionkey"]).to_pandas()
+    europe = set(nat.loc[nat["n_regionkey"] == 3, "n_nationkey"]
+                 .astype(int))
+    ref = ray.put((promo, s2n, europe))
+
+    def ord_prep(b: pd.DataFrame) -> pd.DataFrame:
+        yr = b["o_orderdate"].dt.year
+        k = b.loc[yr.isin((1996, 1997))]
+        return pd.DataFrame({
+            "custkey": k["o_custkey"].to_numpy(),
+            "o_orderkey": k["o_orderkey"].to_numpy(),
+            "o_year": yr.loc[k.index].to_numpy().astype("int64"),
+        })
+
+    ords = _t(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_prep, batch_format="pandas", batch_size=None)
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .rename_columns({"c_custkey": "custkey"})
+
+    def keep_europe(b: pd.DataFrame) -> pd.DataFrame:
+        promo, s2n, europe = ray.get(ref)
+        k = b.loc[b["c_nationkey"].isin(europe)]
+        return k[["o_orderkey", "o_year"]]
+
+    oc = hash_join(ords, cust, "custkey").map_batches(
+        keep_europe, batch_format="pandas", batch_size=None)
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        promo, s2n, europe = ray.get(ref)
+        k = b.loc[b["l_partkey"].isin(promo)]
+        cents = np.rint(k["l_extendedprice"].to_numpy() * 100) \
+            .astype("int64")
+        disc = np.rint(k["l_discount"].to_numpy() * 100) \
+            .astype("int64")
+        vol = cents * (100 - disc)
+        is3 = (k["l_suppkey"].map(s2n).to_numpy() == 3)
+        return pd.DataFrame({
+            "o_orderkey": k["l_orderkey"].to_numpy(),
+            "vol_i": vol,
+            "nat_i": np.where(is3, vol, 0),
+        })
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey",
+             "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pandas", batch_size=None)
+    j = hash_join(li, oc, "o_orderkey")
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_year", as_index=False)[
+            ["vol_i", "nat_i"]].sum()
+
+    out = partial_groupby(j, ["o_year"], agg, ["vol_i", "nat_i"])
+    out["vol_i"] = out["vol_i"].astype("int64")
+    out["nat_i"] = out["nat_i"].astype("int64")
+    out["o_year"] = out["o_year"].astype("int64")
+    out["mkt_share"] = out["nat_i"].astype(float) \
+        / out["vol_i"].astype(float)
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def q_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: PROMO-part revenue share of all revenue
+    shipped in 1997-03. Map-only: the part→is-promo flag broadcasts,
+    the ship-date filter prunes per batch, both sums are exact
+    integer cents·(100−disc) partials folded on the driver; the
+    percentage is one float expression replicated in the SQL."""
+    import datetime as _dt
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    promo = set(part.loc[part["p_type"] == "PROMO", "p_partkey"]
+                .astype(int))
+    ref = ray.put(promo)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        promo = ray.get(ref)
+        m = ((b["l_shipdate"] >= _dt.datetime(1997, 3, 1))
+             & (b["l_shipdate"] < _dt.datetime(1997, 4, 1)))
+        k = b.loc[m]
+        cents = np.rint(k["l_extendedprice"].to_numpy() * 100) \
+            .astype("int64")
+        disc = np.rint(k["l_discount"].to_numpy() * 100) \
+            .astype("int64")
+        vol = cents * (100 - disc)
+        isp = k["l_partkey"].isin(promo).to_numpy()
+        return pd.DataFrame({"promo_i": [int(vol[isp].sum())],
+                             "total_i": [int(vol.sum())]})
+
+    p = _t(sf_dir, "lineitem",
+           ["l_orderkey", "l_partkey", "l_shipdate",
+            "l_extendedprice", "l_discount"]) \
+        .map_batches(partials, batch_format="pandas",
+                     batch_size=None).to_pandas()
+    promo_i, total_i = int(p["promo_i"].sum()), int(p["total_i"].sum())
+    return pd.DataFrame({
+        "promo_i": [promo_i], "total_i": [total_i],
+        "promo_pct": [100.0 * promo_i / total_i],
+    })
+
+
+def q_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity lines of one
+    brand's parts — lines with ``l_quantity < 0.2 · avg(l_quantity)``
+    of their part, tested EXACTLY as the integer cross-multiplication
+    ``5·qty·n < sum_qty`` (no float boundary; quantities are
+    integers). Two streaming passes over lineitem: (1) per-part
+    (sum_qty, n) partials for the broadcast brand-part set, folded on
+    the driver (the filtered part set is dim-sized; at larger
+    fractions switch partial_groupby to distributed_combine and hash
+    join back), (2) map-only filter + exact cents sum."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brand = set(part.loc[part["p_brand"] == "Brand#5", "p_partkey"]
+                .astype(int))
+    bref = ray.put(brand)
+
+    def qty_partials(b: pd.DataFrame) -> pd.DataFrame:
+        brand = ray.get(bref)
+        k = b.loc[b["l_partkey"].isin(brand)]
+        qty = np.rint(k["l_quantity"].to_numpy()).astype("int64")
+        g = pd.DataFrame({"l_partkey": k["l_partkey"].to_numpy(),
+                          "sq": qty, "n": 1})
+        return g.groupby("l_partkey", as_index=False)[
+            ["sq", "n"]].sum()
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice"])
+    stats = partial_groupby(li, ["l_partkey"], qty_partials,
+                            ["sq", "n"])
+    sq = dict(zip(stats["l_partkey"].astype(int),
+                  stats["sq"].astype(int)))
+    nn = dict(zip(stats["l_partkey"].astype(int),
+                  stats["n"].astype(int)))
+    sref = ray.put((brand, sq, nn))
+
+    def small_rev(b: pd.DataFrame) -> pd.DataFrame:
+        brand, sq, nn = ray.get(sref)
+        k = b.loc[b["l_partkey"].isin(brand)]
+        qty = np.rint(k["l_quantity"].to_numpy()).astype("int64")
+        s = k["l_partkey"].map(sq).to_numpy().astype("int64")
+        n = k["l_partkey"].map(nn).to_numpy().astype("int64")
+        keep = 5 * qty * n < s
+        cents = np.rint(
+            k["l_extendedprice"].to_numpy()[keep] * 100) \
+            .astype("int64")
+        return pd.DataFrame({"sum_cents_i": [int(cents.sum())],
+                             "n_lines": [int(keep.sum())]})
+
+    p = li.map_batches(small_rev, batch_format="pandas",
+                       batch_size=None).to_pandas()
+    sum_i, n_lines = int(p["sum_cents_i"].sum()), int(p["n_lines"].sum())
+    return pd.DataFrame({
+        "sum_cents_i": [sum_i], "n_lines": [n_lines],
+        "avg_yearly": [sum_i / 100.0 / 7.0],
+    })
+
+
+def q_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (OR-of-ANDs predicate): revenue from three
+    disjunctive (brand, size-range, quantity-range) branches. The
+    part (brand, size) map broadcasts once; the predicate evaluates
+    vectorized per batch; the sum is exact integer cents·(100−disc)
+    partials — one streaming pass, no shuffle."""
+    part = _t(sf_dir, "part",
+              ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    b2 = dict(zip(part["p_partkey"].astype(int), part["p_brand"]))
+    sz = dict(zip(part["p_partkey"].astype(int),
+                  part["p_size"].astype(int)))
+    ref = ray.put((b2, sz))
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        b2, sz = ray.get(ref)
+        brand = b["l_partkey"].map(b2)
+        size = b["l_partkey"].map(sz).to_numpy()
+        qty = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        m = (((brand == "Brand#1").to_numpy()
+              & (size >= 1) & (size <= 10)
+              & (qty >= 1) & (qty <= 15))
+             | ((brand == "Brand#2").to_numpy()
+                & (size >= 1) & (size <= 20)
+                & (qty >= 10) & (qty <= 25))
+             | ((brand == "Brand#3").to_numpy()
+                & (size >= 1) & (size <= 30)
+                & (qty >= 20) & (qty <= 35)))
+        k = b.loc[m]
+        cents = np.rint(k["l_extendedprice"].to_numpy() * 100) \
+            .astype("int64")
+        disc = np.rint(k["l_discount"].to_numpy() * 100) \
+            .astype("int64")
+        vol = cents * (100 - disc)
+        return pd.DataFrame({"revenue_i": [int(vol.sum())],
+                             "n_lines": [int(m.sum())]})
+
+    p = _t(sf_dir, "lineitem",
+           ["l_partkey", "l_quantity", "l_extendedprice",
+            "l_discount"]) \
+        .map_batches(partials, batch_format="pandas",
+                     batch_size=None).to_pandas()
+    return pd.DataFrame({
+        "revenue_i": [int(p["revenue_i"].sum())],
+        "n_lines": [int(p["n_lines"].sum())],
+    })
+
+
+def q_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier
+    (ship > order date + 60 days) on a finished multi-supplier order.
+    lineitem⋈orders(F) is the ONE bucketed hash join; then an
+    orderkey-bucketed group pass computes per-(order, supplier)
+    any-late flags and per-order distinct/late counts VECTORIZED
+    (no per-order loop), emitting the lone late supplier of each
+    qualifying order; supplier-name counts fold as skinny partials
+    with the deterministic (count desc, name asc) top-20."""
+    from web2llmstxt_ray.ops.relational import hash_join
+    from web2llmstxt_ray.ops.windows import _add_key_bucket
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    names = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    nref = ray.put(names)
+
+    def ord_prep(b: pd.DataFrame) -> pd.DataFrame:
+        k = b.loc[b["o_orderstatus"] == "F"]
+        return k[["o_orderkey", "o_orderdate"]]
+
+    ords = _t(sf_dir, "orders",
+              ["o_orderkey", "o_orderdate", "o_orderstatus"]) \
+        .map_batches(ord_prep, batch_format="pandas", batch_size=None)
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .rename_columns({"l_orderkey": "o_orderkey"})
+    j = hash_join(li, ords, "o_orderkey")
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        late = (b["l_shipdate"]
+                > b["o_orderdate"] + pd.Timedelta(days=60))
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].to_numpy(),
+            "sk": b["l_suppkey"].to_numpy(),
+            "late": late.to_numpy().astype("int64"),
+        })
+
+    flagged = j.map_batches(flag, batch_format="pandas",
+                            batch_size=None)
+
+    def lone_late(group: pd.DataFrame) -> pd.DataFrame:
+        ls = group.groupby(["o_orderkey", "sk"],
+                           as_index=False)["late"].max()
+        per = ls.groupby("o_orderkey").agg(
+            ns=("sk", "size"), nl=("late", "sum"))
+        ok = per.index[(per["ns"] >= 2) & (per["nl"] == 1)]
+        win = ls.loc[ls["o_orderkey"].isin(ok)
+                     & (ls["late"] == 1)]
+        out = win.groupby("sk", as_index=False).size() \
+            .rename(columns={"size": "numwait"})
+        return out
+
+    parts = (_add_key_bucket(flagged, "o_orderkey", 64)
+             .groupby("_sbucket").map_groups(
+                 lone_late, batch_format="pandas")).to_pandas()
+    agg = parts.groupby("sk", as_index=False)["numwait"].sum()
+    agg["s_name"] = agg["sk"].astype(int).map(names)
+    agg["numwait"] = agg["numwait"].astype("int64")
+    out = agg.sort_values(["numwait", "s_name"],
+                          ascending=[False, True],
+                          kind="stable").head(20)
+    return out[["s_name", "numwait"]].reset_index(drop=True)
+
+
+def q_min_price_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape (argmin + join-back): for every size-10 part,
+    the lineitem supplier offering the minimum extended price
+    (ties → smallest suppkey), resolved to supplier and nation names.
+    argmin is idempotent, so per-block winners reduce first
+    (O(blocks×parts) partials) and the driver picks the final row;
+    name dims broadcast."""
+    from web2llmstxt_ray.ops.relational import argmax_by_key
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_size"]).to_pandas()
+    sized = set(part.loc[part["p_size"] == 10, "p_partkey"]
+                .astype(int))
+    supp = _t(sf_dir, "supplier",
+              ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    sname = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    snat = dict(zip(supp["s_suppkey"].astype(int),
+                    supp["s_nationkey"].astype(int)))
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    ref = ray.put(sized)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        sized = ray.get(ref)
+        k = b.loc[b["l_partkey"].isin(sized)]
+        return pd.DataFrame({
+            "p_partkey": k["l_partkey"].to_numpy(),
+            "price_cents": np.rint(
+                k["l_extendedprice"].to_numpy() * 100)
+            .astype("int64"),
+            "l_suppkey": k["l_suppkey"].to_numpy(),
+        })
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(prep, batch_format="pandas", batch_size=None)
+    win = argmax_by_key(li, "p_partkey", "price_cents", "l_suppkey",
+                        descending=False)
+    win = win.copy()
+    win["s_name"] = win["l_suppkey"].astype(int).map(sname)
+    win["n_name"] = win["l_suppkey"].astype(int).map(snat).map(nname)
+    out = win[["p_partkey", "price_cents", "s_name", "n_name"]]
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_events_frame_values(sf_dir: str) -> pd.DataFrame:
+    """Navigation window functions over a trailing 5-row frame:
+    first_value and nth_value(2) per user ordered by (ts, event_id) —
+    one bucketed shuffle, pure index arithmetic inside the bucket."""
+    from web2llmstxt_ray.ops.windows import frame_first_nth
+
+    out = _pdf(frame_first_nth(_t(sf_dir, "events"), window=5))
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_type_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Ratio-to-report (``cents / sum(cents) OVER (PARTITION BY
+    event_type)``) WITHOUT a shuffle: per-type exact cents sums fold
+    from per-block partials on the driver (5 types), broadcast back,
+    and the per-row share is one map-only float division."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        g = pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                          "c": cents})
+        return g.groupby("event_type", as_index=False)["c"].sum()
+
+    tot = partial_groupby(ev, ["event_type"], partials, ["c"])
+    totals = dict(zip(tot["event_type"], tot["c"].astype(int)))
+    tref = ray.put(totals)
+
+    def share(b: pd.DataFrame) -> pd.DataFrame:
+        totals = ray.get(tref)
+        cents = np.rint(b["value"].to_numpy() * 100).astype("int64")
+        t = b["event_type"].map(totals).to_numpy().astype("float64")
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "event_type": b["event_type"].to_numpy(),
+            "cents": cents,
+            "pct": cents.astype("float64") / t,
+        })
+
+    out = ev.map_batches(share, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_part_pair_counts(sf_dir: str) -> pd.DataFrame:
+    """Market-basket pair co-occurrence: the top-20 part pairs by the
+    number of orders containing both (the classic self-join shape,
+    done without a quadratic join — vectorized within-order pair
+    explosion in orderkey buckets, exact pair-bucketed counts,
+    O(buckets×k) driver merge)."""
+    from web2llmstxt_ray.ops.basket import pair_cooccurrence
+
+    return pair_cooccurrence(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        "l_orderkey", "l_partkey", k=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -2956,6 +3416,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_weighted_median": q_supplier_weighted_median,
         "price_histogram": q_price_histogram,
         "top_users_by_type": q_top_users_by_type,
+        "nation_year_profit": q_nation_year_profit,
+        "market_share": q_market_share,
+        "promo_revenue": q_promo_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
+        "min_price_supplier": q_min_price_supplier,
+        "events_frame_values": q_events_frame_values,
+        "type_revenue_share": q_type_revenue_share,
+        "part_pair_counts": q_part_pair_counts,
     }
 
 
@@ -3411,6 +3881,172 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY count(*) DESC, user_id) AS rnk
                   FROM events GROUP BY event_type, user_id)
             WHERE rnk <= 3
+        """,
+        "nation_year_profit": """
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100)
+                                     AS BIGINT))
+                       - CAST(round(p_retailprice * 100) AS BIGINT)
+                         * 100 * CAST(round(l_quantity) AS BIGINT))
+                       AS BIGINT) AS profit_i
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, o_year
+        """,
+        "market_share": """
+            WITH v AS (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100)
+                                     AS BIGINT)) AS vol,
+                       CASE WHEN s_nationkey = 3 THEN 1 ELSE 0 END
+                           AS from_nat
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE cn.n_regionkey = 3 AND p_type = 'PROMO'
+                  AND year(o_orderdate) IN (1996, 1997))
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   CAST(sum(vol) AS BIGINT) AS vol_i,
+                   CAST(sum(vol * from_nat) AS BIGINT) AS nat_i,
+                   CAST(sum(vol * from_nat) AS DOUBLE)
+                       / CAST(sum(vol) AS DOUBLE) AS mkt_share
+            FROM v GROUP BY o_year
+        """,
+        "promo_revenue": """
+            WITH v AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100)
+                                     AS BIGINT)) AS vol,
+                       CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END
+                           AS isp
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01')
+            SELECT CAST(sum(vol * isp) AS BIGINT) AS promo_i,
+                   CAST(sum(vol) AS BIGINT) AS total_i,
+                   100.0 * CAST(sum(vol * isp) AS DOUBLE)
+                       / CAST(sum(vol) AS DOUBLE) AS promo_pct
+            FROM v
+        """,
+        "small_qty_revenue": """
+            WITH bp AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#5'),
+            st AS (SELECT l_partkey,
+                          sum(CAST(round(l_quantity) AS BIGINT)) AS sq,
+                          count(*) AS n
+                   FROM lineitem
+                   JOIN bp ON l_partkey = p_partkey
+                   GROUP BY l_partkey),
+            sel AS (SELECT CAST(round(l_extendedprice * 100)
+                                AS BIGINT) AS cents
+                    FROM lineitem JOIN st USING (l_partkey)
+                    WHERE 5 * CAST(round(l_quantity) AS BIGINT) * n
+                          < sq)
+            SELECT CAST(coalesce(sum(cents), 0) AS BIGINT)
+                       AS sum_cents_i,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(coalesce(sum(cents), 0) AS DOUBLE)
+                       / 100.0 / 7.0 AS avg_yearly
+            FROM sel
+        """,
+        "disjunctive_revenue": """
+            SELECT CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100)
+                                     AS BIGINT))), 0) AS BIGINT)
+                       AS revenue_i,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                   AND l_quantity BETWEEN 20 AND 35)
+        """,
+        "waiting_suppliers": """
+            WITH l AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+                              max(CASE WHEN l_shipdate
+                                       > o_orderdate
+                                         + INTERVAL 60 DAY
+                                       THEN 1 ELSE 0 END) AS late
+                       FROM lineitem
+                       JOIN orders ON l_orderkey = o_orderkey
+                       WHERE o_orderstatus = 'F'
+                       GROUP BY 1, 2),
+            o AS (SELECT ok, count(*) AS ns, sum(late) AS nl
+                  FROM l GROUP BY ok)
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM l JOIN o USING (ok)
+            JOIN supplier ON sk = s_suppkey
+            WHERE ns >= 2 AND nl = 1 AND late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "min_price_supplier": """
+            WITH m AS (SELECT l_partkey,
+                              CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS pc,
+                              l_suppkey,
+                              row_number() OVER (
+                                  PARTITION BY l_partkey
+                                  ORDER BY round(l_extendedprice
+                                                 * 100),
+                                           l_suppkey) AS rn
+                       FROM lineitem
+                       JOIN part ON l_partkey = p_partkey
+                       WHERE p_size = 10)
+            SELECT l_partkey AS p_partkey,
+                   CAST(pc AS BIGINT) AS price_cents, s_name, n_name
+            FROM m
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE rn = 1
+        """,
+        "events_frame_values": """
+            SELECT event_id, user_id,
+                   first_value(cents) OVER w AS first_cents,
+                   CAST(nth_value(cents, 2) OVER w AS DOUBLE)
+                       AS nth2_cents
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "type_revenue_share": """
+            SELECT event_id, event_type, cents,
+                   CAST(cents AS DOUBLE) / CAST(total AS DOUBLE)
+                       AS pct
+            FROM (SELECT event_id, event_type,
+                         CAST(round(value * 100) AS BIGINT) AS cents,
+                         sum(CAST(round(value * 100) AS BIGINT))
+                             OVER (PARTITION BY event_type) AS total
+                  FROM events)
+        """,
+        "part_pair_counts": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM lineitem)
+            SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM d a JOIN d b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY cnt DESC, item_a, item_b
+            LIMIT 20
         """,
         "value_rolling_sum": """
             SELECT event_id, user_id,

@@ -304,3 +304,63 @@ class TestRangeWindowAndDrawdown:
         assert (got["peak_cents"] == ref["peak"]).all()
         assert (got["drawdown_cents"]
                 == ref["peak"] - ref["_c"]).all()
+
+
+class TestFrameFirstNth:
+    @staticmethod
+    def _rand_events(n, seed):
+        rng = np.random.RandomState(seed)
+        return pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 30, n).astype(np.int64),
+            # coarse ts -> plenty of equal-(user, ts) peers to prove
+            # the (ts, id) tie order matters and is honored
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.randint(0, 50, n), unit="m"),
+            "value": np.round(rng.uniform(0.5, 90, n), 2),
+        })
+
+    def test_sequential_oracle_and_partition_invariance(self):
+        from web2llmstxt_ray.ops.windows import frame_first_nth
+
+        df = self._rand_events(1500, seed=5)
+        outs = []
+        for parts in (1, 6):
+            out = frame_first_nth(
+                ray.data.from_pandas(df).repartition(parts),
+                window=5).to_pandas().sort_values("event_id") \
+                .reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        got = outs[0].set_index("event_id")
+        g = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="stable")
+        cents = np.rint(g["value"].to_numpy() * 100).astype("int64")
+        i = g.groupby("user_id", sort=False).cumcount().to_numpy()
+        pos = np.arange(len(g))
+        fs = pos - np.minimum(i, 4)
+        for row in range(len(g)):
+            eid = int(g["event_id"].iloc[row])
+            assert got.loc[eid, "first_cents"] == cents[fs[row]]
+            if row - fs[row] >= 1:
+                assert got.loc[eid, "nth2_cents"] == cents[fs[row] + 1]
+            else:
+                assert np.isnan(got.loc[eid, "nth2_cents"])
+
+    def test_frame_narrower_than_window_start(self):
+        from web2llmstxt_ray.ops.windows import frame_first_nth
+
+        # one user, 3 rows, window 10: frame always starts at row 0
+        df = pd.DataFrame({
+            "event_id": [0, 1, 2],
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02",
+                                  "2024-01-03"]),
+            "value": [1.0, 2.0, 3.0],
+        })
+        out = frame_first_nth(ray.data.from_pandas(df), window=10) \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert out["first_cents"].tolist() == [100, 100, 100]
+        assert np.isnan(out["nth2_cents"].iloc[0])
+        assert out["nth2_cents"].iloc[1] == 200
+        assert out["nth2_cents"].iloc[2] == 200

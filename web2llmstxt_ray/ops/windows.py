@@ -579,3 +579,48 @@ def running_peak_drawdown(ds: ray.data.Dataset,
         key_col, num_buckets)
         .groupby("_sbucket").map_groups(per_bucket,
                                         batch_format="pandas"))
+
+
+def frame_first_nth(ds: ray.data.Dataset, window: int = 5,
+                    key_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id", value_col: str = "value",
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Navigation functions over a trailing ROWS frame: SQL
+    ``first_value(cents) OVER w`` and ``nth_value(cents, 2) OVER w``
+    with ``w = (PARTITION BY key ORDER BY ts, id ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW)``.
+
+    One bucketed shuffle co-locates each key; inside the bucket ONE
+    stable sort covers every key, then both values come from pure
+    index arithmetic (no per-key loop): with ``i`` the row's position
+    in its partition and ``pos`` its position in the sorted bucket,
+    the frame starts at ``fs = pos - min(i, window-1)``; first_value
+    is ``cents[fs]`` and nth_value(2) is ``cents[fs+1]`` when the
+    frame holds ≥2 rows (NULL otherwise — SQL semantics). Exact
+    integer cents. Output: (id, key, first_cents, nth2_cents).
+    """
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        cents = np.rint(g[value_col].to_numpy() * 100).astype("int64")
+        i = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        pos = np.arange(len(g))
+        fs = pos - np.minimum(i, window - 1)
+        first = cents[fs]
+        has2 = (pos - fs) >= 1
+        nth2 = np.where(has2, cents[np.minimum(fs + 1, len(g) - 1)],
+                        0).astype("float64")
+        nth2[~has2] = np.nan
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "first_cents": first,
+            "nth2_cents": nth2,
+        })
+
+    return (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, value_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
