@@ -3268,6 +3268,75 @@ def q_part_pair_counts(sf_dir: str) -> pd.DataFrame:
         "l_orderkey", "l_partkey", k=20)
 
 
+def q_supplier_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-supplier OLS of extended price (cents) on quantity:
+    slope, intercept, R² from exact integer co-moments in one
+    map-only pass (Σy² via the overflow-safe split sum)."""
+    from web2llmstxt_ray.ops.stats import grouped_regression
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_suppkey": b["l_suppkey"].to_numpy(),
+            "x": np.rint(b["l_quantity"].to_numpy()).astype("int64"),
+            "y": np.rint(b["l_extendedprice"].to_numpy() * 100)
+            .astype("int64"),
+        })
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_suppkey", "l_quantity", "l_extendedprice"]) \
+        .map_batches(prep, batch_format="pandas", batch_size=None)
+    out = grouped_regression(ds, ["l_suppkey"], "x", "y")
+    return out.sort_values("l_suppkey").reset_index(drop=True)
+
+
+def q_value_ks_clicks(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between click and view
+    event-value distributions — exact cross-multiplied CDF test, one
+    streaming pass."""
+    from web2llmstxt_ray.ops.stats import two_sample_ks
+
+    return two_sample_ks(
+        _t(sf_dir, "events", ["value", "event_type"]),
+        "value", "event_type", "click", "view")
+
+
+def q_supplier_trimmed_mean(sf_dir: str) -> pd.DataFrame:
+    """10%-trimmed mean of extended price per supplier (drop
+    n·10//100 rows from each value-order tail; exact integer survivor
+    sum; tie-safe because tied rows share the summed value)."""
+    from web2llmstxt_ray.ops.stats import grouped_trimmed_mean
+
+    out = _pdf(grouped_trimmed_mean(
+        _t(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"]),
+        "l_suppkey", "l_extendedprice", trim_pct=10))
+    return out.sort_values("l_suppkey").reset_index(drop=True)
+
+
+def q_orders_mom_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue growth: the aggregate→window
+    composition. Monthly exact cents sums fold from per-block
+    partials (the months axis is tiny); LAG + one float division run
+    on the driver over the O(months) series."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        month = b["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        cents = np.rint(b["o_totalprice"].to_numpy() * 100) \
+            .astype("int64")
+        g = pd.DataFrame({"month": month.to_numpy(), "rev_i": cents})
+        return g.groupby("month", as_index=False)["rev_i"].sum()
+
+    m = partial_groupby(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]),
+        ["month"], partials, ["rev_i"]).sort_values("month") \
+        .reset_index(drop=True)
+    m["rev_i"] = m["rev_i"].astype("int64")
+    prev = m["rev_i"].shift(1)
+    m["mom_growth"] = (m["rev_i"] - prev).astype("float64") \
+        / prev.astype("float64")
+    return m
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3426,6 +3495,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_frame_values": q_events_frame_values,
         "type_revenue_share": q_type_revenue_share,
         "part_pair_counts": q_part_pair_counts,
+        "supplier_regression": q_supplier_regression,
+        "value_ks_clicks": q_value_ks_clicks,
+        "supplier_trimmed_mean": q_supplier_trimmed_mean,
+        "orders_mom_growth": q_orders_mom_growth,
     }
 
 
@@ -4047,6 +4120,88 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY cnt DESC, item_a, item_b
             LIMIT 20
+        """,
+        "supplier_regression": """
+            WITH i AS (SELECT l_suppkey,
+                              CAST(round(l_quantity) AS BIGINT) AS x,
+                              CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS y
+                       FROM lineitem),
+            m AS (SELECT l_suppkey, count(*) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x*x) AS sxx, sum(y*y) AS syy,
+                         sum(x*y) AS sxy
+                  FROM i GROUP BY l_suppkey)
+            SELECT l_suppkey, CAST(n AS BIGINT) AS n,
+                   round(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / CAST(n*sxx - sx*sx AS DOUBLE), 6)
+                       AS slope,
+                   round((CAST(sy AS DOUBLE)
+                          - (CAST(n*sxy - sx*sy AS DOUBLE)
+                             / CAST(n*sxx - sx*sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE), 6) AS intercept,
+                   round(CAST((n*sxy - sx*sy) * (n*sxy - sx*sy)
+                              AS DOUBLE)
+                         / CAST((n*sxx - sx*sx) * (n*syy - sy*sy)
+                                AS DOUBLE), 6) AS r2
+            FROM m
+        """,
+        "value_ks_clicks": """
+            WITH c AS (SELECT CAST(round(value * 100) AS BIGINT)
+                           AS cents,
+                              count(*) FILTER
+                                  (WHERE event_type = 'click') AS ca,
+                              count(*) FILTER
+                                  (WHERE event_type = 'view') AS cb
+                       FROM events
+                       WHERE event_type IN ('click', 'view')
+                       GROUP BY cents),
+            t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+            s AS (SELECT sum(ca) OVER (ORDER BY cents) AS cca,
+                         sum(cb) OVER (ORDER BY cents) AS ccb
+                  FROM c)
+            SELECT CAST(max(abs(cca*nb - ccb*na)) AS BIGINT)
+                       AS ks_num,
+                   CAST(any_value(na) AS BIGINT) AS n_a,
+                   CAST(any_value(nb) AS BIGINT) AS n_b,
+                   CAST(max(abs(cca*nb - ccb*na)) AS DOUBLE)
+                       / (CAST(any_value(na) AS DOUBLE)
+                          * CAST(any_value(nb) AS DOUBLE)) AS ks_d
+            FROM s, t
+        """,
+        "supplier_trimmed_mean": """
+            WITH r AS (SELECT l_suppkey,
+                              CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS cents,
+                              row_number() OVER (
+                                  PARTITION BY l_suppkey
+                                  ORDER BY round(l_extendedprice
+                                                 * 100)) AS rn,
+                              count(*) OVER (PARTITION BY l_suppkey)
+                                  AS n
+                       FROM lineitem)
+            SELECT l_suppkey,
+                   CAST(sum(cents) AS BIGINT) AS trim_sum_i,
+                   CAST(count(*) AS BIGINT) AS trim_n,
+                   CAST(sum(cents) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS trim_mean
+            FROM r
+            WHERE rn > n * 10 // 100 AND rn <= n - n * 10 // 100
+            GROUP BY l_suppkey
+        """,
+        "orders_mom_growth": """
+            WITH m AS (SELECT date_trunc('month', o_orderdate)
+                           AS month,
+                              sum(CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) AS rev_i
+                       FROM orders GROUP BY 1)
+            SELECT month, CAST(rev_i AS BIGINT) AS rev_i,
+                   CAST(rev_i - lag(rev_i) OVER (ORDER BY month)
+                        AS DOUBLE)
+                       / CAST(lag(rev_i) OVER (ORDER BY month)
+                              AS DOUBLE) AS mom_growth
+            FROM m
         """,
         "value_rolling_sum": """
             SELECT event_id, user_id,

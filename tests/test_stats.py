@@ -346,3 +346,109 @@ class TestWeightedMedianHistHH:
             assert got["v"].tolist() == want["v"].tolist()
             assert got["cnt"].tolist() == want["cnt"].tolist()
             assert got["rnk"].tolist() == [1, 2, 3, 4]
+
+
+class TestRegressionKsTrimmed:
+    def test_regression_vs_numpy_and_split_sum(self):
+        from web2llmstxt_ray.ops.stats import grouped_regression
+
+        rng = np.random.RandomState(4)
+        n = 2000
+        df = pd.DataFrame({
+            "k": rng.randint(0, 8, n).astype(np.int64),
+            "x": rng.randint(1, 51, n).astype(np.int64),
+        })
+        # wide-magnitude y (price-cents scale) exercises the split sum
+        df["y"] = (df["x"] * 200_000
+                   + rng.randint(-5_000_000, 5_000_000, n)) \
+            .astype(np.int64)
+        outs = []
+        for parts in (1, 6):
+            out = grouped_regression(
+                ray.data.from_pandas(df).repartition(parts),
+                ["k"], "x", "y")
+            outs.append(out.reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        for _, row in outs[0].iterrows():
+            sub = df.loc[df["k"] == row["k"]]
+            slope, icept = np.polyfit(sub["x"], sub["y"], 1)
+            assert abs(row["slope"] - slope) < 1e-4 * abs(slope)
+            assert abs(row["intercept"] - icept) < 1e-3 * max(
+                1.0, abs(icept))
+            r = np.corrcoef(sub["x"], sub["y"])[0, 1]
+            assert abs(row["r2"] - r * r) < 1e-6
+
+    def test_ks_matches_scipy_style_brute_force(self):
+        from web2llmstxt_ray.ops.stats import two_sample_ks
+
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame({
+            "label": rng.choice(["a", "b", "c"], 3000),
+            "v": np.round(np.where(
+                rng.rand(3000) < 0.5,
+                rng.uniform(0, 50, 3000),
+                rng.uniform(20, 90, 3000)), 2),
+        })
+        outs = []
+        for parts in (1, 5):
+            out = two_sample_ks(
+                ray.data.from_pandas(df).repartition(parts),
+                "v", "label", "a", "b")
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        row = outs[0].iloc[0]
+        a = np.sort(np.rint(
+            df.loc[df["label"] == "a", "v"].to_numpy() * 100))
+        b = np.sort(np.rint(
+            df.loc[df["label"] == "b", "v"].to_numpy() * 100))
+        grid = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(a, grid, side="right") / len(a)
+        fb = np.searchsorted(b, grid, side="right") / len(b)
+        d = np.abs(fa - fb).max()
+        assert abs(row["ks_d"] - d) < 1e-12
+        assert row["n_a"] == len(a) and row["n_b"] == len(b)
+        # exact rational identity
+        assert row["ks_num"] == round(
+            row["ks_d"] * row["n_a"] * row["n_b"])
+
+    def test_trimmed_mean_sequential_oracle(self):
+        from web2llmstxt_ray.ops.stats import grouped_trimmed_mean
+
+        rng = np.random.RandomState(6)
+        df = pd.DataFrame({
+            "k": rng.randint(0, 12, 900).astype(np.int64),
+            # duplicate-heavy values → tie-handling must not matter
+            "v": np.round(rng.randint(0, 40, 900) / 4.0, 2),
+        })
+        outs = []
+        for parts in (1, 6):
+            out = grouped_trimmed_mean(
+                ray.data.from_pandas(df).repartition(parts),
+                "k", "v", trim_pct=10).to_pandas() \
+                .sort_values("k").reset_index(drop=True)
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        for _, row in outs[0].iterrows():
+            c = np.sort(np.rint(
+                df.loc[df["k"] == row["k"], "v"].to_numpy() * 100)
+                .astype("int64"))
+            k = len(c) * 10 // 100
+            kept = c[k:len(c) - k]
+            assert row["trim_sum_i"] == kept.sum()
+            assert row["trim_n"] == len(kept)
+            assert row["trim_mean"] == kept.sum() / len(kept)
+
+    def test_trimmed_mean_degenerate_groups_vanish(self):
+        from web2llmstxt_ray.ops.stats import grouped_trimmed_mean
+
+        # trim 50%: a 2-row group keeps 0 rows (k=1, 2k>=n) and
+        # VANISHES; a 5-row group keeps exactly its middle row (k=2)
+        df = pd.DataFrame({"k": [1, 1, 2, 2, 2, 2, 2],
+                           "v": [1.0, 2.0, 1.0, 2.0, 3.0, 4.0, 5.0]})
+        out = grouped_trimmed_mean(
+            ray.data.from_pandas(df), "k", "v",
+            trim_pct=50).to_pandas()
+        assert out["k"].tolist() == [2]
+        assert out["trim_n"].tolist() == [1]
+        assert out["trim_sum_i"].tolist() == [300]
+        assert out["trim_mean"].tolist() == [300.0]

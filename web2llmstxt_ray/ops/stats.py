@@ -537,3 +537,145 @@ def grouped_heavy_hitters(ds: ray.data.Dataset, group_col: str,
                                          batch_format="pandas"))
     return _add_key_bucket(counts, group_col, num_buckets).groupby(
         "_sbucket").map_groups(topk, batch_format="pandas")
+
+
+def grouped_regression(ds: ray.data.Dataset, group_cols: list[str],
+                       x_col: str, y_col: str,
+                       ndigits: int = 6) -> pd.DataFrame:
+    """OLS slope, intercept and R² of integer y on integer x per
+    group, from EXACT co-moments in one map-only pass (same economics
+    as :func:`grouped_comoments`), with one extra guarantee: Σy² is
+    computed with a hi/lo SPLIT SUM (``Σ(y²%2³²) + 2³²·Σ(y²//2³²)``),
+    so a wide-magnitude y (e.g. price cents, |y| ≤ ~10⁷) cannot
+    overflow the per-block int64 partial even at multi-million-row
+    blocks — the caller bound of grouped_comoments applies only to x.
+
+    Derived floats are pure functions of exact Python-int moments —
+    ``slope = num/vx``, ``intercept = (Σy − slope·Σx)/n``,
+    ``r2 = num²/(vx·vy)`` — each a single deterministic double
+    expression replicated verbatim in the SQL oracle.
+    """
+    SPLIT = 1 << 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[x_col].astype("int64")
+        y = b[y_col].astype("int64")
+        yy = (y * y).to_numpy()
+        g = pd.DataFrame({**{c: b[c] for c in group_cols},
+                          "_x": x, "_y": y, "_xx": x * x,
+                          "_xy": x * y,
+                          "_yyl": yy % SPLIT, "_yyh": yy // SPLIT})
+        return g.groupby(group_cols, as_index=False).agg(
+            n=("_x", "size"), sx=("_x", "sum"), sy=("_y", "sum"),
+            sxx=("_xx", "sum"), sxy=("_xy", "sum"),
+            syyl=("_yyl", "sum"), syyh=("_yyh", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return parts
+    mom = ["n", "sx", "sy", "sxx", "sxy", "syyl", "syyh"]
+    for c in mom:
+        parts[c] = parts[c].map(int)
+    m = parts.groupby(group_cols, as_index=False)[mom].sum()
+
+    def derive(r) -> pd.Series:
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, sxy = int(r["sxx"]), int(r["sxy"])
+        syy = int(r["syyl"]) + SPLIT * int(r["syyh"])
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        slope = float(num) / float(vx) if vx > 0 else float("nan")
+        icept = ((float(sy) - slope * float(sx)) / float(n)
+                 if vx > 0 else float("nan"))
+        r2 = (float(num * num) / float(vx * vy)
+              if vx > 0 and vy > 0 else float("nan"))
+        return pd.Series({"slope": round(slope, ndigits),
+                          "intercept": round(icept, ndigits),
+                          "r2": round(r2, ndigits)})
+
+    out = pd.concat([m[group_cols + ["n"]].copy(),
+                     m.apply(derive, axis=1)], axis=1)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(group_cols).reset_index(drop=True)
+
+
+def two_sample_ks(ds: ray.data.Dataset, value_col: str,
+                  label_col: str, label_a: str,
+                  label_b: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the integer-cents
+    value distributions of two labels, EXACT: the CDF difference is
+    tested by cross-multiplication ``|cum_a·n_b − cum_b·n_a|`` so no
+    float CDF ever exists; the single output float is one division of
+    exact integers.
+
+    One streaming pass emits per-block (cents, count_a, count_b)
+    partials; the driver folds them over the distinct-value domain
+    (bounded by the value's dynamic range — for unbounded domains,
+    route the partials through a value-bucketed exact-count shuffle
+    first, then the same O(distinct) scan). Output one row:
+    (ks_num, n_a, n_b, ks_d)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[label_col].isin((label_a, label_b))
+        k = b.loc[m]
+        cents = np.rint(k[value_col].to_numpy() * 100).astype("int64")
+        isa = (k[label_col] == label_a).to_numpy().astype("int64")
+        g = pd.DataFrame({"cents": cents, "ca": isa, "cb": 1 - isa})
+        return g.groupby("cents", as_index=False)[["ca", "cb"]].sum()
+
+    parts = ds.select_columns([value_col, label_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    c = parts.groupby("cents", as_index=False)[["ca", "cb"]].sum() \
+        .sort_values("cents")
+    na, nb = int(c["ca"].sum()), int(c["cb"].sum())
+    cca = c["ca"].cumsum().to_numpy()
+    ccb = c["cb"].cumsum().to_numpy()
+    ks_num = int(np.abs(cca * nb - ccb * na).max()) if len(c) else 0
+    return pd.DataFrame({
+        "ks_num": [ks_num], "n_a": [na], "n_b": [nb],
+        "ks_d": [float(ks_num) / (float(na) * float(nb))
+                 if na and nb else float("nan")],
+    })
+
+
+def grouped_trimmed_mean(ds: ray.data.Dataset, group_col: str,
+                         value_col: str, trim_pct: int = 10,
+                         num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-group trimmed mean of integer cents: drop the lowest and
+    highest ``k = n·trim_pct // 100`` rows BY VALUE ORDER, then the
+    exact integer sum/count of the survivors (mean = one float
+    division). Tie rows share a value, so which tied rows are dropped
+    cannot change the sum — the result is exact despite the arbitrary
+    rank assignment among ties. Groups where 2k ≥ n vanish (no rows
+    survive), matching the SQL GROUP BY over the filtered rows.
+    One bucketed shuffle; per-bucket a single sort + cumcount covers
+    every key. Output: (group, trim_sum_i, trim_n, trim_mean)."""
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(group[value_col].to_numpy() * 100) \
+            .astype("int64")
+        g = (group.assign(_c=cents)
+             .sort_values([group_col, "_c"], kind="stable"))
+        i = g.groupby(group_col, sort=False).cumcount().to_numpy()
+        n = g.groupby(group_col, sort=False)[group_col] \
+            .transform("size").to_numpy()
+        k = n * trim_pct // 100
+        keep = (i >= k) & (i < n - k)
+        kept = g.loc[keep]
+        out = kept.groupby(group_col, as_index=False).agg(
+            trim_sum_i=("_c", "sum"), trim_n=("_c", "size"))
+        out["trim_sum_i"] = out["trim_sum_i"].astype("int64")
+        out["trim_n"] = out["trim_n"].astype("int64")
+        out["trim_mean"] = (out["trim_sum_i"].to_numpy()
+                            .astype("float64")
+                            / out["trim_n"].to_numpy()
+                            .astype("float64"))
+        return out
+
+    from .windows import _add_key_bucket
+    return _add_key_bucket(
+        ds.select_columns([group_col, value_col]),
+        group_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas")
