@@ -3337,6 +3337,61 @@ def q_orders_mom_growth(sf_dir: str) -> pd.DataFrame:
     return m
 
 
+def q_lineitem_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS with NON-hierarchical sets — the two
+    independent single-key marginals plus the grand total — from ONE
+    distributed scan (finest partials re-summed per set driver-side;
+    absent keys marked 'ALL' like the oracle's coalesce over SQL
+    NULLs)."""
+    from web2llmstxt_ray.ops.relational import grouping_sets_agg
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        qty = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        g = pd.DataFrame({"l_returnflag": b["l_returnflag"],
+                          "l_linestatus": b["l_linestatus"],
+                          "sum_qty": qty, "n_rows": 1})
+        return g.groupby(["l_returnflag", "l_linestatus"],
+                         as_index=False)[["sum_qty", "n_rows"]].sum()
+
+    out = grouping_sets_agg(
+        _t(sf_dir, "lineitem",
+           ["l_returnflag", "l_linestatus", "l_quantity"]),
+        ["l_returnflag", "l_linestatus"], agg,
+        ["sum_qty", "n_rows"],
+        sets=[("l_returnflag",), ("l_linestatus",), ()])
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
+def q_props_key_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: parse the integer ``k`` out of the
+    JSON ``props`` column (vectorized regex — no per-row json.loads)
+    and aggregate per event type: count, exact sum, exact distinct
+    count — all derived from ONE skinny (type, k) count-partial pass."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r'"k"\s*:\s*(-?\d+)',
+                                   expand=False).astype("int64")
+        g = pd.DataFrame({"event_type": b["event_type"], "k": k,
+                          "cnt": 1})
+        return g.groupby(["event_type", "k"],
+                         as_index=False)["cnt"].sum()
+
+    fine = partial_groupby(
+        _t(sf_dir, "events", ["event_type", "props"]),
+        ["event_type", "k"], partials, ["cnt"])
+    fine["cnt"] = fine["cnt"].astype("int64")
+    fine["kc"] = fine["k"].astype("int64") * fine["cnt"]
+    out = fine.groupby("event_type", as_index=False).agg(
+        n=("cnt", "sum"), sum_k=("kc", "sum"),
+        n_distinct_k=("k", "size"))
+    for c in ("n", "sum_k", "n_distinct_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3499,6 +3554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ks_clicks": q_value_ks_clicks,
         "supplier_trimmed_mean": q_supplier_trimmed_mean,
         "orders_mom_growth": q_orders_mom_growth,
+        "lineitem_grouping_sets": q_lineitem_grouping_sets,
+        "props_key_stats": q_props_key_stats,
     }
 
 
@@ -4189,6 +4246,25 @@ def oracle_sql() -> dict[str, str]:
             FROM r
             WHERE rn > n * 10 // 100 AND rn <= n - n * 10 // 100
             GROUP BY l_suppkey
+        """,
+        "lineitem_grouping_sets": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                    ())
+        """,
+        "props_key_stats": """
+            WITH e AS (SELECT event_type,
+                              CAST(props->>'$.k' AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+            FROM e GROUP BY event_type
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

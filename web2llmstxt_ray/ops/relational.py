@@ -380,6 +380,33 @@ def cube_agg(ds: ray.data.Dataset, keys: list[str], batch_agg,
     return out.sort_values(keys, kind="stable").reset_index(drop=True)
 
 
+def grouping_sets_agg(ds: ray.data.Dataset, keys: list[str],
+                      batch_agg, sum_cols: list[str],
+                      sets: list[tuple[str, ...]],
+                      all_label: str = "ALL") -> pd.DataFrame:
+    """GROUP BY GROUPING SETS over additive measures from ONE
+    distributed pass: like :func:`rollup_agg`/:func:`cube_agg` but for
+    ARBITRARY (non-hierarchical) grouping sets — the finest partials
+    over the union of all referenced keys are re-summed driver-side
+    per set. Keys must be strings (the absent-key marker is
+    ``all_label``, mirroring ``coalesce(col, 'ALL')`` over the SQL
+    NULLs)."""
+    fine = partial_groupby(ds, keys, batch_agg, sum_cols)
+    frames = []
+    for g in sets:
+        g = list(g)
+        if g:
+            f = fine.groupby(g, as_index=False)[sum_cols].sum()
+        else:
+            f = fine[sum_cols].sum().to_frame().T
+        for k in keys:
+            if k not in g:
+                f[k] = all_label
+        frames.append(f[[*keys, *sum_cols]])
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(keys, kind="stable").reset_index(drop=True)
+
+
 def pivot_agg(ds: ray.data.Dataset, index: str, columns: str,
               batch_agg, sum_cols: list[str],
               column_values: list[str] | None = None,
