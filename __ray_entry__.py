@@ -3392,6 +3392,50 @@ def q_props_key_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_span_transitions(sf_dir: str) -> pd.DataFrame:
+    """Kind-adjacency counts over the interleaved span docs
+    (prev_kind, next_kind, n_pairs) — shuffle-free: a document's spans
+    never leave their block, so adjacent pairs resolve in map-side
+    partials and the driver folds O(blocks × kinds²) rows. Oracle:
+    LAG(kind) over the regenerated spans."""
+    from web2llmstxt_ray.ops.nested import (build_span_docs,
+                                            span_transitions)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return span_transitions(build_span_docs(docs))
+
+
+def q_media_captions(sf_dir: str) -> pd.DataFrame:
+    """Image-caption pair mining over the interleaved payload: for each
+    media span, the nearest preceding and following text spans in the
+    same document (map-only accumulate passes, no shuffle). Oracle:
+    LAG/LEAD text over the regenerated spans filtered to media rows
+    (neighbours are text spans by construction of the generator, so
+    immediate-neighbour SQL equals nearest-text semantics here; the
+    generic nearest-text behaviour is unit-tested on consecutive-media
+    docs in tests/test_nested.py)."""
+    from web2llmstxt_ray.ops.nested import build_span_docs, media_captions
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = media_captions(build_span_docs(docs)).to_pandas()
+    out["span_idx"] = out["span_idx"].astype("int64")
+    return out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+
+
+def q_span_doc_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-document interleave profile (n_spans, n_media, text_chars,
+    n_runs=1+kind changes) — map-only segment arithmetic; the
+    alternation signal interleaved-corpus curation filters on."""
+    from web2llmstxt_ray.ops.nested import (build_span_docs,
+                                            span_doc_profile)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = span_doc_profile(build_span_docs(docs)).to_pandas()
+    for c in ("n_spans", "n_media", "text_chars", "n_runs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3556,6 +3600,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_mom_growth": q_orders_mom_growth,
         "lineitem_grouping_sets": q_lineitem_grouping_sets,
         "props_key_stats": q_props_key_stats,
+        "span_transitions": q_span_transitions,
+        "media_captions": q_media_captions,
+        "span_doc_profile": q_span_doc_profile,
     }
 
 
@@ -4265,6 +4312,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(k) AS BIGINT) AS sum_k,
                    CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
             FROM e GROUP BY event_type
+        """,
+        "span_transitions": """
+            WITH flat AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       unnest(range(CAST(ceil(length(text) / 64.0)
+                                         AS BIGINT))) AS i
+                FROM documents),
+            spans AS (
+                SELECT doc_id, i,
+                       CASE WHEN i % 3 = 2 THEN 'image'
+                            ELSE 'text' END AS kind
+                FROM flat),
+            t AS (
+                SELECT kind,
+                       LAG(kind) OVER (PARTITION BY doc_id
+                                       ORDER BY i) AS prev_kind
+                FROM spans)
+            SELECT prev_kind, kind AS next_kind,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM t WHERE prev_kind IS NOT NULL
+            GROUP BY prev_kind, kind
+            ORDER BY prev_kind, next_kind
+        """,
+        "media_captions": """
+            WITH flat AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       text AS full_text,
+                       unnest(range(CAST(ceil(length(text) / 64.0)
+                                         AS BIGINT))) AS i
+                FROM documents),
+            spans AS (
+                SELECT doc_id, i,
+                       CASE WHEN i % 3 = 2 THEN 'image'
+                            ELSE 'text' END AS kind,
+                       CASE WHEN i % 3 = 2 THEN ''
+                            ELSE substr(full_text,
+                                        CAST(i * 64 + 1 AS INT), 64)
+                            END AS text,
+                       CASE WHEN i % 3 = 2
+                            THEN 'media://' || doc_id || '/'
+                                 || CAST(i AS VARCHAR)
+                            ELSE '' END AS media_ref
+                FROM flat),
+            w AS (
+                SELECT doc_id, i, kind, media_ref,
+                       coalesce(LAG(text) OVER (PARTITION BY doc_id
+                                                ORDER BY i),
+                                '') AS prev_text,
+                       coalesce(LEAD(text) OVER (PARTITION BY doc_id
+                                                 ORDER BY i),
+                                '') AS next_text
+                FROM spans)
+            SELECT doc_id, i AS span_idx, media_ref, prev_text,
+                   next_text
+            FROM w WHERE kind = 'image'
+        """,
+        "span_doc_profile": """
+            WITH flat AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       text AS full_text,
+                       unnest(range(CAST(ceil(length(text) / 64.0)
+                                         AS BIGINT))) AS i
+                FROM documents),
+            spans AS (
+                SELECT doc_id, i,
+                       CASE WHEN i % 3 = 2 THEN 'image'
+                            ELSE 'text' END AS kind,
+                       CASE WHEN i % 3 = 2 THEN ''
+                            ELSE substr(full_text,
+                                        CAST(i * 64 + 1 AS INT), 64)
+                            END AS text
+                FROM flat),
+            l AS (
+                SELECT doc_id, kind, length(text) AS tc,
+                       LAG(kind) OVER (PARTITION BY doc_id
+                                       ORDER BY i) AS pk
+                FROM spans)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(CASE WHEN kind = 'image' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_media,
+                   CAST(sum(tc) AS BIGINT) AS text_chars,
+                   CAST(1 + sum(CASE WHEN pk IS NOT NULL
+                                      AND pk <> kind THEN 1
+                                     ELSE 0 END) AS BIGINT) AS n_runs
+            FROM l GROUP BY doc_id
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

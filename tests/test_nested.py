@@ -104,3 +104,127 @@ class TestRoundTrip:
                     == [s["media_ref"] for s in spans])
             assert ([s["offset"] for s in g]
                     == [s["offset"] for s in spans])
+
+
+def _hand_docs(rows):
+    """Nested span-doc Dataset from [(doc_id, [(kind, text, ref), ...])]
+    — arbitrary kind sequences (consecutive media, media at the edges)
+    the deterministic builder can't produce."""
+    from web2llmstxt_ray.schema import SPAN_STRUCT
+    ids, spans = [], []
+    for did, sp in rows:
+        ids.append(did)
+        spans.append([{"kind": k, "text": t, "media_ref": r,
+                       "offset": 64 * i}
+                      for i, (k, t, r) in enumerate(sp)])
+    t = pa.table({"doc_id": pa.array(ids, pa.string()),
+                  "spans": pa.array(spans, pa.list_(SPAN_STRUCT))})
+    return ray.data.from_arrow(t)
+
+
+class TestSpanAnalytics:
+    def test_transitions_vs_oracle(self):
+        from web2llmstxt_ray.ops.nested import span_transitions
+        t = _docs_table(n=50, seed=13)
+        got = span_transitions(
+            build_span_docs(ray.data.from_arrow(t).repartition(6)))
+        f = _oracle_flat(t).sort_values(["doc_id", "span_idx"])
+        prev = f.groupby("doc_id")["kind"].shift(1)
+        w = pd.DataFrame({"prev_kind": prev, "next_kind": f["kind"]})
+        want = (w.dropna().groupby(["prev_kind", "next_kind"],
+                                   as_index=False).size()
+                .rename(columns={"size": "n_pairs"})
+                .astype({"n_pairs": "int64"})
+                .sort_values(["prev_kind", "next_kind"])
+                .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_captions_nearest_text_generic(self):
+        """Nearest-text (not immediate-neighbour) semantics: media runs
+        skip over adjacent media; edge media get '' on the open side;
+        a doc with no text spans yields '' both sides. Docs are laid
+        out in ONE block to prove per-doc isolation of the accumulate
+        passes (no bleed between adjacent docs)."""
+        from web2llmstxt_ray.ops.nested import media_captions
+        docs = _hand_docs([
+            ("a", [("image", "", "m0"),          # leading media
+                   ("text", "alpha", ""),
+                   ("image", "", "m1"),
+                   ("image", "", "m2"),          # consecutive media
+                   ("text", "beta", ""),
+                   ("image", "", "m3")]),        # trailing media
+            ("b", [("image", "", "m4")]),        # media-only doc
+            ("c", [("text", "gamma", "")]),      # text-only doc
+        ]).repartition(1)
+        got = (media_captions(docs).to_pandas()
+               .sort_values(["doc_id", "span_idx"])
+               .reset_index(drop=True))
+        want = pd.DataFrame({
+            "doc_id": ["a", "a", "a", "a", "b"],
+            "span_idx": [0, 2, 3, 5, 0],
+            "media_ref": ["m0", "m1", "m2", "m3", "m4"],
+            "prev_text": ["", "alpha", "alpha", "beta", ""],
+            "next_text": ["alpha", "beta", "beta", "", ""],
+        })
+        got["span_idx"] = got["span_idx"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_captions_builder_docs(self):
+        """On builder docs every media span sits between two text spans
+        (or at the tail): prev = span i-1's text, next = span i+1's."""
+        from web2llmstxt_ray.ops.nested import media_captions
+        t = _docs_table(n=40, seed=21)
+        got = (media_captions(
+            build_span_docs(ray.data.from_arrow(t).repartition(5)))
+            .to_pandas().sort_values(["doc_id", "span_idx"])
+            .reset_index(drop=True))
+        f = _oracle_flat(t).sort_values(["doc_id", "span_idx"])
+        g = f.groupby("doc_id")
+        w = f.assign(prev_text=g["text"].shift(1).fillna(""),
+                     next_text=g["text"].shift(-1).fillna(""))
+        want = (w[w["kind"] == "image"]
+                [["doc_id", "span_idx", "media_ref", "prev_text",
+                  "next_text"]].reset_index(drop=True))
+        got["span_idx"] = got["span_idx"].astype("int64")
+        want["span_idx"] = want["span_idx"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_doc_profile(self):
+        from web2llmstxt_ray.ops.nested import span_doc_profile
+        t = _docs_table(n=45, seed=29)
+        got = (span_doc_profile(
+            build_span_docs(ray.data.from_arrow(t).repartition(4)))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        f = _oracle_flat(t).sort_values(["doc_id", "span_idx"])
+        g = f.groupby("doc_id")
+        runs = (f["kind"] != g["kind"].shift(1)).groupby(
+            f["doc_id"]).sum()
+        want = pd.DataFrame({
+            "doc_id": runs.index,
+            "n_spans": g.size().values,
+            "n_media": (f["kind"] == "image").groupby(
+                f["doc_id"]).sum().values,
+            "text_chars": f["text"].str.len().groupby(
+                f["doc_id"]).sum().values,
+            "n_runs": runs.values,
+        }).astype({"n_spans": "int64", "n_media": "int64",
+                   "text_chars": "int64", "n_runs": "int64"})
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        for c in ("n_spans", "n_media", "text_chars", "n_runs"):
+            got[c] = got[c].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_profile_runs_generic(self):
+        from web2llmstxt_ray.ops.nested import span_doc_profile
+        docs = _hand_docs([
+            ("a", [("text", "x", ""), ("text", "y", ""),
+                   ("image", "", "m"), ("image", "", "n"),
+                   ("text", "z", "")]),        # runs: tt|ii|t → 3
+            ("b", [("text", "only", "")]),      # 1 run
+        ])
+        got = (span_doc_profile(docs).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert got["n_runs"].tolist() == [3, 1]
+        assert got["n_media"].tolist() == [2, 0]
+        assert got["n_spans"].tolist() == [5, 1]
+        assert got["text_chars"].tolist() == [3, 4]

@@ -38,7 +38,8 @@ from ..functions.urls import hash64_batch
 from ..schema import SPAN_STRUCT
 
 __all__ = ["build_span_docs", "explode_spans", "span_kind_stats",
-           "regroup_spans"]
+           "regroup_spans", "span_costs", "pack_interleaved",
+           "span_transitions", "media_captions", "span_doc_profile"]
 
 FLAT_COLS = ["doc_id", "span_idx", "kind", "text", "media_ref",
              "span_offset"]
@@ -274,3 +275,148 @@ def pack_interleaved(docs: ray.data.Dataset, max_tokens: int,
 
     return span_costs(docs, media_cost).map_batches(
         pack_block, batch_format="pyarrow", batch_size=None)
+
+
+def _flat_view(batch: pa.Table):
+    """(parent, lens, starts, span_idx, flat) numpy/arrow views of one
+    nested block — the shared prologue of the map-only span kernels.
+    Child buffers stay zero-copy; only the int index arrays are new."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    parent = pc.list_parent_indices(spans).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lens = pc.list_value_length(spans).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    starts = np.zeros(len(lens), np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    total = int(lens.sum())
+    span_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    return parent, lens, starts, span_idx, spans.flatten()
+
+
+def span_transitions(docs: ray.data.Dataset) -> pd.DataFrame:
+    """Kind-transition counts over adjacent spans WITHIN each document:
+    (prev_kind, next_kind, n_pairs). Shuffle-free — a document's spans
+    live in one list element of one block, so every adjacent pair is
+    visible to the block that holds it; blocks emit O(kinds²) partial
+    rows and the driver folds them (the Markov-shape analogue of
+    ``events.event_transitions``, lifted to the nested payload)."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        parent, _, _, _, flat = _flat_view(batch)
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        if len(kind) < 2:
+            return pd.DataFrame({"prev_kind": [], "next_kind": [],
+                                 "n_pairs": []})
+        same = parent[1:] == parent[:-1]
+        g = pd.DataFrame({"prev_kind": kind[:-1][same],
+                          "next_kind": kind[1:][same]})
+        return g.groupby(["prev_kind", "next_kind"],
+                         as_index=False).size().rename(
+                             columns={"size": "n_pairs"})
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"prev_kind": pd.Series([], dtype=str),
+                             "next_kind": pd.Series([], dtype=str),
+                             "n_pairs": pd.Series([], dtype="int64")})
+    out = partials.groupby(["prev_kind", "next_kind"],
+                           as_index=False)["n_pairs"].sum()
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values(["prev_kind", "next_kind"]).reset_index(
+        drop=True)
+
+
+def media_captions(docs: ray.data.Dataset, text_kind: str = "text",
+                   media_kind: str = "image") -> ray.data.Dataset:
+    """Caption-pair mining over the interleaved payload: one row per
+    media span with the NEAREST preceding and following text spans in
+    the same document — (doc_id, span_idx, media_ref, prev_text,
+    next_text), '' when no text span exists on that side. This is the
+    image-text-pair extraction a multimodal training corpus needs
+    (interleaved doc → (image, caption) candidates). Map-only: nearest
+    neighbours are per-document and a document never spans blocks, so
+    two accumulate passes over the block resolve every lookup — no
+    shuffle, no per-row Python."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        parent, lens, starts, span_idx, flat = _flat_view(batch)
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        text = flat.field("text").to_numpy(zero_copy_only=False)
+        n = len(kind)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.string()),
+            "span_idx": pa.array([], pa.int64()),
+            "media_ref": pa.array([], pa.string()),
+            "prev_text": pa.array([], pa.string()),
+            "next_text": pa.array([], pa.string())})
+        if n == 0:
+            return empty
+        is_text = kind == text_kind
+        idx = np.arange(n, dtype=np.int64)
+        doc_start = starts[parent]
+        doc_end = doc_start + lens[parent]
+        # nearest text at-or-before i (monotone indices ⇒ a carried
+        # value ≥ doc_start is inside this doc)
+        prev_i = np.maximum.accumulate(np.where(is_text, idx, -1))
+        prev_ok = prev_i >= doc_start
+        nxt_i = np.minimum.accumulate(
+            np.where(is_text, idx, n)[::-1])[::-1]
+        next_ok = nxt_i < doc_end
+        sel = np.flatnonzero(kind == media_kind)
+        if len(sel) == 0:
+            return empty
+        prev_txt = np.where(prev_ok[sel],
+                            text[np.clip(prev_i[sel], 0, n - 1)], "")
+        next_txt = np.where(next_ok[sel],
+                            text[np.clip(nxt_i[sel], 0, n - 1)], "")
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"),
+                              pa.string()).take(pa.array(parent[sel])),
+            "span_idx": pa.array(span_idx[sel]),
+            "media_ref": flat.field("media_ref").take(pa.array(sel)),
+            "prev_text": pa.array(prev_txt, pa.string()),
+            "next_text": pa.array(next_txt, pa.string()),
+        })
+
+    return docs.map_batches(emit, batch_format="pyarrow")
+
+
+def span_doc_profile(docs: ray.data.Dataset,
+                     media_kind: str = "image") -> ray.data.Dataset:
+    """Per-document interleave profile: (doc_id, n_spans, n_media,
+    text_chars, n_runs) where ``n_runs`` counts maximal same-kind runs
+    (1 + within-doc kind changes) — the alternation signal interleaved-
+    corpus curators filter on (pure-text docs have n_runs=1). Map-only
+    segment arithmetic per block; zero-span documents drop out exactly
+    like SQL UNNEST. Output stays a Dataset (O(docs) rows)."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        parent, lens, _, _, flat = _flat_view(batch)
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        ndocs = len(lens)
+        tc = pc.utf8_length(flat.field("text")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_media = np.bincount(parent, weights=(kind == media_kind),
+                              minlength=ndocs).astype(np.int64)
+        text_chars = np.bincount(parent, weights=tc,
+                                 minlength=ndocs).astype(np.int64)
+        if len(kind) >= 2:
+            chg = (parent[1:] == parent[:-1]) & (kind[1:] != kind[:-1])
+            changes = np.bincount(parent[1:][chg],
+                                  minlength=ndocs).astype(np.int64)
+        else:
+            changes = np.zeros(ndocs, np.int64)
+        keep = lens > 0
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"),
+                              pa.string()).filter(pa.array(keep)),
+            "n_spans": pa.array(lens[keep]),
+            "n_media": pa.array(n_media[keep]),
+            "text_chars": pa.array(text_chars[keep]),
+            "n_runs": pa.array((changes + 1)[keep]),
+        })
+
+    return docs.map_batches(emit, batch_format="pyarrow")
