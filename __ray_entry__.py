@@ -3436,6 +3436,62 @@ def q_span_doc_profile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson correlation matrix over four lineitem measures
+    (quantity, price cents, discount %, tax %) from ONE map-only
+    co-moment pass — O(blocks × d²) skinny partials, exact Python-int
+    moments (hi/lo split sums), one double expression per pair that the
+    SQL oracle replays with HUGEINT sums."""
+    from web2llmstxt_ray.ops.stats import correlation_matrix
+
+    li = _t(sf_dir, "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+    def scale(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "qty": b["l_quantity"].round().astype("int64"),
+            "price_c": (b["l_extendedprice"] * 100).round()
+            .astype("int64"),
+            "disc_pct": (b["l_discount"] * 100).round().astype("int64"),
+            "tax_pct": (b["l_tax"] * 100).round().astype("int64"),
+        })
+
+    ints = li.map_batches(scale, batch_format="pandas")
+    return correlation_matrix(ints,
+                              ["qty", "price_c", "disc_pct", "tax_pct"])
+
+
+def q_source_split(sf_dir: str) -> pd.DataFrame:
+    """Leakage-guarded deterministic train/test split of documents BY
+    SOURCE (all docs of a source land one side — near-dups inside a
+    source can't straddle the split). Map-only; the md5-mod rule is
+    replayed verbatim by the DuckDB oracle."""
+    from web2llmstxt_ray.ops.corpus import grouped_split
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    out = grouped_split(docs, "source", train_pct=80).to_pandas()
+    return (out[["doc_id", "source", "split"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_span_rechunk(sf_dir: str) -> pd.DataFrame:
+    """Interleaved re-segmentation: span docs re-chunked at width 96
+    (text runs concatenated and re-sliced, media spans pass through),
+    profiled per doc. Rows-only driver check; the per-doc invariants
+    (text-concat equality, media subsequence, width bound, idempotence)
+    are pytest-gated in tests/test_nested.py."""
+    from web2llmstxt_ray.ops.nested import (build_span_docs,
+                                            rechunk_spans,
+                                            span_doc_profile)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = span_doc_profile(
+        rechunk_spans(build_span_docs(docs), 96)).to_pandas()
+    for c in ("n_spans", "n_media", "text_chars", "n_runs"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3603,6 +3659,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_transitions": q_span_transitions,
         "media_captions": q_media_captions,
         "span_doc_profile": q_span_doc_profile,
+        "lineitem_corr_matrix": q_lineitem_corr_matrix,
+        "source_split": q_source_split,
+        "span_rechunk": q_span_rechunk,
     }
 
 
@@ -4397,6 +4456,64 @@ def oracle_sql() -> dict[str, str]:
                                       AND pk <> kind THEN 1
                                      ELSE 0 END) AS BIGINT) AS n_runs
             FROM l GROUP BY doc_id
+        """,
+        "lineitem_corr_matrix": """
+            WITH x AS (
+                SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice * 100)
+                            AS BIGINT) AS price_c,
+                       CAST(round(l_discount * 100) AS BIGINT)
+                           AS disc_pct,
+                       CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+                FROM lineitem),
+            m AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(qty) AS HUGEINT) AS s0,
+                       CAST(sum(price_c) AS HUGEINT) AS s1,
+                       CAST(sum(disc_pct) AS HUGEINT) AS s2,
+                       CAST(sum(tax_pct) AS HUGEINT) AS s3,
+                       sum(CAST(qty AS HUGEINT) * qty) AS s00,
+                       sum(CAST(price_c AS HUGEINT) * price_c) AS s11,
+                       sum(CAST(disc_pct AS HUGEINT) * disc_pct) AS s22,
+                       sum(CAST(tax_pct AS HUGEINT) * tax_pct) AS s33,
+                       sum(CAST(qty AS HUGEINT) * price_c) AS s01,
+                       sum(CAST(qty AS HUGEINT) * disc_pct) AS s02,
+                       sum(CAST(qty AS HUGEINT) * tax_pct) AS s03,
+                       sum(CAST(price_c AS HUGEINT) * disc_pct) AS s12,
+                       sum(CAST(price_c AS HUGEINT) * tax_pct) AS s13,
+                       sum(CAST(disc_pct AS HUGEINT) * tax_pct) AS s23
+                FROM x)
+            SELECT col_x, col_y,
+                   CAST(num AS DOUBLE)
+                   / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+                       AS corr
+            FROM (
+                SELECT 'qty' AS col_x, 'price_c' AS col_y,
+                       n * s01 - s0 * s1 AS num,
+                       n * s00 - s0 * s0 AS vx,
+                       n * s11 - s1 * s1 AS vy FROM m
+                UNION ALL
+                SELECT 'qty', 'disc_pct', n * s02 - s0 * s2,
+                       n * s00 - s0 * s0, n * s22 - s2 * s2 FROM m
+                UNION ALL
+                SELECT 'qty', 'tax_pct', n * s03 - s0 * s3,
+                       n * s00 - s0 * s0, n * s33 - s3 * s3 FROM m
+                UNION ALL
+                SELECT 'price_c', 'disc_pct', n * s12 - s1 * s2,
+                       n * s11 - s1 * s1, n * s22 - s2 * s2 FROM m
+                UNION ALL
+                SELECT 'price_c', 'tax_pct', n * s13 - s1 * s3,
+                       n * s11 - s1 * s1, n * s33 - s3 * s3 FROM m
+                UNION ALL
+                SELECT 'disc_pct', 'tax_pct', n * s23 - s2 * s3,
+                       n * s22 - s2 * s2, n * s33 - s3 * s3 FROM m)
+        """,
+        "source_split": """
+            SELECT doc_id, source,
+                   CASE WHEN CAST(('0x' || substr(md5(source), 1, 8))
+                                  AS UBIGINT) % 100 < 80
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

@@ -4,6 +4,7 @@ sequence packing (invariants + direct oracles)."""
 from collections import Counter
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -213,3 +214,46 @@ class TestWeightedSampleAES:
         out = weighted_sample_aes(ray.data.from_arrow(t), k=200)
         heavy = (out["doc_id"] < 200).sum()
         assert heavy > 120     # heavy ids dominate the sample
+
+
+class TestGroupedSplit:
+    def test_group_purity_and_determinism(self):
+        import hashlib
+        from web2llmstxt_ray.ops.corpus import grouped_split
+
+        n = 3000
+        rng = np.random.RandomState(3)
+        src = np.array([f"site{int(i)}" for i in rng.randint(0, 40, n)])
+        t = pa.table({"doc_id": pa.array(np.arange(n)),
+                      "source": pa.array(src)})
+        outs = []
+        for parts in (1, 11):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            out = grouped_split(ds, "source").to_pandas()
+            outs.append(out.sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        out = outs[0]
+        # every group entirely on one side
+        assert (out.groupby("source")["split"].nunique() == 1).all()
+        # rule replay
+        for s in np.unique(src):
+            want = ("train" if int(hashlib.md5(s.encode())
+                                   .hexdigest()[:8], 16) % 100 < 80
+                    else "test")
+            assert (out.loc[out["source"] == s, "split"] == want).all()
+        # both sides populated at 40 groups
+        assert set(out["split"]) == {"train", "test"}
+
+    def test_salt_changes_assignment(self):
+        from web2llmstxt_ray.ops.corpus import grouped_split
+
+        t = pa.table({"doc_id": pa.array(range(200)),
+                      "source": pa.array([f"s{i % 50}"
+                                          for i in range(200)])})
+        a = grouped_split(ray.data.from_arrow(t), "source",
+                          salt="").to_pandas()
+        b = grouped_split(ray.data.from_arrow(t), "source",
+                          salt="fold2").to_pandas()
+        a = a.sort_values("doc_id")["split"].tolist()
+        b = b.sort_values("doc_id")["split"].tolist()
+        assert a != b

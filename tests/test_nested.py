@@ -228,3 +228,83 @@ class TestSpanAnalytics:
         assert got["n_media"].tolist() == [2, 0]
         assert got["n_spans"].tolist() == [5, 1]
         assert got["text_chars"].tolist() == [3, 4]
+
+
+class TestRechunk:
+    def _concat_and_media(self, nested_rows):
+        """Per-doc (joined text, [(kind, media_ref) media subsequence])."""
+        out = {}
+        for r in nested_rows:
+            txt = "".join(s["text"] for s in r["spans"]
+                          if s["kind"] == "text")
+            med = [(s["kind"], s["media_ref"]) for s in r["spans"]
+                   if s["kind"] != "text"]
+            out[r["doc_id"]] = (txt, med)
+        return out
+
+    def test_invariants(self):
+        from web2llmstxt_ray.ops.nested import rechunk_spans
+        t = _docs_table(n=60, seed=17)
+        nested = build_span_docs(ray.data.from_arrow(t).repartition(5))
+        before = self._concat_and_media(nested.take_all())
+        re96 = rechunk_spans(nested, 96)
+        rows = re96.take_all()
+        after = self._concat_and_media(rows)
+        before = {k: v for k, v in before.items() if v[0] or v[1]}
+        assert set(after) == set(before)
+        for did in before:
+            assert after[did][0] == before[did][0]      # text concat
+            assert after[did][1] == before[did][1]      # media order
+        for r in rows:
+            offs, cum = [], 0
+            for s in r["spans"]:
+                if s["kind"] == "text":
+                    assert 1 <= len(s["text"]) <= 96
+                    assert s["media_ref"] == ""
+                offs.append(s["offset"])
+                assert s["offset"] == cum
+                cum += len(s["text"])
+            # run-tail rule: every text span except a run tail is full
+            spans = r["spans"]
+            for i, s in enumerate(spans):
+                if (s["kind"] == "text" and i + 1 < len(spans)
+                        and spans[i + 1]["kind"] == "text"):
+                    assert len(s["text"]) == 96
+
+    def test_idempotent_and_partition_invariant(self):
+        from web2llmstxt_ray.ops.nested import rechunk_spans
+        t = _docs_table(n=40, seed=23)
+        nested = build_span_docs(ray.data.from_arrow(t))
+
+        def key(ds):
+            return {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"],
+                                   s["offset"]) for s in r["spans"]]
+                    for r in ds.take_all()}
+
+        once = rechunk_spans(nested, 80)
+        twice = rechunk_spans(once, 80)
+        assert key(once) == key(twice)
+        a = rechunk_spans(build_span_docs(
+            ray.data.from_arrow(t).repartition(1)), 80)
+        b = rechunk_spans(build_span_docs(
+            ray.data.from_arrow(t).repartition(7)), 80)
+        assert key(a) == key(b)
+
+    def test_generic_media_runs(self):
+        """Consecutive media and edge media survive in place; text runs
+        around them re-slice independently."""
+        from web2llmstxt_ray.ops.nested import rechunk_spans
+        docs = _hand_docs([
+            ("a", [("image", "", "m0"),
+                   ("text", "x" * 5, ""), ("text", "y" * 5, ""),
+                   ("image", "", "m1"), ("image", "", "m2"),
+                   ("text", "z" * 3, "")]),
+        ])
+        got = rechunk_spans(docs, 4).take_all()[0]
+        seq = [(s["kind"], s["text"], s["media_ref"])
+               for s in got["spans"]]
+        assert seq == [("image", "", "m0"),
+                       ("text", "xxxx", ""), ("text", "xyyy", ""),
+                       ("text", "yy", ""),
+                       ("image", "", "m1"), ("image", "", "m2"),
+                       ("text", "zzz", "")]

@@ -452,3 +452,50 @@ class TestRegressionKsTrimmed:
         assert out["trim_n"].tolist() == [1]
         assert out["trim_sum_i"].tolist() == [300]
         assert out["trim_mean"].tolist() == [300.0]
+
+
+class TestCorrelationMatrix:
+    def test_vs_numpy_and_partition_invariant(self):
+        from web2llmstxt_ray.ops.stats import correlation_matrix
+
+        rng = np.random.RandomState(5)
+        n = 5000
+        a = rng.randint(1, 51, n).astype("int64")
+        b = (a * 300 + rng.randint(-2000, 2000, n)).astype("int64")
+        c = rng.randint(0, 11, n).astype("int64")
+        df = pd.DataFrame({"a": a, "b": b, "c": c})
+        outs = []
+        for parts in (1, 13):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            outs.append(correlation_matrix(ds, ["a", "b", "c"],
+                                           ndigits=12))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        want = np.corrcoef(np.stack([a, b, c]))
+        got = {(r["col_x"], r["col_y"]): r["corr"]
+               for _, r in outs[0].iterrows()}
+        assert abs(got[("a", "b")] - want[0, 1]) < 1e-9
+        assert abs(got[("a", "c")] - want[0, 2]) < 1e-9
+        assert abs(got[("b", "c")] - want[1, 2]) < 1e-9
+
+    def test_constant_column_nan(self):
+        from web2llmstxt_ray.ops.stats import correlation_matrix
+
+        df = pd.DataFrame({"x": [1, 2, 3, 4], "y": [7, 7, 7, 7]})
+        out = correlation_matrix(ray.data.from_pandas(df), ["x", "y"])
+        assert np.isnan(out["corr"].iloc[0])
+
+    def test_split_sum_wide_magnitudes(self):
+        """price-cents-scale values whose squared block sums would
+        overflow a plain int64 partial at large blocks: the hi/lo
+        split keeps the moments exact."""
+        from web2llmstxt_ray.ops.stats import correlation_matrix
+
+        rng = np.random.RandomState(9)
+        n = 200_000
+        x = rng.randint(9_000_000, 10_000_000, n).astype("int64")
+        y = x + rng.randint(-500_000, 500_000, n)
+        df = pd.DataFrame({"x": x, "y": y})
+        out = correlation_matrix(
+            ray.data.from_pandas(df).repartition(2), ["x", "y"])
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(out["corr"].iloc[0] - want) < 1e-6

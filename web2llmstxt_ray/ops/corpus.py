@@ -536,3 +536,29 @@ def weighted_sample_aes(ds: ray.data.Dataset, k: int = 100,
                               ascending=[False, True], kind="stable")
     out = parts.head(k)[[id_col, weight_col]]
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def grouped_split(ds: ray.data.Dataset, group_col: str,
+                  train_pct: int = 80, salt: str = "") -> ray.data.Dataset:
+    """Leakage-guarded train/test split: EVERY row of a group (e.g. all
+    documents from one source/site) lands on the same side, so
+    near-duplicates within a group can never straddle the split — the
+    contamination rule corpus curation needs. Deterministic and
+    map-only: the side is ``md5(salt+group)`` (first 8 hex digits as an
+    integer, mod 100 < train_pct → 'train'), computed once per DISTINCT
+    group value inside each block (groups ≪ rows; a per-block dict maps
+    them back vectorized). No shuffle, no state, reproducible across
+    runs and partitionings; the SQL oracle replays the identical rule
+    with DuckDB's md5(). Output: input columns + ``split``."""
+    import hashlib
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        uniq = b[group_col].astype(str).unique()
+        side = {
+            u: ("train"
+                if int(hashlib.md5((salt + u).encode()).hexdigest()[:8],
+                       16) % 100 < train_pct else "test")
+            for u in uniq}
+        return b.assign(split=b[group_col].astype(str).map(side))
+
+    return ds.map_batches(tag, batch_format="pandas")

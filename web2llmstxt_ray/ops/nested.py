@@ -39,7 +39,8 @@ from ..schema import SPAN_STRUCT
 
 __all__ = ["build_span_docs", "explode_spans", "span_kind_stats",
            "regroup_spans", "span_costs", "pack_interleaved",
-           "span_transitions", "media_captions", "span_doc_profile"]
+           "span_transitions", "media_captions", "span_doc_profile",
+           "rechunk_spans"]
 
 FLAT_COLS = ["doc_id", "span_idx", "kind", "text", "media_ref",
              "span_offset"]
@@ -418,5 +419,100 @@ def span_doc_profile(docs: ray.data.Dataset,
             "text_chars": pa.array(text_chars[keep]),
             "n_runs": pa.array((changes + 1)[keep]),
         })
+
+    return docs.map_batches(emit, batch_format="pyarrow")
+
+
+def rechunk_spans(docs: ray.data.Dataset, chunk: int,
+                  text_kind: str = "text") -> ray.data.Dataset:
+    """Re-segment the interleaved payload at a new text width: maximal
+    runs of consecutive text spans are concatenated and re-sliced into
+    ``chunk``-char spans; media spans pass through untouched and keep
+    their position between runs. The per-doc invariants (pytest-gated):
+    the concatenation of text spans is byte-identical before/after, the
+    media (kind, media_ref) subsequence is preserved in order, every
+    output text span is ≤ ``chunk`` chars (== ``chunk`` except run
+    tails), and the op is idempotent at a fixed width. ``offset`` is
+    recomputed as the cumulative text-char position within the doc
+    (media contribute 0 — the original hole widths are not recoverable
+    generically). Map-only: runs never cross blocks because documents
+    don't; the concat and slicing are Arrow kernels (``binary_join``,
+    ``utf8_slice_codeunits``) — no per-row Python."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        parent, lens, _, _, flat = _flat_view(batch)
+        kind = flat.field("kind").to_numpy(zero_copy_only=False)
+        n = len(kind)
+        ndocs = len(lens)
+        empty = pa.table({"doc_id": pa.array([], pa.string()),
+                          "spans": pa.array([], pa.list_(SPAN_STRUCT))})
+        if n == 0:
+            return empty
+        is_text = kind == text_kind
+        new_run = np.ones(n, bool)
+        new_run[1:] = ((parent[1:] != parent[:-1])
+                       | (is_text[1:] != is_text[:-1])
+                       | ~is_text[:-1])
+        new_run |= ~is_text            # every non-text span is its own run
+        run_starts = np.flatnonzero(new_run)
+        nruns = len(run_starts)
+        run_parent = parent[run_starts]
+        run_is_text = is_text[run_starts]
+        offsets = np.concatenate([run_starts,
+                                  [n]]).astype(np.int64)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     flat.field("text")),
+            pa.scalar("", pa.string()))
+        run_chars = pc.utf8_length(joined).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        counts = np.where(run_is_text, -(-run_chars // chunk), 1)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        rstart = np.zeros(nruns, np.int64)
+        np.cumsum(counts[:-1], out=rstart[1:])
+        erun = np.repeat(np.arange(nruns, dtype=np.int64), counts)
+        ordinal = np.arange(total, dtype=np.int64) - rstart[erun]
+        etext_run = run_is_text[erun]
+        out_text = np.full(total, "", dtype=object)
+        max_k = int(counts[run_is_text].max()) if run_is_text.any() else 0
+        for k in range(max_k):
+            sel = np.flatnonzero(etext_run & (ordinal == k))
+            if len(sel) == 0:
+                continue
+            sliced = pc.utf8_slice_codeunits(joined, k * chunk,
+                                             (k + 1) * chunk)
+            out_text[sel] = sliced.take(
+                pa.array(erun[sel])).to_numpy(zero_copy_only=False)
+        out_kind = kind[run_starts][erun]
+        out_ref = flat.field("media_ref").to_numpy(
+            zero_copy_only=False)[run_starts][erun]
+        out_ref = np.where(etext_run, "", out_ref)
+        # cumulative text-char offset within each doc
+        contrib = np.fromiter((len(t) for t in out_text),
+                              np.int64, total) if total else np.zeros(
+                                  0, np.int64)
+        contrib = np.where(etext_run, contrib, 0)
+        cum = np.cumsum(contrib) - contrib
+        eparent = run_parent[erun]
+        doc_counts = np.bincount(eparent, minlength=ndocs)
+        dstart = np.zeros(ndocs, np.int64)
+        np.cumsum(doc_counts[:-1], out=dstart[1:])
+        offset_in_doc = cum - cum[dstart[eparent]]
+        struct = pa.StructArray.from_arrays(
+            [pa.array(out_kind, pa.string()),
+             pa.array(out_text, pa.string()),
+             pa.array(out_ref, pa.string()),
+             pa.array(offset_in_doc.astype(np.int32))],
+            fields=list(SPAN_STRUCT))
+        keep = doc_counts > 0
+        list_off = np.concatenate(
+            [[0], np.cumsum(doc_counts[keep])]).astype(np.int32)
+        spans = pa.ListArray.from_arrays(pa.array(list_off), struct)
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"),
+                              pa.string()).filter(pa.array(keep)),
+            "spans": spans})
 
     return docs.map_batches(emit, batch_format="pyarrow")

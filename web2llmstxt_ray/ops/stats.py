@@ -679,3 +679,58 @@ def grouped_trimmed_mean(ds: ray.data.Dataset, group_col: str,
         ds.select_columns([group_col, value_col]),
         group_col, num_buckets).groupby("_sbucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+def correlation_matrix(ds: ray.data.Dataset,
+                       cols: list[str],
+                       ndigits: int = 6) -> pd.DataFrame:
+    """Pairwise Pearson correlation over d integer columns in ONE
+    map-only pass: each block accumulates the full co-moment block
+    (n, Σxᵢ, Σxᵢxⱼ) — O(blocks × d²) skinny partials replace the
+    table; no shuffle, no per-pair rescan. Every elementwise product
+    fits int64 (callers bound |x| ≤ ~3·10⁹ pairwise), and per-block
+    product SUMS use the hi/lo split (``Σ(p % 2³²) + 2³²·Σ(p // 2³²)``)
+    so multi-million-row blocks cannot overflow; the driver folds
+    Python ints (exact). ``corr = (n·Sᵢⱼ − sᵢsⱼ) /
+    sqrt((n·Sᵢᵢ − sᵢ²)(n·Sⱼⱼ − sⱼ²))`` is then one deterministic double
+    expression from exact integers — the SQL oracle replays it with
+    HUGEINT sums. Output: (col_x, col_y, corr) for i < j."""
+    SPLIT = 1 << 32
+    d = len(cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack([b[c].to_numpy().astype(np.int64) for c in cols],
+                     axis=1)
+        out = {"n": [len(b)]}
+        for i in range(d):
+            out[f"s{i}"] = [int(X[:, i].sum())]
+        for i in range(d):
+            for j in range(i, d):
+                p = X[:, i] * X[:, j]
+                out[f"l{i}_{j}"] = [int((p % SPLIT).sum())]
+                out[f"h{i}_{j}"] = [int((p // SPLIT).sum())]
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"col_x": [], "col_y": [], "corr": []})
+    n = int(parts["n"].map(int).sum())
+    s = [int(parts[f"s{i}"].map(int).sum()) for i in range(d)]
+    S = {}
+    for i in range(d):
+        for j in range(i, d):
+            S[(i, j)] = (int(parts[f"l{i}_{j}"].map(int).sum())
+                         + SPLIT * int(parts[f"h{i}_{j}"].map(int).sum()))
+    rows = []
+    for i in range(d):
+        for j in range(i + 1, d):
+            num = n * S[(i, j)] - s[i] * s[j]
+            vx = n * S[(i, i)] - s[i] * s[i]
+            vy = n * S[(j, j)] - s[j] * s[j]
+            c = (float(num) / math.sqrt(float(vx) * float(vy))
+                 if vx > 0 and vy > 0 else float("nan"))
+            rows.append({"col_x": cols[i], "col_y": cols[j],
+                         "corr": round(c, ndigits)})
+    return (pd.DataFrame(rows)
+            .sort_values(["col_x", "col_y"]).reset_index(drop=True))
