@@ -3492,6 +3492,23 @@ def q_span_rechunk(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_hybrid_search(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking and the exact-cosine vector ranking over the shared
+    doc/vec id space (top-50 each side, rrf_k=60, top-20 fused).
+    Both sides run their scale paths (map-only BM25 scoring with
+    in-block per-doc sums; per-batch partial-top-k GEMM); fusion
+    touches two 50-row lists. The per-doc BM25 total is a sorted-term
+    LEFT-FOLD so the SQL oracle replays the identical double chain."""
+    from web2llmstxt_ray.ops.retrieval import hybrid_rrf
+
+    qvecs, qids = _query_vectors(sf_dir)
+    return hybrid_rrf(_t(sf_dir, "documents", ["doc_id", "text"]),
+                      _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                      _BM25_TERMS, qvecs[0], qids[0],
+                      k_each=50, k_out=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3662,6 +3679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
         "source_split": q_source_split,
         "span_rechunk": q_span_rechunk,
+        "hybrid_search": q_hybrid_search,
     }
 
 
@@ -4514,6 +4532,85 @@ def oracle_sql() -> dict[str, str]:
                                   AS UBIGINT) % 100 < 80
                         THEN 'train' ELSE 'test' END AS split
             FROM documents
+        """,
+        "hybrid_search": """
+            WITH dl AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text),
+                                                        '\\s+'))
+                       END AS len
+                FROM documents),
+            stats AS (
+                SELECT count(*) AS n, sum(len) * 1.0 / count(*) AS avgdl
+                FROM dl),
+            toks AS (
+                SELECT doc_id, t.tok
+                FROM documents,
+                     LATERAL unnest(string_split_regex(trim(text),
+                                                       '\\s+'))
+                         AS t(tok)
+                WHERE trim(text) <> ''),
+            q(term) AS (
+                SELECT unnest(['table', 'hash', 'merge', 'window'])),
+            df AS (
+                SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+                WHERE tok IN (SELECT term FROM q) GROUP BY tok),
+            tf AS (
+                SELECT doc_id, tok, count(*) AS tf FROM toks
+                WHERE tok IN (SELECT term FROM q)
+                GROUP BY doc_id, tok),
+            ts AS (
+                SELECT tf.doc_id, tf.tok AS term,
+                       ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                           * tf.tf * (1.2 + 1)
+                           / (tf.tf + 1.2 * (1 - 0.75
+                                             + 0.75 * dl.len
+                                               / stats.avgdl)) AS score
+                FROM tf
+                JOIN df ON tf.tok = df.tok
+                JOIN dl ON tf.doc_id = dl.doc_id, stats),
+            pv AS (
+                SELECT doc_id,
+                       max(CASE WHEN term = 'hash' THEN score END) AS s0,
+                       max(CASE WHEN term = 'merge' THEN score END) AS s1,
+                       max(CASE WHEN term = 'table' THEN score END) AS s2,
+                       max(CASE WHEN term = 'window' THEN score END)
+                           AS s3
+                FROM ts GROUP BY doc_id),
+            bm AS (
+                SELECT doc_id,
+                       ((coalesce(s0, 0) + coalesce(s1, 0))
+                        + coalesce(s2, 0)) + coalesce(s3, 0) AS s
+                FROM pv),
+            brk AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY s DESC, doc_id) AS r
+                FROM bm QUALIFY r <= 50),
+            qv AS (SELECT vec_id AS qid, embedding AS qe
+                   FROM embeddings
+                   WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+            sims AS (
+                SELECT e.vec_id,
+                       list_cosine_similarity(
+                           CAST(qv.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS cos
+                FROM embeddings e, qv WHERE e.vec_id != qv.qid),
+            vrk AS (
+                SELECT vec_id,
+                       row_number() OVER (ORDER BY cos DESC, vec_id) AS r
+                FROM sims QUALIFY r <= 50),
+            f AS (
+                SELECT coalesce(b.doc_id, v.vec_id) AS doc_id,
+                       (CASE WHEN b.r IS NULL THEN 0
+                             ELSE 1.0 / (60 + b.r) END)
+                       + (CASE WHEN v.r IS NULL THEN 0
+                               ELSE 1.0 / (60 + v.r) END) AS rrf_score,
+                       CAST(b.r AS DOUBLE) AS lex_rank,
+                       CAST(v.r AS DOUBLE) AS vec_rank
+                FROM brk b FULL OUTER JOIN vrk v ON b.doc_id = v.vec_id)
+            SELECT doc_id, rrf_score, lex_rank, vec_rank
+            FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

@@ -379,6 +379,26 @@ def _run_bench() -> dict:
     extras["corpus_prep_kept"] = manifest["kept"]
     extras["corpus_prep_packs"] = manifest["n_packs"]
 
+    # ---- interleaved span pipeline over the same 100k markdown docs:
+    # nested span-doc build → re-segmentation at width 96 → caption-
+    # pair mining + per-doc interleave profile. The payload-axis
+    # headline: every stage is map-only (documents never leave their
+    # block), so this measures pure Arrow-kernel throughput.
+    from web2llmstxt_ray.ops.nested import (build_span_docs,
+                                            media_captions,
+                                            rechunk_spans,
+                                            span_doc_profile)
+
+    t0 = time.perf_counter()
+    re96 = rechunk_spans(build_span_docs(docs_ds), 96).materialize()
+    n_caps = media_captions(re96).count()
+    n_spans = int(span_doc_profile(re96).sum("n_spans"))
+    dt_span = time.perf_counter() - t0
+    results["span_pipeline_100k"] = round(dt_span, 3)
+    extras["span_pipeline_spans"] = n_spans
+    extras["span_pipeline_captions"] = n_caps
+    extras["span_pipeline_spans_per_s"] = round(n_spans / dt_span)
+
     if os.environ.get("GRAFT_BENCH_NAIVE_SESSIONIZE"):
         def _per_user(group: _pd.DataFrame) -> _pd.DataFrame:
             ts = group["ts"].sort_values()

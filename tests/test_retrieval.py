@@ -95,3 +95,63 @@ class TestBM25:
     def test_empty_terms_rejected(self):
         with pytest.raises(ValueError):
             bm25_scores(ray.data.from_arrow(_corpus()), [])
+
+
+class TestHybridRRF:
+    def test_fusion_semantics(self):
+        from web2llmstxt_ray.ops.retrieval import hybrid_rrf
+
+        # doc 0: lexically perfect, vector-orthogonal
+        # doc 1: both lists (moderate each) → should fuse to the top
+        # doc 2: vector-perfect, lexically absent
+        texts = ["table hash merge window", "table window filler filler",
+                 "filler filler filler filler"]
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts)}))
+        q = np.array([1.0, 0.0, 0.0])
+        emb = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([0, 1, 2, 99], pa.int64()),
+            "embedding": pa.array([[0.0, 1.0, 0.0],
+                                   [0.9, 0.1, 0.0],
+                                   [1.0, 0.0, 0.0],
+                                   list(q)], pa.list_(pa.float64()))}))
+        out = hybrid_rrf(docs, emb, ["table", "hash", "merge", "window"],
+                         q, 99, k_each=3, k_out=4)
+        got = dict(zip(out["doc_id"], out["rrf_score"]))
+        # doc 1 carries BOTH contributions, docs 0/2 at most one good +
+        # one weak; rrf of (2,2)-ish beats (1, worst) pairs
+        r = {int(i): (out.loc[out["doc_id"] == i, "lex_rank"].iloc[0],
+                      out.loc[out["doc_id"] == i, "vec_rank"].iloc[0])
+             for i in out["doc_id"]}
+        assert not np.isnan(r[1][0]) and not np.isnan(r[1][1])
+        # every rrf equals the recomputed formula from its ranks
+        for i, (lr, vr) in r.items():
+            want = ((0.0 if np.isnan(lr) else 1.0 / (60 + lr))
+                    + (0.0 if np.isnan(vr) else 1.0 / (60 + vr)))
+            assert got[i] == pytest.approx(want, abs=0)
+
+    def test_partition_invariant(self):
+        from web2llmstxt_ray.ops.retrieval import hybrid_rrf
+
+        rng = np.random.RandomState(11)
+        n, d = 300, 8
+        words = ["table", "hash", "merge", "window", "filler", "x", "y"]
+        texts = [" ".join(rng.choice(words, rng.randint(3, 30)))
+                 for _ in range(n)]
+        vecs = rng.randn(n, d)
+        outs = []
+        for parts in (1, 9):
+            docs = ray.data.from_arrow(pa.table({
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts)})).repartition(parts)
+            emb = ray.data.from_arrow(pa.table({
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs],
+                                      pa.list_(pa.float64())),
+            })).repartition(parts)
+            outs.append(hybrid_rrf(docs, emb,
+                                   ["table", "hash", "merge", "window"],
+                                   vecs[0], 0, k_each=25, k_out=10))
+        import pandas as pd
+        pd.testing.assert_frame_equal(outs[0], outs[1])

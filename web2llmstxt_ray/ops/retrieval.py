@@ -346,3 +346,80 @@ def sparse_dot_pairs(ds: ray.data.Dataset, max_df: int = 50,
             .groupby("_tb").map_groups(token_pairs,
                                        batch_format="pandas")
             .groupby("_pb").map_groups(pair_sum, batch_format="pandas"))
+
+
+def hybrid_rrf(docs: ray.data.Dataset, emb: ray.data.Dataset,
+               terms: list[str], query_vec: "np.ndarray",
+               query_id: int, k_each: int = 50, k_out: int = 20,
+               rrf_k: int = 60, text_col: str = "text",
+               id_col: str = "doc_id") -> "pd.DataFrame":
+    """Hybrid retrieval: reciprocal-rank fusion of a BM25 lexical
+    ranking and an exact-cosine vector ranking over the SAME id space —
+    ``rrf = 1/(rrf_k + lexical_rank) + 1/(rrf_k + vector_rank)``
+    (absent side contributes 0), top ``k_out`` by (rrf desc, id).
+
+    Distribution shape: both sides are the existing scale paths —
+    BM25 term scores are map-only after the skinny stats pass and the
+    per-DOC sum completes inside the block that scored the doc (a doc's
+    term rows never split), so only O(blocks × k_each) partial-top-k
+    rows reach the driver; the vector side is the per-batch partial
+    top-k GEMM. The fusion itself touches two ≤k_each-row lists.
+
+    Exactness: the per-doc BM25 total is a LEFT-FOLD over terms in
+    sorted-term order (coalesce-0 for absent terms), so it is ONE
+    deterministic double expression the SQL oracle replays with the
+    same nesting; ranks then agree bit-for-bit, and rrf is a pure
+    function of integer ranks."""
+    import heapq
+
+    import pandas as pd
+
+    from .ann import brute_force_topk
+
+    tsorted = sorted(terms)
+    scored = bm25_term_scores(docs, terms, text_col=text_col,
+                              id_col=id_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.to_pandas()
+        p = b.pivot_table(index=id_col, columns="term", values="score",
+                          aggfunc="first")
+        s = None
+        for t in tsorted:
+            col = (p[t].fillna(0.0).to_numpy() if t in p.columns
+                   else np.zeros(len(p)))
+            s = col if s is None else s + col
+        ids = p.index.to_numpy().astype(np.int64)
+        if len(ids) > k_each:
+            order = np.lexsort((ids, -s))[:k_each]
+            ids, s = ids[order], s[order]
+        return pa.table({id_col: pa.array(ids),
+                         "score": pa.array(s, pa.float64())})
+
+    parts = scored.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    lex = heapq.nsmallest(
+        k_each, zip(-parts["score"].to_numpy(),
+                    parts[id_col].to_numpy().astype(np.int64)))
+    lex_rank = {int(i): r for r, (_, i) in enumerate(lex, 1)}
+
+    vec = brute_force_topk(emb, np.asarray([query_vec]), [query_id],
+                           k=k_each)
+    vec_rank = {int(v): int(r) for v, r in
+                zip(vec.column("vec_id").to_pylist(),
+                    vec.column("rank").to_pylist())}
+
+    rows = []
+    for i in sorted(set(lex_rank) | set(vec_rank)):
+        lr, vr = lex_rank.get(i), vec_rank.get(i)
+        rrf = ((1.0 / (rrf_k + lr) if lr is not None else 0.0)
+               + (1.0 / (rrf_k + vr) if vr is not None else 0.0))
+        rows.append({id_col: i, "rrf_score": rrf,
+                     "lex_rank": float(lr) if lr is not None
+                     else float("nan"),
+                     "vec_rank": float(vr) if vr is not None
+                     else float("nan")})
+    rows.sort(key=lambda r: (-r["rrf_score"], r[id_col]))
+    out = pd.DataFrame(rows[:k_out])
+    out[id_col] = out[id_col].astype("int64")
+    return out.reset_index(drop=True)

@@ -683,7 +683,7 @@ def grouped_trimmed_mean(ds: ray.data.Dataset, group_col: str,
 
 def correlation_matrix(ds: ray.data.Dataset,
                        cols: list[str],
-                       ndigits: int = 6) -> pd.DataFrame:
+                       ndigits: int | None = None) -> pd.DataFrame:
     """Pairwise Pearson correlation over d integer columns in ONE
     map-only pass: each block accumulates the full co-moment block
     (n, Σxᵢ, Σxᵢxⱼ) — O(blocks × d²) skinny partials replace the
@@ -731,6 +731,7 @@ def correlation_matrix(ds: ray.data.Dataset,
             c = (float(num) / math.sqrt(float(vx) * float(vy))
                  if vx > 0 and vy > 0 else float("nan"))
             rows.append({"col_x": cols[i], "col_y": cols[j],
-                         "corr": round(c, ndigits)})
+                         "corr": (round(c, ndigits)
+                                  if ndigits is not None else c)})
     return (pd.DataFrame(rows)
             .sort_values(["col_x", "col_y"]).reset_index(drop=True))
