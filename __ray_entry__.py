@@ -3509,6 +3509,22 @@ def q_hybrid_search(sf_dir: str) -> pd.DataFrame:
                       k_each=50, k_out=20)
 
 
+def q_mmr_sample(sf_dir: str) -> pd.DataFrame:
+    """Diverse subset selection: greedy Maximal Marginal Relevance over
+    the embeddings table (k=20, λ=0.7) — each greedy step is one
+    map-only pass (broadcast selected set, two GEMMs per block, block
+    argmax partials). Greedy selection is sequential by definition and
+    not SQL-expressible without recursion: rows-only driver check; the
+    sequential-oracle conformance test lives in
+    tests/test_ann_textstats.py."""
+    from web2llmstxt_ray.ops.ann import mmr_select
+
+    qvecs, qids = _query_vectors(sf_dir)
+    out = mmr_select(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                     qvecs[0], k=20, lam=0.7)
+    return out.to_pandas()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3680,6 +3696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_split": q_source_split,
         "span_rechunk": q_span_rechunk,
         "hybrid_search": q_hybrid_search,
+        "mmr_sample": q_mmr_sample,
     }
 
 

@@ -432,3 +432,67 @@ class TestKnnJoinDatasetMode:
         got = dset.to_pandas().sort_values(
             ["query_id", "rank"]).reset_index(drop=True)
         assert got.values.tolist() == collected.values.tolist()
+
+
+class TestMMRSelect:
+    def _oracle(self, vecs, ids, q, k, lam):
+        qn = q / np.linalg.norm(q)
+        Xn = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+        rel = Xn @ qn
+        chosen = []
+        taken = set()
+        for _ in range(k):
+            best = None
+            for i in range(len(ids)):
+                if ids[i] in taken:
+                    continue
+                pen = max((float(Xn[i] @ Xn[j]) for j in chosen),
+                          default=0.0)
+                s = lam * rel[i] - (1 - lam) * pen
+                key = (-s, ids[i])
+                if best is None or key < best[0]:
+                    best = (key, i)
+            chosen.append(best[1])
+            taken.add(ids[best[1]])
+        return [ids[i] for i in chosen]
+
+    def test_vs_sequential_oracle_and_partitions(self):
+        from web2llmstxt_ray.ops.ann import mmr_select
+
+        rng = np.random.RandomState(7)
+        n, d, k = 400, 16, 12
+        vecs = rng.randn(n, d)
+        ids = list(range(n))
+        q = rng.randn(d)
+        want = self._oracle(vecs, np.array(ids), q, k, 0.6)
+        got_sets = []
+        for parts in (1, 7):
+            emb = ray.data.from_arrow(pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs],
+                                      pa.list_(pa.float64())),
+            })).repartition(parts)
+            out = mmr_select(emb, q, k=k, lam=0.6)
+            got_sets.append(out.column("vec_id").to_pylist())
+        assert got_sets[0] == got_sets[1] == want
+
+    def test_diversity_beats_topk(self):
+        """With near-duplicate top hits, MMR must skip the clones that
+        pure relevance ranking would take."""
+        from web2llmstxt_ray.ops.ann import mmr_select
+
+        rng = np.random.RandomState(3)
+        d = 8
+        q = rng.randn(d)
+        base = q + 0.01 * rng.randn(d)
+        vecs = np.stack([base + 1e-4 * rng.randn(d) for _ in range(5)]
+                        + [rng.randn(d) for _ in range(50)])
+        emb = ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float64()))}))
+        out = mmr_select(emb, q, k=5, lam=0.5)
+        picked = out.column("vec_id").to_pylist()
+        # only one of the 5 clones (ids 0-4) makes the diverse set
+        assert sum(1 for i in picked if i < 5) == 1
+        assert len(picked) == 5

@@ -508,3 +508,87 @@ def knn_join_ivf(ds: ray.data.Dataset, k: int = 5, num_lists: int = 16,
         return out
     df = out.to_pandas().sort_values(["query_id", "rank"])
     return pa.Table.from_pandas(df.reset_index(drop=True))
+
+
+def mmr_select(ds: ray.data.Dataset, query_vec: np.ndarray,
+               k: int = 20, lam: float = 0.5,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> "pa.Table":
+    """Diverse subset selection by greedy Maximal Marginal Relevance:
+    repeatedly pick ``argmax lam·cos(query, x) − (1−lam)·max_{s∈S}
+    cos(s, x)`` — the standard redundancy-penalized selection a
+    curated training subset or retrieval result list uses.
+
+    Distribution shape: the greedy step is inherently sequential in k,
+    but each step is ONE map-only pass — the ≤k selected vectors
+    broadcast (ray.put), every block computes its candidates'
+    relevance and max-sim-to-selected in two GEMMs and emits only its
+    block argmax (O(blocks) rows to the driver per step). Nothing
+    corpus-sized leaves the workers; total work is k passes (k is
+    user-small). Ties break by ascending id. Input is materialized
+    once so the k passes don't re-execute parent lineage.
+
+    Greedy selection is not SQL-expressible without recursion — the
+    conformance gate is the sequential-oracle pytest
+    (tests/test_ann_textstats.py)."""
+    ds = ds.materialize()
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+
+    selected_ids: list[int] = []
+    selected_rows: list[np.ndarray] = []
+    out = {"rank": [], id_col: [], "relevance": [], "mmr_score": []}
+    for step in range(k):
+        sel_mat = (np.stack(selected_rows)
+                   if selected_rows else np.zeros((0, len(q))))
+        state = ray.put((q, sel_mat, set(selected_ids), float(lam)))
+
+        def block_best(batch: pa.Table, state_ref=state) -> pa.Table:
+            qv, sel, taken, l = ray.get(state_ref)
+            X = vec_matrix(batch, vec_col).astype(np.float64)
+            Xn = _normalize(X)
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            rel = Xn @ qv
+            pen = (Xn @ sel.T).max(axis=1) if len(sel) else \
+                np.zeros(len(ids))
+            score = l * rel - (1.0 - l) * pen
+            mask = np.fromiter((int(i) not in taken for i in ids),
+                               bool, len(ids))
+            if not mask.any():
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "relevance": pa.array([], pa.float64()),
+                                 "mmr_score": pa.array([], pa.float64()),
+                                 "_vec": pa.array([], pa.list_(
+                                     pa.float64()))})
+            cand = np.flatnonzero(mask)
+            # block argmax, ties -> low id
+            order = np.lexsort((ids[cand], -score[cand]))
+            b = cand[order[0]]
+            return pa.table({
+                id_col: pa.array([int(ids[b])], pa.int64()),
+                "relevance": pa.array([float(rel[b])], pa.float64()),
+                "mmr_score": pa.array([float(score[b])], pa.float64()),
+                "_vec": pa.array([Xn[b].tolist()],
+                                 pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(block_best,
+                               batch_format="pyarrow").to_pandas()
+        if parts.empty:
+            break
+        parts = parts.sort_values(["mmr_score", id_col],
+                                  ascending=[False, True],
+                                  kind="stable")
+        top = parts.iloc[0]
+        selected_ids.append(int(top[id_col]))
+        selected_rows.append(np.asarray(top["_vec"], dtype=np.float64))
+        out["rank"].append(step + 1)
+        out[id_col].append(int(top[id_col]))
+        out["relevance"].append(float(top["relevance"]))
+        out["mmr_score"].append(float(top["mmr_score"]))
+    return pa.table({
+        "rank": pa.array(out["rank"], pa.int64()),
+        id_col: pa.array(out[id_col], pa.int64()),
+        "relevance": pa.array(out["relevance"], pa.float64()),
+        "mmr_score": pa.array(out["mmr_score"], pa.float64()),
+    })
