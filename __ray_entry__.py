@@ -3525,6 +3525,38 @@ def q_mmr_sample(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def q_qty_disc_spearman(sf_dir: str) -> pd.DataFrame:
+    """EXACT Spearman rank correlation (average-rank ties) of quantity
+    vs discount: fused distinct-value histograms → broadcast integer
+    2×avg-rank maps → map-only attach → exact co-moment fold. The SQL
+    oracle replays the identical integer rank construction
+    (2·rank − 2 + peer count + 1) and the same double expression over
+    HUGEINT sums — hash-exact despite heavy ties on both sides."""
+    from web2llmstxt_ray.ops.stats import spearman_corr
+
+    li = _t(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def scale(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "qty": b["l_quantity"].round().astype("int64"),
+            "disc": (b["l_discount"] * 100).round().astype("int64")})
+
+    return spearman_corr(li.map_batches(scale, batch_format="pandas"),
+                         "qty", "disc")
+
+
+def q_priority_status_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-square test of independence + Cramér's V over order
+    priority × status from one map-only contingency pass (exact
+    integer counts; per-cell terms are exact-int numerators over
+    exact-int denominators, folded in sorted cell order)."""
+    from web2llmstxt_ray.ops.stats import chi2_independence
+
+    return chi2_independence(
+        _t(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"]),
+        "o_orderpriority", "o_orderstatus")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3697,6 +3729,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_rechunk": q_span_rechunk,
         "hybrid_search": q_hybrid_search,
         "mmr_sample": q_mmr_sample,
+        "qty_disc_spearman": q_qty_disc_spearman,
+        "priority_status_chi2": q_priority_status_chi2,
     }
 
 
@@ -4628,6 +4662,62 @@ def oracle_sql() -> dict[str, str]:
                 FROM brk b FULL OUTER JOIN vrk v ON b.doc_id = v.vec_id)
             SELECT doc_id, rrf_score, lex_rank, vec_rank
             FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
+        "qty_disc_spearman": """
+            WITH x AS (
+                SELECT CAST(round(l_quantity) AS BIGINT) AS xv,
+                       CAST(round(l_discount * 100) AS BIGINT) AS yv
+                FROM lineitem),
+            r AS (
+                SELECT 2 * rank() OVER (ORDER BY xv) - 2
+                       + count(*) OVER (PARTITION BY xv) + 1 AS rx,
+                       2 * rank() OVER (ORDER BY yv) - 2
+                       + count(*) OVER (PARTITION BY yv) + 1 AS ry
+                FROM x),
+            m AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(rx) AS HUGEINT) AS sx,
+                       CAST(sum(ry) AS HUGEINT) AS sy,
+                       sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+                       sum(CAST(ry AS HUGEINT) * ry) AS syy,
+                       sum(CAST(rx AS HUGEINT) * ry) AS sxy
+                FROM r)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+                       AS spearman
+            FROM m
+        """,
+        "priority_status_chi2": """
+            WITH o AS (SELECT o_orderpriority AS a, o_orderstatus AS b
+                       FROM orders),
+            tot AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM o),
+            obs AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS ob
+                    FROM o GROUP BY a, b),
+            rs AS (SELECT a, CAST(count(*) AS HUGEINT) AS r
+                   FROM o GROUP BY a),
+            cs AS (SELECT b, CAST(count(*) AS HUGEINT) AS c
+                   FROM o GROUP BY b),
+            cells AS (
+                SELECT rs.a, cs.b, coalesce(obs.ob, 0) AS ob,
+                       rs.r, cs.c
+                FROM rs CROSS JOIN cs
+                LEFT JOIN obs ON obs.a = rs.a AND obs.b = cs.b),
+            agg AS (
+                SELECT sum(CAST((tot.n * ob - r * c)
+                                * (tot.n * ob - r * c) AS DOUBLE)
+                           / CAST(tot.n * r * c AS DOUBLE)) AS chi2
+                FROM cells, tot),
+            dims AS (SELECT (SELECT count(*) FROM rs) AS ra,
+                            (SELECT count(*) FROM cs) AS cb)
+            SELECT CAST(tot.n AS BIGINT) AS n,
+                   CAST((dims.ra - 1) * (dims.cb - 1) AS BIGINT) AS dof,
+                   agg.chi2 AS chi2,
+                   sqrt(agg.chi2
+                        / CAST(tot.n * (least(dims.ra, dims.cb) - 1)
+                               AS DOUBLE)) AS cramers_v
+            FROM tot, agg, dims
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

@@ -27,7 +27,10 @@ ROWS_ONLY = sorted(set(E.queries()) - set(E.oracle_sql()))
 # in the last bits when a group has many terms, so these get a
 # few-ULP relative tolerance instead of bit-equality. The driver's
 # own gate rounds floats to 6 decimals — this is far stricter.
-ULP_TOL = {"user_type_entropy": 1e-14}
+ULP_TOL = {"user_type_entropy": 1e-14,
+           # chi2 is a float SUM over contingency cells; the oracle's
+           # SUM order is engine-chosen → last-bit drift
+           "priority_status_chi2": 1e-12}
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:

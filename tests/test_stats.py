@@ -499,3 +499,64 @@ class TestCorrelationMatrix:
             ray.data.from_pandas(df).repartition(2), ["x", "y"])
         want = np.corrcoef(x, y)[0, 1]
         assert abs(out["corr"].iloc[0] - want) < 1e-6
+
+
+class TestSpearmanChi2:
+    def test_spearman_vs_pandas(self):
+        from web2llmstxt_ray.ops.stats import spearman_corr
+
+        rng = np.random.RandomState(4)
+        n = 4000
+        x = rng.randint(1, 30, n).astype("int64")      # heavy ties
+        y = (x + rng.randint(-8, 9, n)).astype("int64")
+        df = pd.DataFrame({"x": x, "y": y})
+        outs = []
+        for parts in (1, 9):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            outs.append(spearman_corr(ds, "x", "y"))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # scipy-free oracle: Pearson over average-tie ranks
+        want = np.corrcoef(df["x"].rank(method="average"),
+                           df["y"].rank(method="average"))[0, 1]
+        assert outs[0]["n"].iloc[0] == n
+        assert abs(outs[0]["spearman"].iloc[0] - want) < 1e-12
+
+    def test_spearman_perfect_monotone(self):
+        from web2llmstxt_ray.ops.stats import spearman_corr
+
+        df = pd.DataFrame({"x": np.arange(100, dtype="int64"),
+                           "y": (np.arange(100, dtype="int64") ** 2)})
+        out = spearman_corr(ray.data.from_pandas(df), "x", "y")
+        assert out["spearman"].iloc[0] == 1.0
+
+    def test_chi2_vs_hand_formula(self):
+        from web2llmstxt_ray.ops.stats import chi2_independence
+
+        rng = np.random.RandomState(6)
+        n = 5000
+        a = rng.choice(list("ABC"), n)
+        # dependence: B skews toward category 'y'
+        b = np.where((a == "B") & (rng.rand(n) < 0.6), "y",
+                     rng.choice(list("xyz"), n))
+        df = pd.DataFrame({"a": a, "b": b})
+        out = chi2_independence(
+            ray.data.from_pandas(df).repartition(7), "a", "b")
+        # hand contingency chi2
+        ct = pd.crosstab(df["a"], df["b"])
+        exp = np.outer(ct.sum(1), ct.sum(0)) / n
+        want = float(((ct.to_numpy() - exp) ** 2 / exp).sum())
+        assert abs(out["chi2"].iloc[0] - want) < 1e-8 * max(1, want)
+        assert out["dof"].iloc[0] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+        k = min(ct.shape) - 1
+        assert abs(out["cramers_v"].iloc[0]
+                   - np.sqrt(want / (n * k))) < 1e-12
+
+    def test_chi2_independent_near_zero_v(self):
+        from web2llmstxt_ray.ops.stats import chi2_independence
+
+        rng = np.random.RandomState(8)
+        n = 20000
+        df = pd.DataFrame({"a": rng.choice(list("AB"), n),
+                           "b": rng.choice(list("xy"), n)})
+        out = chi2_independence(ray.data.from_pandas(df), "a", "b")
+        assert out["cramers_v"].iloc[0] < 0.03

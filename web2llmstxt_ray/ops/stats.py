@@ -735,3 +735,109 @@ def correlation_matrix(ds: ray.data.Dataset,
                                   if ndigits is not None else c)})
     return (pd.DataFrame(rows)
             .sort_values(["col_x", "col_y"]).reset_index(drop=True))
+
+
+def spearman_corr(ds: ray.data.Dataset, x_col: str,
+                  y_col: str) -> pd.DataFrame:
+    """EXACT Spearman rank correlation of two integer columns with
+    average-rank tie handling, as three map-only passes — no global
+    sort:
+
+    1. one fused pass builds BOTH distinct-value count histograms
+       (bounded-distinct-cardinality contract, as
+       :func:`corpus.global_percent_rank`);
+    2. twice-the-average-rank is the INTEGER ``r2 = 2·cum_less +
+       cnt + 1`` per distinct value — the (value → r2) maps broadcast
+       once and a map-only searchsorted probe attaches integer rank
+       columns;
+    3. :func:`correlation_matrix` folds exact hi/lo-split co-moments
+       of the rank columns.
+
+    Spearman = Pearson over average ranks, and scaling both ranks by 2
+    cancels, so the result is ONE double expression from exact
+    integers — the SQL oracle replays it from
+    ``2·rank() − 2 + count(*) OVER (PARTITION BY v) + 1`` with HUGEINT
+    sums. Output: (n, spearman)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cx = b.groupby(x_col, as_index=False).agg(cnt=(x_col, "size"))
+        cx.columns = ["val", "cnt"]
+        cx["col"] = 0
+        cy = b.groupby(y_col, as_index=False).agg(cnt=(y_col, "size"))
+        cy.columns = ["val", "cnt"]
+        cy["col"] = 1
+        return pd.concat([cx, cy], ignore_index=True)
+
+    hist = (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None)
+            .to_pandas().groupby(["col", "val"],
+                                 as_index=False)["cnt"].sum())
+    maps = {}
+    for side in (0, 1):
+        h = hist[hist["col"] == side].sort_values("val")
+        vals = h["val"].to_numpy()
+        cnts = h["cnt"].to_numpy().astype(np.int64)
+        less = np.concatenate(([0], cnts.cumsum()[:-1]))
+        maps[side] = (vals, 2 * less + cnts + 1)
+    state = ray.put(maps)
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(state)
+        out = {}
+        for side, col in ((0, x_col), (1, y_col)):
+            vals, r2 = m[side]
+            idx = np.searchsorted(vals, batch[col].to_numpy(), "left")
+            out["r2x" if side == 0 else "r2y"] = r2[idx]
+        return pd.DataFrame(out)
+
+    ranked = ds.map_batches(attach, batch_format="pandas")
+    corr = correlation_matrix(ranked, ["r2x", "r2y"])
+    n = int(hist.loc[hist["col"] == 0, "cnt"].sum())
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                         "spearman": [float(corr["corr"].iloc[0])]})
+
+
+def chi2_independence(ds: ray.data.Dataset, col_a: str, col_b: str,
+                      ndigits: int | None = None) -> pd.DataFrame:
+    """Pearson chi-square test of independence over two categorical
+    columns + Cramér's V, from one map-only contingency-count pass
+    (O(blocks × |a|·|b|) skinny partials, exact integer counts).
+    ``chi2 = Σ_ij (n·o_ij − r_i·c_j)² / (n·r_i·c_j)`` — every
+    numerator/denominator an exact Python int; cells fold in sorted
+    (a, b) order. SQL replays the per-cell expression with HUGEINT
+    products (its SUM order is engine-chosen, so the oracle gate
+    allows a few-ULP relative tolerance on this query). Output:
+    (n, dof, chi2, cramers_v)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([col_a, col_b], as_index=False).agg(
+            cnt=(col_a, "size"))
+        return g
+
+    obs = (ds.map_batches(partial, batch_format="pandas",
+                          batch_size=None)
+           .to_pandas().groupby([col_a, col_b],
+                                as_index=False)["cnt"].sum())
+    obs = obs.sort_values([col_a, col_b]).reset_index(drop=True)
+    n = int(obs["cnt"].sum())
+    row = obs.groupby(col_a)["cnt"].sum().to_dict()
+    colt = obs.groupby(col_b)["cnt"].sum().to_dict()
+    # all cells of the full cross product (absent observed cells still
+    # contribute their expected mass: o=0 term = r·c/n)
+    chi2 = 0.0
+    ocell = {(r[col_a], r[col_b]): int(r["cnt"])
+             for _, r in obs.iterrows()}
+    for a in sorted(row):
+        for bv in sorted(colt):
+            o = ocell.get((a, bv), 0)
+            r, c = int(row[a]), int(colt[bv])
+            num = n * o - r * c
+            chi2 += float(num * num) / float(n * r * c)
+    dof = (len(row) - 1) * (len(colt) - 1)
+    k = min(len(row), len(colt)) - 1
+    v = math.sqrt(chi2 / (n * k)) if n > 0 and k > 0 else float("nan")
+    if ndigits is not None:
+        chi2, v = round(chi2, ndigits), round(v, ndigits)
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                         "dof": pd.Series([dof], dtype="int64"),
+                         "chi2": [chi2], "cramers_v": [v]})
