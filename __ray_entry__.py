@@ -3557,6 +3557,59 @@ def q_priority_status_chi2(sf_dir: str) -> pd.DataFrame:
         "o_orderpriority", "o_orderstatus")
 
 
+def q_qty_disc_kendall(sf_dir: str) -> pd.DataFrame:
+    """EXACT Kendall tau-b from the joint (qty, disc) count histogram:
+    one map-only pass to O(|x|·|y|) exact cells; concordant/discordant
+    and tie counts are Python-int suffix sums over the grid, so the
+    driver arithmetic is independent of row count. SQL replays the
+    same integers via a HUGEINT cell self-join — hash-exact."""
+    from web2llmstxt_ray.ops.stats import kendall_tau_b
+
+    li = _t(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def scale(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "qty": b["l_quantity"].round().astype("int64"),
+            "disc": (b["l_discount"] * 100).round().astype("int64")})
+
+    return kendall_tau_b(li.map_batches(scale, batch_format="pandas"),
+                         "qty", "disc")
+
+
+def q_value_psi_drift(sf_dir: str) -> pd.DataFrame:
+    """Population Stability Index of event value-cents between click
+    and non-click events: the SQL-replayable equi-width integer bin
+    rule over the global range, Laplace-smoothed bin proportions
+    (few-ULP gate on the float SUM over 10 bins)."""
+    from web2llmstxt_ray.ops.stats import psi_drift
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": (b["value"] * 100).round().astype("int64"),
+            "f": (b["event_type"] != "click").astype("int64")})
+
+    return psi_drift(ev.map_batches(prep, batch_format="pandas"),
+                     "v", "f", nbins=10)
+
+
+def q_lang_jsd(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence between the language distributions of
+    even- and odd-id documents (exact count histograms; per-category
+    term grouped exactly as the SQL oracle's cell expression)."""
+    from web2llmstxt_ray.ops.stats import js_divergence
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": b["lang"],
+                             "f": (b["doc_id"] % 2).astype("int64")})
+
+    return js_divergence(docs.map_batches(prep, batch_format="pandas"),
+                         "lang", "f")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3731,6 +3784,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_sample": q_mmr_sample,
         "qty_disc_spearman": q_qty_disc_spearman,
         "priority_status_chi2": q_priority_status_chi2,
+        "qty_disc_kendall": q_qty_disc_kendall,
+        "value_psi_drift": q_value_psi_drift,
+        "lang_jsd": q_lang_jsd,
     }
 
 
@@ -4718,6 +4774,107 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(tot.n * (least(dims.ra, dims.cb) - 1)
                                AS DOUBLE)) AS cramers_v
             FROM tot, agg, dims
+        """,
+        "qty_disc_kendall": """
+            WITH x AS (
+                SELECT CAST(round(l_quantity) AS BIGINT) AS xv,
+                       CAST(round(l_discount * 100) AS BIGINT) AS yv
+                FROM lineitem),
+            cells AS (SELECT xv, yv, CAST(count(*) AS HUGEINT) AS o
+                      FROM x GROUP BY xv, yv),
+            tot AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM x),
+            cd AS (
+                SELECT sum(CASE WHEN b.xv > a.xv AND b.yv > a.yv
+                                THEN a.o * b.o ELSE 0 END) AS c,
+                       sum(CASE WHEN b.xv > a.xv AND b.yv < a.yv
+                                THEN a.o * b.o ELSE 0 END) AS d
+                FROM cells a CROSS JOIN cells b),
+            tx AS (SELECT sum(r * (r - 1) // 2) AS nx FROM
+                   (SELECT CAST(count(*) AS HUGEINT) AS r
+                    FROM x GROUP BY xv)),
+            ty AS (SELECT sum(c * (c - 1) // 2) AS ny FROM
+                   (SELECT CAST(count(*) AS HUGEINT) AS c
+                    FROM x GROUP BY yv))
+            SELECT CAST(tot.n AS BIGINT) AS n,
+                   CAST(cd.c - cd.d AS DOUBLE)
+                   / sqrt(CAST(tot.n * (tot.n - 1) // 2 - tx.nx
+                               AS DOUBLE)
+                          * CAST(tot.n * (tot.n - 1) // 2 - ty.ny
+                                 AS DOUBLE)) AS tau_b
+            FROM tot, cd, tx, ty
+        """,
+        "value_psi_drift": """
+            WITH v AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                       CASE WHEN event_type = 'click' THEN 0
+                            ELSE 1 END AS f
+                FROM events),
+            mm AS (SELECT min(v) AS lo,
+                          greatest(max(v) - min(v), 1) AS span FROM v),
+            b AS (SELECT least(9, (v.v - mm.lo) * 10 // mm.span) AS bin,
+                         f
+                  FROM v, mm),
+            cnts AS (SELECT bin, f, CAST(count(*) AS BIGINT) AS c
+                     FROM b GROUP BY bin, f),
+            tot AS (SELECT
+                        coalesce(sum(CASE WHEN f = 0 THEN c END), 0)
+                            AS ne,
+                        coalesce(sum(CASE WHEN f = 1 THEN c END), 0)
+                            AS na
+                    FROM cnts),
+            bins AS (SELECT unnest(range(10)) AS i),
+            cell AS (
+                SELECT bins.i,
+                       coalesce((SELECT c FROM cnts
+                                 WHERE bin = bins.i AND f = 0), 0)
+                           AS ce,
+                       coalesce((SELECT c FROM cnts
+                                 WHERE bin = bins.i AND f = 1), 0)
+                           AS ca
+                FROM bins)
+            SELECT CAST(10 AS BIGINT) AS nbins,
+                   sum(((ca + 0.5) / (na + 5.0)
+                        - (ce + 0.5) / (ne + 5.0))
+                       * ln(((ca + 0.5) / (na + 5.0))
+                            / ((ce + 0.5) / (ne + 5.0)))) AS psi
+            FROM cell, tot
+        """,
+        "lang_jsd": """
+            WITH d AS (SELECT lang AS c,
+                              CAST(doc_id % 2 AS BIGINT) AS f
+                       FROM documents),
+            cnts AS (SELECT c, f, CAST(count(*) AS BIGINT) AS n
+                     FROM d GROUP BY c, f),
+            tot AS (SELECT
+                        coalesce(sum(CASE WHEN f = 0 THEN n END), 0)
+                            AS np,
+                        coalesce(sum(CASE WHEN f = 1 THEN n END), 0)
+                            AS nq
+                    FROM cnts),
+            cats AS (SELECT DISTINCT c FROM d),
+            cell AS (
+                SELECT cats.c,
+                       coalesce(p.n, 0) AS pc, coalesce(q.n, 0) AS qc
+                FROM cats
+                LEFT JOIN cnts p ON p.c = cats.c AND p.f = 0
+                LEFT JOIN cnts q ON q.c = cats.c AND q.f = 1),
+            terms AS (
+                SELECT (CASE WHEN pc > 0
+                             THEN 0.5 * (pc / np)
+                                  * ln((pc / np)
+                                       / (0.5 * (pc / np + qc / nq)))
+                             ELSE 0 END)
+                       + (CASE WHEN qc > 0
+                               THEN 0.5 * (qc / nq)
+                                    * ln((qc / nq)
+                                         / (0.5 * (pc / np
+                                                   + qc / nq)))
+                               ELSE 0 END) AS t
+                FROM cell, tot)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM cats)
+                       AS n_cats,
+                   sum(t) AS jsd
+            FROM terms
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

@@ -30,7 +30,11 @@ ROWS_ONLY = sorted(set(E.queries()) - set(E.oracle_sql()))
 ULP_TOL = {"user_type_entropy": 1e-14,
            # chi2 is a float SUM over contingency cells; the oracle's
            # SUM order is engine-chosen → last-bit drift
-           "priority_status_chi2": 1e-12}
+           "priority_status_chi2": 1e-12,
+           # float SUMs over bins/categories: oracle SUM order is
+           # engine-chosen → last-bit drift
+           "value_psi_drift": 1e-12,
+           "lang_jsd": 1e-12}
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:

@@ -560,3 +560,80 @@ class TestSpearmanChi2:
                            "b": rng.choice(list("xy"), n)})
         out = chi2_independence(ray.data.from_pandas(df), "a", "b")
         assert out["cramers_v"].iloc[0] < 0.03
+
+
+class TestKendallPsiJsd:
+    def test_kendall_vs_bruteforce(self):
+        from web2llmstxt_ray.ops.stats import kendall_tau_b
+
+        rng = np.random.RandomState(12)
+        n = 500
+        x = rng.randint(0, 12, n).astype("int64")
+        y = (x + rng.randint(-4, 5, n)).astype("int64")
+        df = pd.DataFrame({"x": x, "y": y})
+        outs = []
+        for parts in (1, 8):
+            outs.append(kendall_tau_b(
+                ray.data.from_pandas(df).repartition(parts), "x", "y"))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # brute force over all pairs
+        C = D = tx = ty = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                dx, dy = x[i] - x[j], y[i] - y[j]
+                if dx == 0 and dy == 0:
+                    tx += 1
+                    ty += 1
+                elif dx == 0:
+                    tx += 1
+                elif dy == 0:
+                    ty += 1
+                elif (dx > 0) == (dy > 0):
+                    C += 1
+                else:
+                    D += 1
+        n0 = n * (n - 1) // 2
+        want = (C - D) / np.sqrt(float(n0 - tx) * float(n0 - ty))
+        assert abs(outs[0]["tau_b"].iloc[0] - want) < 1e-12
+        assert outs[0]["n"].iloc[0] == n
+
+    def test_kendall_perfect_and_reversed(self):
+        from web2llmstxt_ray.ops.stats import kendall_tau_b
+
+        df = pd.DataFrame({"x": np.arange(50, dtype="int64"),
+                           "y": np.arange(50, dtype="int64")})
+        assert kendall_tau_b(ray.data.from_pandas(df), "x",
+                             "y")["tau_b"].iloc[0] == 1.0
+        df["y"] = -df["y"]
+        assert kendall_tau_b(ray.data.from_pandas(df), "x",
+                             "y")["tau_b"].iloc[0] == -1.0
+
+    def test_psi_zero_on_identical_and_positive_on_shift(self):
+        from web2llmstxt_ray.ops.stats import psi_drift
+
+        rng = np.random.RandomState(5)
+        base = rng.randint(0, 1000, 8000).astype("int64")
+        same = pd.DataFrame({"v": np.concatenate([base, base]),
+                             "f": np.repeat([0, 1], len(base))})
+        out = psi_drift(ray.data.from_pandas(same).repartition(5),
+                        "v", "f")
+        assert abs(out["psi"].iloc[0]) < 1e-12  # identical bins
+        shifted = pd.DataFrame({
+            "v": np.concatenate([base, base + 400]),
+            "f": np.repeat([0, 1], len(base))})
+        out2 = psi_drift(ray.data.from_pandas(shifted).repartition(5),
+                         "v", "f")
+        assert out2["psi"].iloc[0] > 0.25  # industry "major shift" bar
+
+    def test_jsd_bounds(self):
+        from web2llmstxt_ray.ops.stats import js_divergence
+
+        same = pd.DataFrame({"c": ["a", "b"] * 500,
+                             "f": [0, 0, 1, 1] * 250})
+        out = js_divergence(ray.data.from_pandas(same), "c", "f")
+        assert abs(out["jsd"].iloc[0]) < 1e-12
+        disjoint = pd.DataFrame({
+            "c": ["a"] * 500 + ["b"] * 500,
+            "f": [0] * 500 + [1] * 500})
+        out2 = js_divergence(ray.data.from_pandas(disjoint), "c", "f")
+        assert abs(out2["jsd"].iloc[0] - np.log(2)) < 1e-12

@@ -841,3 +841,148 @@ def chi2_independence(ds: ray.data.Dataset, col_a: str, col_b: str,
     return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
                          "dof": pd.Series([dof], dtype="int64"),
                          "chi2": [chi2], "cramers_v": [v]})
+
+
+def kendall_tau_b(ds: ray.data.Dataset, x_col: str,
+                  y_col: str) -> pd.DataFrame:
+    """EXACT Kendall's tau-b of two bounded-cardinality integer
+    columns from the JOINT count histogram: one map-only pass emits
+    per-block (x, y, cnt) partials (O(blocks × |x|·|y|) skinny rows);
+    concordant/discordant/tie pair counts are then exact Python-int
+    sums over the cell grid — never over rows — so a 10^12-row table
+    costs the same driver arithmetic as a 10^3-row one.
+
+    tau_b = (C − D) / sqrt((n0 − nx)(n0 − ny)) with n0 = n(n−1)/2,
+    nx/ny the tied-pair counts of each marginal — every operand an
+    exact integer, ONE double expression at the end; the SQL oracle
+    replays it from a HUGEINT cell self-join. Output: (n, tau_b)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby([x_col, y_col], as_index=False).agg(
+            cnt=(x_col, "size"))
+
+    obs = (ds.map_batches(partial, batch_format="pandas",
+                          batch_size=None)
+           .to_pandas().groupby([x_col, y_col],
+                                as_index=False)["cnt"].sum())
+    xs = np.sort(obs[x_col].unique())
+    ys = np.sort(obs[y_col].unique())
+    grid = np.zeros((len(xs), len(ys)), dtype=object)
+    xi = np.searchsorted(xs, obs[x_col].to_numpy())
+    yi = np.searchsorted(ys, obs[y_col].to_numpy())
+    for i, j, c in zip(xi, yi, obs["cnt"].to_numpy()):
+        grid[i, j] += int(c)
+    # suffix sums: S[i][j] = Σ_{k>i, l>j} grid[k][l]; D-side mirror
+    g = grid.astype(object)
+    C = D = 0
+    nx_ = len(xs)
+    ny_ = len(ys)
+    # cumulative-from-bottom-right tables as exact Python ints
+    suf = np.zeros((nx_ + 1, ny_ + 1), dtype=object)
+    for i in range(nx_ - 1, -1, -1):
+        for j in range(ny_ - 1, -1, -1):
+            suf[i][j] = (g[i][j] + suf[i + 1][j] + suf[i][j + 1]
+                         - suf[i + 1][j + 1])
+    sufd = np.zeros((nx_ + 1, ny_ + 2), dtype=object)  # k>i, l<j
+    for i in range(nx_ - 1, -1, -1):
+        for j in range(ny_):
+            sufd[i][j + 1] = (sufd[i + 1][j + 1] + sufd[i][j]
+                              - sufd[i + 1][j] + g[i][j])
+    for i in range(nx_):
+        for j in range(ny_):
+            o = g[i][j]
+            if not o:
+                continue
+            C += o * suf[i + 1][j + 1]
+            D += o * sufd[i + 1][j]
+    n = int(sum(int(v) for v in grid.ravel()))
+    rx = [int(sum(int(v) for v in grid[i, :])) for i in range(nx_)]
+    ry = [int(sum(int(v) for v in grid[:, j])) for j in range(ny_)]
+    n0 = n * (n - 1) // 2
+    nx_t = sum(r * (r - 1) // 2 for r in rx)
+    ny_t = sum(c * (c - 1) // 2 for c in ry)
+    denom = math.sqrt(float(n0 - nx_t) * float(n0 - ny_t))
+    tau = float(C - D) / denom if denom > 0 else float("nan")
+    return pd.DataFrame({"n": pd.Series([n], dtype="int64"),
+                         "tau_b": [tau]})
+
+
+def psi_drift(ds: ray.data.Dataset, value_col: str, flag_col: str,
+              nbins: int = 10) -> pd.DataFrame:
+    """Population Stability Index between the ``flag_col==0`` (expected)
+    and ``flag_col==1`` (actual) populations of an integer column:
+    bins are the equi-width integer rule over the GLOBAL [min, max]
+    (the same SQL-replayable rule as :func:`equi_width_histogram`),
+    psi = Σ (a_i − e_i)·ln(a_i/e_i) over bin proportions. Two
+    streaming passes (exact min/max fold, then additive per-bin count
+    partials); empty bins are Laplace-smoothed by half a count on both
+    sides so the log stays finite — replicated verbatim in the SQL
+    oracle. Output: (nbins, psi)."""
+    lohi = ds.map_batches(
+        lambda b: pd.DataFrame({"lo": [b[value_col].min()],
+                                "hi": [b[value_col].max()]}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    lo, hi = int(lohi["lo"].min()), int(lohi["hi"].max())
+    span = max(hi - lo, 1)
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy().astype(np.int64)
+        binned = np.minimum(nbins - 1, (v - lo) * nbins // span)
+        g = pd.DataFrame({"bin": binned, "flag": b[flag_col]})
+        return g.groupby(["bin", "flag"], as_index=False).agg(
+            cnt=("bin", "size"))
+
+    parts = (ds.map_batches(counts, batch_format="pandas",
+                            batch_size=None)
+             .to_pandas().groupby(["bin", "flag"],
+                                  as_index=False)["cnt"].sum())
+    ne = int(parts.loc[parts["flag"] == 0, "cnt"].sum())
+    na = int(parts.loc[parts["flag"] == 1, "cnt"].sum())
+    psi = 0.0
+    for i in range(nbins):
+        ce = int(parts.loc[(parts["bin"] == i)
+                           & (parts["flag"] == 0), "cnt"].sum())
+        ca = int(parts.loc[(parts["bin"] == i)
+                           & (parts["flag"] == 1), "cnt"].sum())
+        e = (ce + 0.5) / (ne + 0.5 * nbins)
+        a = (ca + 0.5) / (na + 0.5 * nbins)
+        psi += (a - e) * math.log(a / e)
+    return pd.DataFrame({"nbins": pd.Series([nbins], dtype="int64"),
+                         "psi": [psi]})
+
+
+def js_divergence(ds: ray.data.Dataset, cat_col: str,
+                  flag_col: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence (nats) between the categorical
+    distributions of the two ``flag_col`` populations, from ONE
+    map-only exact count pass. jsd = H(m) − (H(p) + H(q))/2 over the
+    union support with m = (p + q)/2; every probability is a ratio of
+    exact integers, terms fold in sorted category order. Bounded by
+    ln 2; 0 iff identical distributions. Output: (n_cats, jsd)."""
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby([cat_col, flag_col], as_index=False).agg(
+            cnt=(cat_col, "size"))
+
+    parts = (ds.map_batches(counts, batch_format="pandas",
+                            batch_size=None)
+             .to_pandas().groupby([cat_col, flag_col],
+                                  as_index=False)["cnt"].sum())
+    cats = sorted(parts[cat_col].unique())
+    np_ = int(parts.loc[parts[flag_col] == 0, "cnt"].sum())
+    nq = int(parts.loc[parts[flag_col] == 1, "cnt"].sum())
+    by = {(r[cat_col], r[flag_col]): int(r["cnt"])
+          for _, r in parts.iterrows()}
+    jsd = 0.0
+    for c in cats:
+        p = by.get((c, 0), 0) / np_ if np_ else 0.0
+        q = by.get((c, 1), 0) / nq if nq else 0.0
+        m = 0.5 * (p + q)
+        # per-category term grouped BEFORE the fold — the same cell
+        # expression the SQL oracle sums
+        t = (0.5 * p * math.log(p / m) if p > 0 else 0.0) \
+            + (0.5 * q * math.log(q / m) if q > 0 else 0.0)
+        jsd += t
+    return pd.DataFrame({"n_cats": pd.Series([len(cats)],
+                                             dtype="int64"),
+                         "jsd": [jsd]})
