@@ -3610,6 +3610,54 @@ def q_lang_jsd(sf_dir: str) -> pd.DataFrame:
                          "lang", "f")
 
 
+def q_lineitem_unpivot(sf_dir: str) -> pd.DataFrame:
+    """Wide → long UNPIVOT of the four lineitem measures (map-only
+    k-way melt per block, streams at any size; sliced to a key range
+    to keep the driver compare small). Oracle: UNION-ALL UNPIVOT."""
+    from web2llmstxt_ray.ops.relational import unpivot
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity",
+             "l_extendedprice", "l_discount", "l_tax"]).map_batches(
+        lambda b: b[b["l_orderkey"] < 2000], batch_format="pandas")
+    out = unpivot(li, ["l_orderkey", "l_linenumber"],
+                  ["l_quantity", "l_extendedprice", "l_discount",
+                   "l_tax"]).to_pandas()
+    out["l_linenumber"] = out["l_linenumber"].astype("int64")
+    return out.sort_values(["l_orderkey", "l_linenumber",
+                            "measure"]).reset_index(drop=True)
+
+
+def q_customer_intervals(sf_dir: str) -> pd.DataFrame:
+    """Overlapping-interval coalescing per customer (the islands
+    idiom, distributed: one hash(key) shuffle + per-bucket vectorized
+    grouped cummax — no per-key loop). Intervals are deterministic
+    [order-day, order-day + orderkey%25 + 1) windows; output one row
+    per merged island. Oracle replays the exact ROWS-frame window
+    idiom."""
+    from web2llmstxt_ray.ops.relational import merge_intervals
+
+    orders = _t(sf_dir, "orders",
+                ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["o_orderdate"].astype("int64")
+               // (86_400 * 1_000_000)).astype("int64")
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"].astype("int64"),
+            "start_day": day,
+            "end_day": day + (b["o_orderkey"] % 25) + 1})
+
+    out = merge_intervals(orders.map_batches(prep,
+                                             batch_format="pandas"),
+                          "o_custkey", "start_day",
+                          "end_day").to_pandas()
+    for c in ("o_custkey", "start_day", "end_day", "n_merged"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["o_custkey",
+                            "start_day"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3787,6 +3835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_disc_kendall": q_qty_disc_kendall,
         "value_psi_drift": q_value_psi_drift,
         "lang_jsd": q_lang_jsd,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "customer_intervals": q_customer_intervals,
     }
 
 
@@ -4875,6 +4925,56 @@ def oracle_sql() -> dict[str, str]:
                        AS n_cats,
                    sum(t) AS jsd
             FROM terms
+        """,
+        "lineitem_unpivot": """
+            WITH src AS (
+                SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+                           AS l_linenumber,
+                       l_quantity, l_extendedprice, l_discount, l_tax
+                FROM lineitem WHERE l_orderkey < 2000)
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure, l_quantity AS value
+            FROM src
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   l_extendedprice FROM src
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM src
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+        """,
+        "customer_intervals": """
+            WITH iv AS (
+                SELECT o_custkey AS k,
+                       CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS s,
+                       CAST(epoch(o_orderdate) // 86400
+                            + o_orderkey % 25 + 1 AS BIGINT) AS e
+                FROM orders),
+            w AS (
+                SELECT k, s, e,
+                       max(e) OVER (PARTITION BY k ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cm,
+                       max(e) OVER (PARTITION BY k ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pcm
+                FROM iv),
+            isl AS (
+                SELECT k, s, cm,
+                       CASE WHEN pcm IS NULL OR s > pcm THEN 1
+                            ELSE 0 END AS brk
+                FROM w),
+            num AS (
+                SELECT k, s, cm,
+                       sum(brk) OVER (PARTITION BY k ORDER BY s, cm
+                                      ROWS UNBOUNDED PRECEDING) AS iid
+                FROM isl)
+            SELECT k AS o_custkey,
+                   min(s) AS start_day,
+                   max(cm) AS end_day,
+                   CAST(count(*) AS BIGINT) AS n_merged
+            FROM num GROUP BY k, iid
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

@@ -551,3 +551,74 @@ class TestNormalizeText:
                       "text": pa.array(["a b"])})
         out = normalize_text(ray.data.from_arrow(t)).to_pandas()
         assert out.loc[0, "text"] == "a b"
+
+
+class TestUnpivotMergeIntervals:
+    def test_unpivot_roundtrip_shape(self):
+        from web2llmstxt_ray.ops.relational import unpivot
+
+        df = pd.DataFrame({"id": [1, 2, 3], "a": [1.0, 2.0, 3.0],
+                           "b": [9.0, 8.0, 7.0]})
+        out = (unpivot(ray.data.from_pandas(df).repartition(2),
+                       ["id"], ["a", "b"]).to_pandas()
+               .sort_values(["id", "measure"]).reset_index(drop=True))
+        assert len(out) == 6
+        want = df.melt(id_vars=["id"], value_vars=["a", "b"],
+                       var_name="measure", value_name="value") \
+            .sort_values(["id", "measure"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, want)
+
+    def test_merge_intervals_vs_sequential(self):
+        from web2llmstxt_ray.ops.relational import merge_intervals
+
+        rng = np.random.RandomState(2)
+        n = 3000
+        k = rng.randint(0, 80, n).astype("int64")
+        s = rng.randint(0, 5000, n).astype("int64")
+        e = s + rng.randint(1, 120, n)
+        df = pd.DataFrame({"k": k, "s": s, "e": e})
+        outs = []
+        for parts in (1, 11):
+            out = (merge_intervals(
+                ray.data.from_pandas(df).repartition(parts),
+                "k", "s", "e").to_pandas()
+                .sort_values(["k", "s"]).reset_index(drop=True))
+            for c in out.columns:
+                out[c] = out[c].astype("int64")
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # sequential oracle
+        rows = []
+        for key, g in df.sort_values(["k", "s", "e"]).groupby("k"):
+            cur = None
+            cnt = 0
+            for _, r in g.iterrows():
+                if cur is None or r["s"] > cur[1]:
+                    if cur is not None:
+                        rows.append((key, cur[0], cur[1], cnt))
+                    cur = [r["s"], r["e"]]
+                    cnt = 1
+                else:
+                    cur[1] = max(cur[1], r["e"])
+                    cnt += 1
+            rows.append((key, cur[0], cur[1], cnt))
+        want = pd.DataFrame(rows, columns=["k", "s", "e", "n_merged"]) \
+            .sort_values(["k", "s"]).reset_index(drop=True)
+        for c in want.columns:
+            want[c] = want[c].astype("int64")
+        pd.testing.assert_frame_equal(outs[0], want)
+
+    def test_merge_touching_and_contained(self):
+        from web2llmstxt_ray.ops.relational import merge_intervals
+
+        df = pd.DataFrame({
+            "k": [1, 1, 1, 1, 2],
+            "s": [0, 5, 5, 20, 3],
+            "e": [5, 10, 7, 30, 4],   # touching [0,5)+[5,10), contained [5,7)
+        })
+        out = (merge_intervals(ray.data.from_pandas(df), "k", "s", "e")
+               .to_pandas().sort_values(["k", "s"])
+               .reset_index(drop=True))
+        got = [tuple(int(x) for x in r)
+               for r in out.itertuples(index=False)]
+        assert got == [(1, 0, 10, 3), (1, 20, 30, 1), (2, 3, 4, 1)]

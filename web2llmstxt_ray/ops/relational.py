@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -544,3 +545,69 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
                                  batch_format="pandas", batch_size=None)
     return hash_join(survivors, right.select_columns([on]), on,
                      num_buckets=num_buckets, how="semi")
+
+
+def unpivot(ds: ray.data.Dataset, id_cols: list[str],
+            value_cols: list[str], var_name: str = "measure",
+            value_name: str = "value") -> ray.data.Dataset:
+    """Wide → long (SQL UNPIVOT / pandas melt): each input row emits
+    one output row per value column. Map-only and vectorized — the
+    k-way expansion is a single pandas ``melt`` per block (k·N rows,
+    but each block expands independently, so the op streams at any
+    table size); column order and dtypes are fixed so block schemas
+    agree."""
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.melt(id_vars=id_cols, value_vars=value_cols,
+                     var_name=var_name, value_name=value_name)
+        return out[[*id_cols, var_name, value_name]]
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
+def merge_intervals(ds: ray.data.Dataset, key_col: str,
+                    start_col: str, end_col: str,
+                    num_buckets: int = 64) -> ray.data.Dataset:
+    """Coalesce overlapping/touching intervals per key (half-open
+    overlap rule: a new island starts where ``start > running max
+    end`` of everything before it) — the islands idiom, distributed:
+    ONE shuffle on ``hash(key) % num_buckets`` co-locates each key's
+    intervals, then a per-bucket vectorized pass (stable sort by
+    (key, start, end), running cummax of end within key, island ids
+    from the strict-gap flag) — no per-key loop. Output one row per
+    island: (key, start, end, n_merged). Values are int64
+    (timestamps/cents — the repo-wide integer discipline); the SQL
+    oracle replays the same window idiom."""
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b[key_col].astype("int64"),
+                                       index=False)
+        return b.assign(_kb=(h % num_buckets).astype("int32"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, start_col, end_col],
+                          kind="stable").reset_index(drop=True)
+        k = g[key_col].to_numpy()
+        s = g[start_col].to_numpy().astype(np.int64)
+        e = g[end_col].to_numpy().astype(np.int64)
+        new_key = np.ones(len(g), bool)
+        new_key[1:] = k[1:] != k[:-1]
+        # running max end WITHIN key: pandas grouped cummax (cython,
+        # no per-key Python loop, no magnitude constraints)
+        kid = np.cumsum(new_key) - 1
+        cummax = pd.Series(e).groupby(kid).cummax().to_numpy()
+        prev_cummax = np.concatenate(([0], cummax[:-1]))
+        island_start = new_key.copy()
+        island_start[1:] |= s[1:] > prev_cummax[1:]
+        iid = np.cumsum(island_start) - 1
+        out = pd.DataFrame({key_col: k, "_iid": iid, "s": s,
+                            "e": cummax})
+        agg = out.groupby("_iid", as_index=False).agg(
+            **{key_col: (key_col, "first"),
+               start_col: ("s", "first"),
+               end_col: ("e", "max"),
+               "n_merged": ("s", "size")})
+        agg["n_merged"] = agg["n_merged"].astype("int64")
+        return agg[[key_col, start_col, end_col, "n_merged"]]
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("_kb").map_groups(per_bucket,
+                                       batch_format="pandas"))
