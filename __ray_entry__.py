@@ -3658,6 +3658,20 @@ def q_customer_intervals(sf_dir: str) -> pd.DataFrame:
                             "start_day"]).reset_index(drop=True)
 
 
+def q_doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Overlapping RAG-style context chunking (size 256, overlap 64):
+    map-only vectorized slicing; SQL oracle regenerates the identical
+    chunk grid with unnest(range(1 + ceil((len−size)/step)))."""
+    from web2llmstxt_ray.ops.corpus import chunk_text
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_text(docs, size=256, overlap=64).to_pandas()
+    out["chunk_idx"] = out["chunk_idx"].astype("int64")
+    out["start"] = out["start"].astype("int64")
+    return out.sort_values(["doc_id",
+                            "chunk_idx"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3837,6 +3851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_jsd": q_lang_jsd,
         "lineitem_unpivot": q_lineitem_unpivot,
         "customer_intervals": q_customer_intervals,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -4975,6 +4990,20 @@ def oracle_sql() -> dict[str, str]:
                    max(cm) AS end_day,
                    CAST(count(*) AS BIGINT) AS n_merged
             FROM num GROUP BY k, iid
+        """,
+        "doc_chunks": """
+            WITH flat AS (
+                SELECT doc_id, text,
+                       unnest(range(
+                           CASE WHEN length(text) = 0 THEN 0
+                                ELSE 1 + CAST(greatest(0,
+                                     ceil((length(text) - 256)
+                                          / 192.0)) AS BIGINT)
+                           END)) AS i
+                FROM documents)
+            SELECT doc_id, i AS chunk_idx, i * 192 AS start,
+                   substr(text, CAST(i * 192 + 1 AS INT), 256) AS chunk
+            FROM flat
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

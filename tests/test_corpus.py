@@ -257,3 +257,54 @@ class TestGroupedSplit:
         a = a.sort_values("doc_id")["split"].tolist()
         b = b.sort_values("doc_id")["split"].tolist()
         assert a != b
+
+
+class TestChunkText:
+    def test_vs_sequential_and_overlap_property(self):
+        from web2llmstxt_ray.ops.corpus import chunk_text
+
+        rng = np.random.RandomState(4)
+        texts = ["".join(chr(rng.randint(97, 123))
+                         for _ in range(int(ln)))
+                 for ln in rng.randint(0, 900, 60)]
+        texts[0] = ""                       # zero-length doc
+        texts[1] = "x" * 100                # single short chunk
+        texts[2] = "y" * 256                # exactly one window
+        texts[3] = "z" * 257                # one char spills
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        outs = []
+        for parts in (1, 7):
+            out = (chunk_text(ray.data.from_arrow(t).repartition(parts),
+                              size=256, overlap=64).to_pandas()
+                   .sort_values(["doc_id", "chunk_idx"])
+                   .reset_index(drop=True))
+            out["chunk_idx"] = out["chunk_idx"].astype("int64")
+            out["start"] = out["start"].astype("int64")
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        got = outs[0]
+        step = 256 - 64
+        for did, text in enumerate(texts):
+            sub = got[got["doc_id"] == did]
+            if not text:
+                assert sub.empty
+                continue
+            n = 1 + max(0, -(-(len(text) - 256) // step))
+            assert len(sub) == n, (did, len(text))
+            for _, r in sub.iterrows():
+                s = int(r["chunk_idx"]) * step
+                assert r["start"] == s
+                assert r["chunk"] == text[s:s + 256]
+            # reconstruction: drop each chunk's first `overlap` chars
+            # (except chunk 0) and the concat equals the original
+            rebuilt = "".join(
+                (r["chunk"] if r["chunk_idx"] == 0 else r["chunk"][64:])
+                for _, r in sub.iterrows())
+            assert rebuilt == text
+
+    def test_overlap_validation(self):
+        from web2llmstxt_ray.ops.corpus import chunk_text
+        with pytest.raises(ValueError):
+            chunk_text(ray.data.from_items([{"doc_id": 1, "text": "a"}]),
+                       size=64, overlap=64)

@@ -562,3 +562,56 @@ def grouped_split(ds: ray.data.Dataset, group_col: str,
         return b.assign(split=b[group_col].astype(str).map(side))
 
     return ds.map_batches(tag, batch_format="pandas")
+
+
+def chunk_text(ds: ray.data.Dataset, size: int = 512,
+               overlap: int = 128, text_col: str = "text",
+               id_col: str = "doc_id") -> ray.data.Dataset:
+    """Overlapping fixed-window text chunking — the RAG/context-window
+    segmentation step: chunk k covers chars ``[k·(size−overlap),
+    k·(size−overlap)+size)``; the last chunk may be short; zero-length
+    docs emit nothing (UNNEST semantics). Map-only and vectorized: one
+    ``utf8_slice_codeunits`` kernel per chunk ordinal (bounded by the
+    longest doc), numpy for the index arithmetic — the same economics
+    as the span builder. Deterministic and SQL-replayable
+    (``1 + ceil((len − size)/step)`` chunks via ``unnest(range(…))``).
+    Output: (id, chunk_idx, start, chunk)."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+
+    def emit(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column(id_col)
+        text = pc.cast(batch.column(text_col), pa.string())
+        nchars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        counts = np.where(
+            nchars == 0, 0,
+            1 + np.maximum(0, -(-(nchars - size) // step)))
+        total = int(counts.sum())
+        parent = np.repeat(np.arange(len(batch), dtype=np.int64),
+                           counts)
+        starts = np.zeros(len(batch), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        idx = np.arange(total, dtype=np.int64) - np.repeat(starts,
+                                                           counts)
+        chunks = np.full(total, "", dtype=object)
+        max_k = int(counts.max()) if len(counts) else 0
+        for k in range(max_k):
+            sel = np.flatnonzero(idx == k)
+            if len(sel) == 0:
+                continue
+            sliced = pc.utf8_slice_codeunits(text, k * step,
+                                             k * step + size)
+            chunks[sel] = sliced.take(
+                pa.array(parent[sel])).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: ids.take(pa.array(parent)),
+            "chunk_idx": pa.array(idx),
+            "start": pa.array(idx * step),
+            "chunk": pa.array(chunks, pa.string()),
+        })
+
+    return ds.map_batches(emit, batch_format="pyarrow")
