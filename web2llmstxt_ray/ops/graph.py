@@ -431,21 +431,32 @@ def triangle_count(pairs: ray.data.Dataset, col_a: str = "u",
     endpoint). The driver only ever sees per-bucket counts. Node ids
     must fit 31 bits and degrees 31 bits (packed (deg, id) order key).
     """
-    from .relational import hash_join, partial_groupby
+    from .relational import hash_join
 
     edges = distinct_edges(pairs, col_a, col_b, num_buckets).materialize()
 
     # degrees, distributed: expand to one row per endpoint, partial
-    # count per block, combine via Ray groupby (node cardinality can
-    # be corpus-sized — never driver-materialized)
+    # count per block, combine per node-hash BUCKET (a keyed Aggregate
+    # over O(nodes) keys pays seconds of sort machinery for the same
+    # result), MATERIALIZED once — both endpoint-degree joins consume
+    # it, and an unmaterialized parent re-executes per consumer
     def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
         n = pd.concat([b["u"], b["v"]], ignore_index=True)
         vc = n.value_counts()
-        return pd.DataFrame({"node": vc.index.to_numpy(),
-                             "deg": vc.to_numpy()})
+        out = pd.DataFrame({"node": vc.index.to_numpy(),
+                            "deg": vc.to_numpy()})
+        out["_db"] = _bucket_of(out["node"].to_numpy(),
+                                num_buckets).astype(np.int32)
+        return out
 
-    deg = partial_groupby(edges, ["node"], deg_partial, ["deg"],
-                          distributed_combine=True)
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["deg"].sum()
+
+    deg = (edges.map_batches(deg_partial, batch_format="pandas",
+                             batch_size=None)
+           .groupby("_db").map_groups(deg_final,
+                                      batch_format="pandas")
+           .materialize())
 
     def as_u(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"u": b["node"], "deg_u": b["deg"]})
