@@ -1465,8 +1465,13 @@ def similarity_join(left: ray.data.Dataset, right: ray.data.Dataset,
             "b_id": np.concatenate(out_b).astype("int64")})
         return df.drop_duplicates()
 
+    # materialized: hash_join reads .schema() of its inputs, which on
+    # a lazy all-to-all plan forces a full execution — the band
+    # shuffle would otherwise run once for the schema probe and again
+    # for the join itself
     cand = (lb.union(rb).groupby("_hb")
-            .map_groups(cross_pairs, batch_format="pandas"))
+            .map_groups(cross_pairs, batch_format="pandas")
+            .materialize())
 
     def rn(frm: str, to: str):
         def _r(batch: pa.Table) -> pa.Table:
@@ -1480,7 +1485,8 @@ def similarity_join(left: ray.data.Dataset, right: ray.data.Dataset,
     rb2 = (right.select_columns([id_col, text_col])
            .map_batches(rn(id_col, "b_id"), batch_format="pyarrow")
            .map_batches(rn(text_col, "_tb"), batch_format="pyarrow"))
-    joined = hash_join(cand, la, on="a_id", num_buckets=num_buckets)
+    joined = hash_join(cand, la, on="a_id",
+                       num_buckets=num_buckets).materialize()
     joined = hash_join(joined, rb2, on="b_id", num_buckets=num_buckets)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
