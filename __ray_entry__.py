@@ -2345,7 +2345,7 @@ def q_regional_revenue(sf_dir: str) -> pd.DataFrame:
     oc = hash_join(ords, cust, "custkey", how="inner").map_batches(
         lambda b: b[["o_orderkey", "c_nationkey"]].rename(
             columns={"o_orderkey": "orderkey"}),
-        batch_format="pandas", batch_size=None)
+        batch_format="pandas", batch_size=None).materialize()
 
     def li_prep(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -2434,7 +2434,7 @@ def q_volume_shipping(sf_dir: str) -> pd.DataFrame:
     oc = hash_join(ords, cust, "custkey", how="inner").map_batches(
         lambda b: b[["o_orderkey", "c_nationkey"]].rename(
             columns={"o_orderkey": "orderkey"}),
-        batch_format="pandas", batch_size=None)
+        batch_format="pandas", batch_size=None).materialize()
     j = hash_join(li, oc, "orderkey", how="inner")
 
     def resolve(b: pd.DataFrame) -> pd.DataFrame:
@@ -2503,7 +2503,7 @@ def q_large_orders(sf_dir: str) -> pd.DataFrame:
               ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
     j = hash_join(big, ords, "o_orderkey", how="inner").map_batches(
         lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
-        batch_format="pandas", batch_size=None)
+        batch_format="pandas", batch_size=None).materialize()
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
     out = _pdf(hash_join(j, cust, "c_custkey", how="inner"))
     out["price_i"] = (out["o_totalprice"] * 100).round().astype("int64")
@@ -2926,7 +2926,8 @@ def q_market_share(sf_dir: str) -> pd.DataFrame:
         return k[["o_orderkey", "o_year"]]
 
     oc = hash_join(ords, cust, "custkey").map_batches(
-        keep_europe, batch_format="pandas", batch_size=None)
+        keep_europe, batch_format="pandas",
+        batch_size=None).materialize()
 
     def li_prep(b: pd.DataFrame) -> pd.DataFrame:
         promo, s2n, europe = ray.get(ref)

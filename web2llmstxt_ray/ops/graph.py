@@ -464,9 +464,10 @@ def triangle_count(pairs: ray.data.Dataset, col_a: str = "u",
     def as_v(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"v": b["node"], "deg_v": b["deg"]})
 
+    # e1 materialized: the second join's schema probe would re-run it
     e1 = hash_join(edges, deg.map_batches(as_u, batch_format="pandas",
                                           batch_size=None),
-                   on="u", num_buckets=num_buckets)
+                   on="u", num_buckets=num_buckets).materialize()
     e2 = hash_join(e1, deg.map_batches(as_v, batch_format="pandas",
                                        batch_size=None),
                    on="v", num_buckets=num_buckets)

@@ -176,7 +176,10 @@ def shared_substring_pairs(
                .map_batches(rn(text_col, "_ta"), batch_format="pyarrow")
     docs_b = ds.map_batches(rn(id_col, "b"), batch_format="pyarrow") \
                .map_batches(rn(text_col, "_tb"), batch_format="pyarrow")
-    joined = hash_join(cand, docs_a, on="a", num_buckets=num_buckets)
+    # materialized between the two hops: hash_join probes .schema()
+    # of its inputs, which re-executes a lazy all-to-all plan
+    joined = hash_join(cand, docs_a, on="a",
+                       num_buckets=num_buckets).materialize()
     joined = hash_join(joined, docs_b, on="b", num_buckets=num_buckets)
 
     def extend(batch: pd.DataFrame) -> pd.DataFrame:
