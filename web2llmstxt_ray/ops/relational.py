@@ -28,7 +28,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 # per-worker-process cache for broadcast join sides (keyed by object ref)
 _BROADCAST_CACHE: dict = {}
@@ -53,14 +52,27 @@ def partial_groupby(
 
     Set ``distributed_combine=True`` for HIGH-cardinality keys (e.g.
     per-URL, per-document groups) where the partials themselves are big:
-    that path keeps everything distributed via
-    ``groupby().aggregate(Sum)`` and returns a Dataset.
+    that path stays distributed via a key-hash BUCKET shuffle (a keyed
+    ``groupby().aggregate(Sum)`` pays ~18 s of sort machinery over
+    O(keys) distinct values for the same result) and returns a
+    MATERIALIZED Dataset — downstream joins probe ``.schema()``, which
+    would otherwise re-execute the whole combine.
     """
     partials = ds.map_batches(batch_agg, batch_format="pandas",
                               batch_size=None)
     if distributed_combine:
-        aggs = [Sum(c, alias_name=c) for c in sum_cols]
-        return partials.groupby(keys).aggregate(*aggs)
+        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(b[keys], index=False)
+            return b.assign(_pb=(h % 64).astype("int32"))
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(keys, as_index=False)[sum_cols].sum()
+
+        return (partials.map_batches(add_bucket, batch_format="pandas",
+                                     batch_size=None)
+                .groupby("_pb").map_groups(combine,
+                                           batch_format="pandas")
+                .materialize())
     pdf = partials.to_pandas()
     if pdf.empty:
         return pdf
