@@ -31,7 +31,6 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Min
 
 from ..functions.urls import hash64, hash64_batch
 from .scrub import _bloom_positions
@@ -59,11 +58,26 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
     """(content_hash, doc_id=min id) per distinct content — the keeper
     per duplicate class. Only (hash, id) pairs shuffle; the text stays
-    put (project before the groupby)."""
+    put (project before the combine). Min is idempotent, so each block
+    reduces to its local winners first and the survivors take ONE
+    hash-bucketed shuffle (a keyed Aggregate over O(corpus) distinct
+    hashes pays the sort-machinery tax for the same rows)."""
     hashed = add_content_hash(ds, text_col).select_columns(
         ["content_hash", id_col])
-    return hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name=id_col))
+
+    def block_min(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("content_hash", as_index=False)[id_col].min()
+        h = pd.util.hash_pandas_object(g["content_hash"], index=False)
+        g["_hb"] = (h % 64).astype("int32")
+        return g
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("content_hash", as_index=False)[id_col].min()
+
+    return (hashed.map_batches(block_min, batch_format="pandas",
+                               batch_size=None)
+            .groupby("_hb").map_groups(bucket_min,
+                                       batch_format="pandas"))
 
 
 class _PriorHashFlagger:
