@@ -3677,6 +3677,20 @@ def q_doc_chunks(sf_dir: str) -> pd.DataFrame:
                             "chunk_idx"]).reset_index(drop=True)
 
 
+def q_doc_word_matches(sf_dir: str) -> pd.DataFrame:
+    """Regex extract-all explode: every ≥6-letter word occurrence as a
+    row (doc_id, match_idx, match) in document order — one compiled
+    findall + explode per block. Oracle: regexp_extract_all +
+    LATERAL-unnest with 1-based list indexing."""
+    from web2llmstxt_ray.ops.textstats import extract_pattern_all
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = extract_pattern_all(docs, r"[a-z]{6,}").to_pandas()
+    out["match_idx"] = out["match_idx"].astype("int64")
+    return out.sort_values(["doc_id",
+                            "match_idx"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3857,6 +3871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": q_lineitem_unpivot,
         "customer_intervals": q_customer_intervals,
         "doc_chunks": q_doc_chunks,
+        "doc_word_matches": q_doc_word_matches,
     }
 
 
@@ -5009,6 +5024,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, i AS chunk_idx, i * 192 AS start,
                    substr(text, CAST(i * 192 + 1 AS INT), 256) AS chunk
             FROM flat
+        """,
+        "doc_word_matches": """
+            WITH l AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[a-z]{6,}') AS ms
+                FROM documents)
+            SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS match_idx,
+                   ms[t.i] AS match
+            FROM l, LATERAL unnest(range(1, len(ms) + 1)) AS t(i)
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

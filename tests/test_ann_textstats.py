@@ -496,3 +496,38 @@ class TestMMRSelect:
         # only one of the 5 clones (ids 0-4) makes the diverse set
         assert sum(1 for i in picked if i < 5) == 1
         assert len(picked) == 5
+
+
+class TestExtractPatternAll:
+    def test_order_and_counts(self):
+        from web2llmstxt_ray.ops.textstats import extract_pattern_all
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["ab12cd34ef", "xx", "9z87y6"])})
+        out = (extract_pattern_all(
+            ray.data.from_arrow(t), r"[0-9]+").to_pandas()
+            .sort_values(["doc_id", "match_idx"])
+            .reset_index(drop=True))
+        got = list(zip(out["doc_id"], out["match_idx"], out["match"]))
+        assert got == [(1, 0, "12"), (1, 1, "34"),
+                       (3, 0, "9"), (3, 1, "87"), (3, 2, "6")]
+
+    def test_partition_invariant(self):
+        from web2llmstxt_ray.ops.textstats import extract_pattern_all
+
+        rng = np.random.RandomState(3)
+        texts = [" ".join(rng.choice(["alpha", "be", "gamma9", "x2y"],
+                                     rng.randint(0, 30)))
+                 for _ in range(100)]
+        t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                      "text": pa.array(texts)})
+        outs = []
+        for parts in (1, 9):
+            out = (extract_pattern_all(
+                ray.data.from_arrow(t).repartition(parts),
+                r"[a-z]+[0-9]").to_pandas()
+                .sort_values(["doc_id", "match_idx"])
+                .reset_index(drop=True))
+            outs.append(out)
+        import pandas as pd
+        pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -17,6 +17,7 @@ import hashlib
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -260,3 +261,30 @@ def compression_ratio(ds: ray.data.Dataset, text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def extract_pattern_all(ds: "ray.data.Dataset", pattern: str,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> "ray.data.Dataset":
+    """1→N regex explode: every non-overlapping match of ``pattern``
+    becomes a row (id, match_idx, match) in document order — the
+    extract-all / UNNEST shape (mining identifiers, citations, URLs
+    out of a text column). Map-only and vectorized: one compiled
+    ``Series.str.findall`` per block, a single ``explode``, and a
+    grouped cumcount for the ordinal — no per-row Python loop."""
+    prog = re.compile(pattern)
+
+    def emit(b: pd.DataFrame) -> pd.DataFrame:
+        found = b[text_col].fillna("").str.findall(prog)
+        out = pd.DataFrame({id_col: b[id_col],
+                            "match": found}).explode("match")
+        out = out.dropna(subset=["match"])
+        if out.empty:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=b[id_col].dtype),
+                "match_idx": pd.Series([], dtype="int64"),
+                "match": pd.Series([], dtype=str)})
+        out["match_idx"] = out.groupby(id_col).cumcount().astype("int64")
+        return out[[id_col, "match_idx", "match"]]
+
+    return ds.map_batches(emit, batch_format="pandas")
