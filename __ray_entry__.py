@@ -3691,6 +3691,20 @@ def q_doc_word_matches(sf_dir: str) -> pd.DataFrame:
                             "match_idx"]).reset_index(drop=True)
 
 
+def q_time_since_purchase(sf_dir: str) -> pd.DataFrame:
+    """Conditional-frame navigation window: per event, microseconds
+    since the user's most recent strictly-earlier purchase (NaN when
+    none) — one hash(user) bucket shuffle + positional accumulate, no
+    per-user loop. Oracle: conditional MAX over a ROWS … 1 PRECEDING
+    frame."""
+    from web2llmstxt_ray.ops.events import time_since_event
+
+    ev = _t(sf_dir, "events",
+            ["event_id", "user_id", "ts", "event_type"])
+    out = time_since_event(ev, "purchase").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3872,6 +3886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_intervals": q_customer_intervals,
         "doc_chunks": q_doc_chunks,
         "doc_word_matches": q_doc_word_matches,
+        "time_since_purchase": q_time_since_purchase,
     }
 
 
@@ -5033,6 +5048,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS match_idx,
                    ms[t.i] AS match
             FROM l, LATERAL unnest(range(1, len(ms) + 1)) AS t(i)
+        """,
+        "time_since_purchase": """
+            WITH w AS (
+                SELECT event_id, ts,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN ts END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS lastp
+                FROM events)
+            SELECT event_id,
+                   CAST(date_diff('microsecond', lastp, ts)
+                        AS DOUBLE) AS delta_us
+            FROM w
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

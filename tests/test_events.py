@@ -196,3 +196,60 @@ class TestStreaksAndTransitions:
         pd.testing.assert_frame_equal(outs[0], ref)
         # total transitions = events minus one per active user
         assert outs[0]["n"].sum() == len(df) - df["user_id"].nunique()
+
+
+class TestTimeSinceEvent:
+    def test_vs_sequential_oracle(self):
+        from web2llmstxt_ray.ops.events import time_since_event
+
+        rng = np.random.RandomState(7)
+        n = 2000
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.randint(0, 50, n).astype("int64"),
+            "ts": pd.Timestamp("2024-03-01")
+                  + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+            "event_type": rng.choice(["view", "click", "purchase"],
+                                     n, p=[0.6, 0.3, 0.1]),
+        })
+        outs = []
+        for parts in (1, 9):
+            out = (time_since_event(
+                ray.data.from_pandas(df).repartition(parts), "purchase")
+                .to_pandas().sort_values("event_id")
+                .reset_index(drop=True))
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        got = dict(zip(outs[0]["event_id"], outs[0]["delta_us"]))
+        # sequential oracle per user
+        for uid, g in df.sort_values(["ts", "event_id"]).groupby(
+                "user_id"):
+            last = None
+            for _, r in g.iterrows():
+                want = (float((r["ts"] - last).value // 1000)
+                        if last is not None else np.nan)
+                have = got[r["event_id"]]
+                if np.isnan(want):
+                    assert np.isnan(have), r["event_id"]
+                else:
+                    assert have == want, r["event_id"]
+                if r["event_type"] == "purchase":
+                    last = r["ts"]
+
+    def test_same_ts_tie_counts_earlier_id(self):
+        from web2llmstxt_ray.ops.events import time_since_event
+
+        t0 = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame({
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 7],
+            "ts": [t0, t0, t0 + pd.Timedelta(seconds=5)],
+            "event_type": ["purchase", "view", "view"],
+        })
+        out = (time_since_event(ray.data.from_pandas(df), "purchase")
+               .to_pandas().sort_values("event_id")
+               .reset_index(drop=True))
+        d = dict(zip(out["event_id"], out["delta_us"]))
+        assert np.isnan(d[1])           # no purchase strictly earlier
+        assert d[2] == 0.0              # same-ts earlier-id purchase
+        assert d[3] == 5_000_000.0

@@ -247,3 +247,51 @@ def transition_counts(ds: ray.data.Dataset, user_col: str = "user_id",
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["prev_type", type_col]).reset_index(
         drop=True)
+
+
+def time_since_event(ds: ray.data.Dataset, cond_type: str,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id",
+                     type_col: str = "event_type",
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-event recency feature: microseconds since the user's most
+    recent ``cond_type`` event STRICTLY EARLIER in (ts, id) frame
+    order — the conditional-frame navigation window (``MAX(CASE WHEN
+    type=X THEN ts END) OVER (... ROWS … 1 PRECEDING)``), NULL/NaN
+    when no prior match. One hash(user) bucket shuffle co-locates each
+    user's events; inside a bucket the lookup is a positional
+    ``maximum.accumulate`` over matching indices with per-user reset —
+    the same monotone-index trick as the span caption miner, no
+    per-user loop. Output: (event_id, delta_us:float64, NaN = none)."""
+    import numpy as np
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col],
+                          kind="stable").reset_index(drop=True)
+        n = len(g)
+        # pin to µs regardless of the input's datetime resolution
+        ts = g[ts_col].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        users = g[user_col].to_numpy()
+        new_user = np.ones(n, bool)
+        if n > 1:
+            new_user[1:] = users[1:] != users[:-1]
+        ustart = np.maximum.accumulate(
+            np.where(new_user, np.arange(n), 0))
+        is_cond = (g[type_col] == cond_type).to_numpy()
+        idx = np.arange(n)
+        last_cond = np.maximum.accumulate(np.where(is_cond, idx, -1))
+        # strictly earlier: shift by one frame position
+        prev_cond = np.concatenate(([-1], last_cond[:-1]))
+        ok = (prev_cond >= ustart) & (prev_cond >= 0)
+        delta = np.where(ok,
+                         (ts - ts[np.clip(prev_cond, 0, n - 1)])
+                         .astype("float64"),
+                         np.nan)
+        return pd.DataFrame({id_col: g[id_col],
+                             "delta_us": delta})
+
+    return _add_key_bucket(
+        ds.select_columns([user_col, ts_col, id_col, type_col]),
+        user_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas")
