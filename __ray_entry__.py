@@ -3705,6 +3705,19 @@ def q_time_since_purchase(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_audience_overlap(sf_dir: str) -> pd.DataFrame:
+    """Audience-overlap matrix: |users(a) ∩ users(b)| per event-type
+    pair, exactly, WITHOUT the quadratic self-join — distinct
+    (user, type) pairs shuffle once by user hash, buckets emit
+    per-user type-bitmask histograms (≤ 2^k skinny rows), the driver
+    reads every pairwise intersection from the mask counts. Oracle:
+    the DISTINCT self-join."""
+    from web2llmstxt_ray.ops.events import type_overlap_matrix
+
+    return type_overlap_matrix(
+        _t(sf_dir, "events", ["user_id", "event_type"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3887,6 +3900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q_doc_chunks,
         "doc_word_matches": q_doc_word_matches,
         "time_since_purchase": q_time_since_purchase,
+        "audience_overlap": q_audience_overlap,
     }
 
 
@@ -5063,6 +5077,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(date_diff('microsecond', lastp, ts)
                         AS DOUBLE) AS delta_us
             FROM w
+        """,
+        "audience_overlap": """
+            WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM p a JOIN p b ON a.user_id = b.user_id
+                             AND a.event_type <= b.event_type
+            GROUP BY 1, 2
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

@@ -253,3 +253,31 @@ class TestTimeSinceEvent:
         assert np.isnan(d[1])           # no purchase strictly earlier
         assert d[2] == 0.0              # same-ts earlier-id purchase
         assert d[3] == 5_000_000.0
+
+
+class TestTypeOverlapMatrix:
+    def test_vs_bruteforce_and_partitions(self):
+        from web2llmstxt_ray.ops.events import type_overlap_matrix
+
+        rng = np.random.RandomState(5)
+        n = 4000
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 300, n).astype("int64"),
+            "event_type": rng.choice(["a", "b", "c", "d"], n,
+                                     p=[0.5, 0.3, 0.15, 0.05]),
+        })
+        outs = []
+        for parts in (1, 9):
+            outs.append(type_overlap_matrix(
+                ray.data.from_pandas(df).repartition(parts)))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        sets = {t: set(df.loc[df["event_type"] == t, "user_id"])
+                for t in "abcd"}
+        got = {(r["type_a"], r["type_b"]): r["n_users"]
+               for _, r in outs[0].iterrows()}
+        for a in "abcd":
+            for b in "abcd":
+                if a <= b:
+                    assert got[(a, b)] == len(sets[a] & sets[b]), (a, b)
+        # diagonal = per-type distinct users
+        assert got[("a", "a")] == len(sets["a"])

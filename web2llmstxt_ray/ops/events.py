@@ -295,3 +295,66 @@ def time_since_event(ds: ray.data.Dataset, cond_type: str,
         ds.select_columns([user_col, ts_col, id_col, type_col]),
         user_col, num_buckets).groupby("_sbucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+def type_overlap_matrix(ds: ray.data.Dataset,
+                        user_col: str = "user_id",
+                        type_col: str = "event_type",
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Audience overlap: |users(a) ∩ users(b)| for every type pair
+    (a ≤ b; the diagonal is per-type distinct users) — EXACT, without
+    the quadratic self-join: distinct (user, type) pairs collapse per
+    block, shuffle ONCE by hash(user), each bucket folds its users
+    into per-user type BITMASKS and emits mask→count partials
+    (≤ 2^|types| skinny rows per bucket); the driver combines masks
+    and reads every pairwise intersection out of the mask histogram.
+    Traffic is O(distinct pairs); driver work is O(buckets · 2^k + k²)
+    for k types (k ≤ 30)."""
+    import numpy as np
+
+    def local_distinct(b: pd.DataFrame) -> pd.DataFrame:
+        return b[[user_col, type_col]].drop_duplicates()
+
+    # materialized: consumed twice (type-universe fold + mask pass) —
+    # an unmaterialized parent re-executes per consumer
+    pairs = _add_key_bucket(
+        ds.select_columns([user_col, type_col]).map_batches(
+            local_distinct, batch_format="pandas", batch_size=None),
+        user_col, num_buckets).materialize()
+
+    # type universe: tiny distinct fold
+    types = sorted(pairs.select_columns([type_col]).map_batches(
+        lambda b: b.drop_duplicates(), batch_format="pandas",
+        batch_size=None).to_pandas()[type_col].unique())
+    if len(types) > 30:
+        raise ValueError("type cardinality too high for bitmasks")
+    tidx = {t: i for i, t in enumerate(types)}
+    import ray as _ray
+    tref = _ray.put(tidx)
+
+    def mask_counts(g: pd.DataFrame) -> pd.DataFrame:
+        ti = _ray.get(tref)
+        d = g[[user_col, type_col]].drop_duplicates()
+        bits = d[type_col].map(ti).to_numpy()
+        masks = pd.Series(
+            np.left_shift(np.int64(1), bits),
+            index=d[user_col].to_numpy()).groupby(level=0).sum()
+        vc = masks.value_counts()
+        return pd.DataFrame({"mask": vc.index.to_numpy(),
+                             "n": vc.to_numpy()})
+
+    parts = (pairs.groupby("_sbucket")
+             .map_groups(mask_counts, batch_format="pandas")
+             .to_pandas().groupby("mask", as_index=False)["n"].sum())
+    masks = parts["mask"].to_numpy().astype(np.int64)
+    counts = parts["n"].to_numpy().astype(np.int64)
+    rows = []
+    for i, a in enumerate(types):
+        for j in range(i, len(types)):
+            b = types[j]
+            need = (1 << i) | (1 << j)
+            n = int(counts[(masks & need) == need].sum())
+            rows.append({"type_a": a, "type_b": b, "n_users": n})
+    out = pd.DataFrame(rows)
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
