@@ -3718,6 +3718,18 @@ def q_audience_overlap(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "events", ["user_id", "event_type"]))
 
 
+def q_bigram_collocations(sf_dir: str) -> pd.DataFrame:
+    """Collocation mining: top-50 adjacent-word bigrams by PMI
+    (min count 5) — one vectorized pass of bigram+unigram partials,
+    bucketed bigram combine, each PMI a single double expression over
+    five exact integers (SQL-replayed verbatim; deterministic
+    (pmi desc, w1, w2) tie-break)."""
+    from web2llmstxt_ray.ops.corpus import bigram_pmi
+
+    return bigram_pmi(_t(sf_dir, "documents", ["text"]),
+                      min_count=5, k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3901,6 +3913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_matches": q_doc_word_matches,
         "time_since_purchase": q_time_since_purchase,
         "audience_overlap": q_audience_overlap,
+        "bigram_collocations": q_bigram_collocations,
     }
 
 
@@ -5085,6 +5098,39 @@ def oracle_sql() -> dict[str, str]:
             FROM p a JOIN p b ON a.user_id = b.user_id
                              AND a.event_type <= b.event_type
             GROUP BY 1, 2
+        """,
+        "bigram_collocations": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS l
+                FROM documents WHERE trim(text) <> ''),
+            toks AS (
+                SELECT doc_id, l[x.i] AS tok, x.i
+                FROM t, LATERAL unnest(range(1, len(l) + 1)) AS x(i)),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_tok
+                      FROM toks),
+            uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                    FROM toks GROUP BY tok),
+            big AS (
+                SELECT a.tok AS w1, b.tok AS w2,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM toks a JOIN toks b
+                     ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                GROUP BY 1, 2),
+            nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_big FROM big),
+            scored AS (
+                SELECT big.w1, big.w2, big.cnt,
+                       ln((CAST(big.cnt AS DOUBLE)
+                           * stats.n_tok * stats.n_tok)
+                          / (CAST(nb.n_big AS DOUBLE)
+                             * ua.c * ub.c)) AS pmi
+                FROM big
+                JOIN uni ua ON ua.tok = big.w1
+                JOIN uni ub ON ub.tok = big.w2
+                CROSS JOIN stats CROSS JOIN nb
+                WHERE big.cnt >= 5)
+            SELECT w1, w2, cnt, pmi FROM scored
+            ORDER BY pmi DESC, w1, w2 LIMIT 50
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

@@ -308,3 +308,47 @@ class TestChunkText:
         with pytest.raises(ValueError):
             chunk_text(ray.data.from_items([{"doc_id": 1, "text": "a"}]),
                        size=64, overlap=64)
+
+
+class TestBigramPMI:
+    def test_vs_counter_oracle(self):
+        from collections import Counter
+        from web2llmstxt_ray.ops.corpus import bigram_pmi
+
+        rng = np.random.RandomState(9)
+        vocab = ["red", "fox", "jumps", "high", "very"]
+        texts = [" ".join(rng.choice(vocab, rng.randint(2, 20)))
+                 for _ in range(120)]
+        t = pa.table({"text": pa.array(texts)})
+        outs = []
+        for parts in (1, 7):
+            outs.append(bigram_pmi(
+                ray.data.from_arrow(t).repartition(parts),
+                min_count=3, k=10))
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        uni, big = Counter(), Counter()
+        for s in texts:
+            ws = s.split()
+            uni.update(ws)
+            big.update(zip(ws[:-1], ws[1:]))
+        n_tok, n_big = sum(uni.values()), sum(big.values())
+        scored = sorted(
+            ((np.log((c * n_tok * n_tok)
+                     / (float(n_big) * uni[a] * uni[b])), a, b, c)
+             for (a, b), c in big.items() if c >= 3),
+            key=lambda r: (-r[0], r[1], r[2]))[:10]
+        got = list(zip(outs[0]["w1"], outs[0]["w2"], outs[0]["cnt"]))
+        want = [(a, b, c) for _, a, b, c in scored]
+        assert got == want
+        np.testing.assert_allclose(
+            outs[0]["pmi"].to_numpy(),
+            [p for p, *_ in scored], rtol=1e-12)
+
+    def test_min_count_filters(self):
+        from web2llmstxt_ray.ops.corpus import bigram_pmi
+
+        t = pa.table({"text": pa.array(["a b a b a b", "c d"])})
+        out = bigram_pmi(ray.data.from_arrow(t), min_count=2, k=10)
+        pairs = set(zip(out["w1"], out["w2"]))
+        assert ("c", "d") not in pairs          # count 1 < 2
+        assert ("a", "b") in pairs              # count 3

@@ -615,3 +615,74 @@ def chunk_text(ds: ray.data.Dataset, size: int = 512,
         })
 
     return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def bigram_pmi(ds: ray.data.Dataset, min_count: int = 5,
+               k: int = 50, text_col: str = "text",
+               num_buckets: int = 64) -> pd.DataFrame:
+    """Collocation mining: top-``k`` adjacent-word bigrams by pointwise
+    mutual information, ``pmi = ln((c_ab/n_big) / ((c_a/n_tok)·
+    (c_b/n_tok)))``, bigrams with ``c_ab < min_count`` dropped.
+
+    One pass emits per-block bigram AND unigram count partials
+    (vectorized shift — no per-row Python); bigram partials combine in
+    hash buckets (bigram vocabulary is corpus-sized), unigram counts
+    fold driver-side (bounded vocabulary contract, as
+    :func:`top_tokens`). Every count is an exact integer and each PMI
+    is ONE double expression from five exact ints — the SQL oracle
+    replays it verbatim; ties break (pmi desc, w1, w2)."""
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").str.strip()
+        t = t[t != ""].str.split(r"\s+")
+        ex = t.explode()
+        w2 = ex.groupby(level=0).shift(-1)
+        keep = w2.notna()
+        big = pd.DataFrame({"w1": ex[keep].to_numpy(),
+                            "w2": w2[keep].to_numpy()})
+        big = big.groupby(["w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        h = pd.util.hash_pandas_object(big[["w1", "w2"]], index=False)
+        big["_bb"] = (h % num_buckets).astype("int32")
+        big["kind"] = "b"
+        vc = ex.value_counts()
+        u = pd.DataFrame({"w1": vc.index.to_numpy(), "w2": "",
+                          "cnt": vc.to_numpy()})
+        u["_bb"] = np.int32(-1)
+        u["kind"] = "u"
+        return pd.concat([big, u], ignore_index=True)
+
+    parts = ds.map_batches(partials, batch_format="pandas",
+                           batch_size=None).materialize()
+
+    uni = (parts.map_batches(
+        lambda b: b[b["kind"] == "u"][["w1", "cnt"]],
+        batch_format="pandas", batch_size=None)
+        .to_pandas().groupby("w1", as_index=False)["cnt"].sum())
+    n_tok = int(uni["cnt"].sum())
+    uni_map = dict(zip(uni["w1"], uni["cnt"].astype(int)))
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["kind"] == "b"]
+        out = g.groupby(["w1", "w2"], as_index=False)["cnt"].sum()
+        return out[out["cnt"] >= min_count]
+
+    big = (parts.groupby("_bb")
+           .map_groups(bucket_sum, batch_format="pandas").to_pandas())
+    n_big = int(parts.map_batches(
+        lambda b: pd.DataFrame(
+            {"n": [int(b.loc[b["kind"] == "b", "cnt"].sum())]}),
+        batch_format="pandas", batch_size=None)
+        .to_pandas()["n"].sum())
+    if big.empty:
+        return pd.DataFrame({"w1": [], "w2": [], "cnt": [], "pmi": []})
+    ca = big["w1"].map(uni_map).astype("int64")
+    cb = big["w2"].map(uni_map).astype("int64")
+    cab = big["cnt"].astype("int64")
+    pmi = np.log((cab.to_numpy().astype(np.float64) * n_tok * n_tok)
+                 / (float(n_big) * ca.to_numpy() * cb.to_numpy()))
+    out = pd.DataFrame({"w1": big["w1"], "w2": big["w2"],
+                        "cnt": cab, "pmi": pmi})
+    out = out.sort_values(["pmi", "w1", "w2"],
+                          ascending=[False, True, True]).head(k)
+    return out.reset_index(drop=True)
