@@ -3730,6 +3730,19 @@ def q_bigram_collocations(sf_dir: str) -> pd.DataFrame:
                       min_count=5, k=50)
 
 
+def q_doc_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-document top-3 TF-IDF keywords (tf·ln(N/df), raw counts):
+    document frequencies fold once and broadcast; per-doc scoring and
+    selection are map-only (a doc's tokens never leave its block).
+    Oracle: tf/df CTEs + row_number over (tfidf desc, term)."""
+    from web2llmstxt_ray.ops.retrieval import tfidf_top_terms
+
+    out = tfidf_top_terms(_t(sf_dir, "documents", ["doc_id", "text"]),
+                          top_m=3).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3914,6 +3927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_since_purchase": q_time_since_purchase,
         "audience_overlap": q_audience_overlap,
         "bigram_collocations": q_bigram_collocations,
+        "doc_top_terms": q_doc_top_terms,
     }
 
 
@@ -5131,6 +5145,37 @@ def oracle_sql() -> dict[str, str]:
                 WHERE big.cnt >= 5)
             SELECT w1, w2, cnt, pmi FROM scored
             ORDER BY pmi DESC, w1, w2 LIMIT 50
+        """,
+        "doc_top_terms": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS l
+                FROM documents WHERE trim(text) <> ''),
+            toks AS (
+                SELECT doc_id, l[x.i] AS term
+                FROM t, LATERAL unnest(range(1, len(l) + 1)) AS x(i)),
+            tf AS (SELECT doc_id, term,
+                          CAST(count(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dft AS (SELECT term,
+                           CAST(count(DISTINCT doc_id) AS BIGINT)
+                               AS df
+                    FROM toks GROUP BY term),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n
+                   FROM documents),
+            w AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       tf.tf * ln(CAST(nd.n AS DOUBLE) / dft.df)
+                           AS tfidf
+                FROM tf JOIN dft USING (term), nd),
+            r AS (
+                SELECT doc_id, term, tf, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term)
+                           AS rank
+                FROM w)
+            SELECT doc_id, rank, term, tf, tfidf
+            FROM r WHERE rank <= 3
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

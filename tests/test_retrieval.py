@@ -155,3 +155,48 @@ class TestHybridRRF:
                                    vecs[0], 0, k_each=25, k_out=10))
         import pandas as pd
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestTfidfTopTerms:
+    def test_vs_counter_oracle(self):
+        from collections import Counter
+        from web2llmstxt_ray.ops.retrieval import tfidf_top_terms
+
+        rng = np.random.RandomState(4)
+        vocab = ["common", "rare1", "rare2", "mid", "filler"]
+        texts = []
+        for i in range(60):
+            ws = list(rng.choice(["common", "filler"], 10))
+            if i % 20 == 0:
+                ws += ["rare1", "rare1"]
+            if i % 15 == 0:
+                ws += ["rare2"]
+            texts.append(" ".join(ws))
+        t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                      "text": pa.array(texts)})
+        outs = []
+        for parts in (1, 6):
+            out = (tfidf_top_terms(
+                ray.data.from_arrow(t).repartition(parts), top_m=2)
+                .to_pandas().sort_values(["doc_id", "rank"])
+                .reset_index(drop=True))
+            out["doc_id"] = out["doc_id"].astype("int64")
+            outs.append(out)
+        import pandas as pd
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # brute-force oracle
+        df = Counter()
+        for s in texts:
+            df.update(set(s.split()))
+        n = len(texts)
+        for did, s in enumerate(texts):
+            tf = Counter(s.split())
+            scored = sorted(((c * np.log(n / df[w]), w, c)
+                             for w, c in tf.items()),
+                            key=lambda r: (-r[0], r[1]))[:2]
+            sub = outs[0][outs[0]["doc_id"] == did]
+            assert list(sub["term"]) == [w for _, w, _ in scored], did
+            assert list(sub["tf"]) == [c for *_, c in scored], did
+        # rare terms dominate the docs that contain them
+        assert (outs[0].loc[outs[0]["rank"] == 1, "term"]
+                .isin(["rare1", "rare2"]).any())

@@ -423,3 +423,62 @@ def hybrid_rrf(docs: ray.data.Dataset, emb: ray.data.Dataset,
     out = pd.DataFrame(rows[:k_out])
     out[id_col] = out[id_col].astype("int64")
     return out.reset_index(drop=True)
+
+
+def tfidf_top_terms(ds: ray.data.Dataset, top_m: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-document top-``m`` terms by TF-IDF weight
+    (``tf · ln(N/df)``, raw counts, natural log) — the classic
+    keyword-extraction / document-vector step. Two passes: document
+    frequencies fold from per-block DISTINCT-term partials (bounded
+    vocabulary contract, broadcast once as a (term → df) map with N),
+    then a map-only pass computes every doc's term weights and keeps
+    its local top-m (ties: weight desc, term asc) — per-doc selection
+    never needs a shuffle because a doc's tokens live in its block.
+    Output: (id, rank, term, tf, tfidf)."""
+    import pandas as pd
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").str.strip()
+        t = t[t != ""].str.split(r"\s+")
+        ex = t.explode()
+        d = pd.DataFrame({"_d": ex.index, "term": ex.to_numpy()}) \
+            .drop_duplicates()
+        return d.groupby("term", as_index=False).size() \
+            .rename(columns={"size": "df"})
+
+    src = ds.materialize()          # two passes over the same blocks
+    parts = src.map_batches(df_partial, batch_format="pandas",
+                            batch_size=None).to_pandas()
+    dfm = parts.groupby("term", as_index=False)["df"].sum()
+    n_docs = src.count()
+    df_map = dict(zip(dfm["term"], dfm["df"].astype(int)))
+    state = ray.put((df_map, n_docs))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        dfs, n = ray.get(state)
+        t = b[text_col].fillna("").str.strip()
+        split = t.str.split(r"\s+")
+        ex = split[t != ""].explode()
+        frame = pd.DataFrame({"_d": ex.index, "term": ex.to_numpy()})
+        tf = frame.groupby(["_d", "term"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        dfv = tf["term"].map(dfs).to_numpy(dtype=np.float64)
+        tf["w"] = tf["tf"].to_numpy() * np.log(n / dfv)
+        tf = tf.sort_values(["_d", "w", "term"],
+                            ascending=[True, False, True],
+                            kind="stable")
+        top = tf.groupby("_d").head(top_m).reset_index(drop=True)
+        top["rank"] = top.groupby("_d").cumcount() + 1
+        out = pd.DataFrame({
+            id_col: b[id_col].reindex(top["_d"]).to_numpy(),
+            "rank": top["rank"].astype("int64"),
+            "term": top["term"],
+            "tf": top["tf"].astype("int64"),
+            "tfidf": top["w"],
+        })
+        return out
+
+    return src.map_batches(score, batch_format="pandas",
+                           batch_size=None)
