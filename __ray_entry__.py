@@ -3743,6 +3743,20 @@ def q_doc_top_terms(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
+def q_time_to_purchase(sf_dir: str) -> pd.DataFrame:
+    """Forward conditional-frame window: per event, microseconds until
+    the user's NEXT strictly-later purchase (NaN = censored, never
+    converts) — the survival-analysis label. Reversed accumulate per
+    bucket; oracle: conditional MIN over ROWS 1 FOLLOWING …
+    UNBOUNDED FOLLOWING."""
+    from web2llmstxt_ray.ops.events import time_to_event
+
+    ev = _t(sf_dir, "events",
+            ["event_id", "user_id", "ts", "event_type"])
+    out = time_to_event(ev, "purchase").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3928,6 +3942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audience_overlap": q_audience_overlap,
         "bigram_collocations": q_bigram_collocations,
         "doc_top_terms": q_doc_top_terms,
+        "time_to_purchase": q_time_to_purchase,
     }
 
 
@@ -5176,6 +5191,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM w)
             SELECT doc_id, rank, term, tf, tfidf
             FROM r WHERE rank <= 3
+        """,
+        "time_to_purchase": """
+            WITH w AS (
+                SELECT event_id, ts,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN ts END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN 1 FOLLOWING
+                                 AND UNBOUNDED FOLLOWING) AS nextp
+                FROM events)
+            SELECT event_id,
+                   CAST(date_diff('microsecond', ts, nextp)
+                        AS DOUBLE) AS delta_us
+            FROM w
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

@@ -281,3 +281,41 @@ class TestTypeOverlapMatrix:
                     assert got[(a, b)] == len(sets[a] & sets[b]), (a, b)
         # diagonal = per-type distinct users
         assert got[("a", "a")] == len(sets["a"])
+
+
+class TestTimeToEvent:
+    def test_vs_sequential_oracle(self):
+        from web2llmstxt_ray.ops.events import time_to_event
+
+        rng = np.random.RandomState(11)
+        n = 1500
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.randint(0, 40, n).astype("int64"),
+            "ts": pd.Timestamp("2024-05-01")
+                  + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+            "event_type": rng.choice(["view", "click", "purchase"],
+                                     n, p=[0.6, 0.3, 0.1]),
+        })
+        outs = []
+        for parts in (1, 8):
+            out = (time_to_event(
+                ray.data.from_pandas(df).repartition(parts), "purchase")
+                .to_pandas().sort_values("event_id")
+                .reset_index(drop=True))
+            outs.append(out)
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        got = dict(zip(outs[0]["event_id"], outs[0]["delta_us"]))
+        for uid, g in df.sort_values(["ts", "event_id"]).groupby(
+                "user_id"):
+            rows = list(g.itertuples())
+            for i, r in enumerate(rows):
+                nxt = next((x.ts for x in rows[i + 1:]
+                            if x.event_type == "purchase"), None)
+                want = (float((nxt - r.ts).value // 1000)
+                        if nxt is not None else np.nan)
+                have = got[r.event_id]
+                if np.isnan(want):
+                    assert np.isnan(have), r.event_id
+                else:
+                    assert have == want, r.event_id

@@ -358,3 +358,51 @@ def type_overlap_matrix(ds: ray.data.Dataset,
     out = pd.DataFrame(rows)
     out["n_users"] = out["n_users"].astype("int64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def time_to_event(ds: ray.data.Dataset, cond_type: str,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id",
+                  type_col: str = "event_type",
+                  num_buckets: int = 64) -> ray.data.Dataset:
+    """Forward mirror of :func:`time_since_event`: microseconds UNTIL
+    the user's next ``cond_type`` event strictly LATER in (ts, id)
+    frame order — the time-to-conversion label survival analysis
+    trains on; NaN when the user never converts afterwards (the
+    censored case). Same shape: one bucket shuffle + a reversed
+    ``minimum.accumulate`` with per-user reset."""
+    import numpy as np
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, id_col],
+                          kind="stable").reset_index(drop=True)
+        n = len(g)
+        ts = g[ts_col].astype("datetime64[us]").astype("int64") \
+            .to_numpy()
+        users = g[user_col].to_numpy()
+        new_user = np.ones(n, bool)
+        if n > 1:
+            new_user[1:] = users[1:] != users[:-1]
+        ustart = np.maximum.accumulate(
+            np.where(new_user, np.arange(n), 0))
+        uend = np.empty(n, np.int64)      # exclusive end of user's run
+        if n:
+            ends = np.append(np.flatnonzero(new_user)[1:], n)
+            uend = np.repeat(ends, np.diff(np.append(
+                np.flatnonzero(new_user), n)))
+        is_cond = (g[type_col] == cond_type).to_numpy()
+        idx = np.arange(n)
+        next_cond_inc = np.minimum.accumulate(
+            np.where(is_cond, idx, n)[::-1])[::-1]
+        nxt = np.append(next_cond_inc[1:], n)   # strictly later
+        ok = nxt < uend
+        delta = np.where(ok,
+                         (ts[np.clip(nxt, 0, n - 1)] - ts)
+                         .astype("float64"),
+                         np.nan)
+        return pd.DataFrame({id_col: g[id_col], "delta_us": delta})
+
+    return _add_key_bucket(
+        ds.select_columns([user_col, ts_col, id_col, type_col]),
+        user_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas")
