@@ -3757,6 +3757,29 @@ def q_time_to_purchase(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_split_balance(sf_dir: str) -> pd.DataFrame:
+    """Split-quality gate: Jensen-Shannon divergence between the
+    train and test LANGUAGE distributions produced by the
+    leakage-guarded source split — the check that a grouped split
+    didn't skew the class balance. Pure composition: grouped_split →
+    flag → js_divergence; the oracle replays the md5 split rule inside
+    the JSD query."""
+    from web2llmstxt_ray.ops.corpus import grouped_split
+    from web2llmstxt_ray.ops.stats import js_divergence
+
+    docs = grouped_split(_t(sf_dir, "documents",
+                            ["doc_id", "source", "lang"]), "source")
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": b["lang"],
+                             "f": (b["split"] == "test")
+                             .astype("int64")})
+
+    return js_divergence(docs.map_batches(prep,
+                                          batch_format="pandas"),
+                         "lang", "f")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3943,6 +3966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_collocations": q_bigram_collocations,
         "doc_top_terms": q_doc_top_terms,
         "time_to_purchase": q_time_to_purchase,
+        "split_balance": q_split_balance,
     }
 
 
@@ -5206,6 +5230,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(date_diff('microsecond', ts, nextp)
                         AS DOUBLE) AS delta_us
             FROM w
+        """,
+        "split_balance": """
+            WITH d AS (
+                SELECT lang AS c,
+                       CASE WHEN CAST(('0x' || substr(md5(source),
+                                                      1, 8))
+                                      AS UBIGINT) % 100 < 80
+                            THEN 0 ELSE 1 END AS f
+                FROM documents),
+            cnts AS (SELECT c, f, CAST(count(*) AS BIGINT) AS n
+                     FROM d GROUP BY c, f),
+            tot AS (SELECT
+                        coalesce(sum(CASE WHEN f = 0 THEN n END), 0)
+                            AS np,
+                        coalesce(sum(CASE WHEN f = 1 THEN n END), 0)
+                            AS nq
+                    FROM cnts),
+            cats AS (SELECT DISTINCT c FROM d),
+            cell AS (
+                SELECT cats.c,
+                       coalesce(p.n, 0) AS pc, coalesce(q.n, 0) AS qc
+                FROM cats
+                LEFT JOIN cnts p ON p.c = cats.c AND p.f = 0
+                LEFT JOIN cnts q ON q.c = cats.c AND q.f = 1),
+            terms AS (
+                SELECT (CASE WHEN pc > 0
+                             THEN 0.5 * (pc / np)
+                                  * ln((pc / np)
+                                       / (0.5 * (pc / np + qc / nq)))
+                             ELSE 0 END)
+                       + (CASE WHEN qc > 0
+                               THEN 0.5 * (qc / nq)
+                                    * ln((qc / nq)
+                                         / (0.5 * (pc / np
+                                                   + qc / nq)))
+                               ELSE 0 END) AS t
+                FROM cell, tot)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM cats)
+                       AS n_cats,
+                   sum(t) AS jsd
+            FROM terms
         """,
         "orders_mom_growth": """
             WITH m AS (SELECT date_trunc('month', o_orderdate)

@@ -38,7 +38,8 @@ ULP_TOL = {"user_type_entropy": 1e-14,
            # numpy log vs DuckDB ln are different libm builds — the
            # SAME double argument can return values 1 ulp apart
            "bigram_collocations": 1e-12,
-           "doc_top_terms": 1e-12}
+           "doc_top_terms": 1e-12,
+           "split_balance": 1e-12}
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
