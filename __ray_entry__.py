@@ -3780,6 +3780,308 @@ def q_split_balance(sf_dir: str) -> pd.DataFrame:
                          "lang", "f")
 
 
+# ---------------------------------------------------------------------------
+# round-3 tail 2: TPC-H completion (Q6/Q10/Q11/Q15/Q20 shapes), skyline,
+# BFS hops, SCD2 history, attribution, cross-doc span dedup
+# ---------------------------------------------------------------------------
+
+
+def q_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): one map-only pass —
+    vectorized filter (1996 ship year, discount 5–7%, qty < 24) and an
+    exact-integer ``cents × discount_pct`` partial per block; the
+    driver folds O(blocks) two-cell partials. No shuffle at all."""
+    li = _t(sf_dir, "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity",
+             "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = np.rint(b["l_discount"].to_numpy() * 100).astype("int64")
+        q = np.rint(b["l_quantity"].to_numpy()).astype("int64")
+        sd = b["l_shipdate"].to_numpy().astype("datetime64[us]")
+        m = ((sd >= np.datetime64("1996-01-01"))
+             & (sd < np.datetime64("1997-01-01"))
+             & (d >= 5) & (d <= 7) & (q < 24))
+        cents = np.rint(b["l_extendedprice"].to_numpy()[m] * 100) \
+            .astype("int64")
+        return pd.DataFrame({"rev": [int((cents * d[m]).sum())],
+                             "n": [int(m.sum())]})
+
+    parts = li.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    return pd.DataFrame({"revenue_i": [int(parts["rev"].sum())],
+                         "n_items": [int(parts["n"].sum())]})
+
+
+def q_returned_item_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): lineitems with
+    ``l_returnflag = 'R'`` joined to 1996-Q1 orders in ONE bucketed
+    hash join on orderkey (both sides pre-filtered and pre-projected
+    to skinny columns), per-customer exact integer revenue partials,
+    global top-20 with the deterministic (revenue desc, custkey)
+    tie-break; customer/nation names broadcast as dicts."""
+    from web2llmstxt_ray.ops.relational import hash_join, partial_groupby
+
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cname = dict(zip(cust["c_custkey"].astype(int), cust["c_name"]))
+    cnat = dict(zip(cust["c_custkey"].astype(int),
+                    cust["c_nationkey"].astype(int)))
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    def ord_prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy().astype("datetime64[us]")
+        k = b.loc[(d >= np.datetime64("1996-01-01"))
+                  & (d < np.datetime64("1996-04-01"))]
+        return pd.DataFrame({
+            "o_orderkey": k["o_orderkey"].to_numpy(),
+            "custkey": k["o_custkey"].to_numpy()})
+
+    ords = _t(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_prep, batch_format="pandas", batch_size=None)
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        k = b.loc[b["l_returnflag"] == "R"]
+        cents = np.rint(k["l_extendedprice"].to_numpy() * 100) \
+            .astype("int64")
+        disc = np.rint(k["l_discount"].to_numpy() * 100) \
+            .astype("int64")
+        return pd.DataFrame({"o_orderkey": k["l_orderkey"].to_numpy(),
+                             "rev_i": cents * (100 - disc)})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice",
+             "l_discount"]) \
+        .map_batches(li_prep, batch_format="pandas", batch_size=None)
+    j = hash_join(li, ords, "o_orderkey")
+    out = partial_groupby(
+        j, ["custkey"],
+        lambda b: b.groupby("custkey", as_index=False)["rev_i"].sum(),
+        ["rev_i"])
+    out = out.sort_values(["rev_i", "custkey"],
+                          ascending=[False, True],
+                          kind="stable").head(20).copy()
+    out["c_custkey"] = out["custkey"].astype("int64")
+    out["rev_i"] = out["rev_i"].astype("int64")
+    out["c_name"] = out["c_custkey"].map(cname)
+    out["n_name"] = out["c_custkey"].map(cnat).map(nname)
+    return out[["c_custkey", "c_name", "n_name", "rev_i"]] \
+        .reset_index(drop=True)
+
+
+def q_part_revenue_concentration(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape (global-fraction HAVING): parts whose exact
+    integer revenue exceeds 1.25× the average part share —
+    cross-multiplied (``rev·nparts·4 > 5·total``) so the comparison
+    stays in integers. One set of per-part partials feeds BOTH the
+    per-part totals and the corpus total (no second scan); the
+    global scalar folds on the driver and the filter is vectorized.
+    At extreme corpus scale the cross-product nears int64 — the
+    partials would switch to Python-int objects then (same contract
+    as the Q17/Q22 exact-average shapes)."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100) \
+            .astype("int64")
+        disc = np.rint(b["l_discount"].to_numpy() * 100) \
+            .astype("int64")
+        return pd.DataFrame({"p_partkey": b["l_partkey"].to_numpy(),
+                             "rev_i": cents * (100 - disc)})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_prep, batch_format="pandas", batch_size=None)
+    per = partial_groupby(
+        li, ["p_partkey"],
+        lambda b: b.groupby("p_partkey",
+                            as_index=False)["rev_i"].sum(),
+        ["rev_i"])
+    total = int(per["rev_i"].sum())
+    nparts = len(per)
+    out = per.loc[per["rev_i"] * (nparts * 4) > 5 * total].copy()
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out["rev_i"] = out["rev_i"].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape (top supplier via scalar-subquery max):
+    per-supplier exact revenue over 1996-Q1 shipments from map-only
+    partials (supplier cardinality is small relative to lineitem —
+    the classic pre-aggregate-before-shuffle case, here collapsing
+    to a driver fold), then the ``revenue = MAX(revenue)`` filter
+    and a broadcast name attach."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    sname = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].to_numpy().astype("datetime64[us]")
+        k = b.loc[(d >= np.datetime64("1996-01-01"))
+                  & (d < np.datetime64("1996-04-01"))]
+        cents = np.rint(k["l_extendedprice"].to_numpy() * 100) \
+            .astype("int64")
+        disc = np.rint(k["l_discount"].to_numpy() * 100) \
+            .astype("int64")
+        return pd.DataFrame({"s_suppkey": k["l_suppkey"].to_numpy(),
+                             "total_i": cents * (100 - disc)})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice",
+             "l_discount"]) \
+        .map_batches(prep, batch_format="pandas", batch_size=None)
+    per = partial_groupby(
+        li, ["s_suppkey"],
+        lambda b: b.groupby("s_suppkey",
+                            as_index=False)["total_i"].sum(),
+        ["total_i"])
+    mx = int(per["total_i"].max())
+    out = per.loc[per["total_i"] == mx].copy()
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["total_i"] = out["total_i"].astype("int64")
+    out["s_name"] = out["s_suppkey"].map(sname)
+    return out[["s_suppkey", "s_name", "total_i"]] \
+        .sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q_promo_part_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in
+    region 0 that shipped more than 50 units of any 'widget' part
+    during 1996. The widget partkey set broadcasts once via
+    ``ray.put``; lineitem prunes map-only to skinny
+    (suppkey, partkey, qty) rows; the (supp, part) exact qty sums
+    come from the partial-agg combiner; the surviving supplier-id
+    set is tiny and resolves names/nation on the driver."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    widgets = set(part.loc[part["p_name"].str.contains("widget"),
+                           "p_partkey"].astype(int))
+    supp = _t(sf_dir, "supplier",
+              ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation",
+             ["n_nationkey", "n_regionkey"]).to_pandas()
+    region0 = set(nat.loc[nat["n_regionkey"] == 0, "n_nationkey"]
+                  .astype(int))
+    ref = ray.put(widgets)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(ref)
+        d = b["l_shipdate"].to_numpy().astype("datetime64[us]")
+        k = b.loc[(d >= np.datetime64("1996-01-01"))
+                  & (d < np.datetime64("1997-01-01"))
+                  & b["l_partkey"].isin(w).to_numpy()]
+        return pd.DataFrame({
+            "s_suppkey": k["l_suppkey"].to_numpy(),
+            "p_partkey": k["l_partkey"].to_numpy(),
+            "qty_i": np.rint(k["l_quantity"].to_numpy())
+            .astype("int64")})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"]) \
+        .map_batches(prep, batch_format="pandas", batch_size=None)
+    per = partial_groupby(
+        li, ["s_suppkey", "p_partkey"],
+        lambda b: b.groupby(["s_suppkey", "p_partkey"],
+                            as_index=False)["qty_i"].sum(),
+        ["qty_i"])
+    hot = set(per.loc[per["qty_i"] > 50, "s_suppkey"].astype(int))
+    out = supp.loc[supp["s_suppkey"].isin(hot)
+                   & supp["s_nationkey"].isin(region0),
+                   ["s_suppkey", "s_name"]].copy()
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q_user_scd2(sf_dir: str) -> pd.DataFrame:
+    """SCD-type-2 dimension history from the event log: per-user
+    change-compressed validity intervals of ``event_type`` (one row
+    per maximal constant run, valid_to = next run's first ts, NaT
+    while current). One bucketed shuffle, vectorized island
+    construction — see :func:`ops.windows.scd2_intervals`."""
+    from web2llmstxt_ray.ops.windows import scd2_intervals
+
+    out = _pdf(scd2_intervals(
+        _t(sf_dir, "events",
+           ["event_id", "user_id", "ts", "event_type"])))
+    return out.sort_values(["user_id", "valid_from", "event_type"]) \
+        .reset_index(drop=True)
+
+
+def q_first_touch_attribution(sf_dir: str) -> pd.DataFrame:
+    """First-touch marketing attribution: every purchase's exact
+    cents credited to the user's earliest event type in the trailing
+    7-day window ('direct' when none). One bucketed shuffle + a
+    single composite-axis searchsorted — no per-purchase probe."""
+    from web2llmstxt_ray.ops.windows import first_touch_attribution
+
+    return first_touch_attribution(
+        _t(sf_dir, "events",
+           ["event_id", "user_id", "ts", "event_type", "value"]))
+
+
+def q_part_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto skyline of parts (min retail price, max size): local
+    vectorized skyline per block, final pass over block survivors —
+    the NOT-EXISTS anti-self-join without the quadratic join."""
+    from web2llmstxt_ray.ops.relational import skyline_2d
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": b["p_partkey"].to_numpy(),
+            "price_cents": np.rint(
+                b["p_retailprice"].to_numpy() * 100).astype("int64"),
+            "p_size": b["p_size"].to_numpy().astype("int64")})
+
+    part = _t(sf_dir, "part",
+              ["p_partkey", "p_retailprice", "p_size"]) \
+        .map_batches(prep, batch_format="pandas", batch_size=None)
+    return skyline_2d(part, "p_partkey", "price_cents", "p_size")
+
+
+def q_part_bfs_hops(sf_dir: str) -> pd.DataFrame:
+    """Minimum hop distance from part 0 over the order co-purchase
+    graph, ≤3 hops — the crawl frontier wave loop on an arbitrary
+    graph (frontier broadcast ↔ wave, visited set ↔ URL-seen
+    filter). Edges build with the basket pair-explosion (one
+    orderkey-bucketed shuffle) and stay a materialized Dataset the
+    three wave passes stream over; the DuckDB twin is a WITH
+    RECURSIVE min-distance walk."""
+    from web2llmstxt_ray.ops.basket import _explode_pairs
+    from web2llmstxt_ray.ops.graph import bfs_hops
+    from web2llmstxt_ray.ops.windows import _add_key_bucket
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        d = (group[["l_orderkey", "l_partkey"]].drop_duplicates()
+             .sort_values(["l_orderkey", "l_partkey"], kind="stable"))
+        a, b = _explode_pairs(d["l_orderkey"].to_numpy(),
+                              d["l_partkey"].to_numpy())
+        return pd.DataFrame({"u": a, "v": b}).drop_duplicates()
+
+    edges = (_add_key_bucket(li, "l_orderkey", 64)
+             .groupby("_sbucket")
+             .map_groups(pairs, batch_format="pandas")
+             .materialize())
+    return bfs_hops(edges, seed=0, max_hops=3)
+
+
+def q_span_dedup(sf_dir: str) -> pd.DataFrame:
+    """Cross-document exact span dedup over the interleaved corpus
+    (first occurrence wins, media spans always kept): per-document
+    kept/dropped audit — see :func:`ops.nested.span_dedup_counts`."""
+    from web2llmstxt_ray.ops.nested import (
+        build_span_docs, explode_spans, span_dedup_counts)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return span_dedup_counts(explode_spans(build_span_docs(docs)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -3967,6 +4269,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q_doc_top_terms,
         "time_to_purchase": q_time_to_purchase,
         "split_balance": q_split_balance,
+        "forecast_revenue": q_forecast_revenue,
+        "returned_item_revenue": q_returned_item_revenue,
+        "part_revenue_concentration": q_part_revenue_concentration,
+        "top_supplier": q_top_supplier,
+        "promo_part_suppliers": q_promo_part_suppliers,
+        "user_scd2": q_user_scd2,
+        "first_touch_attribution": q_first_touch_attribution,
+        "part_skyline": q_part_skyline,
+        "part_bfs_hops": q_part_bfs_hops,
+        "span_dedup": q_span_dedup,
     }
 
 
@@ -6241,5 +6553,208 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "forecast_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT)
+                            * CAST(round(l_discount * 100)
+                                   AS BIGINT)) AS BIGINT)
+                       AS revenue_i,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT)
+                  BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "returned_item_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS rev_i
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY rev_i DESC, c_custkey
+            LIMIT 20
+        """,
+        "part_revenue_concentration": """
+            WITH p AS (SELECT l_partkey AS p_partkey,
+                              sum(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT)
+                                  * (100 - CAST(round(l_discount
+                                                      * 100)
+                                                AS BIGINT)))
+                                  AS rev_i
+                       FROM lineitem GROUP BY 1)
+            SELECT p_partkey, CAST(rev_i AS BIGINT) AS rev_i
+            FROM p
+            WHERE rev_i * (SELECT count(*) FROM p) * 4
+                  > 5 * (SELECT sum(rev_i) FROM p)
+        """,
+        "top_supplier": """
+            WITH r AS (SELECT l_suppkey AS s_suppkey,
+                              sum(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT)
+                                  * (100 - CAST(round(l_discount
+                                                      * 100)
+                                                AS BIGINT)))
+                                  AS total_i
+                       FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1996-04-01'
+                       GROUP BY 1)
+            SELECT s_suppkey, s_name, CAST(total_i AS BIGINT)
+                       AS total_i
+            FROM r JOIN supplier USING (s_suppkey)
+            WHERE total_i = (SELECT max(total_i) FROM r)
+        """,
+        "promo_part_suppliers": """
+            WITH q AS (SELECT l_suppkey AS s_suppkey, l_partkey,
+                              sum(CAST(round(l_quantity) AS BIGINT))
+                                  AS qty_i
+                       FROM lineitem
+                       JOIN part ON p_partkey = l_partkey
+                       WHERE p_name LIKE '%widget%'
+                         AND l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1997-01-01'
+                       GROUP BY 1, 2
+                       HAVING qty_i > 50)
+            SELECT DISTINCT s_suppkey, s_name
+            FROM q
+            JOIN supplier USING (s_suppkey)
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_regionkey = 0
+        """,
+        "user_scd2": """
+            WITH s AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(event_type) OVER w
+                                 IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+            i AS (SELECT user_id, event_type, ts,
+                         sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                             AS isl
+                  FROM s),
+            g AS (SELECT user_id, event_type, isl,
+                         min(ts) AS valid_from,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM i GROUP BY user_id, event_type, isl)
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY isl) AS valid_to,
+                   n_events
+            FROM g
+        """,
+        "first_touch_attribution": """
+            WITH e AS (SELECT event_id, user_id, ts, event_type,
+                              CAST(round(value * 100) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            p AS (SELECT event_id, user_id, ts, cents FROM e
+                  WHERE event_type = 'purchase'),
+            cand AS (
+                SELECT p.event_id AS pe, e2.event_type,
+                       row_number() OVER (
+                           PARTITION BY p.event_id
+                           ORDER BY e2.ts, e2.event_id) AS rn
+                FROM p JOIN e e2 ON e2.user_id = p.user_id
+                 AND e2.ts >= p.ts - INTERVAL 7 DAY
+                 AND (e2.ts < p.ts
+                      OR (e2.ts = p.ts
+                          AND e2.event_id < p.event_id))),
+            ch AS (SELECT p.event_id, p.cents,
+                          coalesce(c.event_type, 'direct') AS channel
+                   FROM p LEFT JOIN (SELECT pe, event_type
+                                     FROM cand WHERE rn = 1) c
+                     ON c.pe = p.event_id)
+            SELECT channel, CAST(sum(cents) AS BIGINT) AS revenue_i,
+                   CAST(count(*) AS BIGINT) AS n_purchases
+            FROM ch GROUP BY channel
+        """,
+        "part_skyline": """
+            WITH t AS (SELECT p_partkey,
+                              CAST(round(p_retailprice * 100)
+                                   AS BIGINT) AS price_cents,
+                              CAST(p_size AS BIGINT) AS p_size
+                       FROM part)
+            SELECT p_partkey, price_cents, p_size
+            FROM t p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM t q
+                WHERE q.price_cents <= p.price_cents
+                  AND q.p_size >= p.p_size
+                  AND (q.price_cents < p.price_cents
+                       OR q.p_size > p.p_size))
+        """,
+        "part_bfs_hops": """
+            WITH RECURSIVE d AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS x, b.p AS y
+                  FROM d a JOIN d b
+                    ON a.o = b.o AND a.p <> b.p),
+            bfs(node, dist) AS (
+                SELECT CAST(0 AS BIGINT) AS node,
+                       CAST(0 AS BIGINT) AS dist
+                UNION
+                SELECT e.y, bfs.dist + 1
+                FROM bfs JOIN e ON e.x = bfs.node
+                WHERE bfs.dist < 3)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(dist) AS BIGINT) AS dist
+            FROM bfs GROUP BY node
+        """,
+        "span_dedup": """
+            WITH flat AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       text AS full_text,
+                       unnest(range(CAST(ceil(length(text) / 64.0)
+                                         AS BIGINT))) AS i
+                FROM documents),
+            spans AS (
+                SELECT doc_id, i AS span_idx,
+                       CASE WHEN i % 3 = 2 THEN 'image'
+                            ELSE 'text' END AS kind,
+                       CASE WHEN i % 3 = 2 THEN ''
+                            ELSE substr(full_text,
+                                        CAST(i * 64 + 1 AS INT), 64)
+                            END AS text
+                FROM flat),
+            t AS (SELECT doc_id, span_idx,
+                         row_number() OVER (
+                             PARTITION BY text
+                             ORDER BY CAST(doc_id AS BIGINT),
+                                      span_idx) AS rn
+                  FROM spans WHERE kind = 'text'),
+            perdoc AS (SELECT doc_id,
+                              sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                                  AS kept_t,
+                              sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                                  AS drop_t
+                       FROM t GROUP BY doc_id),
+            media AS (SELECT doc_id, count(*) AS m FROM spans
+                      WHERE kind = 'image' GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.kept_t, 0) + coalesce(m.m, 0)
+                        AS BIGINT) AS n_kept,
+                   CAST(coalesce(p.drop_t, 0) AS BIGINT)
+                       AS n_dropped
+            FROM (SELECT DISTINCT doc_id FROM spans) d
+            LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+            LEFT JOIN media m ON m.doc_id = d.doc_id
         """,
     }

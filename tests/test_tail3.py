@@ -1,0 +1,207 @@
+"""Edge-case conformance for the round-3 second-tail operators:
+2-D skyline, BFS hops, SCD2 intervals, first-touch attribution and
+cross-doc span dedup. The hash-exact DuckDB comparison for each lives
+in test_queries_oracle.py; these pin the corner semantics the synthetic
+tables may not exercise."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+
+# ---------------------------------------------------------------- skyline
+def _brute_skyline(df: pd.DataFrame) -> set[int]:
+    keep = set()
+    rows = df.to_dict("records")
+    for p in rows:
+        dominated = any(
+            q["mn"] <= p["mn"] and q["mx"] >= p["mx"]
+            and (q["mn"] < p["mn"] or q["mx"] > p["mx"])
+            for q in rows)
+        if not dominated:
+            keep.add(p["id"])
+    return keep
+
+
+def test_skyline_matches_bruteforce_including_duplicates():
+    from web2llmstxt_ray.ops.relational import skyline_2d
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype="int64"),
+        "mn": rng.integers(0, 40, 300).astype("int64"),
+        "mx": rng.integers(0, 40, 300).astype("int64"),
+    })
+    # force duplicate points (equal pairs must BOTH survive when
+    # they sit on the frontier — strict-dominance semantics)
+    df.loc[250:, ["mn", "mx"]] = df.loc[:49, ["mn", "mx"]].to_numpy()
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = skyline_2d(ds, "id", "mn", "mx")
+    assert set(out["id"]) == _brute_skyline(df)
+
+
+def test_skyline_equal_points_all_survive():
+    from web2llmstxt_ray.ops.relational import skyline_2d
+
+    df = pd.DataFrame({"id": [1, 2, 3], "mn": [5, 5, 9],
+                       "mx": [7, 7, 2]})
+    out = skyline_2d(ray.data.from_pandas(df).repartition(2),
+                     "id", "mn", "mx")
+    # (9,2) dominated by nothing? 5<=9 and 7>=2 with strict → dominated
+    assert set(out["id"]) == {1, 2}
+
+
+# ---------------------------------------------------------------- bfs
+def test_bfs_hops_chain_and_cutoff():
+    from web2llmstxt_ray.ops.graph import bfs_hops
+
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "u": [0, 1, 2, 3, 10],
+        "v": [1, 2, 3, 4, 11]})).repartition(2)
+    out = bfs_hops(edges, seed=0, max_hops=3)
+    got = dict(zip(out["node"], out["dist"]))
+    # node 4 is 4 hops away → cut off; 10/11 disconnected → absent
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_hops_undirected_and_min_dist():
+    from web2llmstxt_ray.ops.graph import bfs_hops
+
+    # triangle 0-1-2 plus a long way round to 3: dist(3) must be the
+    # minimum (2 via 0-2-3), reverse-direction edges must count
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "u": [1, 2, 3, 1],
+        "v": [0, 0, 2, 2]}))
+    out = bfs_hops(edges, seed=0, max_hops=5)
+    got = dict(zip(out["node"], out["dist"]))
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_isolated_seed():
+    from web2llmstxt_ray.ops.graph import bfs_hops
+
+    edges = ray.data.from_pandas(pd.DataFrame({"u": [5], "v": [6]}))
+    out = bfs_hops(edges, seed=99, max_hops=3)
+    assert out.to_dict("records") == [{"node": 99, "dist": 0}]
+
+
+# ---------------------------------------------------------------- scd2
+def _ev(rows):
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    return ray.data.from_pandas(df).repartition(2)
+
+
+def test_scd2_runs_compress_and_valid_to_chains():
+    from web2llmstxt_ray.ops.windows import scd2_intervals
+
+    ds = _ev([
+        (1, 7, "2024-01-01 00:00:00", "view"),
+        (2, 7, "2024-01-01 00:01:00", "view"),
+        (3, 7, "2024-01-01 00:02:00", "click"),
+        (4, 7, "2024-01-01 00:03:00", "view"),
+        (5, 8, "2024-01-01 00:00:30", "signup"),
+    ])
+    out = (scd2_intervals(ds).to_pandas()
+           .sort_values(["user_id", "valid_from"])
+           .reset_index(drop=True))
+    u7 = out.loc[out["user_id"] == 7]
+    assert list(u7["event_type"]) == ["view", "click", "view"]
+    assert list(u7["n_events"]) == [2, 1, 1]
+    # valid_to chains exactly onto the next run's valid_from
+    assert list(u7["valid_to"].iloc[:-1]) == list(
+        u7["valid_from"].iloc[1:])
+    assert pd.isna(u7["valid_to"].iloc[-1])
+    u8 = out.loc[out["user_id"] == 8]
+    assert len(u8) == 1 and pd.isna(u8["valid_to"].iloc[0])
+
+
+def test_scd2_tie_timestamps_break_on_event_id():
+    from web2llmstxt_ray.ops.windows import scd2_intervals
+
+    ds = _ev([
+        (2, 1, "2024-01-01", "b"),
+        (1, 1, "2024-01-01", "a"),
+        (3, 1, "2024-01-01", "b"),
+    ])
+    out = (scd2_intervals(ds).to_pandas()
+           .sort_values("valid_from").reset_index(drop=True))
+    # order by (ts, event_id): a(1), b(2), b(3) → runs a, bb
+    assert list(out["event_type"]) == ["a", "b"]
+    assert list(out["n_events"]) == [1, 2]
+
+
+# ----------------------------------------------------- first touch
+def _ev_val(rows):
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                     "event_type", "value"])
+    df["ts"] = pd.to_datetime(df["ts"], format="mixed") \
+        .astype("datetime64[us]")
+    return ray.data.from_pandas(df).repartition(2)
+
+
+def test_first_touch_window_boundary_and_direct():
+    from web2llmstxt_ray.ops.windows import first_touch_attribution
+
+    ds = _ev_val([
+        # u1: click exactly 7 days before → INSIDE the window
+        (1, 1, "2024-01-01 00:00:00", "click", 0.0),
+        (2, 1, "2024-01-08 00:00:00", "purchase", 10.0),
+        # u2: view 7 days + 1 µs before → OUTSIDE → direct
+        (3, 2, "2024-01-01 00:00:00", "view", 0.0),
+        (4, 2, "2024-01-08 00:00:00.000001", "purchase", 5.0),
+        # u3: no prior events at all → direct
+        (5, 3, "2024-01-05 00:00:00", "purchase", 2.5),
+    ])
+    out = first_touch_attribution(ds, lookback_days=7)
+    got = {r["channel"]: (r["revenue_i"], r["n_purchases"])
+           for r in out.to_dict("records")}
+    assert got == {"click": (1000, 1), "direct": (750, 2)}
+
+
+def test_first_touch_earliest_in_window_not_latest():
+    from web2llmstxt_ray.ops.windows import first_touch_attribution
+
+    ds = _ev_val([
+        (1, 1, "2024-01-02", "signup", 0.0),
+        (2, 1, "2024-01-03", "click", 0.0),
+        (3, 1, "2024-01-04", "purchase", 1.0),
+    ])
+    out = first_touch_attribution(ds, lookback_days=7)
+    assert out.loc[out["channel"] == "signup",
+                   "revenue_i"].iloc[0] == 100
+
+
+def test_first_touch_same_ts_earlier_event_id_counts():
+    from web2llmstxt_ray.ops.windows import first_touch_attribution
+
+    ds = _ev_val([
+        (1, 1, "2024-01-04 12:00:00", "view", 0.0),
+        (2, 1, "2024-01-04 12:00:00", "purchase", 3.0),
+    ])
+    out = first_touch_attribution(ds, lookback_days=7)
+    got = dict(zip(out["channel"], out["revenue_i"]))
+    assert got == {"view": 300}
+
+
+# ----------------------------------------------------- span dedup
+def test_span_dedup_first_doc_wins_media_kept():
+    from web2llmstxt_ray.ops.nested import span_dedup_counts
+
+    flat = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": ["10", "10", "2", "2", "2"],
+        "span_idx": [0, 1, 0, 1, 2],
+        "kind": ["text", "image", "text", "text", "image"],
+        "text": ["dup", "", "dup", "uniq", ""],
+        "media_ref": ["", "m1", "", "", "m2"],
+        "span_offset": [0, 64, 0, 64, 128],
+    })).repartition(2)
+    out = span_dedup_counts(flat).set_index("doc_id")
+    # doc "2" wins "dup" (int order 2 < 10, NOT string order)
+    assert out.loc["2", "n_kept"] == 3 and out.loc["2", "n_dropped"] == 0
+    assert out.loc["10", "n_kept"] == 1     # the image span
+    assert out.loc["10", "n_dropped"] == 1  # its "dup" text lost

@@ -534,3 +534,47 @@ def triangle_count(pairs: ray.data.Dataset, col_a: str = "u",
     parts = unioned.groupby("_gb").map_groups(
         count_closed, batch_format="pandas").to_pandas()
     return int(parts["n"].sum()) if len(parts) else 0
+
+
+def bfs_hops(edges: ray.data.Dataset, seed: int, max_hops: int = 3,
+             col_a: str = "u", col_b: str = "v") -> pd.DataFrame:
+    """Multi-source-free BFS: minimum hop distance from ``seed`` to
+    every node reachable in ≤ ``max_hops`` over an UNDIRECTED edge
+    Dataset. This is the crawl frontier loop in miniature (SURVEY
+    §2.4's BFS wave semantics applied to an arbitrary graph): per
+    hop, the frontier set broadcasts once via ``ray.put`` and a
+    map-only pass over the (distributed, never collected) edge table
+    emits the next frontier's candidate endpoints; the visited set
+    plays the URL-seen filter. Driver state is O(nodes-visited) —
+    node-id-sized, never edge-sized; at 10^10-node scale the visited
+    set would shard into the engine's cuckoo/bloom seen filters
+    exactly as the crawler does. DuckDB twin: a WITH RECURSIVE
+    min-distance walk. Output: (node, dist) sorted by node."""
+    dist: dict[int, int] = {int(seed): 0}
+    frontier = {int(seed)}
+    for hop in range(1, max_hops + 1):
+        ref = ray.put(np.fromiter(sorted(frontier), dtype="int64"))
+
+        def next_nodes(batch: pd.DataFrame) -> pd.DataFrame:
+            f = ray.get(ref)                # sorted int64 array
+            a = batch[col_a].to_numpy()
+            b = batch[col_b].to_numpy()
+            mask_a = np.isin(a, f)
+            mask_b = np.isin(b, f)
+            nxt = np.unique(np.concatenate((b[mask_a], a[mask_b])))
+            return pd.DataFrame({"n": nxt})
+
+        cand = edges.map_batches(next_nodes, batch_format="pandas")
+        nxt_all: set[int] = set()
+        for blk in cand.iter_batches(batch_format="pandas"):
+            nxt_all.update(int(x) for x in blk["n"])
+        frontier = nxt_all - dist.keys()
+        if not frontier:
+            break
+        for n in frontier:
+            dist[n] = hop
+    out = pd.DataFrame({"node": list(dist.keys()),
+                        "dist": list(dist.values())})
+    out["node"] = out["node"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

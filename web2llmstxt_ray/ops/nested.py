@@ -516,3 +516,65 @@ def rechunk_spans(docs: ray.data.Dataset, chunk: int,
             "spans": spans})
 
     return docs.map_batches(emit, batch_format="pyarrow")
+
+
+def span_dedup_counts(flat: ray.data.Dataset,
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Cross-document exact span dedup over the interleaved corpus
+    (CCNet-style paragraph dedup applied to span docs): every TEXT
+    span that repeats anywhere in the corpus keeps only its first
+    occurrence — winner = lowest ``(doc, span_idx)`` — and media
+    spans always survive. Returns the per-document audit table
+    (doc_id, n_kept, n_dropped).
+
+    Scale shape: text spans ship as a SKINNY (text, doc, idx) triple
+    hash-bucketed by span text (ONE shuffle; same economics as the
+    exact-dedup operator — the winner rule is a per-group min, so
+    blocks could pre-reduce duplicates first); inside a bucket the
+    winner test is one sort + shift, no Python loop. Media counts are
+    map-only partials. Both partial streams union into one skinny
+    per-doc combine; nothing corpus-sized reaches the driver (the
+    result is O(docs) — write-through for a 100-TB corpus).
+    """
+    from .relational import partial_groupby
+    from .windows import _add_key_bucket
+
+    text_spans = flat.filter(expr="kind == 'text'") \
+        .select_columns(["doc_id", "span_idx", "text"])
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.assign(_d=group["doc_id"].astype("int64")) \
+            .sort_values(["text", "_d", "span_idx"], kind="stable")
+        first = g["text"].ne(g["text"].shift())
+        out = (pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "_k": first.to_numpy()})
+               .groupby("doc_id", as_index=False)
+               .agg(n_kept=("_k", "sum"), n_all=("_k", "size")))
+        out["n_dropped"] = out["n_all"] - out["n_kept"]
+        return out[["doc_id", "n_kept", "n_dropped"]]
+
+    text_parts = (_add_key_bucket(text_spans, "text", num_buckets)
+                  .groupby("_sbucket")
+                  .map_groups(per_bucket, batch_format="pandas"))
+
+    def media_partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.loc[b["kind"] != "text"]
+        out = (m.groupby("doc_id", as_index=False)
+               .agg(n_kept=("span_idx", "size")))
+        out["n_dropped"] = 0
+        return out
+
+    media_parts = flat.select_columns(["doc_id", "kind", "span_idx"]) \
+        .map_batches(media_partial, batch_format="pandas")
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("doc_id", as_index=False).agg(
+            n_kept=("n_kept", "sum"), n_dropped=("n_dropped", "sum"))
+
+    out = partial_groupby(text_parts.union(media_parts), ["doc_id"],
+                          combine, ["n_kept", "n_dropped"],
+                          distributed_combine=True).to_pandas()
+    out = out.drop(columns=["_pb"], errors="ignore")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["n_dropped"] = out["n_dropped"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -623,3 +623,52 @@ def merge_intervals(ds: ray.data.Dataset, key_col: str,
     return (ds.map_batches(tag, batch_format="pandas")
             .groupby("_kb").map_groups(per_bucket,
                                        batch_format="pandas"))
+
+
+def _skyline_block(df: pd.DataFrame, id_col: str, min_col: str,
+                   max_col: str) -> pd.DataFrame:
+    """Exact 2-D skyline of one block (minimize ``min_col``, maximize
+    ``max_col``): a row is dominated iff some row has a strictly
+    smaller min_col with max_col ≥ mine, OR an equal min_col with a
+    strictly larger max_col. One sort + grouped prefix-cummax — no
+    pairwise loop. Duplicate (min,max) points all survive (SQL
+    NOT-EXISTS strict-dominance semantics)."""
+    if not len(df):
+        return df[[id_col, min_col, max_col]]
+    g = df.sort_values([min_col, max_col, id_col],
+                       ascending=[True, False, True], kind="stable")
+    mn = g[min_col].to_numpy(dtype="int64")
+    mx = g[max_col].to_numpy(dtype="int64")
+    first = np.empty(len(g), dtype=bool)
+    first[0] = True
+    first[1:] = mn[1:] != mn[:-1]
+    gid = np.cumsum(first) - 1
+    gmax_per_group = mx[first]              # desc within group → first is max
+    prev_cummax = np.concatenate(
+        ([np.iinfo(np.int64).min],
+         np.maximum.accumulate(gmax_per_group)[:-1]))[gid]
+    keep = ~((prev_cummax >= mx) | (gmax_per_group[gid] > mx))
+    return g.loc[keep, [id_col, min_col, max_col]]
+
+
+def skyline_2d(ds: ray.data.Dataset, id_col: str, min_col: str,
+               max_col: str) -> pd.DataFrame:
+    """Distributed Pareto-frontier (skyline) query: the rows not
+    strictly dominated on (``min_col`` ↓, ``max_col`` ↑). SQL twin is
+    the classic ``NOT EXISTS`` anti-self-join; here it is the
+    textbook two-phase distributive plan: a vectorized LOCAL skyline
+    per block (map-only — a locally dominated point is dominated by a
+    global survivor via transitivity, so the filter is safe), then
+    the same kernel once over the union of block skylines. The final
+    pass sees only block survivors (≤ one monotone chain per block),
+    not the input; at 100 TB the union is further shrunk by making
+    block ranges min_col-sorted so chains rarely overlap. Output:
+    (id, min, max) sorted by id."""
+    local = ds.map_batches(
+        lambda b: _skyline_block(b, id_col, min_col, max_col),
+        batch_format="pandas")
+    out = _skyline_block(local.to_pandas(), id_col, min_col, max_col)
+    out = out.copy()
+    out[min_col] = out[min_col].astype("int64")
+    out[max_col] = out[max_col].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)

@@ -9,6 +9,7 @@ the scale-friendly partial-aggregation path instead of map_groups.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -624,3 +625,122 @@ def frame_first_nth(ds: ray.data.Dataset, window: int = 5,
         key_col, num_buckets)
         .groupby("_sbucket").map_groups(per_bucket,
                                         batch_format="pandas"))
+
+
+def scd2_intervals(ds: ray.data.Dataset, key_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   attr_col: str = "event_type",
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    key's event stream (ordered by ``ts, id``) into change-compressed
+    validity intervals — one row per maximal run of a constant
+    ``attr_col`` value, carrying ``valid_from`` (run's first ts),
+    ``valid_to`` (next run's first ts; NaT while current) and the run
+    length. The classic warehouse dimension-history operator, same
+    shape as the reference's description-cache versioning concern
+    (SURVEY §2.6) generalized to attribute history.
+
+    Scale shape: ONE bucketed shuffle co-locates each key, then the
+    whole bucket is change-point detection on a single stable sort —
+    vectorized shift/cumsum island construction, a grouped first/size
+    aggregate, and a grouped shift(-1) for valid_to. No per-key loop;
+    nothing driver-sized. Output: (key, attr, valid_from, valid_to,
+    n_events).
+    """
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        key = g[key_col].to_numpy()
+        attr = g[attr_col].to_numpy()
+        brk = np.empty(len(g), dtype=bool)
+        if len(g):
+            brk[0] = True
+            brk[1:] = (key[1:] != key[:-1]) | (attr[1:] != attr[:-1])
+        island = np.cumsum(brk) - 1
+        runs = (pd.DataFrame({
+            key_col: key, attr_col: attr,
+            "valid_from": g[ts_col].to_numpy(), "_isl": island})
+            .groupby("_isl", sort=False)
+            .agg(**{key_col: (key_col, "first"),
+                    attr_col: (attr_col, "first"),
+                    "valid_from": ("valid_from", "first"),
+                    "n_events": (attr_col, "size")})
+            .reset_index(drop=True))
+        runs["valid_to"] = (runs.groupby(key_col, sort=False)
+                            ["valid_from"].shift(-1))
+        runs["n_events"] = runs["n_events"].astype("int64")
+        return runs[[key_col, attr_col, "valid_from", "valid_to",
+                     "n_events"]]
+
+    return (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, attr_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas"))
+
+
+def first_touch_attribution(ds: ray.data.Dataset,
+                            key_col: str = "user_id",
+                            ts_col: str = "ts",
+                            id_col: str = "event_id",
+                            type_col: str = "event_type",
+                            value_col: str = "value",
+                            purchase_type: str = "purchase",
+                            lookback_days: int = 7,
+                            num_buckets: int = 64) -> pd.DataFrame:
+    """Marketing first-touch attribution: each purchase's revenue is
+    credited to the event type of the user's EARLIEST event inside
+    the trailing ``lookback_days`` window (``ts >= purchase_ts −
+    lookback`` and strictly before the purchase in ``(ts, id)``
+    order); purchases with no prior event in the window are credited
+    to ``'direct'``. Exact integer cents.
+
+    Scale shape: one bucketed shuffle per key; inside the bucket the
+    window start for EVERY purchase comes from a single global
+    ``np.searchsorted`` over a composite ``user_code·K + ts_us`` axis
+    (K > the bucket's time span + lookback, so user slices never
+    interleave — same monotone-composite idiom as the RANGE-window
+    op). Per-bucket output is a ≤|event-types|-row partial that folds
+    on the driver. Output: (channel, revenue_i, n_purchases).
+    """
+    look_us = np.int64(lookback_days) * 86_400_000_000
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        if not len(g):
+            return pd.DataFrame({"channel": [], "revenue_i": [],
+                                 "n_purchases": []})
+        code = pd.factorize(g[key_col].to_numpy())[0].astype("int64")
+        ts_us = (g[ts_col].to_numpy().astype("datetime64[us]")
+                 .astype("int64"))
+        tmin = ts_us.min()
+        span = np.int64(ts_us.max() - tmin)
+        K = span + look_us + np.int64(2)
+        comp = code * K + (ts_us - tmin)
+        types = g[type_col].to_numpy()
+        is_p = types == purchase_type
+        pos = np.flatnonzero(is_p)
+        cutoff = np.maximum(ts_us[pos] - tmin - look_us, 0)
+        ws = np.searchsorted(comp, code[pos] * K + cutoff,
+                             side="left")
+        hit = ws < pos
+        channel = np.where(hit, types[np.minimum(ws, len(g) - 1)],
+                           "direct")
+        cents = np.rint(
+            g[value_col].to_numpy()[pos] * 100).astype("int64")
+        return (pd.DataFrame({"channel": channel, "revenue_i": cents})
+                .groupby("channel", as_index=False)
+                .agg(revenue_i=("revenue_i", "sum"),
+                     n_purchases=("revenue_i", "size")))
+
+    parts = (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, type_col,
+                           value_col]), key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas")
+        .to_pandas())                       # O(buckets × types) rows
+    out = (parts.groupby("channel", as_index=False)
+           .agg(revenue_i=("revenue_i", "sum"),
+                n_purchases=("n_purchases", "sum")))
+    out["revenue_i"] = out["revenue_i"].astype("int64")
+    out["n_purchases"] = out["n_purchases"].astype("int64")
+    return (out.sort_values("channel").reset_index(drop=True))
