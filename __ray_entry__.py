@@ -4082,6 +4082,40 @@ def q_span_dedup(sf_dir: str) -> pd.DataFrame:
     return span_dedup_counts(explode_spans(build_span_docs(docs)))
 
 
+def q_running_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Running distinct cardinality (new vs returning users): per
+    day, first-time keys and the cumulative distinct count — exact
+    via per-key first-seen MIN partials, not a windowed
+    COUNT(DISTINCT); see :func:`ops.windows.running_distinct_counts`."""
+    from web2llmstxt_ray.ops.windows import running_distinct_counts
+
+    return running_distinct_counts(
+        _t(sf_dir, "events", ["user_id", "ts"]))
+
+
+def q_linear_attribution(sf_dir: str) -> pd.DataFrame:
+    """Linear multi-touch attribution with exact integer credit
+    split (floor + remainder-to-earliest, so credits reconcile to
+    purchase cents exactly) over the trailing 7-day window."""
+    from web2llmstxt_ray.ops.windows import linear_touch_attribution
+
+    return linear_touch_attribution(
+        _t(sf_dir, "events",
+           ["event_id", "user_id", "ts", "event_type", "value"]))
+
+
+def q_name_edit_pairs(sf_dir: str) -> pd.DataFrame:
+    """Spelling-variant similarity join: distinct part names within
+    Levenshtein distance 1 via FastSS deletion-neighborhood blocking
+    (candidates from shared single-deletion variants, exact ≤1
+    verify) — the quadratic levenshtein cross join without the cross
+    join; see :func:`ops.dedup.edit_distance_self_join`."""
+    from web2llmstxt_ray.ops.dedup import edit_distance_self_join
+
+    return edit_distance_self_join(
+        _t(sf_dir, "part", ["p_name"]), "p_name")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -4279,6 +4313,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": q_part_skyline,
         "part_bfs_hops": q_part_bfs_hops,
         "span_dedup": q_span_dedup,
+        "running_distinct_users": q_running_distinct_users,
+        "linear_attribution": q_linear_attribution,
+        "name_edit_pairs": q_name_edit_pairs,
     }
 
 
@@ -6756,5 +6793,58 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM spans) d
             LEFT JOIN perdoc p ON p.doc_id = d.doc_id
             LEFT JOIN media m ON m.doc_id = d.doc_id
+        """,
+        "running_distinct_users": """
+            WITH f AS (SELECT user_id, min(ts) AS fts FROM events
+                       GROUP BY user_id),
+            d AS (SELECT date_trunc('day', fts) AS day,
+                         CAST(count(*) AS BIGINT) AS new_users
+                  FROM f GROUP BY 1)
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_users
+            FROM d
+        """,
+        "linear_attribution": """
+            WITH e AS (SELECT event_id, user_id, ts, event_type,
+                              CAST(round(value * 100) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            p AS (SELECT event_id, user_id, ts, cents FROM e
+                  WHERE event_type = 'purchase'),
+            w AS (SELECT p.event_id AS pe, p.cents, e2.event_type,
+                         row_number() OVER (
+                             PARTITION BY p.event_id
+                             ORDER BY e2.ts, e2.event_id) AS rk,
+                         count(*) OVER (PARTITION BY p.event_id)
+                             AS n
+                  FROM p JOIN e e2 ON e2.user_id = p.user_id
+                   AND e2.ts >= p.ts - INTERVAL 7 DAY
+                   AND (e2.ts < p.ts
+                        OR (e2.ts = p.ts
+                            AND e2.event_id < p.event_id))),
+            c AS (SELECT event_type AS channel,
+                         cents // n
+                         + CASE WHEN rk <= cents % n
+                                THEN 1 ELSE 0 END AS credit
+                  FROM w
+                  UNION ALL
+                  SELECT 'direct', cents
+                  FROM p LEFT JOIN (SELECT DISTINCT pe FROM w) t
+                    ON t.pe = p.event_id
+                  WHERE t.pe IS NULL)
+            SELECT channel, CAST(sum(credit) AS BIGINT) AS revenue_i,
+                   CAST(count(*) AS BIGINT) AS n_touches
+            FROM c GROUP BY channel
+        """,
+        "name_edit_pairs": """
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                       AS dist
+            FROM n a JOIN n b
+              ON a.p_name < b.p_name
+             AND levenshtein(a.p_name, b.p_name) <= 1
         """,
     }

@@ -205,3 +205,75 @@ def test_span_dedup_first_doc_wins_media_kept():
     assert out.loc["2", "n_kept"] == 3 and out.loc["2", "n_dropped"] == 0
     assert out.loc["10", "n_kept"] == 1     # the image span
     assert out.loc["10", "n_dropped"] == 1  # its "dup" text lost
+
+
+# ------------------------------------------- running distinct users
+def test_running_distinct_counts_first_seen_only():
+    from web2llmstxt_ray.ops.windows import running_distinct_counts
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 1, 3, 2],
+        "ts": pd.to_datetime([
+            "2024-01-01 05:00", "2024-01-02 06:00",
+            "2024-01-01 07:00", "2024-01-03 08:00",
+            "2024-01-03 09:00", "2024-01-03 10:00"]),
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = running_distinct_counts(
+        ray.data.from_pandas(df).repartition(3))
+    assert list(out["new_users"]) == [2, 1]   # day1: u1,u2; day3: u3
+    assert list(out["cum_users"]) == [2, 3]
+    assert out["day"].iloc[0] == pd.Timestamp("2024-01-01")
+
+
+# ------------------------------------------- linear attribution
+def test_linear_attribution_exact_remainder_split():
+    from web2llmstxt_ray.ops.windows import linear_touch_attribution
+
+    ds = _ev_val([
+        (1, 1, "2024-01-02", "signup", 0.0),
+        (2, 1, "2024-01-03", "click", 0.0),
+        (3, 1, "2024-01-04", "view", 0.0),
+        # 1.00 → 100 cents over 3 touches: 34/33/33, earliest +1
+        (4, 1, "2024-01-05", "purchase", 1.0),
+        # no window → direct in full
+        (5, 2, "2024-01-05", "purchase", 2.0),
+    ])
+    out = linear_touch_attribution(ds, lookback_days=7)
+    got = {r["channel"]: r["revenue_i"] for r in out.to_dict("records")}
+    assert got == {"signup": 34, "click": 33, "view": 33,
+                   "direct": 200}
+    # credits reconcile exactly to the purchase totals
+    assert out["revenue_i"].sum() == 300
+
+
+# ------------------------------------------- edit-distance join
+def test_edit_distance_join_matches_bruteforce():
+    from web2llmstxt_ray.ops.dedup import _ed_le1, edit_distance_self_join
+
+    names = ["widget", "widgets",          # insertion
+             "wodget",                     # substitution vs widget
+             "idget",                      # deletion vs widget
+             "gadget",                     # ed 3 from widget
+             "xa", "ay",                   # ed-2 false-positive cands
+             "bolt", "bolt"]               # duplicate value → one node
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"s": names})).repartition(3)
+    out = edit_distance_self_join(ds, "s")
+    got = set(zip(out["name_a"], out["name_b"]))
+    uniq = sorted(set(names))
+    want = {(a, b) for i, a in enumerate(uniq) for b in uniq[i + 1:]
+            if _ed_le1(a, b)}
+    assert got == want
+    assert ("widget", "widgets") in got and ("idget", "widget") in got
+    assert ("ay", "xa") not in got        # shared variant, ed 2
+    assert (out["dist"] == 1).all()
+
+
+def test_ed_le1_kernel():
+    from web2llmstxt_ray.ops.dedup import _ed_le1
+
+    assert _ed_le1("abc", "abc") and _ed_le1("abc", "abd")
+    assert _ed_le1("abc", "abcd") and _ed_le1("abc", "bc")
+    assert not _ed_le1("abc", "adc" + "x") and not _ed_le1("ab", "ba")
+    assert not _ed_le1("abcd", "cdab")

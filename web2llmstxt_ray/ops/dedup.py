@@ -1531,3 +1531,99 @@ def similarity_join(left: ray.data.Dataset, right: ray.data.Dataset,
     out = (out.drop_duplicates(subset=["a_id", "b_id"])
            .sort_values(["a_id", "b_id"]).reset_index(drop=True))
     return pa.Table.from_pandas(out)
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) ≤ 1 in O(len) without the DP table."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit_distance_self_join(ds: ray.data.Dataset, col: str,
+                            num_buckets: int = 64) -> pd.DataFrame:
+    """FastSS (k=1) similarity self-join: every unordered pair of
+    DISTINCT ``col`` values with Levenshtein distance ≤ 1 — the
+    spelling-variant / near-key clustering primitive (Bocek et al.'s
+    deletion-neighborhood blocking). SQL twin is the quadratic
+    ``JOIN … ON levenshtein ≤ 1`` cross join; here candidates come
+    from BLOCKING: ed(a,b) ≤ 1 implies a and b share a member of the
+    single-deletion neighborhood {s} ∪ {s minus one char}, so only
+    strings agreeing on some variant ever meet.
+
+    Scale shape: distinct values reduce block-locally then through
+    one hash-bucket combine (exact-dedup economics); each distinct
+    string explodes into len+1 variants (skinny string pairs); ONE
+    variant-hash shuffle groups candidates, the basket pair-explosion
+    emits within-group pairs vectorized, a pair-hash bucket dedups
+    globally, and only then does the O(candidate-pairs) exact ≤1
+    verify run — candidates, not the cross product. Output:
+    (name_a, name_b, dist) with name_a < name_b."""
+    from .basket import _explode_pairs
+    from .windows import _add_key_bucket
+
+    def block_unique(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({col: b[col].unique()})
+
+    uniq = (_add_key_bucket(
+        ds.select_columns([col]).map_batches(
+            block_unique, batch_format="pandas"), col, num_buckets)
+        .groupby("_sbucket")
+        .map_groups(lambda g: pd.DataFrame({col: g[col].unique()}),
+                    batch_format="pandas"))
+
+    def variants(b: pd.DataFrame) -> pd.DataFrame:
+        names: list[str] = []
+        vs: list[str] = []
+        for s in b[col]:
+            names.append(s)
+            vs.append(s)
+            for i in range(len(s)):        # per DISTINCT string, O(len)
+                names.append(s)
+                vs.append(s[:i] + s[i + 1:])
+        return (pd.DataFrame({"name": names, "variant": vs})
+                .drop_duplicates())
+
+    var = uniq.map_batches(variants, batch_format="pandas")
+
+    def cand_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = (g[["variant", "name"]].drop_duplicates()
+             .sort_values(["variant", "name"], kind="stable"))
+        a, b = _explode_pairs(d["variant"].to_numpy(),
+                              d["name"].to_numpy())
+        out = (pd.DataFrame({"name_a": a, "name_b": b})
+               .query("name_a != name_b").drop_duplicates())
+        h = pd.util.hash_pandas_object(
+            out["name_a"] + "\x00" + out["name_b"], index=False)
+        return out.assign(_pb=(h % num_buckets).astype("int32"))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["name_a", "name_b"]].drop_duplicates()
+        keep = [_ed_le1(x, y)                 # O(candidates), post-dedup
+                for x, y in zip(d["name_a"], d["name_b"])]
+        d = d.loc[keep].copy()
+        d["dist"] = np.int64(1)
+        return d
+
+    out = (_add_key_bucket(var, "variant", num_buckets)
+           .groupby("_sbucket")
+           .map_groups(cand_pairs, batch_format="pandas")
+           .groupby("_pb")
+           .map_groups(verify, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"name_a": pd.Series([], dtype="object"),
+                             "name_b": pd.Series([], dtype="object"),
+                             "dist": pd.Series([], dtype="int64")})
+    if "_pb" in out.columns:
+        out = out.drop(columns=["_pb"])
+    out["dist"] = out["dist"].astype("int64")
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)

@@ -744,3 +744,133 @@ def first_touch_attribution(ds: ray.data.Dataset,
     out["revenue_i"] = out["revenue_i"].astype("int64")
     out["n_purchases"] = out["n_purchases"].astype("int64")
     return (out.sort_values("channel").reset_index(drop=True))
+
+
+def running_distinct_counts(ds: ray.data.Dataset,
+                            key_col: str = "user_id",
+                            ts_col: str = "ts",
+                            num_buckets: int = 64) -> pd.DataFrame:
+    """Running distinct cardinality in event time: per day, how many
+    keys appeared for the FIRST time (new users) and the cumulative
+    distinct count so far — the exact version of the new-vs-returning
+    dashboard query, which SQL cannot express as a windowed
+    ``COUNT(DISTINCT)`` but CAN replay via first-seen timestamps.
+
+    Scale shape: first-seen is a per-key MIN, so blocks pre-reduce to
+    one (key, min_ts) row each (idempotent min — the exact_dedup
+    economics), ONE key-hash bucket shuffle finishes the min, and each
+    bucket emits per-DAY partial counts: O(buckets × days) rows fold
+    on the driver, where a trivial cumsum finishes. Nothing key- or
+    event-cardinality-sized leaves the cluster.
+    Output: (day, new_users, cum_users)."""
+    DAY_US = 86_400_000_000
+
+    def block_min(b: pd.DataFrame) -> pd.DataFrame:
+        us = (b[ts_col].to_numpy().astype("datetime64[us]")
+              .astype("int64"))
+        return (pd.DataFrame({key_col: b[key_col].to_numpy(),
+                              "_us": us})
+                .groupby(key_col, as_index=False)["_us"].min())
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby(key_col, as_index=False)["_us"].min()
+        day = (first["_us"] // DAY_US) * DAY_US
+        return (pd.DataFrame({"day_us": day})
+                .groupby("day_us", as_index=False)
+                .agg(new_users=("day_us", "size")))
+
+    parts = (_add_key_bucket(
+        ds.select_columns([key_col, ts_col])
+        .map_batches(block_min, batch_format="pandas"),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas")
+        .to_pandas())
+    out = (parts.groupby("day_us", as_index=False)["new_users"].sum()
+           .sort_values("day_us").reset_index(drop=True))
+    out["day"] = out["day_us"].astype("datetime64[us]")
+    out["new_users"] = out["new_users"].astype("int64")
+    out["cum_users"] = out["new_users"].cumsum().astype("int64")
+    return out[["day", "new_users", "cum_users"]]
+
+
+def linear_touch_attribution(ds: ray.data.Dataset,
+                             key_col: str = "user_id",
+                             ts_col: str = "ts",
+                             id_col: str = "event_id",
+                             type_col: str = "event_type",
+                             value_col: str = "value",
+                             purchase_type: str = "purchase",
+                             lookback_days: int = 7,
+                             num_buckets: int = 64) -> pd.DataFrame:
+    """Linear multi-touch attribution with EXACT integer credit: each
+    purchase's cents split equally across every strictly-earlier event
+    in the trailing window — each touch gets ``cents // n`` and the
+    earliest ``cents % n`` touches get the remainder cent, so credits
+    sum back to the purchase exactly (no float drift, SQL-replayable
+    with row_number). Windowless purchases credit 'direct' in full.
+
+    Same one-shuffle + composite-axis searchsorted shape as
+    first-touch; the per-purchase window MEMBERS are materialized
+    vectorized (repeat/cumsum index arithmetic, the basket
+    pair-explosion idiom) — sizes total O(Σ window lengths), the same
+    work the SQL join does, but blocked per bucket.
+    Output: (channel, revenue_i, n_touches)."""
+    look_us = np.int64(lookback_days) * 86_400_000_000
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        empty = pd.DataFrame({
+            "channel": pd.Series([], dtype="object"),
+            "revenue_i": pd.Series([], dtype="int64"),
+            "n_touches": pd.Series([], dtype="int64")})
+        if not len(g):
+            return empty
+        code = pd.factorize(g[key_col].to_numpy())[0].astype("int64")
+        ts_us = (g[ts_col].to_numpy().astype("datetime64[us]")
+                 .astype("int64"))
+        tmin = ts_us.min()
+        K = np.int64(ts_us.max() - tmin) + look_us + np.int64(2)
+        comp = code * K + (ts_us - tmin)
+        types = g[type_col].to_numpy()
+        pos = np.flatnonzero(types == purchase_type)
+        if not len(pos):
+            return empty
+        cutoff = np.maximum(ts_us[pos] - tmin - look_us, 0)
+        ws = np.searchsorted(comp, code[pos] * K + cutoff,
+                             side="left")
+        n = pos - ws                         # touches per purchase
+        cents = np.rint(
+            g[value_col].to_numpy()[pos] * 100).astype("int64")
+        direct = n == 0
+        rows = [pd.DataFrame({"channel": ["direct"] * int(direct.sum()),
+                              "credit": cents[direct]})]
+        t = ~direct
+        if t.any():
+            nt, wst, ct = n[t], ws[t], cents[t]
+            total = int(nt.sum())
+            # member index = window start + rank within window
+            csum = np.cumsum(nt) - nt
+            rank = np.arange(total) - np.repeat(csum, nt)
+            member = np.repeat(wst, nt) + rank
+            base = np.repeat(ct // nt, nt)
+            extra = (rank < np.repeat(ct % nt, nt)).astype("int64")
+            rows.append(pd.DataFrame({"channel": types[member],
+                                      "credit": base + extra}))
+        allc = pd.concat(rows, ignore_index=True)
+        return (allc.groupby("channel", as_index=False)
+                .agg(revenue_i=("credit", "sum"),
+                     n_touches=("credit", "size")))
+
+    parts = (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, type_col,
+                           value_col]), key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas")
+        .to_pandas())
+    out = (parts.groupby("channel", as_index=False)
+           .agg(revenue_i=("revenue_i", "sum"),
+                n_touches=("n_touches", "sum")))
+    out["revenue_i"] = out["revenue_i"].astype("int64")
+    out["n_touches"] = out["n_touches"].astype("int64")
+    return out.sort_values("channel").reset_index(drop=True)
