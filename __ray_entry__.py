@@ -4116,6 +4116,44 @@ def q_name_edit_pairs(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "part", ["p_name"]), "p_name")
 
 
+def q_crawl_delta(sf_dir: str) -> pd.DataFrame:
+    """Incremental-crawl span delta: simulate a deterministic
+    re-crawl (docs ≡0 mod 5 upper-cased, docs ≡0 mod 7 get a trailing
+    update marker), rebuild both interleaved span streams, and report
+    the per-document exact multiset diff (added / removed / unchanged
+    spans) — see :func:`ops.nested.span_delta_counts`. The span-level
+    CDC view a 100-TB recrawl pipeline uses to skip unchanged work."""
+    from web2llmstxt_ray.ops.nested import (
+        build_span_docs, explode_spans, span_delta_counts)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def recrawl(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype("int64").to_numpy()
+        t = b["text"].copy()
+        t = t.mask(did % 5 == 0, t.str.upper())
+        t = t.mask(did % 7 == 0, t + " updated content marker")
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "text": t.to_numpy()})
+
+    old_flat = explode_spans(build_span_docs(docs))
+    new_flat = explode_spans(build_span_docs(
+        docs.map_batches(recrawl, batch_format="pandas")))
+    return span_delta_counts(old_flat, new_flat)
+
+
+def q_funnel_timeout(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel view→click→purchase with a 1-hour per-step
+    conversion timeout (next step must follow strictly after AND
+    within the hour) — the timeout variant of the funnel chain."""
+    from web2llmstxt_ray.ops.events import funnel
+
+    return funnel(_t(sf_dir, "events",
+                     ["user_id", "event_type", "ts"]),
+                  steps=["view", "click", "purchase"],
+                  within_seconds=3600)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -4316,6 +4354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct_users": q_running_distinct_users,
         "linear_attribution": q_linear_attribution,
         "name_edit_pairs": q_name_edit_pairs,
+        "crawl_delta": q_crawl_delta,
+        "funnel_timeout": q_funnel_timeout,
     }
 
 
@@ -6846,5 +6886,90 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b
               ON a.p_name < b.p_name
              AND levenshtein(a.p_name, b.p_name) <= 1
+        """,
+        "crawl_delta": """
+            WITH newd AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 5 = 0 THEN upper(text)
+                             ELSE text END)
+                       || (CASE WHEN doc_id % 7 = 0
+                                THEN ' updated content marker'
+                                ELSE '' END) AS text
+                FROM documents),
+            oldf AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                            text AS full_text,
+                            unnest(range(CAST(ceil(length(text)
+                                                   / 64.0)
+                                              AS BIGINT))) AS i
+                     FROM documents),
+            newf AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                            text AS full_text,
+                            unnest(range(CAST(ceil(length(text)
+                                                   / 64.0)
+                                              AS BIGINT))) AS i
+                     FROM newd),
+            so AS (SELECT doc_id,
+                          CASE WHEN i % 3 = 2 THEN 'image'
+                               ELSE 'text' END AS kind,
+                          CASE WHEN i % 3 = 2 THEN ''
+                               ELSE substr(full_text,
+                                           CAST(i * 64 + 1 AS INT),
+                                           64) END AS text,
+                          CASE WHEN i % 3 = 2
+                               THEN 'media://' || doc_id || '/'
+                                    || CAST(i AS VARCHAR)
+                               ELSE '' END AS media_ref
+                   FROM oldf),
+            sn AS (SELECT doc_id,
+                          CASE WHEN i % 3 = 2 THEN 'image'
+                               ELSE 'text' END AS kind,
+                          CASE WHEN i % 3 = 2 THEN ''
+                               ELSE substr(full_text,
+                                           CAST(i * 64 + 1 AS INT),
+                                           64) END AS text,
+                          CASE WHEN i % 3 = 2
+                               THEN 'media://' || doc_id || '/'
+                                    || CAST(i AS VARCHAR)
+                               ELSE '' END AS media_ref
+                   FROM newf),
+            c AS (SELECT doc_id, kind, text, media_ref,
+                         sum(o) AS c_old, sum(n) AS c_new
+                  FROM (SELECT doc_id, kind, text, media_ref,
+                               1 AS o, 0 AS n FROM so
+                        UNION ALL
+                        SELECT doc_id, kind, text, media_ref,
+                               0 AS o, 1 AS n FROM sn)
+                  GROUP BY 1, 2, 3, 4)
+            SELECT doc_id,
+                   CAST(sum(c_new) - sum(least(c_old, c_new))
+                        AS BIGINT) AS n_added,
+                   CAST(sum(c_old) - sum(least(c_old, c_new))
+                        AS BIGINT) AS n_removed,
+                   CAST(sum(least(c_old, c_new)) AS BIGINT)
+                       AS n_unchanged
+            FROM c GROUP BY doc_id
+        """,
+        "funnel_timeout": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 ON s1.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 ON s2.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+                   GROUP BY e.user_id)
+            SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s1)
+                       AS n_users
+            UNION ALL
+            SELECT 2, 'click',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s2)
+            UNION ALL
+            SELECT 3, 'purchase',
+                   (SELECT CAST(count(*) AS BIGINT) FROM s3)
         """,
     }

@@ -277,3 +277,57 @@ def test_ed_le1_kernel():
     assert _ed_le1("abc", "abcd") and _ed_le1("abc", "bc")
     assert not _ed_le1("abc", "adc" + "x") and not _ed_le1("ab", "ba")
     assert not _ed_le1("abcd", "cdab")
+
+
+# ------------------------------------------- span delta (crawl CDC)
+def test_span_delta_multiset_semantics():
+    from web2llmstxt_ray.ops.nested import span_delta_counts
+
+    def flat(rows):
+        df = pd.DataFrame(rows, columns=["doc_id", "kind", "text",
+                                         "media_ref"])
+        df["span_idx"] = range(len(df))
+        df["span_offset"] = 0
+        return ray.data.from_pandas(df).repartition(2)
+
+    old = flat([("1", "text", "A", ""), ("1", "text", "A", ""),
+                ("1", "text", "B", ""), ("1", "image", "", "m1")])
+    new = flat([("1", "text", "A", ""), ("1", "text", "B", ""),
+                ("1", "text", "B", ""), ("1", "image", "", "m1"),
+                ("1", "image", "", "m2")])
+    out = span_delta_counts(old, new)
+    r = out.iloc[0]
+    # unchanged = min-counts: A×1 + B×1 + m1×1 = 3
+    assert (r["n_unchanged"], r["n_added"], r["n_removed"]) == (3, 2, 1)
+
+
+def test_span_delta_identical_crawls_all_unchanged():
+    from web2llmstxt_ray.ops.nested import (
+        build_span_docs, explode_spans, span_delta_counts)
+
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["x" * 200, "y" * 130]}))
+    flat_a = explode_spans(build_span_docs(docs))
+    flat_b = explode_spans(build_span_docs(docs))
+    out = span_delta_counts(flat_a, flat_b)
+    assert (out["n_added"] == 0).all() and (out["n_removed"] == 0).all()
+    assert out["n_unchanged"].sum() == flat_a.count()
+
+
+# ------------------------------------------- funnel timeout
+def test_funnel_within_seconds_gates_conversion():
+    from web2llmstxt_ray.ops.events import funnel
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 2],
+        "event_type": ["view", "click", "view", "click"],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:30",   # in the hour
+            "2024-01-01 00:00", "2024-01-01 02:00"]),  # too late
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    ds = ray.data.from_pandas(df).repartition(2)
+    strict = funnel(ds, ["view", "click"], within_seconds=3600)
+    loose = funnel(ds, ["view", "click"])
+    assert list(strict["n_users"]) == [2, 1]
+    assert list(loose["n_users"]) == [2, 2]   # default unchanged

@@ -96,12 +96,17 @@ def cohort_retention(ds: ray.data.Dataset, user_col: str = "user_id",
 
 def funnel(ds: ray.data.Dataset, steps: list[str],
            user_col: str = "user_id", type_col: str = "event_type",
-           ts_col: str = "ts",
+           ts_col: str = "ts", within_seconds: float | None = None,
            num_buckets: int = 64) -> pd.DataFrame:
     """Ordered-funnel conversion: how many users completed each prefix
     of ``steps`` strictly in time order (first step-1 event, then the
     first step-2 event strictly after it, …).  Strict ``>`` on the
     timestamp, so a same-instant next-step event does not convert.
+
+    ``within_seconds`` adds the classic per-step conversion timeout:
+    each next-step event must also land within that many seconds of
+    completing the previous step (same filtered-min chain, one extra
+    vectorized bound — no change to the shuffle shape).
 
     Scale shape: users are independent, so the bucketed shuffle makes
     each conversion chain local; within a bucket each step is one
@@ -120,8 +125,11 @@ def funnel(ds: ray.data.Dataset, steps: list[str],
             ev = group[group[type_col] == step]
             if reached is not None:
                 ev = ev.merge(reached, on=user_col, how="inner")
-                ev = ev[ev[ts_col] > ev["_prev"]]
-                ev = ev.drop(columns=["_prev"])
+                keep = ev[ts_col] > ev["_prev"]
+                if within_seconds is not None:
+                    keep &= ev[ts_col] <= ev["_prev"] + pd.Timedelta(
+                        seconds=within_seconds)
+                ev = ev[keep].drop(columns=["_prev"])
             t = (ev.groupby(user_col, as_index=False)[ts_col].min()
                  .rename(columns={ts_col: "_prev"}))
             counts.append(len(t))

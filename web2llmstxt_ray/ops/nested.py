@@ -578,3 +578,53 @@ def span_dedup_counts(flat: ray.data.Dataset,
     out["n_kept"] = out["n_kept"].astype("int64")
     out["n_dropped"] = out["n_dropped"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def span_delta_counts(old_flat: ray.data.Dataset,
+                      new_flat: ray.data.Dataset,
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Incremental-crawl delta audit: per document, how many spans the
+    re-crawl added / removed / left unchanged — an exact MULTISET diff
+    over the span value triple (kind, text, media_ref), the span-level
+    analogue of the engine's CDC merge (a page whose text shifted by
+    one sentence reports mostly-unchanged spans, not a full rewrite).
+
+    Scale shape: both crawls' exploded span streams union with a
+    0/1 side tag and meet in ONE doc-hash bucket shuffle (each
+    document's diff is independent); inside the bucket the multiset
+    intersection is a single grouped sum over the value triple —
+    ``unchanged = Σ min(c_old, c_new)`` — with no pairwise alignment.
+    Output: (doc_id, n_added, n_removed, n_unchanged), O(docs) rows.
+    """
+    from .windows import _add_key_bucket
+
+    def tag(side: int):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            out = b[["doc_id", "kind", "text", "media_ref"]].copy()
+            out["_side"] = np.int8(side)
+            return out
+        return f
+
+    both = (old_flat.map_batches(tag(0), batch_format="pandas")
+            .union(new_flat.map_batches(tag(1),
+                                        batch_format="pandas")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.assign(_o=(g["_side"] == 0).astype("int64"),
+                      _n=(g["_side"] == 1).astype("int64"))
+             .groupby(["doc_id", "kind", "text", "media_ref"],
+                      as_index=False)[["_o", "_n"]].sum())
+        c["_u"] = np.minimum(c["_o"], c["_n"])
+        d = c.groupby("doc_id", as_index=False)[["_o", "_n", "_u"]] \
+            .sum()
+        return pd.DataFrame({
+            "doc_id": d["doc_id"],
+            "n_added": (d["_n"] - d["_u"]).astype("int64"),
+            "n_removed": (d["_o"] - d["_u"]).astype("int64"),
+            "n_unchanged": d["_u"].astype("int64")})
+
+    out = (_add_key_bucket(both, "doc_id", num_buckets)
+           .groupby("_sbucket")
+           .map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
