@@ -4154,6 +4154,31 @@ def q_funnel_timeout(sf_dir: str) -> pd.DataFrame:
                   within_seconds=3600)
 
 
+def q_host_budget_allocation(sf_dir: str) -> pd.DataFrame:
+    """Exact largest-remainder apportionment of a 1000-fetch crawl
+    budget across document sources, weighted by corpus chars — the
+    per-host fairness rule of a fixed-size fetch fleet; see
+    :func:`ops.recrawl.budget_allocation`."""
+    from web2llmstxt_ray.ops.recrawl import budget_allocation
+
+    return budget_allocation(
+        _t(sf_dir, "documents", ["source", "n_chars"]),
+        "source", "n_chars", budget=1000)
+
+
+def q_repeat_orders_7d(sf_dir: str) -> pd.DataFrame:
+    """Temporal band self-join: per customer, ordered order pairs
+    within a trailing 7-day band — counted via two searchsorted
+    passes on a composite key·K+ts axis instead of the quadratic
+    inequality join; see :func:`ops.windows.band_self_join_counts`."""
+    from web2llmstxt_ray.ops.windows import band_self_join_counts
+
+    out = band_self_join_counts(
+        _t(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+        "o_custkey", "o_orderdate", band_seconds=7 * 86_400)
+    return out.rename(columns={"o_custkey": "c_custkey"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -4356,6 +4381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_edit_pairs": q_name_edit_pairs,
         "crawl_delta": q_crawl_delta,
         "funnel_timeout": q_funnel_timeout,
+        "host_budget_allocation": q_host_budget_allocation,
+        "repeat_orders_7d": q_repeat_orders_7d,
     }
 
 
@@ -6971,5 +6998,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'purchase',
                    (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        """,
+        "host_budget_allocation": """
+            WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT)
+                                  AS weight_i
+                       FROM documents GROUP BY 1),
+            f AS (SELECT source, weight_i,
+                         (1000 * weight_i)
+                         // (SELECT sum(weight_i) FROM w) AS fl,
+                         1000 * weight_i
+                         - ((1000 * weight_i)
+                            // (SELECT sum(weight_i) FROM w))
+                           * (SELECT sum(weight_i) FROM w) AS rem
+                  FROM w),
+            r AS (SELECT *, row_number() OVER (ORDER BY rem DESC,
+                                               source) AS rk
+                  FROM f)
+            SELECT source, weight_i,
+                   CAST(fl + CASE WHEN rk <= 1000 - (SELECT sum(fl)
+                                                     FROM f)
+                             THEN 1 ELSE 0 END AS BIGINT) AS alloc
+            FROM r
+        """,
+        "repeat_orders_7d": """
+            SELECT o1.o_custkey AS c_custkey,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM orders o1 JOIN orders o2
+              ON o1.o_custkey = o2.o_custkey
+             AND o2.o_orderdate > o1.o_orderdate
+             AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+            GROUP BY 1
         """,
     }

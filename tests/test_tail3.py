@@ -331,3 +331,56 @@ def test_funnel_within_seconds_gates_conversion():
     loose = funnel(ds, ["view", "click"])
     assert list(strict["n_users"]) == [2, 1]
     assert list(loose["n_users"]) == [2, 2]   # default unchanged
+
+
+# ------------------------------------------- budget allocation
+def test_budget_allocation_largest_remainder_exact():
+    from web2llmstxt_ray.ops.recrawl import budget_allocation
+
+    df = pd.DataFrame({"host": ["a", "b", "c"],
+                       "pages": [5, 3, 2]})
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = budget_allocation(ds, "host", "pages", budget=7)
+    # floors: 3.5→3, 2.1→2, 1.4→1 (sum 6); leftover 1 → largest
+    # remainder a (.5) over c (.4) over b (.1)
+    assert dict(zip(out["host"], out["alloc"])) == \
+        {"a": 4, "b": 2, "c": 1}
+    assert out["alloc"].sum() == 7
+
+
+def test_budget_allocation_tie_breaks_on_key_and_overflow_path():
+    from web2llmstxt_ray.ops.recrawl import budget_allocation
+
+    # equal remainders → earlier key wins the leftover slot
+    df = pd.DataFrame({"host": ["x", "y"], "pages": [1, 1]})
+    out = budget_allocation(ray.data.from_pandas(df), "host",
+                            "pages", budget=3)
+    assert dict(zip(out["host"], out["alloc"])) == {"x": 2, "y": 1}
+    # weights big enough that budget·W overflows int64 → exact
+    # Python-int path must produce the same proportional answer
+    big = 2**60
+    df2 = pd.DataFrame({"host": ["p", "q"], "pages": [big, 3 * big]})
+    out2 = budget_allocation(ray.data.from_pandas(df2), "host",
+                             "pages", budget=100)
+    assert dict(zip(out2["host"], out2["alloc"])) == {"p": 25, "q": 75}
+
+
+# ------------------------------------------- band self-join
+def test_band_self_join_boundaries():
+    from web2llmstxt_ray.ops.windows import band_self_join_counts
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2],
+        "ts": pd.to_datetime([
+            "2024-01-01",          # a
+            "2024-01-01",          # a' (same instant → no pair)
+            "2024-01-08",          # exactly +7d from a/a' → counts
+            "2024-01-20",          # isolated
+            "2024-01-01", "2024-01-02"]),   # other key: one pair
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = band_self_join_counts(
+        ray.data.from_pandas(df).repartition(3), "k", "ts",
+        band_seconds=7 * 86_400)
+    got = dict(zip(out["k"], out["n_pairs"]))
+    assert got == {1: 2, 2: 1}

@@ -71,3 +71,55 @@ def recrawl_priorities(ds: ray.data.Dataset, now_us: int,
     out = out.sort_values(["priority", key_col],
                           ascending=[False, True], kind="stable")
     return out.head(top_n).reset_index(drop=True)
+
+
+def budget_allocation(ds: "ray.data.Dataset", key_col: str,
+                      weight_col: str, budget: int) -> pd.DataFrame:
+    """Exact largest-remainder apportionment of an integer crawl
+    budget across hosts: each key gets ``floor(budget·w/W)`` fetches
+    and the ``budget − Σfloor`` leftover slots go to the largest
+    remainders (ties → key ascending), so allocations are integers,
+    sum EXACTLY to ``budget``, and are reproducible — the fairness
+    rule a fixed-size fetch fleet needs when hosts' page volumes skew
+    (Hamilton's method; SQL-replayable with integer division +
+    row_number). Weights must be non-negative integers.
+
+    Scale shape: per-key weight sums reduce through the bucketed
+    partial-agg combine (raw rows never reach the driver); the
+    apportionment itself runs on the O(keys) weight table — host
+    cardinality, not page cardinality. Remainders are computed as
+    ``budget·w − floor·W`` in Python ints when ``budget·W`` would
+    overflow int64, so the rule stays exact at any magnitude.
+    Output: (key, weight_i, alloc) sorted by key."""
+    from .relational import partial_groupby
+
+    per = partial_groupby(
+        ds.select_columns([key_col, weight_col]), [key_col],
+        lambda b: b.groupby(key_col, as_index=False)[weight_col].sum(),
+        [weight_col], distributed_combine=True).to_pandas()
+    per = per.sort_values(key_col).reset_index(drop=True)
+    w = per[weight_col].to_numpy()
+    W = int(w.sum())
+    if W <= 0:
+        raise ValueError("budget_allocation: total weight must be > 0")
+    if budget * W < 2**62:                   # int64-safe fast path
+        wi = w.astype("int64")
+        fl = (budget * wi) // W
+        rem = budget * wi - fl * W
+    else:                                    # exact at any magnitude
+        fl = np.array([(budget * int(x)) // W for x in w],
+                      dtype="int64")
+        rem = np.array([budget * int(x) - int(f) * W
+                        for x, f in zip(w, fl)], dtype=object)
+    leftover = budget - int(fl.sum())
+    # largest remainder first, key ascending on ties; per is already
+    # key-sorted so a stable argsort on -rem preserves the tie rule
+    order = np.argsort(np.negative(rem), kind="stable")
+    bump = np.zeros(len(per), dtype="int64")
+    bump[order[:leftover]] = 1
+    out = pd.DataFrame({
+        key_col: per[key_col].to_numpy(),
+        "weight_i": w.astype("int64"),
+        "alloc": fl + bump})
+    assert int(out["alloc"].sum()) == budget
+    return out

@@ -874,3 +874,45 @@ def linear_touch_attribution(ds: ray.data.Dataset,
     out["revenue_i"] = out["revenue_i"].astype("int64")
     out["n_touches"] = out["n_touches"].astype("int64")
     return out.sort_values("channel").reset_index(drop=True)
+
+
+def band_self_join_counts(ds: ray.data.Dataset, key_col: str,
+                          ts_col: str, band_seconds: int,
+                          num_buckets: int = 64) -> pd.DataFrame:
+    """Temporal band self-join, counted: per key, the number of
+    ordered row pairs (a, b) with ``ts_b > ts_a`` and ``ts_b ≤ ts_a +
+    band`` — e.g. repeat orders within a week. The SQL twin is the
+    quadratic inequality self-join; here each pair count is the
+    difference of two ``searchsorted`` positions on the same
+    composite ``key_code·K + ts`` axis (one sorted pass per bucket,
+    no pair materialization at all — O(rows) work for O(rows²)
+    possible pairs). Strictness on equal timestamps comes from
+    ``side='right'`` at the lower bound. Output: (key, n_pairs) for
+    keys with ≥1 pair."""
+    band_us = np.int64(band_seconds) * 1_000_000
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col], kind="stable")
+        if not len(g):
+            return pd.DataFrame({key_col: [], "n_pairs": []})
+        code = pd.factorize(g[key_col].to_numpy())[0].astype("int64")
+        ts_us = (g[ts_col].to_numpy().astype("datetime64[us]")
+                 .astype("int64"))
+        tmin = ts_us.min()
+        K = np.int64(ts_us.max() - tmin) + band_us + np.int64(2)
+        comp = code * K + (ts_us - tmin)
+        lo = np.searchsorted(comp, comp, side="right")
+        hi = np.searchsorted(comp, comp + band_us, side="right")
+        return (pd.DataFrame({key_col: g[key_col].to_numpy(),
+                              "n_pairs": hi - lo})
+                .groupby(key_col, as_index=False)["n_pairs"].sum())
+
+    parts = (_add_key_bucket(ds.select_columns([key_col, ts_col]),
+                             key_col, num_buckets)
+             .groupby("_sbucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby(key_col, as_index=False)["n_pairs"].sum()
+    out = out.loc[out["n_pairs"] > 0].copy()
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values(key_col).reset_index(drop=True)
