@@ -4179,6 +4179,64 @@ def q_repeat_orders_7d(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"o_custkey": "c_custkey"})
 
 
+def q_interleaved_corpus_prep(sf_dir: str) -> pd.DataFrame:
+    """Flagship interleaved-corpus build, composed end-to-end as
+    Datasets (no driver hop between stages): span docs → cross-doc
+    span dedup FILTER (first occurrence wins, media kept) → nested
+    regroup → re-chunk at width 96 → FFD pack into ≤1024-token
+    interleaved training sequences. Rows-only driver check; the
+    stage invariants (dedup uniqueness, text-concat equality, width
+    bound, every doc packed exactly once, budget respected) are
+    pytest-gated in tests/test_tail3.py and tests/test_nested.py."""
+    from web2llmstxt_ray.ops.nested import (
+        build_span_docs, explode_spans, pack_interleaved,
+        rechunk_spans, regroup_spans, span_dedup_filter)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    deduped = span_dedup_filter(
+        explode_spans(build_span_docs(docs)))
+    packed = pack_interleaved(
+        rechunk_spans(regroup_spans(deduped), 96), max_tokens=1024)
+    out = _pdf(packed)
+    out["doc_ids"] = out["doc_ids"].map(
+        lambda v: ",".join(map(str, v)))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("pack_id").reset_index(drop=True)
+
+
+def q_part_kcore(sf_dir: str) -> pd.DataFrame:
+    """3-core of the repeat co-purchase graph (part pairs sharing ≥2
+    orders): iterative distributed degree peel — see
+    :func:`ops.graph.k_core`. Rows-only driver check; peel
+    correctness vs a sequential oracle is pytest-gated."""
+    from web2llmstxt_ray.ops.basket import _explode_pairs
+    from web2llmstxt_ray.ops.graph import k_core
+    from web2llmstxt_ray.ops.relational import partial_groupby
+    from web2llmstxt_ray.ops.windows import _add_key_bucket
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        d = (group[["l_orderkey", "l_partkey"]].drop_duplicates()
+             .sort_values(["l_orderkey", "l_partkey"], kind="stable"))
+        a, b = _explode_pairs(d["l_orderkey"].to_numpy(),
+                              d["l_partkey"].to_numpy())
+        return (pd.DataFrame({"u": a, "v": b})
+                .groupby(["u", "v"], as_index=False).size()
+                .rename(columns={"size": "cnt"}))
+
+    per = partial_groupby(
+        _add_key_bucket(li, "l_orderkey", 64)
+        .groupby("_sbucket").map_groups(pairs,
+                                        batch_format="pandas"),
+        ["u", "v"],
+        lambda b: b.groupby(["u", "v"], as_index=False)["cnt"].sum(),
+        ["cnt"], distributed_combine=True)
+    strong = per.filter(expr="cnt >= 2") \
+        .select_columns(["u", "v"])
+    return k_core(strong, k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -4383,6 +4441,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_timeout": q_funnel_timeout,
         "host_budget_allocation": q_host_budget_allocation,
         "repeat_orders_7d": q_repeat_orders_7d,
+        "interleaved_corpus_prep": q_interleaved_corpus_prep,
+        "part_kcore": q_part_kcore,
     }
 
 

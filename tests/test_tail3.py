@@ -384,3 +384,82 @@ def test_band_self_join_boundaries():
         band_seconds=7 * 86_400)
     got = dict(zip(out["k"], out["n_pairs"]))
     assert got == {1: 2, 2: 1}
+
+
+# ------------------------------------------- k-core
+def _brute_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    import collections
+    live = set(edges)
+    while True:
+        deg = collections.Counter()
+        for a, b in live:
+            deg[a] += 1
+            deg[b] += 1
+        weak = {n for n, d in deg.items() if d < k}
+        if not weak:
+            return dict(deg)
+        live = {(a, b) for a, b in live
+                if a not in weak and b not in weak}
+
+
+def test_kcore_triangle_with_tail():
+    from web2llmstxt_ray.ops.graph import k_core
+
+    # triangle 0-1-2 plus a tail 2-3-4: 2-core = the triangle only
+    e = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    ds = ray.data.from_pandas(pd.DataFrame(e, columns=["u", "v"])) \
+        .repartition(2)
+    out = k_core(ds, k=2)
+    assert dict(zip(out["node"], out["degree"])) == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_chain_empty_and_random_parity():
+    from web2llmstxt_ray.ops.graph import k_core
+
+    chain = [(i, i + 1) for i in range(6)]
+    out = k_core(ray.data.from_pandas(
+        pd.DataFrame(chain, columns=["u", "v"])), k=2)
+    assert len(out) == 0
+
+    rng = np.random.default_rng(11)
+    e = sorted({(int(a), int(b)) for a, b in
+                rng.integers(0, 30, (120, 2)) if a < b})
+    ds = ray.data.from_pandas(
+        pd.DataFrame(e, columns=["u", "v"])).repartition(3)
+    for k in (2, 3, 4):
+        got = dict(zip(*(k_core(ds, k=k)[c]
+                         for c in ("node", "degree"))))
+        assert got == _brute_kcore(e, k), k
+
+
+# ------------------------------------------- span dedup filter
+def test_span_dedup_filter_unique_and_media_preserved():
+    from web2llmstxt_ray.ops.nested import (
+        build_span_docs, explode_spans, span_dedup_filter)
+
+    # doc 2 and doc 10 share identical text → doc 2 wins every span
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [2, 10, 3],
+        "text": ["abc" * 100, "abc" * 100, "zz" * 80]}))
+    flat = explode_spans(build_span_docs(docs))
+    kept = span_dedup_filter(flat).to_pandas()
+    txt = kept.loc[kept["kind"] == "text"]
+    assert txt["text"].is_unique
+    assert set(txt["doc_id"]) == {"2", "3"}     # doc 10 lost all text
+    # media spans all survive
+    n_media_in = flat.filter(expr="kind != 'text'").count()
+    assert (kept["kind"] != "text").sum() == n_media_in
+
+
+def test_interleaved_corpus_prep_invariants():
+    import __ray_entry__ as E
+
+    out = E.queries()["interleaved_corpus_prep"](
+        "/root/testdata/sf0.001")
+    assert len(out) > 0
+    # every pack respects the budget unless it is a singleton doc
+    over = out.loc[out["total_cost"] > 1024]
+    assert (over["n_docs"] == 1).all()
+    # every doc appears exactly once across packs
+    ids = [d for s in out["doc_ids"] for d in s.split(",")]
+    assert len(ids) == len(set(ids))

@@ -628,3 +628,33 @@ def span_delta_counts(old_flat: ray.data.Dataset,
            .map_groups(per_bucket, batch_format="pandas")
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def span_dedup_filter(flat: ray.data.Dataset,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """The FILTER form of cross-document span dedup: returns the
+    surviving flat spans themselves (first occurrence of every text
+    span value by ``(doc, span_idx)``, media spans untouched) instead
+    of the audit counts — the stage a training-corpus build actually
+    inserts before re-chunking/packing. Same single text-hash bucket
+    shuffle as :func:`span_dedup_counts`; the winner test inside a
+    bucket is one sort + shift. Output schema = the exploded span
+    schema; stays a Dataset end-to-end (no driver hop)."""
+    cols = ["doc_id", "span_idx", "kind", "text", "media_ref",
+            "span_offset"]
+    from .windows import _add_key_bucket
+
+    text_spans = flat.filter(expr="kind == 'text'") \
+        .select_columns(cols)
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        g2 = g.assign(_d=g["doc_id"].astype("int64")) \
+            .sort_values(["text", "_d", "span_idx"], kind="stable")
+        first = g2["text"].ne(g2["text"].shift())
+        return g2.loc[first, cols]
+
+    kept_text = (_add_key_bucket(text_spans, "text", num_buckets)
+                 .groupby("_sbucket")
+                 .map_groups(winners, batch_format="pandas"))
+    media = flat.filter(expr="kind != 'text'").select_columns(cols)
+    return kept_text.union(media)
