@@ -4237,6 +4237,17 @@ def q_part_kcore(sf_dir: str) -> pd.DataFrame:
     return k_core(strong, k=3)
 
 
+def q_peak_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Capacity-planning sweep: maximum simultaneously-active
+    sessions (30-min-gap sessionization, closed intervals) plus the
+    session count — per-key interval build, time-bucketed ±1
+    endpoint sweep, O(time-buckets) driver fold; see
+    :func:`ops.windows.peak_concurrency`."""
+    from web2llmstxt_ray.ops.windows import peak_concurrency
+
+    return peak_concurrency(_t(sf_dir, "events", ["user_id", "ts"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -4443,6 +4454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_orders_7d": q_repeat_orders_7d,
         "interleaved_corpus_prep": q_interleaved_corpus_prep,
         "part_kcore": q_part_kcore,
+        "peak_concurrency": q_peak_concurrency,
     }
 
 
@@ -7088,5 +7100,33 @@ def oracle_sql() -> dict[str, str]:
              AND o2.o_orderdate > o1.o_orderdate
              AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
             GROUP BY 1
+        """,
+        "peak_concurrency": """
+            WITH g AS (SELECT user_id, ts,
+                              CASE WHEN lag(ts) OVER w IS NULL
+                                   OR ts - lag(ts) OVER w
+                                      > INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING)
+                             AS sid
+                  FROM g),
+            iv AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+                   FROM s GROUP BY user_id, sid),
+            pts AS (SELECT st AS t, 1 AS d FROM iv
+                    UNION ALL SELECT en, -1 FROM iv),
+            run AS (SELECT sum(d) OVER (ORDER BY t, d DESC
+                                        ROWS UNBOUNDED PRECEDING)
+                        AS c
+                    FROM pts)
+            SELECT CAST(max(c) AS BIGINT) AS peak_concurrency,
+                   (SELECT CAST(count(*) AS BIGINT) FROM iv)
+                       AS n_sessions
+            FROM run
         """,
     }

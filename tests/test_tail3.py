@@ -463,3 +463,36 @@ def test_interleaved_corpus_prep_invariants():
     # every doc appears exactly once across packs
     ids = [d for s in out["doc_ids"] for d in s.split(",")]
     assert len(ids) == len(set(ids))
+
+
+# ------------------------------------------- peak concurrency
+def test_peak_concurrency_closed_intervals_and_offsets():
+    from web2llmstxt_ray.ops.windows import peak_concurrency
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 10:10",   # s1 10:00-10:10
+            "2024-01-01 10:10", "2024-01-01 10:20",   # s2 touches s1
+            "2024-01-05 00:00"]),                     # far singleton
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = peak_concurrency(ray.data.from_pandas(df).repartition(2))
+    # closed intervals: s2 starts the instant s1 ends → concurrent
+    assert out["peak_concurrency"].iloc[0] == 2
+    assert out["n_sessions"].iloc[0] == 3
+
+
+def test_peak_concurrency_gap_splits_sessions():
+    from web2llmstxt_ray.ops.windows import peak_concurrency
+
+    # one user, two events 31 min apart → two sessions, peak 1
+    df = pd.DataFrame({
+        "user_id": [9, 9],
+        "ts": pd.to_datetime(["2024-01-01 00:00",
+                              "2024-01-01 00:31"]),
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = peak_concurrency(ray.data.from_pandas(df))
+    assert (out["peak_concurrency"].iloc[0],
+            out["n_sessions"].iloc[0]) == (1, 2)

@@ -916,3 +916,73 @@ def band_self_join_counts(ds: ray.data.Dataset, key_col: str,
     out = out.loc[out["n_pairs"] > 0].copy()
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def peak_concurrency(ds: ray.data.Dataset, gap_minutes: float = 30.0,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     num_buckets: int = 64,
+                     time_bucket_s: int = 3600) -> pd.DataFrame:
+    """Maximum number of simultaneously-active sessions (closed
+    intervals, a session touching another's endpoint counts as
+    concurrent): sessionize each key (30-min gap rule), sweep the
+    global timeline of ±1 endpoint deltas, report the running-sum
+    peak and the session count. The capacity-planning classic.
+
+    Scale shape: intervals build in the same per-key bucket shuffle
+    as sessionize (one (start, end) row per session — session-sized,
+    not event-sized); the sweep can't bucket by key (it's a global
+    property), so endpoints partition by TIME bucket instead: each
+    bucket sorts its own points (starts before ends on ties — the
+    closed-interval rule) and emits (bucket, Σd, local max prefix);
+    the driver folds O(time-buckets) rows with cumulative offsets —
+    exact because time buckets partition the sorted axis. Output:
+    one row (peak_concurrency, n_sessions)."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+    tb_us = np.int64(time_bucket_s) * 1_000_000
+
+    def intervals(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col], kind="stable")
+        brk = (g.groupby(key_col, sort=False)[ts_col].diff() > gap) \
+            .to_numpy()
+        newk = np.empty(len(g), dtype=bool)
+        if len(g):
+            kv = g[key_col].to_numpy()
+            newk[0] = True
+            newk[1:] = kv[1:] != kv[:-1]
+        sid = np.cumsum(brk | newk) - 1
+        us = (g[ts_col].to_numpy().astype("datetime64[us]")
+              .astype("int64"))
+        iv = (pd.DataFrame({"_sid": sid, "us": us})
+              .groupby("_sid", as_index=False)
+              .agg(st=("us", "min"), en=("us", "max")))
+        pts = pd.DataFrame({
+            "t": np.concatenate((iv["st"].to_numpy(),
+                                 iv["en"].to_numpy())),
+            "d": np.concatenate((np.ones(len(iv), dtype="int64"),
+                                 -np.ones(len(iv), dtype="int64")))})
+        pts["_tb"] = pts["t"] // tb_us
+        return pts
+
+    pts = (_add_key_bucket(ds.select_columns([key_col, ts_col]),
+                           key_col, num_buckets)
+           .groupby("_sbucket").map_groups(intervals,
+                                           batch_format="pandas"))
+
+    def sweep_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["t", "d"], ascending=[True, False],
+                          kind="stable")
+        run = s["d"].cumsum()
+        return pd.DataFrame({"_tb": [g["_tb"].iloc[0]],
+                             "sum_d": [int(s["d"].sum())],
+                             "max_prefix": [int(run.max())],
+                             "n_starts": [int((s["d"] > 0).sum())]})
+
+    parts = (pts.groupby("_tb").map_groups(sweep_bucket,
+                                           batch_format="pandas")
+             .to_pandas().sort_values("_tb").reset_index(drop=True))
+    offsets = parts["sum_d"].cumsum().shift(1).fillna(0).astype("int64")
+    peak = int((offsets + parts["max_prefix"]).max())
+    return pd.DataFrame({
+        "peak_concurrency": pd.Series([peak], dtype="int64"),
+        "n_sessions": pd.Series([int(parts["n_starts"].sum())],
+                                dtype="int64")})
