@@ -4196,7 +4196,8 @@ def q_interleaved_corpus_prep(sf_dir: str) -> pd.DataFrame:
     deduped = span_dedup_filter(
         explode_spans(build_span_docs(docs)))
     packed = pack_interleaved(
-        rechunk_spans(regroup_spans(deduped), 96), max_tokens=1024)
+        rechunk_spans(regroup_spans(deduped), 96), max_tokens=1024,
+        bucket_by_doc=16)
     out = _pdf(packed)
     out["doc_ids"] = out["doc_ids"].map(
         lambda v: ",".join(map(str, v)))

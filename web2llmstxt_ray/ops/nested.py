@@ -229,7 +229,9 @@ def span_costs(docs: ray.data.Dataset, media_cost: int = 16,
 
 
 def pack_interleaved(docs: ray.data.Dataset, max_tokens: int,
-                     media_cost: int = 16) -> ray.data.Dataset:
+                     media_cost: int = 16,
+                     bucket_by_doc: int | None = None
+                     ) -> ray.data.Dataset:
     """Greedy FFD packing of interleaved span documents into training
     sequences of ≤ ``max_tokens`` (text spans cost ws-tokens, media
     spans ``media_cost``). Documents pack ATOMICALLY — a doc's span
@@ -274,7 +276,17 @@ def pack_interleaved(docs: ray.data.Dataset, max_tokens: int,
             "total_cost": pa.array([p[1] for p in packs], pa.int64()),
         })
 
-    return span_costs(docs, media_cost).map_batches(
+    costs = span_costs(docs, media_cost)
+    if bucket_by_doc is not None:
+        def add_b(b: pa.Table) -> pa.Table:
+            h = (hash64_batch(b.column("doc_id").to_pylist())
+                 % np.uint64(bucket_by_doc)).astype(np.int32)
+            return b.append_column("_pb", pa.array(h))
+
+        return (costs.map_batches(add_b, batch_format="pyarrow")
+                .groupby("_pb").map_groups(pack_block,
+                                           batch_format="pyarrow"))
+    return costs.map_batches(
         pack_block, batch_format="pyarrow", batch_size=None)
 
 
