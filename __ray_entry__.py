@@ -4249,6 +4249,95 @@ def q_peak_concurrency(sf_dir: str) -> pd.DataFrame:
     return peak_concurrency(_t(sf_dir, "events", ["user_id", "ts"]))
 
 
+def q_nation_share_of_region(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical share-of-parent report: each supplier nation's
+    exact integer revenue and its share of its REGION's total — the
+    two-level rollup shape. One set of per-nation partials feeds both
+    levels (the region total is a driver fold over its nations);
+    supplier→nation→region maps broadcast once. The share is a single
+    float division of two exact integers, bit-comparable to SQL."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    supp = _t(sf_dir, "supplier",
+              ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _t(sf_dir, "nation",
+             ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _t(sf_dir, "region",
+             ["r_regionkey", "r_name"]).to_pandas()
+    s2n = dict(zip(supp["s_suppkey"].astype(int),
+                   supp["s_nationkey"].astype(int)))
+    ref = ray.put(s2n)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        s2n = ray.get(ref)
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100) \
+            .astype("int64")
+        disc = np.rint(b["l_discount"].to_numpy() * 100) \
+            .astype("int64")
+        return pd.DataFrame({
+            "nk": b["l_suppkey"].map(s2n).to_numpy(),
+            "rev_i": cents * (100 - disc)})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(prep, batch_format="pandas", batch_size=None)
+    per = partial_groupby(
+        li, ["nk"],
+        lambda b: b.groupby("nk", as_index=False)["rev_i"].sum(),
+        ["rev_i"])
+    per["nk"] = per["nk"].astype(int)
+    n2r = dict(zip(nat["n_nationkey"].astype(int),
+                   nat["n_regionkey"].astype(int)))
+    n2name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    r2name = dict(zip(reg["r_regionkey"].astype(int), reg["r_name"]))
+    per["rk"] = per["nk"].map(n2r)
+    region_tot = per.groupby("rk")["rev_i"].transform("sum")
+    out = pd.DataFrame({
+        "r_name": per["rk"].map(r2name),
+        "n_name": per["nk"].map(n2name),
+        "rev_i": per["rev_i"].astype("int64"),
+        "share": per["rev_i"].to_numpy().astype("float64")
+        / region_tot.to_numpy().astype("float64")})
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+def q_qty_quantiles_disc(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped percentile_disc (p25/p50/p75 of quantity per
+    return flag): smallest value whose cumulative count reaches
+    ⌈q·n⌉, computed from the distributed per-(group, value) count
+    histogram — no global sort; the driver picks from O(groups ×
+    distinct-values) rows. SQL replay uses the same windowed
+    cumulative rule."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "f": b["l_returnflag"].to_numpy(),
+            "v": np.rint(b["l_quantity"].to_numpy()).astype("int64")})
+
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]) \
+        .map_batches(prep, batch_format="pandas", batch_size=None)
+    cnt = partial_groupby(
+        li, ["f", "v"],
+        lambda b: b.groupby(["f", "v"], as_index=False)
+        .agg(n=("v", "size")), ["n"])
+    cnt = cnt.sort_values(["f", "v"]).reset_index(drop=True)
+    cnt["cum"] = cnt.groupby("f")["n"].cumsum()
+    tot = cnt.groupby("f")["n"].transform("sum")
+    rows = []
+    for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+        thr = np.ceil(q * tot.to_numpy())
+        hit = cnt.loc[cnt["cum"].to_numpy() >= thr] \
+            .groupby("f", as_index=False)["v"].first() \
+            .rename(columns={"v": col})
+        rows.append(hit)
+    out = rows[0].merge(rows[1], on="f").merge(rows[2], on="f")
+    out = out.rename(columns={"f": "l_returnflag"})
+    for c in ("p25", "p50", "p75"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -4456,6 +4545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleaved_corpus_prep": q_interleaved_corpus_prep,
         "part_kcore": q_part_kcore,
         "peak_concurrency": q_peak_concurrency,
+        "nation_share_of_region": q_nation_share_of_region,
+        "qty_quantiles_disc": q_qty_quantiles_disc,
     }
 
 
@@ -7129,5 +7220,41 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT) FROM iv)
                        AS n_sessions
             FROM run
+        """,
+        "nation_share_of_region": """
+            WITH per AS (
+                SELECT n_regionkey, n_name,
+                       sum(CAST(round(l_extendedprice * 100)
+                                AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100)
+                                         AS BIGINT))) AS rev_i
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                GROUP BY 1, 2)
+            SELECT r_name, n_name, CAST(rev_i AS BIGINT) AS rev_i,
+                   CAST(rev_i AS DOUBLE)
+                   / CAST(sum(rev_i) OVER (PARTITION BY n_regionkey)
+                          AS DOUBLE) AS share
+            FROM per JOIN region ON n_regionkey = r_regionkey
+        """,
+        "qty_quantiles_disc": """
+            WITH c AS (SELECT l_returnflag AS f,
+                              CAST(round(l_quantity) AS BIGINT) AS v,
+                              count(*) AS n
+                       FROM lineitem GROUP BY 1, 2),
+            t AS (SELECT f, v,
+                         sum(n) OVER (PARTITION BY f ORDER BY v)
+                             AS cum,
+                         sum(n) OVER (PARTITION BY f) AS tot
+                  FROM c)
+            SELECT f AS l_returnflag,
+                   CAST(min(CASE WHEN cum >= ceil(0.25 * tot)
+                                 THEN v END) AS BIGINT) AS p25,
+                   CAST(min(CASE WHEN cum >= ceil(0.5 * tot)
+                                 THEN v END) AS BIGINT) AS p50,
+                   CAST(min(CASE WHEN cum >= ceil(0.75 * tot)
+                                 THEN v END) AS BIGINT) AS p75
+            FROM t GROUP BY 1
         """,
     }

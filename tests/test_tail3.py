@@ -496,3 +496,22 @@ def test_peak_concurrency_gap_splits_sessions():
     out = peak_concurrency(ray.data.from_pandas(df))
     assert (out["peak_concurrency"].iloc[0],
             out["n_sessions"].iloc[0]) == (1, 2)
+
+
+# ------------------------------------------- batch G edge cases
+def test_qty_quantiles_disc_exact_rule():
+    import __ray_entry__ as E
+
+    out = E.queries()["qty_quantiles_disc"]("/root/testdata/sf0.001")
+    # discrete quantiles are actual data values and ordered
+    assert (out["p25"] <= out["p50"]).all()
+    assert (out["p50"] <= out["p75"]).all()
+
+
+def test_nation_share_sums_to_one_per_region():
+    import __ray_entry__ as E
+
+    out = E.queries()["nation_share_of_region"](
+        "/root/testdata/sf0.001")
+    s = out.groupby("r_name")["share"].sum()
+    assert np.allclose(s.to_numpy(), 1.0, atol=1e-12)
