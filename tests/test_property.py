@@ -90,3 +90,50 @@ class TestSpanProperties:
                 assert s["media_ref"]
             else:
                 assert s["media_ref"] == ""
+
+
+class TestSkylineKernelProperties:
+    """The block-local 2-D skyline kernel (relational._skyline_block)
+    against the O(n²) dominance definition, arbitrary integer data —
+    duplicates, ties and single-group edge cases included."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                    min_size=0, max_size=60))
+    def test_matches_bruteforce(self, pts):
+        import pandas as pd
+
+        from web2llmstxt_ray.ops.relational import _skyline_block
+
+        df = pd.DataFrame({
+            "id": np.arange(len(pts), dtype="int64"),
+            "mn": np.array([p[0] for p in pts], dtype="int64"),
+            "mx": np.array([p[1] for p in pts], dtype="int64")})
+        got = set(_skyline_block(df, "id", "mn", "mx")["id"])
+        want = {int(r["id"]) for _, r in df.iterrows()
+                if not any(
+                    q["mn"] <= r["mn"] and q["mx"] >= r["mx"]
+                    and (q["mn"] < r["mn"] or q["mx"] > r["mx"])
+                    for _, q in df.iterrows())}
+        assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestEdLe1Properties:
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="abc", max_size=8),
+           st.text(alphabet="abc", max_size=8))
+    def test_matches_dp_levenshtein(self, a, b):
+        from web2llmstxt_ray.ops.dedup import _ed_le1
+
+        assert _ed_le1(a, b) == (_lev(a, b) <= 1)
