@@ -4338,6 +4338,94 @@ def q_qty_quantiles_disc(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_ship_latency_hist(sf_dir: str) -> pd.DataFrame:
+    """Order-fulfillment latency distribution: days from order date
+    to the order's LAST shipment, bucketed into a day histogram.
+    max(shipdate) is idempotent, so per-order partials pre-reduce
+    block-locally and finish in ONE orderkey-hash bucket shuffle
+    (never a driver fold — orderkey is high-cardinality); the
+    order-date attach is a bucketed hash join; only the O(distinct
+    latency-days) histogram partials reach the driver."""
+    from web2llmstxt_ray.ops.relational import hash_join
+    from web2llmstxt_ray.ops.windows import _add_key_bucket
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        us = (b["l_shipdate"].to_numpy().astype("datetime64[us]")
+              .astype("int64"))
+        return (pd.DataFrame({"o_orderkey": b["l_orderkey"].to_numpy(),
+                              "ship_us": us})
+                .groupby("o_orderkey", as_index=False)["ship_us"]
+                .max())
+
+    last_ship = (_add_key_bucket(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(li_prep, batch_format="pandas",
+                     batch_size=None),
+        "o_orderkey", 64)
+        .groupby("_sbucket")
+        .map_groups(lambda g: g.groupby("o_orderkey",
+                                        as_index=False)
+                    ["ship_us"].max(), batch_format="pandas")
+        .materialize())
+
+    def ord_prep(b: pd.DataFrame) -> pd.DataFrame:
+        us = (b["o_orderdate"].to_numpy().astype("datetime64[us]")
+              .astype("int64"))
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(),
+                             "ord_us": us})
+
+    ords = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(ord_prep, batch_format="pandas",
+                     batch_size=None)
+    j = hash_join(last_ship, ords, "o_orderkey")
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        days = ((b["ship_us"].to_numpy() - b["ord_us"].to_numpy())
+                // 86_400_000_000).astype("int64")
+        return (pd.DataFrame({"latency_days": days})
+                .groupby("latency_days", as_index=False)
+                .agg(n_orders=("latency_days", "size")))
+
+    parts = j.map_batches(hist_partial, batch_format="pandas",
+                          batch_size=None).to_pandas()
+    out = (parts.groupby("latency_days", as_index=False)
+           ["n_orders"].sum())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("latency_days").reset_index(drop=True)
+
+
+def q_part_sales_classes(sf_dir: str) -> pd.DataFrame:
+    """Sales-frequency classification with the anti-join zero class:
+    every part labeled by its lineitem count — 'never' (no sales:
+    the LEFT-anti side, the part-table complement of the counted
+    keys), 'slow' (<25), 'steady' (25-34), 'hot' (35+) — counted per
+    class; empty classes are dropped, matching the SQL GROUP BY.
+    Per-part counts pre-reduce in the partial combiner."""
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    per = partial_groupby(
+        _t(sf_dir, "lineitem", ["l_partkey"])
+        .map_batches(lambda b: b.groupby("l_partkey", as_index=False)
+                     .agg(n=("l_partkey", "size")),
+                     batch_format="pandas", batch_size=None),
+        ["l_partkey"],
+        lambda b: b.groupby("l_partkey", as_index=False)["n"].sum(),
+        ["n"])
+    n_parts = int(_t(sf_dir, "part", ["p_partkey"]).count())
+    sold = per["n"].to_numpy()
+    classes = {
+        "never": n_parts - len(per),
+        "slow": int((sold < 25).sum()),
+        "steady": int(((sold >= 25) & (sold < 35)).sum()),
+        "hot": int((sold >= 35).sum()),
+    }
+    out = pd.DataFrame({"sales_class": list(classes.keys()),
+                        "n_parts": list(classes.values())})
+    out = out.loc[out["n_parts"] > 0].copy()
+    out["n_parts"] = out["n_parts"].astype("int64")
+    return out.sort_values("sales_class").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -4547,6 +4635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": q_peak_concurrency,
         "nation_share_of_region": q_nation_share_of_region,
         "qty_quantiles_disc": q_qty_quantiles_disc,
+        "ship_latency_hist": q_ship_latency_hist,
+        "part_sales_classes": q_part_sales_classes,
     }
 
 
@@ -7256,5 +7346,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(CASE WHEN cum >= ceil(0.75 * tot)
                                  THEN v END) AS BIGINT) AS p75
             FROM t GROUP BY 1
+        """,
+        "ship_latency_hist": """
+            WITH ls AS (SELECT l_orderkey AS o_orderkey,
+                               max(l_shipdate) AS ship
+                        FROM lineitem GROUP BY 1)
+            SELECT CAST(date_diff('day', o_orderdate, ship)
+                        AS BIGINT) AS latency_days,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN ls USING (o_orderkey)
+            GROUP BY 1
+        """,
+        "part_sales_classes": """
+            WITH per AS (SELECT l_partkey, count(*) AS n
+                         FROM lineitem GROUP BY 1),
+            lab AS (SELECT p_partkey,
+                           CASE WHEN n IS NULL THEN 'never'
+                                WHEN n < 25 THEN 'slow'
+                                WHEN n < 35 THEN 'steady'
+                                ELSE 'hot' END AS sales_class
+                    FROM part LEFT JOIN per
+                      ON p_partkey = l_partkey)
+            SELECT sales_class, CAST(count(*) AS BIGINT) AS n_parts
+            FROM lab GROUP BY 1
         """,
     }
