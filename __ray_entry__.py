@@ -4426,6 +4426,30 @@ def q_part_sales_classes(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("sales_class").reset_index(drop=True)
 
 
+def q_span_render_text(sf_dir: str) -> pd.DataFrame:
+    """Text-only LM projection of the interleaved corpus: per doc,
+    spans concatenated in order with media spans replaced by the
+    '<image>' placeholder token — map-only; string_agg SQL replay.
+    See :func:`ops.nested.render_text_with_media_tokens`."""
+    from web2llmstxt_ray.ops.nested import (
+        build_span_docs, explode_spans, render_text_with_media_tokens)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = _pdf(render_text_with_media_tokens(
+        explode_spans(build_span_docs(docs))))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_user_value_twap(sf_dir: str) -> pd.DataFrame:
+    """Duration-weighted average event value per user (TWAP): exact
+    integer µs·cents numerator/denominator via a grouped LEAD, one
+    float division — see :func:`ops.windows.time_weighted_average`."""
+    from web2llmstxt_ray.ops.windows import time_weighted_average
+
+    return time_weighted_average(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -4637,6 +4661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_quantiles_disc": q_qty_quantiles_disc,
         "ship_latency_hist": q_ship_latency_hist,
         "part_sales_classes": q_part_sales_classes,
+        "span_render_text": q_span_render_text,
+        "user_value_twap": q_user_value_twap,
     }
 
 
@@ -7369,5 +7395,43 @@ def oracle_sql() -> dict[str, str]:
                       ON p_partkey = l_partkey)
             SELECT sales_class, CAST(count(*) AS BIGINT) AS n_parts
             FROM lab GROUP BY 1
+        """,
+        "span_render_text": """
+            WITH flat AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       text AS full_text,
+                       unnest(range(CAST(ceil(length(text) / 64.0)
+                                         AS BIGINT))) AS i
+                FROM documents)
+            SELECT doc_id,
+                   string_agg(CASE WHEN i % 3 = 2 THEN '<image>'
+                                   ELSE substr(full_text,
+                                               CAST(i * 64 + 1
+                                                    AS INT), 64)
+                              END, '' ORDER BY i) AS rendered
+            FROM flat GROUP BY doc_id
+        """,
+        "user_value_twap": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            w AS (SELECT user_id, cents, ts,
+                         lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                             AS nxt
+                  FROM e)
+            SELECT user_id,
+                   CAST(sum(cents * date_diff('microsecond', ts,
+                                              nxt)) AS BIGINT)
+                       AS num_i,
+                   CAST(sum(date_diff('microsecond', ts, nxt))
+                        AS BIGINT) AS den_us,
+                   CAST(sum(cents * date_diff('microsecond', ts,
+                                              nxt)) AS DOUBLE)
+                   / CAST(sum(date_diff('microsecond', ts, nxt))
+                          AS DOUBLE) AS twap
+            FROM w WHERE nxt IS NOT NULL
+            GROUP BY user_id
         """,
     }

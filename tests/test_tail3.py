@@ -515,3 +515,41 @@ def test_nation_share_sums_to_one_per_region():
         "/root/testdata/sf0.001")
     s = out.groupby("r_name")["share"].sum()
     assert np.allclose(s.to_numpy(), 1.0, atol=1e-12)
+
+
+# ------------------------------------------- batch I edge cases
+def test_render_text_media_tokens_order():
+    from web2llmstxt_ray.ops.nested import render_text_with_media_tokens
+
+    flat = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": ["1", "1", "1"],
+        "span_idx": [0, 1, 2],
+        "kind": ["text", "image", "text"],
+        "text": ["hello ", "", "world"],
+        "media_ref": ["", "m", ""],
+        "span_offset": [0, 64, 128],
+    }))
+    out = render_text_with_media_tokens(flat).to_pandas()
+    assert out["rendered"].iloc[0] == "hello <image>world"
+
+
+def test_twap_duration_weighting_and_last_drop():
+    from web2llmstxt_ray.ops.windows import time_weighted_average
+
+    # value 1.00 held 3 s, then 4.00 held 1 s → twap = 175 cents;
+    # the final observation (9.00) has no duration and drops
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [5, 5, 5],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00",
+                              "2024-01-01 00:00:03",
+                              "2024-01-01 00:00:04"]),
+        "value": [1.0, 4.0, 9.0],
+    })
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    out = time_weighted_average(ray.data.from_pandas(df)
+                                .repartition(2))
+    r = out.iloc[0]
+    assert r["den_us"] == 4_000_000
+    assert r["num_i"] == 100 * 3_000_000 + 400 * 1_000_000
+    assert abs(r["twap"] - 175.0) < 1e-12

@@ -670,3 +670,28 @@ def span_dedup_filter(flat: ray.data.Dataset,
                  .map_groups(winners, batch_format="pandas"))
     media = flat.filter(expr="kind != 'text'").select_columns(cols)
     return kept_text.union(media)
+
+
+def render_text_with_media_tokens(
+        flat: ray.data.Dataset,
+        media_token: str = "<image>") -> ray.data.Dataset:
+    """Project the interleaved payload to a text-only LM view: per
+    document, concatenate spans in order with every media span
+    replaced by a fixed placeholder token — how multimodal corpora
+    feed text-only pretraining. Map-only (explode keeps a document's
+    spans in one block): one vectorized selection + a grouped ordered
+    join per block; SQL twin is ``string_agg(… ORDER BY span_idx)``.
+    Output: (doc_id, rendered)."""
+    def per_block(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["doc_id", "span_idx"], kind="stable")
+        piece = np.where(g["kind"].to_numpy() == "text",
+                         g["text"].to_numpy(), media_token)
+        out = (pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "_p": piece})
+               .groupby("doc_id", sort=False)["_p"]
+               .agg("".join).reset_index()
+               .rename(columns={"_p": "rendered"}))
+        return out
+
+    return flat.map_batches(per_block, batch_format="pandas",
+                            batch_size=None)

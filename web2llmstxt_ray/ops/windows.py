@@ -986,3 +986,49 @@ def peak_concurrency(ds: ray.data.Dataset, gap_minutes: float = 30.0,
         "peak_concurrency": pd.Series([peak], dtype="int64"),
         "n_sessions": pd.Series([int(parts["n_starts"].sum())],
                                 dtype="int64")})
+
+
+def time_weighted_average(ds: ray.data.Dataset,
+                          key_col: str = "user_id",
+                          ts_col: str = "ts",
+                          id_col: str = "event_id",
+                          value_col: str = "value",
+                          num_buckets: int = 64) -> pd.DataFrame:
+    """Time-weighted average value per key (TWAP): each observation
+    weighted by how long it was current — Σ cents·Δt / ΣΔt over the
+    intervals between consecutive events ((ts, id) order; the last
+    observation has no duration and drops, SQL's ``LEAD IS NOT
+    NULL``). Numerator/denominator stay exact int64 (µs × cents —
+    overflows only past ~10^18·µs-cents per key; split-sum like the
+    co-moment ops if ever needed); ONE float division at the end is
+    bit-comparable to SQL. One bucketed shuffle, vectorized grouped
+    shift — no per-key loop. Output: (key, num_i, den_us, twap)."""
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        us = (g[ts_col].to_numpy().astype("datetime64[us]")
+              .astype("int64"))
+        cents = np.rint(g[value_col].to_numpy() * 100).astype("int64")
+        nxt = (pd.Series(us, index=g.index)
+               .groupby(g[key_col], sort=False).shift(-1))
+        dur = (nxt - us)
+        keep = dur.notna()
+        d = dur[keep].astype("int64")
+        return (pd.DataFrame({key_col: g.loc[keep, key_col].to_numpy(),
+                              "num_i": cents[keep.to_numpy()] * d,
+                              "den_us": d})
+                .groupby(key_col, as_index=False)[["num_i", "den_us"]]
+                .sum())
+
+    parts = (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, value_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas")
+        .to_pandas())
+    out = parts.groupby(key_col,
+                        as_index=False)[["num_i", "den_us"]].sum()
+    out["num_i"] = out["num_i"].astype("int64")
+    out["den_us"] = out["den_us"].astype("int64")
+    out["twap"] = (out["num_i"].to_numpy().astype("float64")
+                   / out["den_us"].to_numpy().astype("float64"))
+    return out.sort_values(key_col).reset_index(drop=True)
