@@ -4450,6 +4450,38 @@ def q_user_value_twap(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"]))
 
 
+def q_crawl_new_tokens(sf_dir: str) -> pd.DataFrame:
+    """Token-level novelty between two crawls: distinct lowercased
+    words present in the simulated re-crawl (same deterministic
+    transformation as ``crawl_delta``) but absent from the base
+    crawl — the vocabulary-drift complement of the span-level delta,
+    via the distributed EXCEPT machinery (block-local dedup before
+    the single bucket shuffle; ``relational.set_op``)."""
+    from web2llmstxt_ray.ops.relational import set_op
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def base_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        toks = (b["text"].str.lower()
+                .str.findall(r"[a-z]+").explode().dropna())
+        return pd.DataFrame({"token": toks.unique()})
+
+    def recrawl_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype("int64").to_numpy()
+        t = b["text"].copy()
+        t = t.mask(did % 5 == 0, t.str.upper())
+        t = t.mask(did % 7 == 0, t + " updated content marker")
+        toks = t.str.lower().str.findall(r"[a-z]+").explode().dropna()
+        return pd.DataFrame({"token": toks.unique()})
+
+    new = docs.map_batches(recrawl_tokens, batch_format="pandas",
+                           batch_size=None)
+    old = docs.map_batches(base_tokens, batch_format="pandas",
+                           batch_size=None)
+    out = set_op(new, old, "token", "except").to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -4663,6 +4695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_sales_classes": q_part_sales_classes,
         "span_render_text": q_span_render_text,
         "user_value_twap": q_user_value_twap,
+        "crawl_new_tokens": q_crawl_new_tokens,
     }
 
 
@@ -7433,5 +7466,23 @@ def oracle_sql() -> dict[str, str]:
                           AS DOUBLE) AS twap
             FROM w WHERE nxt IS NOT NULL
             GROUP BY user_id
+        """,
+        "crawl_new_tokens": """
+            WITH newd AS (
+                SELECT (CASE WHEN doc_id % 5 = 0 THEN upper(text)
+                             ELSE text END)
+                       || (CASE WHEN doc_id % 7 = 0
+                                THEN ' updated content marker'
+                                ELSE '' END) AS text
+                FROM documents)
+            SELECT DISTINCT t.tok AS token
+            FROM newd, LATERAL unnest(
+                regexp_extract_all(lower(newd.text), '[a-z]+'))
+                AS t(tok)
+            EXCEPT
+            SELECT DISTINCT t.tok
+            FROM documents, LATERAL unnest(
+                regexp_extract_all(lower(documents.text), '[a-z]+'))
+                AS t(tok)
         """,
     }

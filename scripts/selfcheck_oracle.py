@@ -6,7 +6,8 @@ matching ``oracle_sql()`` in DuckDB over the same parquet tables, compare
 row count + schema + order-insensitive value hash. Queries without an
 oracle get a rows-only check.
 
-Usage:  python scripts/selfcheck_oracle.py [sf_dir]  (default sf0.01)
+Usage:  python scripts/selfcheck_oracle.py [sf_dir] [query ...]
+(default sf0.01, all queries; extra args restrict to the named queries)
 Writes /tmp/selfcheck_oracle.json and prints one summary line per query.
 """
 
@@ -77,6 +78,13 @@ def main() -> int:
 
     qs = mod.queries()
     oracles = mod.oracle_sql()
+    if len(sys.argv) > 2:
+        want = set(sys.argv[2:])
+        unknown = want - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        qs = {k: v for k, v in qs.items() if k in want}
     results = {}
     n_pass = n_fail = 0
     for name, fn in qs.items():
