@@ -686,3 +686,46 @@ def bigram_pmi(ds: ray.data.Dataset, min_count: int = 5,
     out = out.sort_values(["pmi", "w1", "w2"],
                           ascending=[False, True, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def leakage_safe_split(ds: ray.data.Dataset, text_col: str = "text",
+                       id_col: str = "doc_id", train_pct: int = 80,
+                       num_buckets: int = 64) -> ray.data.Dataset:
+    """Duplicate-cluster-aware train/test split: all EXACT copies of a
+    text land on the same side (the md5 rule of :func:`grouped_split`
+    applied to the cluster ROOT = min doc id per distinct text, not to
+    a pre-existing group column) — the split decontamination step when
+    there is no source/site key to group by.
+
+    One content-hash bucket shuffle of (hash, id) pairs co-locates
+    each text's copies; the root, the md5 side, and every member's
+    tag are computed in-bucket (nothing corpus-sized touches the
+    driver, no second pass — the text itself never shuffles).
+    Output: (doc_id, split).
+    """
+    import hashlib as _hl
+
+    from .dedup import add_content_hash
+
+    pairs = add_content_hash(ds, text_col).select_columns(
+        ["content_hash", id_col])
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b["content_hash"], index=False)
+        return b.assign(_sb=(h % num_buckets).astype("int32"))
+
+    def tag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        root = g.groupby("content_hash")[id_col].transform("min")
+        uniq = root.unique()
+        side = {
+            r: ("train"
+                if int(_hl.md5(str(r).encode()).hexdigest()[:8],
+                       16) % 100 < train_pct else "test")
+            for r in uniq}
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "split": root.map(side).to_numpy()})
+
+    return (pairs.map_batches(bucket, batch_format="pandas",
+                              batch_size=None)
+            .groupby("_sb").map_groups(tag_bucket,
+                                       batch_format="pandas"))

@@ -1627,3 +1627,139 @@ def edit_distance_self_join(ds: ray.data.Dataset, col: str,
         out = out.drop(columns=["_pb"])
     out["dist"] = out["dist"].astype("int64")
     return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (asymmetric near-dup: quotes / subsets)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(ds: ray.data.Dataset, n: int = 3,
+                      tau: float = 0.2, text_col: str = "text",
+                      id_col: str = "doc_id", num_buckets: int = 64,
+                      max_gram_df: int | None = None) -> ray.data.Dataset:
+    """Directed n-gram containment pairs: (a, b) where
+    |grams(a) ∩ grams(b)| / |grams(a)| ≥ tau, a ≠ b — the asymmetric
+    near-dup relation Jaccard misses (a short doc QUOTED inside a long
+    one has high containment but low Jaccard; CCNet/Lee et al. treat
+    these as dedup targets).
+
+    Scale shape: per block, each doc reduces to its DISTINCT word
+    n-grams (docs arrive whole, so totals |grams(a)| are block-local
+    too — no extra pass). Gram→doc rows shuffle ONCE by hash(gram)
+    bucket; inside a bucket a vectorized self-merge per gram emits
+    per-pair partial intersection counts, combined by a second skinny
+    (a, b)-keyed bucket shuffle (partials, never texts). Totals join
+    back via the partitioned hash join on the ``a`` side. The only
+    quadratic term is per-gram df² — ``max_gram_df`` caps hot grams
+    (stopword-like shingles) for skewed corpora; the default None
+    keeps the operator exact, matching the SQL oracle.
+
+    Output Dataset: (a, b, inter, a_total, containment) — directed,
+    unfiltered columns kept for auditing.
+    """
+    from .relational import hash_join, partial_groupby
+
+    def grams_block(b: pd.DataFrame) -> pd.DataFrame:
+        words = b[text_col].str.split(" ")
+        ids = b[id_col].to_numpy()
+        out_ids, out_grams = [], []
+        for i, ws in enumerate(words):
+            if len(ws) < n:
+                continue
+            gs = {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)}
+            out_ids.append(np.full(len(gs), ids[i]))
+            out_grams.append(np.array(list(gs), dtype=object))
+        if not out_ids:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "gram": pd.Series([], dtype=str)})
+        return pd.DataFrame({id_col: np.concatenate(out_ids),
+                             "gram": np.concatenate(out_grams)})
+
+    grams = ds.select_columns([id_col, text_col]).map_batches(
+        grams_block, batch_format="pandas", batch_size=None).materialize()
+
+    totals = partial_groupby(
+        grams.map_batches(
+            lambda b: b.groupby(id_col, as_index=False)
+            .agg(a_total=(id_col, "size")),
+            batch_format="pandas", batch_size=None),
+        [id_col],
+        lambda b: b.groupby(id_col, as_index=False)["a_total"].sum(),
+        ["a_total"], distributed_combine=True)
+    totals = totals.map_batches(
+        lambda b: b.rename(columns={id_col: "a"}),
+        batch_format="pandas", batch_size=None)
+
+    def bucket_grams(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b["gram"], index=False)
+        return b.assign(_gb=(h % num_buckets).astype("int32"))
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if max_gram_df is not None:
+            df = g.groupby("gram")["gram"].transform("size")
+            g = g.loc[df <= max_gram_df]
+        m = g.merge(g, on="gram", suffixes=("_a", "_b"))
+        m = m.loc[m[f"{id_col}_a"] != m[f"{id_col}_b"]]
+        return (m.groupby([f"{id_col}_a", f"{id_col}_b"],
+                          as_index=False).agg(inter=("gram", "size"))
+                .rename(columns={f"{id_col}_a": "a",
+                                 f"{id_col}_b": "b"}))
+
+    pair_partials = (grams.map_batches(bucket_grams,
+                                       batch_format="pandas",
+                                       batch_size=None)
+                     .groupby("_gb").map_groups(pairs_in_bucket,
+                                                batch_format="pandas"))
+    pairs = partial_groupby(
+        pair_partials, ["a", "b"],
+        lambda b: b.groupby(["a", "b"], as_index=False)["inter"].sum(),
+        ["inter"], distributed_combine=True)
+
+    joined = hash_join(pairs, totals, on="a")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        out["containment"] = (out["inter"].to_numpy(np.float64)
+                              / out["a_total"].to_numpy(np.float64))
+        return out.loc[out["containment"] >= tau,
+                       ["a", "b", "inter", "a_total", "containment"]]
+
+    return joined.map_batches(finish, batch_format="pandas",
+                              batch_size=None)
+
+
+def exact_dedup_best(ds: ray.data.Dataset, quality_col: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     num_buckets: int = 64) -> pd.DataFrame:
+    """Quality-aware exact dedup: per distinct content, keep the doc
+    with the HIGHEST ``quality_col`` (ties → lowest id) — what curation
+    pipelines actually do (keep the best-scored copy, not the first
+    one). Same economics as :func:`exact_dedup`: the reduce key is
+    (quality desc, id asc), which is idempotent, so each block
+    pre-reduces to its local winners and only (hash, quality, id)
+    triples take the single bucket shuffle; the text never moves.
+
+    Output: winner (doc_id, quality) rows, sorted by id.
+    """
+    hashed = add_content_hash(ds, text_col).select_columns(
+        ["content_hash", id_col, quality_col])
+
+    def local_best(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values([quality_col, id_col],
+                          ascending=[False, True], kind="stable")
+        return g.drop_duplicates("content_hash", keep="first")
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b["content_hash"], index=False)
+        return b.assign(_db=(h % num_buckets).astype("int32"))
+
+    winners = (hashed.map_batches(local_best, batch_format="pandas",
+                                  batch_size=None)
+               .map_batches(bucket, batch_format="pandas",
+                            batch_size=None)
+               .groupby("_db").map_groups(
+                   lambda g: local_best(g)[[id_col, quality_col]],
+                   batch_format="pandas")
+               .to_pandas())
+    return winners.sort_values(id_col).reset_index(drop=True)

@@ -695,3 +695,41 @@ def render_text_with_media_tokens(
 
     return flat.map_batches(per_block, batch_format="pandas",
                             batch_size=None)
+
+
+def span_truncate_stats(flat: ray.data.Dataset, budget: int = 200,
+                        media_chars: int = 16) -> ray.data.Dataset:
+    """Token-budget prefix truncation of the interleaved span stream:
+    keep each document's spans in order while the running cost
+    (text-span character length; ``media_chars`` per media span) stays
+    ≤ ``budget`` — the context-window packing rule applied per doc.
+    Costs are non-negative, so 'cumsum ≤ budget' IS the prefix rule
+    (first overflow excludes everything after it, including zero-cost
+    spans). Map-only: explode keeps a document's spans in one block;
+    one grouped cumsum decides every span in the block at once.
+
+    Output: (doc_id, n_spans_kept, chars_kept, n_media_kept) per doc
+    with at least one kept span.
+    """
+    def per_block(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values(["doc_id", "span_idx"], kind="stable")
+        is_text = g["kind"].to_numpy() == "text"
+        cost = np.where(is_text, g["text"].str.len().to_numpy(),
+                        media_chars).astype("int64")
+        cum = (pd.Series(cost, index=g.index)
+               .groupby(g["doc_id"], sort=False).cumsum())
+        keep = cum.to_numpy() <= budget
+        kept = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy()[keep],
+            "_chars": np.where(is_text, cost, 0)[keep],
+            "_media": (~is_text).astype("int64")[keep]})
+        out = kept.groupby("doc_id", as_index=False).agg(
+            n_spans_kept=("_chars", "size"),
+            chars_kept=("_chars", "sum"),
+            n_media_kept=("_media", "sum"))
+        for c in ("n_spans_kept", "chars_kept", "n_media_kept"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return flat.map_batches(per_block, batch_format="pandas",
+                            batch_size=None)

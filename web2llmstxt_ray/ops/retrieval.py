@@ -482,3 +482,52 @@ def tfidf_top_terms(ds: ray.data.Dataset, top_m: int = 3,
 
     return src.map_batches(score, batch_format="pandas",
                            batch_size=None)
+
+
+def kwic_contexts(ds: ray.data.Dataset, term: str,
+                  window: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> ray.data.Dataset:
+    """Keyword-in-context concordance: every occurrence of ``term``
+    (exact token match under single-space tokenization) as a row
+    (doc, 1-based position, ``window`` words of left context,
+    ``window`` words of right context).
+
+    Map-only — no shuffle, no per-row Python loop: each block splits
+    once, explodes to a (doc, pos, word) frame, and builds the
+    contexts from ``window`` grouped shift() columns (lags/leads are
+    NaN only at document edges, so a fillna + join + edge-strip
+    reconstructs exactly the clipped word-slice a SQL
+    ``list[max(1,i−w):i−1]`` produces). Output order is deterministic
+    per document, so the operator streams at any scale.
+    """
+    import pandas as pd
+
+    schema = pa.schema([(id_col, pa.int64()), ("pos", pa.int64()),
+                        ("left_ctx", pa.string()),
+                        ("right_ctx", pa.string())])
+
+    def per_block(b: pd.DataFrame) -> pa.Table:
+        words = b[text_col].str.split(" ")
+        f = pd.DataFrame({id_col: b[id_col]})
+        f["_w"] = words
+        f = f.explode("_w", ignore_index=True)
+        g = f.groupby(id_col, sort=False)["_w"]
+        f["_pos"] = g.cumcount() + 1
+        hit = f["_w"] == term
+        if not hit.any():
+            # typed empty table: an all-empty object-dtype pandas
+            # block would drop the output schema entirely
+            return schema.empty_table()
+        lags = [g.shift(k).fillna("") for k in range(window, 0, -1)]
+        leads = [g.shift(-k).fillna("") for k in range(1, window + 1)]
+        left = lags[0].str.cat(lags[1:], sep=" ").str.lstrip(" ")
+        right = leads[0].str.cat(leads[1:], sep=" ").str.rstrip(" ")
+        return pa.Table.from_arrays(
+            [pa.array(f.loc[hit, id_col].to_numpy(np.int64)),
+             pa.array(f.loc[hit, "_pos"].to_numpy(np.int64)),
+             pa.array(left[hit].tolist(), pa.string()),
+             pa.array(right[hit].tolist(), pa.string())],
+            schema=schema)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_block, batch_format="pandas", batch_size=None)

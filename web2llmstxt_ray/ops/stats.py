@@ -986,3 +986,131 @@ def js_divergence(ds: ray.data.Dataset, cat_col: str,
     return pd.DataFrame({"n_cats": pd.Series([len(cats)],
                                              dtype="int64"),
                          "jsd": [jsd]})
+
+
+def _disc_quantile(values: np.ndarray, counts: np.ndarray,
+                   q: float) -> int:
+    """Exact discrete quantile from a sorted (value, count) histogram:
+    the smallest value whose cumulative count reaches ceil(q·n) — the
+    percentile_disc rule, identical to DuckDB's quantile_disc at the
+    quantiles used here (floor((n−1)·q) index ≡ ceil(q·n)−1 for
+    q = i/2; callers using other q replay the ceil rule in SQL)."""
+    cum = np.cumsum(counts)
+    need = int(math.ceil(q * int(cum[-1])))
+    return int(values[int(np.searchsorted(cum, need, side="left"))])
+
+
+def grouped_median_mad_outliers(ds: ray.data.Dataset, group_col: str,
+                                value_col: str, id_col: str,
+                                thresh: float = 2.0) -> pd.DataFrame:
+    """Per-group robust outlier detection: flag rows where
+    |x − median_g| > thresh · MAD_g (median absolute deviation), with
+    the median and the MAD both EXACT discrete quantiles.
+
+    Shape: one map-only pass builds the per-(group, value) count
+    histogram through the partial-agg combine — O(groups ×
+    distinct-values) skinny rows replace the data, the same contract
+    as the grouped percentile_disc query. The driver derives each
+    group's median from the histogram, then the MAD as the WEIGHTED
+    median of |v − med| over the SAME histogram (no second data
+    pass — the deviation distribution is a pure reindexing of the
+    value histogram). A second map-only pass broadcasts the O(groups)
+    (med, mad) table and filters. Nothing corpus-sized ever leaves
+    the workers; both passes stream.
+
+    Output: the outlier rows (id, group, value, med, mad) sorted by id.
+    """
+    from .relational import partial_groupby
+
+    hist = partial_groupby(
+        ds.select_columns([group_col, value_col]).map_batches(
+            lambda b: b.groupby([group_col, value_col], as_index=False)
+            .agg(n=(value_col, "size")),
+            batch_format="pandas", batch_size=None),
+        [group_col, value_col],
+        lambda b: b.groupby([group_col, value_col],
+                            as_index=False)["n"].sum(), ["n"])
+
+    rows = []
+    for g, sub in hist.groupby(group_col):
+        sub = sub.sort_values(value_col)
+        v = sub[value_col].to_numpy(np.int64)
+        n = sub["n"].to_numpy(np.int64)
+        med = _disc_quantile(v, n, 0.5)
+        dev = np.abs(v - med)
+        order = np.argsort(dev, kind="stable")
+        mad = _disc_quantile(dev[order], n[order], 0.5)
+        rows.append((g, med, mad))
+    mm = {g: (med, mad) for g, med, mad in rows}
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        med = b[group_col].map({g: m for g, (m, _) in mm.items()})
+        mad = b[group_col].map({g: d for g, (_, d) in mm.items()})
+        x = b[value_col].to_numpy(np.int64)
+        keep = (np.abs(x - med.to_numpy(np.int64))
+                > thresh * mad.to_numpy(np.int64).astype("float64"))
+        out = b.loc[keep, [id_col, group_col, value_col]].copy()
+        out["med"] = med[keep].astype("int64")
+        out["mad"] = mad[keep].astype("int64")
+        return out
+
+    out = (ds.select_columns([id_col, group_col, value_col])
+           .map_batches(flag, batch_format="pandas", batch_size=None)
+           .to_pandas())
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def equi_depth_bucket_counts(ds: ray.data.Dataset, value_col: str,
+                             num_buckets: int = 10) -> pd.DataFrame:
+    """Equi-depth bucketizer (the feature-engineering 'fit quantile
+    boundaries, then transform' pattern): fit ``num_buckets − 1``
+    exact discrete quantile boundaries of an integer column, then
+    assign every row bucket = #{boundaries strictly below its value}
+    (ties land in the lower bucket) and count rows per bucket.
+
+    Fit rides the per-value count histogram through the partial-agg
+    combine (O(distinct values) driver rows, no global sort);
+    transform is a second map-only pass with the O(num_buckets)
+    boundary array broadcast into a vectorized ``np.searchsorted`` —
+    per-block bucket counts are additive partials, so the final fold
+    is O(blocks × buckets). Buckets are equi-depth only up to value
+    ties at the boundaries, exactly like percentile_disc boundaries.
+
+    Output: (bucket, n_rows) sorted by bucket.
+    """
+    from .relational import partial_groupby
+
+    hist = partial_groupby(
+        ds.select_columns([value_col]).map_batches(
+            lambda b: b.groupby(value_col, as_index=False)
+            .agg(n=(value_col, "size")),
+            batch_format="pandas", batch_size=None),
+        [value_col],
+        lambda b: b.groupby(value_col, as_index=False)["n"].sum(),
+        ["n"]).sort_values(value_col)
+    v = hist[value_col].to_numpy(np.int64)
+    n = hist["n"].to_numpy(np.int64)
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    # EXACT integer ceil(i·n/q) — a float i/q·n can land an ulp above
+    # an integer and shift the boundary rank vs the SQL replay
+    bounds = np.array(sorted({
+        int(v[int(np.searchsorted(
+            cum, (i * total + num_buckets - 1) // num_buckets,
+            side="left"))])
+        for i in range(1, num_buckets)}), dtype=np.int64)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[value_col].to_numpy(np.int64)
+        bk = np.searchsorted(bounds, x, side="left")
+        u, c = np.unique(bk, return_counts=True)
+        return pd.DataFrame({"bucket": u.astype("int64"),
+                             "n_rows": c.astype("int64")})
+
+    parts = (ds.select_columns([value_col])
+             .map_batches(bucketize, batch_format="pandas",
+                          batch_size=None).to_pandas())
+    out = parts.groupby("bucket", as_index=False)["n_rows"].sum()
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)

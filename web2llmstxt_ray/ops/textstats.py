@@ -288,3 +288,68 @@ def extract_pattern_all(ds: "ray.data.Dataset", pattern: str,
         return out[[id_col, "match_idx", "match"]]
 
     return ds.map_batches(emit, batch_format="pandas")
+
+
+def source_signature_terms(ds: ray.data.Dataset,
+                           group_col: str = "source",
+                           text_col: str = "text",
+                           min_count: int = 5,
+                           ratio_num: int = 2,
+                           ratio_den: int = 1) -> pd.DataFrame:
+    """Group-distinctive vocabulary: tokens overrepresented in one
+    group vs the whole corpus — flag (token, group) where the observed
+    count exceeds ``ratio_num/ratio_den`` × the expected count under
+    independence (n_tg·N·den > num·n_t·n_g) with support ≥
+    ``min_count``. The
+    domain-signature / burst-detection primitive for monitoring what a
+    crawl source is actually contributing.
+
+    The independence test is EXACT integer cross-multiplication (never
+    a float division), so the flag — and the hash-compared output — is
+    bit-stable. One map-only pass builds (group, token) count partials
+    (single-space tokenization, the corpus-wide convention); the
+    combine yields the contingency table, whose margins (token totals,
+    group totals, N) all derive from the SAME table — no second data
+    pass. Driver work is O(groups × vocabulary); for open-vocabulary
+    corpora pass the partials through the distributed combine instead.
+
+    Output: (token, group, n_tg, n_t, n_g, lift) sorted by
+    (group, token); lift = n_tg·N / (n_t·n_g) as float for reporting.
+    """
+    from .relational import partial_groupby
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        f = pd.DataFrame({group_col: b[group_col],
+                          "_w": b[text_col].str.split(" ")})
+        f = f.explode("_w", ignore_index=True)
+        return (f.groupby([group_col, "_w"], as_index=False)
+                .agg(n_tg=("_w", "size"))
+                .rename(columns={"_w": "token"}))
+
+    tbl = partial_groupby(
+        ds.select_columns([group_col, text_col]).map_batches(
+            counts, batch_format="pandas", batch_size=None),
+        [group_col, "token"],
+        lambda b: b.groupby([group_col, "token"],
+                            as_index=False)["n_tg"].sum(), ["n_tg"])
+    n_t = tbl.groupby("token")["n_tg"].transform("sum").to_numpy("int64")
+    n_g = (tbl.groupby(group_col)["n_tg"].transform("sum")
+           .to_numpy("int64"))
+    n_tg = tbl["n_tg"].to_numpy("int64")
+    total = int(n_tg.sum())
+    # Python-int cross-multiply: n_tg·N and ratio·n_t·n_g can exceed
+    # int64 at corpus scale; the comparison must not wrap
+    flag = np.fromiter(
+        (int(a) * total * ratio_den > ratio_num * int(b) * int(c)
+         and a >= min_count
+         for a, b, c in zip(n_tg.tolist(), n_t.tolist(), n_g.tolist())),
+        dtype=bool, count=len(n_tg))
+    out = pd.DataFrame({
+        "token": tbl["token"].to_numpy()[flag],
+        group_col: tbl[group_col].to_numpy()[flag],
+        "n_tg": n_tg[flag], "n_t": n_t[flag], "n_g": n_g[flag]})
+    out["lift"] = (out["n_tg"].to_numpy("float64") * float(total)
+                   / (out["n_t"].to_numpy("float64")
+                      * out["n_g"].to_numpy("float64")))
+    return (out.sort_values([group_col, "token"])
+            .reset_index(drop=True))

@@ -1032,3 +1032,108 @@ def time_weighted_average(ds: ray.data.Dataset,
     out["twap"] = (out["num_i"].to_numpy().astype("float64")
                    / out["den_us"].to_numpy().astype("float64"))
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def rolling_active_users(ds: ray.data.Dataset, window_days: int = 7,
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         num_buckets: int = 64) -> pd.DataFrame:
+    """Rolling W-day distinct active users per day (the DAU/WAU
+    metric): for each calendar day that has at least one event, the
+    number of distinct keys with ≥1 event in the trailing
+    ``window_days`` window ending that day.
+
+    A windowed COUNT(DISTINCT) can't ride the additive partial-agg
+    path (distinct isn't additive), and a day×events band join is
+    quadratic in the window. Shape instead: ONE hash(key) bucket
+    shuffle of the skinny (key, day) projection; within a bucket —
+    where ALL of a key's days co-locate — dedupe (key, day),
+    vectorized-explode each active day to its ``window_days`` target
+    days (np.repeat/tile, no Python loop), dedupe (key, target_day)
+    again (a key active on 3 days inside one window must count once),
+    and emit per-day partial counts plus the bucket's real event-day
+    set. The driver folds O(buckets × days) partial rows: WAU(day) =
+    Σ partials, reported only for days observed in the data (windows
+    ending on event-less days are a different query).
+
+    At 100 TB the shuffle payload is the DEDUPED (key, day) pairs —
+    keys × active-days, not events — and per-day counts are additive
+    across disjoint key buckets by construction.
+
+    Output: (day: date, wau: int64) sorted by day.
+    """
+    one_day = np.timedelta64(1, "D")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        days = group[ts_col].to_numpy().astype("datetime64[D]")
+        kd = pd.DataFrame({key_col: group[key_col].to_numpy(),
+                           "_d": days}).drop_duplicates()
+        # explode each active day to the window_days windows it feeds
+        reps = len(kd)
+        keys = np.repeat(kd[key_col].to_numpy(), window_days)
+        tgt = (np.repeat(kd["_d"].to_numpy(), window_days)
+               + np.tile(np.arange(window_days), reps) * one_day)
+        expl = pd.DataFrame({key_col: keys, "_t": tgt}).drop_duplicates()
+        cnt = expl.groupby("_t", as_index=False).agg(
+            wau_part=(key_col, "size"))
+        real = pd.DataFrame({"_t": np.unique(kd["_d"].to_numpy()),
+                             "real_part": np.int64(1)})
+        return cnt.merge(real, on="_t", how="outer").fillna(0)
+
+    parts = (_add_key_bucket(ds.select_columns([key_col, ts_col]),
+                             key_col, num_buckets)
+             .groupby("_sbucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("_t", as_index=False).agg(
+        wau=("wau_part", "sum"), real=("real_part", "sum"))
+    agg = agg.loc[agg["real"] > 0, ["_t", "wau"]]
+    out = agg.rename(columns={"_t": "day"})
+    out["day"] = out["day"].astype("datetime64[us]")
+    out["wau"] = out["wau"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def cusum_stats(ds: ray.data.Dataset, k_cents: int = 6000,
+                h_cents: int = 25000, key_col: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id",
+                value_col: str = "value",
+                num_buckets: int = 64) -> pd.DataFrame:
+    """Per-key one-sided CUSUM change detection over the event
+    stream: s_i = max(0, s_{i-1} + (x_i − k)); a key alarms when the
+    statistic ever reaches ``h_cents``.
+
+    The recurrence looks inherently sequential, but it has the exact
+    closed form s_i = c_i − min(0, min_{j≤i} c_j) with c the inclusive
+    prefix sum of (x − k) — so the whole detector is a grouped cumsum
+    + grouped cummin, both vectorized pandas kernels over ONE
+    hash(key) bucket shuffle (the same anti-pathology shape as
+    :func:`sessionize`; no per-key loop, no iteration). Values are
+    carried in integer cents so the prefix sums — and therefore the
+    alarm decision — are bit-exact against a SQL window oracle
+    replaying the identical closed form.
+
+    Output: (key, n_events, max_cusum_cents, alarm) sorted by key.
+    """
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        y = (np.rint(g[value_col].to_numpy() * 100).astype("int64")
+             - np.int64(k_cents))
+        ys = pd.Series(y, index=g.index)
+        c = ys.groupby(g[key_col], sort=False).cumsum()
+        runmin = c.groupby(g[key_col], sort=False).cummin()
+        s = c - runmin.clip(upper=0)
+        return (pd.DataFrame({key_col: g[key_col].to_numpy(),
+                              "_s": s.to_numpy()})
+                .groupby(key_col, as_index=False)
+                .agg(n_events=("_s", "size"), max_cusum_cents=("_s", "max")))
+
+    out = (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, value_col]),
+        key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas")
+        .to_pandas())
+    out["n_events"] = out["n_events"].astype("int64")
+    out["max_cusum_cents"] = out["max_cusum_cents"].astype("int64")
+    out["alarm"] = out["max_cusum_cents"] >= np.int64(h_cents)
+    return out.sort_values(key_col).reset_index(drop=True)
