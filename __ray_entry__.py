@@ -4639,6 +4639,83 @@ def q_source_signature_terms(sf_dir: str) -> pd.DataFrame:
         min_count=5, ratio_num=5, ratio_den=4)
 
 
+def q_centroid_cosine(sf_dir: str) -> pd.DataFrame:
+    """Class-separation matrix: pairwise cosine between per-label mean
+    embeddings, from the same O(blocks × labels) sum-vector partials
+    as label_centroids — vectors never shuffle; see
+    :func:`ops.ann.centroid_cosine_matrix`."""
+    from web2llmstxt_ray.ops.ann import centroid_cosine_matrix
+
+    return centroid_cosine_matrix(
+        _t(sf_dir, "embeddings", ["label", "embedding"]))
+
+
+def q_interarrival_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-arrival burstiness: exact integer whole-second
+    gaps, per-key moment sums in one bucket shuffle, cv = std/mean
+    (Poisson ≈ 1) — see :func:`ops.windows.interarrival_stats`."""
+    from web2llmstxt_ray.ops.windows import interarrival_stats
+
+    return interarrival_stats(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"]))
+
+
+def q_benford_orders(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit of order totals (cents): map-only
+    digit count partials, χ² terms from exact integer counts — see
+    :func:`ops.stats.benford_digit_counts`."""
+    from web2llmstxt_ray.ops.stats import benford_digit_counts
+
+    cents = _t(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"c": np.rint(b["o_totalprice"].to_numpy() * 100)
+             .astype("int64")}),
+        batch_format="pandas", batch_size=None)
+    return benford_digit_counts(cents, "c")
+
+
+def q_open_orders_daily(sf_dir: str) -> pd.DataFrame:
+    """Order backlog over time: per calendar day, orders whose
+    [orderdate, last shipdate] interval covers it — per-order max
+    pre-reduced block-locally + one orderkey bucket shuffle, the date
+    attach a bucketed hash join, then the ±1 endpoint-delta fold of
+    :func:`ops.windows.daily_open_counts` (O(distinct days) partials,
+    one driver cumsum — never a days×orders stabbing join)."""
+    from web2llmstxt_ray.ops.relational import hash_join
+    from web2llmstxt_ray.ops.windows import (_add_key_bucket,
+                                             daily_open_counts)
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"o_orderkey": b["l_orderkey"].to_numpy(),
+                              "close": b["l_shipdate"].to_numpy()})
+                .groupby("o_orderkey", as_index=False)["close"].max())
+
+    closes = (_add_key_bucket(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(li_prep, batch_format="pandas", batch_size=None),
+        "o_orderkey", 64)
+        .groupby("_sbucket")
+        .map_groups(lambda g: g.groupby("o_orderkey", as_index=False)
+                    ["close"].max(), batch_format="pandas")
+        .materialize())
+    iv = hash_join(_t(sf_dir, "orders", ["o_orderkey", "o_orderdate"]),
+                   closes, on="o_orderkey")
+    return daily_open_counts(iv, "o_orderdate", "close")
+
+
+def q_events_asof_tol(sf_dir: str) -> pd.DataFrame:
+    """As-of join with a staleness tolerance: each purchase gets the
+    latest same-user view at or before it ONLY if within 1 hour (else
+    NaT) — the bounded-staleness attach; merge_asof tolerance inside
+    the bucketed shuffle, see :func:`ops.joins.asof_join`."""
+    from web2llmstxt_ray.ops.joins import asof_join
+
+    out = _pdf(asof_join(_events_of(sf_dir, "purchase"),
+                         _events_of(sf_dir, "view"),
+                         tolerance_s=3600))
+    return out[["event_id", "user_id", "ts", "prior_ts"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -4863,6 +4940,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_split": q_leakage_split,
         "span_truncate": q_span_truncate,
         "source_signature_terms": q_source_signature_terms,
+        "centroid_cosine": q_centroid_cosine,
+        "interarrival_stats": q_interarrival_stats,
+        "benford_orders": q_benford_orders,
+        "open_orders_daily": q_open_orders_daily,
+        "events_asof_tol": q_events_asof_tol,
     }
 
 
@@ -7834,5 +7916,91 @@ def oracle_sql() -> dict[str, str]:
                        AS lift
             FROM m
             WHERE n_tg * n * 4 > 5 * n_t * n_g AND n_tg >= 5
+        """,
+        "centroid_cosine": """
+            WITH e AS (SELECT label, unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings),
+            c AS (SELECT label, dim,
+                         round(avg(CAST(v AS DOUBLE)), 12) AS m
+                  FROM e GROUP BY 1, 2),
+            n AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM c
+                  GROUP BY 1)
+            SELECT a.label AS label_a, b.label AS label_b,
+                   round(sum(a.m * b.m)
+                         / (any_value(na.nrm) * any_value(nb.nrm)), 6)
+                       AS cosine
+            FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+            JOIN n na ON na.label = a.label
+            JOIN n nb ON nb.label = b.label
+            GROUP BY 1, 2
+        """,
+        "interarrival_stats": """
+            WITH o AS (SELECT user_id, event_id,
+                              epoch_us(ts) AS us FROM events),
+            g AS (SELECT user_id,
+                         (us - lag(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id)) // 1000000
+                             AS gap
+                  FROM o)
+            SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+                   CAST(sum(gap) AS DOUBLE) / count(gap)
+                       AS mean_gap_s,
+                   CASE WHEN sum(gap) = 0 THEN NULL
+                        ELSE sqrt(CAST(count(gap) * sum(gap * gap)
+                                       - sum(gap) * sum(gap)
+                                       AS DOUBLE))
+                             / count(gap)
+                             / (CAST(sum(gap) AS DOUBLE) / count(gap))
+                        END AS cv_gap
+            FROM g WHERE gap IS NOT NULL GROUP BY 1
+        """,
+        "benford_orders": """
+            WITH v AS (SELECT substr(CAST(CAST(round(
+                                  o_totalprice * 100) AS BIGINT)
+                                  AS VARCHAR), 1, 1) AS d
+                       FROM orders),
+            c AS (SELECT CAST(d AS BIGINT) AS digit, count(*) AS n
+                  FROM v GROUP BY 1),
+            t AS (SELECT digit, n, sum(n) OVER () AS tot FROM c)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   CAST(tot AS DOUBLE)
+                       * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                       AS expected,
+                   pow(CAST(n AS DOUBLE) - CAST(tot AS DOUBLE)
+                       * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
+                   / (CAST(tot AS DOUBLE)
+                      * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                       AS chi2_part
+            FROM t
+        """,
+        "open_orders_daily": """
+            WITH cl AS (SELECT l_orderkey, max(l_shipdate) AS close
+                        FROM lineitem GROUP BY 1),
+            iv AS (SELECT date_trunc('day', o_orderdate) AS s,
+                          date_trunc('day', close) AS e
+                   FROM orders JOIN cl ON o_orderkey = l_orderkey
+                   WHERE date_trunc('day', o_orderdate)
+                         <= date_trunc('day', close)),
+            days AS (SELECT unnest(generate_series(
+                         (SELECT min(s) FROM iv),
+                         (SELECT max(e) FROM iv),
+                         INTERVAL 1 DAY)) AS day)
+            SELECT days.day,
+                   CAST(count(iv.s) AS BIGINT) AS n_open
+            FROM days LEFT JOIN iv
+              ON iv.s <= days.day AND days.day <= iv.e
+            GROUP BY 1
+        """,
+        "events_asof_tol": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   (SELECT max(v.ts) FROM events v
+                    WHERE v.user_id = p.user_id
+                      AND v.event_type = 'view'
+                      AND v.ts <= p.ts
+                      AND v.ts >= p.ts - INTERVAL 3600 SECOND)
+                       AS prior_ts
+            FROM events p WHERE p.event_type = 'purchase'
         """,
     }

@@ -153,6 +153,36 @@ def label_centroids(ds: ray.data.Dataset, label_col: str = "label",
     return pd.DataFrame(rows, columns=[label_col, "dim", "mean_v"])
 
 
+def centroid_cosine_matrix(ds: ray.data.Dataset,
+                           label_col: str = "label",
+                           vec_col: str = "embedding",
+                           round_to: int = 6) -> pd.DataFrame:
+    """Pairwise cosine similarity between the per-label mean
+    embeddings — the class-separation / embedding-QA matrix (low
+    inter-centroid cosine = well-separated prototypes). Rides the SAME
+    O(blocks × labels) sum-vector partials as :func:`label_centroids`
+    (one map-only pass, vectors never shuffle); the k² cosine matrix
+    is O(labels²) driver work on the tiny centroid table.
+
+    Output: (label_a, label_b, cosine) for label_a < label_b, sorted.
+    """
+    import pandas as pd
+
+    cent = label_centroids(ds, label_col, vec_col, round_to=12)
+    wide = cent.pivot(index=label_col, columns="dim", values="mean_v")
+    labs = wide.index.to_numpy()
+    m = wide.to_numpy(np.float64)
+    dots = m @ m.T
+    norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+    rows = []
+    for i in range(len(labs)):
+        for j in range(i + 1, len(labs)):
+            c = dots[i, j] / (norms[i] * norms[j])
+            rows.append((int(labs[i]), int(labs[j]),
+                         round(float(c), round_to)))
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "cosine"])
+
+
 # ---------------------------------------------------------------------------
 # IVF
 # ---------------------------------------------------------------------------

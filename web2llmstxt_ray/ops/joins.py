@@ -51,6 +51,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
               key_col: str = "user_id", ts_col: str = "ts",
               out_cols: tuple[str, ...] = ("event_id",),
               direction: str = "backward",
+              tolerance_s: float | None = None,
               num_buckets: int = 64) -> ray.data.Dataset:
     """For every left row, attach the timestamp of the matched right
     row of the same key: the latest with ``right.ts <= left.ts``
@@ -60,6 +61,11 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     left's ``out_cols`` + ``key_col`` + ``ts_col`` + ``prior_ts``
     (NaT when no match exists).
 
+    ``tolerance_s`` bounds the match distance (a backward match older
+    than the tolerance becomes NaT — the staleness cutoff an as-of
+    attach against slowly-updating reference data needs); None keeps
+    the unbounded classic semantics.
+
     Inside a bucket, ``pandas.merge_asof(by=key, on=ts)`` does the
     whole bucket in one vectorized pass. ``prior_ts`` (not the matched
     row id) is the output so results are deterministic under timestamp
@@ -68,6 +74,8 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction: {direction}")
     keep = list(dict.fromkeys([*out_cols, key_col, ts_col]))
+    tol = (pd.Timedelta(seconds=tolerance_s)
+           if tolerance_s is not None else None)
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["_side"] == 0][keep].sort_values(ts_col, kind="stable")
@@ -79,7 +87,8 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
             return l.assign(prior_ts=pd.Series(
                 pd.NaT, index=l.index, dtype=l[ts_col].dtype))
         out = pd.merge_asof(l, r, on=ts_col, by=key_col,
-                            direction=direction, allow_exact_matches=True)
+                            direction=direction, tolerance=tol,
+                            allow_exact_matches=True)
         return out[keep + ["prior_ts"]]
 
     return _bucketed_two_sided(left, right, key_col, keep, num_buckets,

@@ -1114,3 +1114,41 @@ def equi_depth_bucket_counts(ds: ray.data.Dataset, value_col: str,
     out["bucket"] = out["bucket"].astype("int64")
     out["n_rows"] = out["n_rows"].astype("int64")
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def benford_digit_counts(ds: ray.data.Dataset,
+                         value_col: str) -> pd.DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    fabricated-data / pipeline-corruption screen auditors run over
+    monetary columns. Input is an integer (cents) column; the leading
+    digit is scale-invariant under the ×100 cents conversion, so
+    testing cents ≡ testing dollars.
+
+    Map-only per-digit count partials (nine counts per block replace
+    the data); the driver folds O(blocks × 9) rows and derives each
+    digit's Benford expectation N·log₁₀(1 + 1/d) and its χ² term
+    (n − e)²/e — floats are pure functions of the exact integer
+    counts, bit-comparable to a SQL engine evaluating the same
+    expressions.
+
+    Output: (digit, n, expected, chi2_part) for digits present.
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = (b[value_col].astype("int64").abs().astype(str).str[0]
+             .astype("int64"))
+        u, c = np.unique(d.to_numpy(), return_counts=True)
+        return pd.DataFrame({"digit": u.astype("int64"),
+                             "n": c.astype("int64")})
+
+    parts = (ds.select_columns([value_col])
+             .map_batches(partial, batch_format="pandas",
+                          batch_size=None).to_pandas())
+    out = parts.groupby("digit", as_index=False)["n"].sum()
+    total = float(int(out["n"].sum()))
+    d = out["digit"].to_numpy("float64")
+    e = total * np.log10(1.0 + 1.0 / d)
+    nn = out["n"].to_numpy("float64")
+    out["n"] = out["n"].astype("int64")
+    out["expected"] = e
+    out["chi2_part"] = (nn - e) ** 2 / e
+    return out.sort_values("digit").reset_index(drop=True)

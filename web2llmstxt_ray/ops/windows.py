@@ -1137,3 +1137,111 @@ def cusum_stats(ds: ray.data.Dataset, k_cents: int = 6000,
     out["max_cusum_cents"] = out["max_cusum_cents"].astype("int64")
     out["alarm"] = out["max_cusum_cents"] >= np.int64(h_cents)
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def interarrival_stats(ds: ray.data.Dataset, key_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       num_buckets: int = 64) -> pd.DataFrame:
+    """Per-key inter-arrival gap statistics — n_gaps, total gap
+    seconds, mean gap, and the coefficient of variation (cv ≈ 1 for a
+    Poisson arrival process, > 1 = bursty): the burstiness screen a
+    crawl scheduler runs over event streams before assigning
+    politeness budgets.
+
+    Gaps are EXACT integer whole seconds (µs difference floor-divided
+    by 10⁶, the same truncation the SQL replay uses), so the per-key
+    moment sums (n, Σg, Σg²) are exact int64 — gaps bounded by the
+    stream's time range keep Σg² well inside int64 — and every derived
+    float is a pure function of exact integers. One hash(key) bucket
+    shuffle of the skinny projection; grouped diff + moment sums
+    vectorized per bucket; keys with a single event have no gap and
+    are excluded (matching the SQL WHERE gap IS NOT NULL).
+
+    Output: (key, n_gaps, sum_gap_s, mean_gap_s, cv_gap) sorted by
+    key; cv_gap is NaN when the mean gap is 0.
+    """
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        us = (g[ts_col].to_numpy().astype("datetime64[us]")
+              .astype("int64"))
+        prev = (pd.Series(us, index=g.index)
+                .groupby(g[key_col], sort=False).shift(1))
+        ok = prev.notna()
+        gap = ((us[ok.to_numpy()] - prev[ok].to_numpy(np.int64))
+               // 1_000_000)
+        f = pd.DataFrame({key_col: g.loc[ok, key_col].to_numpy(),
+                          "g": gap, "gg": gap * gap})
+        agg = f.groupby(key_col, as_index=False).agg(
+            n_gaps=("g", "size"), sum_gap_s=("g", "sum"),
+            _sum_gg=("gg", "sum"))
+        return agg
+
+    out = (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col]), key_col,
+        num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas")
+        .to_pandas())
+    n = out["n_gaps"].to_numpy("int64")
+    s = out["sum_gap_s"].to_numpy("int64")
+    ss = out["_sum_gg"].to_numpy("int64")
+    mean = s.astype("float64") / n
+    disc = (n * ss - s * s).astype("float64")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cv = np.sqrt(disc) / n / mean
+    cv = np.where(s == 0, np.nan, cv)
+    res = pd.DataFrame({key_col: out[key_col],
+                        "n_gaps": n, "sum_gap_s": s,
+                        "mean_gap_s": mean, "cv_gap": cv})
+    return res.sort_values(key_col).reset_index(drop=True)
+
+
+def daily_open_counts(intervals: ray.data.Dataset, start_col: str,
+                      end_col: str) -> pd.DataFrame:
+    """Open-interval concurrency as a daily series: for every calendar
+    day between the earliest start and the latest end, how many
+    intervals are open (start_day ≤ day ≤ end_day) — the
+    backlog-over-time / open-orders dashboard series.
+
+    A days×intervals stabbing join is quadratic; instead each interval
+    contributes two ±1 deltas (+1 at its start day, −1 the day after
+    its end), per-day delta counts pre-reduce block-locally to
+    O(distinct days) additive partials, and the driver folds the tiny
+    delta table with one cumulative sum over the contiguous day grid —
+    intervals never co-locate, nothing shuffles but the partials.
+
+    Output: (day, n_open) for every day in the span, int64, inclusive.
+    """
+    one = np.timedelta64(1, "D")
+
+    def deltas(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[start_col].to_numpy().astype("datetime64[D]")
+        e = b[end_col].to_numpy().astype("datetime64[D]")
+        # an INVERTED interval (end day before start day) covers no
+        # day under the overlap predicate; its ±1 deltas would instead
+        # SUBTRACT one over [end+1, start−1] — drop it, matching the
+        # SQL join semantics
+        ok = s <= e
+        s, e = s[ok], e[ok] + one
+        f = pd.DataFrame({
+            "_d": np.concatenate([s, e]),
+            "delta": np.concatenate([np.ones(len(s), np.int64),
+                                     -np.ones(len(e), np.int64)])})
+        return f.groupby("_d", as_index=False)["delta"].sum()
+
+    parts = (intervals.select_columns([start_col, end_col])
+             .map_batches(deltas, batch_format="pandas",
+                          batch_size=None).to_pandas())
+    agg = (parts.groupby("_d", as_index=False)["delta"].sum()
+           .sort_values("_d"))
+    days_d = agg["_d"].to_numpy().astype("datetime64[D]")
+    lo, hi = days_d[0], days_d[-1] - one        # last delta day is end+1
+    grid = np.arange(lo, hi + one, one)
+    delta_full = np.zeros(len(grid), np.int64)
+    idx = (days_d - lo).astype("timedelta64[D]").astype("int64")
+    keep = idx < len(grid)                       # the trailing end+1 deltas
+    np.add.at(delta_full, idx[keep], agg["delta"].to_numpy(np.int64)[keep])
+    out = pd.DataFrame({"day": grid.astype("datetime64[us]"),
+                        "n_open": np.cumsum(delta_full)})
+    out["n_open"] = out["n_open"].astype("int64")
+    return out.reset_index(drop=True)
