@@ -4716,6 +4716,28 @@ def q_events_asof_tol(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "user_id", "ts", "prior_ts"]]
 
 
+def q_user_rate_peaks(sf_dir: str) -> pd.DataFrame:
+    """Per-user peak trailing-60s event count — the rate-limit /
+    politeness-violation audit, O(rows) via two searchsorted probes
+    per event on the composite key·K+ts axis; see
+    :func:`ops.windows.trailing_peak_counts`."""
+    from web2llmstxt_ray.ops.windows import trailing_peak_counts
+
+    return trailing_peak_counts(
+        _t(sf_dir, "events", ["user_id", "ts"]), window_s=60)
+
+
+def q_user_value_locf(sf_dir: str) -> pd.DataFrame:
+    """Gap-filled daily value series per user (last observation
+    carried forward over each user's active span): one bucket
+    shuffle, vectorized day-grid explode, ALL keys filled by a single
+    merge_asof — see :func:`ops.windows.locf_daily`."""
+    from web2llmstxt_ray.ops.windows import locf_daily
+
+    return locf_daily(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -4945,6 +4967,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_orders": q_benford_orders,
         "open_orders_daily": q_open_orders_daily,
         "events_asof_tol": q_events_asof_tol,
+        "user_rate_peaks": q_user_rate_peaks,
+        "user_value_locf": q_user_value_locf,
     }
 
 
@@ -8002,5 +8026,34 @@ def oracle_sql() -> dict[str, str]:
                       AND v.ts >= p.ts - INTERVAL 3600 SECOND)
                        AS prior_ts
             FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "user_rate_peaks": """
+            WITH c AS (SELECT a.user_id, a.event_id,
+                              count(*) AS n
+                       FROM events a JOIN events b
+                         ON a.user_id = b.user_id
+                        AND b.ts <= a.ts
+                        AND b.ts > a.ts - INTERVAL 60 SECOND
+                       GROUP BY 1, 2)
+            SELECT user_id, CAST(max(n) AS BIGINT) AS peak
+            FROM c GROUP BY 1
+        """,
+        "user_value_locf": """
+            WITH span AS (SELECT user_id,
+                                 date_trunc('day', min(ts)) AS d0,
+                                 date_trunc('day', max(ts)) AS d1
+                          FROM events GROUP BY 1),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(d0, d1,
+                                INTERVAL 1 DAY)) AS day
+                     FROM span)
+            SELECT g.user_id, g.day,
+                   (SELECT CAST(round(e.value * 100) AS BIGINT)
+                    FROM events e
+                    WHERE e.user_id = g.user_id
+                      AND e.ts < g.day + INTERVAL 1 DAY
+                    ORDER BY e.ts DESC, e.event_id DESC
+                    LIMIT 1) AS value_cents
+            FROM grid g
         """,
     }

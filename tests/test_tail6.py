@@ -157,3 +157,79 @@ class TestAsofTolerance:
         out = asof_join(ray.data.from_pandas(left),
                         ray.data.from_pandas(right)).to_pandas()
         assert out["prior_ts"].iloc[0] == pd.Timestamp("2024-01-01")
+
+
+class TestTrailingPeakCounts:
+    def test_matches_bruteforce(self):
+        from web2llmstxt_ray.ops.windows import trailing_peak_counts
+        rng = np.random.default_rng(21)
+        n = 1200
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 20, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 5000, n), unit="s"),
+        })
+        out = trailing_peak_counts(
+            ray.data.from_pandas(df).repartition(6), window_s=120)
+        for uid, g in df.groupby("user_id"):
+            ts = np.sort(g["ts"].astype("datetime64[us]")
+                         .astype("int64").to_numpy())
+            w = 120 * 1_000_000
+            peak = max(int(((t - w < ts) & (ts <= t)).sum())
+                       for t in ts)
+            assert out.loc[out["user_id"] == uid,
+                           "peak"].iloc[0] == peak
+
+    def test_burst_of_equal_timestamps(self):
+        from web2llmstxt_ray.ops.windows import trailing_peak_counts
+        df = pd.DataFrame({
+            "user_id": np.int64([1] * 5),
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 5)})
+        out = trailing_peak_counts(ray.data.from_pandas(df),
+                                   window_s=1)
+        assert out["peak"].iloc[0] == 5
+
+
+class TestLocfDaily:
+    def test_carries_forward_and_tie_breaks(self):
+        from web2llmstxt_ray.ops.windows import locf_daily
+        df = pd.DataFrame({
+            "event_id": np.int64([1, 2, 3]),
+            "user_id": np.int64([7, 7, 7]),
+            "ts": pd.to_datetime(["2024-01-01 08:00",
+                                  "2024-01-01 08:00",
+                                  "2024-01-04 09:00"]),
+            "value": [1.0, 2.0, 9.0],
+        })
+        out = locf_daily(ray.data.from_pandas(df).repartition(2))
+        # 4 days; day 1-3 carry the tie-broken (higher id) value 200
+        assert len(out) == 4
+        assert out["value_cents"].tolist() == [200, 200, 200, 900]
+
+    def test_matches_sequential(self):
+        from web2llmstxt_ray.ops.windows import locf_daily
+        rng = np.random.default_rng(31)
+        n = 800
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 15, n),
+            "ts": pd.Timestamp("2024-02-01")
+            + pd.to_timedelta(rng.integers(0, 20 * 86400, n),
+                              unit="s"),
+            "value": rng.uniform(0, 50, n).round(2),
+        })
+        out = locf_daily(ray.data.from_pandas(df).repartition(5))
+        day_us = 86_400_000_000
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"])
+            us = g["ts"].astype("datetime64[us]").astype("int64")
+            cents = (g["value"] * 100).round().astype("int64")
+            d0, d1 = us.min() // day_us, us.max() // day_us
+            sub = out[out["user_id"] == uid]
+            assert len(sub) == d1 - d0 + 1
+            for _, r in sub.iterrows():
+                probe = ((r["day"].value // 1000) // day_us + 1) \
+                    * day_us - 1
+                sel = us[us <= probe]
+                exp = cents[us <= probe].iloc[-1]
+                assert r["value_cents"] == exp
