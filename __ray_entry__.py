@@ -4738,6 +4738,51 @@ def q_user_value_locf(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"]))
 
 
+def q_politeness_schedule(sf_dir: str) -> pd.DataFrame:
+    """Per-request queueing delay under a 5 s per-host politeness
+    spacing (requests = events, host = user): the sequential max-plus
+    recurrence via its exact closed form ``rn·d + running_max(arrival
+    − rn·d)`` — one bucket shuffle, grouped cummax, exact int64 µs.
+    See :func:`ops.windows.politeness_schedule`."""
+    from web2llmstxt_ray.ops.windows import politeness_schedule
+
+    return politeness_schedule(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts"]), delay_s=5)
+
+
+def q_daily_ohlc(sf_dir: str) -> pd.DataFrame:
+    """Per (user, day) open/high/low/close candles in exact integer
+    cents — a true two-phase partial aggregate (argmin/argmax by the
+    (ts, id) order key are associative): raw events never shuffle,
+    only O(keys·days) candle partials do. See
+    :func:`ops.windows.daily_ohlc`."""
+    from web2llmstxt_ray.ops.windows import daily_ohlc
+
+    return daily_ohlc(
+        _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"]))
+
+
+def q_priority_gini(sf_dir: str) -> pd.DataFrame:
+    """Exact Gini concentration of order totals per priority class
+    (per-block value-count partials, one group-hash bucket shuffle,
+    Python-int rank-block folds — one float division at the end). See
+    :func:`ops.stats.grouped_gini`."""
+    from web2llmstxt_ray.ops.stats import grouped_gini
+
+    return grouped_gini(
+        _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]),
+        "o_orderpriority", "o_totalprice")
+
+
+def q_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf's-law OLS fit over the corpus top-500 token frequencies
+    (token-hash bucketed exact histogram top-k, O(k) driver fit with
+    fsum). See :func:`ops.corpus.zipf_fit`."""
+    from web2llmstxt_ray.ops.corpus import zipf_fit
+
+    return zipf_fit(_t(sf_dir, "documents", ["text"]), k=500)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -4969,6 +5014,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_tol": q_events_asof_tol,
         "user_rate_peaks": q_user_rate_peaks,
         "user_value_locf": q_user_value_locf,
+        "politeness_schedule": q_politeness_schedule,
+        "daily_ohlc": q_daily_ohlc,
+        "priority_gini": q_priority_gini,
+        "zipf_slope": q_zipf_slope,
     }
 
 
@@ -8055,5 +8104,69 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY e.ts DESC, e.event_id DESC
                     LIMIT 1) AS value_cents
             FROM grid g
+        """,
+        "politeness_schedule": """
+            WITH r AS (SELECT event_id, user_id, epoch_us(ts) AS aus,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) - 1 AS rn
+                       FROM events),
+            m AS (SELECT event_id, user_id, aus, rn,
+                         max(aus - rn * 5000000) OVER (
+                             PARTITION BY user_id ORDER BY rn) AS base
+                  FROM r)
+            SELECT event_id, user_id,
+                   CAST(base + rn * 5000000 - aus AS BIGINT) AS wait_us
+            FROM m
+        """,
+        "daily_ohlc": """
+            WITH e AS (SELECT user_id, date_trunc('day', ts) AS day,
+                              ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events)
+            SELECT user_id, day,
+                   first(c ORDER BY ts, event_id) AS open_cents,
+                   max(c) AS high_cents, min(c) AS low_cents,
+                   last(c ORDER BY ts, event_id) AS close_cents,
+                   count(*) AS n
+            FROM e GROUP BY 1, 2
+        """,
+        "priority_gini": """
+            WITH v AS (SELECT o_orderpriority,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS c
+                       FROM orders),
+            r AS (SELECT o_orderpriority, c,
+                         CAST(row_number() OVER (
+                             PARTITION BY o_orderpriority ORDER BY c)
+                             AS HUGEINT) AS i
+                  FROM v)
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS total_cents,
+                   CAST(2 * sum(i * c) - (count(*) + 1) * sum(c)
+                        AS DOUBLE)
+                       / CAST(count(*) * sum(c) AS DOUBLE) AS gini
+            FROM r GROUP BY 1
+        """,
+        "zipf_slope": """
+            WITH h AS (SELECT token, count(*) AS n
+                       FROM (SELECT unnest(string_split_regex(
+                                 lower(trim(text)), '\\s+')) AS token
+                             FROM documents WHERE trim(text) != '')
+                       GROUP BY token
+                       ORDER BY n DESC, token LIMIT 500),
+            r AS (SELECT ln(CAST(row_number() OVER (
+                              ORDER BY n DESC, token) AS DOUBLE)) AS x,
+                         ln(CAST(n AS DOUBLE)) AS y
+                  FROM h),
+            s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx
+                  FROM r)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                       AS zipf_slope,
+                   (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                       * sx) / n AS zipf_intercept
+            FROM s
         """,
     }

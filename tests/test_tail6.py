@@ -233,3 +233,150 @@ class TestLocfDaily:
                 sel = us[us <= probe]
                 exp = cents[us <= probe].iloc[-1]
                 assert r["value_cents"] == exp
+
+
+class TestPolitenessSchedule:
+    def test_matches_sequential_simulation(self):
+        from web2llmstxt_ray.ops.windows import politeness_schedule
+        rng = np.random.default_rng(41)
+        n = 900
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 12, n),
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 3600, n), unit="s"),
+        })
+        out = politeness_schedule(
+            ray.data.from_pandas(df).repartition(5), delay_s=7)
+        d = 7_000_000
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"])
+            us = g["ts"].astype("datetime64[us]").astype("int64")
+            disp = None
+            for eid, a in zip(g["event_id"], us):
+                disp = a if disp is None else max(a, disp + d)
+                got = out.loc[out["event_id"] == eid,
+                              "wait_us"].iloc[0]
+                assert got == disp - a
+
+    def test_burst_at_same_instant(self):
+        from web2llmstxt_ray.ops.windows import politeness_schedule
+        df = pd.DataFrame({
+            "event_id": np.int64([3, 1, 2]),
+            "user_id": np.int64([1, 1, 1]),
+            "ts": pd.to_datetime(["2024-01-01"] * 3)})
+        out = politeness_schedule(ray.data.from_pandas(df), delay_s=2)
+        # id order breaks the tie: waits 0s, 2s, 4s for ids 1,2,3
+        assert out.sort_values("event_id")["wait_us"].tolist() == [
+            0, 2_000_000, 4_000_000]
+
+
+class TestDailyOhlc:
+    def test_matches_pandas_oracle(self):
+        from web2llmstxt_ray.ops.windows import daily_ohlc
+        rng = np.random.default_rng(51)
+        n = 1000
+        df = pd.DataFrame({
+            "event_id": rng.permutation(n).astype("int64"),
+            "user_id": rng.integers(0, 10, n),
+            "ts": pd.Timestamp("2024-05-01")
+            + pd.to_timedelta(rng.integers(0, 6 * 86400, n), unit="s"),
+            "value": rng.uniform(0, 90, n).round(2),
+        })
+        out = daily_ohlc(ray.data.from_pandas(df).repartition(7))
+        g = df.assign(
+            day=df["ts"].dt.floor("D"),
+            c=(df["value"] * 100).round().astype("int64"))
+        g = g.sort_values(["ts", "event_id"])
+        exp = g.groupby(["user_id", "day"], as_index=False).agg(
+            open_cents=("c", "first"), high_cents=("c", "max"),
+            low_cents=("c", "min"), close_cents=("c", "last"),
+            n=("c", "size"))
+        exp = exp.sort_values(["user_id", "day"]).reset_index(drop=True)
+        out["day"] = out["day"].astype("datetime64[ns]")
+        pd.testing.assert_frame_equal(
+            out.astype({"n": "int64"}), exp.astype({"n": "int64"}),
+            check_dtype=False)
+
+    def test_partial_combine_idempotent_single_block(self):
+        from web2llmstxt_ray.ops.windows import daily_ohlc
+        df = pd.DataFrame({
+            "event_id": np.int64([2, 1]),
+            "user_id": np.int64([5, 5]),
+            "ts": pd.to_datetime(["2024-01-01 09:00",
+                                  "2024-01-01 09:00"]),
+            "value": [3.0, 7.0]})
+        one = daily_ohlc(ray.data.from_pandas(df))
+        two = daily_ohlc(ray.data.from_pandas(df).repartition(2))
+        # same-instant tie: open = lower id (700), close = higher (300)
+        assert one["open_cents"].iloc[0] == 700
+        assert one["close_cents"].iloc[0] == 300
+        pd.testing.assert_frame_equal(one, two)
+
+
+class TestGroupedGini:
+    @staticmethod
+    def _brute(vals):
+        v = sorted(int(x) for x in vals)
+        n, s = len(v), sum(v)
+        num = 2 * sum((i + 1) * x for i, x in enumerate(v)) \
+            - (n + 1) * s
+        return float(num) / float(n * s)
+
+    def test_matches_bruteforce_with_ties(self):
+        from web2llmstxt_ray.ops.stats import grouped_gini
+        rng = np.random.default_rng(61)
+        n = 900
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], n),
+            "value": rng.integers(1, 40, n) / 4.0,  # heavy cent ties
+        })
+        out = grouped_gini(ray.data.from_pandas(df).repartition(6),
+                           "g", "value")
+        for gname, grp in df.groupby("g"):
+            cents = (grp["value"] * 100).round().astype(int)
+            exp = self._brute(cents)
+            row = out[out["g"] == gname].iloc[0]
+            assert row["gini"] == exp
+            assert row["n"] == len(grp)
+            assert row["total_cents"] == cents.sum()
+
+    def test_extremes(self):
+        from web2llmstxt_ray.ops.stats import grouped_gini
+        df = pd.DataFrame({
+            "g": ["eq"] * 4 + ["conc"] * 4,
+            "value": [5.0] * 4 + [0.0, 0.0, 0.0, 80.0]})
+        out = grouped_gini(ray.data.from_pandas(df), "g", "value")
+        assert out.set_index("g").loc["eq", "gini"] == 0.0
+        assert out.set_index("g").loc["conc", "gini"] == 0.75
+
+
+class TestZipfFit:
+    def test_exact_power_law_recovers_slope(self):
+        from web2llmstxt_ray.ops.corpus import zipf_fit
+        # counts = round(1000 * rank^-1): ln-ln is near-linear
+        docs = []
+        for r in range(1, 21):
+            docs += [f"tok{r:02d}"] * round(1000 / r)
+        rng = np.random.default_rng(71)
+        rng.shuffle(docs)
+        texts = [" ".join(docs[i::7]) for i in range(7)]
+        out = zipf_fit(ray.data.from_pandas(
+            pd.DataFrame({"text": texts})).repartition(3), k=20)
+        assert out["n_terms"].iloc[0] == 20
+        assert -1.05 < out["zipf_slope"].iloc[0] < -0.95
+
+    def test_matches_closed_form(self):
+        from web2llmstxt_ray.ops.corpus import zipf_fit
+        import math
+        df = pd.DataFrame({"text": ["a a a a b b c", "a b c", ""]})
+        out = zipf_fit(ray.data.from_pandas(df), k=10)
+        # counts: a=5, b=3, c=2 -> ranks 1,2,3
+        x = np.log([1.0, 2.0, 3.0]); y = np.log([5.0, 3.0, 2.0])
+        n = 3
+        sx, sy = math.fsum(x), math.fsum(y)
+        sxy, sxx = math.fsum(x * y), math.fsum(x * x)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert out["n_terms"].iloc[0] == 3
+        assert out["zipf_slope"].iloc[0] == slope
+        assert out["zipf_intercept"].iloc[0] == (sy - slope * sx) / n

@@ -729,3 +729,34 @@ def leakage_safe_split(ds: ray.data.Dataset, text_col: str = "text",
                               batch_size=None)
             .groupby("_sb").map_groups(tag_bucket,
                                        batch_format="pandas"))
+
+
+def zipf_fit(ds: ray.data.Dataset, k: int = 500,
+             text_col: str = "text") -> pd.DataFrame:
+    """Zipf's-law fit of the corpus token-frequency distribution: OLS
+    slope/intercept of ln(count) on ln(rank) over the top-k tokens —
+    the natural-language sanity check of a crawled corpus (English
+    web text sits near slope −1; boilerplate/spam corpora flatten or
+    steepen it).
+
+    Rides :func:`top_tokens` (per-block Counter partials, one
+    token-hash bucket shuffle, deterministic (count desc, token)
+    tie-break), so only O(buckets·k) rows ever reach the driver; the
+    fit itself is O(k) driver arithmetic with ``math.fsum`` — the
+    closed-form OLS expression is replayed term-for-term by the SQL
+    oracle (transcendental ln sums carry the documented few-ULP
+    gate). Output: one row (n_terms, zipf_slope, zipf_intercept).
+    """
+    import math
+
+    top = top_tokens(ds, k=k, text_col=text_col)
+    n = len(top)
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(np.float64))
+    sx, sy = math.fsum(x), math.fsum(y)
+    sxy, sxx = math.fsum(x * y), math.fsum(x * x)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({"n_terms": pd.array([n], dtype="int64"),
+                         "zipf_slope": [slope],
+                         "zipf_intercept": [intercept]})

@@ -1152,3 +1152,71 @@ def benford_digit_counts(ds: ray.data.Dataset,
     out["expected"] = e
     out["chi2_part"] = (nn - e) ** 2 / e
     return out.sort_values("digit").reset_index(drop=True)
+
+
+def grouped_gini(ds: ray.data.Dataset, group_col: str,
+                 value_col: str,
+                 num_buckets: int = 64) -> pd.DataFrame:
+    """Exact Gini concentration index per group over integer cents —
+    the inequality / revenue-concentration audit
+    (``G = (2·Σ i·v_i − (n+1)·Σv) / (n·Σv)`` with ascending ranks
+    ``i``; ties contribute a fixed rank-block sum, so the statistic is
+    deterministic without a tie rule).
+
+    Per-block (group, value) count partials collapse duplicates before
+    ONE group-hash bucket shuffle; inside a bucket the rank sums come
+    from the collapsed histogram (a value with count c after m
+    predecessors contributes ``v·(c·m + c(c+1)/2)``) folded in
+    object-dtype Python ints — exact at any cardinality, no int64
+    wrap. The final float is one division of two exact integers, so a
+    HUGEINT SQL replay hash-matches. Output: (group, n, total_cents,
+    gini).
+    """
+
+    def block_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({group_col: pd.Series([], dtype="str"),
+                                 "_v": pd.Series([], dtype="int64"),
+                                 "_c": pd.Series([], dtype="int64")})
+        cents = np.rint(batch[value_col].to_numpy() * 100) \
+            .astype("int64")
+        return (pd.DataFrame({group_col: batch[group_col].to_numpy(),
+                              "_v": cents})
+                .groupby([group_col, "_v"]).size()
+                .rename("_c").reset_index())
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.groupby([group_col, "_v"], as_index=False)["_c"]
+             .sum().sort_values([group_col, "_v"], kind="stable"))
+        c = g["_c"].to_numpy("int64")
+        cum = g.groupby(group_col, sort=False)["_c"].cumsum() \
+            .to_numpy("int64")
+        m = cum - c
+        # object dtype: exact Python-int products at any magnitude
+        v = g["_v"].to_numpy("int64").astype(object)
+        co = c.astype(object)
+        g["_ric"] = v * (co * m.astype(object)
+                         + co * (co + 1) // 2)
+        g["_vc"] = v * co
+        agg = g.groupby(group_col, as_index=False).agg(
+            n=("_c", "sum"), _sric=("_ric", "sum"), _svc=("_vc", "sum"))
+        n = agg["n"].astype(object)
+        num = 2 * agg["_sric"] - (n + 1) * agg["_svc"]
+        den = n * agg["_svc"]
+        gini = np.array([float(a) / float(b) if b else float("nan")
+                         for a, b in zip(num, den)], dtype=np.float64)
+        return pd.DataFrame({
+            group_col: agg[group_col],
+            "n": agg["n"].astype("int64"),
+            "total_cents": agg["_svc"].astype("int64"),
+            "gini": gini})
+
+    from .windows import _add_key_bucket
+    parts = (ds.select_columns([group_col, value_col])
+             .map_batches(block_partial, batch_format="pandas"))
+    out = (_add_key_bucket(parts, group_col, num_buckets)
+           .groupby("_sbucket")
+           .map_groups(lambda g: per_bucket(g.drop(columns="_sbucket")),
+                       batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(group_col).reset_index(drop=True)

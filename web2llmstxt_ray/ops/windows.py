@@ -1357,3 +1357,130 @@ def locf_daily(ds: ray.data.Dataset, key_col: str = "user_id",
         .to_pandas())
     return (out.sort_values([key_col, "day"])
             .reset_index(drop=True))
+
+
+def politeness_schedule(ds: ray.data.Dataset, key_col: str = "user_id",
+                        ts_col: str = "ts", id_col: str = "event_id",
+                        delay_s: int = 5,
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Earliest-feasible dispatch schedule under a per-key minimum
+    spacing (the crawl-scheduler politeness simulation: requests to
+    one host, processed in arrival order, may not dispatch closer
+    than ``delay_s`` apart; a request dispatches at
+    ``max(arrival, prev_dispatch + delay)``).
+
+    The sequential max-plus recurrence has an exact closed form:
+    with 0-based per-key rank ``rn`` (ordered ts, id) and µs delay
+    ``d``, ``dispatch = rn·d + running_max(arrival − rn·d)`` — so one
+    hash(key) bucket shuffle and a vectorized grouped cummax replace
+    the per-key loop, exactly as :func:`cusum_stats` does for its
+    recurrence. All arithmetic is exact int64 µs. Output: one row per
+    request with its queueing delay ``wait_us`` (0 = dispatched on
+    arrival).
+    """
+    d_us = np.int64(delay_s) * 1_000_000
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        if not len(g):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 key_col: pd.Series([], dtype="int64"),
+                                 "wait_us": pd.Series([], dtype="int64")})
+        us = (g[ts_col].to_numpy().astype("datetime64[us]")
+              .astype("int64"))
+        rn = g.groupby(key_col, sort=False).cumcount().to_numpy("int64")
+        base = pd.Series(us - rn * d_us)
+        runmax = base.groupby(g[key_col].to_numpy(),
+                              sort=False).cummax().to_numpy("int64")
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            key_col: g[key_col].to_numpy(),
+            "wait_us": runmax + rn * d_us - us})
+
+    out = (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col]), key_col,
+        num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas")
+        .to_pandas())
+    out["wait_us"] = out["wait_us"].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def daily_ohlc(ds: ray.data.Dataset, key_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               value_col: str = "value",
+               num_buckets: int = 64) -> pd.DataFrame:
+    """Per (key, day) open/high/low/close candle over the event
+    stream — open/close are the values of the (ts, id)-first and
+    -last events of the day, high/low the extremes, all in exact
+    integer cents, plus the event count.
+
+    Every field is an ASSOCIATIVE combine (argmin/argmax by the
+    (ts, id) order key, min, max, sum), so the op is a true two-phase
+    partial aggregate: per-block partials shrink each block to its
+    O(keys·days) candle rows carrying their endpoint order keys, and
+    ONE key-hash bucket shuffle re-reduces the partials with the
+    identical (idempotent) kernel — raw events never shuffle. Output:
+    (key, day, open_cents, high_cents, low_cents, close_cents, n).
+    """
+
+    def reduce_candles(df: pd.DataFrame) -> pd.DataFrame:
+        """Idempotent candle combine: rows are either raw events
+        (endpoint keys = their own (ts, id)) or prior partials."""
+        first = (df.sort_values([key_col, "day", "_fts", "_fid"],
+                                kind="stable")
+                 .groupby([key_col, "day"], as_index=False, sort=False)
+                 .agg(_fts=("_fts", "first"), _fid=("_fid", "first"),
+                      open_cents=("open_cents", "first")))
+        rest = (df.sort_values([key_col, "day", "_lts", "_lid"],
+                               kind="stable")
+                .groupby([key_col, "day"], as_index=False, sort=False)
+                .agg(_lts=("_lts", "last"), _lid=("_lid", "last"),
+                     close_cents=("close_cents", "last"),
+                     high_cents=("high_cents", "max"),
+                     low_cents=("low_cents", "min"),
+                     n=("n", "sum")))
+        return first.merge(rest, on=[key_col, "day"])
+
+    day_us = np.int64(86_400_000_000)
+
+    def block_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in (key_col, "day", "_fts",
+                                           "_fid", "open_cents", "_lts",
+                                           "_lid", "close_cents",
+                                           "high_cents", "low_cents",
+                                           "n")})
+        us = (batch[ts_col].to_numpy().astype("datetime64[us]")
+              .astype("int64"))
+        cents = np.rint(batch[value_col].to_numpy() * 100).astype("int64")
+        ids = batch[id_col].to_numpy("int64")
+        ev = pd.DataFrame({
+            key_col: batch[key_col].to_numpy(),
+            "day": (us // day_us) * day_us,
+            "_fts": us, "_fid": ids, "open_cents": cents,
+            "_lts": us, "_lid": ids, "close_cents": cents,
+            "high_cents": cents, "low_cents": cents,
+            "n": np.ones(len(batch), dtype="int64")})
+        return reduce_candles(ev)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = reduce_candles(group.drop(columns="_sbucket"))
+        return out
+
+    parts = (ds.select_columns([id_col, key_col, ts_col, value_col])
+             .map_batches(block_partial, batch_format="pandas"))
+    out = (_add_key_bucket(parts, key_col, num_buckets)
+           .groupby("_sbucket")
+           .map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    out["day"] = out["day"].astype("int64").astype("datetime64[us]")
+    for c in ("open_cents", "high_cents", "low_cents", "close_cents",
+              "n"):
+        out[c] = out[c].astype("int64")
+    out = out[[key_col, "day", "open_cents", "high_cents", "low_cents",
+               "close_cents", "n"]]
+    return (out.sort_values([key_col, "day"])
+            .reset_index(drop=True))
