@@ -4783,6 +4783,20 @@ def q_zipf_slope(sf_dir: str) -> pd.DataFrame:
     return zipf_fit(_t(sf_dir, "documents", ["text"]), k=500)
 
 
+def q_part_hits(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs/authorities over the supplier→part bipartite graph
+    from lineitem (the link-authority primitive of a crawl graph) —
+    integer fixed-point power iteration, bit-identical at any
+    partitioning; rows-only driver check (the fixed point is
+    non-SQL), sequential-replay-verified in tests/test_graph.py. See
+    :func:`ops.graph.hits_bipartite`."""
+    from web2llmstxt_ray.ops.graph import hits_bipartite
+
+    edges = _t(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+    return hits_bipartite(edges, iters=3, src_col="l_suppkey",
+                          dst_col="l_partkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5018,6 +5032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_ohlc": q_daily_ohlc,
         "priority_gini": q_priority_gini,
         "zipf_slope": q_zipf_slope,
+        "part_hits": q_part_hits,
     }
 
 

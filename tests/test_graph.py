@@ -5,6 +5,7 @@ distributed minhash clustering tier built on it."""
 import random
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -186,3 +187,75 @@ class TestPageRank:
                  for _ in range(120)]
         got = self._run(pairs, num_buckets=8)
         assert 0 < sum(got.values()) <= 10 ** 12
+
+
+class TestHitsBipartite:
+    @staticmethod
+    def _sequential(edges, iters=4, scale=10 ** 9):
+        """Bit-exact integer replay of the distributed recurrence."""
+        import collections
+        E = sorted(set(edges))
+        srcs = sorted({s for s, _ in E})
+        h = {s: scale for s in srcs}
+        a = {}
+        for _ in range(iters):
+            a = collections.defaultdict(int)
+            for s, d in E:
+                a[d] += h[s]
+            m = max(a.values())
+            a = {k: v * scale // m for k, v in a.items()}
+            h = collections.defaultdict(int)
+            for s, d in E:
+                h[s] += a[d]
+            m = max(h.values())
+            h = {k: v * scale // m for k, v in h.items()}
+        return dict(h), dict(a)
+
+    def _edges_df(self, seed=81, n=400):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "src": rng.integers(0, 25, n).astype("int64"),
+            "dst": rng.integers(100, 160, n).astype("int64")})
+
+    def test_matches_sequential_integer_replay(self):
+        from web2llmstxt_ray.ops.graph import hits_bipartite
+        df = self._edges_df()
+        out = hits_bipartite(ray.data.from_pandas(df).repartition(6),
+                             iters=3)
+        h, a = self._sequential(
+            list(zip(df["src"], df["dst"])), iters=3)
+        got_h = out[out["side"] == "hub"].set_index("node")["score"]
+        got_a = out[out["side"] == "authority"] \
+            .set_index("node")["score"]
+        assert got_h.to_dict() == h
+        assert got_a.to_dict() == a
+
+    def test_partition_invariance(self):
+        from web2llmstxt_ray.ops.graph import hits_bipartite
+        df = self._edges_df(seed=83)
+        one = hits_bipartite(ray.data.from_pandas(df), iters=2)
+        many = hits_bipartite(
+            ray.data.from_pandas(df).repartition(9), iters=2)
+        pd.testing.assert_frame_equal(one, many)
+
+    def test_planted_authority_wins(self):
+        from web2llmstxt_ray.ops.graph import hits_bipartite
+        # every hub points at doc 500; other docs get one link each
+        rows = [(s, 500) for s in range(10)] + \
+            [(s, 600 + s) for s in range(10)]
+        df = pd.DataFrame(rows, columns=["src", "dst"]) \
+            .astype("int64")
+        out = hits_bipartite(ray.data.from_pandas(df), iters=4)
+        auth = out[out["side"] == "authority"]
+        top = auth.loc[auth["score"].idxmax(), "node"]
+        assert top == 500
+        assert auth.set_index("node").loc[500, "score"] == 10 ** 9
+
+    def test_as_dataset_parity(self):
+        from web2llmstxt_ray.ops.graph import hits_bipartite
+        df = self._edges_df(seed=85, n=120)
+        coll = hits_bipartite(ray.data.from_pandas(df), iters=2)
+        ds = hits_bipartite(ray.data.from_pandas(df), iters=2,
+                            as_dataset=True).to_pandas()
+        ds = ds.sort_values(["side", "node"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(coll, ds[coll.columns.tolist()])

@@ -632,3 +632,161 @@ def k_core(edges: ray.data.Dataset, k: int = 2, col_a: str = "u",
                     .sort_values("node").reset_index(drop=True))
         removed |= weak
     raise RuntimeError(f"k_core: no fixed point in {max_iters} rounds")
+
+
+def hits_bipartite(edges: ray.data.Dataset, iters: int = 4,
+                   scale: int = 10 ** 9, num_buckets: int = 64,
+                   src_col: str = "src", dst_col: str = "dst",
+                   as_dataset: bool = False,
+                   ) -> pd.DataFrame | ray.data.Dataset:
+    """HITS hubs/authorities over a bipartite directed edge list
+    (hubs = the src side, authorities = the dst side — e.g. crawl
+    hosts pointing at documents, or suppliers stocking parts): the
+    mutual-reinforcement power iteration ``a = Aᵀh; h = A·a``.
+
+    Like :func:`pagerank`, the whole recurrence runs in INTEGER
+    fixed-point so any execution order — and the sequential replay in
+    the tests — is bit-identical: scores start at ``scale``, each
+    half-step sums int64 contributions (choose ``scale`` so
+    max-degree·scale < 2^63), and normalization is the deterministic
+    integer rescale ``s ← s·scale // max(s)`` (computed per row in
+    exact Python ints, so the intermediate product cannot wrap).
+
+    Distributed shape: edges dedupe in one src-bucketed pass; each
+    half-step co-groups the adjacency with the current score table by
+    bucket(from-node) (union-with-tag, no join operator), partial-sums
+    contributions in-bucket, finishes the sum by bucket(to-node), and
+    the only driver hop is the O(1) global max for the rescale.
+    Output: (side, node, score) with side ∈ {hub, authority}, score in
+    units of 1/``scale``; top score per side is exactly ``scale``.
+    ``as_dataset=True`` keeps the result distributed (write-through
+    consumers; the collected form is O(nodes) driver rows).
+    """
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": batch.column(src_col).cast(pa.int64()),
+            "dst": batch.column(dst_col).cast(pa.int64()),
+            "_gb": pa.array(_bucket_of(s, num_buckets)
+                            .astype(np.int32))})
+
+    def dedup_edges(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(subset=["src", "dst"])[
+            ["src", "dst"]]
+
+    adj = (edges.map_batches(tag_edges, batch_format="pyarrow")
+           .groupby("_gb").map_groups(dedup_edges,
+                                      batch_format="pandas")
+           ).materialize()
+
+    def distinct_nodes(col: str) -> ray.data.Dataset:
+        def emit(batch: pa.Table) -> pa.Table:
+            n = np.unique(batch.column(col)
+                          .to_numpy(zero_copy_only=False))
+            return pa.table({
+                "node": pa.array(n, pa.int64()),
+                "_gb": pa.array(_bucket_of(n, num_buckets)
+                                .astype(np.int32))})
+
+        def dedup(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.drop_duplicates(subset=["node"])[["node"]]
+            return g.assign(s=np.int64(scale))
+
+        return (adj.map_batches(emit, batch_format="pyarrow")
+                .groupby("_gb").map_groups(dedup,
+                                           batch_format="pandas")
+                ).materialize()
+
+    hubs = distinct_nodes("src")
+
+    def half_step(scores: ray.data.Dataset, from_col: str,
+                  to_col: str) -> ray.data.Dataset:
+        """(node, s) per to-node: sum of the from-side scores over
+        the adjacency, then the integer rescale to max = scale."""
+
+        def edge_rows(batch: pa.Table) -> pa.Table:
+            f = batch.column(from_col).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_gb": pa.array(_bucket_of(f, num_buckets)
+                                .astype(np.int32)),
+                "key": batch.column(from_col),
+                "other": batch.column(to_col),
+                "s": pa.array(np.full(batch.num_rows, -1, np.int64))})
+
+        def score_rows(batch: pa.Table) -> pa.Table:
+            n = batch.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_gb": pa.array(_bucket_of(n, num_buckets)
+                                .astype(np.int32)),
+                "key": batch.column("node"),
+                "other": pa.array(np.full(batch.num_rows, -1,
+                                          np.int64)),
+                "s": batch.column("s")})
+
+        tagged = (adj.map_batches(edge_rows, batch_format="pyarrow")
+                  .union(scores.map_batches(score_rows,
+                                            batch_format="pyarrow")))
+
+        def contribute(group: pd.DataFrame) -> pd.DataFrame:
+            is_score = group["other"].to_numpy() == -1
+            smap = group[is_score].set_index("key")["s"]
+            e = group[~is_score]
+            if not len(e):
+                return pd.DataFrame({"node": pd.Series([], "int64"),
+                                     "s": pd.Series([], "int64")})
+            sv = smap.reindex(e["key"]).to_numpy("int64")
+            out = pd.DataFrame({"node": e["other"].to_numpy(), "s": sv})
+            return out.groupby("node", as_index=False)["s"].sum()
+
+        def tag_node(batch: pa.Table) -> pa.Table:
+            n = batch.column("node").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "_gb2", pa.array(_bucket_of(n, num_buckets)
+                                 .astype(np.int32)))
+
+        def finish(group: pd.DataFrame) -> pd.DataFrame:
+            return group.groupby("node", as_index=False)["s"].sum()
+
+        raw = (tagged.groupby("_gb")
+               .map_groups(contribute, batch_format="pandas")
+               .map_batches(tag_node, batch_format="pyarrow")
+               .groupby("_gb2")
+               .map_groups(finish, batch_format="pandas")
+               ).materialize()
+        m = int(raw.max("s"))
+
+        def rescale(batch: pd.DataFrame) -> pd.DataFrame:
+            sc = [int(v) * scale // m
+                  for v in batch["s"].to_numpy("int64")]
+            return pd.DataFrame({
+                "node": batch["node"].to_numpy("int64"),
+                "s": np.array(sc, dtype="int64")})
+
+        # lazy: the next half-step's union/groupby executes it once
+        # (no schema-probe consumers downstream — see BASELINE.md's
+        # lazy-replay finding for when this would be wrong)
+        return raw.map_batches(rescale, batch_format="pandas")
+
+    auths = None
+    for _ in range(iters):
+        auths = half_step(hubs, "src", "dst")
+        hubs = half_step(auths, "dst", "src")
+
+    def label(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "side": pa.array([side] * batch.num_rows, pa.string()),
+                "node": batch.column("node").cast(pa.int64()),
+                "score": batch.column("s").cast(pa.int64())})
+        return fn
+
+    union = (hubs.map_batches(label("hub"), batch_format="pyarrow")
+             .union(auths.map_batches(label("authority"),
+                                      batch_format="pyarrow")))
+    if as_dataset:
+        return union
+    out = union.to_pandas()
+    out["score"] = out["score"].astype("int64")
+    return (out[["side", "node", "score"]]
+            .sort_values(["side", "node"]).reset_index(drop=True))
