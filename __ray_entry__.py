@@ -4797,6 +4797,52 @@ def q_part_hits(sf_dir: str) -> pd.DataFrame:
                           dst_col="l_partkey")
 
 
+def q_complete_users(sf_dir: str) -> pd.DataFrame:
+    """Relational division: users who triggered EVERY distinct event
+    type (distinct-pair partials, one bucket combine, the divisor is
+    a single driver scalar). See
+    :func:`ops.relational.relational_division`."""
+    from web2llmstxt_ray.ops.relational import relational_division
+
+    return relational_division(
+        _t(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type")
+
+
+def q_decayed_user_value(sf_dir: str) -> pd.DataFrame:
+    """Per-user exponentially time-decayed value sum (half-life 6 h,
+    referenced to the corpus max timestamp) — recency-weighted
+    engagement with NO shuffle: an O(1) global max then map-only
+    additive partials. See :func:`ops.windows.decayed_value_sum`."""
+    from web2llmstxt_ray.ops.windows import decayed_value_sum
+
+    return decayed_value_sum(
+        _t(sf_dir, "events", ["user_id", "ts", "value"]),
+        half_life_s=21600.0)
+
+
+def q_doc_readability(sf_dir: str) -> pd.DataFrame:
+    """Flesch-style reading ease per document from exact integer
+    regex-run counts (words / sentence marks / vowel groups) —
+    map-only, hash-exact vs the regexp_extract_all SQL replay. See
+    :func:`ops.textstats.readability_scores`."""
+    from web2llmstxt_ray.ops.textstats import readability_scores
+
+    return readability_scores(
+        _t(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+
+
+def q_label_silhouette(sf_dir: str) -> pd.DataFrame:
+    """Simplified centroid silhouette per embedding label (cluster
+    separation QA: broadcast 12-decimal centroids, map-only direct
+    (X−c)² distances, O(blocks×labels) partials). See
+    :func:`ops.ann.centroid_silhouette`."""
+    from web2llmstxt_ray.ops.ann import centroid_silhouette
+
+    return centroid_silhouette(
+        _t(sf_dir, "embeddings", ["label", "embedding"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5033,6 +5079,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_gini": q_priority_gini,
         "zipf_slope": q_zipf_slope,
         "part_hits": q_part_hits,
+        "complete_users": q_complete_users,
+        "decayed_user_value": q_decayed_user_value,
+        "doc_readability": q_doc_readability,
+        "label_silhouette": q_label_silhouette,
     }
 
 
@@ -8183,5 +8233,63 @@ def oracle_sql() -> dict[str, str]:
                    (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
                        * sx) / n AS zipf_intercept
             FROM s
+        """,
+        "complete_users": """
+            WITH p AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_attrs
+            FROM p GROUP BY 1
+            HAVING count(*) = (SELECT count(DISTINCT event_type)
+                               FROM events)
+        """,
+        "decayed_user_value": """
+            WITH r AS (SELECT max(epoch_us(ts)) AS tref FROM events)
+            SELECT user_id,
+                   sum(value * pow(0.5,
+                       (r.tref - epoch_us(ts)) / 21600000000.0))
+                       AS decayed_value
+            FROM events, r GROUP BY 1
+        """,
+        "doc_readability": """
+            WITH c AS (SELECT doc_id,
+                              CAST(len(regexp_extract_all(text,
+                                  '[A-Za-z]+')) AS BIGINT) AS n_words,
+                              greatest(CAST(len(regexp_extract_all(
+                                  text, '[.!?]+')) AS BIGINT),
+                                  1) AS n_sentences,
+                              CAST(len(regexp_extract_all(text,
+                                  '[aeiouyAEIOUY]+')) AS BIGINT)
+                                  AS n_vowel_groups
+                       FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+                   206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE)
+                                  / CAST(n_sentences AS DOUBLE))
+                       - 84.6 * (CAST(n_vowel_groups AS DOUBLE)
+                                 / CAST(n_words AS DOUBLE)) AS flesch
+            FROM c WHERE n_words > 0
+        """,
+        "label_silhouette": """
+            WITH e AS (SELECT vec_id, label, unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings),
+            c AS (SELECT label, dim,
+                         round(avg(CAST(v AS DOUBLE)), 12) AS m
+                  FROM e GROUP BY 1, 2),
+            d AS (SELECT e.vec_id, e.label AS vlabel,
+                         c.label AS clabel,
+                         sum((CAST(e.v AS DOUBLE) - c.m)
+                             * (CAST(e.v AS DOUBLE) - c.m)) AS d2
+                  FROM e JOIN c ON e.dim = c.dim GROUP BY 1, 2, 3),
+            s AS (SELECT vec_id, vlabel,
+                         min(CASE WHEN clabel = vlabel THEN d2 END)
+                             AS a2,
+                         min(CASE WHEN clabel <> vlabel THEN d2 END)
+                             AS b2
+                  FROM d GROUP BY 1, 2)
+            SELECT vlabel AS label, CAST(count(*) AS BIGINT) AS n,
+                   round(avg((sqrt(b2) - sqrt(a2))
+                             / greatest(sqrt(a2), sqrt(b2))), 6)
+                       AS silhouette
+            FROM s GROUP BY 1
         """,
     }

@@ -380,3 +380,110 @@ class TestZipfFit:
         assert out["n_terms"].iloc[0] == 3
         assert out["zipf_slope"].iloc[0] == slope
         assert out["zipf_intercept"].iloc[0] == (sy - slope * sx) / n
+
+
+class TestRelationalDivision:
+    def test_covering_groups_only(self):
+        from web2llmstxt_ray.ops.relational import relational_division
+        df = pd.DataFrame({
+            "u": np.int64([1, 1, 1, 2, 2, 3, 3, 3, 3]),
+            "t": ["a", "b", "c", "a", "b", "a", "b", "c", "c"]})
+        out = relational_division(
+            ray.data.from_pandas(df).repartition(4), "u", "t")
+        assert out["u"].tolist() == [1, 3]
+        assert out["n_attrs"].tolist() == [3, 3]
+
+    def test_all_cover_single_attr(self):
+        from web2llmstxt_ray.ops.relational import relational_division
+        df = pd.DataFrame({"u": np.int64([5, 6, 5]), "t": ["x"] * 3})
+        out = relational_division(ray.data.from_pandas(df), "u", "t")
+        assert out["u"].tolist() == [5, 6]
+
+
+class TestDecayedValueSum:
+    def test_matches_closed_form(self):
+        from web2llmstxt_ray.ops.windows import decayed_value_sum
+        rng = np.random.default_rng(91)
+        n = 500
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 8, n),
+            "ts": pd.Timestamp("2024-06-01")
+            + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+            "value": rng.uniform(0, 10, n).round(2)})
+        out = decayed_value_sum(
+            ray.data.from_pandas(df).repartition(5),
+            half_life_s=3600.0)
+        tref = df["ts"].max()
+        for uid, g in df.groupby("user_id"):
+            dt = (tref - g["ts"]).dt.total_seconds().to_numpy()
+            exp = float((g["value"].to_numpy()
+                         * np.power(0.5, dt / 3600.0)).sum())
+            got = out.loc[out["user_id"] == uid,
+                          "decayed_value"].iloc[0]
+            assert abs(got - exp) < 1e-9
+
+    def test_event_at_reference_weighs_one(self):
+        from web2llmstxt_ray.ops.windows import decayed_value_sum
+        df = pd.DataFrame({
+            "user_id": np.int64([1, 1]),
+            "ts": pd.to_datetime(["2024-01-01 00:00",
+                                  "2024-01-01 01:00"]),
+            "value": [4.0, 8.0]})
+        out = decayed_value_sum(ray.data.from_pandas(df),
+                                half_life_s=3600.0)
+        # later event weighs 1.0, earlier exactly one half-life: 0.5
+        assert out["decayed_value"].iloc[0] == 8.0 + 2.0
+
+
+class TestReadabilityScores:
+    def test_counts_and_formula(self):
+        from web2llmstxt_ray.ops.textstats import readability_scores
+        df = pd.DataFrame({
+            "doc_id": np.int64([1, 2, 3]),
+            "text": ["The cat sat. It purred!",
+                     "no sentence marks here",
+                     "12345 !!!"]})  # doc 3: zero words -> dropped
+        out = readability_scores(
+            ray.data.from_pandas(df)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert out["doc_id"].tolist() == [1, 2]
+        r1 = out.iloc[0]
+        assert (r1["n_words"], r1["n_sentences"]) == (5, 2)
+        # vowel runs: e,a,a,(sat:a),I,u,e -> count via regex
+        import re
+        assert r1["n_vowel_groups"] == len(
+            re.findall(r"[aeiouyAEIOUY]+", df["text"][0]))
+        assert r1["flesch"] == 206.835 - 1.015 * (5 / 2) \
+            - 84.6 * (r1["n_vowel_groups"] / 5)
+        assert out.iloc[1]["n_sentences"] == 1  # floored
+
+
+class TestCentroidSilhouette:
+    def test_matches_numpy_oracle(self):
+        from web2llmstxt_ray.ops.ann import centroid_silhouette
+        rng = np.random.default_rng(101)
+        n, d = 300, 8
+        y = rng.integers(0, 3, n)
+        X = rng.normal(0, 1, (n, d)) + y[:, None] * 3.0
+        df = pd.DataFrame({
+            "label": y.astype("int32"),
+            "embedding": [r.astype("float32").tolist() for r in X]})
+        out = centroid_silhouette(
+            ray.data.from_pandas(df).repartition(4))
+        Xf = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in df["embedding"]])
+        C = np.stack([
+            np.round(Xf[y == l].mean(axis=0), 12) for l in range(3)])
+        d2 = ((Xf[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a2 = d2[np.arange(n), y]
+        d2[np.arange(n), y] = np.inf
+        b2 = d2.min(axis=1)
+        s = (np.sqrt(b2) - np.sqrt(a2)) / np.maximum(
+            np.sqrt(a2), np.sqrt(b2))
+        for l in range(3):
+            exp = round(float(s[y == l].mean()), 6)
+            row = out[out["label"] == l].iloc[0]
+            assert abs(row["silhouette"] - exp) < 2e-6
+            assert row["n"] == int((y == l).sum())
+        # well-separated clusters: strongly positive
+        assert (out["silhouette"] > 0.5).all()

@@ -622,3 +622,71 @@ def mmr_select(ds: ray.data.Dataset, query_vec: np.ndarray,
         "relevance": pa.array(out["relevance"], pa.float64()),
         "mmr_score": pa.array(out["mmr_score"], pa.float64()),
     })
+
+
+def centroid_silhouette(ds: ray.data.Dataset, label_col: str = "label",
+                        vec_col: str = "embedding",
+                        round_to: int = 6) -> pd.DataFrame:
+    """Simplified (centroid-based) silhouette per label — the
+    cluster-separation QA score: for each vector, ``a`` = distance to
+    its own label's centroid, ``b`` = distance to the nearest OTHER
+    centroid, ``s = (b − a)/max(a, b)``; report the per-label mean.
+
+    Same scale shape as :func:`label_centroids`: centroids come from
+    O(blocks × labels) sum-vector partials (rounded to 12 decimals —
+    the :func:`centroid_cosine_matrix` convention the SQL oracle
+    mirrors), broadcast once, and the per-vector pass is map-only
+    (one ``(X − c_l)²`` row-sum per label — the direct form, NOT the
+    GEMM expansion, so near-centroid cancellation can't amplify float
+    error past the 6-decimal hash gate). Only O(blocks × labels)
+    (sum_s, n) partials reach the driver. Output:
+    (label, n, silhouette).
+    """
+    from .veckit import vec_matrix
+
+    cent = label_centroids(ds, label_col=label_col, vec_col=vec_col,
+                           round_to=12)
+    labs = np.array(sorted(cent[label_col].unique()), dtype=np.int64)
+    dmax = int(cent["dim"].max())
+    C = np.zeros((len(labs), dmax), dtype=np.float64)
+    pos = {int(l): i for i, l in enumerate(labs)}
+    for lab, dim, m in cent.itertuples(index=False):
+        C[pos[int(lab)], int(dim) - 1] = m
+    C_ref = ray.put(C)
+    labs_ref = ray.put(labs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(C_ref)
+        lv = ray.get(labs_ref)
+        X = vec_matrix(batch, vec_col).astype(np.float64)
+        y = batch.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d2 = np.empty((len(X), len(lv)), dtype=np.float64)
+        for j in range(len(lv)):
+            diff = X - Cm[j]
+            d2[:, j] = (diff * diff).sum(axis=1)
+        own = np.searchsorted(lv, y)
+        a2 = d2[np.arange(len(X)), own]
+        d2[np.arange(len(X)), own] = np.inf
+        b2 = d2.min(axis=1)
+        a, b = np.sqrt(a2), np.sqrt(b2)
+        s = (b - a) / np.maximum(a, b)
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(y):
+            sel = s[y == lab]
+            out_l.append(int(lab))
+            out_s.append(float(sel.sum()))
+            out_n.append(len(sel))
+        return pa.table({
+            label_col: pa.array(out_l, pa.int64()),
+            "_s": pa.array(out_s, pa.float64()),
+            "_n": pa.array(out_n, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    agg = parts.groupby(label_col, as_index=False).agg(
+        _s=("_s", "sum"), n=("_n", "sum"))
+    agg["silhouette"] = (agg["_s"] / agg["n"]).round(round_to)
+    agg["n"] = agg["n"].astype("int64")
+    return (agg[[label_col, "n", "silhouette"]]
+            .sort_values(label_col).reset_index(drop=True))

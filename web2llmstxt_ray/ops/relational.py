@@ -672,3 +672,58 @@ def skyline_2d(ds: ray.data.Dataset, id_col: str, min_col: str,
     out[min_col] = out[min_col].astype("int64")
     out[max_col] = out[max_col].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def relational_division(ds: ray.data.Dataset, group_col: str,
+                        attr_col: str,
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Relational division: the groups that cover EVERY distinct
+    value of ``attr_col`` present in the table (the "customers who
+    bought all products" / "hosts that served every content type"
+    shape SQL expresses as GROUP BY … HAVING count(DISTINCT) =
+    (SELECT count(DISTINCT) …)).
+
+    Two skinny passes, raw rows never shuffle: (1) per-block DISTINCT
+    (group, attr) partials → one group-hash bucket combine →
+    per-group distinct-attr counts; (2) the global distinct-attr
+    count rides the same partial pass keyed by attr hash — both
+    reduce to O(distinct) rows. The divisor reaches the driver as a
+    single scalar. Output: (group, n_attrs) for the covering groups.
+    """
+    from .windows import _add_key_bucket
+
+    def distinct_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[group_col, attr_col]].drop_duplicates()
+
+    pairs = (ds.select_columns([group_col, attr_col])
+             .map_batches(distinct_pairs, batch_format="pandas"))
+    pairs = _add_key_bucket(pairs, group_col, num_buckets) \
+        .materialize()
+
+    def per_bucket_counts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[group_col, attr_col])
+        out = g.groupby(group_col, as_index=False)[attr_col].nunique()
+        return out.rename(columns={attr_col: "n_attrs"})
+
+    counts = (pairs.groupby("_sbucket")
+              .map_groups(per_bucket_counts, batch_format="pandas"))
+
+    def distinct_attrs(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[attr_col]].drop_duplicates()
+
+    total = (_add_key_bucket(
+        pairs.map_batches(distinct_attrs, batch_format="pandas"),
+        attr_col, num_buckets)
+        .groupby("_sbucket")
+        .map_groups(lambda g: pd.DataFrame(
+            {"n": [g[attr_col].nunique()]}),
+            batch_format="pandas")
+        .sum("n"))
+
+    def keep_covering(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["n_attrs"] == total]
+
+    out = counts.map_batches(keep_covering,
+                             batch_format="pandas").to_pandas()
+    out["n_attrs"] = out["n_attrs"].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)

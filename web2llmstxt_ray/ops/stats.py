@@ -1220,3 +1220,76 @@ def grouped_gini(ds: ray.data.Dataset, group_col: str,
                        batch_format="pandas")
            .to_pandas())
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def daily_volume_anomalies(ds: ray.data.Dataset, ts_col: str = "ts",
+                           z: int = 3) -> pd.DataFrame:
+    """Robust anomaly screen over the DAILY event volume: days whose
+    count deviates from the median daily count by more than
+    ``z`` × MAD (both exact discrete quantiles — the
+    ``quantile_disc`` rule) — the traffic-spike / outage detector.
+
+    One map-only additive partial pass (O(blocks × days) rows), then
+    the O(days) fold — median, MAD and every comparison are exact
+    integers, so the flag set is hash-exact against the SQL replay.
+    Days are bounded by calendar time, never by corpus size. Output:
+    flagged days only: (day, n, med, mad).
+    """
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = (batch.column(ts_col).to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype("int64"))
+        day = (us // 86_400_000_000) * 86_400_000_000
+        u, n = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "n": pa.array(n.astype("int64"), pa.int64())})
+
+    parts = (ds.select_columns([ts_col])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas())
+    daily = parts.groupby("day", as_index=False)["n"].sum() \
+        .sort_values("day")
+    cnts = daily["n"].to_numpy("int64")
+    vals, vcnt = np.unique(cnts, return_counts=True)
+    med = _disc_quantile(vals, vcnt, 0.5)
+    dev = np.abs(cnts - med)
+    dvals, dcnt = np.unique(dev, return_counts=True)
+    mad = _disc_quantile(dvals, dcnt, 0.5)
+    keep = dev > z * mad
+    out = pd.DataFrame({
+        "day": daily["day"].to_numpy("int64")[keep]
+        .astype("datetime64[us]"),
+        "n": cnts[keep],
+        "med": np.int64(med), "mad": np.int64(mad)})
+    return out.reset_index(drop=True)
+
+
+def grouped_geomean(ds: ray.data.Dataset, group_col: str,
+                    value_col: str) -> pd.DataFrame:
+    """Geometric mean per group — ``exp(mean(ln(cents)))/100`` over
+    positive integer cents, the scale-robust average for heavy-tailed
+    prices. Map-only additive (Σ ln, n) partials, O(blocks × groups)
+    rows to the driver fold; the transcendental sum carries the
+    documented few-ULP gate (result in dollars keeps the absolute
+    error orders below the 6-decimal hash). Output:
+    (group, n, geomean).
+    """
+
+    def batch_agg(batch: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(batch[value_col].to_numpy() * 100) \
+            .astype("int64")
+        ln = np.log(cents.astype(np.float64))
+        return (pd.DataFrame({group_col: batch[group_col].to_numpy(),
+                              "_sln": ln,
+                              "n": np.ones(len(batch), "int64")})
+                .groupby(group_col, as_index=False)
+                .agg(_sln=("_sln", "sum"), n=("n", "sum")))
+
+    from .relational import partial_groupby
+    out = partial_groupby(ds.select_columns([group_col, value_col]),
+                          [group_col], batch_agg, ["_sln", "n"])
+    out["geomean"] = np.exp(out["_sln"] / out["n"]) / 100.0
+    out["n"] = out["n"].astype("int64")
+    return (out[[group_col, "n", "geomean"]]
+            .sort_values(group_col).reset_index(drop=True))

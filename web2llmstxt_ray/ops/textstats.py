@@ -353,3 +353,37 @@ def source_signature_terms(ds: ray.data.Dataset,
                       * out["n_g"].to_numpy("float64")))
     return (out.sort_values([group_col, "token"])
             .reset_index(drop=True))
+
+
+_WORD_RE = re.compile(r"[A-Za-z]+")
+_SENT_RE = re.compile(r"[.!?]+")
+_VOWEL_RE = re.compile(r"[aeiouyAEIOUY]+")
+
+
+def readability_scores(ds: ray.data.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text") -> ray.data.Dataset:
+    """Flesch-style reading-ease score per document from three EXACT
+    integer counts — words (letter runs), sentence marks (``[.!?]+``
+    runs, floored at 1), and syllable proxies (vowel-group runs) —
+    so the only float is the final closed-form expression
+    ``206.835 − 1.015·(w/s) − 84.6·(y/w)``, replayed term-for-term by
+    the SQL oracle's ``regexp_extract_all`` counts (hash-exact: one
+    expression over identical integers). Documents with zero words
+    are dropped (the SQL ``WHERE`` mirror). Map-only; streams.
+    """
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].astype(str)
+        w = texts.str.count(_WORD_RE).to_numpy("int64")
+        s = np.maximum(texts.str.count(_SENT_RE).to_numpy("int64"), 1)
+        y = texts.str.count(_VOWEL_RE).to_numpy("int64")
+        keep = w > 0
+        flesch = (206.835 - 1.015 * (w[keep] / s[keep])
+                  - 84.6 * (y[keep] / w[keep]))
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[keep],
+            "n_words": w[keep], "n_sentences": s[keep],
+            "n_vowel_groups": y[keep], "flesch": flesch})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas")

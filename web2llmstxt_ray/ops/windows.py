@@ -1484,3 +1484,39 @@ def daily_ohlc(ds: ray.data.Dataset, key_col: str = "user_id",
                "close_cents", "n"]]
     return (out.sort_values([key_col, "day"])
             .reset_index(drop=True))
+
+
+def decayed_value_sum(ds: ray.data.Dataset, key_col: str = "user_id",
+                      ts_col: str = "ts", value_col: str = "value",
+                      half_life_s: float = 3600.0) -> pd.DataFrame:
+    """Per-key exponentially time-decayed value sum at the corpus
+    reference instant (the global max timestamp): ``Σ v·0.5^(Δt/h)``
+    — the recency-weighted engagement / freshness score a recrawl
+    scheduler ranks by.
+
+    Despite looking "windowed", the sum is ADDITIVE once the
+    reference instant is fixed, so the whole op is two streaming
+    passes with no shuffle at all: an O(1) global max, then map-only
+    per-block partials combined by :func:`partial_groupby` — the
+    per-term ``pow`` is a pure function replayed by the SQL oracle
+    (float-sum ulps sit far below the 6-decimal hash gate). Output:
+    (key, decayed_value).
+    """
+    tref = ds.max(ts_col)
+    tref_us = np.int64(pd.Timestamp(tref).value // 1000)
+    h_us = float(half_life_s) * 1e6
+
+    def batch_agg(batch: pd.DataFrame) -> pd.DataFrame:
+        us = (batch[ts_col].to_numpy().astype("datetime64[us]")
+              .astype("int64"))
+        w = np.power(0.5, (tref_us - us) / h_us)
+        return (pd.DataFrame({key_col: batch[key_col].to_numpy(),
+                              "decayed_value":
+                              batch[value_col].to_numpy() * w})
+                .groupby(key_col, as_index=False)["decayed_value"]
+                .sum())
+
+    out = partial_groupby(ds.select_columns(
+        [key_col, ts_col, value_col]), [key_col], batch_agg,
+        ["decayed_value"])
+    return out.sort_values(key_col).reset_index(drop=True)
