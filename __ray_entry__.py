@@ -4843,6 +4843,88 @@ def q_label_silhouette(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "embeddings", ["label", "embedding"]))
 
 
+def _co_purchase_pairs(sf_dir: str) -> rd.Dataset:
+    """Part co-purchase edge list (parts sharing an order), generated
+    distributed: bucket by orderkey, per-group vectorized self-merge."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_gb"] = (b["l_orderkey"].to_numpy() % 32).astype("int32")
+        return b
+
+    def co_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["l_orderkey", "l_partkey"]]
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame({"u": m["l_partkey_x"].to_numpy(),
+                             "v": m["l_partkey_y"].to_numpy()})
+
+    return (li.map_batches(add_bucket, batch_format="pandas",
+                           batch_size=None)
+            .groupby("_gb").map_groups(co_pairs, batch_format="pandas"))
+
+
+def q_mutual_top1(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal nearest-neighbor pairs over the embedding corpus —
+    the high-precision alignment/dedup seed set. Exact integer dot
+    products (2^15 quantization), ties to the lower id, hub-free
+    block-pair GEMMs; bit-identical at any partitioning and replayed
+    integer-for-integer by the SQL twin. See
+    :func:`ops.ann.mutual_top1_pairs`."""
+    from web2llmstxt_ray.ops.ann import mutual_top1_pairs
+
+    return mutual_top1_pairs(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
+def q_graph_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Newman degree-assortativity of the part co-purchase graph (the
+    hub-connectivity QA of a link graph): exact integer co-moment sums
+    over the directed stub list, one float division — the SQL twin
+    divides the identical HUGEINT pair. See
+    :func:`ops.graph.degree_assortativity`."""
+    from web2llmstxt_ray.ops.graph import degree_assortativity
+
+    return degree_assortativity(_co_purchase_pairs(sf_dir),
+                                num_buckets=32)
+
+
+def q_local_clustering(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    part co-purchase graph (spam-farm / link-ring density profile):
+    degree-ordered wedges carry their center so each closed wedge
+    credits all three corners; O(sqrt(m)) per-node wedge volume
+    regardless of hub skew. See :func:`ops.graph.local_clustering`."""
+    from web2llmstxt_ray.ops.graph import local_clustering
+
+    return local_clustering(_co_purchase_pairs(sf_dir), num_buckets=32)
+
+
+def q_late_events(sf_dir: str) -> pd.DataFrame:
+    """Per-user late-arrival audit (streaming-watermark QA): events
+    arrive in a deterministic pseudo-random permutation of event_id
+    (the testdata's event time is monotone in event_id, so the
+    permutation models network reordering); an event is late when its
+    event-time trails the running per-user watermark. Exact int64 µs.
+    See :func:`ops.windows.out_of_order_stats`."""
+    from web2llmstxt_ray.ops.windows import out_of_order_stats
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def arrival(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        arr = (eid * 48271) % 100003 * 10_000_000_000 + eid
+        return pa.table({"arrival_id": pa.array(arr, pa.int64()),
+                         "user_id": b.column("user_id"),
+                         "ts": b.column("ts")})
+
+    return out_of_order_stats(
+        ev.map_batches(arrival, batch_format="pyarrow"),
+        id_col="arrival_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5083,6 +5165,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_user_value": q_decayed_user_value,
         "doc_readability": q_doc_readability,
         "label_silhouette": q_label_silhouette,
+        "mutual_top1": q_mutual_top1,
+        "graph_assortativity": q_graph_assortativity,
+        "local_clustering": q_local_clustering,
+        "late_events": q_late_events,
     }
 
 
@@ -8291,5 +8377,99 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(sqrt(a2), sqrt(b2))), 6)
                        AS silhouette
             FROM s GROUP BY 1
+        """,
+        "mutual_top1": """
+            WITH q AS (SELECT vec_id,
+                              list_transform(
+                                  CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 32768.0 + 0.5))
+                                  AS qv
+                       FROM embeddings),
+            d AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+                         list_dot_product(a.qv, b.qv) AS dot
+                  FROM q a CROSS JOIN q b
+                  WHERE a.vec_id <> b.vec_id),
+            best AS (SELECT ai, bi, dot,
+                            row_number() OVER (PARTITION BY ai
+                                               ORDER BY dot DESC, bi)
+                                AS rn
+                     FROM d),
+            b1 AS (SELECT ai, bi, dot FROM best WHERE rn = 1)
+            SELECT x.ai AS a, x.bi AS b,
+                   CAST(x.dot AS BIGINT) AS dot
+            FROM b1 x JOIN b1 y ON x.bi = y.ai AND y.bi = x.ai
+            WHERE x.ai < x.bi
+            ORDER BY a, b
+        """,
+        "graph_assortativity": """
+            WITH pairs AS (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+            e AS (SELECT DISTINCT u, v FROM pairs),
+            deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                    FROM (SELECT u AS node FROM e
+                          UNION ALL SELECT v FROM e)
+                    GROUP BY node),
+            ed AS (SELECT du.deg AS x, dv.deg AS y
+                   FROM e JOIN deg du ON du.node = e.u
+                          JOIN deg dv ON dv.node = e.v),
+            stubs AS (SELECT x, y FROM ed
+                      UNION ALL SELECT y AS x, x AS y FROM ed),
+            s AS (SELECT CAST(count(*) AS HUGEINT) AS m2,
+                         CAST(sum(x) AS HUGEINT) AS sx,
+                         CAST(sum(x * y) AS HUGEINT) AS sxy,
+                         CAST(sum(x * x) AS HUGEINT) AS sxx
+                  FROM stubs)
+            SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+                   CAST(m2 * sxy - sx * sx AS DOUBLE)
+                       / CAST(m2 * sxx - sx * sx AS DOUBLE)
+                       AS assortativity
+            FROM s
+        """,
+        "local_clustering": """
+            WITH pairs AS (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+            e AS (SELECT DISTINCT u, v FROM pairs),
+            und AS (SELECT u, v FROM e
+                    UNION ALL SELECT v AS u, u AS v FROM e),
+            deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+                    FROM und GROUP BY u),
+            tri AS (SELECT node, CAST(count(*) AS BIGINT) AS t
+                    FROM (SELECT n1.u AS node
+                          FROM und n1
+                          JOIN und n2 ON n2.u = n1.u AND n1.v < n2.v
+                          JOIN e ON e.u = n1.v AND e.v = n2.v)
+                    GROUP BY node)
+            SELECT d.node AS node, d.deg,
+                   CAST(coalesce(tri.t, 0) AS BIGINT) AS n_triangles,
+                   round(2.0 * coalesce(tri.t, 0)
+                         / (d.deg * (d.deg - 1)), 12) AS clustering
+            FROM deg d LEFT JOIN tri ON tri.node = d.node
+            WHERE d.deg >= 2
+            ORDER BY d.node
+        """,
+        "late_events": """
+            WITH a AS (SELECT user_id,
+                              CAST(epoch_us(ts) AS BIGINT) AS us,
+                              (event_id * 48271) % 100003
+                                  * 10000000000 + event_id AS arr
+                       FROM events),
+            b AS (SELECT user_id, us,
+                         max(us) OVER (PARTITION BY user_id
+                                       ORDER BY arr
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS wm
+                  FROM a)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN us < wm THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_late,
+                   CAST(max(CASE WHEN us < wm THEN wm - us
+                            ELSE 0 END) AS BIGINT) AS max_late_us
+            FROM b GROUP BY user_id ORDER BY user_id
         """,
     }

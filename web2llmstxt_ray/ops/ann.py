@@ -690,3 +690,163 @@ def centroid_silhouette(ds: ray.data.Dataset, label_col: str = "label",
     agg["n"] = agg["n"].astype("int64")
     return (agg[[label_col, "n", "silhouette"]]
             .sort_values(label_col).reset_index(drop=True))
+
+
+def mutual_top1_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
+                      vec_col: str = "embedding", scale_bits: int = 15,
+                      num_blocks: int = 4, num_buckets: int = 32,
+                      as_dataset: bool = False
+                      ) -> "pd.DataFrame | ray.data.Dataset":
+    """Reciprocal nearest-neighbor pairs — (a, b) where b is a's single
+    best match AND a is b's: the high-precision alignment/dedup seed
+    set (mutual-NN is the standard filter that survives when one-sided
+    top-1 is polluted by hubs).
+
+    EXACT and deterministic: vectors quantize once to integers
+    ``floor(x·2^scale_bits + 0.5)`` (the float64 product of two
+    quantized coords is exact below 2^53 — asserted from the
+    component bound), similarity is the integer dot product, and ties
+    break to the LOWER candidate id, so the result is independent of
+    partitioning and replayable integer-for-integer in SQL.
+
+    Scale shape (the :func:`~web2llmstxt_ray.ops.dedup.ngram_jaccard_pairs`
+    block-pair scheme): each vector lands in block ``hash(id) % B`` and
+    ships to the B tasks whose block-pair touches it; every task runs
+    ONE float64 GEMM over its two block matrices ((N/B)² · d work,
+    hub-free by construction) and emits per-id partial argmax rows;
+    a bucket combine folds partials by ``(dot desc, id asc)``; the
+    mutual check is an in-bucket pair match on the O(N) best-match
+    table (never a driver union-find). ``as_dataset=True`` keeps the
+    O(pairs) result distributed. Output: (a, b, dot), sorted.
+    """
+    import pandas as pd
+
+    from .dedup import _id_blocks
+    from .veckit import vec_matrix
+
+    scale = float(1 << scale_bits)
+    # |q| ≤ 8·2^sb ⇒ dot ≤ d·(8·2^sb)² must stay below 2^53 for the
+    # float64 GEMM to be exact — asserted per batch on the raw bound
+    def quantize(batch: pa.Table) -> pa.Table:
+        X = vec_matrix(batch, vec_col).astype(np.float64)
+        if X.size and np.abs(X).max() > 8.0:
+            raise ValueError("mutual_top1_pairs: |component| > 8 breaks "
+                             "the exact-integer-dot contract at "
+                             f"scale_bits={scale_bits}")
+        Q = np.floor(X * scale + 0.5).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        blocks = _id_blocks(ids.tolist(), num_blocks).astype(np.int64)
+        n, d = Q.shape if Q.size else (0, 0)
+        # replicate each vector to its B touching block-pair tasks —
+        # all-numpy (no per-row Python), list column built zero-copy
+        others = np.arange(num_blocks, dtype=np.int64)
+        p = np.minimum(blocks[:, None], others[None, :])
+        q = np.maximum(blocks[:, None], others[None, :])
+        tasks = (p * num_blocks + q).reshape(-1)
+        rep_ids = np.repeat(ids, num_blocks)
+        rep_blk = np.repeat(blocks, num_blocks)
+        rep_q = np.repeat(Q, num_blocks, axis=0) if n else \
+            np.empty((0, 0), dtype=np.int64)
+        iv = pa.FixedSizeListArray.from_arrays(
+            pa.array(rep_q.reshape(-1), pa.int64()), d or 1)
+        return pa.table({
+            "_task": pa.array(tasks.astype(np.int32)),
+            "_block": pa.array(rep_blk.astype(np.int32)),
+            id_col: pa.array(rep_ids, pa.int64()),
+            "_iv": iv,
+        })
+
+    def _best(D: np.ndarray, cand_ids: np.ndarray
+              ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-row (max dot, min candidate id among ties); -inf rows
+        (no candidates) return dot = INT64_MIN sentinel."""
+        m = D.max(axis=1)
+        tie = D == m[:, None]
+        idc = np.where(tie, cand_ids[None, :], np.iinfo(np.int64).max)
+        return m, idc.min(axis=1)
+
+    NEG = float(-(1 << 62))
+
+    def scan_task(group: pd.DataFrame) -> pd.DataFrame:
+        task = int(group["_task"].iloc[0])
+        p, q = task // num_blocks, task % num_blocks
+        ids = group[id_col].to_numpy()
+        blk = group["_block"].to_numpy()
+        M = np.array([np.asarray(v, dtype=np.int64) for v in group["_iv"]],
+                     dtype=np.float64)
+        out_ids, out_dot, out_best = [], [], []
+        if p == q:
+            if len(ids) < 2:
+                return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                     "_dot": pd.Series([], dtype="int64"),
+                                     "_cand": pd.Series([], dtype="int64")})
+            D = M @ M.T
+            np.fill_diagonal(D, NEG)
+            dot, best = _best(D, ids)
+            out_ids, out_dot, out_best = ids, dot, best
+        else:
+            li = np.flatnonzero(blk == p)
+            ri = np.flatnonzero(blk == q)
+            if not len(li) or not len(ri):
+                return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                     "_dot": pd.Series([], dtype="int64"),
+                                     "_cand": pd.Series([], dtype="int64")})
+            D = M[li] @ M[ri].T
+            dl, bl = _best(D, ids[ri])
+            dr, br = _best(D.T, ids[li])
+            out_ids = np.concatenate([ids[li], ids[ri]])
+            out_dot = np.concatenate([dl, dr])
+            out_best = np.concatenate([bl, br])
+        keep = out_dot > NEG
+        return pd.DataFrame({id_col: np.asarray(out_ids)[keep],
+                             "_dot": np.asarray(out_dot)[keep]
+                             .astype(np.int64),
+                             "_cand": np.asarray(out_best)[keep]})
+
+    partials = (ds.select_columns([id_col, vec_col])
+                .map_batches(quantize, batch_format="pyarrow")
+                .groupby("_task").map_groups(scan_task,
+                                             batch_format="pandas"))
+
+    def id_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_cb"] = (_id_blocks(b[id_col].tolist(), num_buckets)
+                    .astype(np.int32))
+        return b
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "_dot", "_cand"],
+                          ascending=[True, False, True], kind="stable")
+        return g.groupby(id_col, as_index=False).head(1)[
+            [id_col, "_dot", "_cand"]]
+
+    best = (partials.map_batches(id_bucket, batch_format="pandas",
+                                 batch_size=None)
+            .groupby("_cb").map_groups(combine, batch_format="pandas"))
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        lo = np.minimum(b[id_col].to_numpy(), b["_cand"].to_numpy())
+        b = b.copy()
+        b["_pb"] = _id_blocks(lo.tolist(), num_buckets).astype(np.int32)
+        return b
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        i = g[id_col].to_numpy()
+        c = g["_cand"].to_numpy()
+        d = g["_dot"].to_numpy()
+        fwd = i < c
+        left = pd.DataFrame({"a": i[fwd], "b": c[fwd], "dot": d[fwd]})
+        right = pd.DataFrame({"a": c[~fwd], "b": i[~fwd]})
+        out = left.merge(right, on=["a", "b"])
+        return out[["a", "b", "dot"]]
+
+    pairs = (best.map_batches(pair_bucket, batch_format="pandas",
+                              batch_size=None)
+             .groupby("_pb").map_groups(mutual, batch_format="pandas"))
+    if as_dataset:
+        return pairs
+    df = pairs.to_pandas()
+    for col in ("a", "b", "dot"):
+        df[col] = df[col].astype("int64")
+    return df.sort_values(["a", "b"]).reset_index(drop=True)

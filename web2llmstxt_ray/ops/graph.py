@@ -414,6 +414,54 @@ def distinct_edges(pairs: ray.data.Dataset, col_a: str = "u",
                                        batch_format="pandas"))
 
 
+def _degree_table(edges: ray.data.Dataset,
+                  num_buckets: int) -> ray.data.Dataset:
+    """Distributed (node, deg) over a canonical edge Dataset: expand to
+    one row per endpoint, partial count per block, combine per
+    node-hash BUCKET (a keyed Aggregate over O(nodes) keys pays
+    seconds of sort machinery for the same result), MATERIALIZED once
+    — every consumer join reads it, and an unmaterialized parent
+    re-executes per consumer."""
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([b["u"], b["v"]], ignore_index=True)
+        vc = n.value_counts()
+        out = pd.DataFrame({"node": vc.index.to_numpy(),
+                            "deg": vc.to_numpy()})
+        out["_db"] = _bucket_of(out["node"].to_numpy(),
+                                num_buckets).astype(np.int32)
+        return out
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["deg"].sum()
+
+    return (edges.map_batches(deg_partial, batch_format="pandas",
+                              batch_size=None)
+            .groupby("_db").map_groups(deg_final,
+                                       batch_format="pandas")
+            .materialize())
+
+
+def _edges_with_degrees(edges: ray.data.Dataset, deg: ray.data.Dataset,
+                        num_buckets: int) -> ray.data.Dataset:
+    """Attach ``deg_u`` / ``deg_v`` to each canonical edge via two
+    bucketed hash joins (first hop materialized: the second join's
+    schema probe would re-run a lazy first hop in full)."""
+    from .relational import hash_join
+
+    def as_u(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": b["node"], "deg_u": b["deg"]})
+
+    def as_v(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": b["node"], "deg_v": b["deg"]})
+
+    e1 = hash_join(edges, deg.map_batches(as_u, batch_format="pandas",
+                                          batch_size=None),
+                   on="u", num_buckets=num_buckets).materialize()
+    return hash_join(e1, deg.map_batches(as_v, batch_format="pandas",
+                                         batch_size=None),
+                     on="v", num_buckets=num_buckets)
+
+
 def triangle_count(pairs: ray.data.Dataset, col_a: str = "u",
                    col_b: str = "v", num_buckets: int = 64) -> int:
     """Exact triangle count via degree-ordered orientation (the
@@ -431,46 +479,9 @@ def triangle_count(pairs: ray.data.Dataset, col_a: str = "u",
     endpoint). The driver only ever sees per-bucket counts. Node ids
     must fit 31 bits and degrees 31 bits (packed (deg, id) order key).
     """
-    from .relational import hash_join
-
     edges = distinct_edges(pairs, col_a, col_b, num_buckets).materialize()
-
-    # degrees, distributed: expand to one row per endpoint, partial
-    # count per block, combine per node-hash BUCKET (a keyed Aggregate
-    # over O(nodes) keys pays seconds of sort machinery for the same
-    # result), MATERIALIZED once — both endpoint-degree joins consume
-    # it, and an unmaterialized parent re-executes per consumer
-    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
-        n = pd.concat([b["u"], b["v"]], ignore_index=True)
-        vc = n.value_counts()
-        out = pd.DataFrame({"node": vc.index.to_numpy(),
-                            "deg": vc.to_numpy()})
-        out["_db"] = _bucket_of(out["node"].to_numpy(),
-                                num_buckets).astype(np.int32)
-        return out
-
-    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", as_index=False)["deg"].sum()
-
-    deg = (edges.map_batches(deg_partial, batch_format="pandas",
-                             batch_size=None)
-           .groupby("_db").map_groups(deg_final,
-                                      batch_format="pandas")
-           .materialize())
-
-    def as_u(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"u": b["node"], "deg_u": b["deg"]})
-
-    def as_v(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"v": b["node"], "deg_v": b["deg"]})
-
-    # e1 materialized: the second join's schema probe would re-run it
-    e1 = hash_join(edges, deg.map_batches(as_u, batch_format="pandas",
-                                          batch_size=None),
-                   on="u", num_buckets=num_buckets).materialize()
-    e2 = hash_join(e1, deg.map_batches(as_v, batch_format="pandas",
-                                       batch_size=None),
-                   on="v", num_buckets=num_buckets)
+    deg = _degree_table(edges, num_buckets)
+    e2 = _edges_with_degrees(edges, deg, num_buckets)
 
     def orient(b: pd.DataFrame) -> pd.DataFrame:
         # hash_join schema-aligns via reindex, which floats int columns
@@ -790,3 +801,177 @@ def hits_bipartite(edges: ray.data.Dataset, iters: int = 4,
     out["score"] = out["score"].astype("int64")
     return (out[["side", "node", "score"]]
             .sort_values(["side", "node"]).reset_index(drop=True))
+
+
+def degree_assortativity(pairs: ray.data.Dataset, col_a: str = "u",
+                         col_b: str = "v",
+                         num_buckets: int = 64) -> pd.DataFrame:
+    """Newman degree-assortativity coefficient of the undirected graph
+    — the hub-connectivity diagnostic a link-graph QA pass runs (r < 0:
+    hubs link to leaves, the usual web shape; r > 0: hubs cluster).
+
+    Pearson correlation of the endpoint degrees over the DIRECTED stub
+    list (each canonical edge counted in both orientations, the
+    standard convention): dedup + degree table + two bucketed degree
+    joins reuse the :func:`triangle_count` machinery, then ONE map-only
+    pass folds the five co-moment sums per block and the driver adds
+    O(blocks) partials in exact Python ints. By symmetry Σx = Σy and
+    Σx² = Σy², so ``r = (M·Σxy − Σx²sum) / (M·Σx² − Σx·Σx)`` with
+    M = 2m — two exact integers and one float division (the SQL twin
+    divides the identical CAST-to-DOUBLE pair). Output: one row
+    (n_edges, assortativity).
+    """
+    edges = distinct_edges(pairs, col_a, col_b, num_buckets).materialize()
+    deg = _degree_table(edges, num_buckets)
+    e2 = _edges_with_degrees(edges, deg, num_buckets)
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        du = b["deg_u"].to_numpy().astype(np.int64)
+        dv = b["deg_v"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "m": [len(b)],
+            "sx": [int(du.sum() + dv.sum())],
+            "sxy": [2 * int((du * dv).sum())],
+            "sxx": [int((du * du).sum() + (dv * dv).sum())],
+        })
+
+    parts = e2.map_batches(moments, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    m2 = 2 * int(parts["m"].sum())          # directed stub count
+    sx = int(parts["sx"].sum())
+    sxy = int(parts["sxy"].sum())
+    sxx = int(parts["sxx"].sum())
+    num = m2 * sxy - sx * sx
+    den = m2 * sxx - sx * sx
+    r = float(num) / float(den) if den else 0.0
+    return pd.DataFrame({"n_edges": [m2 // 2],
+                         "assortativity": [r]})
+
+
+def local_clustering(pairs: ray.data.Dataset, col_a: str = "u",
+                     col_b: str = "v", num_buckets: int = 64,
+                     as_dataset: bool = False
+                     ) -> "pd.DataFrame | ray.data.Dataset":
+    """Per-node triangle count and local clustering coefficient
+    ``2T / (deg · (deg − 1))`` over every node of degree ≥ 2 — the
+    community-density profile behind spam-farm / link-ring detection.
+
+    Same degree-ordered orientation as :func:`triangle_count` (per-node
+    wedge volume O(sqrt(m)) regardless of hub skew), but each wedge
+    CARRIES ITS CENTER so a closed wedge credits all three corners:
+    wedges (center a; b→c by (deg,id) order) bucket on b, co-grouped
+    with the oriented edges; each match explodes to three (node, +1)
+    rows that re-reduce through one node-hash bucket combine, then a
+    bucketed join back to the degree table. Nothing corpus-sized
+    touches the driver until the O(nodes) result (``as_dataset=True``
+    keeps even that distributed). Output: (node, deg, n_triangles,
+    clustering), sorted by node.
+    """
+    from .relational import hash_join
+
+    edges = distinct_edges(pairs, col_a, col_b, num_buckets).materialize()
+    deg = _degree_table(edges, num_buckets)
+    e2 = _edges_with_degrees(edges, deg, num_buckets)
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["u"].to_numpy().astype(np.int64)
+        v = b["v"].to_numpy().astype(np.int64)
+        ku = (b["deg_u"].to_numpy().astype(np.int64) << 31) | u
+        kv = (b["deg_v"].to_numpy().astype(np.int64) << 31) | v
+        fwd = ku < kv
+        return pd.DataFrame({
+            "src": np.where(fwd, u, v),
+            "dst": np.where(fwd, v, u),
+            "dstkey": np.where(fwd, kv, ku),
+        })
+
+    oriented = e2.map_batches(orient, batch_format="pandas",
+                              batch_size=None).materialize()
+
+    def src_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_gb"] = _bucket_of(b["src"].to_numpy(), num_buckets) \
+            .astype(np.int32)
+        return b
+
+    def wedges(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["src", "dst", "dstkey"]]
+        m = g.merge(g, on="src")
+        m = m[m["dstkey_x"] < m["dstkey_y"]]
+        # keep the center; bucket by the closing edge's src (= dst_x)
+        return pd.DataFrame({"center": m["src"].to_numpy(),
+                             "src": m["dst_x"].to_numpy(),
+                             "dst": m["dst_y"].to_numpy()})
+
+    wedge_ds = (oriented.map_batches(src_bucket, batch_format="pandas",
+                                     batch_size=None)
+                .groupby("_gb").map_groups(wedges,
+                                           batch_format="pandas"))
+
+    def tag(side: int):
+        def add(b: pd.DataFrame) -> pd.DataFrame:
+            cols = {"src": b["src"].to_numpy(), "dst": b["dst"].to_numpy(),
+                    "center": (b["center"].to_numpy() if side == 0 else
+                               np.full(len(b), -1, dtype=np.int64))}
+            out = pd.DataFrame(cols)
+            out["_side"] = np.int8(side)
+            out["_gb"] = _bucket_of(out["src"].to_numpy(),
+                                    num_buckets).astype(np.int32)
+            return out
+        return add
+
+    unioned = wedge_ds.map_batches(tag(0), batch_format="pandas",
+                                   batch_size=None).union(
+        oriented.map_batches(tag(1), batch_format="pandas",
+                             batch_size=None))
+
+    def closed_corners(group: pd.DataFrame) -> pd.DataFrame:
+        w = group[group["_side"] == 0][["center", "src", "dst"]]
+        e = group[group["_side"] == 1][["src", "dst"]].drop_duplicates()
+        if w.empty or e.empty:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "t": pd.Series([], dtype="int64")})
+        hit = w.merge(e, on=["src", "dst"])
+        corners = pd.concat([hit["center"], hit["src"], hit["dst"]],
+                            ignore_index=True)
+        vc = corners.value_counts()
+        out = pd.DataFrame({"node": vc.index.to_numpy("int64"),
+                            "t": vc.to_numpy("int64")})
+        return out
+
+    def node_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_nb"] = _bucket_of(b["node"].to_numpy(),
+                              num_buckets).astype(np.int32)
+        return b
+
+    def node_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["t"].sum()
+
+    tri = (unioned.groupby("_gb").map_groups(closed_corners,
+                                             batch_format="pandas")
+           .map_batches(node_bucket, batch_format="pandas",
+                        batch_size=None)
+           .groupby("_nb").map_groups(node_final,
+                                      batch_format="pandas")
+           .materialize())
+
+    joined = hash_join(deg, tri, on="node", how="left",
+                       num_buckets=num_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["deg"].to_numpy().astype(np.int64)
+        t = b["t"].fillna(0).to_numpy().astype(np.int64)
+        keep = d >= 2
+        d, t = d[keep], t[keep]
+        node = b["node"].to_numpy().astype(np.int64)[keep]
+        coef = (2.0 * t) / (d * (d - 1.0))
+        return pd.DataFrame({"node": node, "deg": d, "n_triangles": t,
+                             "clustering": np.round(coef, 12)})
+
+    out = joined.map_batches(finish, batch_format="pandas",
+                             batch_size=None)
+    if as_dataset:
+        return out
+    df = out.to_pandas()
+    return df.sort_values("node").reset_index(drop=True)

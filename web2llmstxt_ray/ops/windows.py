@@ -1520,3 +1520,54 @@ def decayed_value_sum(ds: ray.data.Dataset, key_col: str = "user_id",
         [key_col, ts_col, value_col]), [key_col], batch_agg,
         ["decayed_value"])
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def out_of_order_stats(ds: ray.data.Dataset, key_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       num_buckets: int = 64) -> pd.DataFrame:
+    """Per-key late-arrival audit — the streaming-watermark QA a
+    100-TB event pipeline runs before choosing its allowed-lateness
+    bound: in ARRIVAL order (ascending ``id_col``), an event is *late*
+    when its event-time ``ts`` is strictly below the running max of
+    every earlier event's ts for the same key, and its *lateness* is
+    that running max minus its ts.
+
+    The running watermark is a grouped cummax over the arrival axis
+    (the :func:`politeness_schedule` idiom): ONE hash(key) bucket
+    shuffle of the skinny (id, key, ts) triple, a vectorized
+    sort + groupby-cummax + shift per bucket, then per-key additive
+    partials. All arithmetic is exact int64 µs. Output per key:
+    ``n_events``, ``n_late``, ``max_late_us`` (0 when nothing is
+    late) — sorted by key.
+    """
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, id_col], kind="stable")
+        if not len(g):
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "n_late": pd.Series([], dtype="int64"),
+                                 "max_late_us": pd.Series([], dtype="int64")})
+        us = (g[ts_col].to_numpy().astype("datetime64[us]")
+              .astype("int64"))
+        keys = g[key_col].to_numpy()
+        # watermark BEFORE each event = shift(1) of the running cummax
+        gb = pd.Series(us).groupby(keys, sort=False)
+        wm_prev = gb.cummax().groupby(keys, sort=False).shift(1)
+        late = (wm_prev - us).fillna(0).clip(lower=0).astype("int64")
+        out = pd.DataFrame({key_col: keys, "_late": late.to_numpy()})
+        agg = out.groupby(key_col, as_index=False).agg(
+            n_events=("_late", "size"),
+            n_late=("_late", lambda s: int((s.to_numpy() > 0).sum())),
+            max_late_us=("_late", "max"))
+        return agg
+
+    out = (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col]), key_col,
+        num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas")
+        .to_pandas())
+    for c in ("n_events", "n_late", "max_late_us"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(key_col).reset_index(drop=True)
