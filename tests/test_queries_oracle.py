@@ -39,7 +39,13 @@ ULP_TOL = {"user_type_entropy": 1e-14,
            # SAME double argument can return values 1 ulp apart
            "bigram_collocations": 1e-12,
            "doc_top_terms": 1e-12,
-           "split_balance": 1e-12}
+           "split_balance": 1e-12,
+           # log10/exp2/ln libm + engine-chosen SUM order (flaky at
+           # rtol=0: DuckDB parallelizes the aggregate differently
+           # run to run, reassociating the float sum)
+           "benford_orders": 1e-12,
+           "decayed_user_value": 1e-12,
+           "zipf_slope": 1e-12}
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
