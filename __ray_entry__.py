@@ -4925,6 +4925,51 @@ def q_late_events(sf_dir: str) -> pd.DataFrame:
         id_col="arrival_id")
 
 
+def q_adamic_adar(sf_dir: str) -> pd.DataFrame:
+    """Top-1000 Adamic–Adar link predictions over the part co-purchase
+    graph (which parts SHOULD co-occur but don't — the related-content
+    / crawl-seed-expansion signal). Ranked by the all-integer
+    (common_neighbors DESC, a, b) key so the selected set is
+    deterministic; the float score is payload. See
+    :func:`ops.graph.adamic_adar_topk`."""
+    from web2llmstxt_ray.ops.graph import adamic_adar_topk
+
+    return adamic_adar_topk(_co_purchase_pairs(sf_dir), top_n=1000)
+
+
+def q_degree_powerlaw(sf_dir: str) -> pd.DataFrame:
+    """Hill MLE of the co-purchase degree-distribution power-law tail
+    exponent (the scale-free-ness QA of a link graph): one row
+    (d_min, n_tail, sum_ln, alpha) from O(blocks) partials. See
+    :func:`ops.graph.degree_powerlaw`."""
+    from web2llmstxt_ray.ops.graph import degree_powerlaw
+
+    return degree_powerlaw(_co_purchase_pairs(sf_dir), d_min=5)
+
+
+def q_basket_pairs(sf_dir: str) -> pd.DataFrame:
+    """Order pairs sharing ≥2 distinct parts with exact intersection
+    counts and Jaccard — the integer set-similarity self-join
+    (co-basket mining / entity-set near-dup). See
+    :func:`ops.dedup.basket_similarity_pairs`."""
+    from web2llmstxt_ray.ops.dedup import basket_similarity_pairs
+
+    return basket_similarity_pairs(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        set_col="l_orderkey", elem_col="l_partkey", min_common=2)
+
+
+def q_daily_acf(sf_dir: str) -> pd.DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..7
+    (the weekly-seasonality probe behind recrawl cadence): exact
+    Python-int moment expansion so the single float division is
+    bit-identical to the HUGEINT SQL replay. See
+    :func:`ops.windows.daily_acf`."""
+    from web2llmstxt_ray.ops.windows import daily_acf
+
+    return daily_acf(_t(sf_dir, "events", ["ts"]), max_lag=7)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5169,6 +5214,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": q_graph_assortativity,
         "local_clustering": q_local_clustering,
         "late_events": q_late_events,
+        "adamic_adar": q_adamic_adar,
+        "degree_powerlaw": q_degree_powerlaw,
+        "basket_pairs": q_basket_pairs,
+        "daily_acf": q_daily_acf,
     }
 
 
@@ -8471,5 +8520,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(CASE WHEN us < wm THEN wm - us
                             ELSE 0 END) AS BIGINT) AS max_late_us
             FROM b GROUP BY user_id ORDER BY user_id
+        """,
+        "adamic_adar": """
+            WITH pp AS (SELECT DISTINCT a.l_partkey AS u,
+                                        b.l_partkey AS v
+                        FROM lineitem a JOIN lineitem b
+                          ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey),
+            st AS (SELECT u AS c, v AS n FROM pp
+                   UNION ALL SELECT v, u FROM pp),
+            dg AS (SELECT c, count(*) AS deg FROM st GROUP BY c),
+            w AS (SELECT s1.n AS a, s2.n AS b, 1.0/ln(dg.deg) AS wt
+                  FROM st s1 JOIN st s2
+                    ON s1.c = s2.c AND s1.n < s2.n
+                  JOIN dg ON dg.c = s1.c),
+            cn AS (SELECT a, b, count(*) AS common_neighbors,
+                          sum(wt) AS aa_score
+                   FROM w GROUP BY a, b),
+            na AS (SELECT cn.* FROM cn
+                   LEFT JOIN pp ON cn.a = pp.u AND cn.b = pp.v
+                   WHERE pp.u IS NULL)
+            SELECT a, b, common_neighbors, aa_score
+            FROM na ORDER BY common_neighbors DESC, a, b LIMIT 1000
+        """,
+        "degree_powerlaw": """
+            WITH pp AS (SELECT DISTINCT a.l_partkey AS u,
+                                        b.l_partkey AS v
+                        FROM lineitem a JOIN lineitem b
+                          ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey),
+            st AS (SELECT u AS c FROM pp UNION ALL SELECT v FROM pp),
+            dg AS (SELECT c, count(*) AS deg FROM st GROUP BY c),
+            t AS (SELECT deg FROM dg WHERE deg >= 5)
+            SELECT CAST(5 AS BIGINT) AS d_min,
+                   count(*) AS n_tail,
+                   sum(ln(deg / 5.0)) AS sum_ln,
+                   1.0 + count(*) / sum(ln(deg / 5.0)) AS alpha
+            FROM t
+        """,
+        "basket_pairs": """
+            WITH p AS (SELECT DISTINCT l_orderkey AS o,
+                                       l_partkey AS pk
+                       FROM lineitem),
+            s AS (SELECT o, count(*) AS sz FROM p GROUP BY o),
+            j AS (SELECT a.o AS oa, b.o AS ob, count(*) AS c
+                  FROM p a JOIN p b ON a.pk = b.pk AND a.o < b.o
+                  GROUP BY a.o, b.o)
+            SELECT j.oa AS a, j.ob AS b, j.c AS n_common,
+                   CAST(j.c AS DOUBLE) / (sa.sz + sb.sz - j.c)
+                       AS jaccard
+            FROM j JOIN s sa ON sa.o = j.oa
+                   JOIN s sb ON sb.o = j.ob
+            WHERE j.c >= 2 ORDER BY 1, 2
+        """,
+        "daily_acf": """
+            WITH dc AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                               count(*) AS n
+                        FROM events GROUP BY 1),
+            bnd AS (SELECT min(day) AS lo, max(day) AS hi FROM dc),
+            grid AS (SELECT unnest(generate_series(
+                         (SELECT lo FROM bnd),
+                         (SELECT hi FROM bnd))) AS day),
+            x AS (SELECT g.day, COALESCE(dc.n, 0) AS n
+                  FROM grid g LEFT JOIN dc USING (day)),
+            s AS (SELECT count(*) AS nn, sum(n) AS s1,
+                         sum(CAST(n AS HUGEINT) * n) AS q FROM x),
+            lagk AS (SELECT unnest(generate_series(1, 7)) AS k),
+            pk AS (SELECT l.k,
+                          sum(CAST(x1.n AS HUGEINT) * x2.n) AS p,
+                          sum(CAST(x1.n AS HUGEINT)) AS t1,
+                          sum(CAST(x2.n AS HUGEINT)) AS t2
+                   FROM lagk l JOIN x x1 ON TRUE
+                   JOIN x x2 ON x2.day = x1.day - l.k
+                   GROUP BY l.k)
+            SELECT pk.k AS lag,
+                   CAST(s.nn*s.nn*pk.p - s.nn*s.s1*(pk.t1 + pk.t2)
+                        + (s.nn - pk.k)*s.s1*s.s1 AS DOUBLE)
+                   / CAST(s.nn*s.nn*s.q - s.nn*s.s1*s.s1 AS DOUBLE)
+                       AS acf
+            FROM pk, s ORDER BY lag
         """,
     }

@@ -1763,3 +1763,129 @@ def exact_dedup_best(ds: ray.data.Dataset, quality_col: str,
                    batch_format="pandas")
                .to_pandas())
     return winners.sort_values(id_col).reset_index(drop=True)
+
+
+def basket_similarity_pairs(ds: ray.data.Dataset, set_col: str,
+                            elem_col: str, min_common: int = 2,
+                            num_buckets: int = 64,
+                            as_dataset: bool = False
+                            ) -> "pd.DataFrame | ray.data.Dataset":
+    """Set-similarity self-join over INTEGER element sets (orders ↔
+    their part sets, docs ↔ their entity sets): every unordered pair
+    of set ids sharing ≥ ``min_common`` distinct elements, with the
+    exact intersection count and Jaccard — the co-basket analogue of
+    the text n-gram containment join (integer sets need no shingling,
+    so the inverted-element bucketing IS the candidate generator and
+    the verify is a pure count).
+
+    Shape: distinct (set, elem) pairs land whole in one elem-hash
+    bucket (dedup rides the same shuffle) → per-bucket vectorized
+    self-merge emits candidate (a, b) rows, one per SHARED element →
+    pair-hash bucket combine sums them to exact intersection counts →
+    set sizes attach via two bucketed hash joins. Jaccard =
+    c / (|A| + |B| − c) from exact ints. A hub element of frequency f
+    emits O(f²) candidates — the same cost the SQL replay pays; cap
+    or drop stop-elements upstream for corpora with power-law element
+    frequencies.
+    """
+    from .relational import hash_join
+
+    def elem_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"s": b[set_col].astype("int64"),
+                            "e": b[elem_col].astype("int64")})
+        out = out.drop_duplicates()
+        eb = (out["e"].to_numpy(np.uint64) * _FIB_MIX)
+        out["_eb"] = (eb % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def candidates(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["s", "e"]].drop_duplicates()
+        m = g.merge(g, on="e")
+        m = m[m["s_x"] < m["s_y"]]
+        if m.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        vc = m.groupby(["s_x", "s_y"], as_index=False).size()
+        return pd.DataFrame({"a": vc["s_x"].to_numpy(np.int64),
+                             "b": vc["s_y"].to_numpy(np.int64),
+                             "c": vc["size"].to_numpy(np.int64)})
+
+    pairs_partial = (ds.map_batches(elem_bucket, batch_format="pandas",
+                                    batch_size=None)
+                     .groupby("_eb").map_groups(candidates,
+                                                batch_format="pandas"))
+
+    def pair_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        pb = (b["a"].to_numpy(np.uint64) * _FIB_MIX) \
+            ^ b["b"].to_numpy(np.uint64)
+        b["_pb"] = (pb % np.uint64(num_buckets)).astype(np.int32)
+        return b
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(["a", "b"], as_index=False)["c"].sum()
+        return agg[agg["c"] >= min_common]
+
+    verified = (pairs_partial.map_batches(pair_bucket,
+                                          batch_format="pandas",
+                                          batch_size=None)
+                .groupby("_pb").map_groups(combine,
+                                           batch_format="pandas")
+                .materialize())
+
+    def sizes(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"s": b[set_col].astype("int64"),
+                            "e": b[elem_col].astype("int64")})
+        out = out.drop_duplicates()
+        sb = (out["s"].to_numpy(np.uint64) * _FIB_MIX)
+        out["_sb"] = (sb % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def size_final(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["s", "e"]].drop_duplicates()
+        vc = d.groupby("s", as_index=False).size()
+        return pd.DataFrame({"s": vc["s"].to_numpy(np.int64),
+                             "sz": vc["size"].to_numpy(np.int64)})
+
+    size_ds = (ds.map_batches(sizes, batch_format="pandas",
+                              batch_size=None)
+               .groupby("_sb").map_groups(size_final,
+                                          batch_format="pandas")
+               .materialize())
+
+    def as_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": b["s"], "sz_a": b["sz"]})
+
+    def as_b(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"b": b["s"], "sz_b": b["sz"]})
+
+    j1 = hash_join(verified, size_ds.map_batches(
+        as_a, batch_format="pandas", batch_size=None),
+        on="a", num_buckets=num_buckets).materialize()
+    j2 = hash_join(j1, size_ds.map_batches(
+        as_b, batch_format="pandas", batch_size=None),
+        on="b", num_buckets=num_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        c = b["c"].to_numpy(np.int64)
+        sa = b["sz_a"].to_numpy(np.int64)
+        sb = b["sz_b"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "a": b["a"].to_numpy(np.int64),
+            "b": b["b"].to_numpy(np.int64),
+            "n_common": c,
+            "jaccard": c.astype(np.float64) / (sa + sb - c)})
+
+    out = j2.map_batches(finish, batch_format="pandas",
+                         batch_size=None)
+    if as_dataset:
+        return out
+    df = out.to_pandas()
+    if df.empty:                     # schema-less when every group is empty
+        return pd.DataFrame({
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "n_common": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64")})
+    return df.sort_values(["a", "b"]).reset_index(drop=True)

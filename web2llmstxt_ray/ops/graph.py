@@ -975,3 +975,175 @@ def local_clustering(pairs: ray.data.Dataset, col_a: str = "u",
         return out
     df = out.to_pandas()
     return df.sort_values("node").reset_index(drop=True)
+
+
+def adamic_adar_topk(pairs: ray.data.Dataset, col_a: str = "u",
+                     col_b: str = "v", top_n: int = 1000,
+                     num_buckets: int = 64,
+                     as_dataset: bool = False
+                     ) -> "pd.DataFrame | ray.data.Dataset":
+    """Top-N Adamic–Adar link predictions over an undirected graph —
+    the "which pages SHOULD link but don't" signal behind crawl-seed
+    expansion and related-content mining.
+
+    For every NON-adjacent pair (a < b) that shares ≥1 neighbor:
+    ``aa = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w))`` and the integer
+    common-neighbor count. Ranked by ``(common_neighbors DESC, a, b)``
+    — an all-integer order, so the selected set is deterministic at
+    any partitioning (the float score is a payload, never a sort key).
+
+    Shape: distinct edges → directed stubs → ONE center-hash bucket
+    shuffle (deg(center) = the center's stub count inside its own
+    group, so no degree join is needed) → per-center vectorized
+    self-merge emits (a, b, 1/ln deg) wedge rows → ONE pair-hash
+    bucket shuffle co-grouped with the edge list (the anti-join that
+    drops already-adjacent pairs rides the same shuffle) → per-bucket
+    local top-N → driver merges O(buckets·N) rows. Per-center wedge
+    volume is O(deg²) — the same cost the SQL replay pays; cap hubs
+    upstream if a corpus has degree ~√m outliers.
+    """
+    edges = distinct_edges(pairs, col_a, col_b, num_buckets) \
+        .materialize()
+
+    def stubs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "center": pa.array(np.concatenate([u, v]), pa.int64()),
+            "leaf": pa.array(np.concatenate([v, u]), pa.int64()),
+        })
+
+    def center_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_cb"] = _bucket_of(b["center"].to_numpy(),
+                              num_buckets).astype(np.int32)
+        return b
+
+    def wedge_rows(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["center", "leaf"]]
+        # deg(center) is exact within the group: stubs are distinct
+        # and a center's stubs all share its hash bucket
+        deg = g.groupby("center")["leaf"].transform("size") \
+            .to_numpy(np.int64)
+        g = g.assign(_w=1.0 / np.log(deg))
+        m = g.merge(g, on="center")
+        m = m[m["leaf_x"] < m["leaf_y"]]
+        return pd.DataFrame({"a": m["leaf_x"].to_numpy(np.int64),
+                             "b": m["leaf_y"].to_numpy(np.int64),
+                             "w": m["_w_x"].to_numpy(np.float64)})
+
+    wedge_ds = (edges.map_batches(stubs, batch_format="pyarrow",
+                                  batch_size=None)
+                .map_batches(center_bucket, batch_format="pandas",
+                             batch_size=None)
+                .groupby("_cb").map_groups(wedge_rows,
+                                           batch_format="pandas"))
+
+    def pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        key = (a.astype(np.uint64) * _MIX) ^ b.astype(np.uint64)
+        return _bucket_of(key, num_buckets)
+
+    def tag_wedge(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"a": b["a"], "b": b["b"], "w": b["w"]})
+        out["_side"] = np.int8(0)
+        out["_pb"] = pair_bucket(out["a"].to_numpy(np.int64),
+                                 out["b"].to_numpy(np.int64)) \
+            .astype(np.int32)
+        return out
+
+    def tag_edge(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"a": b["u"].astype("int64"),
+                            "b": b["v"].astype("int64"),
+                            "w": np.float64(0.0)})
+        out["_side"] = np.int8(1)
+        out["_pb"] = pair_bucket(out["a"].to_numpy(np.int64),
+                                 out["b"].to_numpy(np.int64)) \
+            .astype(np.int32)
+        return out
+
+    unioned = wedge_ds.map_batches(tag_wedge, batch_format="pandas",
+                                   batch_size=None).union(
+        edges.map_batches(tag_edge, batch_format="pandas",
+                          batch_size=None))
+
+    def local_top(group: pd.DataFrame) -> pd.DataFrame:
+        w = group[group["_side"] == 0]
+        if w.empty:
+            return pd.DataFrame({
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "common_neighbors": pd.Series([], dtype="int64"),
+                "aa_score": pd.Series([], dtype="float64")})
+        # sort wedge rows so the per-pair float fold is deterministic
+        w = w.sort_values(["a", "b", "w"], kind="stable")
+        agg = w.groupby(["a", "b"], as_index=False).agg(
+            common_neighbors=("w", "size"), aa_score=("w", "sum"))
+        e = group[group["_side"] == 1][["a", "b"]]
+        if not e.empty:
+            agg = agg.merge(e, on=["a", "b"], how="left",
+                            indicator=True)
+            agg = agg[agg["_merge"] == "left_only"] \
+                .drop(columns="_merge")
+        agg = agg.sort_values(
+            ["common_neighbors", "a", "b"],
+            ascending=[False, True, True], kind="stable")
+        return agg.head(top_n).reset_index(drop=True)
+
+    out = unioned.groupby("_pb").map_groups(local_top,
+                                            batch_format="pandas")
+    if as_dataset:
+        return out
+    df = out.to_pandas()
+    if df.empty:                     # schema-less when every group is empty
+        return pd.DataFrame({
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "common_neighbors": pd.Series([], dtype="int64"),
+            "aa_score": pd.Series([], dtype="float64")})
+    df = df.sort_values(["common_neighbors", "a", "b"],
+                        ascending=[False, True, True], kind="stable")
+    return df.head(top_n).reset_index(drop=True)
+
+
+def degree_powerlaw(pairs: ray.data.Dataset, col_a: str = "u",
+                    col_b: str = "v", d_min: int = 5,
+                    num_buckets: int = 64) -> pd.DataFrame:
+    """Hill maximum-likelihood estimate of the degree-distribution
+    power-law exponent ``alpha = 1 + n / Σ ln(deg/d_min)`` over the
+    tail ``deg ≥ d_min`` — the scale-free-ness QA of a link graph
+    (web graphs ~2.1; a synthetic graph that reads ~1.2 or ~4 is a
+    generator bug). One row: (d_min, n_tail, sum_ln, alpha).
+
+    Distributed: the (node, deg) table never leaves the cluster —
+    per-block partials (count, Σ ln(deg/d_min)) fold on the driver as
+    O(blocks) rows, node-sorted inside each block so the float fold
+    is deterministic.
+    """
+    import math
+
+    edges = distinct_edges(pairs, col_a, col_b, num_buckets) \
+        .materialize()
+    deg = _degree_table(edges, num_buckets)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[b["deg"] >= d_min].sort_values("node")
+        if t.empty:
+            return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="float64")})
+        s = float(math.fsum(np.log(t["deg"].to_numpy(np.float64)
+                                   / float(d_min)).tolist()))
+        return pd.DataFrame({"key": [int(t["node"].iloc[0])],
+                             "n": [len(t)], "s": [s]})
+
+    parts = deg.map_batches(partial, batch_format="pandas",
+                            batch_size=None).to_pandas()
+    parts = parts.sort_values("key")
+    n = int(parts["n"].sum())
+    s = float(math.fsum(parts["s"].tolist()))
+    alpha = 1.0 + n / s if s > 0 else float("nan")
+    return pd.DataFrame({"d_min": [np.int64(d_min)],
+                         "n_tail": [np.int64(n)],
+                         "sum_ln": [s], "alpha": [alpha]})

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from .relational import partial_groupby
@@ -1571,3 +1572,65 @@ def out_of_order_stats(ds: ray.data.Dataset, key_col: str = "user_id",
     for c in ("n_events", "n_late", "max_late_us"):
         out[c] = out[c].astype("int64")
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def daily_acf(ds: ray.data.Dataset, ts_col: str = "ts",
+              max_lag: int = 7) -> pd.DataFrame:
+    """Sample autocorrelation of the DAILY event-count series at lags
+    1..``max_lag`` — the seasonality probe a crawl scheduler runs
+    before picking a recrawl cadence (a strong lag-7 peak means
+    weekly-periodic traffic).
+
+    The series is the contiguous day grid from the corpus's first to
+    last day, missing days counted 0. ``r_k`` uses the standard
+    biased estimator Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)², expanded so
+    both sides of every division are EXACT integers::
+
+        A_k = n²·Σ_{t>k} x_t·x_{t−k} − n·S·(Σ_{t>k} x_t + Σ_{t>k} x_{t−k})
+              + (n−k)·S²            (S = Σx, n = #days)
+        D   = n²·Σ x² − n·S²
+
+    folded in Python ints (no int64 wrap at any count), so the single
+    float division A_k/D is bit-identical to a HUGEINT SQL replay.
+
+    Distributed: per-block (day, count) partials — O(blocks · active
+    days) skinny rows — then an O(days) driver fold. Output:
+    (lag, acf) for lags 1..max_lag.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column(ts_col).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        day = us // np.int64(86_400_000_000)
+        vals, counts = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(vals, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    parts = ds.select_columns([ts_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    agg = parts.groupby("day", as_index=False)["n"].sum() \
+        .sort_values("day")
+    days = agg["day"].to_numpy(np.int64)
+    lo, hi = int(days[0]), int(days[-1])
+    n = hi - lo + 1
+    x = np.zeros(n, dtype=np.int64)
+    x[days - lo] = agg["n"].to_numpy(np.int64)
+
+    xs = [int(v) for v in x]
+    S = sum(xs)
+    Q = sum(v * v for v in xs)
+    D = n * n * Q - n * S * S
+    rows = []
+    for k in range(1, max_lag + 1):
+        if k >= n or D == 0:
+            rows.append((k, float("nan")))
+            continue
+        P = sum(xs[t] * xs[t - k] for t in range(k, n))
+        T1 = sum(xs[t] for t in range(k, n))
+        T2 = sum(xs[t - k] for t in range(k, n))
+        A = n * n * P - n * S * (T1 + T2) + (n - k) * S * S
+        rows.append((k, float(A) / float(D)))
+    return pd.DataFrame({"lag": pd.Series([r[0] for r in rows],
+                                          dtype="int64"),
+                         "acf": pd.Series([r[1] for r in rows],
+                                          dtype="float64")})
