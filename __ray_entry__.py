@@ -4970,6 +4970,71 @@ def q_daily_acf(sf_dir: str) -> pd.DataFrame:
     return daily_acf(_t(sf_dir, "events", ["ts"]), max_lag=7)
 
 
+def q_ppr_promo(sf_dir: str) -> pd.DataFrame:
+    """Personalized PageRank (3 damped integer fixed-point iterations)
+    over the order→part bipartite graph, restart mass pinned to the
+    PROMO-part seed set — topic-sensitive crawl prioritization around
+    a trusted seed list (Haveliwala WWW'02). Bit-exact vs the unrolled
+    SQL replay, like :func:`q_pagerank`. Seeds are the small dimension
+    side, collected once and closure-shipped."""
+    from web2llmstxt_ray.ops.graph import pagerank
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"])
+    def promo_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.equal(t.column("p_type"), "PROMO")) \
+            .select(["p_partkey"])
+
+    seed_pd = part.map_batches(promo_keys,
+                               batch_format="pyarrow").to_pandas()
+    seed_ids = (seed_pd["p_partkey"].to_numpy("int64") * 2 + 1).tolist()
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({
+            "src": _pc.multiply(batch.column("l_orderkey"), 2),
+            "dst": _pc.add(
+                _pc.multiply(batch.column("l_partkey"), 2), 1),
+        })
+
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    return pagerank(edges, iters=3, seeds=seed_ids).to_pandas()
+
+
+def q_assoc_rules(sf_dir: str) -> pd.DataFrame:
+    """Pairwise association rules (support/confidence/lift) over
+    (user, calendar-day) activity baskets — market-basket mining with
+    every ratio an exact int/int division. See
+    :func:`ops.events.association_rules`."""
+    from web2llmstxt_ray.ops.events import association_rules
+
+    return association_rules(
+        _t(sf_dir, "events", ["user_id", "ts", "event_type"]))
+
+
+def q_session_entry_exit(sf_dir: str) -> pd.DataFrame:
+    """Entry→exit event-type matrix over 30-minute-gap sessions (the
+    landing/exit-page distribution), ties on ts broken by event_id.
+    See :func:`ops.events.session_entry_exit`."""
+    from web2llmstxt_ray.ops.events import session_entry_exit
+
+    return session_entry_exit(
+        _t(sf_dir, "events",
+           ["user_id", "ts", "event_id", "event_type"]))
+
+
+def q_ttr_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source lexical diversity (tokens, distinct types, type-token
+    ratio) — the boilerplate-vs-organic screen. Tokenization replays
+    the SQL twin exactly. See :func:`ops.textstats.type_token_ratio`."""
+    from web2llmstxt_ray.ops.textstats import type_token_ratio
+
+    return type_token_ratio(_t(sf_dir, "documents", ["source", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5218,6 +5283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_powerlaw": q_degree_powerlaw,
         "basket_pairs": q_basket_pairs,
         "daily_acf": q_daily_acf,
+        "ppr_promo": q_ppr_promo,
+        "assoc_rules": q_assoc_rules,
+        "session_entry_exit": q_session_entry_exit,
+        "ttr_by_source": q_ttr_by_source,
     }
 
 
@@ -8599,5 +8668,122 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(s.nn*s.nn*s.q - s.nn*s.s1*s.s1 AS DOUBLE)
                        AS acf
             FROM pk, s ORDER BY lag
+        """,
+        "ppr_promo": """
+            WITH edges AS (SELECT DISTINCT 2 * l_orderkey AS src,
+                                  2 * l_partkey + 1 AS dst
+                           FROM lineitem),
+            nodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+            deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+            sd AS (SELECT DISTINCT 2 * p_partkey + 1 AS node
+                   FROM part WHERE p_type = 'PROMO'),
+            seeds AS (SELECT n.node FROM nodes n
+                      JOIN sd ON sd.node = n.node),
+            sp AS (SELECT count(*) AS s FROM seeds),
+            r0 AS (SELECT n.node,
+                          CASE WHEN se.node IS NOT NULL
+                               THEN 1000000000000 // sp.s
+                               ELSE 0 END AS r
+                   FROM nodes n CROSS JOIN sp
+                   LEFT JOIN seeds se ON n.node = se.node),
+            i1 AS (SELECT e.dst AS node,
+                          SUM((85 * r.r) // (100 * d.deg)) AS s
+                   FROM edges e
+                   JOIN deg d ON e.src = d.src
+                   JOIN r0 r ON e.src = r.node
+                   GROUP BY e.dst),
+            r1 AS (SELECT n.node,
+                          (CASE WHEN se.node IS NOT NULL
+                                THEN 150000000000 // sp.s
+                                ELSE 0 END) + COALESCE(i.s, 0) AS r
+                   FROM nodes n CROSS JOIN sp
+                   LEFT JOIN seeds se ON n.node = se.node
+                   LEFT JOIN i1 i ON n.node = i.node),
+            i2 AS (SELECT e.dst AS node,
+                          SUM((85 * r.r) // (100 * d.deg)) AS s
+                   FROM edges e
+                   JOIN deg d ON e.src = d.src
+                   JOIN r1 r ON e.src = r.node
+                   GROUP BY e.dst),
+            r2 AS (SELECT n.node,
+                          (CASE WHEN se.node IS NOT NULL
+                                THEN 150000000000 // sp.s
+                                ELSE 0 END) + COALESCE(i.s, 0) AS r
+                   FROM nodes n CROSS JOIN sp
+                   LEFT JOIN seeds se ON n.node = se.node
+                   LEFT JOIN i2 i ON n.node = i.node),
+            i3 AS (SELECT e.dst AS node,
+                          SUM((85 * r.r) // (100 * d.deg)) AS s
+                   FROM edges e
+                   JOIN deg d ON e.src = d.src
+                   JOIN r2 r ON e.src = r.node
+                   GROUP BY e.dst),
+            r3 AS (SELECT n.node,
+                          (CASE WHEN se.node IS NOT NULL
+                                THEN 150000000000 // sp.s
+                                ELSE 0 END) + COALESCE(i.s, 0) AS r
+                   FROM nodes n CROSS JOIN sp
+                   LEFT JOIN seeds se ON n.node = se.node
+                   LEFT JOIN i3 i ON n.node = i.node)
+            SELECT node, r::BIGINT AS r FROM r3
+        """,
+        "assoc_rules": """
+            WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+                                       event_type AS t
+                       FROM events),
+            nb AS (SELECT count(*) AS n FROM
+                   (SELECT DISTINCT user_id, d FROM b)),
+            it AS (SELECT t, count(*) AS n FROM b GROUP BY t),
+            pr AS (SELECT x.t AS a, y.t AS c, count(*) AS n
+                   FROM b x JOIN b y
+                     ON x.user_id = y.user_id AND x.d = y.d
+                    AND x.t <> y.t
+                   GROUP BY x.t, y.t)
+            SELECT pr.a AS antecedent, pr.c AS consequent,
+                   pr.n AS n_both, ia.n AS n_ante, ic.n AS n_cons,
+                   nb.n AS n_baskets,
+                   CAST(pr.n AS DOUBLE) / nb.n AS support,
+                   CAST(pr.n AS DOUBLE) / ia.n AS confidence,
+                   CAST(pr.n * nb.n AS DOUBLE)
+                       / CAST(ia.n * ic.n AS DOUBLE) AS lift
+            FROM pr JOIN it ia ON ia.t = pr.a
+                    JOIN it ic ON ic.t = pr.c
+                    CROSS JOIN nb
+            ORDER BY 1, 2
+        """,
+        "session_entry_exit": """
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                              CASE WHEN ts - lag(ts) OVER
+                                   (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+                                   > INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM events),
+            s AS (SELECT user_id, event_type, ts, event_id,
+                         sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS sid
+                  FROM o),
+            fe AS (SELECT user_id, sid,
+                          first(event_type ORDER BY ts, event_id)
+                              AS entry_type,
+                          last(event_type ORDER BY ts, event_id)
+                              AS exit_type
+                   FROM s GROUP BY user_id, sid)
+            SELECT entry_type, exit_type,
+                   count(*) AS n_sessions
+            FROM fe GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "ttr_by_source": """
+            WITH tok AS (SELECT source,
+                                unnest(string_split_regex(
+                                    lower(trim(text)), '\\s+')) AS token
+                         FROM documents WHERE trim(text) != '')
+            SELECT source, count(*) AS n_tokens,
+                   count(DISTINCT token) AS n_types,
+                   CAST(count(DISTINCT token) AS DOUBLE) / count(*)
+                       AS ttr
+            FROM tok GROUP BY source ORDER BY source
         """,
     }

@@ -414,3 +414,128 @@ def time_to_event(ds: ray.data.Dataset, cond_type: str,
         ds.select_columns([user_col, ts_col, id_col, type_col]),
         user_col, num_buckets).groupby("_sbucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+def session_entry_exit(ds: ray.data.Dataset, user_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       type_col: str = "event_type",
+                       gap_minutes: int = 30,
+                       num_buckets: int = 64) -> pd.DataFrame:
+    """Entry→exit event-type matrix over gap-sessionized activity —
+    the landing-page/exit-page distribution a crawl-traffic analysis
+    reads. A session breaks when the gap since the user's previous
+    event (ordered by ``(ts, id)`` — the id breaks timestamp ties
+    deterministically) is STRICTLY greater than ``gap_minutes``;
+    each session contributes one (first event type, last event type)
+    cell.
+
+    Shape: one hash(user) bucket shuffle (a user's sessions are whole
+    within a bucket), vectorized sort + diff + grouped cumsum per
+    bucket, then the O(types²) cell counts ride the additive
+    partial-aggregate path. Output: (entry_type, exit_type,
+    n_sessions) sorted by the pair.
+    """
+    import numpy as np
+
+    gap_us = int(gap_minutes) * 60_000_000
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([user_col, ts_col, id_col], kind="stable")
+        if not len(g):
+            return pd.DataFrame({
+                "entry_type": pd.Series([], dtype="object"),
+                "exit_type": pd.Series([], dtype="object")})
+        us = g[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype("int64")
+        users = g[user_col].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = us[1:] - us[:-1]
+        brk = new_user | (gap > gap_us)
+        sid = np.cumsum(brk)          # global session id within bucket
+        types = g[type_col].to_numpy()
+        first_idx = np.flatnonzero(brk)
+        last_idx = np.append(first_idx[1:] - 1, len(g) - 1)
+        return pd.DataFrame({"entry_type": types[first_idx],
+                             "exit_type": types[last_idx]})
+
+    cells = _add_key_bucket(
+        ds.select_columns([user_col, ts_col, id_col, type_col]),
+        user_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+    def count_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(["entry_type", "exit_type"],
+                             as_index=False).agg(
+            n_sessions=("exit_type", "size"))
+
+    out = partial_groupby(cells, ["entry_type", "exit_type"],
+                          count_cells, ["n_sessions"])
+    return out.sort_values(["entry_type", "exit_type"]) \
+        .reset_index(drop=True)
+
+
+def association_rules(ds: ray.data.Dataset, user_col: str = "user_id",
+                      ts_col: str = "ts", item_col: str = "event_type",
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Pairwise association rules over (user, calendar-day) baskets —
+    classic market-basket mining of which activities co-occur in one
+    user-day (support / confidence / lift per ordered item pair).
+
+    All three ratios derive from four EXACT integer counts (baskets
+    with both items, with the antecedent, with the consequent, total
+    baskets), each a distinct-pair count that collapses block-locally
+    and finishes in one hash(user) bucket shuffle (a user's baskets
+    are whole within a bucket). The driver folds O(buckets · items²)
+    partial rows and performs one float division per output cell —
+    cross-multiplied so lift = (n_both·N) / (n_ante·n_cons) divides
+    two exact integer products, replayable bit-for-bit in SQL.
+    """
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        day = group[ts_col].astype("datetime64[ns]").dt.normalize()
+        g = pd.DataFrame({"_u": group[user_col], "_d": day,
+                          "_i": group[item_col]}).drop_duplicates()
+        n_baskets = len(g[["_u", "_d"]].drop_duplicates())
+        items = g.groupby("_i", as_index=False).size() \
+            .rename(columns={"_i": "a", "size": "n"})
+        items["c"] = ""
+        items["kind"] = np.int8(1)
+        m = g.merge(g, on=["_u", "_d"])
+        m = m[m["_i_x"] != m["_i_y"]]
+        pairs = m.groupby(["_i_x", "_i_y"], as_index=False).size() \
+            .rename(columns={"_i_x": "a", "_i_y": "c", "size": "n"})
+        pairs["kind"] = np.int8(0)
+        tot = pd.DataFrame({"a": [""], "c": [""], "n": [n_baskets],
+                            "kind": [np.int8(2)]})
+        out = pd.concat([pairs, items, tot], ignore_index=True)
+        return out[["kind", "a", "c", "n"]]
+
+    parts = _add_key_bucket(
+        ds.select_columns([user_col, ts_col, item_col]),
+        user_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+
+    folded = parts.groupby(["kind", "a", "c"], as_index=False)["n"].sum()
+    n_total = int(folded.loc[folded["kind"] == 2, "n"].sum())
+    item_n = dict(zip(folded.loc[folded["kind"] == 1, "a"],
+                      folded.loc[folded["kind"] == 1, "n"].astype(int)))
+    pr = folded[folded["kind"] == 0]
+    rows = []
+    for a, c, n in zip(pr["a"], pr["c"], pr["n"].astype(int)):
+        na, nc = item_n[a], item_n[c]
+        rows.append((a, c, n, na, nc, n_total,
+                     float(n) / float(n_total),
+                     float(n) / float(na),
+                     float(n * n_total) / float(na * nc)))
+    out = pd.DataFrame(rows, columns=[
+        "antecedent", "consequent", "n_both", "n_ante", "n_cons",
+        "n_baskets", "support", "confidence", "lift"])
+    for c in ("n_both", "n_ante", "n_cons", "n_baskets"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["antecedent", "consequent"]) \
+        .reset_index(drop=True)

@@ -231,8 +231,8 @@ def connected_components(pairs: ray.data.Dataset, col_a: str = "a",
 def pagerank(edges: ray.data.Dataset, iters: int = 3,
              damping_num: int = 85, damping_den: int = 100,
              scale: int = 10 ** 12, num_buckets: int = 64,
-             src_col: str = "src",
-             dst_col: str = "dst") -> ray.data.Dataset:
+             src_col: str = "src", dst_col: str = "dst",
+             seeds=None) -> ray.data.Dataset:
     """Damped PageRank over an edge list, in INTEGER fixed-point.
 
     Float PageRank is not reproducible across engines: three rounds of
@@ -248,6 +248,14 @@ def pagerank(edges: ray.data.Dataset, iters: int = 3,
     so ANY execution order — and an unrolled SQL translation — produces
     bit-identical ranks (dangling-node mass is dropped, the standard
     simplification). Precision loss vs floats is ≤ 1/scale per edge.
+
+    ``seeds`` (iterable of node ids) switches to PERSONALIZED PageRank:
+    the restart mass goes only to the seed nodes actually present in
+    the graph (``r_0`` and the base term become ``scale // |S∩V|`` on
+    seeds, 0 elsewhere) — the topic-sensitive relevance diffusion of
+    Haveliwala (WWW'02), used for crawl prioritization around a trusted
+    seed set. The seed array is closure-captured (O(|S|) ints shipped
+    per task); broadcast a ref for very large seed sets.
 
     Distributed shape (nothing node- or edge-sized on the driver):
     edges are deduped and annotated with out-degree in ONE bucketed
@@ -296,15 +304,33 @@ def pagerank(edges: ray.data.Dataset, iters: int = 3,
              .groupby("_gb").map_groups(dedup_nodes,
                                         batch_format="pandas")
              ).materialize()
-    n_nodes = nodes.count()
-    r0 = scale // n_nodes
-    base = ((den - num) * scale) // den // n_nodes
+    seed_arr = (None if seeds is None else
+                np.unique(np.fromiter(seeds, dtype=np.int64)))
+    if seed_arr is None:
+        n_denom = nodes.count()
+    else:
+        def seed_partial(batch: pa.Table) -> pa.Table:
+            n = batch.column("node").to_numpy(zero_copy_only=False)
+            k = int(np.isin(n, seed_arr).sum())
+            return pa.table({"c": pa.array([k], pa.int64())})
+
+        n_denom = int(nodes.map_batches(
+            seed_partial, batch_format="pyarrow").sum("c"))
+        if n_denom == 0:
+            raise ValueError("personalized pagerank: no seed node "
+                             "appears in the edge list")
+    r0 = scale // n_denom
+    base = ((den - num) * scale) // den // n_denom
 
     def init_rank(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        narr = batch.column("node").to_numpy(zero_copy_only=False)
+        r = np.full(n, r0, dtype=np.int64)
+        if seed_arr is not None:
+            r = np.where(np.isin(narr, seed_arr), r0, 0)
         return pa.table({
             "node": batch.column("node"),
-            "r": pa.array(np.full(n, r0, dtype=np.int64)),
+            "r": pa.array(r.astype(np.int64)),
         })
 
     ranks = nodes.map_batches(init_rank,
@@ -383,7 +409,11 @@ def pagerank(edges: ray.data.Dataset, iters: int = 3,
             flows = group[group["s"] != -1]
             sums = flows.groupby("node")["s"].sum()
             nvals = marker["node"].to_numpy()
-            r = base + sums.reindex(nvals, fill_value=0).to_numpy()
+            if seed_arr is None:
+                b = base
+            else:
+                b = np.where(np.isin(nvals, seed_arr), base, 0)
+            r = b + sums.reindex(nvals, fill_value=0).to_numpy()
             return pd.DataFrame({"node": nvals,
                                  "r": r.astype(np.int64)})
 

@@ -387,3 +387,50 @@ def readability_scores(ds: ray.data.Dataset, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas")
+
+
+def type_token_ratio(ds: "ray.data.Dataset", text_col: str = "text",
+                     group_col: str = "source",
+                     num_buckets: int = 64) -> pd.DataFrame:
+    """Per-group lexical diversity: total whitespace tokens, distinct
+    tokens (types), and the type–token ratio — the vocabulary-richness
+    screen that separates template/boilerplate sources from organic
+    text in a crawl corpus.
+
+    Tokenization matches the SQL twin exactly:
+    ``string_split_regex(lower(trim(text)), '\\s+')`` over non-blank
+    docs. Totals ride additive per-block partials; the distinct-type
+    count collapses (group, token) pairs block-locally and finishes in
+    ONE hash(token) bucket shuffle (:func:`ops.stats.
+    grouped_distinct_count` — traffic is O(distinct pairs), and a hot
+    group spreads across all buckets because bucketing is on the
+    token). ``ttr`` is one exact int/int float division.
+    """
+    from .relational import partial_groupby
+    from .stats import grouped_distinct_count
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").str.strip()
+        keep = t != ""
+        t = t[keep].str.lower().str.split(r"\s+", regex=True)
+        g = b.loc[keep, group_col]
+        out = pd.DataFrame({group_col: g, "token": t}).explode("token")
+        return out[[group_col, "token"]]
+
+    tokens = ds.select_columns([group_col, text_col]).map_batches(
+        explode, batch_format="pandas", batch_size=None).materialize()
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(group_col, as_index=False).agg(
+            n_tokens=("token", "size"))
+
+    totals = partial_groupby(tokens, [group_col], count_partial,
+                             ["n_tokens"])
+    types = grouped_distinct_count(tokens, group_col, "token",
+                                   num_buckets=num_buckets)
+    out = totals.merge(types, on=group_col)
+    out = out.rename(columns={"n_distinct": "n_types"})
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["ttr"] = out["n_types"].to_numpy(np.float64) \
+        / out["n_tokens"].to_numpy(np.float64)
+    return out.sort_values(group_col).reset_index(drop=True)
