@@ -5035,6 +5035,64 @@ def q_ttr_by_source(sf_dir: str) -> pd.DataFrame:
     return type_token_ratio(_t(sf_dir, "documents", ["source", "text"]))
 
 
+def q_sssp_hops(sf_dir: str) -> pd.DataFrame:
+    """Bounded Bellman-Ford shortest distances (4 relaxation rounds,
+    int64 add/min — bit-exact vs the unrolled SQL) over the UNDIRECTED
+    order↔part graph weighted by l_linenumber, from the minimum order
+    node — the crawl-latency distance map from a seed host. See
+    :func:`ops.graph.sssp_hops`."""
+    from web2llmstxt_ray.ops.graph import sssp_hops
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_linenumber"])
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64) * 2
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64) * 2 + 1
+        w = batch.column("l_linenumber") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([o, p]), pa.int64()),
+            "dst": pa.array(np.concatenate([p, o]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]), pa.int64()),
+        })
+
+    seed = int(li.min("l_orderkey")) * 2
+    edges = li.map_batches(to_edges, batch_format="pyarrow")
+    return sssp_hops(edges, seed=seed, hops=4)
+
+
+def q_two_hop_reach(sf_dir: str) -> pd.DataFrame:
+    """Per-node distance-exactly-2 neighborhood size over the part
+    co-purchase graph (the next-wave frontier-growth estimate). See
+    :func:`ops.graph.two_hop_reach`."""
+    from web2llmstxt_ray.ops.graph import two_hop_reach
+
+    return two_hop_reach(_co_purchase_pairs(sf_dir), num_buckets=32)
+
+
+def q_oov_rate(sf_dir: str) -> pd.DataFrame:
+    """Per-document out-of-vocabulary rate vs the corpus top-500
+    token vocabulary (tokenizer-coverage QA): broadcast vocab set,
+    map-only exact counts. See :func:`ops.corpus.oov_rate`."""
+    from web2llmstxt_ray.ops.corpus import oov_rate
+
+    return oov_rate(_t(sf_dir, "documents", ["doc_id", "text"]),
+                    vocab_k=500)
+
+
+def q_token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy + perplexity of the corpus unigram token
+    distribution (vocabulary-diversity gauge): additive (Σc, V,
+    Σ c·ln c) partials per token-hash bucket. See
+    :func:`ops.corpus.token_entropy`."""
+    from web2llmstxt_ray.ops.corpus import token_entropy
+
+    return token_entropy(_t(sf_dir, "documents", ["text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5287,6 +5345,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules": q_assoc_rules,
         "session_entry_exit": q_session_entry_exit,
         "ttr_by_source": q_ttr_by_source,
+        "sssp_hops": q_sssp_hops,
+        "two_hop_reach": q_two_hop_reach,
+        "oov_rate": q_oov_rate,
+        "token_entropy": q_token_entropy,
     }
 
 
@@ -8785,5 +8847,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT token) AS DOUBLE) / count(*)
                        AS ttr
             FROM tok GROUP BY source ORDER BY source
+        """,
+        "sssp_hops": """
+            WITH raw AS (SELECT 2 * l_orderkey AS s,
+                                2 * l_partkey + 1 AS t,
+                                CAST(l_linenumber AS BIGINT) AS w
+                         FROM lineitem),
+            e AS (SELECT src, dst, min(w) AS w FROM (
+                      SELECT s AS src, t AS dst, w FROM raw
+                      UNION ALL SELECT t, s, w FROM raw)
+                  GROUP BY src, dst),
+            sd AS (SELECT 2 * min(l_orderkey) AS n FROM lineitem),
+            d0 AS (SELECT n AS node, CAST(0 AS BIGINT) AS d FROM sd),
+            c1 AS (SELECT e.dst AS node, min(d0.d + e.w) AS d
+                   FROM d0 JOIN e ON e.src = d0.node GROUP BY e.dst),
+            d1 AS (SELECT node, min(d) AS d FROM (
+                       SELECT * FROM d0 UNION ALL SELECT * FROM c1)
+                   GROUP BY node),
+            c2 AS (SELECT e.dst AS node, min(d1.d + e.w) AS d
+                   FROM d1 JOIN e ON e.src = d1.node GROUP BY e.dst),
+            d2 AS (SELECT node, min(d) AS d FROM (
+                       SELECT * FROM d1 UNION ALL SELECT * FROM c2)
+                   GROUP BY node),
+            c3 AS (SELECT e.dst AS node, min(d2.d + e.w) AS d
+                   FROM d2 JOIN e ON e.src = d2.node GROUP BY e.dst),
+            d3 AS (SELECT node, min(d) AS d FROM (
+                       SELECT * FROM d2 UNION ALL SELECT * FROM c3)
+                   GROUP BY node),
+            c4 AS (SELECT e.dst AS node, min(d3.d + e.w) AS d
+                   FROM d3 JOIN e ON e.src = d3.node GROUP BY e.dst),
+            d4 AS (SELECT node, min(d) AS d FROM (
+                       SELECT * FROM d3 UNION ALL SELECT * FROM c4)
+                   GROUP BY node)
+            SELECT node, d AS dist FROM d4 ORDER BY node
+        """,
+        "two_hop_reach": """
+            WITH pp AS (SELECT DISTINCT a.l_partkey AS u,
+                                        b.l_partkey AS v
+                        FROM lineitem a JOIN lineitem b
+                          ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey),
+            st AS (SELECT u AS c, v AS n FROM pp
+                   UNION ALL SELECT v, u FROM pp),
+            w AS (SELECT DISTINCT s1.n AS a, s2.n AS b
+                  FROM st s1 JOIN st s2
+                    ON s1.c = s2.c AND s1.n < s2.n),
+            nw AS (SELECT w.a, w.b FROM w
+                   LEFT JOIN pp ON w.a = pp.u AND w.b = pp.v
+                   WHERE pp.u IS NULL)
+            SELECT node, count(*) AS n_two_hop FROM (
+                SELECT a AS node FROM nw
+                UNION ALL SELECT b FROM nw)
+            GROUP BY node ORDER BY node
+        """,
+        "oov_rate": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split_regex(
+                                    lower(trim(text)), '\\s+')) AS token
+                         FROM documents WHERE trim(text) != ''),
+            v AS (SELECT token FROM (
+                      SELECT token, count(*) AS n FROM tok
+                      GROUP BY token
+                      ORDER BY n DESC, token LIMIT 500))
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN tok.token NOT IN
+                                 (SELECT token FROM v)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_oov,
+                   CAST(sum(CASE WHEN tok.token NOT IN
+                                 (SELECT token FROM v)
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS oov_rate
+            FROM tok GROUP BY doc_id ORDER BY doc_id
+        """,
+        "token_entropy": """
+            WITH tok AS (SELECT unnest(string_split_regex(
+                             lower(trim(text)), '\\s+')) AS token
+                         FROM documents WHERE trim(text) != ''),
+            c AS (SELECT token, count(*) AS n FROM tok
+                  GROUP BY token),
+            s AS (SELECT sum(n) AS nt, count(*) AS v,
+                         sum(n * ln(n)) AS h FROM c)
+            SELECT CAST(nt AS BIGINT) AS n_tokens,
+                   CAST(v AS BIGINT) AS vocab_size,
+                   ln(nt) - h / nt AS entropy_nats,
+                   exp(ln(nt) - h / nt) AS perplexity
+            FROM s
         """,
     }

@@ -836,3 +836,107 @@ def source_drift_matrix(ds: ray.data.Dataset, group_col: str = "source",
                          round(math.fsum(terms), 6)))
     return pd.DataFrame(rows,
                         columns=["source_a", "source_b", "jsd"])
+
+
+def oov_rate(ds: "ray.data.Dataset", vocab_k: int = 500,
+             text_col: str = "text", id_col: str = "doc_id",
+             num_buckets: int = 64) -> pd.DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-k
+    token vocabulary — the tokenizer-coverage QA that flags docs a
+    fixed vocab would shred into rare pieces (code, other languages,
+    mangled encodings).
+
+    Two passes over the token stream: the bucketed exact top-k
+    histogram (:func:`top_tokens`, deterministic (count desc, token)
+    tie-break) fixes the vocabulary, which broadcasts as ONE frozen
+    set into a map-only scoring pass (O(vocab) shipped once per task,
+    never per row). ``oov_rate`` = exact n_oov / n_tokens; token-less
+    docs are excluded to mirror the SQL twin's WHERE. Output:
+    (doc_id, n_tokens, n_oov, oov_rate) sorted by doc_id.
+    """
+    vocab = frozenset(top_tokens(ds.select_columns([text_col]),
+                                 k=vocab_k,
+                                 text_col=text_col,
+                                 num_buckets=num_buckets)["token"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, n_tok, n_oov = [], [], []
+        texts = batch.column(text_col).to_pylist()
+        for i, t in zip(batch.column(id_col).to_pylist(), texts):
+            toks = t.lower().split() if t else []
+            if not toks:
+                continue
+            ids.append(i)
+            n_tok.append(len(toks))
+            n_oov.append(sum(1 for w in toks if w not in vocab))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+        })
+
+    out = ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow").to_pandas()
+    out["oov_rate"] = out["n_oov"].to_numpy(np.float64) \
+        / out["n_tokens"].to_numpy(np.float64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def token_entropy(ds: "ray.data.Dataset", text_col: str = "text",
+                  num_buckets: int = 64) -> pd.DataFrame:
+    """Shannon entropy (nats) and perplexity of the corpus unigram
+    token distribution — the one-number vocabulary-diversity gauge
+    (low entropy = template spam, near-ln(V) = uniform noise).
+
+    ``H = ln N − (Σ c·ln c)/N`` needs only additive statistics over
+    the EXACT per-token counts, which exist per token-hash bucket
+    after one skinny shuffle: each bucket emits (Σc, vocab, Σ c·ln c)
+    — O(buckets) driver rows, the c·ln c fold token-sorted fsum for
+    determinism. Output one row: (n_tokens, vocab_size, entropy_nats,
+    perplexity).
+    """
+    import math
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            if t:
+                c.update(t.lower().split())
+        if not c:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "_tbucket": pa.array([], pa.int32())})
+        toks = list(c.keys())
+        buckets = (hash64_batch(toks)
+                   % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "n": pa.array([c[t] for t in toks], pa.int64()),
+            "_tbucket": pa.array(buckets),
+        })
+
+    def bucket_stats(group: pd.DataFrame) -> pd.DataFrame:
+        merged = group.groupby("token", as_index=False)["n"].sum()
+        merged = merged.sort_values("token")
+        n = merged["n"].to_numpy(np.float64)
+        h = float(math.fsum((n * np.log(n)).tolist()))
+        return pd.DataFrame({"N": [int(merged["n"].sum())],
+                             "V": [len(merged)], "H": [h],
+                             "_k": [str(group["_tbucket"].iloc[0])]})
+
+    parts = (ds.select_columns([text_col])
+             .map_batches(partial_counts, batch_format="pyarrow")
+             .groupby("_tbucket").map_groups(bucket_stats,
+                                             batch_format="pandas")
+             .to_pandas())
+    parts = parts.sort_values("_k")
+    n_total = int(parts["N"].sum())
+    vocab = int(parts["V"].sum())
+    h_sum = float(math.fsum(parts["H"].tolist()))
+    ent = math.log(n_total) - h_sum / n_total
+    return pd.DataFrame({
+        "n_tokens": pd.Series([n_total], dtype="int64"),
+        "vocab_size": pd.Series([vocab], dtype="int64"),
+        "entropy_nats": [ent],
+        "perplexity": [math.exp(ent)],
+    })

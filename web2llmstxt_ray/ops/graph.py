@@ -370,8 +370,8 @@ def pagerank(edges: ray.data.Dataset, iters: int = 3,
             rmap = group[is_rank].set_index("src")["r"]
             e = group[~is_rank]
             if not len(e):
-                return pd.DataFrame({"node": pd.Series([], "int64"),
-                                     "s": pd.Series([], "int64")})
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "s": pd.Series([], dtype="int64")})
             rv = rmap.reindex(e["src"]).to_numpy()
             contrib = (num * rv) // (den * e["deg"].to_numpy())
             out = pd.DataFrame({"node": e["dst"].to_numpy(),
@@ -774,8 +774,8 @@ def hits_bipartite(edges: ray.data.Dataset, iters: int = 4,
             smap = group[is_score].set_index("key")["s"]
             e = group[~is_score]
             if not len(e):
-                return pd.DataFrame({"node": pd.Series([], "int64"),
-                                     "s": pd.Series([], "int64")})
+                return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                     "s": pd.Series([], dtype="int64")})
             sv = smap.reindex(e["key"]).to_numpy("int64")
             out = pd.DataFrame({"node": e["other"].to_numpy(), "s": sv})
             return out.groupby("node", as_index=False)["s"].sum()
@@ -1177,3 +1177,255 @@ def degree_powerlaw(pairs: ray.data.Dataset, col_a: str = "u",
     return pd.DataFrame({"d_min": [np.int64(d_min)],
                          "n_tail": [np.int64(n)],
                          "sum_ln": [s], "alpha": [alpha]})
+
+
+def sssp_hops(edges: ray.data.Dataset, seed: int, hops: int = 4,
+              src_col: str = "src", dst_col: str = "dst",
+              w_col: str = "w", num_buckets: int = 64,
+              driver_threshold: int = 1_000_000) -> pd.DataFrame:
+    """Single-source shortest distances within ≤ ``hops`` relaxation
+    rounds over a DIRECTED, positive-integer-weighted edge list —
+    bounded Bellman-Ford, the crawl-latency distance map from a seed
+    host. All arithmetic is int64 add/min, so any execution order —
+    and an unrolled SQL translation — produces bit-identical
+    distances.
+
+    Parallel edges collapse to their MINIMUM weight first (one
+    src-hash bucket pass). Each round is the pagerank-style
+    union-with-tag co-group: the adjacency and the current distance
+    table meet in a bucket(src) shuffle to emit d(u)+w candidates,
+    which re-min with the previous distances in a bucket(node)
+    shuffle — 2 bucketed shuffles per round, distances live as a
+    Dataset throughout. Unreached nodes are absent (no ∞ sentinel).
+    Output: (node, dist) sorted by node.
+
+    Adaptive execution (the :func:`connected_components` pattern): at
+    or below ``driver_threshold`` edges the relaxation runs as a
+    vectorized numpy loop over the deduped (src, dst, w) arrays —
+    ~24 B/edge of ids, IDENTICAL int64 distances — instead of paying
+    2·hops shuffle rounds of pure scheduling overhead on small graphs
+    (measured ~38 s of machinery for a 12k-edge graph at 32 CPUs vs
+    ~0.1 s vectorized). ``driver_threshold=0`` forces the distributed
+    path.
+    """
+    def tag_src(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "_gb": pa.array(_bucket_of(s, num_buckets)
+                            .astype(np.int32)),
+            "src": pa.array(s),
+            "dst": batch.column(dst_col).cast(pa.int64()),
+            "w": batch.column(w_col).cast(pa.int64()),
+        })
+
+    def min_parallel(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(["src", "dst"], as_index=False)["w"].min()
+
+    adj = (edges.map_batches(tag_src, batch_format="pyarrow")
+           .groupby("_gb").map_groups(min_parallel,
+                                      batch_format="pandas")
+           ).materialize()
+
+    n_edges = adj.count()
+    if n_edges <= driver_threshold:
+        df = adj.to_pandas()
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        w = df["w"].to_numpy(np.int64)
+        nodes_all = np.unique(np.concatenate(
+            [src, dst, np.array([int(seed)], np.int64)]))
+        inf = np.iinfo(np.int64).max
+        d = np.full(len(nodes_all), inf, np.int64)
+        d[np.searchsorted(nodes_all, int(seed))] = 0
+        si = np.searchsorted(nodes_all, src)
+        di = np.searchsorted(nodes_all, dst)
+        for _ in range(hops):
+            # snapshot BEFORE the scatter → synchronous (Jacobi)
+            # rounds, identical to the distributed path and the
+            # unrolled SQL
+            cand = d[si]
+            ok = cand != inf
+            np.minimum.at(d, di[ok], cand[ok] + w[ok])
+        reached = d != inf
+        return pd.DataFrame({
+            "node": pd.Series(nodes_all[reached], dtype="int64"),
+            "dist": pd.Series(d[reached], dtype="int64"),
+        }).reset_index(drop=True)
+
+    dist = ray.data.from_arrow(pa.table({
+        "node": pa.array([int(seed)], pa.int64()),
+        "d": pa.array([0], pa.int64())}))
+
+    for _ in range(hops):
+        def adj_rows(batch: pa.Table) -> pa.Table:
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_gb": pa.array(_bucket_of(s, num_buckets)
+                                .astype(np.int32)),
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "w": batch.column("w"),
+                "d": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            })
+
+        def dist_rows(batch: pa.Table) -> pa.Table:
+            n = batch.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_gb": pa.array(_bucket_of(n, num_buckets)
+                                .astype(np.int32)),
+                "src": batch.column("node"),
+                "dst": pa.array(np.full(batch.num_rows, -1, np.int64)),
+                "w": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "d": batch.column("d"),
+            })
+
+        tagged = (adj.map_batches(adj_rows, batch_format="pyarrow")
+                  .union(dist.map_batches(dist_rows,
+                                          batch_format="pyarrow")))
+
+        def relax(group: pd.DataFrame) -> pd.DataFrame:
+            is_d = group["dst"].to_numpy() == -1
+            dmap = group[is_d].groupby("src")["d"].min()
+            e = group[~is_d]
+            if not len(e) or not len(dmap):
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype="int64"),
+                     "d": pd.Series([], dtype="int64")})
+            dv = dmap.reindex(e["src"]).to_numpy()
+            ok = ~np.isnan(dv)
+            cand = pd.DataFrame({
+                "node": e["dst"].to_numpy()[ok],
+                "d": (dv[ok] + e["w"].to_numpy()[ok]).astype(np.int64)})
+            return cand.groupby("node", as_index=False)["d"].min()
+
+        cands = tagged.groupby("_gb").map_groups(
+            relax, batch_format="pandas")
+
+        def node_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_nb"] = _bucket_of(b["node"].to_numpy(),
+                                  num_buckets).astype(np.int32)
+            return b
+
+        def take_min(group: pd.DataFrame) -> pd.DataFrame:
+            return group.groupby("node", as_index=False)["d"].min()
+
+        def dist_as_node(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": b["node"], "d": b["d"]})
+
+        dist = (cands.union(dist.map_batches(dist_as_node,
+                                             batch_format="pandas",
+                                             batch_size=None))
+                .map_batches(node_bucket, batch_format="pandas",
+                             batch_size=None)
+                .groupby("_nb").map_groups(take_min,
+                                           batch_format="pandas")
+                ).materialize()
+
+    df = dist.to_pandas()
+    df = df.rename(columns={"d": "dist"})
+    df["node"] = df["node"].astype("int64")
+    df["dist"] = df["dist"].astype("int64")
+    return df.sort_values("node").reset_index(drop=True)
+
+
+def two_hop_reach(pairs: ray.data.Dataset, col_a: str = "u",
+                  col_b: str = "v",
+                  num_buckets: int = 64) -> pd.DataFrame:
+    """Per-node count of nodes at distance EXACTLY 2 (the
+    friends-of-friends / next-wave frontier size — how much a crawl
+    frontier grows if this node's neighborhood is expanded one more
+    hop). Rides the Adamic-Adar wedge machinery: distinct
+    common-neighbor pairs, de-duplicated across centers and
+    anti-joined against the adjacency in one pair-hash bucket
+    co-group, then each surviving pair credits both endpoints through
+    a node-hash count combine. Output: (node, n_two_hop) sorted by
+    node; nodes with empty 2-hop shells are absent.
+    """
+    edges = distinct_edges(pairs, col_a, col_b, num_buckets) \
+        .materialize()
+
+    def stubs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "center": pa.array(np.concatenate([u, v]), pa.int64()),
+            "leaf": pa.array(np.concatenate([v, u]), pa.int64()),
+        })
+
+    def center_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_cb"] = _bucket_of(b["center"].to_numpy(),
+                              num_buckets).astype(np.int32)
+        return b
+
+    def wedge_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["center", "leaf"]]
+        m = g.merge(g, on="center")
+        m = m[m["leaf_x"] < m["leaf_y"]]
+        out = pd.DataFrame({"a": m["leaf_x"].to_numpy(np.int64),
+                            "b": m["leaf_y"].to_numpy(np.int64)})
+        return out.drop_duplicates()
+
+    wedge_ds = (edges.map_batches(stubs, batch_format="pyarrow",
+                                  batch_size=None)
+                .map_batches(center_bucket, batch_format="pandas",
+                             batch_size=None)
+                .groupby("_cb").map_groups(wedge_pairs,
+                                           batch_format="pandas"))
+
+    def pair_bucket(df: pd.DataFrame, side: int) -> pd.DataFrame:
+        out = pd.DataFrame({"a": df.iloc[:, 0].astype("int64"),
+                            "b": df.iloc[:, 1].astype("int64")})
+        out["_side"] = np.int8(side)
+        key = (out["a"].to_numpy(np.uint64) * _MIX) \
+            ^ out["b"].to_numpy(np.uint64)
+        out["_pb"] = _bucket_of(key, num_buckets).astype(np.int32)
+        return out
+
+    unioned = wedge_ds.map_batches(
+        lambda b: pair_bucket(b[["a", "b"]], 0),
+        batch_format="pandas", batch_size=None).union(
+        edges.map_batches(lambda b: pair_bucket(b[["u", "v"]], 1),
+                          batch_format="pandas", batch_size=None))
+
+    def survivors(group: pd.DataFrame) -> pd.DataFrame:
+        w = group[group["_side"] == 0][["a", "b"]].drop_duplicates()
+        e = group[group["_side"] == 1][["a", "b"]]
+        if not e.empty:
+            w = w.merge(e, on=["a", "b"], how="left", indicator=True)
+            w = w[w["_merge"] == "left_only"].drop(columns="_merge")
+        if w.empty:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        nodes = np.concatenate([w["a"].to_numpy(np.int64),
+                                w["b"].to_numpy(np.int64)])
+        vals, counts = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": vals,
+                             "c": counts.astype(np.int64)})
+
+    def node_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_nb"] = _bucket_of(b["node"].to_numpy(),
+                              num_buckets).astype(np.int32)
+        return b
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("node", as_index=False)["c"].sum()
+
+    out = (unioned.groupby("_pb").map_groups(survivors,
+                                             batch_format="pandas")
+           .map_batches(node_bucket, batch_format="pandas",
+                        batch_size=None)
+           .groupby("_nb").map_groups(final, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "n_two_hop": pd.Series([], dtype="int64")})
+    out = out.rename(columns={"c": "n_two_hop"})
+    out["node"] = out["node"].astype("int64")
+    out["n_two_hop"] = out["n_two_hop"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
