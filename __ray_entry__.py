@@ -5093,6 +5093,54 @@ def q_token_entropy(sf_dir: str) -> pd.DataFrame:
     return token_entropy(_t(sf_dir, "documents", ["text"]))
 
 
+def q_km_repeat(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier survival of days-to-repeat-purchase per user,
+    right-censored at the corpus horizon — the retention estimator a
+    recrawl scheduler reads. Exact integer day histogram; the KM
+    product folds as exp(Σ ln(1−dᵢ/nᵢ)) term-for-term with the SQL
+    twin. See :func:`ops.events.km_survival`."""
+    from web2llmstxt_ray.ops.events import km_survival
+
+    return km_survival(
+        _t(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        event_value="purchase")
+
+
+def q_part_communities(sf_dir: str) -> pd.DataFrame:
+    """Synchronous label-propagation communities (4 Jacobi rounds,
+    majority label, ties → smallest) over the part co-purchase graph.
+    Deterministic at any partitioning; non-SQL (iterative fixpoint) —
+    rows-only driver check, sequential replay in tests. See
+    :func:`ops.graph.label_propagation`."""
+    from web2llmstxt_ray.ops.graph import label_propagation
+
+    return label_propagation(_co_purchase_pairs(sf_dir), rounds=4,
+                             num_buckets=32)
+
+
+def q_source_cosine(sf_dir: str) -> pd.DataFrame:
+    """Pairwise cosine similarity between sources' token-count vectors
+    (lexical mirror/syndication detector): additive per-bucket Gram
+    partials, exact integer dots. See
+    :func:`ops.textstats.source_cosine_pairs`."""
+    from web2llmstxt_ray.ops.textstats import source_cosine_pairs
+
+    return source_cosine_pairs(
+        _t(sf_dir, "documents", ["source", "text"]))
+
+
+def q_price_power_means(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag geometric/harmonic/quadratic means of the
+    extended price — the skew-robust mean family from additive
+    (Σ ln, Σ 1/x, Σ x²) partials. See
+    :func:`ops.stats.grouped_power_means`."""
+    from web2llmstxt_ray.ops.stats import grouped_power_means
+
+    return grouped_power_means(
+        _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]),
+        "l_returnflag", "l_extendedprice")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5349,6 +5397,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_reach": q_two_hop_reach,
         "oov_rate": q_oov_rate,
         "token_entropy": q_token_entropy,
+        "km_repeat": q_km_repeat,
+        "part_communities": q_part_communities,
+        "source_cosine": q_source_cosine,
+        "price_power_means": q_price_power_means,
     }
 
 
@@ -8933,5 +8985,68 @@ def oracle_sql() -> dict[str, str]:
                    ln(nt) - h / nt AS entropy_nats,
                    exp(ln(nt) - h / nt) AS perplexity
             FROM s
+        """,
+        "km_repeat": """
+            WITH p AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            mx AS (SELECT max(ts) AS m FROM events),
+            f AS (SELECT user_id, min(ts) AS t1 FROM p
+                  GROUP BY user_id),
+            s2 AS (SELECT f.user_id, min(p.ts) AS t2
+                   FROM f JOIN p ON p.user_id = f.user_id
+                              AND p.ts > f.t1
+                   GROUP BY f.user_id),
+            d AS (SELECT f.user_id,
+                         COALESCE(
+                             (epoch_us(s2.t2) - epoch_us(f.t1))
+                                 // 86400000000,
+                             (epoch_us(mx.m) - epoch_us(f.t1))
+                                 // 86400000000) AS t,
+                         CASE WHEN s2.t2 IS NOT NULL
+                              THEN 1 ELSE 0 END AS e
+                  FROM f LEFT JOIN s2 USING (user_id) CROSS JOIN mx),
+            ev AS (SELECT t, count(*) AS d_i FROM d WHERE e = 1
+                   GROUP BY t),
+            risk AS (SELECT ev.t, ev.d_i,
+                            (SELECT count(*) FROM d
+                             WHERE d.t >= ev.t) AS n_i
+                     FROM ev)
+            SELECT t AS t_days, n_i AS n_at_risk, d_i AS n_events,
+                   product(1 - CAST(d_i AS DOUBLE) / n_i)
+                       OVER (ORDER BY t) AS survival
+            FROM risk ORDER BY t_days
+        """,
+        "source_cosine": """
+            WITH tok AS (SELECT source,
+                                unnest(string_split_regex(
+                                    lower(trim(text)), '\\s+')) AS token
+                         FROM documents WHERE trim(text) != ''),
+            c AS (SELECT source, token, count(*) AS n FROM tok
+                  GROUP BY source, token),
+            d AS (SELECT a.source AS sa, b.source AS sb,
+                         sum(CAST(a.n AS HUGEINT) * b.n) AS dot
+                  FROM c a JOIN c b
+                    ON a.token = b.token AND a.source < b.source
+                  GROUP BY a.source, b.source),
+            nm AS (SELECT source,
+                          sum(CAST(n AS HUGEINT) * n) AS n2
+                   FROM c GROUP BY source)
+            SELECT d.sa AS source_a, d.sb AS source_b,
+                   CAST(d.dot AS BIGINT) AS dot,
+                   CAST(d.dot AS DOUBLE)
+                       / sqrt(CAST(na.n2 AS DOUBLE)
+                              * CAST(nb.n2 AS DOUBLE)) AS cosine
+            FROM d JOIN nm na ON na.source = d.sa
+                   JOIN nm nb ON nb.source = d.sb
+            ORDER BY 1, 2
+        """,
+        "price_power_means": """
+            SELECT l_returnflag, count(*) AS n,
+                   exp(sum(ln(l_extendedprice)) / count(*))
+                       AS geo_mean,
+                   count(*) / sum(1.0 / l_extendedprice) AS har_mean,
+                   sqrt(sum(l_extendedprice * l_extendedprice)
+                        / count(*)) AS rms
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }

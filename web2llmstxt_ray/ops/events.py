@@ -539,3 +539,87 @@ def association_rules(ds: ray.data.Dataset, user_col: str = "user_id",
         out[c] = out[c].astype("int64")
     return out.sort_values(["antecedent", "consequent"]) \
         .reset_index(drop=True)
+
+
+def km_survival(ds: ray.data.Dataset, user_col: str = "user_id",
+                ts_col: str = "ts", type_col: str = "event_type",
+                event_value: str = "purchase",
+                num_buckets: int = 64) -> pd.DataFrame:
+    """Kaplan–Meier survival curve of the time from a user's FIRST
+    ``event_value`` to their SECOND (repeat behavior), right-censored
+    at the corpus end for users who never repeat — the
+    retention/recrawl-interval estimator that naive averages get wrong
+    under censoring.
+
+    Durations are exact whole days (int64 µs floor-division). Per-user
+    (t1, strictly-later t2) reduce in ONE user-hash bucket shuffle;
+    what leaves each bucket is the (duration_days, observed) VALUE
+    COUNT — O(distinct days) rows — and the KM product
+    ``S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ)`` folds on the driver as a
+    cumulative product in event-time order, the same term order as
+    the SQL twin's windowed ``product()`` (a log-space fold would
+    break when the last at-risk group all convert: ln 0). Output:
+    (t_days, n_at_risk, n_events, survival) at each observed-event
+    time, sorted.
+    """
+    import numpy as np
+
+    # O(1) global censoring horizon
+    max_us = int(pd.Timestamp(ds.max(ts_col)).value // 1000)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group[type_col] == event_value]
+        if not len(g):
+            return pd.DataFrame({"t": pd.Series([], dtype="int64"),
+                                 "e": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        us = g[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype("int64")
+        d = pd.DataFrame({"u": g[user_col].to_numpy(), "us": us}) \
+            .drop_duplicates().sort_values(["u", "us"], kind="stable")
+        # rank within user: row 0 = first purchase, row 1 = first
+        # STRICTLY-later one (duplicate (u, ts) rows were dropped)
+        d["_rk"] = d.groupby("u", sort=False).cumcount()
+        firsts = d[d["_rk"] == 0].set_index("u")["us"]
+        seconds = d[d["_rk"] == 1].set_index("u")["us"]
+        t1 = firsts.to_numpy(np.int64)
+        t2 = seconds.reindex(firsts.index).to_numpy(np.float64)
+        has2 = ~np.isnan(t2)
+        day = np.where(has2, (t2 - t1),
+                       (max_us - t1).astype(np.float64)) \
+            .astype(np.int64) // 86_400_000_000
+        out = pd.DataFrame({"t": day, "e": has2.astype(np.int64)})
+        vc = out.groupby(["t", "e"], as_index=False).size()
+        return pd.DataFrame({"t": vc["t"].astype("int64"),
+                             "e": vc["e"].astype("int64"),
+                             "n": vc["size"].astype("int64")})
+
+    parts = _add_key_bucket(
+        ds.select_columns([user_col, ts_col, type_col]),
+        user_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "t_days": pd.Series([], dtype="int64"),
+            "n_at_risk": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "survival": pd.Series([], dtype="float64")})
+    hist = parts.groupby(["t", "e"], as_index=False)["n"].sum()
+    total = int(hist["n"].sum())
+    ev = hist[hist["e"] == 1].sort_values("t")
+    t_ev = ev["t"].to_numpy(np.int64)
+    d_i = ev["n"].to_numpy(np.int64)
+    # n_at_risk(t) = total − #(any duration < t), from the full histogram
+    all_sorted = hist.sort_values("t")
+    ts_all = all_sorted["t"].to_numpy(np.int64)
+    cn = all_sorted["n"].to_numpy(np.int64).cumsum()
+    below = np.searchsorted(ts_all, t_ev, side="left")
+    n_i = total - np.where(below > 0, cn[below - 1], 0)
+    surv = np.cumprod(1.0 - d_i.astype(np.float64)
+                      / n_i.astype(np.float64))
+    return pd.DataFrame({
+        "t_days": pd.Series(t_ev, dtype="int64"),
+        "n_at_risk": pd.Series(n_i, dtype="int64"),
+        "n_events": pd.Series(d_i, dtype="int64"),
+        "survival": surv,
+    }).reset_index(drop=True)

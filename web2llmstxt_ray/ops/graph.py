@@ -1429,3 +1429,173 @@ def two_hop_reach(pairs: ray.data.Dataset, col_a: str = "u",
     out["node"] = out["node"].astype("int64")
     out["n_two_hop"] = out["n_two_hop"].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+def label_propagation(pairs: ray.data.Dataset, rounds: int = 4,
+                      col_a: str = "u", col_b: str = "v",
+                      num_buckets: int = 64,
+                      driver_threshold: int = 1_000_000,
+                      as_dataset: bool = False
+                      ) -> "pd.DataFrame | ray.data.Dataset":
+    """SYNCHRONOUS label-propagation community detection (Raghavan et
+    al. 2007, Jacobi schedule): every node starts as its own label;
+    each round every node adopts the most frequent label among its
+    neighbors, ties broken to the SMALLEST label — fully deterministic
+    at any partitioning (the async schedule that converges faster is
+    order-dependent, which would make an independent oracle
+    impossible). ``rounds`` is fixed, not a fixpoint — synchronous LPA
+    can 2-cycle on bipartite structures, so a convergence test would
+    not terminate.
+
+    Each round is the pagerank-style union-with-tag co-group: labels
+    meet the directed stub list in a bucket(node) shuffle, neighbor
+    (node, label) votes re-count in a bucket(voter) shuffle — 2
+    bucketed shuffles per round, labels live as a Dataset throughout.
+    Output: (node, label), sorted by node.
+
+    Adaptive execution (the :func:`connected_components` pattern): at
+    or below ``driver_threshold`` edges the rounds run as a vectorized
+    driver loop over the id arrays — identical labels, none of the
+    2·rounds shuffle machinery (measured ~25 s for a 116k-edge graph
+    at 32 CPUs vs ~0.3 s vectorized). ``driver_threshold=0`` forces
+    the distributed path.
+    """
+    edges = distinct_edges(pairs, col_a, col_b, num_buckets) \
+        .materialize()
+
+    if not as_dataset and edges.count() <= driver_threshold:
+        df = edges.to_pandas()
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        src = np.concatenate([u, v])     # label source (neighbor)
+        dst = np.concatenate([v, u])     # vote receiver
+        nodes_all = np.unique(src)
+        si = np.searchsorted(nodes_all, src)
+        di = np.searchsorted(nodes_all, dst)
+        lab = nodes_all.copy()
+        for _ in range(rounds):
+            votes = pd.DataFrame({"node": di, "label": lab[si]})
+            vc = votes.groupby(["node", "label"],
+                               as_index=False).size()
+            vc = vc.sort_values(["node", "size", "label"],
+                                ascending=[True, False, True],
+                                kind="stable").drop_duplicates("node")
+            new = lab.copy()
+            new[vc["node"].to_numpy()] = vc["label"].to_numpy()
+            lab = new
+        return pd.DataFrame({
+            "node": pd.Series(nodes_all, dtype="int64"),
+            "label": pd.Series(lab, dtype="int64"),
+        }).reset_index(drop=True)
+
+    def stubs(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = np.concatenate([u, v])
+        return pa.table({
+            "_gb": pa.array(_bucket_of(n, num_buckets)
+                            .astype(np.int32)),
+            "nbr": pa.array(n),                 # label source
+            "node": pa.array(np.concatenate([v, u])),  # vote receiver
+        })
+
+    adj = edges.map_batches(stubs, batch_format="pyarrow") \
+        .materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = np.unique(np.concatenate([u, v]))
+        return pa.table({
+            "_gb": pa.array(_bucket_of(n, num_buckets)
+                            .astype(np.int32)),
+            "node": pa.array(n, pa.int64()),
+            "label": pa.array(n, pa.int64())})
+
+    def dedup_labels(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates("node")[["node", "label"]]
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+              .groupby("_gb").map_groups(dedup_labels,
+                                         batch_format="pandas")
+              ).materialize()
+
+    for _ in range(rounds):
+        def adj_rows(batch: pa.Table) -> pa.Table:
+            src = batch.column("nbr").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_gb": pa.array(_bucket_of(src, num_buckets)
+                                .astype(np.int32)),
+                "key": batch.column("nbr"),
+                "node": batch.column("node"),
+                "label": pa.array(np.full(batch.num_rows, -1,
+                                          np.int64)),
+            })
+
+        def label_rows(batch: pa.Table) -> pa.Table:
+            n = batch.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_gb": pa.array(_bucket_of(n, num_buckets)
+                                .astype(np.int32)),
+                "key": batch.column("node"),
+                "node": pa.array(np.full(batch.num_rows, -1,
+                                         np.int64)),
+                "label": batch.column("label"),
+            })
+
+        tagged = (adj.map_batches(adj_rows, batch_format="pyarrow")
+                  .union(labels.map_batches(label_rows,
+                                            batch_format="pyarrow")))
+
+        def votes(group: pd.DataFrame) -> pd.DataFrame:
+            is_l = group["node"].to_numpy() == -1
+            lmap = group[is_l].drop_duplicates("key") \
+                .set_index("key")["label"]
+            e = group[~is_l]
+            if not len(e) or not len(lmap):
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype="int64"),
+                     "label": pd.Series([], dtype="int64"),
+                     "c": pd.Series([], dtype="int64")})
+            lv = lmap.reindex(e["key"]).to_numpy(np.int64)
+            out = pd.DataFrame({"node": e["node"].to_numpy(np.int64),
+                                "label": lv})
+            vc = out.groupby(["node", "label"], as_index=False).size()
+            return pd.DataFrame({"node": vc["node"], "label": vc["label"],
+                                 "c": vc["size"].astype("int64")})
+
+        def node_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_nb"] = _bucket_of(b["node"].to_numpy(),
+                                  num_buckets).astype(np.int32)
+            return b
+
+        def elect(group: pd.DataFrame) -> pd.DataFrame:
+            agg = group.groupby(["node", "label"],
+                                as_index=False)["c"].sum()
+            # most votes, ties → smallest label
+            agg = agg.sort_values(["node", "c", "label"],
+                                  ascending=[True, False, True],
+                                  kind="stable")
+            win = agg.drop_duplicates("node")
+            return pd.DataFrame({"node": win["node"],
+                                 "label": win["label"]})
+
+        labels = (tagged.groupby("_gb")
+                  .map_groups(votes, batch_format="pandas")
+                  .map_batches(node_bucket, batch_format="pandas",
+                               batch_size=None)
+                  .groupby("_nb").map_groups(elect,
+                                             batch_format="pandas")
+                  ).materialize()
+
+    if as_dataset:
+        return labels
+    df = labels.to_pandas()
+    df["node"] = df["node"].astype("int64")
+    df["label"] = df["label"].astype("int64")
+    return df.sort_values("node").reset_index(drop=True)

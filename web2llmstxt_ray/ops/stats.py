@@ -1293,3 +1293,43 @@ def grouped_geomean(ds: ray.data.Dataset, group_col: str,
     out["n"] = out["n"].astype("int64")
     return (out[[group_col, "n", "geomean"]]
             .sort_values(group_col).reset_index(drop=True))
+
+
+def grouped_power_means(ds: ray.data.Dataset, group_col: str,
+                        value_col: str) -> pd.DataFrame:
+    """Per-group geometric, harmonic and quadratic (RMS) means of a
+    POSITIVE value column — the mean family skew-robust pricing/QA
+    summaries use (geometric for ratios, harmonic for rates, RMS for
+    magnitudes). All three need only ADDITIVE per-block partials
+    (n, Σ ln x, Σ 1/x, Σ x²), block-sorted for a deterministic float
+    fold; the driver combines O(blocks × groups) rows and applies one
+    exp/div/sqrt per group. Output: (group, n, geo_mean, har_mean,
+    rms), sorted by group.
+    """
+    import math
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.sort_values([group_col, value_col], kind="stable")
+        x = g[value_col].to_numpy(np.float64)
+        out = pd.DataFrame({group_col: g[group_col].to_numpy(),
+                            "_ln": np.log(x), "_inv": 1.0 / x,
+                            "_sq": x * x})
+        agg = out.groupby(group_col, as_index=False).agg(
+            n=("_ln", "size"), s_ln=("_ln", "sum"),
+            s_inv=("_inv", "sum"), s_sq=("_sq", "sum"))
+        return agg
+
+    parts = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    agg = parts.groupby(group_col, as_index=False).agg(
+        n=("n", "sum"), s_ln=("s_ln", "sum"),
+        s_inv=("s_inv", "sum"), s_sq=("s_sq", "sum"))
+    n = agg["n"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        group_col: agg[group_col],
+        "n": pd.Series(n, dtype="int64"),
+        "geo_mean": np.exp(agg["s_ln"].to_numpy(np.float64) / n),
+        "har_mean": n / agg["s_inv"].to_numpy(np.float64),
+        "rms": np.sqrt(agg["s_sq"].to_numpy(np.float64) / n),
+    })
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -434,3 +434,79 @@ def type_token_ratio(ds: "ray.data.Dataset", text_col: str = "text",
     out["ttr"] = out["n_types"].to_numpy(np.float64) \
         / out["n_tokens"].to_numpy(np.float64)
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def source_cosine_pairs(ds: "ray.data.Dataset", text_col: str = "text",
+                        group_col: str = "source",
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Pairwise cosine similarity between GROUPS' token-count vectors
+    (which sources publish the same kind of text — the lexical
+    mirror/syndication detector). The source×token matrix never
+    materializes: exact per-(group, token) counts exist per token-hash
+    bucket after one skinny shuffle, each bucket pivots its slice and
+    emits the partial Gram matrix ``M·Mᵀ`` plus per-group ‖·‖²
+    partials — both ADDITIVE across buckets because buckets partition
+    the token axis. Driver folds O(buckets · groups²) exact-integer
+    cells; cosine = dot / (√n2a · √n2b) is the only float step.
+    Output: (source_a, source_b, dot, cosine) for pairs sharing ≥1
+    token, a < b lexicographically.
+    """
+    from ..functions.urls import hash64_batch
+
+    def explode_counts(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").str.strip()
+        keep = t != ""
+        toks = t[keep].str.lower().str.split(r"\s+", regex=True)
+        out = pd.DataFrame({group_col: b.loc[keep, group_col],
+                            "token": toks}).explode("token")
+        vc = out.groupby([group_col, "token"], as_index=False).size()
+        vc = vc.rename(columns={"size": "n"})
+        tb = (hash64_batch(vc["token"].tolist())
+              % np.uint64(num_buckets)).astype(np.int32)
+        vc["_tb"] = tb
+        return vc
+
+    def bucket_gram(group: pd.DataFrame) -> pd.DataFrame:
+        cnt = group.groupby([group_col, "token"],
+                            as_index=False)["n"].sum()
+        piv = cnt.pivot_table(index=group_col, columns="token",
+                              values="n", fill_value=0)
+        m = piv.to_numpy(np.int64)
+        gram = m @ m.T
+        srcs = list(piv.index)
+        rows = []
+        for i, a in enumerate(srcs):
+            rows.append((a, a, int(gram[i, i])))      # ‖a‖² partial
+            for j in range(i + 1, len(srcs)):
+                if gram[i, j]:
+                    rows.append((min(a, srcs[j]), max(a, srcs[j]),
+                                 int(gram[i, j])))
+        return pd.DataFrame(rows, columns=["a", "b", "dot"])
+
+    parts = (ds.select_columns([group_col, text_col])
+             .map_batches(explode_counts, batch_format="pandas",
+                          batch_size=None)
+             .groupby("_tb").map_groups(bucket_gram,
+                                        batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({
+            "source_a": pd.Series([], dtype="object"),
+            "source_b": pd.Series([], dtype="object"),
+            "dot": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64")})
+    folded = parts.groupby(["a", "b"], as_index=False)["dot"].sum()
+    norms = dict(zip(
+        folded.loc[folded["a"] == folded["b"], "a"],
+        folded.loc[folded["a"] == folded["b"], "dot"].astype(int)))
+    pr = folded[folded["a"] != folded["b"]]
+    import math
+
+    cos = [float(d) / math.sqrt(float(norms[a]) * float(norms[b]))
+           for a, b, d in zip(pr["a"], pr["b"], pr["dot"].astype(int))]
+    out = pd.DataFrame({"source_a": pr["a"].to_numpy(),
+                        "source_b": pr["b"].to_numpy(),
+                        "dot": pr["dot"].astype("int64").to_numpy(),
+                        "cosine": cos})
+    return out.sort_values(["source_a", "source_b"]) \
+        .reset_index(drop=True)
