@@ -5141,6 +5141,51 @@ def q_price_power_means(sf_dir: str) -> pd.DataFrame:
         "l_returnflag", "l_extendedprice")
 
 
+def q_lang_emd(sf_dir: str) -> pd.DataFrame:
+    """Exact pairwise Wasserstein-1 (earth-mover) distance between
+    languages' document-length distributions — bin-free drift that
+    respects the value metric, numerator folded in exact Python ints.
+    See :func:`ops.stats.grouped_emd_pairs`."""
+    from web2llmstxt_ray.ops.stats import grouped_emd_pairs
+
+    return grouped_emd_pairs(
+        _t(sf_dir, "documents", ["lang", "n_chars"]),
+        "lang", "n_chars")
+
+
+def q_value_auc(sf_dir: str) -> pd.DataFrame:
+    """Exact tie-corrected ROC-AUC of the event value as a predictor
+    of the purchase label (Mann-Whitney U from the value histogram —
+    2U folds in exact ints). See :func:`ops.stats.binary_auc`."""
+    from web2llmstxt_ray.ops.stats import binary_auc
+
+    ev = _t(sf_dir, "events", ["value", "event_type"])
+
+    def mask(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({
+            "value": b.column("value"),
+            "is_pos": _pc.cast(
+                _pc.equal(b.column("event_type"), "purchase"),
+                pa.int64()),
+        })
+
+    return binary_auc(ev.map_batches(mask, batch_format="pyarrow"),
+                      score_col="value", positive_mask_col="is_pos")
+
+
+def q_gap_expfit(sf_dir: str) -> pd.DataFrame:
+    """Poisson-arrival QA: MLE exponential fit to the pooled per-user
+    inter-event gaps plus the one-sample KS distance against the fit
+    — large D means bursty/scheduled traffic, not Poisson. See
+    :func:`ops.windows.gap_expfit_ks`."""
+    from web2llmstxt_ray.ops.windows import gap_expfit_ks
+
+    return gap_expfit_ks(
+        _t(sf_dir, "events", ["user_id", "ts", "event_id"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5401,6 +5446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_communities": q_part_communities,
         "source_cosine": q_source_cosine,
         "price_power_means": q_price_power_means,
+        "lang_emd": q_lang_emd,
+        "value_auc": q_value_auc,
+        "gap_expfit": q_gap_expfit,
     }
 
 
@@ -9048,5 +9096,95 @@ def oracle_sql() -> dict[str, str]:
                    sqrt(sum(l_extendedprice * l_extendedprice)
                         / count(*)) AS rms
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "lang_emd": """
+            WITH c AS (SELECT lang, n_chars AS v, count(*) AS n
+                       FROM documents GROUP BY lang, n_chars),
+            t AS (SELECT lang, sum(n) AS nn FROM c GROUP BY lang),
+            pr AS (SELECT a.lang AS la, b.lang AS lb
+                   FROM t a JOIN t b ON a.lang < b.lang),
+            g AS (SELECT DISTINCT pr.la, pr.lb, c.v
+                  FROM pr JOIN c
+                    ON c.lang = pr.la OR c.lang = pr.lb),
+            j AS (SELECT g.la, g.lb, g.v,
+                         COALESCE(ca.n, 0) AS na,
+                         COALESCE(cb.n, 0) AS nb
+                  FROM g
+                  LEFT JOIN c ca ON ca.lang = g.la AND ca.v = g.v
+                  LEFT JOIN c cb ON cb.lang = g.lb AND cb.v = g.v),
+            w AS (SELECT la, lb, v,
+                         sum(na) OVER (PARTITION BY la, lb
+                                       ORDER BY v) AS cna,
+                         sum(nb) OVER (PARTITION BY la, lb
+                                       ORDER BY v) AS cnb,
+                         lead(v) OVER (PARTITION BY la, lb
+                                       ORDER BY v) AS nv
+                  FROM j),
+            s AS (SELECT w.la, w.lb,
+                         sum(CAST(abs(w.cna * tb.nn - w.cnb * ta.nn)
+                                  AS HUGEINT) * (w.nv - w.v)) AS num,
+                         max(ta.nn) AS na_tot, max(tb.nn) AS nb_tot
+                  FROM w JOIN t ta ON ta.lang = w.la
+                         JOIN t tb ON tb.lang = w.lb
+                  WHERE w.nv IS NOT NULL
+                  GROUP BY w.la, w.lb)
+            SELECT la AS group_a, lb AS group_b,
+                   CAST(num AS DOUBLE)
+                       / CAST(na_tot * nb_tot AS DOUBLE) AS emd
+            FROM s ORDER BY 1, 2
+        """,
+        "value_auc": """
+            WITH s AS (SELECT value AS v,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS y
+                       FROM events),
+            c AS (SELECT v, sum(y) AS np, count(*) - sum(y) AS nn
+                  FROM s GROUP BY v),
+            w AS (SELECT v, np, nn,
+                         COALESCE(sum(nn) OVER (
+                             ORDER BY v ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS below
+                  FROM c),
+            t AS (SELECT sum(np) AS n1, sum(nn) AS n0 FROM c),
+            u AS (SELECT sum(CAST(np AS HUGEINT)
+                             * (2 * below + nn)) AS u2 FROM w)
+            SELECT CAST(t.n1 AS BIGINT) AS n_pos,
+                   CAST(t.n0 AS BIGINT) AS n_neg,
+                   CAST(u.u2 AS DOUBLE)
+                       / CAST(2 * t.n1 * t.n0 AS DOUBLE) AS auc
+            FROM u, t
+        """,
+        "gap_expfit": """
+            WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+                              lag(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events),
+            g AS (SELECT us - prev AS gap FROM o
+                  WHERE prev IS NOT NULL),
+            c AS (SELECT gap, count(*) AS n FROM g GROUP BY gap),
+            t AS (SELECT sum(n) AS n,
+                         sum(CAST(gap AS HUGEINT) * n) AS tot FROM c),
+            w AS (SELECT gap, n,
+                         sum(n) OVER (ORDER BY gap) AS cum FROM c),
+            d AS (SELECT max(greatest(
+                      abs(CAST(w.cum AS DOUBLE) / t.n
+                          - (1 - exp(-(CAST(t.n AS DOUBLE)
+                                       / (CAST(t.tot AS DOUBLE)
+                                          / 86400000000.0))
+                                     * (w.gap / 86400000000.0)))),
+                      abs(CAST(w.cum - w.n AS DOUBLE) / t.n
+                          - (1 - exp(-(CAST(t.n AS DOUBLE)
+                                       / (CAST(t.tot AS DOUBLE)
+                                          / 86400000000.0))
+                                     * (w.gap / 86400000000.0))))))
+                      AS ks
+                  FROM w, t)
+            SELECT CAST(t.n AS BIGINT) AS n_gaps,
+                   CAST(t.n AS DOUBLE)
+                       / (CAST(t.tot AS DOUBLE) / 86400000000.0)
+                       AS lambda_per_day,
+                   d.ks AS ks_d
+            FROM t, d
         """,
     }

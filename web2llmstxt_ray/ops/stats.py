@@ -1333,3 +1333,118 @@ def grouped_power_means(ds: ray.data.Dataset, group_col: str,
         "rms": np.sqrt(agg["s_sq"].to_numpy(np.float64) / n),
     })
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_emd_pairs(ds: ray.data.Dataset, group_col: str,
+                      value_col: str,
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance between every
+    pair of groups' INTEGER value distributions — the distribution-
+    drift measure that, unlike PSI/JSD, is bin-free and respects the
+    value metric (shifting a length histogram by 5 chars moves EMD by
+    5, not by 'one bin').
+
+    ``W₁(a,b) = ∫|F_a − F_b| dv = Σᵢ |cumᵃᵢ·N_b − cumᵇᵢ·N_a|·Δvᵢ
+    / (N_a·N_b)`` over the union value grid — the numerator folds in
+    exact Python ints (no wrap at any cardinality), one float
+    division per pair. Distributed: per-(group, value) exact counts
+    collapse block-locally and finish in ONE value-hash bucket
+    shuffle (all copies of a value co-locate); the driver folds
+    O(groups · distinct values) skinny rows. Output:
+    (group_a, group_b, emd), a < b, sorted.
+    """
+    def local_counts(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b.groupby([group_col, value_col], as_index=False).size()
+        vc = vc.rename(columns={"size": "n"})
+        h = pd.util.hash_pandas_object(vc[value_col], index=False)
+        vc["_vb"] = (h % num_buckets).astype("int32")
+        return vc
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby([group_col, value_col],
+                             as_index=False)["n"].sum()
+
+    hist = (ds.select_columns([group_col, value_col])
+            .map_batches(local_counts, batch_format="pandas",
+                         batch_size=None)
+            .groupby("_vb").map_groups(per_bucket,
+                                       batch_format="pandas")
+            .to_pandas())
+    if hist.empty:
+        return pd.DataFrame({
+            "group_a": pd.Series([], dtype="object"),
+            "group_b": pd.Series([], dtype="object"),
+            "emd": pd.Series([], dtype="float64")})
+    groups = sorted(hist[group_col].unique())
+    per_g = {g: hist[hist[group_col] == g]
+             .sort_values(value_col) for g in groups}
+    totals = {g: int(per_g[g]["n"].sum()) for g in groups}
+    rows = []
+    for i, a in enumerate(groups):
+        for b in groups[i + 1:]:
+            va = per_g[a][value_col].to_numpy(np.int64)
+            ca = per_g[a]["n"].to_numpy(np.int64)
+            vb = per_g[b][value_col].to_numpy(np.int64)
+            cb = per_g[b]["n"].to_numpy(np.int64)
+            grid = np.union1d(va, vb)
+            cuma = np.zeros(len(grid), np.int64)
+            cumb = np.zeros(len(grid), np.int64)
+            cuma[np.searchsorted(grid, va)] = ca
+            cumb[np.searchsorted(grid, vb)] = cb
+            cuma = cuma.cumsum()
+            cumb = cumb.cumsum()
+            na, nb = totals[a], totals[b]
+            num = sum(abs(int(x) * nb - int(y) * na) * int(dv)
+                      for x, y, dv in zip(cuma[:-1], cumb[:-1],
+                                          np.diff(grid)))
+            rows.append((a, b, float(num) / float(na * nb)))
+    return pd.DataFrame(rows, columns=["group_a", "group_b", "emd"])
+
+
+def binary_auc(ds: ray.data.Dataset, score_col: str,
+               positive_mask_col: str,
+               num_buckets: int = 64) -> pd.DataFrame:
+    """Exact tie-corrected ROC-AUC of a score against a binary label
+    (the Mann–Whitney U statistic) — the one-number ranking-quality
+    gauge for any learned quality/spam score. ``positive_mask_col``
+    is an int 0/1 column prepared upstream.
+
+    From the per-score-value (n_pos, n_neg) histogram:
+    ``2U = Σ_v n_posᵥ · (2·neg_below(v) + n_negᵥ)`` — ties contribute
+    the standard ½ via the doubling, so the fold is EXACT Python ints
+    and ``auc = 2U / (2·n₁·n₀)`` is one float division. Distributed:
+    block-local (value, pos, neg) partials, ONE value-hash bucket
+    shuffle, O(distinct scores) driver rows. Output one row:
+    (n_pos, n_neg, auc).
+    """
+    def local_counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"v": b[score_col],
+                          "y": b[positive_mask_col].astype("int64")})
+        agg = g.groupby("v", as_index=False).agg(
+            np_=("y", "sum"), nt=("y", "size"))
+        agg["nn"] = agg["nt"] - agg["np_"]
+        h = pd.util.hash_pandas_object(agg["v"], index=False)
+        agg["_vb"] = (h % num_buckets).astype("int32")
+        return agg[["v", "np_", "nn", "_vb"]]
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("v", as_index=False)[["np_", "nn"]].sum()
+
+    hist = (ds.select_columns([score_col, positive_mask_col])
+            .map_batches(local_counts, batch_format="pandas",
+                         batch_size=None)
+            .groupby("_vb").map_groups(per_bucket,
+                                       batch_format="pandas")
+            .to_pandas())
+    hist = hist.sort_values("v")
+    npos = hist["np_"].to_numpy(np.int64)
+    nneg = hist["nn"].to_numpy(np.int64)
+    below = np.concatenate([[0], nneg.cumsum()[:-1]])
+    u2 = sum(int(p) * (2 * int(b) + int(n))
+             for p, b, n in zip(npos, below, nneg))
+    n1 = int(npos.sum())
+    n0 = int(nneg.sum())
+    auc = float(u2) / float(2 * n1 * n0) if n1 and n0 else float("nan")
+    return pd.DataFrame({"n_pos": pd.Series([n1], dtype="int64"),
+                         "n_neg": pd.Series([n0], dtype="int64"),
+                         "auc": [auc]})

@@ -1634,3 +1634,67 @@ def daily_acf(ds: ray.data.Dataset, ts_col: str = "ts",
                                           dtype="int64"),
                          "acf": pd.Series([r[1] for r in rows],
                                           dtype="float64")})
+
+
+def gap_expfit_ks(ds: ray.data.Dataset, key_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  num_buckets: int = 64) -> pd.DataFrame:
+    """Exponential-arrival goodness-of-fit: MLE-fit
+    ``λ = n / Σ gaps`` to the pooled per-key inter-event gaps, then
+    the one-sample Kolmogorov–Smirnov distance against
+    ``F(x) = 1 − e^(−λx)`` — a large D means arrivals are bursty or
+    scheduled, not Poisson, which changes every politeness/recrawl
+    model downstream.
+
+    Gaps are exact int64 µs from a grouped diff in ONE key-hash
+    bucket shuffle ((ts, id) order); what leaves each bucket is the
+    gap VALUE COUNT. The driver folds O(distinct gaps) rows: λ's
+    numerator/denominator are exact ints, and the KS sup runs over
+    the distinct-value CDF steps (duplicate-safe: both the step top
+    ``cum/n`` and bottom ``cum_prev/n`` are compared at every
+    distinct gap). Output one row: (n_gaps, lambda_per_day, ks_d).
+    """
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        if not len(g):
+            return pd.DataFrame({"gap": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        us = g[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype("int64")
+        keys = g[key_col].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = keys[1:] == keys[:-1]
+        gaps = (us - np.concatenate([[0], us[:-1]]))[same]
+        vals, counts = np.unique(gaps, return_counts=True)
+        return pd.DataFrame({"gap": pd.Series(vals, dtype="int64"),
+                             "n": pd.Series(counts, dtype="int64")})
+
+    parts = _add_key_bucket(
+        ds.select_columns([key_col, ts_col, id_col]),
+        key_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty or "gap" not in parts.columns:
+        parts = pd.DataFrame({"gap": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
+    hist = parts.groupby("gap", as_index=False)["n"].sum() \
+        .sort_values("gap")
+    n = int(hist["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"n_gaps": pd.Series([0], dtype="int64"),
+                             "lambda_per_day": [float("nan")],
+                             "ks_d": [float("nan")]})
+    total_us = int(sum(int(g) * int(c)
+                       for g, c in zip(hist["gap"], hist["n"])))
+    gap_days = hist["gap"].to_numpy(np.float64) / 86_400_000_000.0
+    lam = float(n) / (float(total_us) / 86_400_000_000.0)
+    f_fit = 1.0 - np.exp(-lam * gap_days)
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    top = cum.astype(np.float64) / n
+    bot = np.concatenate([[0], cum[:-1]]).astype(np.float64) / n
+    d = float(np.maximum(np.abs(top - f_fit),
+                         np.abs(bot - f_fit)).max())
+    return pd.DataFrame({"n_gaps": pd.Series([n], dtype="int64"),
+                         "lambda_per_day": [lam],
+                         "ks_d": [d]})
