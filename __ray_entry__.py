@@ -5186,6 +5186,39 @@ def q_gap_expfit(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "events", ["user_id", "ts", "event_id"]))
 
 
+def q_hrw_shards(sf_dir: str) -> pd.DataFrame:
+    """Rendezvous-hash shard assignment audit over customer keys: the
+    stateless consistent-placement rule (argmax md5(key|shard)) a
+    frontier uses to pin hosts to shards, with the per-shard balance
+    histogram. md5 rule replayed verbatim in SQL. See
+    :func:`ops.layout.hrw_assignment`."""
+    from web2llmstxt_ray.ops.layout import hrw_assignment
+
+    return hrw_assignment(_t(sf_dir, "customer", ["c_name"]),
+                          key_col="c_name", num_shards=8)
+
+
+def q_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source exact-duplicate exposure (share of docs whose text
+    occurs >1 time corpus-wide) — the syndication scoreboard. Only
+    (hash, source) pairs shuffle. See
+    :func:`ops.dedup.dup_rate_by_group`."""
+    from web2llmstxt_ray.ops.dedup import dup_rate_by_group
+
+    return dup_rate_by_group(
+        _t(sf_dir, "documents", ["source", "text"]))
+
+
+def q_heaps_curve(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth curve (cumulative tokens vs
+    cumulative distinct tokens in doc_id order) — the does-more-data-
+    still-buy-vocabulary diagnostic. See
+    :func:`ops.corpus.heaps_curve`."""
+    from web2llmstxt_ray.ops.corpus import heaps_curve
+
+    return heaps_curve(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5449,6 +5482,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_emd": q_lang_emd,
         "value_auc": q_value_auc,
         "gap_expfit": q_gap_expfit,
+        "hrw_shards": q_hrw_shards,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "heaps_curve": q_heaps_curve,
     }
 
 
@@ -9186,5 +9222,51 @@ def oracle_sql() -> dict[str, str]:
                        AS lambda_per_day,
                    d.ks AS ks_d
             FROM t, d
+        """,
+        "hrw_shards": """
+            WITH k AS (SELECT DISTINCT c_name AS key FROM customer),
+            sh AS (SELECT unnest(generate_series(0, 7)) AS shard),
+            a AS (SELECT k.key, sh.shard,
+                         md5(k.key || '|'
+                             || CAST(sh.shard AS VARCHAR)) AS h
+                  FROM k CROSS JOIN sh),
+            w AS (SELECT key, shard,
+                         row_number() OVER (PARTITION BY key
+                                            ORDER BY h DESC) AS rn
+                  FROM a),
+            c AS (SELECT shard, count(*) AS n FROM w
+                  WHERE rn = 1 GROUP BY shard)
+            SELECT sh.shard, COALESCE(c.n, 0) AS n_keys
+            FROM sh LEFT JOIN c USING (shard) ORDER BY sh.shard
+        """,
+        "dup_rate_by_source": """
+            WITH d AS (SELECT source,
+                              count(*) OVER (PARTITION BY text) AS c
+                       FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs,
+                   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS dup_rate
+            FROM d GROUP BY source ORDER BY source
+        """,
+        "heaps_curve": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split_regex(
+                                    lower(trim(text)), '\\s+')) AS token
+                         FROM documents WHERE trim(text) != ''),
+            p AS (SELECT doc_id, count(*) AS nt FROM tok
+                  GROUP BY doc_id),
+            f AS (SELECT token, min(doc_id) AS fd FROM tok
+                  GROUP BY token),
+            nv AS (SELECT fd AS doc_id, count(*) AS nv FROM f
+                   GROUP BY fd)
+            SELECT p.doc_id,
+                   CAST(sum(p.nt) OVER (ORDER BY p.doc_id)
+                        AS BIGINT) AS n_tokens_cum,
+                   CAST(sum(COALESCE(nv.nv, 0))
+                        OVER (ORDER BY p.doc_id)
+                        AS BIGINT) AS vocab_cum
+            FROM p LEFT JOIN nv USING (doc_id) ORDER BY p.doc_id
         """,
     }

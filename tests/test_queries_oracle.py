@@ -45,7 +45,17 @@ ULP_TOL = {"user_type_entropy": 1e-14,
            # run to run, reassociating the float sum)
            "benford_orders": 1e-12,
            "decayed_user_value": 1e-12,
-           "zipf_slope": 1e-12}
+           "zipf_slope": 1e-12,
+           # 1/ln wedge-weight sums, Σln partial folds, Σln/Σ1/x/Σx²
+           # means, c·ln c entropy partials, (1−d/n) cumulative
+           # products, exp() inside the KS sup: all reassociate under
+           # DuckDB's engine-chosen aggregate order
+           "adamic_adar": 1e-12,
+           "degree_powerlaw": 1e-12,
+           "price_power_means": 1e-12,
+           "token_entropy": 1e-12,
+           "km_repeat": 1e-12,
+           "gap_expfit": 1e-12}
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:

@@ -940,3 +940,65 @@ def token_entropy(ds: "ray.data.Dataset", text_col: str = "text",
         "entropy_nats": [ent],
         "perplexity": [math.exp(ent)],
     })
+
+
+def heaps_curve(ds: "ray.data.Dataset", text_col: str = "text",
+                id_col: str = "doc_id",
+                num_buckets: int = 64) -> pd.DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: cumulative token count
+    and cumulative DISTINCT-token count after each document in
+    ``id_col`` order — the scaling diagnostic that says whether a
+    corpus keeps paying new vocabulary per TB or has gone stale
+    (V ≈ K·Nᵝ, β≈0.5 organic, β→0 templated).
+
+    Two distributed passes share one tokenize: per-doc token counts
+    (map-only additive) and each token's FIRST-occurrence doc (min
+    over doc ids, one token-hash bucket shuffle — all copies of a
+    token co-locate). Both collapse to O(docs) skinny rows whose
+    driver cumsum is exact int64. Output: (doc_id, n_tokens_cum,
+    vocab_cum) for every token-bearing doc, sorted by doc_id.
+    """
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").str.strip()
+        keep = t != ""
+        toks = t[keep].str.lower().str.split(r"\s+", regex=True)
+        out = pd.DataFrame({id_col: b.loc[keep, id_col],
+                            "token": toks}).explode("token")
+        return out[[id_col, "token"]]
+
+    tokens = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas", batch_size=None).materialize()
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(id_col, as_index=False).agg(
+            nt=("token", "size"))
+
+    from .relational import partial_groupby
+
+    per_doc = partial_groupby(tokens, [id_col], count_partial, ["nt"])
+
+    def first_partial(b: pd.DataFrame) -> pd.DataFrame:
+        agg = b.groupby("token", as_index=False)[id_col].min()
+        h = pd.util.hash_pandas_object(agg["token"], index=False)
+        agg["_tb"] = (h % num_buckets).astype("int32")
+        return agg
+
+    def first_final(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("token", as_index=False)[id_col].min()
+        vc = f.groupby(id_col, as_index=False).size()
+        return pd.DataFrame({id_col: vc[id_col],
+                             "nv": vc["size"].astype("int64")})
+
+    newv = (tokens.map_batches(first_partial, batch_format="pandas",
+                               batch_size=None)
+            .groupby("_tb").map_groups(first_final,
+                                       batch_format="pandas")
+            .to_pandas())
+    newv = newv.groupby(id_col, as_index=False)["nv"].sum()
+
+    out = per_doc.sort_values(id_col).reset_index(drop=True)
+    out = out.merge(newv, on=id_col, how="left").fillna({"nv": 0})
+    out["n_tokens_cum"] = out["nt"].astype("int64").cumsum()
+    out["vocab_cum"] = out["nv"].astype("int64").cumsum()
+    out[id_col] = out[id_col].astype("int64")
+    return out[[id_col, "n_tokens_cum", "vocab_cum"]]

@@ -1889,3 +1889,48 @@ def basket_similarity_pairs(ds: ray.data.Dataset, set_col: str,
             "n_common": pd.Series([], dtype="int64"),
             "jaccard": pd.Series([], dtype="float64")})
     return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def dup_rate_by_group(ds: ray.data.Dataset, text_col: str = "text",
+                      group_col: str = "source",
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Per-group exact-duplicate exposure: how many of a group's docs
+    have text that appears MORE THAN ONCE in the whole corpus — the
+    syndication/boilerplate scoreboard that tells a crawl which
+    sources to de-prioritize.
+
+    Only (content-hash, group) skinny pairs shuffle, bucketed by the
+    CONTENT hash so every copy of a text co-locates and the global
+    copy count is exact in-bucket; per-(group, is-dup) count partials
+    come back O(buckets · groups). ``dup_rate`` = exact int/int.
+    Output: (group, n_docs, n_dup_docs, dup_rate), sorted.
+    """
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        h = hash64_batch([t if t is not None else ""
+                          for t in b[text_col]])
+        out = pd.DataFrame({"_h": h.astype(np.uint64),
+                            group_col: b[group_col]})
+        out["_hb"] = (out["_h"]
+                      % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cc = group.groupby("_h")["_h"].transform("size")
+        out = pd.DataFrame({group_col: group[group_col],
+                            "_dup": (cc > 1).astype("int64")})
+        agg = out.groupby(group_col, as_index=False).agg(
+            n_docs=("_dup", "size"), n_dup_docs=("_dup", "sum"))
+        return agg
+
+    parts = (ds.select_columns([group_col, text_col])
+             .map_batches(tag, batch_format="pandas", batch_size=None)
+             .groupby("_hb").map_groups(per_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby(group_col, as_index=False)[
+        ["n_docs", "n_dup_docs"]].sum()
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    agg["n_dup_docs"] = agg["n_dup_docs"].astype("int64")
+    agg["dup_rate"] = agg["n_dup_docs"].to_numpy(np.float64) \
+        / agg["n_docs"].to_numpy(np.float64)
+    return agg.sort_values(group_col).reset_index(drop=True)

@@ -373,3 +373,61 @@ def zorder_parts_for_box_exact(manifest: dict, a_lo: float, a_hi: float,
         if nxt is not None and nxt <= zhi:
             out.append(p)
     return out
+
+
+def hrw_assignment(ds: "ray.data.Dataset", key_col: str,
+                   num_shards: int = 8) -> pd.DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment audit: each
+    key goes to ``argmax_s md5(key + '|' + s)`` — the stateless
+    consistent-placement rule a frontier uses to pin hosts to shards
+    (adding a shard moves only ~1/n of keys, and every worker computes
+    the same owner with NO routing table).
+
+    Map-only: each block hashes its distinct keys against all shard
+    ids (O(shards) md5s per key, the same cost every router pays) and
+    emits per-shard count partials; cross-block duplicate keys are
+    resolved by a distinct-pass first. Output: (shard, n_keys) for
+    every shard 0..n-1 (zeros included — a starved shard is the
+    finding), sorted by shard. The md5 rule is replayed verbatim by
+    the SQL twin.
+    """
+    import hashlib
+
+    shard_ids = [str(s) for s in range(num_shards)]
+
+    def local_distinct(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[key_col]].drop_duplicates()
+        h = pd.util.hash_pandas_object(out[key_col], index=False)
+        out = out.copy()
+        out["_kb"] = (h % 64).astype("int32")
+        return out
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        keys = group[key_col].drop_duplicates().astype(str).tolist()
+        if not keys:
+            return pd.DataFrame({"shard": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        counts = [0] * num_shards
+        for k in keys:
+            best, best_h = 0, ""
+            for s, sid in enumerate(shard_ids):
+                h = hashlib.md5((k + "|" + sid).encode()).hexdigest()
+                if h > best_h:
+                    best, best_h = s, h
+            counts[best] += 1
+        return pd.DataFrame({"shard": pd.Series(range(num_shards),
+                                                dtype="int64"),
+                             "n": pd.Series(counts, dtype="int64")})
+
+    parts = (ds.select_columns([key_col])
+             .map_batches(local_distinct, batch_format="pandas",
+                          batch_size=None)
+             .groupby("_kb").map_groups(assign, batch_format="pandas")
+             .to_pandas())
+    base = pd.DataFrame({"shard": pd.Series(range(num_shards),
+                                            dtype="int64")})
+    agg = parts.groupby("shard", as_index=False)["n"].sum() \
+        if not parts.empty else base.assign(n=0)
+    out = base.merge(agg, on="shard", how="left").fillna({"n": 0})
+    out["n_keys"] = out["n"].astype("int64")
+    return out[["shard", "n_keys"]]
