@@ -5219,6 +5219,42 @@ def q_heaps_curve(sf_dir: str) -> pd.DataFrame:
     return heaps_curve(_t(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_batch_novelty(sf_dir: str) -> pd.DataFrame:
+    """Crawl-batch novelty curve (fraction of each 100-doc id batch
+    whose text is first seen there) — the stop-recrawling signal.
+    See :func:`ops.dedup.batch_novelty`."""
+    from web2llmstxt_ray.ops.dedup import batch_novelty
+
+    return batch_novelty(_t(sf_dir, "documents", ["doc_id", "text"]),
+                         batch_size_ids=100)
+
+
+def q_event_trigrams(sf_dir: str) -> pd.DataFrame:
+    """Top-25 three-event behavior sequences per user in (ts, id)
+    order — path mining one step deeper than the transition matrix.
+    See :func:`ops.events.top_event_trigrams`."""
+    from web2llmstxt_ray.ops.events import top_event_trigrams
+
+    return top_event_trigrams(
+        _t(sf_dir, "events",
+           ["user_id", "ts", "event_id", "event_type"]), k=25)
+
+
+def q_demand_classes(sf_dir: str) -> pd.DataFrame:
+    """Syntetos-Boylan demand classification per part (smooth /
+    intermittent / erratic / lumpy from ADI and CV² of per-ship-day
+    quantities) — class boundaries are exact integer comparisons, so
+    no float rounding can flip a class. See
+    :func:`ops.stats.demand_classification`."""
+    from web2llmstxt_ray.ops.stats import demand_classification
+
+    return demand_classification(
+        _t(sf_dir, "lineitem",
+           ["l_partkey", "l_shipdate", "l_quantity"]),
+        key_col="l_partkey", ts_col="l_shipdate",
+        qty_col="l_quantity")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5485,6 +5521,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hrw_shards": q_hrw_shards,
         "dup_rate_by_source": q_dup_rate_by_source,
         "heaps_curve": q_heaps_curve,
+        "batch_novelty": q_batch_novelty,
+        "event_trigrams": q_event_trigrams,
+        "demand_classes": q_demand_classes,
     }
 
 
@@ -9268,5 +9307,59 @@ def oracle_sql() -> dict[str, str]:
                         OVER (ORDER BY p.doc_id)
                         AS BIGINT) AS vocab_cum
             FROM p LEFT JOIN nv USING (doc_id) ORDER BY p.doc_id
+        """,
+        "batch_novelty": """
+            WITH d AS (SELECT doc_id // 100 AS b, text,
+                              min(doc_id // 100) OVER
+                                  (PARTITION BY text) AS fb
+                       FROM documents)
+            SELECT b AS batch, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN b = fb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   CAST(sum(CASE WHEN b = fb THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS novelty_rate
+            FROM d GROUP BY b ORDER BY batch
+        """,
+        "event_trigrams": """
+            WITH o AS (SELECT user_id, event_type,
+                              lag(event_type, 1) OVER w AS p1,
+                              lag(event_type, 2) OVER w AS p2
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            t AS (SELECT p2 || '>' || p1 || '>' || event_type
+                      AS trigram
+                  FROM o WHERE p2 IS NOT NULL)
+            SELECT trigram, count(*) AS n FROM t
+            GROUP BY trigram ORDER BY n DESC, trigram LIMIT 25
+        """,
+        "demand_classes": """
+            WITH dd AS (SELECT l_partkey AS pk,
+                               CAST(l_shipdate AS DATE) AS d,
+                               sum(CAST(l_quantity AS BIGINT)) AS z
+                        FROM lineitem GROUP BY 1, 2),
+            p AS (SELECT count(DISTINCT CAST(l_shipdate AS DATE))
+                      AS np FROM lineitem),
+            m AS (SELECT pk, count(*) AS dd_n, sum(z) AS s,
+                         sum(CAST(z AS HUGEINT) * z) AS s2
+                  FROM dd GROUP BY pk)
+            SELECT pk AS l_partkey,
+                   dd_n AS n_demand_days,
+                   CAST(p.np AS DOUBLE) / dd_n AS adi,
+                   CAST(dd_n * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)
+                       / CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+                       AS cv2,
+                   CASE WHEN 100 * p.np >= 132 * dd_n THEN
+                            (CASE WHEN 100 * (dd_n * s2
+                                  - CAST(s AS HUGEINT) * s)
+                                  >= 49 * CAST(s AS HUGEINT) * s
+                             THEN 'lumpy' ELSE 'intermittent' END)
+                        ELSE
+                            (CASE WHEN 100 * (dd_n * s2
+                                  - CAST(s AS HUGEINT) * s)
+                                  >= 49 * CAST(s AS HUGEINT) * s
+                             THEN 'erratic' ELSE 'smooth' END)
+                   END AS demand_class
+            FROM m, p ORDER BY 1
         """,
     }

@@ -1934,3 +1934,52 @@ def dup_rate_by_group(ds: ray.data.Dataset, text_col: str = "text",
     agg["dup_rate"] = agg["n_dup_docs"].to_numpy(np.float64) \
         / agg["n_docs"].to_numpy(np.float64)
     return agg.sort_values(group_col).reset_index(drop=True)
+
+
+def batch_novelty(ds: ray.data.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", batch_size_ids: int = 100,
+                  num_buckets: int = 64) -> pd.DataFrame:
+    """Crawl-batch novelty curve: docs are grouped into consecutive
+    id-order batches (``doc_id // batch_size_ids`` — the crawl-wave
+    proxy) and each batch reports how many of its docs carry text
+    FIRST seen in that batch — the is-this-crawl-still-finding-new-
+    content gauge that tells a recrawl loop when to stop.
+
+    One content-hash bucket shuffle: every copy of a text co-locates,
+    so its global first batch (min id → batch) is exact in-bucket;
+    what leaves is the per-(batch) pair of counts (docs, first-seen
+    docs) — O(buckets · batches) rows. Output: (batch, n_docs,
+    n_novel, novelty_rate), sorted by batch.
+    """
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        h = hash64_batch([t if t is not None else ""
+                          for t in b[text_col]])
+        out = pd.DataFrame({"_h": h.astype(np.uint64),
+                            "_id": b[id_col].astype("int64")})
+        out["_hb"] = (out["_h"]
+                      % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["_b"] = g["_id"].to_numpy(np.int64) // batch_size_ids
+        first_b = g.groupby("_h")["_b"].transform("min")
+        g["_novel"] = (g["_b"] == first_b).astype("int64")
+        agg = g.groupby("_b", as_index=False).agg(
+            n_docs=("_novel", "size"), n_novel=("_novel", "sum"))
+        return agg
+
+    parts = (ds.select_columns([id_col, text_col])
+             .map_batches(tag, batch_format="pandas", batch_size=None)
+             .groupby("_hb").map_groups(per_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("_b", as_index=False)[
+        ["n_docs", "n_novel"]].sum()
+    out = pd.DataFrame({
+        "batch": agg["_b"].astype("int64"),
+        "n_docs": agg["n_docs"].astype("int64"),
+        "n_novel": agg["n_novel"].astype("int64")})
+    out["novelty_rate"] = out["n_novel"].to_numpy(np.float64) \
+        / out["n_docs"].to_numpy(np.float64)
+    return out.sort_values("batch").reset_index(drop=True)

@@ -623,3 +623,50 @@ def km_survival(ds: ray.data.Dataset, user_col: str = "user_id",
         "n_events": pd.Series(d_i, dtype="int64"),
         "survival": surv,
     }).reset_index(drop=True)
+
+
+def top_event_trigrams(ds: ray.data.Dataset, k: int = 25,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       type_col: str = "event_type",
+                       num_buckets: int = 64) -> pd.DataFrame:
+    """Top-k most frequent 3-event behavior sequences (trigrams of
+    consecutive event types per user in ``(ts, id)`` order, joined
+    with '>') — the path-mining view one step deeper than the
+    transition matrix. Deterministic (count desc, trigram) tie-break.
+
+    One user-hash bucket shuffle; per bucket a vectorized
+    double-shift builds the trigrams (windows never span users), and
+    the O(types³) count partials ride the additive driver fold.
+    Output: (trigram, n), top-k.
+    """
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([user_col, ts_col, id_col],
+                              kind="stable")
+        if len(g) < 3:
+            return pd.DataFrame({"trigram": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        t = g[type_col].to_numpy()
+        u = g[user_col].to_numpy()
+        a, b, c = t[:-2], t[1:-1], t[2:]
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        tri = pd.Series([f"{x}>{y}>{z}" for x, y, z in
+                         zip(a[same], b[same], c[same])])
+        vc = tri.value_counts()
+        return pd.DataFrame({"trigram": vc.index.to_numpy(),
+                             "n": vc.to_numpy("int64")})
+
+    parts = _add_key_bucket(
+        ds.select_columns([user_col, ts_col, id_col, type_col]),
+        user_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"trigram": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
+    agg = parts.groupby("trigram", as_index=False)["n"].sum()
+    agg["n"] = agg["n"].astype("int64")
+    agg = agg.sort_values(["n", "trigram"], ascending=[False, True],
+                          kind="stable")
+    return agg.head(k).reset_index(drop=True)

@@ -1448,3 +1448,73 @@ def binary_auc(ds: ray.data.Dataset, score_col: str,
     return pd.DataFrame({"n_pos": pd.Series([n1], dtype="int64"),
                          "n_neg": pd.Series([n0], dtype="int64"),
                          "auc": [auc]})
+
+
+def demand_classification(ds: ray.data.Dataset, key_col: str,
+                          ts_col: str, qty_col: str,
+                          num_buckets: int = 64) -> pd.DataFrame:
+    """Syntetos–Boylan demand classification per key (smooth /
+    intermittent / erratic / lumpy) from ADI — observation periods per
+    demand day — and CV² of per-demand-day sizes: the
+    recrawl-frequency analogue of supply-chain demand shaping (a
+    'lumpy' host deserves neither a fixed cadence nor a rate model).
+
+    Demand days collapse block-locally to (key, day, Σqty) partials
+    and finish in ONE key-hash bucket shuffle; the global period
+    count is a distinct-day union of O(blocks · days) partial rows.
+    Both class boundaries are EXACT integer comparisons
+    (``100·P ≥ 132·D`` and ``100·(D·Σz² − S²) ≥ 49·S²`` in Python
+    ints), so classification can never flip on a float rounding;
+    ``adi``/``cv2`` are one float division each. Output: (key,
+    n_demand_days, adi, cv2, demand_class), sorted by key.
+    """
+    def local_partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = b[ts_col].astype("datetime64[ns]").dt.normalize()
+        g = pd.DataFrame({key_col: b[key_col], "_d": day,
+                          "_z": b[qty_col].astype("int64")})
+        agg = g.groupby([key_col, "_d"], as_index=False)["_z"].sum()
+        h = pd.util.hash_pandas_object(agg[key_col], index=False)
+        agg["_kb"] = (h % num_buckets).astype("int32")
+        return agg
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        dd = group.groupby([key_col, "_d"], as_index=False)["_z"].sum()
+        m = dd.groupby(key_col, as_index=False).agg(
+            dd_n=("_z", "size"), s=("_z", "sum"))
+        s2 = dd.assign(_zz=dd["_z"].astype(object) ** 2) \
+            .groupby(key_col, as_index=False)["_zz"].sum()
+        return m.merge(s2, on=key_col)
+
+    partials = (ds.select_columns([key_col, ts_col, qty_col])
+                .map_batches(local_partial, batch_format="pandas",
+                             batch_size=None).materialize())
+
+    moments = partials.groupby("_kb").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"_d": b["_d"].drop_duplicates()})
+
+    days = partials.map_batches(day_partial, batch_format="pandas",
+                                batch_size=None).to_pandas()
+    n_periods = int(days["_d"].nunique())
+
+    rows = []
+    for _, r in moments.iterrows():
+        d_n = int(r["dd_n"])
+        s = int(r["s"])
+        s2 = int(r["_zz"])
+        var_num = d_n * s2 - s * s
+        lumpy_size = 100 * var_num >= 49 * s * s
+        lumpy_time = 100 * n_periods >= 132 * d_n
+        cls = ("lumpy" if lumpy_time and lumpy_size else
+               "intermittent" if lumpy_time else
+               "erratic" if lumpy_size else "smooth")
+        rows.append((r[key_col], d_n,
+                     float(n_periods) / float(d_n),
+                     float(var_num) / float(s * s), cls))
+    out = pd.DataFrame(rows, columns=[key_col, "n_demand_days",
+                                      "adi", "cv2", "demand_class"])
+    out[key_col] = out[key_col].astype("int64")
+    out["n_demand_days"] = out["n_demand_days"].astype("int64")
+    return out.sort_values(key_col).reset_index(drop=True)
