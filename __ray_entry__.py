@@ -5255,6 +5255,79 @@ def q_demand_classes(sf_dir: str) -> pd.DataFrame:
         qty_col="l_quantity")
 
 
+def _bag_union(sf_dir: str) -> rd.Dataset:
+    """Deterministic bag-duplicate corpus: the documents table UNION a
+    shifted copy (doc_id + 10000) whose TOKEN ORDER is reversed for
+    even ids (a bag duplicate that is NOT an exact-text duplicate) and
+    whose text gains ' odd variant' for odd ids (a genuinely new
+    bag)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def copy(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype("int64")
+        rev = b["text"].map(lambda t: " ".join(
+            reversed((t if t is not None else "")
+                     .strip().lower().split())))
+        t = rev.where(did % 2 == 0, b["text"] + " odd variant")
+        return pd.DataFrame({"doc_id": did + 10000, "text": t})
+
+    return docs.union(docs.map_batches(copy, batch_format="pandas",
+                                       batch_size=None))
+
+
+def q_bag_dedup(sf_dir: str) -> pd.DataFrame:
+    """Order-insensitive exact dedup over the deterministic
+    bag-duplicate union: token-permuted copies collapse (min id wins)
+    even though their bytes differ. See :func:`ops.dedup.bag_dedup`."""
+    from web2llmstxt_ray.ops.dedup import bag_dedup
+
+    return bag_dedup(_bag_union(sf_dir))
+
+
+def q_dup_cluster_hist(sf_dir: str) -> pd.DataFrame:
+    """Exact-duplicate cluster-size histogram over the deterministic
+    duplicate union — the how-duplicated-is-this-crawl gauge that
+    sizes the dedup win. See :func:`ops.dedup.dup_cluster_hist`."""
+    from web2llmstxt_ray.ops.dedup import dup_cluster_hist
+
+    return dup_cluster_hist(_dup_union(sf_dir))
+
+
+def q_value_calibration(sf_dir: str) -> pd.DataFrame:
+    """Reliability-diagram table of the event value as a purchase
+    predictor (10 equal-width cent bins, exact integer bin rule) —
+    the calibration companion to value_auc. See
+    :func:`ops.stats.calibration_bins`."""
+    from web2llmstxt_ray.ops.stats import calibration_bins
+
+    ev = _t(sf_dir, "events", ["value", "event_type"])
+
+    def mask(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({
+            "value": b.column("value"),
+            "is_pos": _pc.cast(
+                _pc.equal(b.column("event_type"), "purchase"),
+                pa.int64()),
+        })
+
+    return calibration_bins(
+        ev.map_batches(mask, batch_format="pyarrow"),
+        score_col="value", positive_mask_col="is_pos", n_bins=10)
+
+
+def q_bounce_rate(sf_dir: str) -> pd.DataFrame:
+    """Bounce rate by landing event type over 30-min-gap sessions
+    (share of single-event sessions) — see
+    :func:`ops.events.session_bounce_by_entry`."""
+    from web2llmstxt_ray.ops.events import session_bounce_by_entry
+
+    return session_bounce_by_entry(
+        _t(sf_dir, "events",
+           ["user_id", "ts", "event_id", "event_type"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5524,6 +5597,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "batch_novelty": q_batch_novelty,
         "event_trigrams": q_event_trigrams,
         "demand_classes": q_demand_classes,
+        "bag_dedup": q_bag_dedup,
+        "dup_cluster_hist": q_dup_cluster_hist,
+        "value_calibration": q_value_calibration,
+        "bounce_rate": q_bounce_rate,
     }
 
 
@@ -9361,5 +9438,79 @@ def oracle_sql() -> dict[str, str]:
                              THEN 'erratic' ELSE 'smooth' END)
                    END AS demand_class
             FROM m, p ORDER BY 1
+        """,
+        "bag_dedup": """
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000,
+                       CASE WHEN doc_id % 2 = 0 THEN
+                           array_to_string(list_reverse(
+                               string_split_regex(
+                                   lower(trim(text)), '\\s+')), ' ')
+                       ELSE text || ' odd variant' END
+                FROM documents),
+            k AS (SELECT doc_id,
+                         md5(array_to_string(list_sort(
+                             string_split_regex(
+                                 lower(trim(text)), '\\s+')), ' '))
+                             AS bag
+                  FROM u)
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM k GROUP BY bag ORDER BY 1
+        """,
+        "dup_cluster_hist": """
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000,
+                       CASE WHEN doc_id % 2 = 0 THEN text
+                            ELSE text || ' odd variant' END
+                FROM documents),
+            c AS (SELECT count(*) AS cs FROM u GROUP BY text)
+            SELECT cs AS cluster_size,
+                   count(*) AS n_clusters,
+                   CAST(cs * count(*) AS BIGINT) AS n_docs
+            FROM c GROUP BY cs ORDER BY 1
+        """,
+        "value_calibration": """
+            WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS y
+                       FROM events),
+            m AS (SELECT min(c) AS lo,
+                         max(c) - min(c) + 1 AS span FROM s)
+            SELECT CAST((c - lo) * 10 // span AS BIGINT) AS bin,
+                   count(*) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(c) AS DOUBLE)
+                       / (100.0 * count(*)) AS mean_score,
+                   CAST(sum(y) AS DOUBLE) / count(*) AS pos_rate
+            FROM s, m GROUP BY 1 ORDER BY 1
+        """,
+        "bounce_rate": """
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                              CASE WHEN ts - lag(ts) OVER
+                                   (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+                                   > INTERVAL 30 MINUTE
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM events),
+            s AS (SELECT user_id, event_type, ts, event_id,
+                         sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS sid
+                  FROM o),
+            fe AS (SELECT user_id, sid,
+                          first(event_type ORDER BY ts, event_id)
+                              AS entry_type,
+                          count(*) AS n_ev
+                   FROM s GROUP BY user_id, sid)
+            SELECT entry_type,
+                   count(*) AS n_sessions,
+                   CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounce,
+                   CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS bounce_rate
+            FROM fe GROUP BY 1 ORDER BY 1
         """,
     }

@@ -1983,3 +1983,106 @@ def batch_novelty(ds: ray.data.Dataset, text_col: str = "text",
     out["novelty_rate"] = out["n_novel"].to_numpy(np.float64) \
         / out["n_docs"].to_numpy(np.float64)
     return out.sort_values("batch").reset_index(drop=True)
+
+
+def bag_dedup(ds: ray.data.Dataset, text_col: str = "text",
+              id_col: str = "doc_id",
+              num_buckets: int = 64) -> pd.DataFrame:
+    """Order-insensitive exact dedup: docs whose TOKEN MULTISETS are
+    identical collapse to one copy (min id wins) even when the token
+    order differs — the paragraph-shuffled / sentence-reordered spam
+    that byte-exact dedup misses and MinHash only catches softly.
+
+    The canonical key is ``md5(' '.join(sorted(tokens)))`` with
+    tokenization replaying the SQL twin exactly
+    (``string_split_regex(lower(trim(text)), '\\s+')``); the text
+    never leaves the map stage — only (key, id) skinny pairs shuffle,
+    bucketed by the key so every permutation of a bag co-locates.
+    Output: (id, n_copies) for each surviving doc, sorted by id.
+    """
+    import hashlib
+    import re
+
+    ws_re = re.compile(r"\s+")
+
+    def keys(b: pd.DataFrame) -> pd.DataFrame:
+        ks = []
+        for t in b[text_col]:
+            toks = ws_re.split((t if t is not None else "")
+                               .strip().lower())
+            ks.append(hashlib.md5(
+                " ".join(sorted(toks)).encode()).hexdigest())
+        out = pd.DataFrame({"_k": ks,
+                            "_id": b[id_col].astype("int64")})
+        out["_kb"] = (pd.util.hash_pandas_object(out["_k"],
+                                                 index=False)
+                      % num_buckets).astype("int32")
+        return out
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("_k", as_index=False).agg(
+            _win=("_id", "min"), n_copies=("_id", "size"))
+        return agg[["_win", "n_copies"]]
+
+    out = (ds.select_columns([id_col, text_col])
+           .map_batches(keys, batch_format="pandas", batch_size=None)
+           .groupby("_kb").map_groups(per_bucket,
+                                      batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "n_copies": pd.Series([], dtype="int64")})
+    out = out.rename(columns={"_win": id_col})
+    out[id_col] = out[id_col].astype("int64")
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def dup_cluster_hist(ds: ray.data.Dataset, text_col: str = "text",
+                     num_buckets: int = 64) -> pd.DataFrame:
+    """Exact-duplicate cluster-size histogram: how many distinct texts
+    occur exactly 1×, 2×, 3×, … corpus-wide — the one-table answer to
+    'how duplicated is this crawl' that sizes the dedup win before
+    running it.
+
+    Per-block (content-hash, count) partials are ADDITIVE, so raw
+    texts never shuffle — partials finish in one content-hash bucket
+    shuffle (every copy's counts meet in their bucket), and the
+    per-bucket size histograms are additive again: the driver folds
+    O(buckets · sizes) rows. Output: (cluster_size, n_clusters,
+    n_docs), sorted by cluster_size.
+    """
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = hash64_batch([t if t is not None else ""
+                          for t in b[text_col]])
+        g = pd.DataFrame({"_h": h.astype(np.uint64)})
+        agg = g.groupby("_h", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        agg["_hb"] = (agg["_h"].to_numpy(np.uint64)
+                      % np.uint64(num_buckets)).astype(np.int32)
+        return agg
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        sizes = group.groupby("_h")["n"].sum()
+        vc = sizes.value_counts()
+        return pd.DataFrame({"cluster_size": vc.index.to_numpy("int64"),
+                             "n_clusters": vc.to_numpy("int64")})
+
+    parts = (ds.select_columns([text_col])
+             .map_batches(partial, batch_format="pandas",
+                          batch_size=None)
+             .groupby("_hb").map_groups(per_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({
+            "cluster_size": pd.Series([], dtype="int64"),
+            "n_clusters": pd.Series([], dtype="int64"),
+            "n_docs": pd.Series([], dtype="int64")})
+    agg = parts.groupby("cluster_size", as_index=False)[
+        "n_clusters"].sum()
+    agg["cluster_size"] = agg["cluster_size"].astype("int64")
+    agg["n_clusters"] = agg["n_clusters"].astype("int64")
+    agg["n_docs"] = (agg["cluster_size"]
+                     * agg["n_clusters"]).astype("int64")
+    return agg.sort_values("cluster_size").reset_index(drop=True)

@@ -670,3 +670,72 @@ def top_event_trigrams(ds: ray.data.Dataset, k: int = 25,
     agg = agg.sort_values(["n", "trigram"], ascending=[False, True],
                           kind="stable")
     return agg.head(k).reset_index(drop=True)
+
+
+def session_bounce_by_entry(ds: ray.data.Dataset,
+                            user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            id_col: str = "event_id",
+                            type_col: str = "event_type",
+                            gap_minutes: int = 30,
+                            num_buckets: int = 64) -> pd.DataFrame:
+    """Bounce rate by landing event type: over gap-sessionized
+    activity (same strict-gap ``(ts, id)``-ordered rule as
+    :func:`session_entry_exit`), the share of sessions that contain
+    EXACTLY one event, grouped by the session's entry type — the
+    which-landing-pages-lose-visitors view of crawl-traffic QA.
+
+    One hash(user) bucket shuffle (a user's sessions are whole within
+    a bucket), vectorized break detection per bucket, then O(types)
+    additive (n_sessions, n_bounce) count partials; ``bounce_rate``
+    is one exact int/int float division. Output: (entry_type,
+    n_sessions, n_bounce, bounce_rate), sorted by entry_type.
+    """
+    import numpy as np
+
+    gap_us = int(gap_minutes) * 60_000_000
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([user_col, ts_col, id_col],
+                              kind="stable")
+        if not len(g):
+            return pd.DataFrame({
+                "entry_type": pd.Series([], dtype="object"),
+                "n_sessions": pd.Series([], dtype="int64"),
+                "n_bounce": pd.Series([], dtype="int64")})
+        us = g[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype("int64")
+        users = g[user_col].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = us[1:] - us[:-1]
+        brk = new_user | (gap > gap_us)
+        types = g[type_col].to_numpy()
+        first_idx = np.flatnonzero(brk)
+        last_idx = np.append(first_idx[1:] - 1, len(g) - 1)
+        cells = pd.DataFrame({
+            "entry_type": types[first_idx],
+            "_b": (first_idx == last_idx).astype("int64")})
+        return cells.groupby("entry_type", as_index=False).agg(
+            n_sessions=("_b", "size"), n_bounce=("_b", "sum"))
+
+    parts = _add_key_bucket(
+        ds.select_columns([user_col, ts_col, id_col, type_col]),
+        user_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "entry_type": pd.Series([], dtype="object"),
+            "n_sessions": pd.Series([], dtype="int64"),
+            "n_bounce": pd.Series([], dtype="int64"),
+            "bounce_rate": pd.Series([], dtype="float64")})
+    agg = parts.groupby("entry_type", as_index=False)[
+        ["n_sessions", "n_bounce"]].sum()
+    agg["n_sessions"] = agg["n_sessions"].astype("int64")
+    agg["n_bounce"] = agg["n_bounce"].astype("int64")
+    agg["bounce_rate"] = agg["n_bounce"].to_numpy(np.float64) \
+        / agg["n_sessions"].to_numpy(np.float64)
+    return agg.sort_values("entry_type").reset_index(drop=True)

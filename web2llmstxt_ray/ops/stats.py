@@ -1518,3 +1518,71 @@ def demand_classification(ds: ray.data.Dataset, key_col: str,
     out[key_col] = out[key_col].astype("int64")
     out["n_demand_days"] = out["n_demand_days"].astype("int64")
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def calibration_bins(ds: ray.data.Dataset, score_col: str,
+                     positive_mask_col: str,
+                     n_bins: int = 10) -> pd.DataFrame:
+    """Reliability-diagram table: scores land in ``n_bins`` equal-width
+    bins over the observed [min, max] cent range and each bin reports
+    its size, mean score and positive rate — the is-this-score-
+    calibrated companion to :func:`binary_auc` (AUC says the ranking
+    is good; calibration says the VALUES mean what they claim).
+
+    Scores snap to exact integer cents (``round(v·100)``) and the bin
+    rule is pure integer math — ``(c − lo) · n_bins // (hi − lo + 1)``
+    — so bin membership can never flip on a float rounding and the
+    SQL twin replays it verbatim. Two passes, no shuffle: an O(blocks)
+    min/max fold, then MAP-ONLY additive (n, n_pos, Σcents) partials
+    per bin; ``mean_score``/``pos_rate`` are one float division each
+    of exact ints. Empty bins are dropped (SQL GROUP BY semantics).
+    Output: (bin, n, n_pos, mean_score, pos_rate), sorted by bin.
+    """
+    def cents(b: pd.DataFrame) -> np.ndarray:
+        return np.rint(b[score_col].to_numpy(np.float64)
+                       * 100.0).astype(np.int64)
+
+    def minmax(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"lo": pd.Series([], dtype="int64"),
+                                 "hi": pd.Series([], dtype="int64")})
+        c = cents(b)
+        return pd.DataFrame({"lo": [int(c.min())],
+                             "hi": [int(c.max())]})
+
+    scores = ds.select_columns([score_col, positive_mask_col]) \
+        .materialize()
+    mm = scores.map_batches(minmax, batch_format="pandas",
+                            batch_size=None).to_pandas()
+    if mm.empty:
+        return pd.DataFrame({
+            "bin": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "n_pos": pd.Series([], dtype="int64"),
+            "mean_score": pd.Series([], dtype="float64"),
+            "pos_rate": pd.Series([], dtype="float64")})
+    lo = int(mm["lo"].min())
+    span = int(mm["hi"].max()) - lo + 1
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = cents(b)
+        g = pd.DataFrame({
+            "bin": (c - lo) * n_bins // span,
+            "y": b[positive_mask_col].to_numpy(np.int64),
+            "c": c})
+        return g.groupby("bin", as_index=False).agg(
+            n=("y", "size"), n_pos=("y", "sum"), s=("c", "sum"))
+
+    parts = scores.map_batches(partial, batch_format="pandas",
+                               batch_size=None).to_pandas()
+    agg = parts.groupby("bin", as_index=False)[
+        ["n", "n_pos", "s"]].sum()
+    out = pd.DataFrame({
+        "bin": agg["bin"].astype("int64"),
+        "n": agg["n"].astype("int64"),
+        "n_pos": agg["n_pos"].astype("int64")})
+    out["mean_score"] = agg["s"].to_numpy(np.float64) \
+        / (100.0 * agg["n"].to_numpy(np.float64))
+    out["pos_rate"] = out["n_pos"].to_numpy(np.float64) \
+        / out["n"].to_numpy(np.float64)
+    return out.sort_values("bin").reset_index(drop=True)
