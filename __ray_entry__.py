@@ -5328,6 +5328,52 @@ def q_bounce_rate(sf_dir: str) -> pd.DataFrame:
            ["user_id", "ts", "event_id", "event_type"]))
 
 
+def q_lsh_buckets(sf_dir: str) -> pd.DataFrame:
+    """Random-hyperplane LSH bucket occupancy over the embedding
+    corpus (8 md5-derived integer hyperplanes × quantized integer
+    dots — no float can flip a bit) — the bucket-balance pre-flight
+    for a signed-projection shuffle. See
+    :func:`ops.ann.lsh_bucket_balance`."""
+    from web2llmstxt_ray.ops.ann import lsh_bucket_balance
+
+    return lsh_bucket_balance(
+        _t(sf_dir, "embeddings", ["embedding"]), n_planes=8)
+
+
+def q_next_event_pred(sf_dir: str) -> pd.DataFrame:
+    """Behavior predictability ceiling: modal next event type per
+    current type and the accuracy of the ML bigram model on the
+    corpus transitions. See :func:`ops.events.next_event_accuracy`."""
+    from web2llmstxt_ray.ops.events import next_event_accuracy
+
+    return next_event_accuracy(
+        _t(sf_dir, "events",
+           ["user_id", "ts", "event_id", "event_type"]))
+
+
+def q_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation of customers over their orders (recency /
+    frequency / monetary quintile scores from the exact integer-ceil
+    quantile rule, ties land low). See
+    :func:`ops.stats.rfm_segments`."""
+    from web2llmstxt_ray.ops.stats import rfm_segments
+
+    return rfm_segments(
+        _t(sf_dir, "orders",
+           ["o_custkey", "o_orderdate", "o_totalprice"]),
+        key_col="o_custkey", ts_col="o_orderdate",
+        value_col="o_totalprice", n_tiles=5)
+
+
+def q_hapax_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source hapax legomena rate (share of the source's distinct
+    tokens occurring exactly once there) — the vocabulary-tail
+    boilerplate screen. See :func:`ops.textstats.hapax_rate`."""
+    from web2llmstxt_ray.ops.textstats import hapax_rate
+
+    return hapax_rate(_t(sf_dir, "documents", ["source", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5601,6 +5647,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_hist": q_dup_cluster_hist,
         "value_calibration": q_value_calibration,
         "bounce_rate": q_bounce_rate,
+        "lsh_buckets": q_lsh_buckets,
+        "next_event_pred": q_next_event_pred,
+        "rfm_segments": q_rfm_segments,
+        "hapax_by_source": q_hapax_by_source,
     }
 
 
@@ -9512,5 +9562,114 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
                         AS DOUBLE) / count(*) AS bounce_rate
             FROM fe GROUP BY 1 ORDER BY 1
+        """,
+        "lsh_buckets": """
+            WITH q AS (SELECT list_transform(
+                           CAST(embedding AS DOUBLE[]),
+                           x -> CAST(floor(x * 32768.0 + 0.5)
+                                     AS BIGINT)) AS qv
+                       FROM embeddings),
+            b AS (SELECT list_sum(list_transform(range(8), p ->
+                      CASE WHEN list_sum(list_transform(
+                               range(len(qv)), d ->
+                          (CAST(CAST(('0x' || substr(md5(
+                               CAST(p AS VARCHAR) || ','
+                               || CAST(d AS VARCHAR)), 1, 8))
+                               AS UBIGINT) % 2001 AS BIGINT)
+                           - 1000) * qv[d + 1])) >= 0
+                      THEN 1 << p ELSE 0 END)) AS bucket
+                  FROM q)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   count(*) AS n_vecs
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "next_event_pred": """
+            WITH t AS (SELECT event_type AS cur,
+                              lead(event_type) OVER
+                                  (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS nxt
+                       FROM events),
+            c AS (SELECT cur, nxt, count(*) AS n FROM t
+                  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT cur, sum(n) AS nt FROM c GROUP BY 1),
+            best AS (SELECT cur, nxt, n FROM c
+                     QUALIFY row_number() OVER
+                         (PARTITION BY cur
+                          ORDER BY n DESC, nxt) = 1)
+            SELECT b.cur AS cur_type, b.nxt AS predicted_next,
+                   CAST(t.nt AS BIGINT) AS n_transitions,
+                   CAST(b.n AS BIGINT) AS n_correct,
+                   CAST(b.n AS DOUBLE) / CAST(t.nt AS DOUBLE)
+                       AS accuracy
+            FROM best b JOIN tot t ON b.cur = t.cur ORDER BY 1
+        """,
+        "rfm_segments": """
+            WITH base AS (
+                SELECT o_custkey,
+                       date_diff('day', max(o_orderdate),
+                                 (SELECT max(o_orderdate)
+                                  FROM orders)) AS r_days,
+                       count(*) AS n_rows,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS value_cents
+                FROM orders GROUP BY 1),
+            rb AS (SELECT DISTINCT min(CASE WHEN cum >=
+                           (q * tot + 4) // 5 THEN v END) AS bound
+                   FROM (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
+                                sum(n) OVER () AS tot
+                         FROM (SELECT r_days AS v, count(*) AS n
+                               FROM base GROUP BY 1)),
+                        (SELECT unnest(range(1, 5)) AS q)
+                   GROUP BY q),
+            fb AS (SELECT DISTINCT min(CASE WHEN cum >=
+                           (q * tot + 4) // 5 THEN v END) AS bound
+                   FROM (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
+                                sum(n) OVER () AS tot
+                         FROM (SELECT n_rows AS v, count(*) AS n
+                               FROM base GROUP BY 1)),
+                        (SELECT unnest(range(1, 5)) AS q)
+                   GROUP BY q),
+            mb AS (SELECT DISTINCT min(CASE WHEN cum >=
+                           (q * tot + 4) // 5 THEN v END) AS bound
+                   FROM (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
+                                sum(n) OVER () AS tot
+                         FROM (SELECT value_cents AS v, count(*) AS n
+                               FROM base GROUP BY 1)),
+                        (SELECT unnest(range(1, 5)) AS q)
+                   GROUP BY q),
+            s AS (SELECT o_custkey, r_days, n_rows, value_cents,
+                         1 + (SELECT count(*) FROM rb
+                              WHERE bound < base.r_days) AS rs,
+                         1 + (SELECT count(*) FROM fb
+                              WHERE bound < base.n_rows) AS fs,
+                         1 + (SELECT count(*) FROM mb
+                              WHERE bound < base.value_cents) AS ms
+                  FROM base)
+            SELECT o_custkey, CAST(r_days AS BIGINT) AS r_days,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(value_cents AS BIGINT) AS value_cents,
+                   CAST(rs AS BIGINT) AS r_score,
+                   CAST(fs AS BIGINT) AS f_score,
+                   CAST(ms AS BIGINT) AS m_score,
+                   CAST(rs AS VARCHAR) || CAST(fs AS VARCHAR)
+                       || CAST(ms AS VARCHAR) AS rfm
+            FROM s ORDER BY 1
+        """,
+        "hapax_by_source": """
+            WITH tok AS (SELECT source,
+                                unnest(string_split_regex(
+                                    lower(trim(text)), '\\s+'))
+                                    AS token
+                         FROM documents WHERE trim(text) <> ''),
+            pc AS (SELECT source, token, count(*) AS n
+                   FROM tok GROUP BY 1, 2)
+            SELECT source,
+                   count(*) AS n_types,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS hapax_rate
+            FROM pc GROUP BY 1 ORDER BY 1
         """,
     }

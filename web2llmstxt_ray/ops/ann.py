@@ -850,3 +850,74 @@ def mutual_top1_pairs(ds: ray.data.Dataset, id_col: str = "vec_id",
     for col in ("a", "b", "dot"):
         df[col] = df[col].astype("int64")
     return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def lsh_bucket_balance(ds: ray.data.Dataset,
+                       vec_col: str = "embedding",
+                       n_planes: int = 8,
+                       scale_bits: int = 15) -> "pd.DataFrame":
+    """Random-hyperplane LSH bucket occupancy histogram — the
+    pre-flight audit that tells you whether a signed-projection
+    bucketing will balance BEFORE you shuffle 10^9 vectors by it
+    (a skewed embedding distribution collapses into few buckets and
+    turns the LSH near-dup join quadratic).
+
+    EXACT and deterministic: hyperplane weights derive from md5
+    (``int(md5(f'{plane},{dim}')[:8], 16) % 2001 − 1000`` — stateless,
+    replayed verbatim by the SQL twin), vectors quantize to integers
+    ``floor(x·2^scale_bits + 0.5)`` (the :func:`mutual_top1_pairs`
+    rule), and each sign bit comes from an INTEGER dot product — no
+    float summation order can flip a bit. MAP-ONLY: per-block bucket
+    histograms are additive, the driver folds O(blocks · 2^planes)
+    rows and never sees a vector. Output: (bucket, n_vecs) for the
+    non-empty buckets, sorted by bucket.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from .veckit import vec_matrix
+
+    scale = float(1 << scale_bits)
+    state: dict[str, np.ndarray] = {}
+
+    def weights(d: int) -> np.ndarray:
+        W = state.get("W")
+        if W is None or W.shape[1] != d:
+            W = np.array(
+                [[int(hashlib.md5(f"{p},{dim}".encode())
+                      .hexdigest()[:8], 16) % 2001 - 1000
+                  for dim in range(d)] for p in range(n_planes)],
+                dtype=np.int64)
+            state["W"] = W
+        return W
+
+    pows = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = vec_matrix(batch, vec_col).astype(np.float64)
+        if not X.size:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64())})
+        if np.abs(X).max() > 8.0:
+            raise ValueError("lsh_bucket_balance: |component| > 8 "
+                             "breaks the exact-integer-dot contract "
+                             f"at scale_bits={scale_bits}")
+        Q = np.floor(X * scale + 0.5).astype(np.int64)
+        W = weights(Q.shape[1])
+        bits = (Q @ W.T >= 0).astype(np.int64)      # (n, planes)
+        bucket = bits @ pows
+        b, c = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(b, pa.int64()),
+                         "n_vecs": pa.array(c.astype(np.int64),
+                                            pa.int64())})
+
+    parts = ds.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                             "n_vecs": pd.Series([], dtype="int64")})
+    agg = parts.groupby("bucket", as_index=False)["n_vecs"].sum()
+    agg["bucket"] = agg["bucket"].astype("int64")
+    agg["n_vecs"] = agg["n_vecs"].astype("int64")
+    return agg.sort_values("bucket").reset_index(drop=True)

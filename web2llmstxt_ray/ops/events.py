@@ -739,3 +739,69 @@ def session_bounce_by_entry(ds: ray.data.Dataset,
     agg["bounce_rate"] = agg["n_bounce"].to_numpy(np.float64) \
         / agg["n_sessions"].to_numpy(np.float64)
     return agg.sort_values("entry_type").reset_index(drop=True)
+
+
+def next_event_accuracy(ds: ray.data.Dataset,
+                        user_col: str = "user_id",
+                        ts_col: str = "ts",
+                        id_col: str = "event_id",
+                        type_col: str = "event_type",
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """How predictable is user behavior: train the maximum-likelihood
+    bigram next-event model ON the corpus transition counts and score
+    it on the SAME transitions — per current type, the modal next
+    type (ties → smallest) and the accuracy a predict-the-next-event
+    model would achieve. A high ceiling means sessions are
+    mechanical/bot-like; a low one means organic browsing.
+
+    The accuracy needs NO second pass: it reads directly off the
+    count matrix (n_correct = the modal cell). One hash(user) bucket
+    shuffle (transitions never span users), vectorized shift per
+    bucket, additive O(types²) count partials, O(types²) driver fold.
+    Output: (cur_type, predicted_next, n_transitions, n_correct,
+    accuracy), sorted by cur_type.
+    """
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([user_col, ts_col, id_col],
+                              kind="stable")
+        if len(g) < 2:
+            return pd.DataFrame({
+                "cur": pd.Series([], dtype="object"),
+                "nxt": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64")})
+        t = g[type_col].to_numpy()
+        u = g[user_col].to_numpy()
+        same = u[:-1] == u[1:]
+        cells = pd.DataFrame({"cur": t[:-1][same], "nxt": t[1:][same]})
+        agg = cells.groupby(["cur", "nxt"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return agg
+
+    parts = _add_key_bucket(
+        ds.select_columns([user_col, ts_col, id_col, type_col]),
+        user_col, num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "cur_type": pd.Series([], dtype="object"),
+            "predicted_next": pd.Series([], dtype="object"),
+            "n_transitions": pd.Series([], dtype="int64"),
+            "n_correct": pd.Series([], dtype="int64"),
+            "accuracy": pd.Series([], dtype="float64")})
+    c = parts.groupby(["cur", "nxt"], as_index=False)["n"].sum()
+    c = c.sort_values(["cur", "n", "nxt"],
+                      ascending=[True, False, True], kind="stable")
+    best = c.groupby("cur", as_index=False).first()
+    tot = c.groupby("cur", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_transitions"})
+    out = best.merge(tot, on="cur").rename(columns={
+        "cur": "cur_type", "nxt": "predicted_next", "n": "n_correct"})
+    out["n_transitions"] = out["n_transitions"].astype("int64")
+    out["n_correct"] = out["n_correct"].astype("int64")
+    out["accuracy"] = out["n_correct"].to_numpy(np.float64) \
+        / out["n_transitions"].to_numpy(np.float64)
+    out = out[["cur_type", "predicted_next", "n_transitions",
+               "n_correct", "accuracy"]]
+    return out.sort_values("cur_type").reset_index(drop=True)

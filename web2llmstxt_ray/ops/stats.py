@@ -1586,3 +1586,83 @@ def calibration_bins(ds: ray.data.Dataset, score_col: str,
     out["pos_rate"] = out["n_pos"].to_numpy(np.float64) \
         / out["n"].to_numpy(np.float64)
     return out.sort_values("bin").reset_index(drop=True)
+
+
+def rfm_segments(ds: ray.data.Dataset, key_col: str, ts_col: str,
+                 value_col: str, n_tiles: int = 5,
+                 num_buckets: int = 64) -> pd.DataFrame:
+    """RFM segmentation: per key the Recency (days from the key's
+    last activity to the corpus max date), Frequency (row count) and
+    Monetary (Σ exact cents) plus a 1..n_tiles quantile score per
+    dimension — the classic prioritization grid, reused here to rank
+    hosts/users for recrawl and sampling budgets.
+
+    Per-key (max-day, count, Σcents) partials are associative and
+    finish in ONE key-hash bucket shuffle; each dimension's score
+    boundaries come from the exact integer-ceil discrete-quantile
+    rule (``smallest v with cum ≥ ceil(q·n)``, q = i/n_tiles) over
+    the key-level value histogram, DUPLICATE boundaries collapse, and
+    ``score = 1 + #{distinct bounds < v}`` — ties land LOW, exactly
+    the SQL twin's window replay, so no float ever decides a score.
+    Output: (key, r_days, n_rows, value_cents, r_score, f_score,
+    m_score, rfm), sorted by key.
+    """
+    nsd = 86_400_000_000_000  # ns per day
+
+    def local_partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (pd.to_datetime(b[ts_col]).astype("datetime64[ns]")
+               .astype("int64") // nsd)
+        cents = np.rint(b[value_col].to_numpy(np.float64)
+                        * 100.0).astype(np.int64)
+        g = pd.DataFrame({key_col: b[key_col].astype("int64"),
+                          "_d": day, "_c": cents})
+        agg = g.groupby(key_col, as_index=False).agg(
+            _dmax=("_d", "max"), _n=("_d", "size"), _s=("_c", "sum"))
+        h = pd.util.hash_pandas_object(agg[key_col], index=False)
+        agg["_kb"] = (h % num_buckets).astype("int32")
+        return agg
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(key_col, as_index=False).agg(
+            _dmax=("_dmax", "max"), _n=("_n", "sum"), _s=("_s", "sum"))
+
+    keys = (ds.select_columns([key_col, ts_col, value_col])
+            .map_batches(local_partial, batch_format="pandas",
+                         batch_size=None)
+            .groupby("_kb").map_groups(per_bucket,
+                                       batch_format="pandas")
+            .to_pandas())
+    if keys.empty:
+        return pd.DataFrame({
+            key_col: pd.Series([], dtype="int64"),
+            "r_days": pd.Series([], dtype="int64"),
+            "n_rows": pd.Series([], dtype="int64"),
+            "value_cents": pd.Series([], dtype="int64"),
+            "r_score": pd.Series([], dtype="int64"),
+            "f_score": pd.Series([], dtype="int64"),
+            "m_score": pd.Series([], dtype="int64"),
+            "rfm": pd.Series([], dtype="object")})
+    gmax = int(keys["_dmax"].max())
+    out = pd.DataFrame({
+        key_col: keys[key_col].astype("int64"),
+        "r_days": (gmax - keys["_dmax"]).astype("int64"),
+        "n_rows": keys["_n"].astype("int64"),
+        "value_cents": keys["_s"].astype("int64")})
+
+    def scores(v: pd.Series) -> np.ndarray:
+        vals, counts = np.unique(v.to_numpy(np.int64),
+                                 return_counts=True)
+        bounds = sorted({_disc_quantile(vals, counts, q / n_tiles)
+                         for q in range(1, n_tiles)})
+        s = np.ones(len(v), dtype=np.int64)
+        for b in bounds:
+            s += (v.to_numpy(np.int64) > b).astype(np.int64)
+        return s
+
+    out["r_score"] = scores(out["r_days"])
+    out["f_score"] = scores(out["n_rows"])
+    out["m_score"] = scores(out["value_cents"])
+    out["rfm"] = (out["r_score"].astype(str)
+                  + out["f_score"].astype(str)
+                  + out["m_score"].astype(str))
+    return out.sort_values(key_col).reset_index(drop=True)

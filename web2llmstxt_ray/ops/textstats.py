@@ -510,3 +510,68 @@ def source_cosine_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                         "cosine": cos})
     return out.sort_values(["source_a", "source_b"]) \
         .reset_index(drop=True)
+
+
+def hapax_rate(ds: "ray.data.Dataset", text_col: str = "text",
+               group_col: str = "source",
+               num_buckets: int = 64) -> "pd.DataFrame":
+    """Per-group hapax legomena rate: the share of a group's DISTINCT
+    tokens that occur exactly once within the group — the
+    vocabulary-tail gauge that separates organic prose (fat hapax
+    tail) from template/boilerplate output (thin tail) one step
+    sharper than the type–token ratio.
+
+    Tokenization replays the SQL twin
+    (``string_split_regex(lower(trim(text)), '\\s+')`` over non-blank
+    docs). (group, token) count partials collapse block-locally and
+    finish in ONE pair-hash bucket shuffle — pairs partition across
+    buckets, so the per-bucket (n_types, n_hapax, n_tokens) group
+    partials are additive and the driver folds O(buckets · groups)
+    rows. ``hapax_rate`` is one exact int/int division. Output:
+    (group, n_types, n_hapax, n_tokens, hapax_rate), sorted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def local_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").str.strip()
+        keep = t != ""
+        toks = t[keep].str.lower().str.split(r"\s+", regex=True)
+        g = pd.DataFrame({group_col: b.loc[keep, group_col],
+                          "token": toks}).explode("token")
+        agg = g.groupby([group_col, "token"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        h = pd.util.hash_pandas_object(
+            agg[group_col].astype(str) + "\x00" + agg["token"],
+            index=False)
+        agg["_pb"] = (h % num_buckets).astype("int32")
+        return agg
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        pc = group.groupby([group_col, "token"], as_index=False)[
+            "n"].sum()
+        pc["_h"] = (pc["n"] == 1).astype("int64")
+        return pc.groupby(group_col, as_index=False).agg(
+            n_types=("_h", "size"), n_hapax=("_h", "sum"),
+            n_tokens=("n", "sum"))
+
+    parts = (ds.select_columns([group_col, text_col])
+             .map_batches(local_pairs, batch_format="pandas",
+                          batch_size=None)
+             .groupby("_pb").map_groups(per_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({
+            group_col: pd.Series([], dtype="object"),
+            "n_types": pd.Series([], dtype="int64"),
+            "n_hapax": pd.Series([], dtype="int64"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "hapax_rate": pd.Series([], dtype="float64")})
+    agg = parts.groupby(group_col, as_index=False)[
+        ["n_types", "n_hapax", "n_tokens"]].sum()
+    for c in ("n_types", "n_hapax", "n_tokens"):
+        agg[c] = agg[c].astype("int64")
+    agg["hapax_rate"] = agg["n_hapax"].to_numpy(np.float64) \
+        / agg["n_types"].to_numpy(np.float64)
+    return agg.sort_values(group_col).reset_index(drop=True)
