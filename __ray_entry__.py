@@ -5374,6 +5374,67 @@ def q_hapax_by_source(sf_dir: str) -> pd.DataFrame:
     return hapax_rate(_t(sf_dir, "documents", ["source", "text"]))
 
 
+def q_hourly_peaks(sf_dir: str) -> pd.DataFrame:
+    """Diurnal peak hour per event type (ties → smallest hour) with
+    its traffic share — the recrawl-scheduling seasonality read. See
+    :func:`ops.events.hourly_peak_profile`."""
+    from web2llmstxt_ray.ops.events import hourly_peak_profile
+
+    return hourly_peak_profile(
+        _t(sf_dir, "events", ["ts", "event_type"]))
+
+
+def q_short_doc_wilson(sf_dir: str) -> pd.DataFrame:
+    """Per-source short-doc rate (<30 tokens) with Wilson 95% bounds
+    — junk-source flagging with sample-size-honest intervals. See
+    :func:`ops.textstats.short_doc_wilson`."""
+    from web2llmstxt_ray.ops.textstats import short_doc_wilson
+
+    return short_doc_wilson(
+        _t(sf_dir, "documents", ["source", "text"]), max_tokens=30)
+
+
+def q_value_top_share(sf_dir: str) -> pd.DataFrame:
+    """Whale concentration per event type: share of total value in
+    the top 1% of events by value (k = ceil(n/100), tie-proof
+    histogram rule). See :func:`ops.stats.grouped_top_share`."""
+    from web2llmstxt_ray.ops.stats import grouped_top_share
+
+    return grouped_top_share(
+        _t(sf_dir, "events", ["event_type", "value"]),
+        group_col="event_type", value_col="value",
+        top_denominator=100)
+
+
+def q_type_supplier_hhi(sf_dir: str) -> pd.DataFrame:
+    """Supplier revenue concentration (HHI) within each part type —
+    single-supplier-risk per segment; lineitem⋈part rides the
+    partitioned hash join, squares fold in exact Python ints. See
+    :func:`ops.stats.grouped_hhi`."""
+    from web2llmstxt_ray.ops.relational import hash_join
+    from web2llmstxt_ray.ops.stats import grouped_hhi
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_partkey": b["l_partkey"].astype("int64"),
+            "l_suppkey": b["l_suppkey"].astype("int64"),
+            "_c": np.rint(b["l_extendedprice"].to_numpy(np.float64)
+                          * 100.0).astype(np.int64)})
+        return g.groupby(["l_partkey", "l_suppkey"],
+                         as_index=False)["_c"].sum()
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(li_partial, batch_format="pandas",
+                     batch_size=None)
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda b: b.rename(columns={"p_partkey": "l_partkey"}),
+        batch_format="pandas", batch_size=None)
+    joined = hash_join(li, part, on="l_partkey")
+    return grouped_hhi(joined, group_col="p_type",
+                       member_col="l_suppkey", cents_col="_c")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5651,6 +5712,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_event_pred": q_next_event_pred,
         "rfm_segments": q_rfm_segments,
         "hapax_by_source": q_hapax_by_source,
+        "hourly_peaks": q_hourly_peaks,
+        "short_doc_wilson": q_short_doc_wilson,
+        "value_top_share": q_value_top_share,
+        "type_supplier_hhi": q_type_supplier_hhi,
     }
 
 
@@ -9671,5 +9736,102 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
                         AS DOUBLE) / count(*) AS hapax_rate
             FROM pc GROUP BY 1 ORDER BY 1
+        """,
+        "hourly_peaks": """
+            WITH h AS (SELECT event_type AS t,
+                              CAST(hour(ts) AS BIGINT) AS hr,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            tot AS (SELECT t, sum(n) AS nt FROM h GROUP BY 1),
+            best AS (SELECT t, hr, n FROM h
+                     QUALIFY row_number() OVER
+                         (PARTITION BY t
+                          ORDER BY n DESC, hr) = 1)
+            SELECT b.t AS event_type, b.hr AS peak_hour,
+                   CAST(b.n AS BIGINT) AS n_peak,
+                   CAST(x.nt AS BIGINT) AS n_total,
+                   CAST(b.n AS DOUBLE) / CAST(x.nt AS DOUBLE)
+                       AS peak_share
+            FROM best b JOIN tot x ON b.t = x.t ORDER BY 1
+        """,
+        "short_doc_wilson": """
+            WITH d AS (SELECT source,
+                              CASE WHEN len(string_split_regex(
+                                       lower(trim(text)), '\\s+'))
+                                   < 30 THEN 1 ELSE 0 END AS s
+                       FROM documents),
+            a AS (SELECT source, count(*) AS n,
+                         CAST(sum(s) AS BIGINT) AS k
+                  FROM d GROUP BY 1)
+            SELECT source, n AS n_docs, k AS n_short,
+                   CAST(k AS DOUBLE) / n AS short_rate,
+                   ((CAST(k AS DOUBLE) / n)
+                        + (1.96 * 1.96) / (2.0 * n))
+                       / (1.0 + (1.96 * 1.96) / n)
+                   - (1.96 * sqrt(
+                          (CAST(k AS DOUBLE) / n)
+                          * (1.0 - CAST(k AS DOUBLE) / n) / n
+                          + (1.96 * 1.96) / (4.0 * n * n)))
+                       / (1.0 + (1.96 * 1.96) / n) AS wilson_lo,
+                   ((CAST(k AS DOUBLE) / n)
+                        + (1.96 * 1.96) / (2.0 * n))
+                       / (1.0 + (1.96 * 1.96) / n)
+                   + (1.96 * sqrt(
+                          (CAST(k AS DOUBLE) / n)
+                          * (1.0 - CAST(k AS DOUBLE) / n) / n
+                          + (1.96 * 1.96) / (4.0 * n * n)))
+                       / (1.0 + (1.96 * 1.96) / n) AS wilson_hi
+            FROM a ORDER BY 1
+        """,
+        "value_top_share": """
+            WITH s AS (SELECT event_type AS g,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events),
+            h AS (SELECT g, v, count(*) AS c FROM s GROUP BY 1, 2),
+            w AS (SELECT g, v, c,
+                         sum(c) OVER (PARTITION BY g
+                                      ORDER BY v DESC) AS cum,
+                         sum(c) OVER (PARTITION BY g) AS n,
+                         sum(CAST(v AS HUGEINT) * c) OVER
+                             (PARTITION BY g) AS tot
+                  FROM h),
+            co AS (SELECT g, max(v) AS cutoff
+                   FROM w WHERE cum >= (n + 99) // 100 GROUP BY g),
+            ab AS (SELECT w.g,
+                          coalesce(sum(CASE WHEN v > cutoff
+                               THEN CAST(v AS HUGEINT) * c END), 0)
+                              AS sum_above,
+                          coalesce(sum(CASE WHEN v > cutoff
+                               THEN c END), 0) AS n_above
+                   FROM w JOIN co ON w.g = co.g GROUP BY w.g),
+            f AS (SELECT DISTINCT w.g, w.n, (w.n + 99) // 100 AS k,
+                         w.tot, co.cutoff, ab.sum_above, ab.n_above
+                  FROM w JOIN co ON w.g = co.g
+                         JOIN ab ON w.g = ab.g)
+            SELECT g AS event_type,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(k AS BIGINT) AS k,
+                   CAST(sum_above + (k - n_above) * cutoff
+                        AS BIGINT) AS top_value_cents,
+                   CAST(tot AS BIGINT) AS total_value_cents,
+                   CAST(sum_above + (k - n_above) * cutoff
+                        AS DOUBLE) / CAST(tot AS DOUBLE)
+                       AS top_share
+            FROM f ORDER BY 1
+        """,
+        "type_supplier_hhi": """
+            WITH r AS (SELECT p_type, l_suppkey,
+                              sum(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM lineitem JOIN part
+                            ON l_partkey = p_partkey
+                       GROUP BY 1, 2)
+            SELECT p_type,
+                   count(*) AS n_members,
+                   CAST(sum(rev) AS BIGINT) AS total_cents,
+                   CAST(sum(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+                       / CAST(CAST(sum(rev) AS HUGEINT) * sum(rev)
+                              AS DOUBLE) AS hhi
+            FROM r GROUP BY 1 ORDER BY 1
         """,
     }

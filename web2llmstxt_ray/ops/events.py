@@ -805,3 +805,52 @@ def next_event_accuracy(ds: ray.data.Dataset,
     out = out[["cur_type", "predicted_next", "n_transitions",
                "n_correct", "accuracy"]]
     return out.sort_values("cur_type").reset_index(drop=True)
+
+
+def hourly_peak_profile(ds: ray.data.Dataset, ts_col: str = "ts",
+                        type_col: str = "event_type") -> pd.DataFrame:
+    """Diurnal load profile per event type: the peak hour-of-day
+    (ties → smallest hour), its count, and its share of the type's
+    traffic — the when-to-schedule-recrawls / when-does-the-bot-run
+    seasonality read.
+
+    MAP-ONLY: per-block (type, hour) count partials are additive and
+    O(types · 24); the driver folds them and picks each type's peak
+    with the deterministic (n desc, hour asc) rule. ``peak_share``
+    is one exact int/int float division. Output: (event_type,
+    peak_hour, n_peak, n_total, peak_share), sorted by event_type.
+    """
+    import numpy as np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "t": b[type_col],
+            "hr": pd.to_datetime(b[ts_col]).dt.hour.astype("int64")})
+        return g.groupby(["t", "hr"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.select_columns([ts_col, type_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "peak_hour": pd.Series([], dtype="int64"),
+            "n_peak": pd.Series([], dtype="int64"),
+            "n_total": pd.Series([], dtype="int64"),
+            "peak_share": pd.Series([], dtype="float64")})
+    h = parts.groupby(["t", "hr"], as_index=False)["n"].sum()
+    h = h.sort_values(["t", "n", "hr"],
+                      ascending=[True, False, True], kind="stable")
+    best = h.groupby("t", as_index=False).first()
+    tot = h.groupby("t", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_total"})
+    out = best.merge(tot, on="t").rename(columns={
+        "t": "event_type", "hr": "peak_hour", "n": "n_peak"})
+    out["peak_hour"] = out["peak_hour"].astype("int64")
+    out["n_peak"] = out["n_peak"].astype("int64")
+    out["n_total"] = out["n_total"].astype("int64")
+    out["peak_share"] = out["n_peak"].to_numpy(np.float64) \
+        / out["n_total"].to_numpy(np.float64)
+    return out[["event_type", "peak_hour", "n_peak", "n_total",
+                "peak_share"]].sort_values("event_type") \
+        .reset_index(drop=True)

@@ -1666,3 +1666,142 @@ def rfm_segments(ds: ray.data.Dataset, key_col: str, ts_col: str,
                   + out["f_score"].astype(str)
                   + out["m_score"].astype(str))
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def grouped_top_share(ds: ray.data.Dataset, group_col: str,
+                      value_col: str, top_denominator: int = 100,
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Whale concentration per group: the share of a group's total
+    value carried by its top ``1/top_denominator`` fraction of rows
+    (k = ceil(n/denominator), descending by value) — the
+    is-this-metric-driven-by-a-few-outliers gauge.
+
+    The top-k SUM never needs ids: from the per-(group, value-cents)
+    histogram, ``top = Σ_{v>cutoff} v·c + (k − n_above)·cutoff``
+    where the cutoff is the largest value whose descending
+    cumulative count reaches k — tie-proof and partitioning-proof.
+    Block-local histogram partials are additive and finish in ONE
+    group-hash shuffle; value sums fold in exact PYTHON ints (no
+    int64 wrap at any scale) and ``top_share`` is one float division
+    replayed by the HUGEINT SQL twin. Output: (group, n_rows, k,
+    top_value_cents, total_value_cents, top_share), sorted.
+    """
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(b[value_col].to_numpy(np.float64)
+                    * 100.0).astype(np.int64)
+        g = pd.DataFrame({group_col: b[group_col], "_v": c})
+        agg = g.groupby([group_col, "_v"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        h = pd.util.hash_pandas_object(agg[group_col].astype(str),
+                                       index=False)
+        agg["_gb"] = (h % num_buckets).astype("int32")
+        return agg
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        hist = group.groupby([group_col, "_v"], as_index=False)[
+            "n"].sum()
+        for gval, gh in hist.groupby(group_col):
+            gh = gh.sort_values("_v", ascending=False)
+            vs = gh["_v"].tolist()
+            cs = gh["n"].tolist()
+            n = sum(cs)
+            k = (n + top_denominator - 1) // top_denominator
+            tot = 0
+            top = 0
+            above = 0
+            cum = 0
+            cutoff = None
+            for v, c in zip(vs, cs):
+                tot += int(v) * int(c)
+                cum += int(c)
+                if cutoff is None and cum >= k:
+                    cutoff = int(v)
+                    above = cum - int(c)
+                elif cutoff is None:
+                    top += int(v) * int(c)
+            top += (k - above) * cutoff
+            rows.append((gval, n, k, top, tot))
+        return pd.DataFrame(rows, columns=[
+            group_col, "n_rows", "k", "top_value_cents",
+            "total_value_cents"])
+
+    out = (ds.select_columns([group_col, value_col])
+           .map_batches(local, batch_format="pandas",
+                        batch_size=None)
+           .groupby("_gb").map_groups(per_bucket,
+                                      batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({
+            group_col: pd.Series([], dtype="object"),
+            "n_rows": pd.Series([], dtype="int64"),
+            "k": pd.Series([], dtype="int64"),
+            "top_value_cents": pd.Series([], dtype="int64"),
+            "total_value_cents": pd.Series([], dtype="int64"),
+            "top_share": pd.Series([], dtype="float64")})
+    for c in ("n_rows", "k", "top_value_cents", "total_value_cents"):
+        out[c] = out[c].astype("int64")
+    out["top_share"] = out["top_value_cents"].to_numpy(np.float64) \
+        / out["total_value_cents"].to_numpy(np.float64)
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_hhi(ds: ray.data.Dataset, group_col: str,
+                member_col: str, cents_col: str,
+                num_buckets: int = 64) -> pd.DataFrame:
+    """Herfindahl–Hirschman concentration of value across members
+    within each group (HHI = Σ shareᵢ² = Σ revᵢ² / (Σ revᵢ)²) — the
+    single-supplier-risk / single-host-dominance gauge; 1/n_members
+    means perfectly even, 1.0 means a monopoly.
+
+    Per-(group, member) cent sums collapse block-locally and finish
+    in ONE pair-hash bucket shuffle; the squares fold in exact PYTHON
+    ints (revᵢ² overflows int64 long before the data gets
+    interesting) and ``hhi = float(Σrev²) / float((Σrev)²)`` is one
+    division of two exact integers, replayed by the HUGEINT SQL
+    twin. Output: (group, n_members, total_cents, hhi), sorted.
+    """
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        agg = b.groupby([group_col, member_col], as_index=False)[
+            cents_col].sum().rename(columns={cents_col: "_r"})
+        h = pd.util.hash_pandas_object(
+            agg[group_col].astype(str) + "\x00"
+            + agg[member_col].astype(str), index=False)
+        agg["_pb"] = (h % num_buckets).astype("int32")
+        return agg
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        pc = group.groupby([group_col, member_col], as_index=False)[
+            "_r"].sum()
+        rows = []
+        for gval, gh in pc.groupby(group_col):
+            revs = [int(r) for r in gh["_r"].tolist()]
+            rows.append((gval, len(revs), sum(revs),
+                         str(sum(r * r for r in revs))))
+        return pd.DataFrame(rows, columns=[
+            group_col, "n_members", "total_cents", "_sq"])
+
+    parts = (ds.select_columns([group_col, member_col, cents_col])
+             .map_batches(local, batch_format="pandas",
+                          batch_size=None)
+             .groupby("_pb").map_groups(per_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({
+            group_col: pd.Series([], dtype="object"),
+            "n_members": pd.Series([], dtype="int64"),
+            "total_cents": pd.Series([], dtype="int64"),
+            "hhi": pd.Series([], dtype="float64")})
+    rows = []
+    for gval, gh in parts.groupby(group_col):
+        n_m = int(gh["n_members"].sum())
+        tot = int(gh["total_cents"].astype(object).sum())
+        sq = sum(int(v) for v in gh["_sq"].tolist())
+        rows.append((gval, n_m, tot, float(sq) / float(tot * tot)))
+    out = pd.DataFrame(rows, columns=[group_col, "n_members",
+                                      "total_cents", "hhi"])
+    out["n_members"] = out["n_members"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -575,3 +575,66 @@ def hapax_rate(ds: "ray.data.Dataset", text_col: str = "text",
     agg["hapax_rate"] = agg["n_hapax"].to_numpy(np.float64) \
         / agg["n_types"].to_numpy(np.float64)
     return agg.sort_values(group_col).reset_index(drop=True)
+
+
+def short_doc_wilson(ds: "ray.data.Dataset", text_col: str = "text",
+                     group_col: str = "source",
+                     max_tokens: int = 30,
+                     z: float = 1.96) -> "pd.DataFrame":
+    """Per-group short-document rate with a Wilson score interval:
+    the share of a group's docs under ``max_tokens`` whitespace
+    tokens, plus the 95% confidence band — so a source can be
+    labeled junk (or cleared) with an honest sample-size-aware bound
+    instead of a raw ratio that swings wildly on 10-doc sources.
+
+    MAP-ONLY additive (n, k) partials per group; the Wilson bounds
+    are computed from the exact integer pair with an expression tree
+    mirrored verbatim by the SQL twin (same operation order, IEEE
+    sqrt), so the floats replay bit-for-bit. Output: (group, n_docs,
+    n_short, short_rate, wilson_lo, wilson_hi), sorted.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col].fillna("").str.strip()
+        ntok = t.str.lower().str.split(r"\s+", regex=True).str.len()
+        g = pd.DataFrame({
+            group_col: b[group_col],
+            "_s": (ntok < max_tokens).astype("int64")})
+        return g.groupby(group_col, as_index=False).agg(
+            n=("_s", "size"), k=("_s", "sum"))
+
+    parts = ds.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            group_col: pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_short": pd.Series([], dtype="int64"),
+            "short_rate": pd.Series([], dtype="float64"),
+            "wilson_lo": pd.Series([], dtype="float64"),
+            "wilson_hi": pd.Series([], dtype="float64")})
+    agg = parts.groupby(group_col, as_index=False)[["n", "k"]].sum()
+    z2 = z * z
+    lo, hi, rate = [], [], []
+    for n_i, k_i in zip(agg["n"].tolist(), agg["k"].tolist()):
+        n_f = float(n_i)
+        p = float(k_i) / n_f
+        denom = 1.0 + z2 / n_f
+        center = (p + z2 / (2.0 * n_f)) / denom
+        half = (z * math.sqrt(p * (1.0 - p) / n_f
+                              + z2 / (4.0 * n_f * n_f))) / denom
+        rate.append(p)
+        lo.append(center - half)
+        hi.append(center + half)
+    out = pd.DataFrame({
+        group_col: agg[group_col],
+        "n_docs": agg["n"].astype("int64"),
+        "n_short": agg["k"].astype("int64"),
+        "short_rate": np.asarray(rate, dtype=np.float64),
+        "wilson_lo": np.asarray(lo, dtype=np.float64),
+        "wilson_hi": np.asarray(hi, dtype=np.float64)})
+    return out.sort_values(group_col).reset_index(drop=True)
