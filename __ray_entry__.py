@@ -5435,6 +5435,49 @@ def q_type_supplier_hhi(sf_dir: str) -> pd.DataFrame:
                        member_col="l_suppkey", cents_col="_c")
 
 
+def q_ushape_attribution(sf_dir: str) -> pd.DataFrame:
+    """U-shaped (position-based) multi-touch attribution: 40% first /
+    40% last / middles split the rest, all exact integer cents so
+    credits reconcile to each purchase. See
+    :func:`ops.windows.ushape_touch_attribution`."""
+    from web2llmstxt_ray.ops.windows import ushape_touch_attribution
+
+    return ushape_touch_attribution(
+        _t(sf_dir, "events",
+           ["event_id", "user_id", "ts", "event_type", "value"]))
+
+
+def q_emb_norm_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-label exact integer squared-norm quartiles of the
+    embeddings (encoder-drift / degenerate-label gauge, no float
+    summation anywhere). See :func:`ops.ann.emb_norm_profile`."""
+    from web2llmstxt_ray.ops.ann import emb_norm_profile
+
+    return emb_norm_profile(
+        _t(sf_dir, "embeddings", ["embedding", "label"]))
+
+
+def q_blocking_cost(sf_dir: str) -> pd.DataFrame:
+    """Blocked-similarity-join cost audit over (lang, n_chars//256)
+    blocking keys: exact candidate-pair count, block count, largest
+    block per lang. See :func:`ops.dedup.blocking_cost_audit`."""
+    from web2llmstxt_ray.ops.dedup import blocking_cost_audit
+
+    return blocking_cost_audit(
+        _t(sf_dir, "documents", ["lang", "n_chars"]),
+        group_col="lang", size_col="n_chars", block_width=256)
+
+
+def q_block_skew(sf_dir: str) -> pd.DataFrame:
+    """Ray-native physical-layout audit of the documents read:
+    per-block row-count balance (no SQL analogue by design — it
+    measures the execution layout). See
+    :func:`ops.dedup.block_skew_audit`."""
+    from web2llmstxt_ray.ops.dedup import block_skew_audit
+
+    return block_skew_audit(_t(sf_dir, "documents", ["doc_id"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5716,6 +5759,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "short_doc_wilson": q_short_doc_wilson,
         "value_top_share": q_value_top_share,
         "type_supplier_hhi": q_type_supplier_hhi,
+        "ushape_attribution": q_ushape_attribution,
+        "emb_norm_profile": q_emb_norm_profile,
+        "blocking_cost": q_blocking_cost,
+        "block_skew": q_block_skew,
     }
 
 
@@ -9833,5 +9880,88 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(CAST(sum(rev) AS HUGEINT) * sum(rev)
                               AS DOUBLE) AS hhi
             FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "ushape_attribution": """
+            WITH e AS (SELECT event_id, user_id, ts, event_type,
+                              CAST(round(value * 100) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            p AS (SELECT event_id, user_id, ts, cents FROM e
+                  WHERE event_type = 'purchase'),
+            w AS (SELECT p.event_id AS pe, p.cents, e2.event_type,
+                         row_number() OVER (
+                             PARTITION BY p.event_id
+                             ORDER BY e2.ts, e2.event_id) AS rk,
+                         count(*) OVER (PARTITION BY p.event_id)
+                             AS n
+                  FROM p JOIN e e2 ON e2.user_id = p.user_id
+                   AND e2.ts >= p.ts - INTERVAL 7 DAY
+                   AND (e2.ts < p.ts
+                        OR (e2.ts = p.ts
+                            AND e2.event_id < p.event_id))),
+            c AS (SELECT event_type AS channel,
+                         CASE WHEN n = 1 THEN cents
+                              WHEN n = 2 THEN
+                                  CASE WHEN rk = 1
+                                       THEN cents - cents // 2
+                                       ELSE cents // 2 END
+                              WHEN rk = 1 OR rk = n
+                                  THEN (cents * 2) // 5
+                              ELSE (cents - 2 * ((cents * 2) // 5))
+                                       // (n - 2)
+                                   + CASE WHEN rk - 1 <=
+                                       (cents - 2 * ((cents * 2)
+                                        // 5)) % (n - 2)
+                                     THEN 1 ELSE 0 END
+                         END AS credit
+                  FROM w
+                  UNION ALL
+                  SELECT 'direct', cents
+                  FROM p LEFT JOIN (SELECT DISTINCT pe FROM w) t
+                    ON t.pe = p.event_id
+                  WHERE t.pe IS NULL)
+            SELECT channel, CAST(sum(credit) AS BIGINT) AS revenue_i,
+                   CAST(count(*) AS BIGINT) AS n_touches
+            FROM c GROUP BY channel ORDER BY channel
+        """,
+        "emb_norm_profile": """
+            WITH q AS (SELECT label,
+                              list_transform(
+                                  CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * 32768.0 + 0.5)
+                                            AS BIGINT)) AS qv
+                       FROM embeddings),
+            n AS (SELECT CAST(label AS BIGINT) AS label,
+                         CAST(list_dot_product(qv, qv) AS BIGINT)
+                             AS n2
+                  FROM q),
+            h AS (SELECT label, n2, count(*) AS c
+                  FROM n GROUP BY 1, 2),
+            w AS (SELECT label, n2,
+                         sum(c) OVER (PARTITION BY label
+                                      ORDER BY n2) AS cum,
+                         sum(c) OVER (PARTITION BY label) AS tot
+                  FROM h)
+            SELECT label,
+                   CAST(any_value(tot) AS BIGINT) AS n_vecs,
+                   CAST(min(CASE WHEN cum >= (tot + 3) // 4
+                                 THEN n2 END) AS BIGINT) AS p25,
+                   CAST(min(CASE WHEN cum >= (tot + 1) // 2
+                                 THEN n2 END) AS BIGINT) AS p50,
+                   CAST(min(CASE WHEN cum >= (3 * tot + 3) // 4
+                                 THEN n2 END) AS BIGINT) AS p75
+            FROM w GROUP BY label ORDER BY label
+        """,
+        "blocking_cost": """
+            WITH b AS (SELECT lang, n_chars // 256 AS blk,
+                              count(*) AS c
+                       FROM documents GROUP BY 1, 2)
+            SELECT lang,
+                   CAST(sum(c) AS BIGINT) AS n_docs,
+                   count(*) AS n_blocks,
+                   CAST(max(c) AS BIGINT) AS max_block,
+                   CAST(sum(CAST(c AS HUGEINT) * (c - 1) // 2)
+                        AS BIGINT) AS pair_cost
+            FROM b GROUP BY 1 ORDER BY 1
         """,
     }

@@ -921,3 +921,89 @@ def lsh_bucket_balance(ds: ray.data.Dataset,
     agg["bucket"] = agg["bucket"].astype("int64")
     agg["n_vecs"] = agg["n_vecs"].astype("int64")
     return agg.sort_values("bucket").reset_index(drop=True)
+
+
+def emb_norm_profile(ds: ray.data.Dataset,
+                     vec_col: str = "embedding",
+                     label_col: str = "label",
+                     scale_bits: int = 15,
+                     num_buckets: int = 32) -> "pd.DataFrame":
+    """Per-label embedding-norm profile: exact discrete quartiles of
+    the INTEGER squared norm ``Σ floor(x·2^sb + 0.5)²`` — the
+    did-the-encoder-drift / is-this-label-degenerate gauge (collapsed
+    or exploded norms are the first symptom of a bad embedding
+    batch), with no float summation anywhere.
+
+    Block-local (label, norm², count) histogram partials are additive
+    and finish in ONE label-hash shuffle; quartiles follow the exact
+    integer-ceil rule (smallest value with cum ≥ ceil(q·n)) per label
+    in-bucket. Output: (label, n_vecs, p25, p50, p75), sorted.
+    """
+    import pandas as pd
+
+    from .veckit import vec_matrix
+
+    scale = float(1 << scale_bits)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = vec_matrix(batch, vec_col).astype(np.float64)
+        if not X.size:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n2": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "_lb": pa.array([], pa.int32())})
+        if np.abs(X).max() > 8.0:
+            raise ValueError("emb_norm_profile: |component| > 8 "
+                             "breaks the exact-integer contract at "
+                             f"scale_bits={scale_bits}")
+        Q = np.floor(X * scale + 0.5).astype(np.int64)
+        n2 = (Q * Q).sum(axis=1)
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({"label": lab, "n2": n2})
+        agg = df.groupby(["label", "n2"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        agg["_lb"] = (pd.util.hash_pandas_object(agg["label"],
+                                                 index=False)
+                      % num_buckets).astype("int32")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def per_bucket(group: "pd.DataFrame") -> "pd.DataFrame":
+        hist = group.groupby(["label", "n2"], as_index=False)[
+            "c"].sum()
+
+        def disc_q(vals, cum, n, num, den):
+            # smallest value with cum >= ceil(num*n/den), exact ints
+            need = (num * n + den - 1) // den
+            return int(vals[int(np.searchsorted(cum, need,
+                                                side="left"))])
+
+        rows = []
+        for lab, gh in hist.groupby("label"):
+            gh = gh.sort_values("n2")
+            vals = gh["n2"].to_numpy(np.int64)
+            cum = np.cumsum(gh["c"].to_numpy(np.int64))
+            n = int(cum[-1])
+            rows.append((int(lab), n,
+                         disc_q(vals, cum, n, 1, 4),
+                         disc_q(vals, cum, n, 1, 2),
+                         disc_q(vals, cum, n, 3, 4)))
+        return pd.DataFrame(rows, columns=["label", "n_vecs",
+                                           "p25", "p50", "p75"])
+
+    out = (ds.select_columns([vec_col, label_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
+           .groupby("_lb").map_groups(per_bucket,
+                                      batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({
+            "label": pd.Series([], dtype="int64"),
+            "n_vecs": pd.Series([], dtype="int64"),
+            "p25": pd.Series([], dtype="int64"),
+            "p50": pd.Series([], dtype="int64"),
+            "p75": pd.Series([], dtype="int64")})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)

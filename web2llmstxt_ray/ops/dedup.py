@@ -2086,3 +2086,99 @@ def dup_cluster_hist(ds: ray.data.Dataset, text_col: str = "text",
     agg["n_docs"] = (agg["cluster_size"]
                      * agg["n_clusters"]).astype("int64")
     return agg.sort_values("cluster_size").reset_index(drop=True)
+
+
+def blocking_cost_audit(ds: ray.data.Dataset, group_col: str = "lang",
+                        size_col: str = "n_chars",
+                        block_width: int = 256,
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Pre-flight cost audit for a BLOCKED similarity join: docs land
+    in ``(group, size // block_width)`` blocking keys and each group
+    reports its block count, largest block and the exact candidate
+    pair count ``Σ c·(c−1)/2`` — the is-this-blocking-scheme-still-
+    quadratic check you run BEFORE committing a 10^9-doc near-dup
+    pass to it.
+
+    Per-(group, block) count partials are additive, finish in ONE
+    block-key-hash shuffle, and the per-group (n_blocks, n_docs,
+    max_block, pair_cost) partials are additive/max-mergeable again —
+    the driver folds O(buckets · groups) rows. Output: (group,
+    n_docs, n_blocks, max_block, pair_cost), sorted.
+    """
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            group_col: b[group_col],
+            "_blk": b[size_col].astype("int64") // block_width})
+        agg = g.groupby([group_col, "_blk"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        h = pd.util.hash_pandas_object(
+            agg[group_col].astype(str) + "\x00"
+            + agg["_blk"].astype(str), index=False)
+        agg["_bb"] = (h % num_buckets).astype("int32")
+        return agg
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        blk = group.groupby([group_col, "_blk"], as_index=False)[
+            "c"].sum()
+        rows = []
+        for gval, gh in blk.groupby(group_col):
+            cs = [int(c) for c in gh["c"].tolist()]
+            rows.append((gval, sum(cs), len(cs), max(cs),
+                         sum(c * (c - 1) // 2 for c in cs)))
+        return pd.DataFrame(rows, columns=[
+            group_col, "n_docs", "n_blocks", "max_block",
+            "pair_cost"])
+
+    parts = (ds.select_columns([group_col, size_col])
+             .map_batches(local, batch_format="pandas",
+                          batch_size=None)
+             .groupby("_bb").map_groups(per_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({
+            group_col: pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_blocks": pd.Series([], dtype="int64"),
+            "max_block": pd.Series([], dtype="int64"),
+            "pair_cost": pd.Series([], dtype="int64")})
+    agg = parts.groupby(group_col, as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_blocks=("n_blocks", "sum"),
+        max_block=("max_block", "max"), pair_cost=("pair_cost", "sum"))
+    for c in ("n_docs", "n_blocks", "max_block", "pair_cost"):
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values(group_col).reset_index(drop=True)
+
+
+def block_skew_audit(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Ray-native block-balance audit: per-input-block row counts
+    folded to (n_blocks, min/max/mean rows, skew = max/mean) — the
+    engine-level check that a Dataset's physical layout won't starve
+    the pool (one fat block serializes a 32-way stage). No SQL
+    analogue by design: it measures the EXECUTION layout, not the
+    data. MAP-ONLY (one count row per block).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def one(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"rows": [int(len(b))]})
+
+    counts = ds.map_batches(one, batch_format="pandas",
+                            batch_size=None).to_pandas()
+    counts = counts[counts["rows"] > 0]
+    if counts.empty:
+        return pd.DataFrame({
+            "n_blocks": pd.Series([0], dtype="int64"),
+            "min_rows": pd.Series([0], dtype="int64"),
+            "max_rows": pd.Series([0], dtype="int64"),
+            "mean_rows": pd.Series([0.0], dtype="float64"),
+            "skew": pd.Series([0.0], dtype="float64")})
+    r = counts["rows"].to_numpy(np.int64)
+    mean = float(r.sum()) / float(len(r))
+    return pd.DataFrame({
+        "n_blocks": pd.Series([len(r)], dtype="int64"),
+        "min_rows": pd.Series([int(r.min())], dtype="int64"),
+        "max_rows": pd.Series([int(r.max())], dtype="int64"),
+        "mean_rows": pd.Series([mean], dtype="float64"),
+        "skew": pd.Series([float(r.max()) / mean], dtype="float64")})

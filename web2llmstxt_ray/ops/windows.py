@@ -1698,3 +1698,104 @@ def gap_expfit_ks(ds: ray.data.Dataset, key_col: str = "user_id",
     return pd.DataFrame({"n_gaps": pd.Series([n], dtype="int64"),
                          "lambda_per_day": [lam],
                          "ks_d": [d]})
+
+
+def ushape_touch_attribution(ds: ray.data.Dataset,
+                             key_col: str = "user_id",
+                             ts_col: str = "ts",
+                             id_col: str = "event_id",
+                             type_col: str = "event_type",
+                             value_col: str = "value",
+                             purchase_type: str = "purchase",
+                             lookback_days: int = 7,
+                             num_buckets: int = 64) -> pd.DataFrame:
+    """U-shaped (position-based) multi-touch attribution with EXACT
+    integer credit: 40% of each purchase's cents to the FIRST touch,
+    40% to the LAST, and the remainder split equally across the
+    middles (remainder cents to the earliest middles) — so credits
+    always reconcile to the purchase exactly. n = 1 takes all, n = 2
+    splits cents−cents//2 / cents//2, windowless purchases credit
+    'direct'. All integer floor arithmetic, replayed verbatim by the
+    SQL twin's CASE ladder.
+
+    Same one-shuffle composite-axis searchsorted + vectorized window
+    materialization shape as :func:`linear_touch_attribution`.
+    Output: (channel, revenue_i, n_touches).
+    """
+    look_us = np.int64(lookback_days) * 86_400_000_000
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        empty = pd.DataFrame({
+            "channel": pd.Series([], dtype="object"),
+            "revenue_i": pd.Series([], dtype="int64"),
+            "n_touches": pd.Series([], dtype="int64")})
+        if not len(g):
+            return empty
+        code = pd.factorize(g[key_col].to_numpy())[0].astype("int64")
+        ts_us = (g[ts_col].to_numpy().astype("datetime64[us]")
+                 .astype("int64"))
+        tmin = ts_us.min()
+        K = np.int64(ts_us.max() - tmin) + look_us + np.int64(2)
+        comp = code * K + (ts_us - tmin)
+        types = g[type_col].to_numpy()
+        pos = np.flatnonzero(types == purchase_type)
+        if not len(pos):
+            return empty
+        cutoff = np.maximum(ts_us[pos] - tmin - look_us, 0)
+        ws = np.searchsorted(comp, code[pos] * K + cutoff,
+                             side="left")
+        n = pos - ws
+        cents = np.rint(
+            g[value_col].to_numpy()[pos] * 100).astype("int64")
+        direct = n == 0
+        rows = [pd.DataFrame({"channel": ["direct"] * int(direct.sum()),
+                              "credit": cents[direct]})]
+        t = ~direct
+        if t.any():
+            nt, wst, ct = n[t], ws[t], cents[t]
+            total = int(nt.sum())
+            csum = np.cumsum(nt) - nt
+            rank = np.arange(total) - np.repeat(csum, nt)
+            member = np.repeat(wst, nt) + rank
+            rn = np.repeat(nt, nt)
+            rc = np.repeat(ct, nt)
+            first = rank == 0
+            last = rank == rn - 1
+            end40 = (rc * 2) // 5
+            mid_tot = rc - 2 * end40
+            # guard n-2 = 0 (no middles exist then; the where masks
+            # keep the division defined)
+            nmid = np.maximum(rn - 2, 1)
+            mid_base = mid_tot // nmid
+            mid_extra = ((rank - 1) < mid_tot % nmid).astype("int64")
+            credit = np.where(
+                rn == 1, rc,
+                np.where(rn == 2,
+                         np.where(first, rc - rc // 2, rc // 2),
+                         np.where(first | last, end40,
+                                  mid_base + mid_extra)))
+            rows.append(pd.DataFrame({"channel": types[member],
+                                      "credit": credit}))
+        allc = pd.concat(rows, ignore_index=True)
+        return (allc.groupby("channel", as_index=False)
+                .agg(revenue_i=("credit", "sum"),
+                     n_touches=("credit", "size")))
+
+    parts = (_add_key_bucket(
+        ds.select_columns([id_col, key_col, ts_col, type_col,
+                           value_col]), key_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas")
+        .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({
+            "channel": pd.Series([], dtype="object"),
+            "revenue_i": pd.Series([], dtype="int64"),
+            "n_touches": pd.Series([], dtype="int64")})
+    out = (parts.groupby("channel", as_index=False)
+           .agg(revenue_i=("revenue_i", "sum"),
+                n_touches=("n_touches", "sum")))
+    out["revenue_i"] = out["revenue_i"].astype("int64")
+    out["n_touches"] = out["n_touches"].astype("int64")
+    return out.sort_values("channel").reset_index(drop=True)
