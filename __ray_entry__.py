@@ -5478,6 +5478,51 @@ def q_block_skew(sf_dir: str) -> pd.DataFrame:
     return block_skew_audit(_t(sf_dir, "documents", ["doc_id"]))
 
 
+def q_frequent_tokens(sf_dir: str) -> pd.DataFrame:
+    """Exact φ-frequent tokens (count > N/200) via the two-pass
+    pigeonhole heavy-hitter scheme — raw tokens never leave their
+    block. See :func:`ops.sketch.frequent_items`."""
+    from web2llmstxt_ray.ops.sketch import frequent_items
+
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("").str.strip()
+        keep = t != ""
+        toks = t[keep].str.lower().str.split(r"\s+", regex=True)
+        return pd.DataFrame({"token": toks}).explode("token")
+
+    toks = docs.map_batches(explode, batch_format="pandas",
+                            batch_size=None)
+    return frequent_items(toks, "token", k=200)
+
+
+def q_cohort_ltv(sf_dir: str) -> pd.DataFrame:
+    """Cohort LTV curve over orders: customers cohorted by first
+    order month, exact revenue cents per (cohort, month offset) plus
+    the running cumulative. See
+    :func:`ops.events.cohort_value_curve`."""
+    from web2llmstxt_ray.ops.events import cohort_value_curve
+
+    return cohort_value_curve(
+        _t(sf_dir, "orders",
+           ["o_custkey", "o_orderdate", "o_totalprice"]),
+        key_col="o_custkey", ts_col="o_orderdate",
+        value_col="o_totalprice")
+
+
+def q_discount_qty_profile(sf_dir: str) -> pd.DataFrame:
+    """Model-free elasticity read: mean quantity per exact discount
+    decile (integer-ceil boundaries, ties low, duplicate deciles
+    collapse). See :func:`ops.stats.conditional_decile_profile`."""
+    from web2llmstxt_ray.ops.stats import conditional_decile_profile
+
+    return conditional_decile_profile(
+        _t(sf_dir, "lineitem", ["l_discount", "l_quantity"]),
+        x_col="l_discount", y_col="l_quantity",
+        x_scale=10_000, y_scale=100, n_tiles=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5763,6 +5808,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_norm_profile": q_emb_norm_profile,
         "blocking_cost": q_blocking_cost,
         "block_skew": q_block_skew,
+        "frequent_tokens": q_frequent_tokens,
+        "cohort_ltv": q_cohort_ltv,
+        "discount_qty_profile": q_discount_qty_profile,
     }
 
 
@@ -9963,5 +10011,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(c AS HUGEINT) * (c - 1) // 2)
                         AS BIGINT) AS pair_cost
             FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "frequent_tokens": """
+            WITH tok AS (SELECT unnest(string_split_regex(
+                                    lower(trim(text)), '\\s+'))
+                                    AS token
+                         FROM documents WHERE trim(text) <> ''),
+            n AS (SELECT count(*) AS tot FROM tok)
+            SELECT token, count(*) AS n,
+                   CAST(count(*) AS DOUBLE) / CAST(tot AS DOUBLE)
+                       AS share
+            FROM tok, n GROUP BY token, tot
+            HAVING count(*) * 200 > tot ORDER BY token
+        """,
+        "cohort_ltv": """
+            WITH b AS (SELECT o_custkey AS k,
+                              CAST(year(o_orderdate) * 12
+                                   + month(o_orderdate) - 1
+                                   AS BIGINT) AS m,
+                              CAST(round(o_totalprice * 100)
+                                   AS BIGINT) AS c
+                       FROM orders),
+            f AS (SELECT k, min(m) AS cm FROM b GROUP BY 1),
+            j AS (SELECT b.k, f.cm, b.m - f.cm AS off, b.c
+                  FROM b JOIN f ON b.k = f.k),
+            a AS (SELECT cm, off, count(DISTINCT k) AS n_keys,
+                         sum(c) AS revenue_cents
+                  FROM j GROUP BY 1, 2)
+            SELECT printf('%04d-%02d', cm // 12, cm % 12 + 1)
+                       AS cohort,
+                   CAST(off AS BIGINT) AS month_offset,
+                   CAST(n_keys AS BIGINT) AS n_keys,
+                   CAST(revenue_cents AS BIGINT) AS revenue_cents,
+                   CAST(sum(revenue_cents) OVER
+                            (PARTITION BY cm ORDER BY off)
+                        AS BIGINT) AS cum_revenue_cents
+            FROM a ORDER BY 1, 2
+        """,
+        "discount_qty_profile": """
+            WITH s AS (SELECT CAST(round(l_discount * 10000)
+                                   AS BIGINT) AS x,
+                              CAST(round(l_quantity * 100)
+                                   AS BIGINT) AS y
+                       FROM lineitem),
+            h AS (SELECT x AS v, count(*) AS n FROM s GROUP BY 1),
+            t AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum,
+                         sum(n) OVER () AS tot
+                  FROM h),
+            b AS (SELECT DISTINCT min(CASE WHEN cum >=
+                          (q * tot + 9) // 10 THEN v END) AS bound
+                  FROM t, (SELECT unnest(range(1, 10)) AS q)
+                  GROUP BY q)
+            SELECT CAST((SELECT count(*) FROM b
+                         WHERE b.bound < s.x) + 1 AS BIGINT)
+                       AS decile,
+                   count(*) AS n,
+                   CAST(sum(x) AS DOUBLE)
+                       / (10000.0 * count(*)) AS mean_x,
+                   CAST(sum(y) AS DOUBLE)
+                       / (100.0 * count(*)) AS mean_y
+            FROM s GROUP BY 1 ORDER BY 1
         """,
     }

@@ -854,3 +854,73 @@ def hourly_peak_profile(ds: ray.data.Dataset, ts_col: str = "ts",
     return out[["event_type", "peak_hour", "n_peak", "n_total",
                 "peak_share"]].sort_values("event_type") \
         .reset_index(drop=True)
+
+
+def cohort_value_curve(ds: ray.data.Dataset, key_col: str,
+                       ts_col: str, value_col: str,
+                       num_buckets: int = 64) -> pd.DataFrame:
+    """Cohort LTV curve: keys are cohorted by the calendar month of
+    their FIRST activity, and each (cohort, months-since-cohort)
+    cell reports active keys, exact revenue cents and the running
+    cumulative — the does-quality-of-acquisition-decay view that a
+    crawl uses on sources (cohort = month first seen) as naturally
+    as a shop uses it on customers.
+
+    One key-hash bucket shuffle (a key's rows co-locate, so its
+    cohort month is exact in-bucket); per-(cohort, offset) partials
+    — distinct keys, Σcents — are additive across buckets because
+    each key lives in one bucket; the driver folds O(cohorts ·
+    offsets) rows and runs one cumulative sum per cohort. Month
+    arithmetic is pure integer (year·12 + month). Output: (cohort,
+    month_offset, n_keys, revenue_cents, cum_revenue_cents), sorted.
+    """
+    import numpy as np
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        dt = pd.to_datetime(b[ts_col])
+        mi = (dt.dt.year * 12 + (dt.dt.month - 1)).astype("int64")
+        out = pd.DataFrame({
+            "_k": b[key_col].astype("int64"),
+            "_m": mi,
+            "_c": np.rint(b[value_col].to_numpy(np.float64)
+                          * 100.0).astype(np.int64)})
+        h = pd.util.hash_pandas_object(out["_k"], index=False)
+        out["_kb"] = (h % num_buckets).astype("int32")
+        return out
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        g["_cm"] = g.groupby("_k")["_m"].transform("min")
+        g["_off"] = g["_m"] - g["_cm"]
+        agg = g.groupby(["_cm", "_off"], as_index=False).agg(
+            n_keys=("_k", "nunique"), revenue_cents=("_c", "sum"))
+        return agg
+
+    parts = (ds.select_columns([key_col, ts_col, value_col])
+             .map_batches(tag, batch_format="pandas",
+                          batch_size=None)
+             .groupby("_kb").map_groups(per_bucket,
+                                        batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({
+            "cohort": pd.Series([], dtype="object"),
+            "month_offset": pd.Series([], dtype="int64"),
+            "n_keys": pd.Series([], dtype="int64"),
+            "revenue_cents": pd.Series([], dtype="int64"),
+            "cum_revenue_cents": pd.Series([], dtype="int64")})
+    agg = parts.groupby(["_cm", "_off"], as_index=False)[
+        ["n_keys", "revenue_cents"]].sum()
+    agg = agg.sort_values(["_cm", "_off"], kind="stable")
+    agg["cum_revenue_cents"] = agg.groupby("_cm")[
+        "revenue_cents"].cumsum()
+    y = agg["_cm"].to_numpy(np.int64) // 12
+    m = agg["_cm"].to_numpy(np.int64) % 12 + 1
+    out = pd.DataFrame({
+        "cohort": [f"{yy:04d}-{mm:02d}" for yy, mm in zip(y, m)],
+        "month_offset": agg["_off"].astype("int64"),
+        "n_keys": agg["n_keys"].astype("int64"),
+        "revenue_cents": agg["revenue_cents"].astype("int64"),
+        "cum_revenue_cents": agg["cum_revenue_cents"]
+            .astype("int64")})
+    return out.reset_index(drop=True)

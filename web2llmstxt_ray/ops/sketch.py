@@ -403,3 +403,55 @@ def tdigest_quantiles(ds: ray.data.Dataset, col: str,
                 rec[group_col] = k
             rows.append(rec)
     return pd.DataFrame(rows)
+
+
+def frequent_items(ds: ray.data.Dataset, key_col: str,
+                   k: int = 200) -> "pd.DataFrame":
+    """EXACT φ-frequent items without shuffling the keys: every key
+    whose global count strictly exceeds N/k, found in two streaming
+    passes. Pass 1 nominates per-block locally-frequent keys — the
+    pigeonhole guarantee (if count(x) > N/k then count_b(x) > n_b/k
+    in SOME block) means the union has NO false negatives, and each
+    block nominates < k keys so the candidate set is O(k · blocks).
+    Pass 2 broadcasts the candidates and exact-counts ONLY them
+    (map-only additive partials), then filters ``n·k > N`` — so the
+    output is exactly the frequent set with exact counts, while raw
+    keys never leave their block (the Misra-Gries deployment shape,
+    with the exact rescue replacing the lossy summary merge).
+
+    Output: (key_col, n, share), sorted by key. ``share`` is one
+    exact int/int float division.
+    """
+    import pandas as pd
+
+    def pass_a(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[key_col].value_counts()
+        nb = len(b)
+        keys = vc.index[(vc.to_numpy("int64") * k) > nb]
+        out = pd.DataFrame({"_key": list(keys) + [None],
+                            "_nb": [0] * len(keys) + [nb]})
+        return out
+
+    parts_a = ds.select_columns([key_col]).map_batches(
+        pass_a, batch_format="pandas", batch_size=None).to_pandas()
+    total = int(parts_a["_nb"].sum())
+    cand = set(parts_a.loc[parts_a["_key"].notna(), "_key"])
+    if not cand or total == 0:
+        return pd.DataFrame({key_col: pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64"),
+                             "share": pd.Series([], dtype="float64")})
+
+    def pass_b(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[key_col]
+        vc = s[s.isin(cand)].value_counts()
+        return pd.DataFrame({"_key": vc.index,
+                             "n": vc.to_numpy("int64")})
+
+    parts_b = ds.select_columns([key_col]).map_batches(
+        pass_b, batch_format="pandas", batch_size=None).to_pandas()
+    agg = parts_b.groupby("_key", as_index=False)["n"].sum()
+    agg = agg[(agg["n"].to_numpy("int64") * k) > total]
+    out = pd.DataFrame({key_col: agg["_key"],
+                        "n": agg["n"].astype("int64")})
+    out["share"] = out["n"].to_numpy(np.float64) / float(total)
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -1805,3 +1805,70 @@ def grouped_hhi(ds: ray.data.Dataset, group_col: str,
     out["n_members"] = out["n_members"].astype("int64")
     out["total_cents"] = out["total_cents"].astype("int64")
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def conditional_decile_profile(ds: ray.data.Dataset, x_col: str,
+                               y_col: str, x_scale: int = 10_000,
+                               y_scale: int = 100,
+                               n_tiles: int = 10,
+                               num_buckets: int = 64) -> pd.DataFrame:
+    """Binned conditional means — the model-free elasticity read:
+    rows land in exact-integer-ceil deciles of ``x`` (ties low,
+    duplicate boundaries collapse, the :func:`rfm_segments` rule) and
+    each decile reports its size and the exact mean of both
+    variables, so 'what happens to y as x climbs' is answerable
+    without fitting anything.
+
+    Two passes: the x histogram (block-local value counts, one
+    x-hash fold to the driver's O(distinct x) boundary fit), then
+    MAP-ONLY additive (n, Σx, Σy) partials per decile. Means are one
+    float division each of exact scaled ints. Output: (decile, n,
+    mean_x, mean_y), sorted by decile.
+    """
+    def xints(b: pd.DataFrame) -> np.ndarray:
+        return np.rint(b[x_col].to_numpy(np.float64)
+                       * float(x_scale)).astype(np.int64)
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        v, c = np.unique(xints(b), return_counts=True)
+        return pd.DataFrame({"v": v, "c": c.astype("int64")})
+
+    src = ds.select_columns([x_col, y_col]).materialize()
+    h = src.map_batches(hist, batch_format="pandas",
+                        batch_size=None).to_pandas()
+    if h.empty:
+        return pd.DataFrame({
+            "decile": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "mean_x": pd.Series([], dtype="float64"),
+            "mean_y": pd.Series([], dtype="float64")})
+    hh = h.groupby("v", as_index=False)["c"].sum().sort_values("v")
+    vals = hh["v"].to_numpy(np.int64)
+    cnts = hh["c"].to_numpy(np.int64)
+    bounds = sorted({_disc_quantile(vals, cnts, q / n_tiles)
+                     for q in range(1, n_tiles)})
+    barr = np.asarray(bounds, dtype=np.int64)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        xi = xints(b)
+        yi = np.rint(b[y_col].to_numpy(np.float64)
+                     * float(y_scale)).astype(np.int64)
+        # decile − 1 = #{bounds strictly below x}: searchsorted
+        # side='left' returns the first index with bound >= x, so a
+        # value equal to a boundary lands LOW (the ceil-rule tie)
+        dec = (np.searchsorted(barr, xi, side="left")
+               if len(barr) else np.zeros(len(xi), dtype=np.int64))
+        g = pd.DataFrame({"d": dec, "x": xi, "y": yi})
+        return g.groupby("d", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"))
+
+    parts = src.map_batches(partial, batch_format="pandas",
+                            batch_size=None).to_pandas()
+    agg = parts.groupby("d", as_index=False)[["n", "sx", "sy"]].sum()
+    out = pd.DataFrame({"decile": agg["d"].astype("int64") + 1,
+                        "n": agg["n"].astype("int64")})
+    out["mean_x"] = agg["sx"].to_numpy(np.float64) \
+        / (float(x_scale) * agg["n"].to_numpy(np.float64))
+    out["mean_y"] = agg["sy"].to_numpy(np.float64) \
+        / (float(y_scale) * agg["n"].to_numpy(np.float64))
+    return out.sort_values("decile").reset_index(drop=True)
