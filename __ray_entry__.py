@@ -5523,6 +5523,57 @@ def q_discount_qty_profile(sf_dir: str) -> pd.DataFrame:
         x_scale=10_000, y_scale=100, n_tiles=10)
 
 
+def q_degree_hist(sf_dir: str) -> pd.DataFrame:
+    """Degree-distribution histogram of the part co-purchase graph
+    (the shape behind the Hill exponent's one number). See
+    :func:`ops.graph.degree_histogram`."""
+    from web2llmstxt_ray.ops.graph import degree_histogram
+
+    return degree_histogram(_co_purchase_pairs(sf_dir))
+
+
+def q_daily_value_bands(sf_dir: str) -> pd.DataFrame:
+    """Daily p10/p50/p90 bands of the event value in exact integer
+    cents — level-shift vs tail-blowup monitoring. See
+    :func:`ops.windows.daily_value_bands`."""
+    from web2llmstxt_ray.ops.windows import daily_value_bands
+
+    return daily_value_bands(_t(sf_dir, "events", ["ts", "value"]))
+
+
+def q_prefix_dups(sf_dir: str) -> pd.DataFrame:
+    """Prefix-duplicate groups (shared 128-char normalized prefix —
+    the truncation/expansion dup class) over a deterministic
+    tail-appended union. See :func:`ops.dedup.prefix_dup_groups`."""
+    from web2llmstxt_ray.ops.dedup import prefix_dup_groups
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def copy(b: pd.DataFrame) -> pd.DataFrame:
+        did = b["doc_id"].astype("int64")
+        t = (b["text"]
+             + " zz extra tail appended well beyond the prefix "
+               "window").where(did % 2 == 0, "odd " + b["text"])
+        return pd.DataFrame({"doc_id": did + 10000, "text": t})
+
+    u = docs.union(docs.map_batches(copy, batch_format="pandas",
+                                    batch_size=None))
+    return prefix_dup_groups(u, prefix_chars=128)
+
+
+def q_join_size_audit(sf_dir: str) -> pd.DataFrame:
+    """Exact lineitem⋈orders cardinality WITHOUT running the join
+    (Σ c_L·c_R over the two per-key count histograms) — the
+    planner-grade fan-out pre-flight. See
+    :func:`ops.relational.join_size_audit`."""
+    from web2llmstxt_ray.ops.relational import join_size_audit
+
+    return join_size_audit(
+        _t(sf_dir, "lineitem", ["l_orderkey"]),
+        _t(sf_dir, "orders", ["o_orderkey"]),
+        on_left="l_orderkey", on_right="o_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5811,6 +5862,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_tokens": q_frequent_tokens,
         "cohort_ltv": q_cohort_ltv,
         "discount_qty_profile": q_discount_qty_profile,
+        "degree_hist": q_degree_hist,
+        "daily_value_bands": q_daily_value_bands,
+        "prefix_dups": q_prefix_dups,
+        "join_size_audit": q_join_size_audit,
     }
 
 
@@ -10071,5 +10126,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y) AS DOUBLE)
                        / (100.0 * count(*)) AS mean_y
             FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "degree_hist": """
+            WITH pp AS (SELECT DISTINCT a.l_partkey AS u,
+                                        b.l_partkey AS v
+                        FROM lineitem a JOIN lineitem b
+                          ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey),
+            st AS (SELECT u AS c FROM pp UNION ALL SELECT v FROM pp),
+            dg AS (SELECT c, count(*) AS deg FROM st GROUP BY c)
+            SELECT CAST(deg AS BIGINT) AS degree,
+                   count(*) AS n_nodes
+            FROM dg GROUP BY deg ORDER BY 1
+        """,
+        "daily_value_bands": """
+            WITH s AS (SELECT date_trunc('day', ts) AS day,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events),
+            h AS (SELECT day, v, count(*) AS c FROM s GROUP BY 1, 2),
+            w AS (SELECT day, v,
+                         sum(c) OVER (PARTITION BY day
+                                      ORDER BY v) AS cum,
+                         sum(c) OVER (PARTITION BY day) AS n
+                  FROM h)
+            SELECT day, CAST(any_value(n) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN cum >= (n + 9) // 10
+                                 THEN v END) AS BIGINT) AS p10,
+                   CAST(min(CASE WHEN cum >= (n + 1) // 2
+                                 THEN v END) AS BIGINT) AS p50,
+                   CAST(min(CASE WHEN cum >= (9 * n + 9) // 10
+                                 THEN v END) AS BIGINT) AS p90
+            FROM w GROUP BY day ORDER BY day
+        """,
+        "prefix_dups": """
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN text || ' zz extra tail appended '
+                                 || 'well beyond the prefix window'
+                            ELSE 'odd ' || text END
+                FROM documents),
+            k AS (SELECT doc_id,
+                         md5(substr(lower(trim(text)), 1, 128))
+                             AS pk
+                  FROM u)
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM k GROUP BY pk HAVING count(*) > 1 ORDER BY 1
+        """,
+        "join_size_audit": """
+            WITH l AS (SELECT l_orderkey AS k, count(*) AS c
+                       FROM lineitem GROUP BY 1),
+            r AS (SELECT o_orderkey AS k, count(*) AS c
+                  FROM orders GROUP BY 1),
+            j AS (SELECT l.c AS cl, r.c AS cr
+                  FROM l JOIN r ON l.k = r.k)
+            SELECT (SELECT count(*) FROM l) AS n_keys_left,
+                   (SELECT count(*) FROM r) AS n_keys_right,
+                   count(*) AS n_matched_keys,
+                   (SELECT CAST(sum(c) AS BIGINT) FROM l)
+                       AS left_rows,
+                   (SELECT CAST(sum(c) AS BIGINT) FROM r)
+                       AS right_rows,
+                   CAST(sum(CAST(cl AS HUGEINT) * cr) AS BIGINT)
+                       AS exact_pairs
+            FROM j
         """,
     }

@@ -2182,3 +2182,52 @@ def block_skew_audit(ds: ray.data.Dataset) -> pd.DataFrame:
         "max_rows": pd.Series([int(r.max())], dtype="int64"),
         "mean_rows": pd.Series([mean], dtype="float64"),
         "skew": pd.Series([float(r.max()) / mean], dtype="float64")})
+
+
+def prefix_dup_groups(ds: ray.data.Dataset, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      prefix_chars: int = 128,
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Prefix-duplicate groups: docs whose normalized text shares the
+    first ``prefix_chars`` characters (``md5(lower(trim(text))
+    [:prefix_chars])``) — the truncation/expansion duplicate class
+    (same article cut at different lengths, feed snippets vs full
+    pages) that byte-exact dedup misses entirely.
+
+    Text never leaves the map stage — only (prefix-key, id) pairs
+    shuffle, bucketed by the key; winners are min-id and ONLY groups
+    with ≥ 2 members return. Output: (id, n_copies) per duplicate
+    group, sorted by id.
+    """
+    import hashlib
+
+    def keys(b: pd.DataFrame) -> pd.DataFrame:
+        ks = [hashlib.md5(
+            (t if t is not None else "")
+            .strip().lower()[:prefix_chars].encode()).hexdigest()
+            for t in b[text_col]]
+        out = pd.DataFrame({"_k": ks,
+                            "_id": b[id_col].astype("int64")})
+        out["_kb"] = (pd.util.hash_pandas_object(out["_k"],
+                                                 index=False)
+                      % num_buckets).astype("int32")
+        return out
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("_k", as_index=False).agg(
+            _win=("_id", "min"), n_copies=("_id", "size"))
+        agg = agg[agg["n_copies"] > 1]
+        return agg[["_win", "n_copies"]]
+
+    out = (ds.select_columns([id_col, text_col])
+           .map_batches(keys, batch_format="pandas", batch_size=None)
+           .groupby("_kb").map_groups(per_bucket,
+                                      batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "n_copies": pd.Series([], dtype="int64")})
+    out = out.rename(columns={"_win": id_col})
+    out[id_col] = out[id_col].astype("int64")
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)

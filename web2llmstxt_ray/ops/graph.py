@@ -1599,3 +1599,37 @@ def label_propagation(pairs: ray.data.Dataset, rounds: int = 4,
     df["node"] = df["node"].astype("int64")
     df["label"] = df["label"].astype("int64")
     return df.sort_values("node").reset_index(drop=True)
+
+
+def degree_histogram(pairs: ray.data.Dataset, col_a: str = "u",
+                     col_b: str = "v",
+                     num_buckets: int = 64) -> pd.DataFrame:
+    """Degree-distribution histogram of an undirected graph — how
+    many nodes have degree 1, 2, 3, … — the first diagnostic plotted
+    for any web/link graph (the shape IS the scale-free check the
+    Hill exponent summarizes to one number).
+
+    Parallel/duplicate pairs collapse via :func:`distinct_edges`;
+    the (node, deg) table stays distributed and per-block histogram
+    partials (deg, n_nodes) are additive — the driver folds
+    O(blocks · distinct degrees) rows and never sees a node. Output:
+    (degree, n_nodes), sorted by degree.
+    """
+    edges = distinct_edges(pairs, col_a, col_b, num_buckets) \
+        .materialize()
+    deg = _degree_table(edges, num_buckets)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["deg"].value_counts()
+        return pd.DataFrame({"degree": vc.index.to_numpy("int64"),
+                             "n_nodes": vc.to_numpy("int64")})
+
+    parts = deg.map_batches(partial, batch_format="pandas",
+                            batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"degree": pd.Series([], dtype="int64"),
+                             "n_nodes": pd.Series([], dtype="int64")})
+    agg = parts.groupby("degree", as_index=False)["n_nodes"].sum()
+    agg["degree"] = agg["degree"].astype("int64")
+    agg["n_nodes"] = agg["n_nodes"].astype("int64")
+    return agg.sort_values("degree").reset_index(drop=True)

@@ -727,3 +727,67 @@ def relational_division(ds: ray.data.Dataset, group_col: str,
                              batch_format="pandas").to_pandas()
     out["n_attrs"] = out["n_attrs"].astype("int64")
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def join_size_audit(left: ray.data.Dataset, right: ray.data.Dataset,
+                    on_left: str, on_right: str,
+                    num_buckets: int = 64) -> pd.DataFrame:
+    """Exact join-cardinality audit WITHOUT running the join: the
+    output size of ``left ⋈ right`` is Σ_k c_L(k)·c_R(k), computable
+    from the two per-key count histograms alone — the planner-grade
+    pre-flight that tells you whether a key is about to fan out 10⁹
+    rows before you shuffle any payload.
+
+    Per-side per-key count partials collapse block-locally, meet in
+    ONE key-hash bucket shuffle, and the per-bucket pair products
+    fold in exact PYTHON ints carried as decimal strings (a single
+    hot key can exceed int64 on its own). Output one row:
+    (n_keys_left, n_keys_right, n_matched_keys, left_rows,
+    right_rows, exact_pairs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def side(tag: str, col: str):
+        def _p(b: pd.DataFrame) -> pd.DataFrame:
+            vc = b[col].astype("int64").value_counts()
+            out = pd.DataFrame({"_k": vc.index.to_numpy("int64"),
+                                "_c": vc.to_numpy("int64")})
+            out["_s"] = tag
+            out["_kb"] = (out["_k"].to_numpy(np.int64)
+                          % num_buckets).astype(np.int32)
+            return out
+        return _p
+
+    tagged = left.select_columns([on_left]).map_batches(
+        side("l", on_left), batch_format="pandas",
+        batch_size=None).union(
+        right.select_columns([on_right]).map_batches(
+            side("r", on_right), batch_format="pandas",
+            batch_size=None))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cl = group[group["_s"] == "l"].groupby("_k")["_c"].sum()
+        cr = group[group["_s"] == "r"].groupby("_k")["_c"].sum()
+        m = cl.index.intersection(cr.index)
+        pairs = sum(int(cl[k]) * int(cr[k]) for k in m)
+        return pd.DataFrame({
+            "nl": [len(cl)], "nr": [len(cr)], "nm": [len(m)],
+            "rl": [int(cl.sum())], "rr": [int(cr.sum())],
+            "pairs": [str(pairs)]})
+
+    parts = tagged.groupby("_kb").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    pairs = sum(int(v) for v in parts["pairs"].tolist())
+    return pd.DataFrame({
+        "n_keys_left": pd.Series([int(parts["nl"].sum())],
+                                 dtype="int64"),
+        "n_keys_right": pd.Series([int(parts["nr"].sum())],
+                                  dtype="int64"),
+        "n_matched_keys": pd.Series([int(parts["nm"].sum())],
+                                    dtype="int64"),
+        "left_rows": pd.Series([int(parts["rl"].sum())],
+                               dtype="int64"),
+        "right_rows": pd.Series([int(parts["rr"].sum())],
+                                dtype="int64"),
+        "exact_pairs": pd.Series([pairs], dtype="int64")})

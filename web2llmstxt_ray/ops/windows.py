@@ -1799,3 +1799,63 @@ def ushape_touch_attribution(ds: ray.data.Dataset,
     out["revenue_i"] = out["revenue_i"].astype("int64")
     out["n_touches"] = out["n_touches"].astype("int64")
     return out.sort_values("channel").reset_index(drop=True)
+
+
+def daily_value_bands(ds: ray.data.Dataset, ts_col: str = "ts",
+                      value_col: str = "value",
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Daily p10/p50/p90 bands of a value stream in EXACT integer
+    cents (the smallest-value-reaching-ceil(q·n) discrete rule) —
+    the monitoring chart that separates a level shift from a tail
+    blowup, with no sampling and no float quantile interpolation.
+
+    Block-local (day, cents, count) histogram partials are additive
+    and finish in ONE day-hash shuffle; each day's quantiles are
+    exact in-bucket. Output: (day, n, p10, p50, p90), sorted by day.
+    """
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "_d": pd.to_datetime(b[ts_col]).dt.normalize(),
+            "_v": np.rint(b[value_col].to_numpy(np.float64)
+                          * 100.0).astype(np.int64)})
+        agg = g.groupby(["_d", "_v"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        h = pd.util.hash_pandas_object(agg["_d"], index=False)
+        agg["_db"] = (h % num_buckets).astype("int32")
+        return agg
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        hist = group.groupby(["_d", "_v"], as_index=False)["c"].sum()
+        rows = []
+        for day, gh in hist.groupby("_d"):
+            gh = gh.sort_values("_v")
+            vals = gh["_v"].to_numpy(np.int64)
+            cum = np.cumsum(gh["c"].to_numpy(np.int64))
+            n = int(cum[-1])
+
+            def pick(num: int, den: int) -> int:
+                need = (num * n + den - 1) // den
+                return int(vals[int(np.searchsorted(cum, need,
+                                                    side="left"))])
+
+            rows.append((day, n, pick(1, 10), pick(1, 2),
+                         pick(9, 10)))
+        return pd.DataFrame(rows, columns=["day", "n", "p10", "p50",
+                                           "p90"])
+
+    out = (ds.select_columns([ts_col, value_col])
+           .map_batches(local, batch_format="pandas",
+                        batch_size=None)
+           .groupby("_db").map_groups(per_bucket,
+                                      batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[ns]"),
+            "n": pd.Series([], dtype="int64"),
+            "p10": pd.Series([], dtype="int64"),
+            "p50": pd.Series([], dtype="int64"),
+            "p90": pd.Series([], dtype="int64")})
+    for c in ("n", "p10", "p50", "p90"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
