@@ -5574,6 +5574,49 @@ def q_join_size_audit(sf_dir: str) -> pd.DataFrame:
         on_left="l_orderkey", on_right="o_orderkey")
 
 
+def q_dim_drift(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension embedding mean drift between the low- and
+    high-id halves (encoder-version-change detector): exact quantized
+    integer sums, one float division per mean. See
+    :func:`ops.ann.dimension_drift`."""
+    from web2llmstxt_ray.ops.ann import dimension_drift
+
+    return dimension_drift(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
+def q_char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-doc character-level Shannon entropy (gibberish/encoding
+    junk screen, map-only). See :func:`ops.textstats.char_entropy`."""
+    from web2llmstxt_ray.ops.textstats import char_entropy
+
+    out = _pdf(char_entropy(_t(sf_dir, "documents",
+                               ["doc_id", "text"])))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_source_tail(sf_dir: str) -> pd.DataFrame:
+    """Per-source doc-length tail heaviness: exact integer p50/p90/
+    p99 of n_chars and the p90/p50 ratio. See
+    :func:`ops.textstats.length_tail_ratio`."""
+    from web2llmstxt_ray.ops.textstats import length_tail_ratio
+
+    return length_tail_ratio(
+        _t(sf_dir, "documents", ["source", "n_chars"]))
+
+
+def q_sorted_audit(sf_dir: str) -> pd.DataFrame:
+    """Ray-native sortedness audit after a distributed sort of events
+    by value: per-block (first, last, sorted-within) probes + the
+    block-boundary chain — execution-layout invariant, no SQL
+    analogue by design. See
+    :func:`ops.relational.sorted_run_audit`."""
+    from web2llmstxt_ray.ops.relational import sorted_run_audit
+
+    ev = _t(sf_dir, "events", ["event_id", "value"]).sort("value")
+    return sorted_run_audit(ev, "value")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5866,6 +5909,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_bands": q_daily_value_bands,
         "prefix_dups": q_prefix_dups,
         "join_size_audit": q_join_size_audit,
+        "dim_drift": q_dim_drift,
+        "char_entropy": q_char_entropy,
+        "source_tail": q_source_tail,
+        "sorted_audit": q_sorted_audit,
     }
 
 
@@ -10192,5 +10239,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(cl AS HUGEINT) * cr) AS BIGINT)
                        AS exact_pairs
             FROM j
+        """,
+        "dim_drift": """
+            WITH q AS (SELECT vec_id,
+                              list_transform(
+                                  CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * 32768.0 + 0.5)
+                                            AS BIGINT)) AS qv
+                       FROM embeddings),
+            m AS (SELECT (min(vec_id) + max(vec_id) + 1) // 2 AS sp
+                  FROM embeddings),
+            e AS (SELECT CASE WHEN vec_id < sp THEN 'a' ELSE 'b' END
+                             AS side,
+                         d, qv[d + 1] AS v
+                  FROM q, m, unnest(range(len(qv))) AS t(d))
+            SELECT CAST(d AS BIGINT) AS dim,
+                   CAST(count(*) FILTER (side = 'a') AS BIGINT)
+                       AS n_a,
+                   CAST(count(*) FILTER (side = 'b') AS BIGINT)
+                       AS n_b,
+                   CAST(sum(v) FILTER (side = 'a') AS DOUBLE)
+                       / (32768.0 * count(*) FILTER (side = 'a'))
+                       AS mean_a,
+                   CAST(sum(v) FILTER (side = 'b') AS DOUBLE)
+                       / (32768.0 * count(*) FILTER (side = 'b'))
+                       AS mean_b,
+                   CAST(sum(v) FILTER (side = 'b') AS DOUBLE)
+                       / (32768.0 * count(*) FILTER (side = 'b'))
+                   - CAST(sum(v) FILTER (side = 'a') AS DOUBLE)
+                       / (32768.0 * count(*) FILTER (side = 'a'))
+                       AS delta
+            FROM e GROUP BY d ORDER BY 1
+        """,
+        "char_entropy": """
+            WITH c AS (SELECT doc_id, length(text) AS n,
+                              unnest(string_split(text, '')) AS ch
+                       FROM documents),
+            h AS (SELECT doc_id, any_value(n) AS n, ch,
+                         count(*) AS cnt
+                  FROM c GROUP BY doc_id, ch)
+            SELECT doc_id,
+                   CAST(any_value(n) AS BIGINT) AS n_chars_total,
+                   count(*) AS n_distinct_chars,
+                   ln(any_value(n)) - sum(cnt * ln(cnt))
+                       / any_value(n) AS entropy
+            FROM h GROUP BY doc_id ORDER BY doc_id
+        """,
+        "source_tail": """
+            WITH h AS (SELECT source, CAST(n_chars AS BIGINT) AS v,
+                              count(*) AS c
+                       FROM documents GROUP BY 1, 2),
+            w AS (SELECT source, v,
+                         sum(c) OVER (PARTITION BY source
+                                      ORDER BY v) AS cum,
+                         sum(c) OVER (PARTITION BY source) AS n
+                  FROM h)
+            SELECT source, CAST(any_value(n) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN cum >= (n + 1) // 2
+                                 THEN v END) AS BIGINT) AS p50,
+                   CAST(min(CASE WHEN cum >= (9 * n + 9) // 10
+                                 THEN v END) AS BIGINT) AS p90,
+                   CAST(min(CASE WHEN cum >= (99 * n + 99) // 100
+                                 THEN v END) AS BIGINT) AS p99,
+                   CAST(min(CASE WHEN cum >= (9 * n + 9) // 10
+                                 THEN v END) AS DOUBLE)
+                       / CAST(min(CASE WHEN cum >= (n + 1) // 2
+                                  THEN v END) AS DOUBLE)
+                       AS tail_ratio
+            FROM w GROUP BY source ORDER BY source
         """,
     }

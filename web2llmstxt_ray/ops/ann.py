@@ -1007,3 +1007,96 @@ def emb_norm_profile(ds: ray.data.Dataset,
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("label").reset_index(drop=True)
+
+
+def dimension_drift(ds: ray.data.Dataset,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    split_id: int | None = None,
+                    scale_bits: int = 15,
+                    num_buckets: int = 0) -> "pd.DataFrame":
+    """Per-dimension embedding drift between two halves of the corpus
+    (ids below vs at-or-above ``split_id``): exact quantized-integer
+    coordinate sums per dimension, so each half's per-dim mean — and
+    their delta — involves exactly one float division. A single
+    dimension drifting is the classic symptom of an encoder version
+    change or a bad feature pipeline; norms alone won't show it.
+
+    MAP-ONLY: per-block O(2·d) integer sum vectors are additive, the
+    driver folds O(blocks · d) rows and never sees a vector. If
+    ``split_id`` is None the median id splits (computed from an
+    O(blocks) min/max — callers wanting the exact median pass it).
+    Output: (dim, n_a, n_b, mean_a, mean_b, delta), sorted by dim.
+    """
+    import pandas as pd
+
+    from .veckit import vec_matrix
+
+    scale = float(1 << scale_bits)
+
+    if split_id is None:
+        mm = ds.select_columns([id_col]).map_batches(
+            lambda b: pd.DataFrame({"lo": [int(b[id_col].min())],
+                                    "hi": [int(b[id_col].max())]})
+            if len(b) else pd.DataFrame({"lo": [], "hi": []}),
+            batch_format="pandas", batch_size=None).to_pandas()
+        split_id = (int(mm["lo"].min()) + int(mm["hi"].max()) + 1) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = vec_matrix(batch, vec_col).astype(np.float64)
+        if not X.size:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        if np.abs(X).max() > 8.0:
+            raise ValueError("dimension_drift: |component| > 8 "
+                             "breaks the exact-integer contract")
+        Q = np.floor(X * scale + 0.5).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = Q.shape[1]
+        rows = {"dim": [], "side": [], "n": [], "s": []}
+        for side, mask in (("a", ids < split_id),
+                           ("b", ids >= split_id)):
+            if mask.any():
+                sums = Q[mask].sum(axis=0)
+                rows["dim"].extend(range(d))
+                rows["side"].extend([side] * d)
+                rows["n"].extend([int(mask.sum())] * d)
+                rows["s"].extend(int(v) for v in sums)
+        return pa.table({"dim": pa.array(rows["dim"], pa.int64()),
+                         "side": pa.array(rows["side"], pa.string()),
+                         "n": pa.array(rows["n"], pa.int64()),
+                         "s": pa.array(rows["s"], pa.int64())})
+
+    parts = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "dim": pd.Series([], dtype="int64"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "mean_a": pd.Series([], dtype="float64"),
+            "mean_b": pd.Series([], dtype="float64"),
+            "delta": pd.Series([], dtype="float64")})
+    agg = parts.groupby(["dim", "side"], as_index=False)[
+        ["n", "s"]].sum()
+    a = agg[agg["side"] == "a"].set_index("dim")
+    b = agg[agg["side"] == "b"].set_index("dim")
+    dims = sorted(set(agg["dim"]))
+    out_rows = []
+    for d in dims:
+        na = int(a["n"].get(d, 0))
+        nb = int(b["n"].get(d, 0))
+        sa = int(a["s"].get(d, 0))
+        sb = int(b["s"].get(d, 0))
+        ma = float(sa) / (scale * float(na)) if na else float("nan")
+        mb = float(sb) / (scale * float(nb)) if nb else float("nan")
+        out_rows.append((d, na, nb, ma, mb, mb - ma))
+    out = pd.DataFrame(out_rows, columns=["dim", "n_a", "n_b",
+                                          "mean_a", "mean_b",
+                                          "delta"])
+    for c in ("dim", "n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("dim").reset_index(drop=True)

@@ -791,3 +791,51 @@ def join_size_audit(left: ray.data.Dataset, right: ray.data.Dataset,
         "right_rows": pd.Series([int(parts["rr"].sum())],
                                 dtype="int64"),
         "exact_pairs": pd.Series([pairs], dtype="int64")})
+
+
+def sorted_run_audit(ds: ray.data.Dataset, key_col: str) -> pd.DataFrame:
+    """Ray-native sortedness audit: is this Dataset globally sorted
+    by ``key_col``? Per-block (first, last, sorted-within, rows)
+    probes fold on the driver, which then checks the block-boundary
+    chain in block order — O(blocks) driver rows, no data movement.
+    The invariant checker you run after a range partition / before a
+    merge join; like :func:`~web2llmstxt_ray.ops.dedup.
+    block_skew_audit` it measures the EXECUTION layout, so it has no
+    SQL analogue by design. Output one row: (n_blocks, n_rows,
+    blocks_sorted_within, boundaries_sorted, globally_sorted).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"first": [], "last": [],
+                                 "ok": [], "n": []})
+        v = b[key_col].to_numpy()
+        return pd.DataFrame({
+            "first": [v[0]], "last": [v[-1]],
+            "ok": [bool((v[:-1] <= v[1:]).all())],
+            "n": [len(v)]})
+
+    parts = ds.map_batches(probe, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    parts = parts[parts["n"] > 0]
+    if parts.empty:
+        return pd.DataFrame({
+            "n_blocks": pd.Series([0], dtype="int64"),
+            "n_rows": pd.Series([0], dtype="int64"),
+            "blocks_sorted_within": pd.Series([0], dtype="int64"),
+            "boundaries_sorted": pd.Series([True]),
+            "globally_sorted": pd.Series([True])})
+    within = int(parts["ok"].sum())
+    lasts = parts["last"].to_numpy()
+    firsts = parts["first"].to_numpy()
+    bound = bool((lasts[:-1] <= firsts[1:]).all()) \
+        if len(parts) > 1 else True
+    return pd.DataFrame({
+        "n_blocks": pd.Series([len(parts)], dtype="int64"),
+        "n_rows": pd.Series([int(parts["n"].sum())], dtype="int64"),
+        "blocks_sorted_within": pd.Series([within], dtype="int64"),
+        "boundaries_sorted": pd.Series([bound]),
+        "globally_sorted": pd.Series(
+            [bound and within == len(parts)])})

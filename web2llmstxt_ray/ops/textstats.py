@@ -638,3 +638,110 @@ def short_doc_wilson(ds: "ray.data.Dataset", text_col: str = "text",
         "wilson_lo": np.asarray(lo, dtype=np.float64),
         "wilson_hi": np.asarray(hi, dtype=np.float64)})
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def char_entropy(ds: "ray.data.Dataset", text_col: str = "text",
+                 id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Per-document character-level Shannon entropy (nats) — the
+    gibberish/encoding-junk screen: natural prose sits ~2.5-3.5,
+    base64 blobs and key-mash spam read high, template padding reads
+    low. ``H = ln N − Σ c·ln c / N`` from the EXACT per-doc char
+    histogram; the Σ folds with fsum over chars sorted by codepoint,
+    so results are reproducible. MAP-ONLY (embarrassingly parallel).
+    Output columns: (id, n_chars_total, n_distinct_chars, entropy).
+    """
+    import math
+
+    from collections import Counter
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        nt, nd, ent = [], [], []
+        for t in batch.column(text_col).to_pylist():
+            t = t or ""
+            n = len(t)
+            cnt = Counter(t)
+            nt.append(n)
+            nd.append(len(cnt))
+            if n == 0:
+                ent.append(0.0)
+                continue
+            s = math.fsum(c * math.log(c)
+                          for _, c in sorted(cnt.items()))
+            ent.append(math.log(n) - s / n)
+        return pa.table({
+            id_col: ids,
+            "n_chars_total": pa.array(nt, pa.int64()),
+            "n_distinct_chars": pa.array(nd, pa.int64()),
+            "entropy": pa.array(ent, pa.float64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
+
+
+def length_tail_ratio(ds: "ray.data.Dataset",
+                      size_col: str = "n_chars",
+                      group_col: str = "source",
+                      num_buckets: int = 64) -> "pd.DataFrame":
+    """Per-group tail-heaviness of the size distribution: exact
+    integer p50/p90/p99 plus the p90/p50 ratio — one number that
+    separates a source of uniform articles from one mixing stubs
+    with mega-pages (which needs different batch sizing downstream).
+
+    (group, size) histogram partials are additive and finish in ONE
+    group-hash shuffle; quantiles are the exact integer-ceil rule.
+    ``tail_ratio`` is one float division of two exact ints. Output:
+    (group, n, p50, p90, p99, tail_ratio), sorted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({group_col: b[group_col],
+                          "_v": b[size_col].astype("int64")})
+        agg = g.groupby([group_col, "_v"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        h = pd.util.hash_pandas_object(agg[group_col].astype(str),
+                                       index=False)
+        agg["_gb"] = (h % num_buckets).astype("int32")
+        return agg
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        hist = group.groupby([group_col, "_v"], as_index=False)[
+            "c"].sum()
+        rows = []
+        for gval, gh in hist.groupby(group_col):
+            gh = gh.sort_values("_v")
+            vals = gh["_v"].to_numpy(np.int64)
+            cum = np.cumsum(gh["c"].to_numpy(np.int64))
+            n = int(cum[-1])
+
+            def pick(num: int, den: int) -> int:
+                need = (num * n + den - 1) // den
+                return int(vals[int(np.searchsorted(cum, need,
+                                                    side="left"))])
+
+            p50, p90, p99 = pick(1, 2), pick(9, 10), pick(99, 100)
+            rows.append((gval, n, p50, p90, p99,
+                         float(p90) / float(p50)))
+        return pd.DataFrame(rows, columns=[group_col, "n", "p50",
+                                           "p90", "p99",
+                                           "tail_ratio"])
+
+    out = (ds.select_columns([group_col, size_col])
+           .map_batches(local, batch_format="pandas",
+                        batch_size=None)
+           .groupby("_gb").map_groups(per_bucket,
+                                      batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({
+            group_col: pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "p50": pd.Series([], dtype="int64"),
+            "p90": pd.Series([], dtype="int64"),
+            "p99": pd.Series([], dtype="int64"),
+            "tail_ratio": pd.Series([], dtype="float64")})
+    for c in ("n", "p50", "p90", "p99"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
