@@ -5617,6 +5617,37 @@ def q_sorted_audit(sf_dir: str) -> pd.DataFrame:
     return sorted_run_audit(ev, "value")
 
 
+def q_source_coverage(sf_dir: str) -> pd.DataFrame:
+    """Coverage concentration curve of docs across sources (rank by
+    count desc, cum share) — the how-many-sources-cover-90% planning
+    read. See :func:`ops.textstats.group_coverage_curve`."""
+    from web2llmstxt_ray.ops.textstats import group_coverage_curve
+
+    return group_coverage_curve(
+        _t(sf_dir, "documents", ["source"]))
+
+
+def q_transition_gaps(sf_dir: str) -> pd.DataFrame:
+    """Dwell time per behavior transition: exact integer-µs median
+    gap for each (cur, next) event-type pair. See
+    :func:`ops.events.transition_gap_stats`."""
+    from web2llmstxt_ray.ops.events import transition_gap_stats
+
+    return transition_gap_stats(
+        _t(sf_dir, "events",
+           ["user_id", "ts", "event_id", "event_type"]))
+
+
+def q_quota_split(sf_dir: str) -> pd.DataFrame:
+    """Stratified three-way train/val/test split with exact
+    per-source integer quotas over the stateless (md5(id), id)
+    ranking. See :func:`ops.corpus.stratified_quota_split`."""
+    from web2llmstxt_ray.ops.corpus import stratified_quota_split
+
+    return stratified_quota_split(
+        _t(sf_dir, "documents", ["source", "doc_id"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5913,6 +5944,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": q_char_entropy,
         "source_tail": q_source_tail,
         "sorted_audit": q_sorted_audit,
+        "source_coverage": q_source_coverage,
+        "transition_gaps": q_transition_gaps,
+        "quota_split": q_quota_split,
     }
 
 
@@ -10307,5 +10341,62 @@ def oracle_sql() -> dict[str, str]:
                                   THEN v END) AS DOUBLE)
                        AS tail_ratio
             FROM w GROUP BY source ORDER BY source
+        """,
+        "source_coverage": """
+            WITH a AS (SELECT source, count(*) AS n
+                       FROM documents GROUP BY 1),
+            r AS (SELECT source, n,
+                         row_number() OVER
+                             (ORDER BY n DESC, source) AS rk,
+                         sum(n) OVER () AS tot,
+                         sum(n) OVER (ORDER BY n DESC, source)
+                             AS cum
+                  FROM a)
+            SELECT CAST(rk AS BIGINT) AS rank, source,
+                   CAST(n AS BIGINT) AS n_docs,
+                   CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+                       AS share,
+                   CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                       AS cum_share
+            FROM r ORDER BY 1
+        """,
+        "transition_gaps": """
+            WITH o AS (SELECT event_type AS cur,
+                              lead(event_type) OVER w AS nxt,
+                              epoch_us(lead(ts) OVER w)
+                                  - epoch_us(ts) AS gap
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            h AS (SELECT cur, nxt, CAST(gap AS BIGINT) AS gap,
+                         count(*) AS c
+                  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+            w2 AS (SELECT cur, nxt, gap,
+                          sum(c) OVER (PARTITION BY cur, nxt
+                                       ORDER BY gap) AS cum,
+                          sum(c) OVER (PARTITION BY cur, nxt) AS n
+                   FROM h)
+            SELECT cur AS cur_type, nxt AS next_type,
+                   CAST(any_value(n) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN cum >= (n + 1) // 2
+                                 THEN gap END) AS BIGINT)
+                       AS median_gap_us
+            FROM w2 GROUP BY cur, nxt ORDER BY 1, 2
+        """,
+        "quota_split": """
+            WITH r AS (SELECT doc_id,
+                              row_number() OVER
+                                  (PARTITION BY source
+                                   ORDER BY md5(CAST(doc_id
+                                                AS VARCHAR)),
+                                            doc_id) AS rk,
+                              count(*) OVER (PARTITION BY source)
+                                  AS n
+                       FROM documents)
+            SELECT doc_id,
+                   CASE WHEN rk <= n - 2 * (n // 10) THEN 'train'
+                        WHEN rk <= n - (n // 10) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r ORDER BY 1
         """,
     }

@@ -1002,3 +1002,67 @@ def heaps_curve(ds: "ray.data.Dataset", text_col: str = "text",
     out["vocab_cum"] = out["nv"].astype("int64").cumsum()
     out[id_col] = out[id_col].astype("int64")
     return out[[id_col, "n_tokens_cum", "vocab_cum"]]
+
+
+def stratified_quota_split(ds: "ray.data.Dataset",
+                           group_col: str = "source",
+                           id_col: str = "doc_id",
+                           val_tenths: int = 1,
+                           test_tenths: int = 1,
+                           num_buckets: int = 64) -> "pd.DataFrame":
+    """Three-way train/val/test split with EXACT per-stratum quotas:
+    within each group, docs rank by ``(md5(id), id)`` — a stateless
+    pseudo-random order any worker can replay — and the first
+    ``n − n·val/10 − n·test/10`` go to train, the next ``n//10·val``
+    to val, the rest to test. Quotas are exact integer floors per
+    stratum (no global randomness, no drift between runs), so every
+    group is represented in every split at the promised proportion.
+
+    One group-hash shuffle (a group's docs rank whole in its
+    bucket); only (group, id) pairs move. Output: (id, split),
+    sorted by id.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "_g": b[group_col],
+            "_id": b[id_col].astype("int64")})
+        out["_h"] = [hashlib.md5(str(i).encode()).hexdigest()
+                     for i in out["_id"]]
+        hb = pd.util.hash_pandas_object(out["_g"].astype(str),
+                                        index=False)
+        out["_gb"] = (hb % num_buckets).astype("int32")
+        return out
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, gh in group.groupby("_g"):
+            gh = gh.sort_values(["_h", "_id"], kind="stable")
+            n = len(gh)
+            n_val = (n // 10) * val_tenths
+            n_test = (n // 10) * test_tenths
+            n_train = n - n_val - n_test
+            split = ["train"] * n_train + ["val"] * n_val \
+                + ["test"] * n_test
+            rows.append(pd.DataFrame({"_id": gh["_id"].to_numpy(),
+                                      "split": split}))
+        if not rows:
+            return pd.DataFrame({"_id": pd.Series([], dtype="int64"),
+                                 "split": pd.Series([],
+                                                    dtype="object")})
+        return pd.concat(rows, ignore_index=True)
+
+    out = (ds.select_columns([group_col, id_col])
+           .map_batches(tag, batch_format="pandas", batch_size=None)
+           .groupby("_gb").map_groups(per_bucket,
+                                      batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "split": pd.Series([], dtype="object")})
+    out = out.rename(columns={"_id": id_col})
+    out[id_col] = out[id_col].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)

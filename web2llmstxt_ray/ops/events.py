@@ -924,3 +924,84 @@ def cohort_value_curve(ds: ray.data.Dataset, key_col: str,
         "cum_revenue_cents": agg["cum_revenue_cents"]
             .astype("int64")})
     return out.reset_index(drop=True)
+
+
+def transition_gap_stats(ds: ray.data.Dataset,
+                         user_col: str = "user_id",
+                         ts_col: str = "ts",
+                         id_col: str = "event_id",
+                         type_col: str = "event_type",
+                         num_buckets: int = 64) -> pd.DataFrame:
+    """Dwell time per behavior transition: for each (current, next)
+    event-type pair, the count and the EXACT integer-microsecond
+    median of the gaps between them — 'view→purchase takes 40 s but
+    view→error takes 300 ms' is the difference between a journey map
+    and a bug report.
+
+    Two skinny shuffles: transitions assemble in the user-hash
+    shuffle (vectorized shift, windows never span users) and collapse
+    to (pair, gap, count) histogram partials; the pair-hash shuffle
+    co-locates each pair's full gap histogram for the exact
+    integer-ceil median. Output: (cur_type, next_type, n,
+    median_gap_us), sorted by the pair.
+    """
+    import numpy as np
+
+    def per_user_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([user_col, ts_col, id_col],
+                              kind="stable")
+        if len(g) < 2:
+            return pd.DataFrame({
+                "cur": pd.Series([], dtype="object"),
+                "nxt": pd.Series([], dtype="object"),
+                "gap": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64")})
+        us = g[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype("int64")
+        t = g[type_col].to_numpy()
+        u = g[user_col].to_numpy()
+        same = u[:-1] == u[1:]
+        cells = pd.DataFrame({"cur": t[:-1][same],
+                              "nxt": t[1:][same],
+                              "gap": (us[1:] - us[:-1])[same]})
+        agg = cells.groupby(["cur", "nxt", "gap"],
+                            as_index=False).size() \
+            .rename(columns={"size": "c"})
+        h = pd.util.hash_pandas_object(
+            agg["cur"] + ">" + agg["nxt"], index=False)
+        agg["_pb"] = (h % num_buckets).astype("int32")
+        return agg
+
+    parts = _add_key_bucket(
+        ds.select_columns([user_col, ts_col, id_col, type_col]),
+        user_col, num_buckets).groupby("_sbucket").map_groups(
+        per_user_bucket, batch_format="pandas")
+
+    def per_pair_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        hist = group.groupby(["cur", "nxt", "gap"],
+                             as_index=False)["c"].sum()
+        rows = []
+        for (cur, nxt), gh in hist.groupby(["cur", "nxt"]):
+            gh = gh.sort_values("gap")
+            vals = gh["gap"].to_numpy(np.int64)
+            cum = np.cumsum(gh["c"].to_numpy(np.int64))
+            n = int(cum[-1])
+            need = (n + 1) // 2
+            med = int(vals[int(np.searchsorted(cum, need,
+                                               side="left"))])
+            rows.append((cur, nxt, n, med))
+        return pd.DataFrame(rows, columns=["cur_type", "next_type",
+                                           "n", "median_gap_us"])
+
+    out = parts.groupby("_pb").map_groups(
+        per_pair_bucket, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "cur_type": pd.Series([], dtype="object"),
+            "next_type": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "median_gap_us": pd.Series([], dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    out["median_gap_us"] = out["median_gap_us"].astype("int64")
+    return out.sort_values(["cur_type", "next_type"]) \
+        .reset_index(drop=True)

@@ -745,3 +745,47 @@ def length_tail_ratio(ds: "ray.data.Dataset",
     for c in ("n", "p50", "p90", "p99"):
         out[c] = out[c].astype("int64")
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def group_coverage_curve(ds: "ray.data.Dataset",
+                         group_col: str = "source") -> "pd.DataFrame":
+    """Coverage concentration curve: groups ranked by size (count
+    desc, name asc — deterministic ties) with each rank's cumulative
+    share of the corpus — the how-many-sources-cover-90% planning
+    read that decides whether per-source processing parallelism is
+    even worth building.
+
+    MAP-ONLY additive per-group count partials (O(blocks · groups)
+    driver fold); the cumulative is one O(groups) pass. Output:
+    (rank, group, n_docs, share, cum_share), rank-ordered.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[group_col].value_counts()
+        return pd.DataFrame({group_col: vc.index,
+                             "n": vc.to_numpy("int64")})
+
+    parts = ds.select_columns([group_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "rank": pd.Series([], dtype="int64"),
+            group_col: pd.Series([], dtype="object"),
+            "n_docs": pd.Series([], dtype="int64"),
+            "share": pd.Series([], dtype="float64"),
+            "cum_share": pd.Series([], dtype="float64")})
+    agg = parts.groupby(group_col, as_index=False)["n"].sum()
+    agg = agg.sort_values(["n", group_col],
+                          ascending=[False, True], kind="stable")
+    total = int(agg["n"].sum())
+    n = agg["n"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "rank": np.arange(1, len(agg) + 1, dtype=np.int64),
+        group_col: agg[group_col].to_numpy(),
+        "n_docs": n,
+        "share": n.astype(np.float64) / float(total),
+        "cum_share": np.cumsum(n).astype(np.float64)
+        / float(total)})
+    return out.reset_index(drop=True)
