@@ -5648,6 +5648,60 @@ def q_quota_split(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "documents", ["source", "doc_id"]))
 
 
+def q_dau_overlap(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day active-user Jaccard (audience churn velocity) —
+    per-user consecutive-day memberships are bucket-local, only
+    O(days) count partials fold. See
+    :func:`ops.events.dau_overlap`."""
+    from web2llmstxt_ray.ops.events import dau_overlap
+
+    return dau_overlap(_t(sf_dir, "events", ["user_id", "ts"]))
+
+
+def q_new_vs_returning(sf_dir: str) -> pd.DataFrame:
+    """Daily new-vs-returning active users (growth vs retention
+    decomposition). See :func:`ops.events.new_vs_returning`."""
+    from web2llmstxt_ray.ops.events import new_vs_returning
+
+    return new_vs_returning(_t(sf_dir, "events", ["user_id", "ts"]))
+
+
+def q_source_lang_purity(sf_dir: str) -> pd.DataFrame:
+    """Per-source language purity (modal lang with deterministic
+    ties + its share) — the is-this-source-monolingual screen. See
+    :func:`ops.textstats.group_label_purity`."""
+    from web2llmstxt_ray.ops.textstats import group_label_purity
+
+    return group_label_purity(
+        _t(sf_dir, "documents", ["source", "lang"]))
+
+
+def q_knn_label_acc(sf_dir: str) -> pd.DataFrame:
+    """Leave-one-out 1-NN label coherence of the embedding space
+    (per-label accuracy; exact quantized-integer dots, ties to lower
+    id — partitioning-proof). See
+    :func:`ops.ann.knn_label_accuracy`."""
+    from web2llmstxt_ray.ops.ann import knn_label_accuracy
+
+    return knn_label_accuracy(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding", "label"]))
+
+
+def q_part_substitutes(sf_dir: str) -> pd.DataFrame:
+    """Cheapest cross-brand substitute per part within (type, size)
+    — the within-group cross-match solved with TWO candidate rows
+    per group instead of a quadratic self-join. See
+    :func:`ops.relational.cheapest_substitute`."""
+    from web2llmstxt_ray.ops.relational import cheapest_substitute
+
+    return cheapest_substitute(
+        _t(sf_dir, "part",
+           ["p_partkey", "p_brand", "p_type", "p_size",
+            "p_retailprice"]),
+        key_col="p_partkey", group_cols=["p_type", "p_size"],
+        brand_col="p_brand", price_col="p_retailprice")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -5947,6 +6001,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_coverage": q_source_coverage,
         "transition_gaps": q_transition_gaps,
         "quota_split": q_quota_split,
+        "dau_overlap": q_dau_overlap,
+        "new_vs_returning": q_new_vs_returning,
+        "source_lang_purity": q_source_lang_purity,
+        "knn_label_acc": q_knn_label_acc,
+        "part_substitutes": q_part_substitutes,
     }
 
 
@@ -10398,5 +10457,97 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rk <= n - (n // 10) THEN 'val'
                         ELSE 'test' END AS split
             FROM r ORDER BY 1
+        """,
+        "dau_overlap": """
+            WITH ud AS (SELECT DISTINCT user_id AS u,
+                                        date_trunc('day', ts) AS d
+                        FROM events),
+            act AS (SELECT d, count(*) AS n FROM ud GROUP BY 1),
+            b AS (SELECT a.d, count(*) AS nb
+                  FROM ud a JOIN ud x ON a.u = x.u
+                   AND x.d = a.d + INTERVAL 1 DAY
+                  GROUP BY 1)
+            SELECT a.d AS day, a.d + INTERVAL 1 DAY AS next_day,
+                   CAST(a.n AS BIGINT) AS n_a,
+                   CAST(c.n AS BIGINT) AS n_b,
+                   CAST(coalesce(b.nb, 0) AS BIGINT) AS n_common,
+                   CAST(coalesce(b.nb, 0) AS DOUBLE)
+                       / (a.n + c.n - coalesce(b.nb, 0)) AS jaccard
+            FROM act a JOIN act c ON c.d = a.d + INTERVAL 1 DAY
+            LEFT JOIN b ON b.d = a.d
+            ORDER BY 1
+        """,
+        "new_vs_returning": """
+            WITH ud AS (SELECT DISTINCT user_id AS u,
+                                        date_trunc('day', ts) AS d
+                        FROM events),
+            f AS (SELECT u, min(d) AS fd FROM ud GROUP BY 1)
+            SELECT ud.d AS day,
+                   CAST(sum(CASE WHEN ud.d = f.fd THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN ud.d = f.fd THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_returning,
+                   count(*) AS n_active
+            FROM ud JOIN f ON ud.u = f.u GROUP BY 1 ORDER BY 1
+        """,
+        "source_lang_purity": """
+            WITH c AS (SELECT source, lang, count(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            tot AS (SELECT source, sum(n) AS nr FROM c GROUP BY 1),
+            best AS (SELECT source, lang, n FROM c
+                     QUALIFY row_number() OVER
+                         (PARTITION BY source
+                          ORDER BY n DESC, lang) = 1)
+            SELECT b.source, b.lang AS modal_label,
+                   CAST(t.nr AS BIGINT) AS n_rows,
+                   CAST(b.n AS BIGINT) AS n_modal,
+                   CAST(b.n AS DOUBLE) / CAST(t.nr AS DOUBLE)
+                       AS purity
+            FROM best b JOIN tot t ON b.source = t.source
+            ORDER BY 1
+        """,
+        "knn_label_acc": """
+            WITH q AS (SELECT vec_id, label,
+                              list_transform(
+                                  CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x * 32768.0 + 0.5))
+                                  AS qv
+                       FROM embeddings),
+            d AS (SELECT a.vec_id AS ai, a.label AS la,
+                         b.vec_id AS bi, b.label AS lb,
+                         list_dot_product(a.qv, b.qv) AS dot
+                  FROM q a JOIN q b ON a.vec_id <> b.vec_id),
+            best AS (SELECT ai, la, lb FROM d
+                     QUALIFY row_number() OVER
+                         (PARTITION BY ai
+                          ORDER BY dot DESC, bi) = 1)
+            SELECT CAST(la AS BIGINT) AS label,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS accuracy
+            FROM best GROUP BY la ORDER BY 1
+        """,
+        "part_substitutes": """
+            WITH p AS (SELECT p_partkey, p_brand, p_type, p_size,
+                              CAST(round(p_retailprice * 100)
+                                   AS BIGINT) AS pc
+                       FROM part),
+            j AS (SELECT a.p_partkey,
+                         b.p_partkey AS sub_key,
+                         b.pc AS sub_price_cents,
+                         a.pc - b.pc AS price_delta_cents,
+                         row_number() OVER
+                             (PARTITION BY a.p_partkey
+                              ORDER BY b.pc, b.p_partkey) AS rk
+                  FROM p a JOIN p b
+                    ON a.p_type = b.p_type
+                   AND a.p_size = b.p_size
+                   AND a.p_brand <> b.p_brand)
+            SELECT p_partkey, sub_key, sub_price_cents,
+                   CAST(price_delta_cents AS BIGINT)
+                       AS price_delta_cents
+            FROM j WHERE rk = 1 ORDER BY 1
         """,
     }

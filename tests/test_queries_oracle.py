@@ -55,7 +55,13 @@ ULP_TOL = {"user_type_entropy": 1e-14,
            "price_power_means": 1e-12,
            "token_entropy": 1e-12,
            "km_repeat": 1e-12,
-           "gap_expfit": 1e-12}
+           "gap_expfit": 1e-12,
+           # c·ln c per-doc char-entropy partials reassociate under
+           # DuckDB's aggregate order (Python side is codepoint-sorted
+           # fsum); Wilson-interval sqrt pipelines differ by 1 ulp
+           # between libm builds / constant-folded subexpressions
+           "char_entropy": 1e-12,
+           "short_doc_wilson": 1e-12}
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:

@@ -1100,3 +1100,215 @@ def dimension_drift(ds: ray.data.Dataset,
     for c in ("dim", "n_a", "n_b"):
         out[c] = out[c].astype("int64")
     return out.sort_values("dim").reset_index(drop=True)
+
+
+def knn_label_accuracy(ds: ray.data.Dataset,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label",
+                       scale_bits: int = 15,
+                       num_blocks: int = 4,
+                       num_buckets: int = 32) -> "pd.DataFrame":
+    """Leave-one-out 1-NN label coherence of an embedding space: for
+    every vector, does its single nearest OTHER vector carry the same
+    label? Per-label accuracy is the fastest honest answer to 'is
+    this embedding any good for classification' — no training, no
+    hyperparameters, and a collapsed/noisy space scores at chance.
+
+    EXACT: the :func:`mutual_top1_pairs` contract — vectors quantize
+    to ``floor(x·2^sb + 0.5)`` integers, similarity is the integer
+    dot, ties break to the lower candidate id — so the chosen
+    neighbor (and the accuracy) is partitioning-proof and replayed
+    verbatim by the CROSS-JOIN-argmax SQL twin. Scale shape: the
+    hub-free block-pair GEMM + per-id argmax combine, then the label
+    attach is TWO skinny hash joins of the O(N) best-match table
+    against the (id, label) table; per-label (n, n_correct) partials
+    are additive. Output: (label, n, n_correct, accuracy), sorted.
+    """
+    import pandas as pd
+
+    from .dedup import _id_blocks
+    from .veckit import vec_matrix
+
+    scale = float(1 << scale_bits)
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        X = vec_matrix(batch, vec_col).astype(np.float64)
+        if X.size and np.abs(X).max() > 8.0:
+            raise ValueError("knn_label_accuracy: |component| > 8 "
+                             "breaks the exact-integer-dot contract")
+        Q = np.floor(X * scale + 0.5).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        blocks = _id_blocks(ids.tolist(), num_blocks).astype(np.int64)
+        n, d = Q.shape if Q.size else (0, 0)
+        others = np.arange(num_blocks, dtype=np.int64)
+        p = np.minimum(blocks[:, None], others[None, :])
+        q = np.maximum(blocks[:, None], others[None, :])
+        tasks = (p * num_blocks + q).reshape(-1)
+        rep_ids = np.repeat(ids, num_blocks)
+        rep_blk = np.repeat(blocks, num_blocks)
+        rep_q = np.repeat(Q, num_blocks, axis=0) if n else \
+            np.empty((0, 0), dtype=np.int64)
+        iv = pa.FixedSizeListArray.from_arrays(
+            pa.array(rep_q.reshape(-1), pa.int64()), d or 1)
+        return pa.table({
+            "_task": pa.array(tasks.astype(np.int32)),
+            "_block": pa.array(rep_blk.astype(np.int32)),
+            id_col: pa.array(rep_ids, pa.int64()),
+            "_iv": iv,
+        })
+
+    def _best(D: np.ndarray, cand_ids: np.ndarray):
+        m = D.max(axis=1)
+        tie = D == m[:, None]
+        idc = np.where(tie, cand_ids[None, :],
+                       np.iinfo(np.int64).max)
+        return m, idc.min(axis=1)
+
+    NEG = float(-(1 << 62))
+
+    def scan_task(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "_dot": pd.Series([], dtype="int64"),
+                              "_cand": pd.Series([], dtype="int64")})
+        ids = group[id_col].to_numpy()
+        blk = group["_block"].to_numpy()
+        task = int(group["_task"].iloc[0])
+        p, q = task // num_blocks, task % num_blocks
+        M = np.array([np.asarray(v, dtype=np.int64)
+                      for v in group["_iv"]], dtype=np.float64)
+        if p == q:
+            if len(ids) < 2:
+                return empty
+            D = M @ M.T
+            np.fill_diagonal(D, NEG)
+            dot, best = _best(D, ids)
+            out_ids, out_dot, out_best = ids, dot, best
+        else:
+            li = np.flatnonzero(blk == p)
+            ri = np.flatnonzero(blk == q)
+            if not len(li) or not len(ri):
+                return empty
+            D = M[li] @ M[ri].T
+            dl, bl = _best(D, ids[ri])
+            dr, br = _best(D.T, ids[li])
+            out_ids = np.concatenate([ids[li], ids[ri]])
+            out_dot = np.concatenate([dl, dr])
+            out_best = np.concatenate([bl, br])
+        keep = np.asarray(out_dot) > NEG
+        return pd.DataFrame({id_col: np.asarray(out_ids)[keep],
+                             "_dot": np.asarray(out_dot)[keep]
+                             .astype(np.int64),
+                             "_cand": np.asarray(out_best)[keep]})
+
+    partials = (ds.select_columns([id_col, vec_col])
+                .map_batches(quantize, batch_format="pyarrow")
+                .groupby("_task").map_groups(scan_task,
+                                             batch_format="pandas"))
+
+    def id_bucket(col: str):
+        def _b(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_cb"] = (_id_blocks(b[col].tolist(), num_buckets)
+                        .astype(np.int32))
+            return b
+        return _b
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "_dot", "_cand"],
+                          ascending=[True, False, True],
+                          kind="stable")
+        return g.groupby(id_col, as_index=False).head(1)[
+            [id_col, "_dot", "_cand"]]
+
+    best = (partials.map_batches(id_bucket(id_col),
+                                 batch_format="pandas",
+                                 batch_size=None)
+            .groupby("_cb").map_groups(combine,
+                                       batch_format="pandas"))
+
+    def join_own(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["_s"] == "b"][[id_col, "_cand"]]
+        rhs = g[g["_s"] == "l"][[id_col, "_lab"]]
+        return lhs.merge(rhs, on=id_col)
+
+    # explicit block-level schema alignment (see tagged2 below)
+    def b_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].astype("int64"),
+            "_cand": b["_cand"].astype("int64"),
+            "_lab": np.int64(-1), "_s": "b"})
+
+    def lab_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].astype("int64"),
+            "_cand": np.int64(-1),
+            "_lab": b[label_col].astype("int64"), "_s": "l"})
+
+    tagged = best.map_batches(b_side, batch_format="pandas",
+                              batch_size=None).union(
+        ds.select_columns([id_col, label_col]).map_batches(
+            lab_side, batch_format="pandas", batch_size=None))
+
+    own = (tagged.map_batches(id_bucket(id_col),
+                              batch_format="pandas",
+                              batch_size=None)
+           .groupby("_cb").map_groups(join_own,
+                                      batch_format="pandas"))
+
+    def join_cand(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["_s"] == "o"][["_key", "_lab"]]
+        rhs = g[g["_s"] == "l"][["_key", "_clab"]]
+        m = lhs.merge(rhs, on="_key")
+        m["_ok"] = (m["_lab"] == m["_clab"]).astype("int64")
+        return m.groupby("_lab", as_index=False).agg(
+            n=("_ok", "size"), n_correct=("_ok", "sum"))
+
+    # align both union sides to ONE explicit (key, lab, clab, side)
+    # schema — map_batches sees raw per-block frames, so the union
+    # must be well-typed block-by-block, not by groupby alignment
+    def o_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_key": b["_cand"].astype("int64"),
+            "_lab": b["_lab"].astype("int64"),
+            "_clab": np.int64(-1), "_s": "o"})
+
+    def l_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_key": b[id_col].astype("int64"),
+            "_lab": np.int64(-1),
+            "_clab": b[label_col].astype("int64"), "_s": "l"})
+
+    tagged2 = own.map_batches(o_side, batch_format="pandas",
+                              batch_size=None).union(
+        ds.select_columns([id_col, label_col]).map_batches(
+            l_side, batch_format="pandas", batch_size=None))
+
+    def cand_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_cb"] = (_id_blocks(b["_key"].tolist(), num_buckets)
+                    .astype(np.int32))
+        return b
+
+    parts = (tagged2.map_batches(cand_bucket,
+                                 batch_format="pandas",
+                                 batch_size=None)
+             .groupby("_cb").map_groups(join_cand,
+                                        batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({
+            "label": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "n_correct": pd.Series([], dtype="int64"),
+            "accuracy": pd.Series([], dtype="float64")})
+    agg = parts.groupby("_lab", as_index=False)[
+        ["n", "n_correct"]].sum()
+    out = pd.DataFrame({"label": agg["_lab"].astype("int64"),
+                        "n": agg["n"].astype("int64"),
+                        "n_correct": agg["n_correct"]
+                        .astype("int64")})
+    out["accuracy"] = out["n_correct"].to_numpy(np.float64) \
+        / out["n"].to_numpy(np.float64)
+    return out.sort_values("label").reset_index(drop=True)

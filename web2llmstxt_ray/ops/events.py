@@ -1005,3 +1005,113 @@ def transition_gap_stats(ds: ray.data.Dataset,
     out["median_gap_us"] = out["median_gap_us"].astype("int64")
     return out.sort_values(["cur_type", "next_type"]) \
         .reset_index(drop=True)
+
+
+def dau_overlap(ds: ray.data.Dataset, user_col: str = "user_id",
+                ts_col: str = "ts",
+                num_buckets: int = 64) -> pd.DataFrame:
+    """Day-over-day active-user set similarity: for each consecutive
+    day pair, |A∩B|, both sizes and the exact Jaccard — the audience
+    churn-velocity gauge (a stable product reads ~0.5+; near-zero
+    means drive-by traffic).
+
+    A user's active-day set is whole inside its user-hash bucket, so
+    per-user consecutive-day memberships are local: the bucket emits
+    additive (day, n_active) and (day, n_also_next_day) partials —
+    O(buckets · days) driver rows, never a day×user matrix. Jaccard
+    is one float division of exact ints. Output: (day, next_day,
+    n_a, n_b, n_common, jaccard), sorted by day.
+    """
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "u": group[user_col].to_numpy(),
+            "d": pd.to_datetime(group[ts_col]).dt.normalize()})
+        ud = g.drop_duplicates()
+        act = ud.groupby("d", as_index=False).size() \
+            .rename(columns={"size": "n_active"})
+        # users active on both d and d+1
+        nxt = ud.copy()
+        nxt["d"] = nxt["d"] - pd.Timedelta(days=1)
+        both = ud.merge(nxt, on=["u", "d"]).groupby(
+            "d", as_index=False).size() \
+            .rename(columns={"size": "n_both"})
+        out = act.merge(both, on="d", how="left")
+        out["n_both"] = out["n_both"].fillna(0).astype("int64")
+        return out
+
+    parts = _add_key_bucket(
+        ds.select_columns([user_col, ts_col]), user_col,
+        num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[ns]"),
+            "next_day": pd.Series([], dtype="datetime64[ns]"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "n_common": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64")})
+    agg = parts.groupby("d", as_index=False)[
+        ["n_active", "n_both"]].sum().sort_values("d")
+    nxt = agg[["d", "n_active"]].copy()
+    nxt["d"] = nxt["d"] - pd.Timedelta(days=1)
+    m = agg.merge(nxt, on="d", suffixes=("_a", "_b"))
+    m = m[m["n_active_b"].notna()]
+    na = m["n_active_a"].to_numpy(np.int64)
+    nb = m["n_active_b"].to_numpy(np.int64)
+    nc = m["n_both"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "day": m["d"].to_numpy(),
+        "next_day": m["d"].to_numpy() + np.timedelta64(1, "D"),
+        "n_a": na, "n_b": nb, "n_common": nc,
+        "jaccard": nc.astype(np.float64)
+        / (na + nb - nc).astype(np.float64)})
+    return out.sort_values("day").reset_index(drop=True)
+
+
+def new_vs_returning(ds: ray.data.Dataset,
+                     user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     num_buckets: int = 64) -> pd.DataFrame:
+    """Daily new-vs-returning active users: each day's actives split
+    by whether it is the user's FIRST active day — the growth-vs-
+    retention decomposition every traffic chart starts with.
+
+    A user's first day is exact inside its user-hash bucket; the
+    bucket emits additive (day, is_first) count partials over the
+    user's DISTINCT active days — O(buckets · days) driver rows.
+    Output: (day, n_new, n_returning, n_active), sorted by day.
+    """
+    import numpy as np
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "u": group[user_col].to_numpy(),
+            "d": pd.to_datetime(group[ts_col]).dt.normalize()})
+        ud = g.drop_duplicates()
+        first = ud.groupby("u")["d"].transform("min")
+        ud = ud.assign(_new=(ud["d"] == first).astype("int64"))
+        return ud.groupby("d", as_index=False).agg(
+            n_new=("_new", "sum"), n_active=("_new", "size"))
+
+    parts = _add_key_bucket(
+        ds.select_columns([user_col, ts_col]), user_col,
+        num_buckets).groupby("_sbucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[ns]"),
+            "n_new": pd.Series([], dtype="int64"),
+            "n_returning": pd.Series([], dtype="int64"),
+            "n_active": pd.Series([], dtype="int64")})
+    agg = parts.groupby("d", as_index=False)[
+        ["n_new", "n_active"]].sum().sort_values("d")
+    out = pd.DataFrame({
+        "day": agg["d"].to_numpy(),
+        "n_new": agg["n_new"].astype("int64"),
+        "n_returning": (agg["n_active"]
+                        - agg["n_new"]).astype("int64"),
+        "n_active": agg["n_active"].astype("int64")})
+    return out.reset_index(drop=True)

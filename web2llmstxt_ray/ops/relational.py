@@ -839,3 +839,79 @@ def sorted_run_audit(ds: ray.data.Dataset, key_col: str) -> pd.DataFrame:
         "boundaries_sorted": pd.Series([bound]),
         "globally_sorted": pd.Series(
             [bound and within == len(parts)])})
+
+
+def cheapest_substitute(ds: ray.data.Dataset, key_col: str,
+                        group_cols: list[str], brand_col: str,
+                        price_col: str,
+                        num_buckets: int = 32) -> pd.DataFrame:
+    """Cheapest cross-brand substitute per item: for every row, the
+    lowest-priced row sharing its ``group_cols`` but carrying a
+    DIFFERENT ``brand_col`` (ties → lower key) — the
+    procurement/vendor-risk view, and the classic within-group
+    cross-match that a naive self-join explodes quadratically.
+
+    No pair materialization: inside each group only TWO candidate
+    rows matter — the global cheapest r1 and the cheapest whose brand
+    differs from r1's (r2) — because every row's answer is r1 unless
+    the row shares r1's brand, in which case it is r2. One
+    group-hash shuffle (groups whole in their bucket), O(group) work
+    per group. Rows with no cross-brand option are omitted. Output:
+    (key, sub_key, sub_price_cents, price_delta_cents), sorted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[[key_col, brand_col, price_col, *group_cols]].copy()
+        out["_pc"] = np.rint(out[price_col].to_numpy(np.float64)
+                             * 100.0).astype(np.int64)
+        gk = out[group_cols[0]].astype(str)
+        for c in group_cols[1:]:
+            gk = gk + "\x00" + out[c].astype(str)
+        out["_gb"] = (pd.util.hash_pandas_object(gk, index=False)
+                      % num_buckets).astype("int32")
+        return out.drop(columns=[price_col])
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, g in group.groupby(group_cols):
+            if g[brand_col].nunique() < 2:
+                continue
+            g = g.sort_values(["_pc", key_col], kind="stable")
+            r1 = g.iloc[0]
+            g2 = g[g[brand_col] != r1[brand_col]]
+            r2 = g2.iloc[0]
+            same_r1 = g[brand_col].to_numpy() == r1[brand_col]
+            sub_key = np.where(same_r1, int(r2[key_col]),
+                               int(r1[key_col]))
+            sub_pc = np.where(same_r1, int(r2["_pc"]),
+                              int(r1["_pc"]))
+            rows.append(pd.DataFrame({
+                key_col: g[key_col].to_numpy(),
+                "sub_key": sub_key,
+                "sub_price_cents": sub_pc,
+                "price_delta_cents": g["_pc"].to_numpy() - sub_pc}))
+        if not rows:
+            return pd.DataFrame({
+                key_col: pd.Series([], dtype="int64"),
+                "sub_key": pd.Series([], dtype="int64"),
+                "sub_price_cents": pd.Series([], dtype="int64"),
+                "price_delta_cents": pd.Series([], dtype="int64")})
+        return pd.concat(rows, ignore_index=True)
+
+    out = (ds.map_batches(tag, batch_format="pandas",
+                          batch_size=None)
+           .groupby("_gb").map_groups(per_bucket,
+                                      batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({
+            key_col: pd.Series([], dtype="int64"),
+            "sub_key": pd.Series([], dtype="int64"),
+            "sub_price_cents": pd.Series([], dtype="int64"),
+            "price_delta_cents": pd.Series([], dtype="int64")})
+    for c in (key_col, "sub_key", "sub_price_cents",
+              "price_delta_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -789,3 +789,51 @@ def group_coverage_curve(ds: "ray.data.Dataset",
         "cum_share": np.cumsum(n).astype(np.float64)
         / float(total)})
     return out.reset_index(drop=True)
+
+
+def group_label_purity(ds: "ray.data.Dataset",
+                       group_col: str = "source",
+                       label_col: str = "lang") -> "pd.DataFrame":
+    """Per-group label purity: the group's modal label (count desc,
+    label asc — deterministic ties) and the share of its rows
+    carrying it — the is-this-source-monolingual screen that decides
+    whether per-source language routing is safe.
+
+    MAP-ONLY additive (group, label) count partials, O(groups ·
+    labels) driver fold, one exact int/int division. Output: (group,
+    modal_label, n_rows, n_modal, purity), sorted by group.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby([group_col, label_col],
+                         as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.select_columns([group_col, label_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            group_col: pd.Series([], dtype="object"),
+            "modal_label": pd.Series([], dtype="object"),
+            "n_rows": pd.Series([], dtype="int64"),
+            "n_modal": pd.Series([], dtype="int64"),
+            "purity": pd.Series([], dtype="float64")})
+    agg = parts.groupby([group_col, label_col], as_index=False)[
+        "n"].sum()
+    agg = agg.sort_values([group_col, "n", label_col],
+                          ascending=[True, False, True],
+                          kind="stable")
+    best = agg.groupby(group_col, as_index=False).first()
+    tot = agg.groupby(group_col, as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_rows"})
+    out = best.merge(tot, on=group_col).rename(columns={
+        label_col: "modal_label", "n": "n_modal"})
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_modal"] = out["n_modal"].astype("int64")
+    out["purity"] = out["n_modal"].to_numpy(np.float64) \
+        / out["n_rows"].to_numpy(np.float64)
+    out = out[[group_col, "modal_label", "n_rows", "n_modal",
+               "purity"]]
+    return out.sort_values(group_col).reset_index(drop=True)
