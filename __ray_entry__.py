@@ -5702,6 +5702,103 @@ def q_part_substitutes(sf_dir: str) -> pd.DataFrame:
         brand_col="p_brand", price_col="p_retailprice")
 
 
+def q_trend_robust(sf_dir: str) -> pd.DataFrame:
+    """Mann–Kendall S/tau + Theil–Sen slope of the daily order-revenue
+    series — the outlier-proof trend read (sign statistic + pairwise-
+    median slope) over the O(days) driver series from additive
+    per-block partials. See :func:`ops.windows.trend_robust`."""
+    from web2llmstxt_ray.ops.windows import trend_robust
+
+    return trend_robust(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
+
+
+def q_change_point(sf_dir: str) -> pd.DataFrame:
+    """Exact single change-point (SSE-argmin split) of the daily
+    order-revenue series — the level-shift locator, exact integer
+    prefix sums with the one float cost expression replayed verbatim
+    by the SQL twin. See :func:`ops.windows.change_point`."""
+    from web2llmstxt_ray.ops.windows import change_point
+
+    return change_point(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
+
+
+def q_name_edit2_pairs(sf_dir: str) -> pd.DataFrame:
+    """Spelling-variant similarity join at radius 2: distinct part
+    names within Levenshtein distance ≤ 2 via FastSS 2-deletion
+    neighborhood blocking + banded-DP verify — the typo/OCR variant
+    class radius 1 misses. See
+    :func:`ops.dedup.edit_distance_self_join` (max_dist=2)."""
+    from web2llmstxt_ray.ops.dedup import edit_distance_self_join
+
+    return edit_distance_self_join(
+        _t(sf_dir, "part", ["p_name"]), "p_name", max_dist=2)
+
+
+def q_frequent_triples(sf_dir: str) -> pd.DataFrame:
+    """Frequent 3-itemsets over (user, day) activity baskets with
+    support ≥ 1/20 — distributed A-priori: item-support pass, broadcast
+    anti-monotone prune, then the triple merge only over surviving
+    items. Exact integer support rule ``n·20 ≥ N``. See
+    :func:`ops.events.frequent_triples`."""
+    from web2llmstxt_ray.ops.events import frequent_triples
+
+    return frequent_triples(
+        _t(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        sup_num=1, sup_den=20)
+
+
+def q_ivm_groupby(sf_dir: str) -> pd.DataFrame:
+    """Incremental view maintenance: per-supplier (count, quantity)
+    aggregate updated from a changelog (deletes: orderkey ≡ 0 mod 10;
+    inserts: orderkey ≡ 3 mod 7 with quantity+1) WITHOUT rescanning
+    the base — bit-equal to the SQL twin's full recompute over the
+    post-change table, which IS the IVM correctness claim. See
+    :func:`ops.cdc.ivm_groupby_update`."""
+    from web2llmstxt_ray.ops.cdc import ivm_groupby_update
+    from web2llmstxt_ray.ops.relational import partial_groupby
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_quantity"])
+
+    def base_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "l_suppkey": b["l_suppkey"],
+            "n": np.int64(1),
+            "s": np.rint(b["l_quantity"].to_numpy(np.float64)
+                         * 100.0).astype(np.int64)})
+        return g.groupby("l_suppkey", as_index=False)[["n", "s"]].sum()
+
+    base_agg = partial_groupby(li, ["l_suppkey"], base_partial,
+                               ["n", "s"], distributed_combine=True)
+
+    def to_changelog(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["l_orderkey"].to_numpy(np.int64)
+        cents = np.rint(b["l_quantity"].to_numpy(np.float64)
+                        * 100.0).astype(np.int64)
+        dels = ok % 10 == 0
+        ins = ok % 7 == 3
+        return pd.DataFrame({
+            "l_suppkey": np.concatenate([
+                b["l_suppkey"].to_numpy(np.int64)[dels],
+                b["l_suppkey"].to_numpy(np.int64)[ins]]),
+            "value": np.concatenate([cents[dels], cents[ins] + 100]),
+            "op": np.concatenate([
+                np.repeat("d", int(dels.sum())),
+                np.repeat("i", int(ins.sum()))])})
+
+    chg = li.map_batches(to_changelog, batch_format="pandas",
+                         batch_size=None)
+    out = ivm_groupby_update(base_agg, chg, key_col="l_suppkey",
+                             n_col="n", sum_col="s").to_pandas()
+    out = out.rename(columns={"n": "n_items", "s": "qty_cents"})
+    for c in ("n_items", "qty_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["l_suppkey", "n_items", "qty_cents"]] \
+        .sort_values("l_suppkey").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -6006,6 +6103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_purity": q_source_lang_purity,
         "knn_label_acc": q_knn_label_acc,
         "part_substitutes": q_part_substitutes,
+        "trend_robust": q_trend_robust,
+        "change_point": q_change_point,
+        "name_edit2_pairs": q_name_edit2_pairs,
+        "frequent_triples": q_frequent_triples,
+        "ivm_groupby": q_ivm_groupby,
     }
 
 
@@ -10549,5 +10651,121 @@ def oracle_sql() -> dict[str, str]:
                    CAST(price_delta_cents AS BIGINT)
                        AS price_delta_cents
             FROM j WHERE rk = 1 ORDER BY 1
+        """,
+        "trend_robust": """
+            WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000
+                                  AS day,
+                              sum(CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) AS cents
+                       FROM orders GROUP BY 1),
+            p AS (SELECT a.day AS xa, a.cents AS ya,
+                         b.day AS xb, b.cents AS yb
+                  FROM d a JOIN d b ON b.day > a.day),
+            s AS (SELECT count(*) AS m,
+                         sum(CASE WHEN yb > ya THEN 1
+                                  WHEN yb < ya THEN -1
+                                  ELSE 0 END) AS s_stat
+                  FROM p),
+            nd AS (SELECT count(*) AS n_days FROM d),
+            r AS (SELECT CAST(yb - ya AS DOUBLE)
+                             / CAST(xb - xa AS DOUBLE) AS slope,
+                         row_number() OVER (ORDER BY
+                             CAST(yb - ya AS DOUBLE)
+                                 / CAST(xb - xa AS DOUBLE)) AS rk
+                  FROM p)
+            SELECT nd.n_days, CAST(s.s_stat AS BIGINT) AS s_stat,
+                   CAST(s.s_stat AS DOUBLE) / CAST(s.m AS DOUBLE)
+                       AS tau,
+                   (SELECT slope FROM r WHERE rk = (s.m + 1) // 2)
+                       AS sen_slope_cents_per_day
+            FROM s, nd
+        """,
+        "change_point": """
+            WITH dd AS (SELECT epoch_us(o_orderdate) // 86400000000
+                                   AS day,
+                               sum(CAST(round(o_totalprice * 100)
+                                        AS BIGINT)) AS cents
+                        FROM orders GROUP BY 1),
+            o AS (SELECT day, cents,
+                         row_number() OVER (ORDER BY day) AS rn
+                  FROM dd),
+            t AS (SELECT count(*) AS n,
+                         sum(CAST(cents AS HUGEINT)) AS sn,
+                         sum(CAST(cents AS HUGEINT) * cents) AS qn
+                  FROM o),
+            p AS (SELECT rn,
+                         sum(CAST(cents AS HUGEINT))
+                             OVER (ORDER BY rn) AS sk,
+                         sum(CAST(cents AS HUGEINT) * cents)
+                             OVER (ORDER BY rn) AS qk
+                  FROM o),
+            c AS (SELECT p.rn AS k, p.sk, p.qk,
+                         (CAST(p.qk AS DOUBLE)
+                          - CAST(p.sk AS DOUBLE) * CAST(p.sk AS DOUBLE)
+                                / CAST(p.rn AS DOUBLE))
+                         + (CAST(t.qn - p.qk AS DOUBLE)
+                            - CAST(t.sn - p.sk AS DOUBLE)
+                                  * CAST(t.sn - p.sk AS DOUBLE)
+                                  / CAST(t.n - p.rn AS DOUBLE))
+                             AS sse
+                  FROM p, t WHERE p.rn < t.n),
+            b AS (SELECT k, sk, sse FROM c ORDER BY sse, k LIMIT 1)
+            SELECT (SELECT day FROM o WHERE rn = b.k + 1)
+                       AS split_day,
+                   CAST(b.k AS BIGINT) AS n_left,
+                   CAST(t.n - b.k AS BIGINT) AS n_right,
+                   CAST(b.sk AS DOUBLE) / CAST(b.k AS DOUBLE)
+                       AS mean_left_cents,
+                   CAST(t.sn - b.sk AS DOUBLE)
+                       / CAST(t.n - b.k AS DOUBLE) AS mean_right_cents,
+                   b.sse AS sse_split,
+                   CAST(t.qn AS DOUBLE)
+                       - CAST(t.sn AS DOUBLE) * CAST(t.sn AS DOUBLE)
+                             / CAST(t.n AS DOUBLE) AS sse_total
+            FROM b, t
+        """,
+        "name_edit2_pairs": """
+            WITH u AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                       AS dist
+            FROM u a JOIN u b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY 1, 2
+        """,
+        "frequent_triples": """
+            WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+                                       event_type AS t
+                       FROM events),
+            nb AS (SELECT count(*) AS n FROM
+                   (SELECT DISTINCT user_id, d FROM b)),
+            tr AS (SELECT b1.t AS t1, b2.t AS t2, b3.t AS t3,
+                          count(*) AS n
+                   FROM b b1
+                   JOIN b b2 ON b1.user_id = b2.user_id
+                            AND b1.d = b2.d AND b1.t < b2.t
+                   JOIN b b3 ON b2.user_id = b3.user_id
+                            AND b2.d = b3.d AND b2.t < b3.t
+                   GROUP BY 1, 2, 3)
+            SELECT tr.t1, tr.t2, tr.t3,
+                   CAST(tr.n AS BIGINT) AS n_both,
+                   CAST(nb.n AS BIGINT) AS n_baskets,
+                   CAST(tr.n AS DOUBLE) / CAST(nb.n AS DOUBLE)
+                       AS support
+            FROM tr, nb WHERE tr.n * 20 >= nb.n
+            ORDER BY 1, 2, 3
+        """,
+        "ivm_groupby": """
+            WITH post AS (
+                SELECT l_suppkey,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS c
+                FROM lineitem WHERE l_orderkey % 10 <> 0
+                UNION ALL
+                SELECT l_suppkey,
+                       CAST(round(l_quantity * 100) AS BIGINT) + 100
+                FROM lineitem WHERE l_orderkey % 7 = 3)
+            SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(c) AS BIGINT) AS qty_cents
+            FROM post GROUP BY 1 ORDER BY 1
         """,
     }

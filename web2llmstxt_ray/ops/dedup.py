@@ -1548,27 +1548,74 @@ def _ed_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
+def _lev_le(a: str, b: str, k: int) -> int | None:
+    """Exact Levenshtein(a, b) if ≤ k, else None — banded DP touching
+    only the 2k+1 diagonal band, so verify cost is O(len·k), not
+    O(len²)."""
+    la, lb = len(a), len(b)
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la > k:
+        return None
+    inf = k + 1
+    prev = [i if i <= k else inf for i in range(la + 1)]
+    for j in range(1, lb + 1):
+        lo = max(1, j - k)
+        hi = min(la, j + k)
+        cur = [inf] * (la + 1)
+        if j <= k:
+            cur[0] = j
+        bj = b[j - 1]
+        row_min = cur[0] if j <= k else inf
+        for i in range(lo, hi + 1):
+            v = prev[i - 1] + (a[i - 1] != bj)
+            d = prev[i] + 1
+            if d < v:
+                v = d
+            e = cur[i - 1] + 1
+            if e < v:
+                v = e
+            if v > inf:
+                v = inf
+            cur[i] = v
+            if v < row_min:
+                row_min = v
+        if row_min > k:
+            return None
+        prev = cur
+    return prev[la] if prev[la] <= k else None
+
+
 def edit_distance_self_join(ds: ray.data.Dataset, col: str,
-                            num_buckets: int = 64) -> pd.DataFrame:
-    """FastSS (k=1) similarity self-join: every unordered pair of
-    DISTINCT ``col`` values with Levenshtein distance ≤ 1 — the
+                            num_buckets: int = 64,
+                            max_dist: int = 1) -> pd.DataFrame:
+    """FastSS (k=``max_dist``) similarity self-join: every unordered
+    pair of DISTINCT ``col`` values with Levenshtein distance ≤ k — the
     spelling-variant / near-key clustering primitive (Bocek et al.'s
     deletion-neighborhood blocking). SQL twin is the quadratic
-    ``JOIN … ON levenshtein ≤ 1`` cross join; here candidates come
-    from BLOCKING: ed(a,b) ≤ 1 implies a and b share a member of the
-    single-deletion neighborhood {s} ∪ {s minus one char}, so only
-    strings agreeing on some variant ever meet.
+    ``JOIN … ON levenshtein ≤ k`` cross join; here candidates come
+    from BLOCKING: ed(a,b) ≤ k implies a and b share a member of the
+    ≤k-deletion neighborhood (delete up to k chars), so only strings
+    agreeing on some variant ever meet — no false negatives, and the
+    banded-DP verify kills the false positives.
 
     Scale shape: distinct values reduce block-locally then through
     one hash-bucket combine (exact-dedup economics); each distinct
-    string explodes into len+1 variants (skinny string pairs); ONE
-    variant-hash shuffle groups candidates, the basket pair-explosion
-    emits within-group pairs vectorized, a pair-hash bucket dedups
-    globally, and only then does the O(candidate-pairs) exact ≤1
-    verify run — candidates, not the cross product. Output:
-    (name_a, name_b, dist) with name_a < name_b."""
+    string explodes into O(len^k) variants (skinny string pairs; for
+    k=2 that's 1 + len + C(len,2) ≈ len²/2 per DISTINCT string — the
+    classic FastSS space/verify trade); ONE variant-hash shuffle
+    groups candidates, the basket pair-explosion emits within-group
+    pairs vectorized, a pair-hash bucket dedups globally, and only
+    then does the O(candidate-pairs) exact ≤k verify run —
+    candidates, not the cross product. Output:
+    (name_a, name_b, dist) with name_a < name_b, dist the exact
+    Levenshtein distance (1..k)."""
     from .basket import _explode_pairs
     from .windows import _add_key_bucket
+
+    if max_dist not in (1, 2):
+        raise ValueError("edit_distance_self_join supports max_dist 1 "
+                         f"or 2 (deletion shells), got {max_dist}")
 
     def block_unique(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({col: b[col].unique()})
@@ -1584,11 +1631,17 @@ def edit_distance_self_join(ds: ray.data.Dataset, col: str,
         names: list[str] = []
         vs: list[str] = []
         for s in b[col]:
-            names.append(s)
-            vs.append(s)
-            for i in range(len(s)):        # per DISTINCT string, O(len)
-                names.append(s)
-                vs.append(s[:i] + s[i + 1:])
+            seen = {s}
+            if max_dist >= 1:
+                for i in range(len(s)):    # per DISTINCT string, O(len)
+                    seen.add(s[:i] + s[i + 1:])
+            if max_dist >= 2:
+                for i in range(len(s)):    # 2-deletion shell, O(len²)
+                    si = s[:i] + s[i + 1:]
+                    for j in range(len(si)):
+                        seen.add(si[:j] + si[j + 1:])
+            names.extend([s] * len(seen))
+            vs.extend(seen)
         return (pd.DataFrame({"name": names, "variant": vs})
                 .drop_duplicates())
 
@@ -1607,10 +1660,18 @@ def edit_distance_self_join(ds: ray.data.Dataset, col: str,
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         d = g[["name_a", "name_b"]].drop_duplicates()
-        keep = [_ed_le1(x, y)                 # O(candidates), post-dedup
-                for x, y in zip(d["name_a"], d["name_b"])]
+        if max_dist == 1:
+            keep = [_ed_le1(x, y)             # O(candidates), post-dedup
+                    for x, y in zip(d["name_a"], d["name_b"])]
+            d = d.loc[keep].copy()
+            d["dist"] = np.int64(1)
+            return d
+        dists = [_lev_le(x, y, max_dist)      # banded DP, O(len·k)
+                 for x, y in zip(d["name_a"], d["name_b"])]
+        keep = [v is not None for v in dists]
         d = d.loc[keep].copy()
-        d["dist"] = np.int64(1)
+        d["dist"] = pd.Series([v for v in dists if v is not None],
+                              index=d.index, dtype="int64")
         return d
 
     out = (_add_key_bucket(var, "variant", num_buckets)

@@ -1115,3 +1115,103 @@ def new_vs_returning(ds: ray.data.Dataset,
                         - agg["n_new"]).astype("int64"),
         "n_active": agg["n_active"].astype("int64")})
     return out.reset_index(drop=True)
+
+
+def frequent_triples(ds: ray.data.Dataset, user_col: str = "user_id",
+                     ts_col: str = "ts", item_col: str = "event_type",
+                     sup_num: int = 1, sup_den: int = 20,
+                     num_buckets: int = 64) -> pd.DataFrame:
+    """Frequent 3-itemsets over (user, calendar-day) activity baskets
+    with support ≥ ``sup_num/sup_den`` — the A-priori step past
+    :func:`association_rules`' pairs, the pattern that finds
+    *routine bundles* (the user who views AND clicks AND errors in
+    one day) rather than pairwise co-occurrence.
+
+    Distributed A-priori shape: pass 1 counts per-item basket support
+    in one user-hash bucket shuffle (a user's baskets are whole within
+    a bucket, so distinct-(user,day,item) rows collapse exactly);
+    the anti-monotone screen — a frequent triple's every item is
+    itself frequent — broadcasts the small frequent-item set, and
+    pass 2 explodes triples ONLY over surviving items (the skew
+    defense: a million-item long tail never enters the cubic merge).
+    Triple counts are per-bucket exact and additive; the driver folds
+    O(buckets · items³) partials. The support test is the exact
+    integer cross-multiplication ``n·sup_den ≥ N·sup_num`` (no float
+    threshold), and ``support`` itself is the one float division,
+    replayed verbatim by the SQL twin. Output:
+    (t1 < t2 < t3, n_both, n_baskets, support), sorted."""
+    import numpy as np
+
+    cols = [user_col, ts_col, item_col]
+    bucketed = _add_key_bucket(ds.select_columns(cols), user_col,
+                               num_buckets)
+
+    def pass1(group: pd.DataFrame) -> pd.DataFrame:
+        day = group[ts_col].astype("datetime64[ns]").dt.normalize()
+        g = pd.DataFrame({"_u": group[user_col], "_d": day,
+                          "_i": group[item_col]}).drop_duplicates()
+        items = g.groupby("_i", as_index=False).size() \
+            .rename(columns={"_i": "i", "size": "n"})
+        items["kind"] = np.int8(0)
+        tot = pd.DataFrame({
+            "i": [""], "n": [len(g[["_u", "_d"]].drop_duplicates())],
+            "kind": [np.int8(1)]})
+        return pd.concat([items, tot], ignore_index=True)[
+            ["kind", "i", "n"]]
+
+    p1 = bucketed.groupby("_sbucket").map_groups(
+        pass1, batch_format="pandas").to_pandas()
+    f1 = p1.groupby(["kind", "i"], as_index=False)["n"].sum()
+    n_total = int(f1.loc[f1["kind"] == 1, "n"].sum())
+    empty = pd.DataFrame({
+        "t1": pd.Series([], dtype="object"),
+        "t2": pd.Series([], dtype="object"),
+        "t3": pd.Series([], dtype="object"),
+        "n_both": pd.Series([], dtype="int64"),
+        "n_baskets": pd.Series([], dtype="int64"),
+        "support": pd.Series([], dtype="float64")})
+    if n_total == 0:
+        return empty
+    it = f1[f1["kind"] == 0]
+    frequent = frozenset(
+        i for i, n in zip(it["i"], it["n"].astype(int))
+        if n * sup_den >= n_total * sup_num)
+    if len(frequent) < 3:
+        return empty
+
+    def pass2(group: pd.DataFrame) -> pd.DataFrame:
+        day = group[ts_col].astype("datetime64[ns]").dt.normalize()
+        g = pd.DataFrame({"_u": group[user_col], "_d": day,
+                          "_i": group[item_col]}).drop_duplicates()
+        g = g[g["_i"].isin(frequent)]        # A-priori prune
+        if g.empty:
+            return pd.DataFrame({"t1": pd.Series([], dtype="object"),
+                                 "t2": pd.Series([], dtype="object"),
+                                 "t3": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        m = g.merge(g, on=["_u", "_d"])
+        m = m[m["_i_x"] < m["_i_y"]]
+        m3 = m.merge(g, on=["_u", "_d"])
+        m3 = m3[m3["_i_y"] < m3["_i"]]
+        out = m3.groupby(["_i_x", "_i_y", "_i"], as_index=False) \
+            .size().rename(columns={"_i_x": "t1", "_i_y": "t2",
+                                    "_i": "t3", "size": "n"})
+        return out
+
+    p2 = bucketed.groupby("_sbucket").map_groups(
+        pass2, batch_format="pandas").to_pandas()
+    if p2.empty or "t1" not in p2.columns:
+        return empty
+    tri = p2.groupby(["t1", "t2", "t3"], as_index=False)["n"].sum()
+    tri = tri[tri["n"].astype(int) * sup_den >= n_total * sup_num]
+    if tri.empty:
+        return empty
+    out = pd.DataFrame({
+        "t1": tri["t1"].to_numpy(),
+        "t2": tri["t2"].to_numpy(),
+        "t3": tri["t3"].to_numpy(),
+        "n_both": tri["n"].astype("int64").to_numpy(),
+        "n_baskets": np.int64(n_total),
+        "support": np.array([float(int(n)) / float(n_total)
+                             for n in tri["n"]], dtype=np.float64)})
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
