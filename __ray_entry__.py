@@ -5799,6 +5799,80 @@ def q_ivm_groupby(sf_dir: str) -> pd.DataFrame:
         .sort_values("l_suppkey").reset_index(drop=True)
 
 
+def q_dow_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Weekday-deseasonalized daily-revenue anomalies — days beating
+    their own day-of-week mean by >2σ, the seasonality-aware
+    spike/outage read; the anomaly SET is picked by the exact-integer
+    cross-multiplied rule (n·x−S)² > 4·(n·Q−S²), so no float
+    comparison can flip it. See :func:`ops.windows.dow_anomaly`."""
+    from web2llmstxt_ray.ops.windows import dow_anomaly
+
+    return dow_anomaly(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]), z=2)
+
+
+def q_source_overlap(sf_dir: str) -> pd.DataFrame:
+    """Cross-source exact-duplicate overlap matrix (mirror detection)
+    over a deterministic union that plants three mirror sources
+    (doc_id ≡ 0 mod 5 re-tagged 'mirror_<doc_id mod 3>') — the
+    synthetic corpus has no natural cross-source dups, so the planted
+    tail makes the oracle non-trivial (same union built by the SQL
+    twin). See :func:`ops.dedup.cross_group_dup_matrix`."""
+    from web2llmstxt_ray.ops.dedup import cross_group_dup_matrix
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def base(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"text": b["text"],
+                             "source": b["source"]})
+
+    def mirror(b: pd.DataFrame) -> pd.DataFrame:
+        sel = b[b["doc_id"] % 5 == 0]
+        return pd.DataFrame({
+            "text": sel["text"],
+            "source": "mirror_" + (sel["doc_id"] % 3).astype(str)})
+
+    u = docs.map_batches(base, batch_format="pandas",
+                         batch_size=None).union(
+        docs.map_batches(mirror, batch_format="pandas",
+                         batch_size=None))
+    return cross_group_dup_matrix(u, text_col="text",
+                                  group_col="source")
+
+
+def q_fd_source_lang(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency audit source → lang: is each source
+    monolingual? Exact violation census — O(buckets) summary partials,
+    never O(keys) on the driver. See
+    :func:`ops.validate.fd_audit`."""
+    from web2llmstxt_ray.ops.validate import fd_audit
+
+    return fd_audit(_t(sf_dir, "documents", ["source", "lang"]),
+                    lhs_col="source", rhs_col="lang")
+
+
+def q_cluster_db_index(sf_dir: str) -> pd.DataFrame:
+    """Davies–Bouldin components per label over the embeddings —
+    worst-confusable-neighbor scatter ratios, the cluster-separation
+    QA companion to label_silhouette. See
+    :func:`ops.ann.davies_bouldin`."""
+    from web2llmstxt_ray.ops.ann import davies_bouldin
+
+    return davies_bouldin(_t(sf_dir, "embeddings",
+                             ["vec_id", "embedding", "label"]))
+
+
+def q_source_fairness(sf_dir: str) -> pd.DataFrame:
+    """Jain's fairness index over per-source doc counts — the
+    one-number crawl-budget fairness audit, exact ints with Σx²
+    carried as decimal strings past int64. See
+    :func:`ops.stats.jain_fairness`."""
+    from web2llmstxt_ray.ops.stats import jain_fairness
+
+    return jain_fairness(_t(sf_dir, "documents", ["source"]),
+                         group_col="source")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -6108,6 +6182,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_edit2_pairs": q_name_edit2_pairs,
         "frequent_triples": q_frequent_triples,
         "ivm_groupby": q_ivm_groupby,
+        "dow_anomaly": q_dow_anomaly,
+        "source_overlap": q_source_overlap,
+        "fd_source_lang": q_fd_source_lang,
+        "cluster_db_index": q_cluster_db_index,
+        "source_fairness": q_source_fairness,
     }
 
 
@@ -10767,5 +10846,104 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(c) AS BIGINT) AS qty_cents
             FROM post GROUP BY 1 ORDER BY 1
+        """,
+        "dow_anomaly": """
+            WITH d AS (SELECT epoch_us(o_orderdate) // 86400000000
+                                  AS day,
+                              sum(CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) AS cents
+                       FROM orders GROUP BY 1),
+            w AS (SELECT day % 7 AS dow, count(*) AS n,
+                         sum(CAST(cents AS HUGEINT)) AS s,
+                         sum(CAST(cents AS HUGEINT) * cents) AS q
+                  FROM d GROUP BY 1),
+            j AS (SELECT d.day, w.dow, d.cents,
+                         w.n * CAST(d.cents AS HUGEINT) - w.s AS dev,
+                         w.n * w.q - w.s * w.s AS var_n2
+                  FROM d JOIN w ON d.day % 7 = w.dow
+                  WHERE w.n >= 2)
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(dow AS BIGINT) AS dow,
+                   CAST(cents AS BIGINT) AS cents,
+                   CAST(dev AS DOUBLE) / sqrt(CAST(var_n2 AS DOUBLE))
+                       AS z_score
+            FROM j WHERE var_n2 > 0 AND dev * dev > 4 * var_n2
+            ORDER BY day
+        """,
+        "source_overlap": """
+            WITH u AS (SELECT text, source FROM documents
+                       UNION ALL
+                       SELECT text,
+                              'mirror_' || CAST(doc_id % 3 AS VARCHAR)
+                       FROM documents WHERE doc_id % 5 = 0),
+            d AS (SELECT DISTINCT md5(text) AS h, source FROM u)
+            SELECT a.source AS group_a, b.source AS group_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "fd_source_lang": """
+            WITH p AS (SELECT DISTINCT source AS k, lang AS v
+                       FROM documents),
+            g AS (SELECT k, count(*) AS c FROM p GROUP BY 1),
+            t AS (SELECT k, c FROM g ORDER BY c DESC, k LIMIT 1)
+            SELECT CAST((SELECT count(*) FROM g) AS BIGINT)
+                       AS n_keys,
+                   CAST((SELECT count(*) FROM g WHERE c > 1)
+                        AS BIGINT) AS n_violating,
+                   CAST((SELECT count(*) FROM g WHERE c > 1)
+                        AS DOUBLE)
+                       / CAST((SELECT count(*) FROM g) AS DOUBLE)
+                       AS violation_rate,
+                   CAST((SELECT max(c) FROM g) AS BIGINT)
+                       AS max_rhs_variants,
+                   (SELECT k FROM t) AS top_key,
+                   CAST((SELECT c FROM t) AS BIGINT)
+                       AS top_key_variants
+        """,
+        "cluster_db_index": """
+            WITH e AS (SELECT vec_id, label, unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings),
+            c AS (SELECT label, dim,
+                         round(avg(CAST(v AS DOUBLE)), 12) AS m
+                  FROM e GROUP BY 1, 2),
+            d AS (SELECT e.vec_id, e.label,
+                         sum((CAST(e.v AS DOUBLE) - c.m)
+                             * (CAST(e.v AS DOUBLE) - c.m)) AS d2
+                  FROM e JOIN c ON e.dim = c.dim
+                                AND e.label = c.label
+                  GROUP BY 1, 2),
+            sc AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                          sqrt(sum(d2) / count(*)) AS s
+                   FROM d GROUP BY 1),
+            cd AS (SELECT a.label AS la, b.label AS lb,
+                          sqrt(sum((a.m - b.m) * (a.m - b.m)))
+                              AS dist
+                   FROM c a JOIN c b ON a.dim = b.dim
+                                     AND a.label <> b.label
+                   GROUP BY 1, 2),
+            db AS (SELECT cd.la AS label,
+                          max((sa.s + sb.s) / cd.dist) AS dbc
+                   FROM cd JOIN sc sa ON sa.label = cd.la
+                           JOIN sc sb ON sb.label = cd.lb
+                   WHERE cd.dist > 0 GROUP BY 1)
+            SELECT sc.label, sc.n, round(sc.s, 6) AS scatter,
+                   round(db.dbc, 6) AS db_component
+            FROM sc JOIN db ON db.label = sc.label ORDER BY 1
+        """,
+        "source_fairness": """
+            WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS x
+                       FROM documents GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(x) AS BIGINT) AS total_rows,
+                   CAST(min(x) AS BIGINT) AS min_n,
+                   CAST(max(x) AS BIGINT) AS max_n,
+                   CAST(sum(CAST(x AS HUGEINT))
+                        * sum(CAST(x AS HUGEINT)) AS DOUBLE)
+                       / CAST(count(*)
+                              * sum(CAST(x AS HUGEINT) * x)
+                              AS DOUBLE) AS jain
+            FROM g
         """,
     }

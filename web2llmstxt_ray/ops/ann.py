@@ -1312,3 +1312,79 @@ def knn_label_accuracy(ds: ray.data.Dataset,
     out["accuracy"] = out["n_correct"].to_numpy(np.float64) \
         / out["n"].to_numpy(np.float64)
     return out.sort_values("label").reset_index(drop=True)
+
+
+def davies_bouldin(ds: ray.data.Dataset, label_col: str = "label",
+                   vec_col: str = "embedding",
+                   round_to: int = 6) -> pd.DataFrame:
+    """Davies–Bouldin cluster-quality components per label: scatter
+    ``s_i = sqrt(Σ‖x − C_i‖² / n_i)`` (RMS distance to own centroid)
+    and ``db_i = max_{j≠i} (s_i + s_j)/‖C_i − C_j‖`` — the
+    worst-confusable-neighbor ratio whose mean is the classic DB
+    index (lower = tighter, better-separated clusters). The companion
+    gauge to :func:`centroid_silhouette` that names WHICH cluster each
+    one is most confusable with.
+
+    Same scale shape as the silhouette: centroids from
+    O(blocks × labels) sum-vector partials (12-decimal rounding — the
+    convention the SQL twin mirrors), broadcast once; ONE map-only
+    pass accumulates per-label (Σ‖x − C_i‖², n) partials — squared
+    sums, so the per-block partials are additive and no sqrt happens
+    before the driver fold; the k² ratio matrix is O(labels²) driver
+    work. Output: (label, n, scatter, db_component), sorted."""
+    import pandas as pd
+
+    from .veckit import vec_matrix
+
+    cent = label_centroids(ds, label_col=label_col, vec_col=vec_col,
+                           round_to=12)
+    labs = np.array(sorted(cent[label_col].unique()), dtype=np.int64)
+    dmax = int(cent["dim"].max())
+    C = np.zeros((len(labs), dmax), dtype=np.float64)
+    pos = {int(l): i for i, l in enumerate(labs)}
+    for lab, dim, m in cent.itertuples(index=False):
+        C[pos[int(lab)], int(dim) - 1] = m
+    C_ref = ray.put(C)
+    labs_ref = ray.put(labs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(C_ref)
+        lv = ray.get(labs_ref)
+        X = vec_matrix(batch, vec_col).astype(np.float64)
+        y = batch.column(label_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        own = np.searchsorted(lv, y)
+        diff = X - Cm[own]                 # direct form, no GEMM
+        d2 = (diff * diff).sum(axis=1)
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(y):
+            sel = d2[y == lab]
+            out_l.append(int(lab))
+            out_s.append(float(sel.sum()))
+            out_n.append(len(sel))
+        return pa.table({
+            label_col: pa.array(out_l, pa.int64()),
+            "_d2": pa.array(out_s, pa.float64()),
+            "_n": pa.array(out_n, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    agg = parts.groupby(label_col, as_index=False).agg(
+        _d2=("_d2", "sum"), n=("_n", "sum")).sort_values(label_col)
+    s = np.sqrt(agg["_d2"].to_numpy(np.float64)
+                / agg["n"].to_numpy(np.float64))
+    k = len(labs)
+    db = np.full(k, np.nan)
+    if k >= 2:
+        cd = np.sqrt(((C[:, None, :] - C[None, :, :]) ** 2)
+                     .sum(axis=2))
+        for i in range(k):
+            r = [(s[i] + s[j]) / cd[i, j]
+                 for j in range(k) if j != i and cd[i, j] > 0]
+            if r:
+                db[i] = max(r)
+    return pd.DataFrame({
+        label_col: agg[label_col].astype("int64").to_numpy(),
+        "n": agg["n"].astype("int64").to_numpy(),
+        "scatter": np.round(s, round_to),
+        "db_component": np.round(db, round_to)})

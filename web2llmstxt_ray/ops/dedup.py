@@ -2292,3 +2292,64 @@ def prefix_dup_groups(ds: ray.data.Dataset, text_col: str = "text",
     out[id_col] = out[id_col].astype("int64")
     out["n_copies"] = out["n_copies"].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def cross_group_dup_matrix(ds: ray.data.Dataset,
+                           text_col: str = "text",
+                           group_col: str = "source",
+                           num_buckets: int = 64) -> pd.DataFrame:
+    """Cross-group exact-duplicate overlap matrix: for every unordered
+    pair of groups (sources/hosts), the number of DISTINCT text
+    contents present in both — the mirror/syndication detector that
+    tells a crawl planner which source pairs are republishing each
+    other (and which half of the fetch budget is buying bytes it
+    already has under another hostname).
+
+    Scale shape: texts never pairwise-compare — each block reduces to
+    its distinct (md5(text), group) pairs (skinny strings), ONE
+    content-hash bucket shuffle co-locates every copy of a text, the
+    within-bucket self-merge explodes each hash's tiny group set into
+    its C(G,2) pairs (G ≤ #groups, not corpus-sized), and per-bucket
+    (group_a, group_b, n) counts are additive — the driver folds
+    O(buckets · groups²). md5 (not the engine's 64-bit content hash)
+    so the SQL twin's ``md5()`` replays the key verbatim. Output:
+    (group_a, group_b, n_shared) with group_a < group_b, sorted."""
+    from .windows import _add_key_bucket
+
+    def block_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h": [content_md5(t or "") for t in b[text_col]],
+            "g": b[group_col]}).drop_duplicates()
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["h", "g"]].drop_duplicates()
+        m = d.merge(d, on="h")
+        m = m[m["g_x"] < m["g_y"]]
+        if m.empty:
+            return pd.DataFrame({
+                "group_a": pd.Series([], dtype="object"),
+                "group_b": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64")})
+        out = m.groupby(["g_x", "g_y"], as_index=False).size() \
+            .rename(columns={"g_x": "group_a", "g_y": "group_b",
+                             "size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (_add_key_bucket(
+        ds.select_columns([text_col, group_col]).map_batches(
+            block_pairs, batch_format="pandas", batch_size=None),
+        "h", num_buckets)
+        .groupby("_sbucket")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({
+            "group_a": pd.Series([], dtype="object"),
+            "group_b": pd.Series([], dtype="object"),
+            "n_shared": pd.Series([], dtype="int64")})
+    out = parts.groupby(["group_a", "group_b"], as_index=False)["n"] \
+        .sum().rename(columns={"n": "n_shared"})
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out.sort_values(["group_a", "group_b"]) \
+        .reset_index(drop=True)

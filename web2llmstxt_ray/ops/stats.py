@@ -1872,3 +1872,67 @@ def conditional_decile_profile(ds: ray.data.Dataset, x_col: str,
     out["mean_y"] = agg["sy"].to_numpy(np.float64) \
         / (float(y_scale) * agg["n"].to_numpy(np.float64))
     return out.sort_values("decile").reset_index(drop=True)
+
+
+def jain_fairness(ds: ray.data.Dataset, group_col: str,
+                  num_buckets: int = 64) -> pd.DataFrame:
+    """Jain's fairness index over per-group row counts,
+    ``J = (Σx)² / (n · Σx²)`` — the one-number crawl-fairness audit
+    (J = 1 when every host got the same share of the fetch budget,
+    J → 1/n when one host ate it). The gauge a politeness scheduler
+    checks before blaming throughput on the long tail.
+
+    Scale shape: per-block (group, n) count partials (map-only,
+    additive) finish in ONE group-hash bucket shuffle, so each
+    group's exact total exists in exactly one bucket; each bucket
+    then collapses to ONE (k, Σx, Σx², min, max) partial with Σx²
+    carried as a decimal STRING (x² outgrows int64 at ~3 B rows per
+    group; the exact Python-int fold survives any magnitude — the
+    :func:`grouped_hhi` idiom). The driver folds O(buckets) rows;
+    ``jain`` is the single float division float(S·S)/float(n·Q) of
+    exact ints, matching the SQL twin's HUGEINT-cast-DOUBLE form
+    bit-for-bit. Output one row:
+    (n_groups, total_rows, min_n, max_n, jain)."""
+    from .windows import _add_key_bucket
+
+    def block_counts(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(group_col, as_index=False).size() \
+            .rename(columns={"size": "x"})
+        out["x"] = out["x"].astype("int64")
+        return out
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(group_col, as_index=False)["x"].sum()
+        xs = [int(v) for v in tot["x"]]
+        return pd.DataFrame({
+            "k": pd.Series([len(xs)], dtype="int64"),
+            "s": pd.Series([sum(xs)], dtype="int64"),
+            "q_str": pd.Series([str(sum(v * v for v in xs))],
+                               dtype="object"),
+            "mn": pd.Series([min(xs)], dtype="int64"),
+            "mx": pd.Series([max(xs)], dtype="int64")})
+
+    parts = (_add_key_bucket(
+        ds.select_columns([group_col]).map_batches(
+            block_counts, batch_format="pandas", batch_size=None),
+        group_col, num_buckets)
+        .groupby("_sbucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({
+            "n_groups": pd.Series([0], dtype="int64"),
+            "total_rows": pd.Series([0], dtype="int64"),
+            "min_n": pd.Series([0], dtype="int64"),
+            "max_n": pd.Series([0], dtype="int64"),
+            "jain": pd.Series([float("nan")], dtype="float64")})
+    n = int(parts["k"].sum())
+    S = int(parts["s"].sum())
+    Q = sum(int(v) for v in parts["q_str"])   # exact past int64
+    return pd.DataFrame({
+        "n_groups": pd.Series([n], dtype="int64"),
+        "total_rows": pd.Series([S], dtype="int64"),
+        "min_n": pd.Series([int(parts["mn"].min())], dtype="int64"),
+        "max_n": pd.Series([int(parts["mx"].max())], dtype="int64"),
+        "jain": pd.Series([float(S * S) / float(n * Q)],
+                          dtype="float64")})

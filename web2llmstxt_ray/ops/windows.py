@@ -9,6 +9,8 @@ the scale-friendly partial-aggregation path instead of map_groups.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1997,3 +1999,61 @@ def change_point(ds: ray.data.Dataset, ts_col: str = "o_orderdate",
         "sse_total": pd.Series(
             [float(Qn) - float(Sn) * float(Sn) / float(n)],
             dtype="float64")})
+
+
+def dow_anomaly(ds: ray.data.Dataset, ts_col: str = "o_orderdate",
+                value_col: str = "o_totalprice",
+                z: int = 2) -> pd.DataFrame:
+    """Weekday-deseasonalized daily-value anomalies: days whose value
+    sum deviates from their OWN day-of-week's mean by more than
+    ``z`` population standard deviations — the seasonality-aware
+    spike/outage detector (a quiet Sunday is normal; a Sunday with
+    Tuesday volume is not), the read a flat threshold like
+    :func:`ops.stats.daily_volume_anomalies` can't give when traffic
+    has a weekly rhythm.
+
+    Rides :func:`_daily_cents_series` (additive (day, cents)
+    partials, O(days) driver series). Per weekday (epoch-day mod 7;
+    day 0 = Thursday — arbitrary but identical in the SQL twin) the
+    fold keeps exact Python-int (n, S, Q); the anomaly test is the
+    CROSS-MULTIPLIED exact-integer rule
+    ``(n·x − S)² > z²·(n·Q − S²)`` — |x − mean| > z·std with both
+    sides scaled by n², so NO float comparison ever picks the set
+    (partitioning- and reassociation-proof). The reported z-score
+    ``(n·x − S)/sqrt(n·Q − S²)`` is one float division of exact ints,
+    replayed verbatim by the SQL twin. Weekdays with fewer than 2
+    observed days or zero variance yield no anomalies. Output:
+    (day, dow, cents, z_score), sorted by day."""
+    days, cents = _daily_cents_series(ds, ts_col, value_col)
+    empty = pd.DataFrame({
+        "day": pd.Series([], dtype="int64"),
+        "dow": pd.Series([], dtype="int64"),
+        "cents": pd.Series([], dtype="int64"),
+        "z_score": pd.Series([], dtype="float64")})
+    if len(days) == 0:
+        return empty
+    stats: dict[int, list[int]] = {}
+    for d, c in zip(days, cents):
+        st = stats.setdefault(int(d) % 7, [0, 0, 0])
+        st[0] += 1
+        st[1] += int(c)
+        st[2] += int(c) * int(c)
+    rows = []
+    for d, c in zip(days, cents):
+        n, S, Q = stats[int(d) % 7]
+        if n < 2:
+            continue
+        var_n2 = n * Q - S * S            # n² · population variance
+        if var_n2 <= 0:
+            continue
+        dev = n * int(c) - S              # n · (x − mean)
+        if dev * dev > z * z * var_n2:    # exact-integer anomaly rule
+            rows.append((int(d), int(d) % 7, int(c),
+                         float(dev) / math.sqrt(float(var_n2))))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["day", "dow", "cents",
+                                      "z_score"])
+    for c in ("day", "dow", "cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
