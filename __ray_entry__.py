@@ -5873,6 +5873,78 @@ def q_source_fairness(sf_dir: str) -> pd.DataFrame:
                          group_col="source")
 
 
+def q_mann_whitney(sf_dir: str) -> pd.DataFrame:
+    """Exact Mann-Whitney U (rank-sum) test between purchase and
+    click event values — midrank ties, tie-corrected z, all integer
+    until the final expressions. See
+    :func:`ops.stats.mann_whitney_u`."""
+    from web2llmstxt_ray.ops.stats import mann_whitney_u
+
+    return mann_whitney_u(
+        _t(sf_dir, "events", ["value", "event_type"]),
+        "value", "event_type", "purchase", "click")
+
+
+def q_next_event_entropy(sf_dir: str) -> pd.DataFrame:
+    """Conditional next-event entropy per current type — the
+    behavioral-predictability read of the Markov transition table,
+    with the modal next type under the (n DESC, type ASC) rule. See
+    :func:`ops.events.next_event_entropy`."""
+    from web2llmstxt_ray.ops.events import next_event_entropy
+
+    return next_event_entropy(
+        _t(sf_dir, "events", ["event_id", "user_id", "event_type",
+                              "ts"]))
+
+
+def q_source_lang_kappa(sf_dir: str) -> pd.DataFrame:
+    """Cohen's kappa of the modal-lang-per-source router against the
+    true lang labels — agreement beyond chance from the exact
+    confusion matrix, the honest companion to the binary FD audit.
+    See :func:`ops.validate.modal_predictor_kappa`."""
+    from web2llmstxt_ray.ops.validate import modal_predictor_kappa
+
+    return modal_predictor_kappa(
+        _t(sf_dir, "documents", ["source", "lang"]),
+        key_col="source", label_col="lang")
+
+
+def q_phrase_search(sf_dir: str) -> pd.DataFrame:
+    """Exact phrase-occurrence counts for "merge data" over a
+    16-token-chunked corpus — in-chunk vectorized scan + per-doc
+    junction stitching, validated against the SQL twin's positional
+    self-join over the UNCHUNKED text (the boundary-handling proof).
+    See :func:`ops.retrieval.phrase_count`."""
+    from web2llmstxt_ray.ops.retrieval import phrase_count
+
+    return phrase_count(_t(sf_dir, "documents", ["doc_id", "text"]),
+                        "merge data", chunk_tokens=16)
+
+
+def q_hits_scores(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs & authorities (2 L1-normalized iterations, integer
+    fixed-point) over the customer-buys-part bipartite graph —
+    bit-exact vs the unrolled HUGEINT SQL replay. See
+    :func:`ops.graph.hits_scores`."""
+    from web2llmstxt_ray.ops.graph import hits_scores
+    from web2llmstxt_ray.ops.relational import hash_join
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["l_orderkey", "o_custkey"]), batch_format="pyarrow")
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = hash_join(li, orders, on="l_orderkey", num_buckets=16) \
+        .map_batches(lambda b: pa.table({
+            "hub": b.column("o_custkey"),
+            "auth": b.column("l_partkey")}),
+            batch_format="pyarrow")
+    out = hits_scores(edges, iters=2, scale=10 ** 9).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["score"] = out["score"].astype("int64")
+    return out.sort_values(["kind", "node"]).reset_index(drop=True)
+
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
@@ -6187,6 +6259,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_source_lang": q_fd_source_lang,
         "cluster_db_index": q_cluster_db_index,
         "source_fairness": q_source_fairness,
+        "mann_whitney": q_mann_whitney,
+        "next_event_entropy": q_next_event_entropy,
+        "source_lang_kappa": q_source_lang_kappa,
+        "phrase_search": q_phrase_search,
+        "hits_scores": q_hits_scores,
     }
 
 
@@ -10946,4 +11023,154 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE) AS jain
             FROM g
         """,
+        "mann_whitney": """
+            WITH k AS (SELECT CAST(round(value * 100) AS BIGINT)
+                                  AS cents,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS isa
+                       FROM events
+                       WHERE event_type IN ('purchase', 'click')),
+            h AS (SELECT cents, CAST(sum(isa) AS HUGEINT) AS ca,
+                         CAST(count(*) - sum(isa) AS HUGEINT) AS cb
+                  FROM k GROUP BY 1),
+            c AS (SELECT cents, ca, cb, ca + cb AS t,
+                         COALESCE(sum(ca + cb) OVER (ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS l
+                  FROM h),
+            agg AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+                           CAST(sum(cb) AS HUGEINT) AS nb,
+                           sum(ca * (2 * l + t + 1)) AS r2,
+                           sum(t * t * t - t) AS tie_t
+                    FROM c)
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   CAST(r2 - na * (na + 1) AS VARCHAR) AS u_a2,
+                   CAST(tie_t AS VARCHAR) AS tie_t,
+                   CAST(r2 - na * (na + 1) - na * nb AS DOUBLE)
+                       / sqrt(CAST(na * nb
+                                   * ((na + nb) * (na + nb - 1)
+                                      * (na + nb + 1) - tie_t)
+                                   AS DOUBLE)
+                              / CAST(3 * (na + nb) * (na + nb - 1)
+                                     AS DOUBLE)) AS z,
+                   CAST(r2 - na * (na + 1) AS DOUBLE)
+                       / CAST(2 * na * nb AS DOUBLE) AS cles
+            FROM agg
+        """,
+        "next_event_entropy": """
+            WITH tr AS (SELECT prev_type, event_type,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM (SELECT event_type,
+                                     lag(event_type) OVER (
+                                         PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                                         AS prev_type
+                              FROM events)
+                        WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS t,
+                           CAST(count(*) AS BIGINT) AS k
+                    FROM tr GROUP BY 1),
+            ent AS (SELECT tr.prev_type,
+                           -sum((CAST(tr.n AS DOUBLE) / tot.t)
+                                * ln(CAST(tr.n AS DOUBLE) / tot.t))
+                               AS entropy
+                    FROM tr JOIN tot USING (prev_type) GROUP BY 1),
+            top AS (SELECT prev_type, event_type, n FROM (
+                        SELECT *, row_number() OVER (
+                            PARTITION BY prev_type
+                            ORDER BY n DESC, event_type ASC) AS rn
+                        FROM tr) WHERE rn = 1)
+            SELECT tot.prev_type AS cur_type, tot.t AS n_transitions,
+                   tot.k AS n_next_types, ent.entropy,
+                   top.event_type AS top_next,
+                   CAST(top.n AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                       AS top_share
+            FROM tot JOIN ent USING (prev_type)
+                     JOIN top USING (prev_type)
+            ORDER BY 1
+        """,
+        "source_lang_kappa": """
+            WITH c AS (SELECT source, lang,
+                              CAST(count(*) AS BIGINT) AS c
+                       FROM documents GROUP BY 1, 2),
+            m AS (SELECT source, lang AS pred FROM (
+                      SELECT source, lang, row_number() OVER (
+                          PARTITION BY source
+                          ORDER BY c DESC, lang ASC) AS rn
+                      FROM c) WHERE rn = 1),
+            conf AS (SELECT m.pred, c.lang AS t,
+                            CAST(sum(c.c) AS HUGEINT) AS c
+                     FROM c JOIN m USING (source) GROUP BY 1, 2),
+            mm AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+                          CAST(sum(CASE WHEN pred = t THEN c
+                                        ELSE 0 END) AS HUGEINT)
+                              AS agree,
+                          (SELECT count(*) FROM m) AS n_keys
+                   FROM conf),
+            pe AS (SELECT CAST(sum(p.pc * t.tc) AS HUGEINT)
+                              AS pe_num
+                   FROM (SELECT pred AS l, sum(c) AS pc FROM conf
+                         GROUP BY 1) p
+                   JOIN (SELECT t AS l, sum(c) AS tc FROM conf
+                         GROUP BY 1) t USING (l))
+            SELECT CAST(mm.n AS BIGINT) AS n_rows,
+                   CAST(mm.n_keys AS BIGINT) AS n_keys,
+                   CAST(mm.agree AS BIGINT) AS agree,
+                   CAST(mm.agree AS DOUBLE) / CAST(mm.n AS DOUBLE)
+                       AS po,
+                   CAST(pe.pe_num AS DOUBLE)
+                       / (CAST(mm.n AS DOUBLE) * CAST(mm.n AS DOUBLE))
+                       AS pe,
+                   ((CAST(mm.agree AS DOUBLE) / CAST(mm.n AS DOUBLE))
+                    - (CAST(pe.pe_num AS DOUBLE)
+                       / (CAST(mm.n AS DOUBLE)
+                          * CAST(mm.n AS DOUBLE))))
+                   / (1.0 - (CAST(pe.pe_num AS DOUBLE)
+                             / (CAST(mm.n AS DOUBLE)
+                                * CAST(mm.n AS DOUBLE)))) AS kappa
+            FROM mm, pe
+        """,
+        "phrase_search": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            u AS (SELECT doc_id, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) AS i FROM t)
+            SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+            FROM u a JOIN u b ON a.doc_id = b.doc_id
+                              AND b.i = a.i + 1
+            WHERE a.tok = 'merge' AND b.tok = 'data'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "hits_scores": """
+            WITH e AS (SELECT DISTINCT o_custkey AS hub,
+                              l_partkey AS auth
+                       FROM orders JOIN lineitem
+                            ON l_orderkey = o_orderkey),
+            a1r AS (SELECT auth,
+                           CAST(count(*) AS HUGEINT) * 1000000000
+                               AS s
+                    FROM e GROUP BY 1),
+            a1 AS (SELECT auth, (1000000000 * s)
+                       // (SELECT sum(s) FROM a1r) AS v FROM a1r),
+            h1r AS (SELECT hub, CAST(sum(a1.v) AS HUGEINT) AS s
+                    FROM e JOIN a1 USING (auth) GROUP BY 1),
+            h1 AS (SELECT hub, (1000000000 * s)
+                       // (SELECT sum(s) FROM h1r) AS v FROM h1r),
+            a2r AS (SELECT auth, CAST(sum(h1.v) AS HUGEINT) AS s
+                    FROM e JOIN h1 USING (hub) GROUP BY 1),
+            a2 AS (SELECT auth, (1000000000 * s)
+                       // (SELECT sum(s) FROM a2r) AS v FROM a2r),
+            h2r AS (SELECT hub, CAST(sum(a2.v) AS HUGEINT) AS s
+                    FROM e JOIN a2 USING (auth) GROUP BY 1),
+            h2 AS (SELECT hub, (1000000000 * s)
+                       // (SELECT sum(s) FROM h2r) AS v FROM h2r)
+            SELECT 'auth' AS kind, CAST(auth AS BIGINT) AS node,
+                   CAST(v AS BIGINT) AS score FROM a2
+            UNION ALL
+            SELECT 'hub', CAST(hub AS BIGINT), CAST(v AS BIGINT)
+            FROM h2
+            ORDER BY 1, 2
+        """,
     }
+

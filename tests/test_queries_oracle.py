@@ -28,6 +28,9 @@ ROWS_ONLY = sorted(set(E.queries()) - set(E.oracle_sql()))
 # few-ULP relative tolerance instead of bit-equality. The driver's
 # own gate rounds floats to 6 decimals — this is far stricter.
 ULP_TOL = {"user_type_entropy": 1e-14,
+           # conditional-entropy Σ -(c/t)·ln(c/t) per cur_type:
+           # same reassociation class as user_type_entropy
+           "next_event_entropy": 1e-12,
            # chi2 is a float SUM over contingency cells; the oracle's
            # SUM order is engine-chosen → last-bit drift
            "priority_status_chi2": 1e-12,

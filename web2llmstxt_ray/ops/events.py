@@ -250,6 +250,13 @@ def transition_counts(ds: ray.data.Dataset, user_col: str = "user_id",
         .groupby("_sbucket").map_groups(per_bucket,
                                         batch_format="pandas")
         .to_pandas())
+    if parts.empty or "prev_type" not in parts.columns:
+        # no user had a second event: every per-bucket partial was
+        # empty, so the concat carries no schema
+        return pd.DataFrame({
+            "prev_type": pd.Series([], dtype="object"),
+            type_col: pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64")})
     out = parts.groupby(["prev_type", type_col], as_index=False)["n"] \
         .sum()
     out["n"] = out["n"].astype("int64")
@@ -1215,3 +1222,52 @@ def frequent_triples(ds: ray.data.Dataset, user_col: str = "user_id",
         "support": np.array([float(int(n)) / float(n_total)
                              for n in tri["n"]], dtype=np.float64)})
     return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+def next_event_entropy(ds: ray.data.Dataset,
+                       user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       num_buckets: int = 64) -> pd.DataFrame:
+    """Conditional next-event entropy per current event type — the
+    behavioral-predictability read of the first-order Markov model:
+    ``H(next | cur=t) = −Σ_s p(s|t)·ln p(s|t)`` in nats per current
+    type t, with the modal next type and its share. H ≈ 0 means the
+    journey is deterministic after t (a funnel edge); H near
+    ``ln(n_types)`` means t predicts nothing.
+
+    Rides :func:`transition_counts` (one user-hash bucket shuffle,
+    O(buckets × |types|²) partials to the driver); the per-type fold
+    is O(|types|²). Entropy terms mirror the SQL twin's
+    ``−Σ (c/tot)·ln(c/tot)`` per-group aggregate; the modal next type
+    breaks count ties by lexicographic next-type order (the
+    ``(n DESC, type ASC)`` rule used across the board). Output:
+    (cur_type, n_transitions, n_next_types, entropy, top_next,
+    top_share)."""
+    tc = transition_counts(ds, user_col=user_col, type_col=type_col,
+                           ts_col=ts_col, id_col=id_col,
+                           num_buckets=num_buckets)
+    if tc.empty:
+        return pd.DataFrame({
+            "cur_type": pd.Series([], dtype="object"),
+            "n_transitions": pd.Series([], dtype="int64"),
+            "n_next_types": pd.Series([], dtype="int64"),
+            "entropy": pd.Series([], dtype="float64"),
+            "top_next": pd.Series([], dtype="object"),
+            "top_share": pd.Series([], dtype="float64")})
+    import math
+
+    rows = []
+    for cur, g in tc.groupby("prev_type", sort=True):
+        cnts = [int(v) for v in g["n"]]
+        tot = sum(cnts)
+        ent = -sum((c / tot) * math.log(c / tot) for c in cnts)
+        top = g.assign(_neg=-g["n"]).sort_values(
+            ["_neg", type_col], kind="stable").iloc[0]
+        rows.append((cur, tot, len(cnts), ent,
+                     top[type_col], float(int(top["n"])) / float(tot)))
+    return pd.DataFrame(rows, columns=[
+        "cur_type", "n_transitions", "n_next_types", "entropy",
+        "top_next", "top_share"]).astype({
+            "n_transitions": "int64", "n_next_types": "int64"})

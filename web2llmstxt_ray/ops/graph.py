@@ -1633,3 +1633,164 @@ def degree_histogram(pairs: ray.data.Dataset, col_a: str = "u",
     agg["degree"] = agg["degree"].astype("int64")
     agg["n_nodes"] = agg["n_nodes"].astype("int64")
     return agg.sort_values("degree").reset_index(drop=True)
+
+
+def hits_scores(edges: ray.data.Dataset, iters: int = 2,
+                scale: int = 10 ** 9, num_buckets: int = 64,
+                hub_col: str = "hub",
+                auth_col: str = "auth") -> ray.data.Dataset:
+    """HITS hubs & authorities (Kleinberg) over a bipartite edge
+    list, in INTEGER fixed-point — the who-curates vs what-is-canon
+    decomposition PageRank's single score can't give (a crawl
+    frontier wants both: hub pages to expand, authority pages to
+    keep).
+
+    Float HITS is not oracle-able (L2 norms drift in the last ulps
+    across sum orders), so the mutual recurrence runs L1-normalized
+    in scaled integers, where every step is associative-exact:
+
+        h_0(c)  = scale
+        ar_i(p) = Σ_{c→p} h_{i-1}(c)      a_i(p) = (scale·ar) // Σar
+        hr_i(c) = Σ_{c→p} a_i(p)          h_i(c) = (scale·hr) // Σhr
+
+    Floor-divisions happen once per NODE per half-step (never
+    per-edge), so any execution order — and the unrolled SQL
+    translation with HUGEINT `//` — is bit-identical. Bounds: raw
+    sums stay in int64 while max in-degree × scale < 2⁶³ (9·10⁹ at
+    the default scale); the normalizers Σar/Σhr and the scale·raw
+    products are folded as exact Python ints, immune to overflow.
+
+    Distributed shape (mirrors :func:`pagerank`): edges dedupe in one
+    hub-bucketed shuffle; each half-step co-groups the edge list with
+    the current score table by bucket(source side) via union-with-tag
+    (no join operator), partial-sums by target in-bucket, finishes
+    the sum grouped by bucket(target), then normalizes map-only with
+    the broadcast Python-int total. 2 bucketed shuffles per
+    half-step; scores live as Datasets throughout. Returns a Dataset
+    (kind ∈ {'hub','auth'}, node, score) with score in 1/``scale``
+    units."""
+
+    def tag_bucket_of(col: str):
+        def tag(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "_gb", pa.array(_bucket_of(v, num_buckets)
+                                .astype(np.int32)))
+        return tag
+
+    def dedup_edges(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(
+            subset=[hub_col, auth_col])[[hub_col, auth_col]]
+
+    adj = (edges.map_batches(tag_bucket_of(hub_col),
+                             batch_format="pyarrow")
+           .groupby("_gb").map_groups(dedup_edges,
+                                      batch_format="pandas")
+           ).materialize()
+
+    def init_hubs(group: pd.DataFrame) -> pd.DataFrame:
+        n = group.drop_duplicates(subset=[hub_col])[hub_col]
+        return pd.DataFrame({
+            "node": n.astype("int64"),
+            "v": np.full(len(n), scale, dtype=np.int64)})
+
+    scores = (adj.map_batches(tag_bucket_of(hub_col),
+                              batch_format="pyarrow")
+              .groupby("_gb").map_groups(init_hubs,
+                                         batch_format="pandas")
+              ).materialize()
+
+    def propagate(score_ds: ray.data.Dataset, src_col: str,
+                  dst_col: str) -> ray.data.Dataset:
+        """raw(dst) = Σ_{src→dst} score(src), two bucketed shuffles."""
+        def edge_rows(batch: pa.Table) -> pa.Table:
+            s = batch.column(src_col).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_gb": pa.array(_bucket_of(s, num_buckets)
+                                .astype(np.int32)),
+                "src": pa.array(s.astype(np.int64)),
+                "dst": pa.array(batch.column(dst_col)
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+                "v": pa.array(np.full(batch.num_rows, -1, np.int64)),
+            })
+
+        def score_rows(batch: pa.Table) -> pa.Table:
+            n = batch.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_gb": pa.array(_bucket_of(n, num_buckets)
+                                .astype(np.int32)),
+                "src": batch.column("node"),
+                "dst": pa.array(np.full(batch.num_rows, -1,
+                                        np.int64)),
+                "v": batch.column("v"),
+            })
+
+        tagged = (adj.map_batches(edge_rows, batch_format="pyarrow")
+                  .union(score_ds.map_batches(
+                      score_rows, batch_format="pyarrow")))
+
+        def contribute(group: pd.DataFrame) -> pd.DataFrame:
+            is_score = group["dst"].to_numpy() == -1
+            smap = group[is_score].set_index("src")["v"]
+            e = group[~is_score]
+            if not len(e):
+                return pd.DataFrame({
+                    "node": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="int64")})
+            sv = smap.reindex(e["src"]).to_numpy()
+            out = pd.DataFrame({"node": e["dst"].to_numpy(),
+                                "s": sv.astype(np.int64)})
+            return out.groupby("node", as_index=False)["s"].sum()
+
+        partial = (tagged.groupby("_gb")
+                   .map_groups(contribute, batch_format="pandas"))
+
+        def finish(group: pd.DataFrame) -> pd.DataFrame:
+            out = group.groupby("node", as_index=False)["s"].sum()
+            return pd.DataFrame({"node": out["node"].astype("int64"),
+                                 "v": out["s"].astype("int64")})
+
+        return (partial.map_batches(tag_bucket_of("node"),
+                                    batch_format="pyarrow")
+                .groupby("_gb").map_groups(finish,
+                                           batch_format="pandas")
+                ).materialize()
+
+    def exact_total(score_ds: ray.data.Dataset) -> int:
+        def part(batch: pa.Table) -> pa.Table:
+            t = sum(int(x) for x in batch.column("v").to_pylist())
+            return pa.table({"s": pa.array([str(t)], pa.string())})
+        parts = score_ds.map_batches(
+            part, batch_format="pyarrow").to_pandas()
+        return sum(int(x) for x in parts["s"])
+
+    def normalized(score_ds: ray.data.Dataset) -> ray.data.Dataset:
+        total = exact_total(score_ds)
+
+        def norm(batch: pa.Table) -> pa.Table:
+            vs = [(scale * int(x)) // total
+                  for x in batch.column("v").to_pylist()]
+            return pa.table({"node": batch.column("node"),
+                             "v": pa.array(vs, pa.int64())})
+
+        return score_ds.map_batches(
+            norm, batch_format="pyarrow").materialize()
+
+    auths = None
+    for _ in range(iters):
+        auths = normalized(propagate(scores, hub_col, auth_col))
+        scores = normalized(propagate(auths, auth_col, hub_col))
+
+    def label(kind: str):
+        def add(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "kind": pa.array([kind] * batch.num_rows,
+                                 pa.string()),
+                "node": batch.column("node"),
+                "score": batch.column("v")})
+        return add
+
+    return (auths.map_batches(label("auth"), batch_format="pyarrow")
+            .union(scores.map_batches(label("hub"),
+                                      batch_format="pyarrow")))

@@ -531,3 +531,119 @@ def kwic_contexts(ds: ray.data.Dataset, term: str,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         per_block, batch_format="pandas", batch_size=None)
+
+
+def phrase_count(ds: ray.data.Dataset, phrase: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 chunk_tokens: int = 32,
+                 num_buckets: int = 64) -> "pd.DataFrame":
+    """Exact multi-word phrase occurrence counts over a CHUNKED
+    corpus — the positional-search primitive behind benchmark-overlap
+    probes and quote tracing, shaped for a corpus that is stored as
+    token shards rather than whole documents.
+
+    The corpus is split into fixed ``chunk_tokens``-token chunks
+    (``flat_map``, whole documents never ship further); each chunk is
+    scanned locally for phrase starts (vectorized shifted-equality
+    over the token array) and reduced to a SKINNY row — (doc, chunk
+    idx, in-chunk count, first/last L−1 tokens). Occurrences that
+    straddle a chunk boundary are recovered in the per-doc fold: one
+    doc-hash bucket shuffle co-locates a doc's chunk summaries, and
+    each junction window ``tail_i ++ head_{i+1}`` is scanned for
+    starts that begin in the tail and end in the head (counted once,
+    exactly the positions the in-chunk scans cannot see). Overlapping
+    occurrences all count (start positions), matching the SQL twin's
+    positional self-join over ``string_split`` subscripts.
+
+    A phrase can span at most two chunks (enforced:
+    ``chunk_tokens ≥ len(phrase tokens)``; only the final chunk of a
+    doc is short). Driver sees only matching (doc, n) rows. Output:
+    (doc_id, n_matches) for docs with ≥1 occurrence, by doc id."""
+    import pandas as pd
+
+    from .dedup import _id_blocks
+
+    toks = [t for t in phrase.split(" ") if t]
+    L = len(toks)
+    if L == 0:
+        raise ValueError("empty phrase")
+    if chunk_tokens < L:
+        raise ValueError("chunk_tokens must be >= phrase length")
+    tok_arr = np.array(toks, dtype=object)
+
+    def count_starts(words: np.ndarray) -> int:
+        n = len(words)
+        if n < L:
+            return 0
+        m = words[: n - L + 1] == tok_arr[0]
+        for j in range(1, L):
+            m = m & (words[j: n - L + j + 1] == tok_arr[j])
+        return int(m.sum())
+
+    def to_chunk_rows(batch: pa.Table) -> pa.Table:
+        ids, idxs, nins, heads, tails = [], [], [], [], []
+        for did, text in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            words = np.array((text or "").split(" "), dtype=object)
+            for ci in range(0, max(len(words), 1), chunk_tokens):
+                w = words[ci: ci + chunk_tokens]
+                ids.append(did)
+                idxs.append(ci // chunk_tokens)
+                nins.append(count_starts(w))
+                heads.append(" ".join(w[: L - 1]))
+                tails.append(" ".join(w[len(w) - (L - 1):])
+                             if L > 1 else "")
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(idxs, pa.int64()),
+            "n_in": pa.array(nins, pa.int64()),
+            "head": pa.array(heads, pa.string()),
+            "tail": pa.array(tails, pa.string()),
+        })
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = _id_blocks(batch.column(id_col).to_pylist(), num_buckets)
+        return batch.append_column(
+            "_sbucket", pa.array(b, pa.int32()))
+
+    def per_doc_fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([id_col, "chunk_idx"], kind="stable")
+        out_ids, out_n = [], []
+        for did, d in g.groupby(id_col, sort=False):
+            total = int(d["n_in"].sum())
+            tails = d["tail"].tolist()
+            heads = d["head"].tolist()
+            for i in range(len(d) - 1):
+                t = np.array([w for w in tails[i].split(" ") if w],
+                             dtype=object)
+                h = np.array([w for w in heads[i + 1].split(" ")
+                              if w], dtype=object)
+                w = np.concatenate([t, h])
+                tl, n = len(t), len(w)
+                if n < L:
+                    continue
+                m = w[: n - L + 1] == tok_arr[0]
+                for j in range(1, L):
+                    m = m & (w[j: n - L + j + 1] == tok_arr[j])
+                starts = np.nonzero(m)[0]
+                total += int(((starts < tl)
+                              & (starts + L > tl)).sum())
+            if total > 0:
+                out_ids.append(did)
+                out_n.append(total)
+        return pd.DataFrame({
+            id_col: pd.Series(out_ids, dtype="int64"),
+            "n_matches": pd.Series(out_n, dtype="int64")})
+
+    folded = (ds.select_columns([id_col, text_col])
+              .map_batches(to_chunk_rows, batch_format="pyarrow",
+                           batch_size=None)
+              .map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("_sbucket")
+              .map_groups(per_doc_fold, batch_format="pandas")
+              .to_pandas())
+    if folded.empty:
+        return pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "n_matches": pd.Series([], dtype="int64")})
+    return folded.sort_values(id_col).reset_index(drop=True)

@@ -1936,3 +1936,90 @@ def jain_fairness(ds: ray.data.Dataset, group_col: str,
         "max_n": pd.Series([int(parts["mx"].max())], dtype="int64"),
         "jain": pd.Series([float(S * S) / float(n * Q)],
                           dtype="float64")})
+
+
+def mann_whitney_u(ds: ray.data.Dataset, value_col: str,
+                   label_col: str, label_a: str,
+                   label_b: str) -> pd.DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) between the
+    integer-cents value distributions of two labels, EXACT: ranks,
+    tie correction and the U statistic are pure integer arithmetic
+    over the distinct-value count histogram, so no float rank sum
+    ever exists — the normal-approximation ``z`` is the last step,
+    one expression over exact integers that the SQL twin mirrors
+    operation-for-operation.
+
+    With midrank tie handling, twice the rank of every row sharing a
+    distinct value v is the INTEGER ``2·cum_less(v) + t(v) + 1`` (the
+    :func:`spearman_corr` idiom), so twice the rank sum of side a is
+    ``R2 = Σ_v ca(v)·(2L+t+1)`` and ``2·U_a = R2 − n_a(n_a+1)``.
+    The tie term ``T = Σ (t³−t)`` feeds the tie-corrected variance
+
+        4·var = n_a·n_b·(n(n−1)(n+1) − T) / (3·n(n−1))
+        z     = (2·U_a − n_a·n_b) / √(4·var)
+
+    — both sides of the division exact ints (T ≤ n³ and 2U ≤ n²
+    outgrow int64 beyond ~2M-row tie groups / ~3B rows; carried as
+    Python ints through the fold and emitted as decimal STRINGS, the
+    :func:`grouped_hhi` idiom, matching the twin's HUGEINT→VARCHAR
+    cast). The common-language effect size ``cles = U_a/(n_a·n_b)``
+    is one exact division.
+
+    Scale shape: identical to :func:`two_sample_ks` — one streaming
+    pass emits per-block (cents, count_a, count_b) partials; the
+    driver folds O(distinct values) rows (bounded-dynamic-range
+    contract; route through a value-bucketed shuffle first for
+    unbounded domains). Output one row:
+    (n_a, n_b, u_a2, tie_t, z, cles) where ``u_a2 = 2·U_a``."""
+    import math
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b[label_col].isin((label_a, label_b))
+        k = b.loc[m]
+        cents = np.rint(k[value_col].to_numpy() * 100).astype("int64")
+        isa = (k[label_col] == label_a).to_numpy().astype("int64")
+        g = pd.DataFrame({"cents": cents, "ca": isa, "cb": 1 - isa})
+        return g.groupby("cents", as_index=False)[["ca", "cb"]].sum()
+
+    parts = ds.select_columns([value_col, label_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    empty_z = float("nan")
+    if parts.empty:
+        return pd.DataFrame({
+            "n_a": pd.Series([0], dtype="int64"),
+            "n_b": pd.Series([0], dtype="int64"),
+            "u_a2": pd.Series(["0"], dtype="object"),
+            "tie_t": pd.Series(["0"], dtype="object"),
+            "z": pd.Series([empty_z], dtype="float64"),
+            "cles": pd.Series([empty_z], dtype="float64")})
+    c = parts.groupby("cents", as_index=False)[["ca", "cb"]].sum() \
+        .sort_values("cents")
+    ca = [int(v) for v in c["ca"]]
+    cb = [int(v) for v in c["cb"]]
+    na, nb = sum(ca), sum(cb)
+    n = na + nb
+    r2 = 0          # Σ ca·(2·cum_less + t + 1), exact
+    tie_t = 0       # Σ t³ − t, exact (Python int past int64)
+    less = 0
+    for a_i, b_i in zip(ca, cb):
+        t = a_i + b_i
+        r2 += a_i * (2 * less + t + 1)
+        tie_t += t * t * t - t
+        less += t
+    u_a2 = r2 - na * (na + 1)
+    if na == 0 or nb == 0 or n < 2:
+        z = cles = empty_z
+    else:
+        var4_num = na * nb * (n * (n - 1) * (n + 1) - tie_t)
+        var4_den = 3 * n * (n - 1)
+        var4 = float(var4_num) / float(var4_den)
+        z = (float(u_a2 - na * nb) / math.sqrt(var4)
+             if var4 > 0 else empty_z)
+        cles = float(u_a2) / float(2 * na * nb)
+    return pd.DataFrame({
+        "n_a": pd.Series([na], dtype="int64"),
+        "n_b": pd.Series([nb], dtype="int64"),
+        "u_a2": pd.Series([str(u_a2)], dtype="object"),
+        "tie_t": pd.Series([str(tie_t)], dtype="object"),
+        "z": pd.Series([z], dtype="float64"),
+        "cles": pd.Series([cles], dtype="float64")})
