@@ -57,6 +57,17 @@ def _pdf(ds: rd.Dataset) -> pd.DataFrame:
     return ds.to_pandas()
 
 
+def _rn(**mapping: str):
+    """Batch fn renaming columns BY NAME (old=new), immune to column
+    reordering — positional ``rename_columns([...])`` silently depends
+    on the read preserving the requested column order (round-3
+    ADVICE)."""
+    def _fn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            [mapping.get(n, n) for n in b.schema.names])
+    return _fn
+
+
 # ---------------------------------------------------------------------------
 # flagship entry: documents → interleaved span documents (flattened)
 # ---------------------------------------------------------------------------
@@ -169,7 +180,9 @@ def q_segment_revenue(sf_dir: str) -> pd.DataFrame:
     customer = pa.concat_tables(
         [ray.get(r) for r in
          _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_arrow_refs()])
-    customer = customer.rename_columns(["o_custkey", "c_mktsegment"])
+    customer = customer.rename_columns(
+        ["o_custkey" if n == "c_custkey" else n
+         for n in customer.schema.names])
     joined = broadcast_join(orders, customer, on="o_custkey")
 
     def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
@@ -191,8 +204,7 @@ def q_priority_revenue(sf_dir: str) -> pd.DataFrame:
     lineitem = _t(sf_dir, "lineitem",
                   ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
-        .map_batches(lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
-                     batch_format="pyarrow")
+        .map_batches(_rn(o_orderkey="l_orderkey"), batch_format="pyarrow")
     joined = hash_join(lineitem, orders, on="l_orderkey", num_buckets=16)
 
     def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
@@ -334,7 +346,7 @@ def q_segment_order_outer(sf_dir: str) -> pd.DataFrame:
                    .select(["c_custkey", "c_mktsegment"]),
         batch_format="pyarrow")
     orders = _t(sf_dir, "orders", ["o_custkey"]).map_batches(
-        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
+        _rn(o_custkey="c_custkey"), batch_format="pyarrow")
 
     def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("c_custkey", as_index=False).agg(
@@ -358,8 +370,7 @@ def q_customer_order_stats(sf_dir: str) -> pd.DataFrame:
 
     customer = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        lambda t: t.rename_columns(["c_custkey", "o_totalprice"]),
-        batch_format="pyarrow")
+        _rn(o_custkey="c_custkey"), batch_format="pyarrow")
     joined = hash_join(customer, orders, on="c_custkey", num_buckets=16,
                        how="left")
 
@@ -1861,8 +1872,7 @@ def q_salted_brand_revenue(sf_dir: str) -> pd.DataFrame:
 
     li = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
     part = _t(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
-        lambda t: t.rename_columns(["l_partkey", "p_brand"]),
-        batch_format="pyarrow")
+        _rn(p_partkey="l_partkey"), batch_format="pyarrow")
     joined = salted_join(li, part, on="l_partkey", num_buckets=16,
                          salt=4, hot_keys=[1, 2, 3])
 
@@ -2696,9 +2706,8 @@ def q_late_ship_priority(sf_dir: str) -> pd.DataFrame:
     orders = _t(sf_dir, "orders",
                 ["o_orderkey", "o_orderdate", "o_orderpriority"])
     line = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]) \
-        .map_batches(
-            lambda b: b.rename_columns(["o_orderkey", "l_shipdate"]),
-            batch_format="pyarrow")
+        .map_batches(_rn(l_orderkey="o_orderkey"),
+                     batch_format="pyarrow")
 
     def late_pairs(b: pd.DataFrame) -> pd.DataFrame:
         m = b["l_shipdate"] > b["o_orderdate"] + pd.Timedelta(days=60)
@@ -5930,8 +5939,10 @@ def q_hits_scores(sf_dir: str) -> pd.DataFrame:
     from web2llmstxt_ray.ops.relational import hash_join
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
-        .map_batches(lambda b: b.rename_columns(
-            ["l_orderkey", "o_custkey"]), batch_format="pyarrow")
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey")}),
+            batch_format="pyarrow")
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
     edges = hash_join(li, orders, on="l_orderkey", num_buckets=16) \
         .map_batches(lambda b: pa.table({
@@ -11122,13 +11133,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pe.pe_num AS DOUBLE)
                        / (CAST(mm.n AS DOUBLE) * CAST(mm.n AS DOUBLE))
                        AS pe,
+                   CASE WHEN CAST(pe.pe_num AS DOUBLE)
+                             / (CAST(mm.n AS DOUBLE)
+                                * CAST(mm.n AS DOUBLE)) >= 1.0
+                        THEN 1.0
+                        ELSE
                    ((CAST(mm.agree AS DOUBLE) / CAST(mm.n AS DOUBLE))
                     - (CAST(pe.pe_num AS DOUBLE)
                        / (CAST(mm.n AS DOUBLE)
                           * CAST(mm.n AS DOUBLE))))
                    / (1.0 - (CAST(pe.pe_num AS DOUBLE)
                              / (CAST(mm.n AS DOUBLE)
-                                * CAST(mm.n AS DOUBLE)))) AS kappa
+                                * CAST(mm.n AS DOUBLE))))
+                   END AS kappa
             FROM mm, pe
         """,
         "phrase_search": """

@@ -150,6 +150,25 @@ class TestModalPredictorKappa:
         assert got["po"].tolist() == [1.0]
         assert got["kappa"].tolist() == [1.0]
 
+    def test_single_label_degenerate_matches_sql_twin(self):
+        # The oracle SQL guards pe >= 1 with CASE ... THEN 1.0 so a
+        # degenerate single-label corpus oracles identically instead
+        # of NULL from 0/0 (round-3 ADVICE).
+        import duckdb
+
+        import __ray_entry__ as entry
+        con = duckdb.connect()
+        con.execute("""CREATE VIEW documents AS SELECT * FROM
+            (VALUES ('s1','en'), ('s2','en'), ('s1','en'))
+            t(source, lang)""")
+        sql = entry.oracle_sql()["source_lang_kappa"]
+        want = con.execute(sql).fetch_df()
+        assert want["kappa"].tolist() == [1.0]
+        got = self._run(["s1", "s2", "s1"], ["en", "en", "en"])
+        assert got["kappa"].tolist() == want["kappa"].tolist()
+        assert got["po"].tolist() == want["po"].tolist()
+        assert got["pe"].tolist() == want["pe"].tolist()
+
     def test_partition_invariant(self):
         rng = np.random.default_rng(5)
         keys = [f"s{i % 13}" for i in range(400)]
@@ -216,6 +235,37 @@ class TestPhraseCount:
                            "merge data", chunk_tokens=8)
         assert got["doc_id"].tolist() == [2]
         assert got["n_matches"].tolist() == [1]
+
+    def test_double_space_at_chunk_boundary(self):
+        # 'x x x merge<SPACE><SPACE>data y y' splits to tokens
+        # [x x x merge '' data y y]; chunk=4 puts the empty token
+        # first in chunk 2, so the junction is tail=[merge] ++
+        # head=['' data ...]. A filtered re-split would drop the
+        # empty token and count a phantom 'merge data'; the
+        # unfiltered stitch must NOT match (positions shifted).
+        text = "x x x merge  data y y"
+        got = phrase_count(_docs([text]), "merge data",
+                           chunk_tokens=4)
+        assert got["doc_id"].tolist() == []
+        # And the real occurrence straddling a boundary with an
+        # empty token BEFORE it in the tail slice must still count:
+        # tokens [a '' merge data b] chunk=3 -> ['a','','merge'] |
+        # ['data','b']; junction tail=['','merge'] head=['data','b']
+        # with tl=2 -> start at 1 straddles -> one match.
+        text2 = "a  merge data b"
+        got2 = phrase_count(_docs([text2]), "merge data",
+                            chunk_tokens=3)
+        assert got2["n_matches"].tolist() == [1]
+
+    def test_double_space_vs_bruteforce_random(self):
+        rng = np.random.default_rng(23)
+        vocab = ["a", "b", ""]  # '' injects consecutive spaces
+        texts = [" ".join(rng.choice(vocab, rng.integers(0, 30)))
+                 for _ in range(40)]
+        for phrase in ("a b", "b a b"):
+            got = phrase_count(_docs(texts), phrase, chunk_tokens=4)
+            want = _brute(texts, phrase)
+            assert dict(zip(got["doc_id"], got["n_matches"])) == want
 
 
 def _hits_brute(edges, iters=2, scale=10 ** 9):

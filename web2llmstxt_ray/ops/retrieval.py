@@ -613,11 +613,17 @@ def phrase_count(ds: ray.data.Dataset, phrase: str,
             total = int(d["n_in"].sum())
             tails = d["tail"].tolist()
             heads = d["head"].tolist()
-            for i in range(len(d) - 1):
-                t = np.array([w for w in tails[i].split(" ") if w],
-                             dtype=object)
-                h = np.array([w for w in heads[i + 1].split(" ")
-                              if w], dtype=object)
+            # L == 1: a single-token phrase can't straddle a chunk
+            # boundary; the in-chunk scans already count everything.
+            for i in range(len(d) - 1 if L > 1 else 0):
+                # Unfiltered re-split: ' '.join/split(' ') is lossless
+                # for empty tokens (the L-1-token slices are never
+                # empty for L > 1), so junction positions reproduce
+                # the original word stream exactly — consecutive
+                # spaces produce empty tokens here just as they do in
+                # the in-chunk scan and the SQL twin's string_split.
+                t = np.array(tails[i].split(" "), dtype=object)
+                h = np.array(heads[i + 1].split(" "), dtype=object)
                 w = np.concatenate([t, h])
                 tl, n = len(t), len(w)
                 if n < L:
