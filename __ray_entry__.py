@@ -590,16 +590,29 @@ def q_doc_sample(sf_dir: str) -> pd.DataFrame:
 
 
 def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
-    """Greedy FFD sequence packing over per-doc token counts (rows-only:
-    pack layout is invariant-tested in tests/test_corpus.py)."""
+    """Greedy FFD sequence packing over per-doc token counts, in the
+    GLOBALLY deterministic ``bucket_mod`` tier (docs grouped by
+    ``doc_id % 16``, FFD per bucket) — the pack layout is a pure
+    function of the data, so the DuckDB twin replays the exact FFD
+    fold per bucket with a recursive CTE and the driver hash-compares
+    every pack (round-3 flip from rows-only). pack_id = md5 of the
+    sorted member ids. The shuffle-free per-block tier stays
+    invariant-tested in tests/test_corpus.py."""
+    import hashlib
+
     from web2llmstxt_ray.ops.corpus import pack_sequences
     from web2llmstxt_ray.ops.textstats import token_counts
 
     counts = token_counts(_t(sf_dir, "documents", ["doc_id", "text"])) \
         .select_columns(["doc_id", "n_tokens"])
-    packs = pack_sequences(counts, max_tokens=2048).to_pandas()
+    packs = pack_sequences(counts, max_tokens=2048,
+                           bucket_mod=16).to_pandas()
+    packs["pack_id"] = packs["doc_ids"].map(
+        lambda v: hashlib.md5(
+            ",".join(map(str, sorted(v))).encode()).hexdigest())
     packs = packs.drop(columns=["doc_ids"])  # list col: keep schema flat
-    packs["pack_id"] = packs["pack_id"].map(lambda v: f"{int(v):016x}")
+    packs["n_docs"] = packs["n_docs"].astype("int64")
+    packs["total_tokens"] = packs["total_tokens"].astype("int64")
     return packs.sort_values("pack_id").reset_index(drop=True)
 
 
@@ -690,14 +703,41 @@ def q_decontaminate_ngram(sf_dir: str) -> pd.DataFrame:
 
 
 def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
-    """Count-Min + per-batch candidates: approximate top-10 users by
-    event count with one sketch per batch (no key shuffle). Rows-only:
-    CM estimates are deterministic upper bounds, not SQL values."""
+    """Sketch-pruned exact top-10 users by event count (round-3 flip
+    from rows-only): the Count-Min pass ranks a candidate superset
+    (top-32 by CM estimate, shuffle-free — any global heavy hitter is
+    a local heavy hitter in some batch), then ONE broadcast-filtered
+    map pass exact-counts just those candidates (partial counters, no
+    key shuffle), and the top-10 by (n desc, user_id asc) is reported
+    with EXACT counts — so the DuckDB twin is the plain exact top-10
+    and hashes bit-for-bit. The CM estimates themselves stay
+    conformance-tested in tests/test_sketch.py (upper-bound + error
+    envelope), and the 32-candidate margin is far wider than the CM
+    overestimate on this width, so the candidate set always covers
+    the true top-10."""
     from web2llmstxt_ray.ops.sketch import heavy_hitters
 
-    top = heavy_hitters(_t(sf_dir, "events", ["user_id"]), "user_id",
-                        k=10)
-    return pd.DataFrame(top, columns=["user_id", "est_n"])
+    ev = _t(sf_dir, "events", ["user_id"])
+    cand = {v for v, _ in heavy_hitters(ev, "user_id", k=32)}
+    cref = ray.put(cand)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        vals = [str(v) for v in batch.column("user_id").to_pylist()]
+        from collections import Counter
+
+        cnt = Counter(v for v in vals if v in cs)
+        return pa.table({
+            "user_id": pa.array(list(cnt.keys()), pa.string()),
+            "n": pa.array(list(cnt.values()), pa.int64())})
+
+    parts = ev.map_batches(exact_partial,
+                           batch_format="pyarrow").to_pandas()
+    exact = parts.groupby("user_id", as_index=False)["n"].sum()
+    exact["user_id"] = exact["user_id"].astype("int64")
+    exact = exact.sort_values(["n", "user_id"],
+                              ascending=[False, True]).head(10)
+    return exact.reset_index(drop=True)
 
 
 def q_corpus_prep(sf_dir: str) -> pd.DataFrame:
@@ -1136,20 +1176,26 @@ def q_value_tdigest(sf_dir: str) -> pd.DataFrame:
 
 
 def q_embedding_pca(sf_dir: str) -> pd.DataFrame:
-    """Distributed PCA whitening (rows-only — eigenstructure is
-    numpy-oracle-gated in tests/test_embed_pca.py): one additive
-    covariance pass (a GEMM per block), driver eigendecomposition,
-    broadcast map-only projection."""
-    from web2llmstxt_ray.ops.embed_pca import fit_pca, transform_pca
+    """Distributed PCA fit — the driver-oracled surface is the
+    DISTRIBUTED pass itself: the additive covariance fold (one GEMM
+    per block, O(blocks) driver merge), returned as the upper-triangle
+    sample covariance (i ≤ j), which the DuckDB twin recomputes with
+    the identical ``(ss − n·(s_i/n)·(s_j/n))/(n−1)`` arithmetic
+    (round-3 flip from rows-only). The driver-side eigendecomposition
+    + whitening projection (pure LAPACK on the folded d×d matrix, no
+    distribution) stays numpy-oracle-gated in
+    tests/test_embed_pca.py."""
+    from web2llmstxt_ray.ops.embed_pca import fit_pca
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     model = fit_pca(ds, k=4)
-    out = transform_pca(ds, model, whiten=True).to_pandas()
-    z = np.stack(out["pca"].to_numpy())
-    res = pd.DataFrame({"vec_id": out["vec_id"].astype("int64")})
-    for i in range(z.shape[1]):
-        res[f"pc{i}"] = z[:, i]
-    return res.sort_values("vec_id").reset_index(drop=True)
+    d = model.cov.shape[0]
+    iu = np.triu_indices(d)
+    return pd.DataFrame({
+        "i": pd.Series(iu[0], dtype="int64"),
+        "j": pd.Series(iu[1], dtype="int64"),
+        "cov": model.cov[iu],
+    })
 
 
 def q_pq_topk(sf_dir: str) -> pd.DataFrame:
@@ -1246,15 +1292,30 @@ def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 
 
 def q_kmeans_clusters(sf_dir: str) -> pd.DataFrame:
-    """Distributed spherical Lloyd k-means (per-iteration shuffle-free
-    partial sums, broadcast centroids) + assignment. Rows-only —
-    iterative clustering isn't SQL-expressible; purity/SSE gates are in
+    """Distributed nearest-centroid (cosine) assignment under
+    DETERMINISTIC seed centroids — the k-means assignment stage with
+    the seeds pinned to the embeddings of the 8 smallest vec_ids
+    divisible by 101, so the DuckDB twin recomputes the identical
+    cosine argmax and the driver hash-compares every assignment
+    (round-3 flip from rows-only: 'oracle the assignment given fixed
+    centroids, not the iteration'). The full iterative Lloyd fit
+    (shuffle-free partial sums, broadcast centroids) runs the SAME
+    ``kmeans_assign`` kernel and stays purity/SSE-gated in
     tests/test_ann_textstats.py::TestKMeans."""
-    from web2llmstxt_ray.ops.ann import kmeans_assign, kmeans_fit
+    from web2llmstxt_ray.ops.ann import kmeans_assign
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cent, _ = kmeans_fit(ds, k=8, iters=6, sample_size=512)
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("vec_id"), dtype=np.int64)
+        return b.filter(pa.array(ids % 101 == 0))
+
+    seeds = (ds.map_batches(seed_rows, batch_format="pyarrow")
+             .sort("vec_id").limit(8).take_all())
+    cent = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in seeds])
     out = kmeans_assign(ds, cent).to_pandas()[["vec_id", "cluster"]]
+    out["vec_id"] = out["vec_id"].astype("int64")
     out["cluster"] = out["cluster"].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
 
@@ -2540,16 +2601,26 @@ def q_interleaved_costs(sf_dir: str) -> pd.DataFrame:
 
 def q_pack_interleaved(sf_dir: str) -> pd.DataFrame:
     """FFD packing of interleaved span docs into ≤1024-token training
-    sequences (docs pack atomically so span order survives). Rows-only
-    driver check; packing invariants (every doc exactly once, budget
-    respected, determinism) are pytest-gated in tests/test_nested_pack.py."""
+    sequences (docs pack atomically so span order survives), in the
+    deterministic ``bucket_mod`` tier: docs grouped by
+    ``int(doc_id) % 16``, FFD per bucket — replayed exactly by the
+    DuckDB twin's recursive-CTE fold over the span-cost CTE (round-3
+    flip from rows-only; pack_id = md5 of the sorted member ids).
+    Per-block packing invariants stay pytest-gated in
+    tests/test_nested_pack.py."""
+    import hashlib
+
     from web2llmstxt_ray.ops.nested import build_span_docs, pack_interleaved
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     out = _pdf(pack_interleaved(build_span_docs(docs.repartition(4)),
-                                max_tokens=1024))
+                                max_tokens=1024, bucket_mod=16))
     out["doc_ids"] = out["doc_ids"].map(
-        lambda v: ",".join(map(str, v)))
+        lambda v: ",".join(sorted(v)))
+    out["pack_id"] = out["doc_ids"].map(
+        lambda s: hashlib.md5(s.encode()).hexdigest())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_cost"] = out["total_cost"].astype("int64")
     return out.sort_values("pack_id").reset_index(drop=True)
 
 
@@ -3527,9 +3598,11 @@ def q_mmr_sample(sf_dir: str) -> pd.DataFrame:
     """Diverse subset selection: greedy Maximal Marginal Relevance over
     the embeddings table (k=20, λ=0.7) — each greedy step is one
     map-only pass (broadcast selected set, two GEMMs per block, block
-    argmax partials). Greedy selection is sequential by definition and
-    not SQL-expressible without recursion: rows-only driver check; the
-    sequential-oracle conformance test lives in
+    argmax partials). The DuckDB twin replays the greedy selection
+    EXACTLY with a recursive CTE (selected-id list carried in the
+    recursion state; per-step argmax via a LATERAL top-1 over
+    max-sim-to-selected) — round-4 flip from rows-only; the
+    sequential-oracle conformance test stays in
     tests/test_ann_textstats.py."""
     from web2llmstxt_ray.ops.ann import mmr_select
 
@@ -5956,63 +6029,145 @@ def q_hits_scores(sf_dir: str) -> pd.DataFrame:
 
 
 
+def q_token_budget_sample(sf_dir: str) -> pd.DataFrame:
+    """Global token-budget curation cutoff: best docs first
+    (n_chars DESC, doc_id ASC) while the inclusive running token total
+    stays ≤ 50,000 — computed WITHOUT a global sort via the two-phase
+    skinny-histogram threshold find. Exact ints → hash-exact vs the
+    window-sum twin. See :func:`ops.corpus.token_budget_sample`."""
+    from web2llmstxt_ray.ops.corpus import token_budget_sample
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        toks = [len(t.split()) if t and t.strip() else 0
+                for t in b.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars": b.column("n_chars"),
+            "n_tokens": pa.array(toks, pa.int64()),
+        })
+
+    out = _pdf(token_budget_sample(
+        docs.map_batches(with_tokens, batch_format="pyarrow"),
+        budget=50_000))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_source_set_cover(sf_dir: str) -> pd.DataFrame:
+    """Greedy max-coverage source selection (k=5): which sources buy
+    the most distinctive content (word-3-gram coverage) — the (1−1/e)
+    set-cover heuristic as a data-mixture read. Distinct
+    (source, gram) pairs shuffle once;
+    each greedy step is a broadcast-covered-set marginal count. The
+    DuckDB twin replays the greedy trace exactly with a recursive CTE
+    (covered-token list in the recursion state, per-step argmax via a
+    LATERAL top-1 with an anti-membership unnest). See
+    :func:`ops.corpus.greedy_source_cover`."""
+    from web2llmstxt_ray.ops.corpus import greedy_source_cover
+
+    return greedy_source_cover(
+        _t(sf_dir, "documents", ["source", "text"]), k=5)
+
+
+def q_conformal_threshold(sf_dir: str) -> pd.DataFrame:
+    """Split-conformal calibration threshold per event_type (α=0.1):
+    the exact ceil((n+1)(1−α))-th smallest |value−mean| — two skinny
+    passes (partial-agg means broadcast; bucketed np.partition order
+    stat). See :func:`ops.validate.conformal_threshold`."""
+    from web2llmstxt_ray.ops.validate import conformal_threshold
+
+    return conformal_threshold(
+        _t(sf_dir, "events", ["event_type", "value"]), alpha=0.1)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- the driver's correctness artifact covers the FIRST 50
-        # ---- entries in dict order: the north-star crawl/span/llms
-        # ---- queries lead, then one representative per op family;
-        # ---- the remaining queries keep their original order below
+        # ---- entries in dict order. Round-4 window: the north-star
+        # ---- crawl/span/llms flagships, then the six round-3
+        # ---- rows-only->oracled flips, then a one-per-family core,
+        # ---- then 25 ROTATED slots covering queries no prior
+        # ---- driver artifact has confirmed (windows/stats/graph/
+        # ---- events waves) -- the round-3 verdict's rotation ask.
         "crawl_pages": q_crawl_pages,
         "crawl_spans": q_crawl_spans,
         "llms_entries": q_llms_entries,
+        "pack_interleaved": q_pack_interleaved,
+        "pack_sequences": q_pack_sequences,
+        "ngram_jaccard": q_ngram_jaccard,
+        "kmeans_clusters": q_kmeans_clusters,
+        "embedding_pca": q_embedding_pca,
+        "heavy_hitters": q_heavy_hitters,
         "span_flat": q_span_flat,
+        "interleaved_costs": q_interleaved_costs,
+        "recrawl_priorities": q_recrawl_priorities,
+        "pricing_summary": q_pricing_summary,
+        "exact_dedup": q_exact_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "similarity_join": q_similarity_join,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk": q_ann_topk,
+        "pagerank": q_pagerank,
+        "knn_join": q_knn_join,
+        "bm25_scores": q_bm25_scores,
+        "token_counts": q_token_counts,
+        "decontaminate": q_decontaminate,
+        "corpus_prep": q_corpus_prep,
+        "events_sessions": q_events_sessions,
+        "nation_year_profit": q_nation_year_profit,
+        "hits_scores": q_hits_scores,
+        "mann_whitney": q_mann_whitney,
+        "ivm_groupby": q_ivm_groupby,
+        "user_scd2": q_user_scd2,
+        "part_skyline": q_part_skyline,
+        "qty_quantiles_cont": q_qty_quantiles_cont,
+        "lineitem_grouping_sets": q_lineitem_grouping_sets,
+        "hybrid_search": q_hybrid_search,
+        "cohort_retention": q_cohort_retention,
+        "events_funnel": q_events_funnel,
+        "user_journeys": q_user_journeys,
+        "value_rolling_median": q_value_rolling_median,
+        "lineitem_cube": q_lineitem_cube,
+        "part_triangles": q_part_triangles,
+        "customer_set_ops": q_customer_set_ops,
+        "events_resample": q_events_resample,
+        "supplier_weighted_median": q_supplier_weighted_median,
+        "price_histogram": q_price_histogram,
+        "market_share": q_market_share,
+        "user_streaks": q_user_streaks,
+        "phrase_search": q_phrase_search,
+        "source_lang_kappa": q_source_lang_kappa,
+        "value_peak_drawdown": q_value_peak_drawdown,
+        "event_transitions": q_event_transitions,
+        # ---- entries beyond the driver's first-50 window ----
         "span_kind_stats": q_span_kind_stats,
         "spans_media_stats": q_spans_media_stats,
-        "interleaved_costs": q_interleaved_costs,
-        "pack_interleaved": q_pack_interleaved,
-        "recrawl_priorities": q_recrawl_priorities,
         "media_features": q_media_features,
-        "pricing_summary": q_pricing_summary,
         "top_parts_per_type": q_top_parts_per_type,
         "segment_order_outer": q_segment_order_outer,
         "salted_brand_revenue": q_salted_brand_revenue,
         "regional_revenue": q_regional_revenue,
-        "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
-        "minhash_dedup": q_minhash_dedup,
         "minhash_clusters_scale": q_minhash_clusters_scale,
         "simhash_pairs": q_simhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "similarity_join": q_similarity_join,
         "semantic_dedup": q_semantic_dedup,
         "substring_dedup": q_substring_dedup,
         "segment_dedup": q_segment_dedup,
-        "embedding_near_dup": q_embedding_near_dup,
-        "ann_topk": q_ann_topk,
-        "pagerank": q_pagerank,
         "pq_topk": q_pq_topk,
-        "knn_join": q_knn_join,
-        "kmeans_clusters": q_kmeans_clusters,
-        "embedding_pca": q_embedding_pca,
-        "bm25_scores": q_bm25_scores,
         "inverted_index": q_inverted_index,
         "sparse_dot_pairs": q_sparse_dot_pairs,
         "lang_hist": q_lang_hist,
         "doc_quality": q_doc_quality,
-        "token_counts": q_token_counts,
         "repetition_stats": q_repetition_stats,
-        "decontaminate": q_decontaminate,
-        "corpus_prep": q_corpus_prep,
-        "pack_sequences": q_pack_sequences,
         "mixture_sample": q_mixture_sample,
         "bpe_tokens": q_bpe_tokens,
         "graph_components": q_graph_components,
-        "heavy_hitters": q_heavy_hitters,
-        "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
         "events_zorder_box": q_events_zorder_box,
         "customer_cdc": q_customer_cdc,
-        # ---- entries beyond the driver's first-50 window ----
         "top_orders": q_top_orders,
         "segment_revenue": q_segment_revenue,
         "priority_revenue": q_priority_revenue,
@@ -6057,20 +6212,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": q_lineitem_rollup,
         "value_lag_delta": q_value_lag_delta,
         "user_event_pivot": q_user_event_pivot,
-        "lineitem_cube": q_lineitem_cube,
         "value_ntile": q_value_ntile,
         "value_rolling_sum": q_value_rolling_sum,
         "event_type_mode": q_event_type_mode,
         "orders_price_bands": q_orders_price_bands,
-        "part_triangles": q_part_triangles,
         "qty_discount_corr": q_qty_discount_corr,
-        "qty_quantiles_cont": q_qty_quantiles_cont,
         "building_top_orders": q_building_top_orders,
         "distinct_users_by_type": q_distinct_users_by_type,
         "orders_validation": q_orders_validation,
         "value_ewma": q_value_ewma,
         "events_dedup_window": q_events_dedup_window,
-        "customer_set_ops": q_customer_set_ops,
         "bloom_orders_building": q_bloom_orders_building,
         "value_minmax_norm": q_value_minmax_norm,
         "value_robust_scale": q_value_robust_scale,
@@ -6080,32 +6231,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_values_with_ties": q_top_values_with_ties,
         "value_window_ranks": q_value_window_ranks,
         "events_range_read": q_events_range_read,
-        "events_resample": q_events_resample,
         "volume_shipping": q_volume_shipping,
         "large_orders": q_large_orders,
-        "user_journeys": q_user_journeys,
-        "cohort_retention": q_cohort_retention,
-        "events_funnel": q_events_funnel,
         "value_zscore": q_value_zscore,
         "qty_skew_kurt": q_qty_skew_kurt,
         "priority_status_mi": q_priority_status_mi,
         "distinct_users_hll": q_distinct_users_hll,
-        "value_rolling_median": q_value_rolling_median,
         "orders_above_median": q_orders_above_median,
         "weighted_doc_sample": q_weighted_doc_sample,
         "events_range_hour_sum": q_events_range_hour_sum,
-        "value_peak_drawdown": q_value_peak_drawdown,
-        "user_streaks": q_user_streaks,
-        "event_transitions": q_event_transitions,
         "value_mad": q_value_mad,
         "user_type_entropy": q_user_type_entropy,
         "late_ship_priority": q_late_ship_priority,
         "dormant_rich_custs": q_dormant_rich_custs,
-        "supplier_weighted_median": q_supplier_weighted_median,
-        "price_histogram": q_price_histogram,
         "top_users_by_type": q_top_users_by_type,
-        "nation_year_profit": q_nation_year_profit,
-        "market_share": q_market_share,
         "promo_revenue": q_promo_revenue,
         "small_qty_revenue": q_small_qty_revenue,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -6118,7 +6257,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ks_clicks": q_value_ks_clicks,
         "supplier_trimmed_mean": q_supplier_trimmed_mean,
         "orders_mom_growth": q_orders_mom_growth,
-        "lineitem_grouping_sets": q_lineitem_grouping_sets,
         "props_key_stats": q_props_key_stats,
         "span_transitions": q_span_transitions,
         "media_captions": q_media_captions,
@@ -6126,7 +6264,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
         "source_split": q_source_split,
         "span_rechunk": q_span_rechunk,
-        "hybrid_search": q_hybrid_search,
         "mmr_sample": q_mmr_sample,
         "qty_disc_spearman": q_qty_disc_spearman,
         "priority_status_chi2": q_priority_status_chi2,
@@ -6148,9 +6285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_revenue_concentration": q_part_revenue_concentration,
         "top_supplier": q_top_supplier,
         "promo_part_suppliers": q_promo_part_suppliers,
-        "user_scd2": q_user_scd2,
         "first_touch_attribution": q_first_touch_attribution,
-        "part_skyline": q_part_skyline,
         "part_bfs_hops": q_part_bfs_hops,
         "span_dedup": q_span_dedup,
         "running_distinct_users": q_running_distinct_users,
@@ -6264,17 +6399,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_point": q_change_point,
         "name_edit2_pairs": q_name_edit2_pairs,
         "frequent_triples": q_frequent_triples,
-        "ivm_groupby": q_ivm_groupby,
         "dow_anomaly": q_dow_anomaly,
         "source_overlap": q_source_overlap,
         "fd_source_lang": q_fd_source_lang,
         "cluster_db_index": q_cluster_db_index,
         "source_fairness": q_source_fairness,
-        "mann_whitney": q_mann_whitney,
         "next_event_entropy": q_next_event_entropy,
-        "source_lang_kappa": q_source_lang_kappa,
-        "phrase_search": q_phrase_search,
-        "hits_scores": q_hits_scores,
+        # ---- round-4 wave 29 ----
+        "token_budget_sample": q_token_budget_sample,
+        "conformal_threshold": q_conformal_threshold,
+        "source_set_cover": q_source_set_cover,
     }
 
 
@@ -8128,6 +8262,315 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_height,
                    CAST(count(*) * 273 AS BIGINT) AS total_bytes
             FROM m GROUP BY doc_id
+        """,
+        "mmr_sample": """
+            WITH RECURSIVE
+            u AS (SELECT vec_id, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS dim FROM embeddings),
+            norms AS (SELECT vec_id,
+                             sqrt(sum(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))) AS nrm
+                      FROM u GROUP BY vec_id),
+            x AS (SELECT u.vec_id, u.dim, CAST(u.e AS DOUBLE) / n.nrm AS v
+                  FROM u JOIN norms n USING (vec_id)),
+            qv AS (SELECT dim, v FROM x
+                   WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+            rel AS (SELECT x.vec_id, sum(x.v * q.v) AS rel
+                    FROM x JOIN qv q ON x.dim = q.dim GROUP BY 1),
+            sims AS (SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS sim
+                     FROM x a JOIN x b ON a.dim = b.dim GROUP BY 1, 2),
+            st AS (
+              SELECT 1 AS rank, r.vec_id AS picked, [r.vec_id] AS sel,
+                     r.rel AS relevance, 0.7 * r.rel AS mmr_score
+              FROM (SELECT vec_id, rel,
+                           row_number() OVER (ORDER BY 0.7 * rel DESC, vec_id) AS rn
+                    FROM rel) r
+              WHERE rn = 1
+              UNION ALL
+              SELECT s.rank + 1, c.vec_id, list_append(s.sel, c.vec_id),
+                     c.rel, c.score
+              FROM st s JOIN LATERAL (
+                  SELECT r.vec_id, r.rel,
+                         0.7 * r.rel - (1.0 - 0.7) * (
+                             SELECT max(p.sim) FROM sims p
+                             WHERE p.a = r.vec_id
+                               AND list_contains(s.sel, p.b)) AS score
+                  FROM rel r
+                  WHERE NOT list_contains(s.sel, r.vec_id)
+                  ORDER BY score DESC, r.vec_id
+                  LIMIT 1) c ON true
+              WHERE s.rank < 20
+            )
+            SELECT rank, picked AS vec_id, relevance, mmr_score FROM st
+        """,
+        "source_set_cover": """
+            WITH RECURSIVE
+            w AS (SELECT source,
+                         list_filter(string_split_regex(lower(text),
+                                                        '\\s+'),
+                                     x -> x <> '') AS ws
+                  FROM documents),
+            p AS (SELECT DISTINCT source,
+                         ws[i + 1] || ' ' || ws[i + 2] || ' '
+                             || ws[i + 3] AS tok
+                  FROM (SELECT source, ws,
+                               unnest(range(len(ws) - 2)) AS i
+                        FROM w)),
+            st AS (
+              SELECT 1 AS rank, c.src AS source,
+                     CAST(c.n AS BIGINT) AS new_tokens,
+                     [c.src] AS sel, c.toks AS cov,
+                     CAST(len(c.toks) AS BIGINT) AS total_covered
+              FROM (SELECT p.source AS src, count(*) AS n,
+                           list(p.tok) AS toks
+                    FROM p GROUP BY 1
+                    ORDER BY n DESC, src LIMIT 1) c
+              UNION ALL
+              SELECT s.rank + 1, c.src, CAST(c.n AS BIGINT),
+                     list_append(s.sel, c.src), s.cov || c.toks,
+                     CAST(len(s.cov) + len(c.toks) AS BIGINT)
+              FROM st s JOIN LATERAL (
+                  SELECT p.source AS src, count(*) AS n,
+                         list(p.tok) AS toks
+                  FROM p
+                  WHERE NOT list_contains(s.sel, p.source)
+                    AND p.tok NOT IN (SELECT unnest(s.cov))
+                  GROUP BY 1
+                  ORDER BY n DESC, src LIMIT 1) c ON true
+              WHERE s.rank < 5
+            )
+            SELECT rank, source, new_tokens, total_covered FROM st
+        """,
+        "token_budget_sample": """
+            WITH t AS (SELECT doc_id, n_chars,
+                              CASE WHEN trim(text) = '' THEN 0
+                                   ELSE len(string_split_regex(
+                                       trim(text), '\\s+')) END
+                                  AS n_tokens
+                       FROM documents),
+            c AS (SELECT *, sum(n_tokens) OVER (
+                          ORDER BY n_chars DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+                         row_number() OVER (
+                          ORDER BY n_chars DESC, doc_id) AS rn
+                  FROM t)
+            SELECT doc_id, n_chars, n_tokens FROM c
+            WHERE rn < COALESCE((SELECT min(rn) FROM c
+                                 WHERE cum > 50000), 9223372036854775807)
+        """,
+        "conformal_threshold": """
+            WITH m AS (SELECT event_type, sum(value) AS s,
+                              count(*) AS n
+                       FROM events GROUP BY 1),
+            r AS (SELECT e.event_type,
+                         abs(e.value - m.s / m.n) AS r, m.n
+                  FROM events e JOIN m USING (event_type)),
+            rk AS (SELECT event_type, r, n, row_number() OVER (
+                       PARTITION BY event_type ORDER BY r) AS rn
+                   FROM r)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(least(n, CAST(ceil((n + 1) * 0.9) AS BIGINT))
+                        AS BIGINT) AS rank,
+                   r AS threshold
+            FROM rk
+            WHERE rn = least(n, CAST(ceil((n + 1) * 0.9) AS BIGINT))
+        """,
+        "embedding_pca": """
+            WITH x AS (SELECT vec_id,
+                              generate_subscripts(embedding, 1) AS dim,
+                              CAST(unnest(embedding) AS DOUBLE) AS v
+                       FROM embeddings),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n
+                   FROM embeddings),
+            sums AS (SELECT dim, sum(v) AS s FROM x GROUP BY dim),
+            ss AS (SELECT a.dim AS i, b.dim AS j,
+                          sum(a.v * b.v) AS ssv
+                   FROM x a JOIN x b
+                     ON a.vec_id = b.vec_id AND a.dim <= b.dim
+                   GROUP BY 1, 2)
+            SELECT CAST(ss.i - 1 AS BIGINT) AS i,
+                   CAST(ss.j - 1 AS BIGINT) AS j,
+                   (ss.ssv - nn.n * ((sa.s / nn.n) * (sb.s / nn.n)))
+                       / (nn.n - 1) AS cov
+            FROM ss, nn
+            JOIN sums sa ON sa.dim = ss.i
+            JOIN sums sb ON sb.dim = ss.j
+        """,
+        "kmeans_clusters": """
+            WITH c AS (SELECT vec_id, embedding,
+                              row_number() OVER (ORDER BY vec_id) - 1
+                                  AS cidx
+                       FROM (SELECT * FROM embeddings
+                             WHERE vec_id % 101 = 0
+                             ORDER BY vec_id LIMIT 8)),
+            cn AS (SELECT cidx, i AS dim, CAST(e AS DOUBLE) AS v
+                   FROM (SELECT cidx, unnest(embedding) AS e,
+                                generate_subscripts(embedding, 1) AS i
+                         FROM c)),
+            cnorm AS (SELECT cidx, sqrt(sum(v * v)) AS nrm
+                      FROM cn GROUP BY cidx),
+            x AS (SELECT vec_id,
+                         generate_subscripts(embedding, 1) AS dim,
+                         CAST(unnest(embedding) AS DOUBLE) AS v
+                  FROM embeddings),
+            dots AS (SELECT x.vec_id, cn.cidx, sum(x.v * cn.v) AS dp
+                     FROM x JOIN cn ON x.dim = cn.dim
+                     GROUP BY 1, 2),
+            scored AS (SELECT dots.vec_id, dots.cidx,
+                              dots.dp / cnorm.nrm AS score
+                       FROM dots JOIN cnorm USING (cidx))
+            SELECT vec_id, CAST(cidx AS BIGINT) AS cluster
+            FROM (SELECT vec_id, cidx,
+                         row_number() OVER (
+                             PARTITION BY vec_id
+                             ORDER BY score DESC, cidx) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        """,
+        "heavy_hitters": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT 10
+        """,
+        "ngram_jaccard": """
+            WITH w AS (SELECT doc_id, lang,
+                              string_split_regex(lower(trim(text)),
+                                                 '\\s+') AS ws
+                       FROM documents WHERE trim(text) <> ''),
+            g AS (SELECT DISTINCT doc_id, lang,
+                         CASE WHEN len(ws) >= 3
+                              THEN ws[i + 1] || ' ' || ws[i + 2]
+                                   || ' ' || ws[i + 3]
+                              WHEN len(ws) = 2
+                              THEN ws[i + 1] || ' ' || ws[i + 2]
+                              ELSE ws[i + 1] END AS gram
+                  FROM (SELECT doc_id, lang, ws,
+                               unnest(range(len(ws)
+                                            - least(len(ws), 3) + 1))
+                                   AS i
+                        FROM w)),
+            s AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                             count(*) AS ni
+                      FROM g x JOIN g y
+                        ON x.gram = y.gram AND x.lang = y.lang
+                           AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2)
+            SELECT a, b, ni / (sa.n + sb.n - ni) AS jaccard
+            FROM inter
+            JOIN s sa ON sa.doc_id = a
+            JOIN s sb ON sb.doc_id = b
+            WHERE ni / (sa.n + sb.n - ni) >= 0.2
+        """,
+        "pack_sequences": """
+            WITH RECURSIVE
+            tc AS (SELECT doc_id,
+                          CASE WHEN trim(text) = '' THEN 0
+                               ELSE len(string_split_regex(trim(text),
+                                                           '\\s+'))
+                          END AS t
+                   FROM documents),
+            ordered AS (SELECT doc_id % 16 AS bucket, doc_id, t,
+                               row_number() OVER (
+                                   PARTITION BY doc_id % 16
+                                   ORDER BY t DESC, doc_id) AS r
+                        FROM tc),
+            nb AS (SELECT bucket, count(*) AS n FROM ordered
+                   GROUP BY bucket),
+            st AS (
+              SELECT bucket, 0 AS r,
+                     CAST([] AS STRUCT(load BIGINT,
+                                       ids BIGINT[])[]) AS packs
+              FROM nb
+              UNION ALL
+              SELECT s.bucket, s.r + 1,
+                CASE WHEN COALESCE(list_position(
+                        list_transform(s.packs,
+                                       p -> p.load + d.t <= 2048),
+                        true), 0) = 0
+                  THEN list_append(s.packs,
+                                   {'load': d.t, 'ids': [d.doc_id]})
+                  ELSE list_transform(s.packs, (p, i) ->
+                    CASE WHEN i = list_position(
+                             list_transform(s.packs,
+                                 p2 -> p2.load + d.t <= 2048), true)
+                         THEN {'load': p.load + d.t,
+                               'ids': list_append(p.ids, d.doc_id)}
+                         ELSE p END)
+                END AS packs
+              FROM st s JOIN ordered d
+                ON d.bucket = s.bucket AND d.r = s.r + 1)
+            SELECT md5(array_to_string(list_sort(u.p.ids), ','))
+                       AS pack_id,
+                   CAST(len(u.p.ids) AS BIGINT) AS n_docs,
+                   CAST(u.p.load AS BIGINT) AS total_tokens
+            FROM (SELECT s.* FROM st s
+                  JOIN nb ON nb.bucket = s.bucket
+                  WHERE s.r = nb.n) f,
+                 unnest(f.packs) AS u(p)
+        """,
+        "pack_interleaved": """
+            WITH RECURSIVE
+            flat AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       text AS full_text,
+                       unnest(range(CAST(ceil(length(text) / 64.0)
+                                         AS BIGINT))) AS i
+                FROM documents),
+            spans AS (
+                SELECT doc_id,
+                       CASE WHEN i % 3 = 2 THEN 16
+                            ELSE len(list_filter(
+                                regexp_split_to_array(
+                                    trim(substr(full_text,
+                                                CAST(i * 64 + 1 AS INT),
+                                                64)), '\\s+'),
+                                x -> x <> ''))
+                       END AS c
+                FROM flat),
+            costs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t
+                      FROM spans GROUP BY doc_id),
+            ordered AS (SELECT CAST(doc_id AS BIGINT) % 16 AS bucket,
+                               doc_id, t,
+                               row_number() OVER (
+                                   PARTITION BY
+                                       CAST(doc_id AS BIGINT) % 16
+                                   ORDER BY t DESC, doc_id) AS r
+                        FROM costs),
+            nb AS (SELECT bucket, count(*) AS n FROM ordered
+                   GROUP BY bucket),
+            st AS (
+              SELECT bucket, 0 AS r,
+                     CAST([] AS STRUCT(load BIGINT,
+                                       ids VARCHAR[])[]) AS packs
+              FROM nb
+              UNION ALL
+              SELECT s.bucket, s.r + 1,
+                CASE WHEN COALESCE(list_position(
+                        list_transform(s.packs,
+                                       p -> p.load + d.t <= 1024),
+                        true), 0) = 0
+                  THEN list_append(s.packs,
+                                   {'load': d.t, 'ids': [d.doc_id]})
+                  ELSE list_transform(s.packs, (p, i) ->
+                    CASE WHEN i = list_position(
+                             list_transform(s.packs,
+                                 p2 -> p2.load + d.t <= 1024), true)
+                         THEN {'load': p.load + d.t,
+                               'ids': list_append(p.ids, d.doc_id)}
+                         ELSE p END)
+                END AS packs
+              FROM st s JOIN ordered d
+                ON d.bucket = s.bucket AND d.r = s.r + 1)
+            SELECT md5(array_to_string(list_sort(u.p.ids), ','))
+                       AS pack_id,
+                   array_to_string(list_sort(u.p.ids), ',')
+                       AS doc_ids,
+                   CAST(len(u.p.ids) AS BIGINT) AS n_docs,
+                   CAST(u.p.load AS BIGINT) AS total_cost
+            FROM (SELECT s.* FROM st s
+                  JOIN nb ON nb.bucket = s.bucket
+                  WHERE s.r = nb.n) f,
+                 unnest(f.packs) AS u(p)
         """,
         "similarity_join": """
             WITH lw AS (SELECT doc_id,

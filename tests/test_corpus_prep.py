@@ -106,6 +106,36 @@ class TestPrepareCorpus:
         on_disk = json.load(open(os.path.join(wd, "manifest.json")))
         assert on_disk == manifest
 
+    def test_anti_join_tier_matches_broadcast(self, run, tmp_path):
+        """max_broadcast_losers=0 forces the bucketed-left-join tier;
+        every verdict (and the manifest, minus the tier marker) must be
+        identical to the default broadcast run on the same fixture."""
+        (docs, bench, *_, wd, manifest) = run
+        from web2llmstxt_ray.sinks import read_span_docs
+
+        t = pa.table({
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+        })
+        wd2 = str(tmp_path / "prep_aj")
+        m2 = prepare_corpus(
+            ray.data.from_arrow(t).repartition(4), wd2,
+            bench_texts=bench, min_words=20, langs=("en",),
+            max_bigram_frac=0.3, jaccard_threshold=0.7,
+            max_broadcast_losers=0)
+        assert manifest["near_dup_tier"] == "broadcast"
+        assert m2["near_dup_tier"] == "anti_join"
+        strip = lambda m: {k: v for k, v in m.items()
+                           if k != "near_dup_tier"}
+        assert strip(m2) == strip(manifest)
+        a = read_span_docs(os.path.join(wd, "annotated")).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = read_span_docs(os.path.join(wd2, "annotated")).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert sorted(a.columns) == sorted(b.columns)
+        for col in ("doc_id", "keep", "drop_reason", "n_words"):
+            assert a[col].tolist() == b[col].tolist()
+
     def test_resume_skips_completed_stages(self, run, tmp_path):
         docs, bench, *_ , wd, manifest = run
         t = pa.table({

@@ -173,3 +173,70 @@ class TestPILBackedPath:
         big = d.decode(by_id["m0"]["payload"])
         assert (big["width"], big["height"]) == (256, 128)
         assert by_id["m1"]["payload"] == rows["payload"][1]
+
+
+def _ffmpeg_available() -> bool:
+    import shutil
+
+    return bool(shutil.which("ffmpeg") and shutil.which("ffprobe"))
+
+
+class TestFFmpegBackedPath:
+    def test_stub_contract_without_ffmpeg(self):
+        import pytest
+
+        from web2llmstxt_ray.ops.multimodal import (FFmpegDecoder,
+                                                    FFmpegTranscoder)
+
+        if _ffmpeg_available():
+            pytest.skip("ffmpeg installed — stub contract not applicable")
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            FFmpegDecoder()
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            FFmpegTranscoder()
+
+    def test_real_video_frame_sample_when_ffmpeg_installed(self, tmp_path):
+        """Generate a 3-second test video with ffmpeg itself, probe it
+        with FFmpegDecoder, and run the FrameSampler actor stage with
+        FFmpegTranscoder — each sampled frame must decode as an image
+        of the video's dimensions."""
+        import pytest
+
+        if not _ffmpeg_available():
+            pytest.skip("ffmpeg not installed in this environment")
+        import shutil
+        import subprocess
+
+        import ray.data
+
+        from web2llmstxt_ray.ops.multimodal import (MEDIA_SCHEMA,
+                                                    FFmpegDecoder,
+                                                    FFmpegTranscoder,
+                                                    sample_frames)
+
+        vid = tmp_path / "clip.mp4"
+        subprocess.run(
+            [shutil.which("ffmpeg"), "-v", "error", "-y",
+             "-f", "lavfi", "-i", "testsrc=duration=3:size=64x48:rate=5",
+             str(vid)], check=True)
+        payload = vid.read_bytes()
+
+        d = FFmpegDecoder()
+        meta = d.decode(payload)
+        assert meta["kind"] == "video"
+        assert (meta["width"], meta["height"]) == (64, 48)
+        assert 2500 <= meta["duration_ms"] <= 3500
+
+        t = pa.Table.from_pydict({
+            "media_id": ["v0"], "doc_id": ["d"], "kind": ["video"],
+            "payload": [payload],
+            "declared_width": [64], "declared_height": [48],
+            "declared_ms": [meta["duration_ms"]],
+        }, schema=MEDIA_SCHEMA)
+        frames = sample_frames(ray.data.from_arrow(t), fps=1.0,
+                               transcoder_cls=FFmpegTranscoder).take_all()
+        assert len(frames) == 3
+        for fr in frames:
+            fmeta = d.decode(fr["payload"])
+            assert fmeta["kind"] == "image"
+            assert (fmeta["width"], fmeta["height"]) == (64, 48)

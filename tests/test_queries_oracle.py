@@ -28,6 +28,15 @@ ROWS_ONLY = sorted(set(E.queries()) - set(E.oracle_sql()))
 # few-ULP relative tolerance instead of bit-equality. The driver's
 # own gate rounds floats to 6 decimals — this is far stricter.
 ULP_TOL = {"user_type_entropy": 1e-14,
+           # covariance fold: engine sums per-block GEMM partials,
+           # the oracle SUMs products in engine-chosen order — the
+           # classic reassociation drift (driver rounds to 6dp)
+           "embedding_pca": 1e-11,
+           # |value - mean| order stat: the group mean reassociates
+           # (engine per-block partial sums vs DuckDB sum order)
+           "conformal_threshold": 1e-11,
+           # cosine dots: engine GEMM vs DuckDB per-dim SUM order
+           "mmr_sample": 1e-11,
            # conditional-entropy Σ -(c/t)·ln(c/t) per cur_type:
            # same reassociation class as user_type_entropy
            "next_event_entropy": 1e-12,

@@ -1,0 +1,196 @@
+"""Wave-29 operators: token_budget_sample (global budget cutoff
+without a global sort), conformal_threshold (exact order-stat rank
+rule). (politeness_schedule and HRW placement already exist from
+earlier waves — ops/windows.py + ops/layout.py, tested in
+test_tail6/test_tail13.)"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from web2llmstxt_ray.ops.corpus import token_budget_sample
+from web2llmstxt_ray.ops.validate import conformal_threshold
+
+
+class TestTokenBudgetSample:
+    def _docs(self, n, seed=3):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "n_chars": pa.array(rng.integers(10, 500, n).astype(np.int64)),
+            "n_tokens": pa.array(rng.integers(1, 100, n).astype(np.int64)),
+        })
+
+    def _oracle(self, t, budget):
+        df = t.to_pandas().sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True])
+        kept, run = [], 0
+        for _, r in df.iterrows():
+            if run + r["n_tokens"] > budget:
+                break  # inclusive prefix: first overflow stops the scan
+            run += r["n_tokens"]
+            kept.append(int(r["doc_id"]))
+        return sorted(kept)
+
+    def test_matches_window_oracle(self):
+        t = self._docs(400)
+        got = token_budget_sample(
+            ray.data.from_arrow(t).repartition(5),
+            budget=5000).to_pandas()
+        assert sorted(got["doc_id"]) == self._oracle(t, 5000)
+
+    def test_whole_corpus_fits(self):
+        t = self._docs(20)
+        got = token_budget_sample(
+            ray.data.from_arrow(t), budget=10**9).to_pandas()
+        assert len(got) == 20
+
+    def test_tie_heavy_boundary(self):
+        # every doc same n_chars: cutoff resolved purely by doc_id
+        t = pa.table({
+            "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+            "n_chars": pa.array([100] * 10, pa.int64()),
+            "n_tokens": pa.array([10] * 10, pa.int64()),
+        })
+        got = token_budget_sample(ray.data.from_arrow(t).repartition(3),
+                                  budget=35).to_pandas()
+        assert sorted(got["doc_id"]) == [0, 1, 2]
+
+
+class TestConformalThreshold:
+    def _run(self, groups, values, alpha=0.1, nparts=4):
+        t = pa.table({
+            "event_type": pa.array(groups, pa.string()),
+            "value": pa.array(values, pa.float64()),
+        })
+        return conformal_threshold(
+            ray.data.from_arrow(t).repartition(nparts), alpha=alpha)
+
+    def test_exact_rank_rule(self):
+        rng = np.random.default_rng(5)
+        groups = [f"t{i % 3}" for i in range(299)]
+        values = rng.normal(50, 10, 299).tolist()
+        got = self._run(groups, values)
+        df = pd.DataFrame({"g": groups, "v": values})
+        for _, row in got.iterrows():
+            sub = df[df["g"] == row["event_type"]]
+            r = np.abs(sub["v"] - sub["v"].mean()).sort_values()
+            n = len(sub)
+            k = min(n, math.ceil((n + 1) * 0.9))
+            assert row["n"] == n and row["rank"] == k
+            assert row["threshold"] == pytest.approx(
+                r.iloc[k - 1], rel=1e-12)
+
+    def test_small_group_rank_clamps(self):
+        got = self._run(["a"] * 3, [1.0, 2.0, 30.0])
+        # n=3: ceil(4*0.9)=4 -> clamped to 3 (the max residual)
+        assert got["rank"].tolist() == [3]
+
+    def test_partition_invariant(self):
+        rng = np.random.default_rng(11)
+        groups = [f"t{i % 5}" for i in range(400)]
+        values = rng.normal(0, 1, 400).tolist()
+        a = self._run(groups, values, nparts=1)
+        b = self._run(groups, values, nparts=9)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestGreedySourceCover:
+    def _run(self, rows, k=3, nparts=4, gram_k=1):
+        from web2llmstxt_ray.ops.corpus import greedy_source_cover
+
+        t = pa.table({
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        })
+        return greedy_source_cover(
+            ray.data.from_arrow(t).repartition(nparts), k=k,
+            gram_k=gram_k)
+
+    @staticmethod
+    def _brute(rows, k):
+        from collections import defaultdict
+
+        toks = defaultdict(set)
+        for s, t in rows:
+            toks[s].update(t.lower().split())
+        covered: set = set()
+        out = []
+        for rank in range(1, k + 1):
+            gains = sorted(
+                ((len(v - covered), s) for s, v in toks.items()
+                 if s not in {o[1] for o in out}),
+                key=lambda g: (-g[0], g[1]))
+            if not gains or gains[0][0] == 0:
+                break
+            n, s = gains[0]
+            covered |= toks[s] - covered
+            out.append((rank, s, n, len(covered)))
+        return out
+
+    def test_matches_sequential_greedy(self):
+        rng = np.random.default_rng(3)
+        vocab = [f"w{i}" for i in range(60)]
+        rows = []
+        for s in range(6):
+            for _ in range(10):
+                rows.append((f"s{s}", " ".join(
+                    rng.choice(vocab, rng.integers(3, 12)))))
+        got = self._run(rows, k=4)
+        want = self._brute(rows, 4)
+        assert list(map(tuple, got.itertuples(index=False))) == want
+
+    def test_zero_gain_sources_stop_early(self):
+        rows = [("a", "x y z"), ("b", "x y"), ("c", "z")]
+        got = self._run(rows, k=3)
+        # after 'a' covers everything, b/c have zero marginal gain
+        assert got["source"].tolist() == ["a"]
+        assert got["total_covered"].tolist() == [3]
+
+    def test_tie_breaks_by_source_name(self):
+        rows = [("b", "p q"), ("a", "r s"), ("c", "t")]
+        got = self._run(rows, k=2)
+        assert got["source"].tolist() == ["a", "b"]
+
+    def test_partition_invariant(self):
+        rng = np.random.default_rng(9)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = [(f"s{i % 5}", " ".join(
+            rng.choice(vocab, rng.integers(2, 9))))
+            for i in range(120)]
+        a = self._run(rows, k=3, nparts=1)
+        b = self._run(rows, k=3, nparts=8)
+        pd.testing.assert_frame_equal(a, b)
+
+
+    def test_three_gram_mode_matches_brute(self):
+        from collections import defaultdict
+
+        rng = np.random.default_rng(21)
+        vocab = [f"w{i}" for i in range(15)]
+        rows = [(f"s{i % 4}", " ".join(
+            rng.choice(vocab, rng.integers(4, 15))))
+            for i in range(60)]
+        got = self._run(rows, k=3, gram_k=3)
+        toks = defaultdict(set)
+        for s_, t_ in rows:
+            ws = t_.lower().split()
+            toks[s_].update(" ".join(ws[i:i + 3])
+                            for i in range(len(ws) - 2))
+        covered: set = set()
+        want = []
+        for rank in range(1, 4):
+            cand = sorted(((len(v - covered), s_)
+                           for s_, v in toks.items()
+                           if s_ not in {o[1] for o in want}),
+                          key=lambda g: (-g[0], g[1]))
+            if not cand or cand[0][0] == 0:
+                break
+            n, s_ = cand[0]
+            covered |= toks[s_]
+            want.append((rank, s_, n, len(covered)))
+        assert list(map(tuple, got.itertuples(index=False))) == want

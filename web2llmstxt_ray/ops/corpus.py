@@ -316,7 +316,8 @@ def int_quantiles_cont(ds: ray.data.Dataset, col: str,
 
 def pack_sequences(ds: ray.data.Dataset, max_tokens: int,
                    id_col: str = "doc_id",
-                   tokens_col: str = "n_tokens") -> ray.data.Dataset:
+                   tokens_col: str = "n_tokens",
+                   bucket_mod: int | None = None) -> ray.data.Dataset:
     """Greedy first-fit-decreasing packing of documents into training
     sequences of ≤ ``max_tokens`` tokens.
 
@@ -324,6 +325,15 @@ def pack_sequences(ds: ray.data.Dataset, max_tokens: int,
     longer than ``max_tokens`` get a singleton pack (truncation is the
     tokenizer's job, not the packer's). Packing is per input block —
     deterministic given the block contents.
+
+    ``bucket_mod`` switches to GLOBALLY deterministic packing: docs
+    are grouped by ``id % bucket_mod`` (one key-hash shuffle) and FFD
+    runs per bucket, so the pack layout is a pure function of the
+    data — reproducible across runs, partitionings and cluster shapes
+    (the auditable/oracle-able variant; the per-block default trades
+    that determinism for zero shuffle). The modulus is deliberately
+    SQL-replayable — the DuckDB twin in ``__ray_entry__`` replays the
+    exact FFD fold per bucket via a recursive CTE.
     """
 
     def pack_batch(batch: pa.Table) -> pa.Table:
@@ -358,6 +368,15 @@ def pack_sequences(ds: ray.data.Dataset, max_tokens: int,
             "total_tokens": pa.array([p[1] for p in packs], pa.int64()),
         })
 
+    if bucket_mod is not None:
+        def add_pb(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b.column(id_col), dtype=np.int64)
+            pb = (ids % bucket_mod).astype(np.int32)
+            return b.append_column("_pb", pa.array(pb))
+
+        return (ds.map_batches(add_pb, batch_format="pyarrow")
+                .groupby("_pb")
+                .map_groups(pack_batch, batch_format="pyarrow"))
     return ds.map_batches(pack_batch, batch_format="pyarrow")
 
 
@@ -1066,3 +1085,170 @@ def stratified_quota_split(ds: "ray.data.Dataset",
     out = out.rename(columns={"_id": id_col})
     out[id_col] = out[id_col].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def token_budget_sample(ds: ray.data.Dataset, budget: int,
+                        key_col: str = "n_chars",
+                        tokens_col: str = "n_tokens",
+                        id_col: str = "doc_id") -> ray.data.Dataset:
+    """Global token-budget curation: keep documents in quality order
+    (``key_col`` DESC, id ASC) while the INCLUSIVE running token total
+    stays ≤ ``budget`` — the "fill the training budget with the best
+    docs first" cutoff.
+
+    A global prefix sum over a total order normally means a global
+    sort; this avoids it with a two-phase threshold find: (1) one
+    partial-agg pass folds per-``key_col``-value token sums (driver
+    holds O(distinct key values), skinny); the driver walks the sorted
+    histogram to the BOUNDARY key value where the budget crosses;
+    (2) only the boundary group's (id, tokens) rows are pulled (one
+    filtered pass, O(boundary group)) to resolve the id tie-break
+    exactly. A final broadcast map emits the kept rows — the corpus
+    itself never sorts and never shuffles.
+
+    Exact-int semantics (token counts are ints) → hash-exact vs the
+    SQL window twin ``sum() OVER (ORDER BY key DESC, id) ≤ budget``.
+    Output: kept (id, key, tokens) rows."""
+    from .relational import partial_groupby
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(key_col, as_index=False)[[tokens_col]].sum()
+
+    hist = partial_groupby(
+        ds.select_columns([key_col, tokens_col]), [key_col],
+        batch_agg, [tokens_col])
+    hist = hist.sort_values(key_col, ascending=False)
+    cut_key = None
+    run = 0
+    for k, t in zip(hist[key_col], hist[tokens_col]):
+        if run + int(t) > budget:
+            cut_key = k
+            break
+        run += int(t)
+    if cut_key is None:          # whole corpus fits
+        return ds.select_columns([id_col, key_col, tokens_col])
+
+    remaining = budget - run
+    boundary = ds.map_batches(
+        lambda b, v=cut_key: b.filter(
+            pa.compute.equal(b[key_col], v)),
+        batch_format="pyarrow").select_columns(
+        [id_col, tokens_col]).to_pandas().sort_values(id_col)
+    cum = boundary[tokens_col].astype("int64").cumsum()
+    fit = boundary[cum <= remaining]
+    cut_id = int(fit[id_col].max()) if len(fit) else None
+
+    def keep(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = np.asarray(b.column(key_col), dtype=np.int64)
+        i = np.asarray(b.column(id_col), dtype=np.int64)
+        m = k > cut_key
+        if cut_id is not None:
+            m |= (k == cut_key) & (i <= cut_id)
+        return pa.table({
+            id_col: b.column(id_col).filter(pa.array(m)),
+            key_col: b.column(key_col).filter(pa.array(m)),
+            tokens_col: b.column(tokens_col).filter(pa.array(m)),
+        })
+
+    return ds.select_columns([id_col, key_col, tokens_col]) \
+        .map_batches(keep, batch_format="pyarrow")
+
+
+def greedy_source_cover(ds: ray.data.Dataset, k: int = 5,
+                        group_col: str = "source",
+                        text_col: str = "text",
+                        gram_k: int = 3) -> pd.DataFrame:
+    """Greedy max-coverage source selection: pick ``k`` sources that
+    greedily maximize DISTINCT word-``gram_k``-gram coverage — the
+    classic (1−1/e) set-cover heuristic, here as the data-mixture
+    question "which sources buy the most distinctive content?".
+    ``gram_k=1`` degrades to plain vocabulary coverage (degenerate
+    when sources share one vocabulary — the 3-gram default measures
+    phrasal/content diversity instead).
+
+    Scale shape: one pass reduces the corpus to DISTINCT
+    (source, token) pairs (skinny, hash-deduped per block then
+    globally); each greedy step is one map-only marginal-coverage
+    count over the pairs with the covered-token set broadcast
+    (``ray.put`` once per step), a tiny partial-groupby argmax, and
+    one filtered pass to pull the winner's new tokens. k steps total;
+    nothing corpus-sized on the driver except the covered-vocabulary
+    set itself (at 100 TB swap the exact set for a counting bloom —
+    the op's only corpus-growing state, and it grows with VOCABULARY,
+    not rows). Ties: (new_tokens desc, source asc). Sources with zero
+    marginal gain are never picked; fewer than k eligible sources
+    ends early.
+
+    Output: (rank, source, new_tokens, total_covered) — the greedy
+    trace, replayed exactly by the recursive-CTE SQL twin."""
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for src, txt in zip(batch.column(group_col).to_pylist(),
+                            batch.column(text_col).to_pylist()):
+            ws = (txt or "").lower().split()
+            for i in range(len(ws) - gram_k + 1):
+                seen.add((src, " ".join(ws[i:i + gram_k])))
+        return pa.table({
+            group_col: pa.array([s for s, _ in seen], pa.string()),
+            "tok": pa.array([t for _, t in seen], pa.string()),
+        })
+
+    pairs = (ds.select_columns([group_col, text_col])
+             .map_batches(to_pairs, batch_format="pyarrow")
+             .groupby([group_col, "tok"]).count()
+             .select_columns([group_col, "tok"])
+             .materialize())
+
+    covered: set = set()
+    chosen: list[str] = []
+    rows = []
+    for rank in range(1, k + 1):
+        cref = ray.put((covered, set(chosen)))
+
+        def marginal(batch: pa.Table, _cref=cref) -> pa.Table:
+            cov, taken = ray.get(_cref)
+            cnt: dict = {}
+            for s, t in zip(batch.column(group_col).to_pylist(),
+                            batch.column("tok").to_pylist()):
+                if s not in taken and t not in cov:
+                    cnt[s] = cnt.get(s, 0) + 1
+            return pa.table({
+                group_col: pa.array(list(cnt.keys()), pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64())})
+
+        parts = pairs.map_batches(
+            marginal, batch_format="pyarrow").to_pandas()
+        if parts.empty:
+            break
+        gains = parts.groupby(group_col, as_index=False)["n"].sum()
+        gains = gains[gains["n"] > 0]
+        if gains.empty:
+            break
+        gains = gains.sort_values(["n", group_col],
+                                  ascending=[False, True])
+        winner = str(gains.iloc[0][group_col])
+        new_n = int(gains.iloc[0]["n"])
+
+        wref = ray.put((winner, covered))
+
+        def winner_toks(batch: pa.Table, _wref=wref) -> pa.Table:
+            w, cov = ray.get(_wref)
+            toks = [t for s, t in zip(
+                batch.column(group_col).to_pylist(),
+                batch.column("tok").to_pylist())
+                if s == w and t not in cov]
+            return pa.table({"tok": pa.array(toks, pa.string())})
+
+        new_toks = [r["tok"] for r in pairs.map_batches(
+            winner_toks, batch_format="pyarrow").take_all()]
+        covered.update(new_toks)
+        chosen.append(winner)
+        rows.append((rank, winner, new_n, len(covered)))
+
+    return pd.DataFrame(rows, columns=[
+        "rank", group_col, "new_tokens", "total_covered"]).astype(
+        {"rank": "int64", "new_tokens": "int64",
+         "total_covered": "int64"})

@@ -926,7 +926,9 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, group_col: str,
                 a, b = sorted((ia, ib))
                 rows["a"].append(a)
                 rows["b"].append(b)
-                rows["jaccard"].append(round(jac, 6))
+                # raw double: both the engine and the SQL twin divide
+                # the same two integers — bit-identical, no rounding
+                rows["jaccard"].append(jac)
 
         ids = group[id_col].to_numpy()
         shs = [np.asarray(s, dtype=np.uint64) for s in group["_sh"]]

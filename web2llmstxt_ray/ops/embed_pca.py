@@ -31,6 +31,8 @@ class PCAModel:
     components: np.ndarray    # (k, d) rows = eigenvectors (desc eigval)
     eigvals: np.ndarray       # (k,) variances along components
     n: int
+    cov: np.ndarray | None = None   # (d, d) sample covariance — the
+    # distributed pass's folded result, kept for audit/oracle use
 
 
 def fit_pca(ds: ray.data.Dataset, k: int,
@@ -74,7 +76,8 @@ def fit_pca(ds: ray.data.Dataset, k: int,
     flip[flip == 0] = 1.0
     comps = comps * flip[:, None]
     return PCAModel(mean=mean, components=comps,
-                    eigvals=np.maximum(vals[order], 0.0), n=int(n))
+                    eigvals=np.maximum(vals[order], 0.0), n=int(n),
+                    cov=cov)
 
 
 def transform_pca(ds: ray.data.Dataset, model: PCAModel,

@@ -1271,3 +1271,4 @@ def next_event_entropy(ds: ray.data.Dataset,
         "cur_type", "n_transitions", "n_next_types", "entropy",
         "top_next", "top_share"]).astype({
             "n_transitions": "int64", "n_next_types": "int64"})
+

@@ -431,3 +431,4 @@ def hrw_assignment(ds: "ray.data.Dataset", key_col: str,
     out = base.merge(agg, on="shard", how="left").fillna({"n": 0})
     out["n_keys"] = out["n"].astype("int64")
     return out[["shard", "n_keys"]]
+

@@ -13,6 +13,12 @@ layer is explicitly split out behind ``Decoder`` implementations:
   tiny self-describing header from the synthetic payload) so the
   Ray-side plumbing — schema, batch sizing, actor lifecycle, output
   layout — is real and tested end to end.
+- :class:`PILDecoder`/:class:`PILTranscoder` and
+  :class:`FFmpegDecoder`/:class:`FFmpegTranscoder` — the REAL codec
+  classes for the two dependencies, each gated by an availability
+  probe that raises the same ``NotImplementedError`` contract when
+  the library/binary is absent; their end-to-end tests
+  (tests/test_media_stages.py) skip-gate on the same probe.
 
 Scale notes encoded here: binary batches are kept SMALL
 (``batch_size=32`` default — payload bytes × batch_size × concurrency
@@ -144,6 +150,108 @@ class PILTranscoder:
 
     def frame(self, payload: bytes, ts_ms: int) -> bytes:
         raise NotImplementedError("real frame extraction needs ffmpeg")
+
+
+def _ffmpeg_paths() -> tuple[str, str]:
+    """Locate ffmpeg/ffprobe or raise the same NotImplementedError
+    contract as the stub slots (mirrors :func:`_import_pil` — the
+    caller chose the real codec class; the error says why this
+    environment can't honor it)."""
+    import shutil
+
+    ffmpeg = shutil.which("ffmpeg")
+    ffprobe = shutil.which("ffprobe")
+    if not ffmpeg or not ffprobe:
+        raise NotImplementedError(
+            "ffmpeg/ffprobe are not installed in this environment; use "
+            "FakeDecoder/FakeTranscoder, or install ffmpeg for the real "
+            "audio/video path.")
+    return ffmpeg, ffprobe
+
+
+class FFmpegDecoder:
+    """Real audio/video metadata decode via ffprobe (the production
+    slot StubDecoder marks for non-image media). Payloads are any
+    ffprobe-readable container bytes; probing runs on a tempfile (many
+    demuxers need seekable input). Constructed once per actor."""
+
+    def __init__(self):
+        self._ffmpeg, self._ffprobe = _ffmpeg_paths()
+
+    def decode(self, payload: bytes) -> dict:
+        import json as _json
+        import subprocess
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+            f.write(payload)
+            f.flush()
+            out = subprocess.run(
+                [self._ffprobe, "-v", "error", "-print_format", "json",
+                 "-show_format", "-show_streams", f.name],
+                capture_output=True, check=True).stdout
+        meta = _json.loads(out)
+        streams = meta.get("streams", [])
+        video = next((s for s in streams
+                      if s.get("codec_type") == "video"), None)
+        dur = float(meta.get("format", {}).get("duration", 0) or 0)
+        # a video stream with no timeline is a still image (PNG/JPEG
+        # demux as single-frame video in ffprobe's model)
+        kind = ("video" if video and dur > 0
+                else "image" if video else "audio")
+        return {
+            "kind": kind,
+            "width": int(video["width"]) if video else 0,
+            "height": int(video["height"]) if video else 0,
+            "duration_ms": int(round(dur * 1000)),
+            "n_bytes": len(payload),
+            "body_checksum": hashlib.md5(payload).hexdigest(),
+        }
+
+
+class FFmpegTranscoder:
+    """Real resize / frame-extract via the ffmpeg CLI — the production
+    slot StubTranscoder marks. ``resize`` scales any image payload
+    (PNG in/out); ``frame`` seeks ``ts_ms`` into a video payload and
+    emits one PNG frame. Both shell out once per call on tempfiles
+    (container formats need seekable IO); actor-pool placement
+    amortizes process startup across a batch, and the stage contract
+    (pure function of payload+args, reproducible on task retry) holds
+    because ffmpeg runs with fixed flags and no wall-clock inputs."""
+
+    def __init__(self):
+        self._ffmpeg, self._ffprobe = _ffmpeg_paths()
+
+    def _run(self, args: list[str], payload: bytes,
+             out_suffix: str) -> bytes:
+        import os as _os
+        import subprocess
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".bin") as src:
+            src.write(payload)
+            src.flush()
+            fd, out_path = tempfile.mkstemp(suffix=out_suffix)
+            _os.close(fd)
+            try:
+                subprocess.run(
+                    [self._ffmpeg, "-v", "error", "-y", "-i", src.name,
+                     *args, out_path],
+                    capture_output=True, check=True)
+                with open(out_path, "rb") as f:
+                    return f.read()
+            finally:
+                _os.unlink(out_path)
+
+    def resize(self, payload: bytes, w: int, h: int) -> bytes:
+        return self._run(
+            ["-vf", f"scale={max(1, w)}:{max(1, h)}",
+             "-frames:v", "1"], payload, ".png")
+
+    def frame(self, payload: bytes, ts_ms: int) -> bytes:
+        return self._run(
+            ["-ss", f"{ts_ms / 1000.0:.3f}", "-frames:v", "1"],
+            payload, ".png")
 
 
 class MediaFeatureExtractor:

@@ -230,7 +230,8 @@ def span_costs(docs: ray.data.Dataset, media_cost: int = 16,
 
 def pack_interleaved(docs: ray.data.Dataset, max_tokens: int,
                      media_cost: int = 16,
-                     bucket_by_doc: int | None = None
+                     bucket_by_doc: int | None = None,
+                     bucket_mod: int | None = None
                      ) -> ray.data.Dataset:
     """Greedy FFD packing of interleaved span documents into training
     sequences of ≤ ``max_tokens`` (text spans cost ws-tokens, media
@@ -284,6 +285,18 @@ def pack_interleaved(docs: ray.data.Dataset, max_tokens: int,
             return b.append_column("_pb", pa.array(h))
 
         return (costs.map_batches(add_b, batch_format="pyarrow")
+                .groupby("_pb").map_groups(pack_block,
+                                           batch_format="pyarrow"))
+    if bucket_mod is not None:
+        # SQL-replayable deterministic bucketing (numeric-string doc
+        # ids): int(doc_id) % mod — the oracle twin's recursive-CTE
+        # FFD replay groups by the same modulus
+        def add_m(b: pa.Table) -> pa.Table:
+            pb = [int(d) % bucket_mod
+                  for d in b.column("doc_id").to_pylist()]
+            return b.append_column("_pb", pa.array(pb, pa.int32()))
+
+        return (costs.map_batches(add_m, batch_format="pyarrow")
                 .groupby("_pb").map_groups(pack_block,
                                            batch_format="pyarrow"))
     return costs.map_batches(

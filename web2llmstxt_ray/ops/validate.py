@@ -264,3 +264,58 @@ def modal_predictor_kappa(ds: "ray.data.Dataset", key_col: str,
         "po": pd.Series([po], dtype="float64"),
         "pe": pd.Series([pe], dtype="float64"),
         "kappa": pd.Series([kappa], dtype="float64")})
+
+
+def conformal_threshold(ds: ray.data.Dataset,
+                        group_col: str = "event_type",
+                        value_col: str = "value",
+                        alpha: float = 0.1,
+                        num_buckets: int = 32) -> "pd.DataFrame":
+    """Split-conformal calibration threshold per group: the
+    ``ceil((n+1)(1−α))``-th smallest absolute residual
+    ``|value − mean(value)|`` within each group — the distribution-free
+    quantile a conformal predictor uses so that a fresh residual
+    exceeds it with probability ≤ α.
+
+    Two passes, both skinny: (1) per-group (sum, count) partials fold
+    to broadcast means (no shuffle of the values); (2) one key-hash
+    bucket shuffle co-locates each group's residuals and an
+    ``np.partition`` selects the order statistic per group (O(n), not
+    a sort). The rank rule is exact-integer (``min(n, ceil((n+1)·
+    (1−α)))``), and ties in ``|r|`` are value ties — the selected
+    VALUE is invariant to their order — so the result hash-matches
+    the SQL twin's ``row_number``-over-``abs(value−avg)`` replay.
+
+    Output: (group, n, rank, threshold)."""
+    import math
+
+    from .relational import partial_groupby
+    from .windows import _add_key_bucket
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(group_col, as_index=False).agg(
+            s=(value_col, "sum"), n=(value_col, "size"))
+
+    stats = partial_groupby(
+        ds.select_columns([group_col, value_col]), [group_col],
+        batch_agg, ["s", "n"])
+    means = {g: float(s) / float(n)
+             for g, s, n in zip(stats[group_col], stats["s"], stats["n"])}
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, d in group.groupby(group_col, sort=False):
+            v = d[value_col].to_numpy(dtype=np.float64)
+            r = np.abs(v - means[g])
+            n = len(r)
+            k = min(n, math.ceil((n + 1) * (1.0 - alpha)))
+            thr = float(np.partition(r, k - 1)[k - 1])
+            rows.append((g, n, k, thr))
+        return pd.DataFrame(rows, columns=[
+            group_col, "n", "rank", "threshold"]).astype(
+            {"n": "int64", "rank": "int64"})
+
+    return (_add_key_bucket(ds.select_columns([group_col, value_col]),
+                            group_col, num_buckets)
+            .groupby("_sbucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .to_pandas().sort_values(group_col).reset_index(drop=True))

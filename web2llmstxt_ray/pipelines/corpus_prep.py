@@ -7,8 +7,11 @@ last completed stage (the same resumability contract as the crawl):
     input docs
       → exact dedup            (hash-bucket row shuffle, min-id winner)
       → near-dup drop set      (MinHash LSH → DISTRIBUTED exact-Jaccard
-                                verify → connected components; only the
-                                loser-id set reaches the driver)
+                                verify → connected components; AUTO
+                                tier: loser-id broadcast below
+                                ``max_broadcast_losers``, bucketed
+                                left-join flag above it — the driver
+                                only ever holds the loser COUNT)
       → one fused annotate pass  (language ID, token/repetition stats,
                                 n-gram-bloom decontamination, near-dup
                                 flag, keep/drop_reason verdict)
@@ -36,7 +39,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..ops.dedup import exact_dedup_rows, minhash_losers
+from ..ops.dedup import exact_dedup_rows, minhash_components_verified
 from ..ops.scrub import NgramBloomFlagger, build_ngram_bloom
 from ..ops.textstats import detect_language
 from ..sinks import resolve_format, write_span_docs
@@ -53,7 +56,8 @@ class CorpusAnnotator:
     def __init__(self, drop_ref, bloom_ref, bloom_m: int, ngram_n: int,
                  min_words: int, langs: tuple[str, ...],
                  max_bigram_frac: float, text_col: str = "text",
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id",
+                 near_dup_col: str | None = None):
         drop = (ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef)
                 else drop_ref)
         self.drop = set(drop)
@@ -63,6 +67,7 @@ class CorpusAnnotator:
         self.langs = set(langs)
         self.max_bigram_frac = max_bigram_frac
         self.text_col, self.id_col = text_col, id_col
+        self.near_dup_col = near_dup_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -70,15 +75,22 @@ class CorpusAnnotator:
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
         contaminated = self.flagger(batch).column("contaminated").to_pylist()
+        if self.near_dup_col and self.near_dup_col in batch.schema.names:
+            # anti-join tier: the loser flag arrived as a column from
+            # the bucketed left join (True for losers, null otherwise)
+            nd = [bool(v) for v in
+                  batch.column(self.near_dup_col).to_pylist()]
+        else:
+            nd = [False] * len(ids)
         n_words, langs, reasons = [], [], []
-        for did, text, contam in zip(ids, texts, contaminated):
+        for did, text, contam, is_nd in zip(ids, texts, contaminated, nd):
             toks = (text or "").lower().split()
             n = len(toks)
             lang = detect_language(text or "")
             top_bg = (max(Counter(zip(toks, toks[1:])).values())
                       if n >= 2 else 0)
             reason = ""
-            if did in self.drop:
+            if is_nd or did in self.drop:
                 reason = "near_dup"
             elif n < self.min_words:
                 reason = "short"
@@ -106,9 +118,17 @@ def _stage_done(path: str) -> bool:
     return os.path.exists(os.path.join(path, ".done"))
 
 
-def _mark_done(path: str) -> None:
+def _mark_done(path: str, note: str = "ok") -> None:
     with open(os.path.join(path, ".done"), "w") as f:
-        f.write("ok")
+        f.write(note)
+
+
+def _done_note(path: str) -> str:
+    try:
+        with open(os.path.join(path, ".done")) as f:
+            return f.read().strip()
+    except OSError:
+        return ""
 
 
 def _read_stage(path: str, columns=None) -> rd.Dataset:
@@ -128,9 +148,18 @@ def prepare_corpus(docs: rd.Dataset, workdir: str, *,
                    ngram_n: int = 8,
                    max_tokens: int = 2048,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> dict:
+                   id_col: str = "doc_id",
+                   max_broadcast_losers: int = 5_000_000) -> dict:
     """Run the full prep chain; returns the manifest dict (also written
-    to ``workdir/manifest.json``). Resumable per stage directory."""
+    to ``workdir/manifest.json``). Resumable per stage directory.
+
+    Near-dup tier selection is AUTOMATIC: the verified-components
+    Dataset yields the loser COUNT for O(1) driver cost; at or below
+    ``max_broadcast_losers`` the id set broadcasts into the fused
+    annotator (one ``ray.put``, zero extra shuffles), above it the
+    losers stay a Dataset and a bucketed left join attaches the
+    near-dup flag instead (one extra payload shuffle — the price of
+    not broadcasting billions of ids at a 100-TB dup fraction)."""
     os.makedirs(workdir, exist_ok=True)
     dedup_dir = os.path.join(workdir, "dedup")
     annotated_dir = os.path.join(workdir, "annotated")
@@ -144,32 +173,70 @@ def prepare_corpus(docs: rd.Dataset, workdir: str, *,
         write_span_docs(deduped, dedup_dir)
         _mark_done(dedup_dir)
 
-    # stage 2 — near-dup loser ids (cluster losers; keep=False rows),
-    # computed by the fully-distributed verify tier (LSH pairs → joined
-    # exact-Jaccard verify → connected components); only the loser ID
-    # set reaches the driver, bounded by the near-dup fraction of the
-    # corpus — the broadcast assumption this pipeline documents and
-    # tests (anti-join via ops.dedup.minhash_losers_ds when even the
-    # id set can't broadcast).
-    losers = minhash_losers(_read_stage(dedup_dir, [id_col, text_col]),
-                            text_col=text_col, id_col=id_col,
-                            jaccard_threshold=jaccard_threshold)
-
-    # stage 3 — fused annotate pass (checkpointed audit table)
+    # stages 2+3 — near-dup losers + fused annotate pass (checkpointed
+    # audit table). Skipped entirely on resume: the near-dup verdict
+    # is already persisted per doc in the annotated checkpoint.
+    tier = None
     if not _stage_done(annotated_dir):
+        # stage 2 — near-dup cluster losers (keep=False rows) from the
+        # fully-distributed verify tier (LSH pairs → joined
+        # exact-Jaccard verify → connected components). The components
+        # Dataset is O(dup docs); materialize it once, count losers
+        # (driver cost: one int), and pick the delivery tier.
+        comp = minhash_components_verified(
+            _read_stage(dedup_dir, [id_col, text_col]),
+            text_col=text_col, id_col=id_col,
+            jaccard_threshold=jaccard_threshold).materialize()
+
+        def _losers_only(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            node = np.asarray(batch.column("node"), dtype=np.int64)
+            root = np.asarray(batch.column("component"), dtype=np.int64)
+            return pa.table({id_col: pa.array(node[node != root])})
+
+        losers_ds = comp.map_batches(_losers_only,
+                                     batch_format="pyarrow")
+        n_losers = losers_ds.count()
+        tier = ("broadcast" if n_losers <= max_broadcast_losers
+                else "anti_join")
+
         blob, m = build_ngram_bloom(bench_texts or [], n=ngram_n)
         from ..ops.stagecache import cached_stage
 
-        annotated = _read_stage(dedup_dir, [id_col, text_col]).map_batches(
-            cached_stage(CorpusAnnotator, drop_ref=ray.put(sorted(losers)),
+        if tier == "broadcast":
+            losers = sorted(
+                r[id_col] for r in losers_ds.take_all())
+            annotate_in = _read_stage(dedup_dir, [id_col, text_col])
+            drop_ref = ray.put(losers)
+            nd_col = None
+        else:
+            # loser set too big to broadcast: attach the flag by a
+            # bucketed left join (docs payload shuffles once on id;
+            # the loser side ships only skinny id+flag rows)
+            from ..ops.relational import hash_join
+
+            marked = losers_ds.map_batches(
+                lambda t: t.append_column(
+                    "_nd", pa.array([True] * t.num_rows, pa.bool_())),
+                batch_format="pyarrow")
+            annotate_in = hash_join(
+                _read_stage(dedup_dir, [id_col, text_col]), marked,
+                on=id_col, how="left")
+            drop_ref = ray.put([])
+            nd_col = "_nd"
+
+        annotated = annotate_in.map_batches(
+            cached_stage(CorpusAnnotator, drop_ref=drop_ref,
                          bloom_ref=ray.put(blob), bloom_m=m,
                          ngram_n=ngram_n, min_words=min_words,
                          langs=tuple(langs),
                          max_bigram_frac=max_bigram_frac,
-                         text_col=text_col, id_col=id_col),
+                         text_col=text_col, id_col=id_col,
+                         near_dup_col=nd_col),
             batch_format="pyarrow")
         write_span_docs(annotated, annotated_dir)
-        _mark_done(annotated_dir)
+        _mark_done(annotated_dir, note=tier)
 
     # stage 4 — sequence packs over kept docs (column-pruned read)
     if not _stage_done(packs_dir):
@@ -198,10 +265,16 @@ def prepare_corpus(docs: rd.Dataset, workdir: str, *,
         .map_batches(count_batch, batch_format="pyarrow").to_pandas()
     by_reason = partials.groupby("drop_reason")["n"].sum().to_dict()
     n_packs = _read_stage(packs_dir, ["n_docs"]).count()
+    if tier is None:  # resumed past the annotate stage
+        tier = _done_note(annotated_dir) or "broadcast"
     manifest = {
         "kept": int(by_reason.get("", 0)),
         "dropped": {k: int(v) for k, v in sorted(by_reason.items()) if k},
-        "near_dup_losers": len(losers),
+        # near_dup precedence is first, so every loser surviving exact
+        # dedup carries drop_reason == "near_dup": the counter IS the
+        # loser count (lets resume skip the minhash recompute)
+        "near_dup_losers": int(by_reason.get("near_dup", 0)),
+        "near_dup_tier": tier,
         "n_packs": int(n_packs),
         "params": {"min_words": min_words, "langs": list(langs),
                    "max_bigram_frac": max_bigram_frac,

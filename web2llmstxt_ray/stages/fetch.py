@@ -31,6 +31,7 @@ import pyarrow as pa
 import ray
 
 from ..functions.text import extract_title
+from .markdown import fit_markdown, raw_markdown
 
 _SCRIPT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1>",
                         re.IGNORECASE | re.DOTALL)
@@ -266,7 +267,10 @@ class NetworkFetcher:
             title = extract_title(page.get("title_meta"), markdown, url)
         else:
             html = resp.text
-            content = html_to_markdown(html)
+            # M6 chain for raw HTML, reference fidelity: readability-
+            # pruned fit markdown, falling back to the full render
+            # when the filter leaves nothing (web_crawler.py:108-110)
+            content = fit_markdown(html) or raw_markdown(html)
             m = _TITLE_RE.search(html)
             title = extract_title(m.group(1).strip() if m else None,
                                   content, url)
@@ -358,7 +362,7 @@ class PlaywrightFetcher:
                     return self._fail(url, score, depth)
                 html = page.content()             # RENDERED dom
                 title_meta = page.title() or None
-                content = html_to_markdown(html)
+                content = fit_markdown(html) or raw_markdown(html)
                 title = extract_title(title_meta, content, url)
                 return {"url": url, "success": True, "title": title,
                         "content": content, "html": html,
