@@ -192,6 +192,14 @@ def _run_bench() -> dict:
         seeds = seeds.repartition(4 * num_cpus)
         seeds = seeds.map_batches(canonicalize_batch, batch_format="pyarrow")
         seeds = seeds.map_batches(dedup_batch, batch_format="pyarrow")
+        # global dedup stays the groupby/sort path: measured 2026-08
+        # (120k/360k sites) the barrier costs ~1 s at 8 CPUs and ~2 s
+        # at 2, and the engine's streaming seen-filter alternative
+        # (seen_filter_dedup — no barrier) wins there by 10-14%; but
+        # at 32 CPUs its per-batch 8-way actor scatter-gather
+        # serializes the pipeline (43-45k pps sort vs 34-38k pps
+        # actors, any shard count). One code path for all levels so
+        # headline and scaling probe measure the same engine.
         seeds = global_dedup(seeds, "url")
         suite = fetch_extract_suite(seeds, idx_ref, batch_size=256)
         suite.write_parquet(out_dir)

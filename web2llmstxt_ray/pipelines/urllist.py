@@ -88,11 +88,16 @@ def seen_filter_dedup(ds: ray.data.Dataset, key: str = "url",
     primitive) and keep only first-winners.
 
     vs ``global_dedup``: the groupby path sorts — a full pipeline
-    barrier — while this path pipelines freely; at single-node bench
-    scale the actor RPC overhead roughly cancels the barrier savings
-    (measured ~equal), but this form is the right one when the seen
-    set must OUTLIVE the job (incremental/continuous crawls dedupe
-    against all history, which no per-job shuffle can express).
+    barrier — while this path pipelines freely. Measured on the bench
+    listing pipeline (round 4): this path wins 10-14% at 2-8 CPUs
+    (the barrier's ~1-2 s fixed cost dominates there), but LOSES
+    ~15-20% at 32 CPUs — every task's synchronous per-batch
+    scatter-gather over the shard actors serializes the pipeline at
+    high parallelism (worse with MORE shards: wider fan-out per
+    batch). Pick by parallelism when throughput matters; this form is
+    the right one regardless when the seen set must OUTLIVE the job
+    (incremental/continuous crawls dedupe against all history, which
+    no per-job shuffle can express).
     Trade-offs: when duplicate keys carry different payloads, WHICH
     duplicate survives depends on arrival order (exactly one always
     does); use ``global_dedup`` for a deterministic first-in-input
