@@ -6056,6 +6056,64 @@ def q_token_budget_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_curriculum_schedule(sf_dir: str) -> pd.DataFrame:
+    """Deterministic curriculum training order over documents
+    (easy→hard by (n_chars, doc_id), 10 difficulty bins by the
+    explicit rank·bins//n rule, round-robin interleave across bins) —
+    global ranking WITHOUT a global sort via the skinny per-value
+    histogram + broadcast offsets. Exact ints, hash-exact vs the
+    window twin. See :func:`ops.corpus.curriculum_schedule`."""
+    from web2llmstxt_ray.ops.corpus import curriculum_schedule
+
+    out = _pdf(curriculum_schedule(
+        _t(sf_dir, "documents", ["doc_id", "n_chars"])))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_padding_waste(sf_dir: str) -> pd.DataFrame:
+    """Length-bucketed batching padding audit (64-token buckets,
+    16-row batches formed in (tokens desc, id) order, each batch pads
+    to its own max): per-bucket pad-token burn. Exact ints →
+    hash-exact. See :func:`ops.corpus.padding_waste`."""
+    from web2llmstxt_ray.ops.corpus import padding_waste
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        toks = [len(t.split()) if t and t.strip() else 0
+                for t in b.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(toks, pa.int64()),
+        })
+
+    return padding_waste(
+        docs.map_batches(with_tokens, batch_format="pyarrow"))
+
+
+def q_contamination_attribution(sf_dir: str) -> pd.DataFrame:
+    """Per-benchmark-snippet contamination attribution: WHICH snippet
+    leaked how widely (doc hit counts per snippet; the flag tier
+    `decontaminate` only says a doc is dirty). Same deterministic
+    benchmark set as q_decontaminate (docs with id % 97 == 0
+    contribute text[10:60]). See
+    :func:`ops.scrub.contamination_attribution`."""
+    from web2llmstxt_ray.ops.scrub import contamination_attribution
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        keep = [t[10:60] for i, t in zip(ids, texts)
+                if i % 97 == 0 and t and len(t) >= 60]
+        return pa.table({"s": pa.array(keep, pa.string())})
+
+    snippets = [r["s"] for r in docs.map_batches(
+        bench_rows, batch_format="pyarrow").take_all()]
+    return contamination_attribution(docs, snippets)
+
+
 def q_source_set_cover(sf_dir: str) -> pd.DataFrame:
     """Greedy max-coverage source selection (k=5): which sources buy
     the most distinctive content (word-3-gram coverage) — the (1−1/e)
@@ -6409,6 +6467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": q_token_budget_sample,
         "conformal_threshold": q_conformal_threshold,
         "source_set_cover": q_source_set_cover,
+        "curriculum_schedule": q_curriculum_schedule,
+        "padding_waste": q_padding_waste,
+        "contamination_attribution": q_contamination_attribution,
     }
 
 
@@ -8301,6 +8362,58 @@ def oracle_sql() -> dict[str, str]:
               WHERE s.rank < 20
             )
             SELECT rank, picked AS vec_id, relevance, mmr_score FROM st
+        """,
+        "curriculum_schedule": """
+            WITH r AS (SELECT doc_id, n_chars,
+                              row_number() OVER (
+                                  ORDER BY n_chars, doc_id) - 1 AS rank,
+                              count(*) OVER () AS n
+                       FROM documents)
+            SELECT doc_id, n_chars,
+                   rank * 10 // n AS bin,
+                   rank - CAST(ceil((rank * 10 // n) * n / 10.0)
+                               AS BIGINT) AS pos_in_bin,
+                   (rank - CAST(ceil((rank * 10 // n) * n / 10.0)
+                                AS BIGINT)) * 10
+                       + rank * 10 // n AS sched_rank
+            FROM r
+        """,
+        "padding_waste": """
+            WITH t AS (SELECT doc_id,
+                              CASE WHEN trim(text) = '' THEN 0
+                                   ELSE len(string_split_regex(
+                                       trim(text), '\\s+')) END
+                                  AS n_tokens
+                       FROM documents),
+            b AS (SELECT doc_id, n_tokens,
+                         n_tokens // 64 AS bucket,
+                         (row_number() OVER (
+                              PARTITION BY n_tokens // 64
+                              ORDER BY n_tokens DESC, doc_id) - 1)
+                             // 16 AS batch_idx
+                  FROM t),
+            per_batch AS (SELECT bucket, batch_idx,
+                                 count(*) AS nr,
+                                 max(n_tokens) AS mx,
+                                 sum(n_tokens) AS sm
+                          FROM b GROUP BY 1, 2)
+            SELECT bucket,
+                   CAST(sum(nr) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_batches,
+                   CAST(sum(sm) AS BIGINT) AS sum_tokens,
+                   CAST(sum(mx * nr - sm) AS BIGINT) AS pad_tokens
+            FROM per_batch GROUP BY bucket
+        """,
+        "contamination_attribution": """
+            WITH bench AS (
+                SELECT DISTINCT substr(text, 11, 50) AS snippet
+                FROM documents
+                WHERE doc_id % 97 = 0 AND length(text) >= 60)
+            SELECT b.snippet,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM bench b JOIN documents d
+              ON contains(d.text, b.snippet)
+            GROUP BY b.snippet
         """,
         "source_set_cover": """
             WITH RECURSIVE

@@ -194,3 +194,102 @@ class TestGreedySourceCover:
             covered |= toks[s_]
             want.append((rank, s_, n, len(covered)))
         assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+class TestCurriculumSchedule:
+    def _run(self, keys, nparts=4, n_bins=10):
+        from web2llmstxt_ray.ops.corpus import curriculum_schedule
+
+        t = pa.table({
+            "doc_id": pa.array(np.arange(len(keys), dtype=np.int64)),
+            "n_chars": pa.array(keys, pa.int64()),
+        })
+        return curriculum_schedule(
+            ray.data.from_arrow(t).repartition(nparts),
+            n_bins=n_bins).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+
+    def test_matches_explicit_rank_rule(self):
+        rng = np.random.default_rng(4)
+        keys = rng.integers(10, 100, 137).tolist()
+        got = self._run(keys)
+        df = pd.DataFrame({"doc_id": range(len(keys)), "k": keys})
+        df = df.sort_values(["k", "doc_id"]).reset_index(drop=True)
+        n = len(df)
+        df["rank"] = np.arange(n)
+        df["bin"] = df["rank"] * 10 // n
+        starts = {b: int(np.ceil(b * n / 10)) for b in range(10)}
+        df["pos"] = df["rank"] - df["bin"].map(starts)
+        by_id = df.set_index("doc_id")
+        for _, r in got.iterrows():
+            assert r["bin"] == by_id.loc[r["doc_id"], "bin"]
+            assert r["pos_in_bin"] == by_id.loc[r["doc_id"], "pos"]
+            assert r["sched_rank"] == r["pos_in_bin"] * 10 + r["bin"]
+
+    def test_schedule_interleaves_bins(self):
+        # first n_bins schedule slots = one doc from every bin
+        keys = list(range(100))
+        got = self._run(keys)
+        head = got.sort_values("sched_rank").head(10)
+        assert sorted(head["bin"]) == list(range(10))
+
+    def test_sched_rank_unique_and_partition_invariant(self):
+        rng = np.random.default_rng(8)
+        keys = rng.integers(0, 30, 211).tolist()   # heavy ties
+        a = self._run(keys, nparts=1)
+        b = self._run(keys, nparts=9)
+        pd.testing.assert_frame_equal(a, b)
+        assert a["sched_rank"].is_unique
+
+
+class TestPaddingWaste:
+    def _run(self, toks, nparts=4):
+        from web2llmstxt_ray.ops.corpus import padding_waste
+
+        t = pa.table({
+            "doc_id": pa.array(np.arange(len(toks), dtype=np.int64)),
+            "n_tokens": pa.array(toks, pa.int64()),
+        })
+        return padding_waste(ray.data.from_arrow(t).repartition(nparts))
+
+    def test_hand_case(self):
+        # one bucket (0..63): toks 10,20,30,40 in one batch ->
+        # pad = 4*40 - 100 = 60
+        got = self._run([10, 20, 30, 40])
+        assert got[["bucket", "n_docs", "n_batches", "sum_tokens",
+                    "pad_tokens"]].values.tolist() == [[0, 4, 1, 100, 60]]
+
+    def test_batches_split_at_16(self):
+        got = self._run([70] * 17)   # bucket 1, batches of 16+1
+        assert got["n_batches"].tolist() == [2]
+        assert got["pad_tokens"].tolist() == [0]  # all equal lengths
+
+    def test_partition_invariant(self):
+        rng = np.random.default_rng(12)
+        toks = rng.integers(0, 400, 500).tolist()
+        a = self._run(toks, nparts=1)
+        b = self._run(toks, nparts=9)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestContaminationAttribution:
+    def test_counts_per_snippet(self):
+        from web2llmstxt_ray.ops.scrub import contamination_attribution
+
+        texts = ["alpha beta gamma", "beta gamma delta",
+                 "unrelated words here", "gamma alpha beta"]
+        t = pa.table({"text": pa.array(texts, pa.string())})
+        out = contamination_attribution(
+            ray.data.from_arrow(t).repartition(2),
+            ["beta gamma", "alpha", "missing snippet"])
+        d = dict(zip(out["snippet"], out["n_docs"]))
+        assert d == {"beta gamma": 2, "alpha": 2}
+
+    def test_duplicate_snippets_dedup(self):
+        from web2llmstxt_ray.ops.scrub import contamination_attribution
+
+        t = pa.table({"text": pa.array(["x y z"], pa.string())})
+        out = contamination_attribution(
+            ray.data.from_arrow(t), ["y", "y", ""])
+        assert out["snippet"].tolist() == ["y"]
+        assert out["n_docs"].tolist() == [1]

@@ -1252,3 +1252,117 @@ def greedy_source_cover(ds: ray.data.Dataset, k: int = 5,
         "rank", group_col, "new_tokens", "total_covered"]).astype(
         {"rank": "int64", "new_tokens": "int64",
          "total_covered": "int64"})
+
+
+def curriculum_schedule(ds: ray.data.Dataset,
+                        key_col: str = "n_chars",
+                        id_col: str = "doc_id",
+                        n_bins: int = 10) -> ray.data.Dataset:
+    """Deterministic curriculum training order: rank docs easy→hard by
+    ``(key_col, id)``, cut the ranking into ``n_bins`` difficulty bins
+    (``bin = rank·n_bins // n`` — the explicit remainder rule, not
+    NTILE's), and schedule round-robin ACROSS bins (sched order =
+    (position-within-bin, bin)) so every training window sees the
+    full difficulty spectrum — the standard anti-curriculum-collapse
+    interleave.
+
+    Global ranking WITHOUT a global sort: one skinny partial-agg pass
+    folds the per-``key_col``-value count histogram (driver holds
+    O(distinct values)); exclusive prefix sums give each value's rank
+    offset, broadcast once; one key-hash bucket shuffle of the skinny
+    (key, id) pairs assigns within-value order by id and adds the
+    offset. All arithmetic exact ints → hash-exact vs the window
+    twin. Output: (id, key, bin, pos_in_bin, sched_rank)."""
+    from .relational import partial_groupby
+    from .windows import _add_key_bucket
+
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(key_col, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    hist = partial_groupby(
+        ds.select_columns([key_col]), [key_col], batch_agg, ["n"])
+    hist = hist.sort_values(key_col)
+    total = int(hist["n"].sum())
+    offs = dict(zip(hist[key_col],
+                    hist["n"].cumsum().shift(fill_value=0).astype(int)))
+    oref = ray.put((offs, total, n_bins))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        offsets, n, bins = ray.get(oref)
+        g = group.sort_values([key_col, id_col],
+                              kind="stable").reset_index(drop=True)
+        within = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        rank = np.array([offsets[k] for k in g[key_col]],
+                        dtype=np.int64) + within
+        b = rank * bins // n
+        # position within bin = rank − bin start; bin b starts at
+        # ceil(b·n/bins) (the first rank r with r·bins//n == b)
+        start = -(-b * n // bins)     # ceil division on ints
+        pos = rank - start
+        sched = pos * bins + b
+        return pd.DataFrame({
+            id_col: g[id_col].astype("int64"),
+            key_col: g[key_col].astype("int64"),
+            "bin": pd.Series(b, dtype="int64"),
+            "pos_in_bin": pd.Series(pos, dtype="int64"),
+            "sched_rank": pd.Series(sched, dtype="int64"),
+        })
+
+    return (_add_key_bucket(ds.select_columns([key_col, id_col]),
+                            key_col, 64)
+            .groupby("_sbucket")
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def padding_waste(ds: ray.data.Dataset,
+                  tokens_col: str = "n_tokens",
+                  id_col: str = "doc_id",
+                  bucket_width: int = 64,
+                  batch_rows: int = 16) -> pd.DataFrame:
+    """Length-bucketed batching padding audit: docs are grouped into
+    length buckets of ``bucket_width`` tokens, batches of
+    ``batch_rows`` form within each bucket in (tokens desc, id)
+    order, and every batch pads to its own max — the audit reports,
+    per bucket, how many pad tokens that scheme burns (the
+    length-bucketing-vs-padding trade every trainer tunes).
+
+    One key-hash bucket shuffle of skinny (id, tokens) rows; per
+    length bucket the batch structure is a vectorized reshape (sort,
+    index // batch_rows, per-batch max). Exact ints → hash-exact vs
+    the window twin. Output: (bucket, n_docs, n_batches, sum_tokens,
+    pad_tokens)."""
+    from .windows import _add_key_bucket
+
+    def to_bucket(b: pa.Table) -> pa.Table:
+        toks = np.asarray(b.column(tokens_col), dtype=np.int64)
+        return pa.table({
+            id_col: b.column(id_col),
+            tokens_col: pa.array(toks, pa.int64()),
+            "_lb": pa.array(toks // bucket_width, pa.int64()),
+        })
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lb, d in group.groupby("_lb", sort=False):
+            d = d.sort_values([tokens_col, id_col],
+                              ascending=[False, True])
+            t = d[tokens_col].to_numpy(dtype=np.int64)
+            idx = np.arange(len(t)) // batch_rows
+            nb = int(idx[-1]) + 1 if len(t) else 0
+            pad = 0
+            for s in range(nb):
+                seg = t[idx == s]
+                pad += int(seg.max()) * len(seg) - int(seg.sum())
+            rows.append((int(lb), len(t), nb, int(t.sum()), pad))
+        return pd.DataFrame(rows, columns=[
+            "bucket", "n_docs", "n_batches", "sum_tokens",
+            "pad_tokens"]).astype("int64")
+
+    out = (_add_key_bucket(
+        ds.select_columns([id_col, tokens_col]).map_batches(
+            to_bucket, batch_format="pyarrow"), "_lb", 32)
+        .groupby("_sbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas())
+    return out.sort_values("bucket").reset_index(drop=True)

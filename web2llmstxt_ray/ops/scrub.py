@@ -315,3 +315,45 @@ class TextNormalizer:
 def normalize_text(ds: ray.data.Dataset) -> ray.data.Dataset:
     """Map-only canonicalization pass (see :class:`TextNormalizer`)."""
     return ds.map_batches(TextNormalizer(), batch_format="pyarrow")
+
+
+def contamination_attribution(ds: ray.data.Dataset,
+                              snippets: list[str],
+                              text_col: str = "text") -> pd.DataFrame:
+    """Per-snippet contamination attribution: for EACH benchmark
+    snippet, how many documents contain it — the report that tells you
+    WHICH benchmark leaked into the corpus (the flag tier only says
+    that something did).
+
+    Snippets broadcast once (``ray.put``); each batch counts hits per
+    snippet vectorized (one ``pc.match_substring`` pass per snippet —
+    O(snippets) Arrow kernels per batch, no Python row loop) and emits
+    a partial count vector; the driver folds O(blocks × snippets)
+    partials. Output: (snippet, n_docs) for snippets with ≥1 hit."""
+    import pyarrow.compute as pc
+
+    from .stagecache import cached_stage
+
+    uniq = sorted(set(s for s in snippets if s))
+    ref = ray.put(uniq)
+
+    class _Attr:
+        def __init__(self):
+            self.snippets = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch.column(text_col)
+            ns = []
+            for s in self.snippets:
+                ns.append(int(pc.sum(pc.match_substring(col, s))
+                              .as_py() or 0))
+            return pa.table({
+                "snippet": pa.array(self.snippets, pa.string()),
+                "n": pa.array(ns, pa.int64())})
+
+    parts = ds.select_columns([text_col]).map_batches(
+        cached_stage(_Attr), batch_format="pyarrow").to_pandas()
+    out = parts.groupby("snippet", as_index=False)["n"].sum()
+    out = out[out["n"] > 0].rename(columns={"n": "n_docs"})
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("snippet").reset_index(drop=True)
