@@ -702,7 +702,7 @@ def _run_scaling() -> None:
     far larger than the effect measured — which is why one-shot
     sweeps are not trustworthy here.
     """
-    def one(ncpu: int) -> float:
+    def one(ncpu: int) -> tuple[float, float]:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -710,7 +710,8 @@ def _run_scaling() -> None:
                              check=True).stdout
         time.sleep(2)  # settle between fresh Ray clusters
         r = json.loads(out.strip().splitlines()[-1])
-        return r["extras"]["crawl_listing_pages_per_s"]
+        return (r["extras"]["crawl_listing_pages_per_s"],
+                float(r["extras"].get("remote_wall_total_s") or 0.0))
 
     # Default pair 2→8: on ONE box, any level-pair measures engine
     # scaling TIMES memory-bus sharing (per-task CPU seconds inflate
@@ -722,14 +723,16 @@ def _run_scaling() -> None:
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
-    runs_lo, runs_hi = [], []
+    pairs_lo, pairs_hi = [], []
     for _ in range(reps):
-        runs_lo.append(one(lo))
-        runs_hi.append(one(hi))
+        pairs_lo.append(one(lo))
+        pairs_hi.append(one(hi))
+    runs_lo = [p for p, _ in pairs_lo]
+    runs_hi = [p for p, _ in pairs_hi]
     med = lambda xs: sorted(xs)[len(xs) // 2]
     eff_med = (med(runs_hi) / med(runs_lo)) / (hi / lo)
     eff_best = (max(runs_hi) / max(runs_lo)) / (hi / lo)
-    print(json.dumps({
+    payload = {
         "metric": ("scaling efficiency (headline fetch+extract pipeline, "
                    "fresh ray.init at N and 4N cpus, same input, "
                    f"{reps} interleaved reps per level)"),
@@ -741,7 +744,21 @@ def _run_scaling() -> None:
         "efficiency_best_of": round(eff_best, 3),
         "runs_pages_per_s_lo": runs_lo,
         "runs_pages_per_s_hi": runs_hi,
-    }))
+    }
+    # per-rep work-conservation correction (same methodology + caveats
+    # as the embedded probe; see BASELINE.md round-4 estimator notes)
+    lo_walls = [w for _, w in pairs_lo if w > 0]
+    if lo_walls and any(w > 0 for _, w in pairs_hi):
+        ref = min(lo_walls)
+        hi_c = [p * (w / ref) for p, w in pairs_hi if w > 0]
+        lo_c = [p * (w / ref) for p, w in pairs_lo if w > 0]
+        payload["remote_wall_s_lo"] = [round(w, 2) for _, w in pairs_lo]
+        payload["remote_wall_s_hi"] = [round(w, 2) for _, w in pairs_hi]
+        payload["corrected_pps_lo"] = [round(v, 1) for v in lo_c]
+        payload["corrected_pps_hi"] = [round(v, 1) for v in hi_c]
+        payload["efficiency_work_conserving"] = round(
+            (max(hi_c) / max(lo_c)) / (hi / lo), 3)
+    print(json.dumps(payload))
 
 
 def _run_stats() -> None:
