@@ -6056,6 +6056,26 @@ def q_token_budget_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_shuffle_run_lengths(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-quality audit: histogram of consecutive same-LANGUAGE
+    run lengths in epoch-shuffle order (seed=3) — the did-the-shuffle-
+    interleave check. Lang (not source) on purpose: source is
+    id-derived round-robin in this corpus and the multiplicative
+    shuffle provably anti-clumps any id-derived class (three-gap
+    structure → histogram all 1s — the perfect-interleave demo but a
+    trivial oracle); lang is independent of id, so the histogram is
+    the chance-clump profile a trainer actually audits. Global
+    adjacency WITHOUT a global sort: the bijective key's top bits
+    range-partition the order into contiguous segments; interior runs
+    fold locally, boundaries stitch on the driver (O(buckets)). See
+    :func:`ops.corpus.shuffle_run_lengths`."""
+    from web2llmstxt_ray.ops.corpus import shuffle_run_lengths
+
+    return shuffle_run_lengths(
+        _t(sf_dir, "documents", ["doc_id", "lang"]),
+        group_col="lang", seed=3)
+
+
 def q_curriculum_schedule(sf_dir: str) -> pd.DataFrame:
     """Deterministic curriculum training order over documents
     (easy→hard by (n_chars, doc_id), 10 difficulty bins by the
@@ -6470,6 +6490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_schedule": q_curriculum_schedule,
         "padding_waste": q_padding_waste,
         "contamination_attribution": q_contamination_attribution,
+        "shuffle_run_lengths": q_shuffle_run_lengths,
     }
 
 
@@ -8362,6 +8383,25 @@ def oracle_sql() -> dict[str, str]:
               WHERE s.rank < 20
             )
             SELECT rank, picked AS vec_id, relevance, mmr_score FROM st
+        """,
+        "shuffle_run_lengths": """
+            WITH k AS (SELECT lang,
+                              (((doc_id::HUGEINT + 3)
+                                % 18446744073709551616)
+                               * 2685821657736338717::HUGEINT
+                               % 18446744073709551616)::UBIGINT AS sk
+                       FROM documents),
+            o AS (SELECT lang, row_number() OVER (ORDER BY sk) AS rn
+                  FROM k),
+            r AS (SELECT lang, rn,
+                         rn - row_number() OVER (
+                             PARTITION BY lang ORDER BY rn) AS grp
+                  FROM o),
+            runs AS (SELECT count(*) AS len FROM r
+                     GROUP BY lang, grp)
+            SELECT CAST(len AS BIGINT) AS run_length,
+                   CAST(count(*) AS BIGINT) AS n_runs
+            FROM runs GROUP BY len
         """,
         "curriculum_schedule": """
             WITH r AS (SELECT doc_id, n_chars,

@@ -293,3 +293,71 @@ class TestContaminationAttribution:
             ray.data.from_arrow(t), ["y", "y", ""])
         assert out["snippet"].tolist() == ["y"]
         assert out["n_docs"].tolist() == [1]
+
+
+class TestShuffleRunLengths:
+    def _run(self, groups, nparts=4, num_buckets=64, seed=0):
+        from web2llmstxt_ray.ops.corpus import shuffle_run_lengths
+
+        t = pa.table({
+            "doc_id": pa.array(np.arange(len(groups), dtype=np.int64)),
+            "source": pa.array(groups, pa.string()),
+        })
+        return shuffle_run_lengths(
+            ray.data.from_arrow(t).repartition(nparts),
+            num_buckets=num_buckets, seed=seed)
+
+    @staticmethod
+    def _brute(groups, seed=0):
+        from collections import Counter
+
+        from web2llmstxt_ray.ops.corpus import _SHUFFLE_MULT
+
+        keys = [((i + seed) * _SHUFFLE_MULT) % (1 << 64)
+                for i in range(len(groups))]
+        order = sorted(range(len(groups)), key=lambda i: keys[i])
+        seq = [groups[i] for i in order]
+        hist: Counter = Counter()
+        cur, n = seq[0], 1
+        for x in seq[1:]:
+            if x == cur:
+                n += 1
+            else:
+                hist[n] += 1
+                cur, n = x, 1
+        hist[n] += 1
+        return dict(hist)
+
+    def test_matches_sequential_runs(self):
+        rng = np.random.default_rng(6)
+        groups = [f"g{v}" for v in rng.integers(0, 3, 400)]
+        got = self._run(groups)
+        assert dict(zip(got["run_length"], got["n_runs"])) \
+            == self._brute(groups)
+
+    def test_cross_segment_stitching(self):
+        # ONE group: every segment is single-run; the whole corpus is
+        # one run that must survive stitching across ALL boundaries
+        groups = ["only"] * 300
+        got = self._run(groups, num_buckets=16)
+        assert got.values.tolist() == [[300, 1]]
+
+    def test_few_buckets_long_runs(self):
+        rng = np.random.default_rng(14)
+        groups = [f"g{v}" for v in rng.integers(0, 2, 257)]
+        got = self._run(groups, num_buckets=4)
+        assert dict(zip(got["run_length"], got["n_runs"])) \
+            == self._brute(groups)
+
+    def test_partition_invariant(self):
+        rng = np.random.default_rng(2)
+        groups = [f"g{v}" for v in rng.integers(0, 4, 300)]
+        a = self._run(groups, nparts=1)
+        b = self._run(groups, nparts=9)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_total_mass_conserved(self):
+        rng = np.random.default_rng(17)
+        groups = [f"g{v}" for v in rng.integers(0, 5, 333)]
+        got = self._run(groups)
+        assert int((got["run_length"] * got["n_runs"]).sum()) == 333

@@ -1366,3 +1366,91 @@ def padding_waste(ds: ray.data.Dataset,
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas())
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def shuffle_run_lengths(ds: ray.data.Dataset,
+                        group_col: str = "source",
+                        key_col: str = "doc_id",
+                        seed: int = 0,
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Shuffle-quality audit: histogram of CONSECUTIVE same-``group``
+    run lengths in deterministic epoch-shuffle order — the "did the
+    shuffle actually interleave sources?" check every training-data
+    pipeline should run (source clumps = correlated gradients).
+
+    Global adjacency without a global sort: the shuffle key is a
+    bijective multiplicative permutation (see :func:`epoch_shuffle`),
+    so its TOP BITS range-partition the shuffled order into
+    contiguous segments. One bucket-hash shuffle of skinny
+    (key, group) rows; each segment sorts locally and emits its
+    INTERIOR run histogram plus one boundary row (first/last group +
+    run lengths, single-run flag); the driver stitches adjacent
+    segments exactly like a chunked phrase scan stitches junctions —
+    O(buckets) driver work, runs crossing any number of segment
+    boundaries merge correctly. Exact ints → hash-exact vs the
+    gaps-and-islands window twin. Output: (run_length, n_runs)."""
+    from collections import Counter
+
+    mult = np.uint64(_SHUFFLE_MULT)
+    s_ = np.uint64(seed % (1 << 64))
+    bits = max(1, int(num_buckets - 1).bit_length())
+    shift = np.uint64(64 - bits)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(key_col), dtype=np.uint64)
+        key = (ids + s_) * mult
+        return pa.table({
+            "_sk": pa.array(key, pa.uint64()),
+            group_col: batch.column(group_col),
+            "_rb": pa.array((key >> shift).astype(np.int64)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_sk", kind="stable")
+        grp = g[group_col].tolist()
+        runs = []
+        cur, n = grp[0], 1
+        for x in grp[1:]:
+            if x == cur:
+                n += 1
+            else:
+                runs.append((cur, n))
+                cur, n = x, 1
+        runs.append((cur, n))
+        b = int(g["_rb"].iloc[0])
+        rows = [("edge", b, runs[0][0], runs[0][1],
+                 runs[-1][0], runs[-1][1], int(len(runs) == 1), 0, 0)]
+        inner = Counter(n for _, n in runs[1:-1])
+        for ln, c in sorted(inner.items()):
+            rows.append(("hist", b, "", 0, "", 0, 0, ln, c))
+        return pd.DataFrame(rows, columns=[
+            "kind", "bucket", "g1", "n1", "g2", "n2", "single",
+            "len", "cnt"])
+
+    parts = (ds.select_columns([key_col, group_col])
+             .map_batches(per_batch, batch_format="pyarrow")
+             .groupby("_rb")
+             .map_groups(per_bucket, batch_format="pandas")
+             .to_pandas())
+    hist: Counter = Counter()
+    for _, r in parts[parts["kind"] == "hist"].iterrows():
+        hist[int(r["len"])] += int(r["cnt"])
+    edges = parts[parts["kind"] == "edge"].sort_values("bucket")
+    pend_g, pend_n = None, 0
+    for _, e in edges.iterrows():
+        first_g, first_n = e["g1"], int(e["n1"])
+        last_g, last_n = e["g2"], int(e["n2"])
+        if pend_g is not None and pend_g == first_g:
+            first_n += pend_n          # boundary run continues
+        elif pend_g is not None:
+            hist[pend_n] += 1          # pending run ends at boundary
+        if e["single"]:
+            pend_g, pend_n = first_g, first_n
+        else:
+            hist[first_n] += 1
+            pend_g, pend_n = last_g, last_n
+    if pend_g is not None:
+        hist[pend_n] += 1
+    out = pd.DataFrame(sorted(hist.items()),
+                       columns=["run_length", "n_runs"])
+    return out.astype({"run_length": "int64", "n_runs": "int64"})
