@@ -6056,6 +6056,20 @@ def q_token_budget_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_kcenter_coreset(sf_dir: str) -> pd.DataFrame:
+    """Gonzalez farthest-point k-center coreset (k=16) over the
+    embeddings table — coverage-radius subset selection, the coreset
+    complement to MMR's relevance-diversity blend. Each greedy step is
+    one map-only broadcast pass; the DuckDB twin replays the
+    traversal exactly with a recursive CTE. See
+    :func:`ops.ann.kcenter_select`."""
+    from web2llmstxt_ray.ops.ann import kcenter_select
+
+    return kcenter_select(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=16).to_pandas()
+
+
 def q_shuffle_run_lengths(sf_dir: str) -> pd.DataFrame:
     """Shuffle-quality audit: histogram of consecutive same-LANGUAGE
     run lengths in epoch-shuffle order (seed=3) — the did-the-shuffle-
@@ -6491,6 +6505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "padding_waste": q_padding_waste,
         "contamination_attribution": q_contamination_attribution,
         "shuffle_run_lengths": q_shuffle_run_lengths,
+        "kcenter_coreset": q_kcenter_coreset,
     }
 
 
@@ -8383,6 +8398,43 @@ def oracle_sql() -> dict[str, str]:
               WHERE s.rank < 20
             )
             SELECT rank, picked AS vec_id, relevance, mmr_score FROM st
+        """,
+        "kcenter_coreset": """
+            WITH RECURSIVE
+            u AS (SELECT vec_id, unnest(embedding) AS e,
+                         generate_subscripts(embedding, 1) AS dim
+                  FROM embeddings),
+            norms AS (SELECT vec_id,
+                             sqrt(sum(CAST(e AS DOUBLE)
+                                      * CAST(e AS DOUBLE))) AS nrm
+                      FROM u GROUP BY vec_id),
+            x AS (SELECT u.vec_id, u.dim,
+                         CAST(u.e AS DOUBLE) / n.nrm AS v
+                  FROM u JOIN norms n USING (vec_id)),
+            sims AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                            sum(a.v * b.v) AS sim
+                     FROM x a JOIN x b ON a.dim = b.dim
+                     GROUP BY 1, 2),
+            st AS (
+              SELECT 1 AS rank,
+                     (SELECT min(vec_id) FROM embeddings) AS picked,
+                     [(SELECT min(vec_id) FROM embeddings)] AS sel,
+                     CAST(0.0 AS DOUBLE) AS dist
+              UNION ALL
+              SELECT s.rank + 1, c.vec_id,
+                     list_append(s.sel, c.vec_id), c.dist
+              FROM st s JOIN LATERAL (
+                  SELECT r.vec_id, 1.0 - max(p.sim) AS dist
+                  FROM (SELECT DISTINCT a AS vec_id FROM sims) r
+                  JOIN sims p ON p.a = r.vec_id
+                             AND list_contains(s.sel, p.b)
+                  WHERE NOT list_contains(s.sel, r.vec_id)
+                  GROUP BY r.vec_id
+                  ORDER BY dist DESC, r.vec_id
+                  LIMIT 1) c ON true
+              WHERE s.rank < 16
+            )
+            SELECT rank, picked AS vec_id, dist FROM st
         """,
         "shuffle_run_lengths": """
             WITH k AS (SELECT lang,

@@ -37,6 +37,7 @@ ULP_TOL = {"user_type_entropy": 1e-14,
            "conformal_threshold": 1e-11,
            # cosine dots: engine GEMM vs DuckDB per-dim SUM order
            "mmr_sample": 1e-11,
+           "kcenter_coreset": 1e-11,
            # conditional-entropy Σ -(c/t)·ln(c/t) per cur_type:
            # same reassociation class as user_type_entropy
            "next_event_entropy": 1e-12,

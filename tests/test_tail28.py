@@ -361,3 +361,61 @@ class TestShuffleRunLengths:
         groups = [f"g{v}" for v in rng.integers(0, 5, 333)]
         got = self._run(groups)
         assert int((got["run_length"] * got["n_runs"]).sum()) == 333
+
+
+class TestKCenterSelect:
+    def _vecs(self, n, d=8, seed=5):
+        rng = np.random.default_rng(seed)
+        return rng.normal(size=(n, d))
+
+    def _run(self, X, k, nparts=4):
+        from web2llmstxt_ray.ops.ann import kcenter_select
+
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in X]),
+        })
+        return kcenter_select(
+            ray.data.from_arrow(t).repartition(nparts),
+            k=k).to_pandas()
+
+    @staticmethod
+    def _brute(X, k):
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sel = [0]
+        out = [(1, 0, 0.0)]
+        for rank in range(2, k + 1):
+            d = 1.0 - (Xn @ Xn[sel].T).max(axis=1)
+            d[sel] = -np.inf
+            best = int(np.lexsort((np.arange(len(d)), -d))[0])
+            out.append((rank, best, float(d[best])))
+            sel.append(best)
+        return out
+
+    def test_matches_sequential_gonzalez(self):
+        X = self._vecs(120)
+        got = self._run(X, 10)
+        want = self._brute(X, 10)
+        assert got["vec_id"].tolist() == [w[1] for w in want]
+        np.testing.assert_allclose(
+            got["dist"], [w[2] for w in want], rtol=1e-12)
+
+    def test_coverage_radius_shrinks(self):
+        # each added center's selection distance is the CURRENT
+        # coverage radius: the sequence must be non-increasing
+        X = self._vecs(200, seed=9)
+        got = self._run(X, 12)
+        d = got["dist"].to_numpy()
+        assert (np.diff(d[1:]) <= 1e-12).all()
+
+    def test_partition_invariant(self):
+        X = self._vecs(150, seed=11)
+        a = self._run(X, 8, nparts=1)
+        b = self._run(X, 8, nparts=9)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_k_exceeds_n(self):
+        X = self._vecs(5)
+        got = self._run(X, 10)
+        assert len(got) == 5
+        assert sorted(got["vec_id"]) == [0, 1, 2, 3, 4]

@@ -1388,3 +1388,84 @@ def davies_bouldin(ds: ray.data.Dataset, label_col: str = "label",
         "n": agg["n"].astype("int64").to_numpy(),
         "scatter": np.round(s, round_to),
         "db_component": np.round(db, round_to)})
+
+
+def kcenter_select(ds: ray.data.Dataset, k: int = 16,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> "pa.Table":
+    """Gonzalez farthest-point traversal — the classic 2-approximation
+    k-center CORESET selection a curated training subset uses when the
+    objective is coverage RADIUS (every point near some center) rather
+    than MMR's relevance-diversity blend: start from the smallest id,
+    then repeatedly add the point whose cosine distance
+    ``1 − max_{s∈S} cos(s, x)`` to its nearest selected center is
+    MAXIMAL (ties → ascending id).
+
+    Same distribution shape as :func:`mmr_select`: inherently
+    sequential in k, but each step is ONE map-only pass — the ≤k
+    selected vectors broadcast, every block computes its candidates'
+    nearest-center similarity in one GEMM and emits only its block
+    arg-max (O(blocks) rows to the driver per step). The DuckDB twin
+    replays the traversal exactly with a recursive CTE. Output:
+    (rank, id, dist) where dist is the selection-time distance to the
+    nearest prior center (rank 1 = the seed, dist 0)."""
+    ds = ds.materialize()
+
+    first = ds.map_batches(
+        lambda b: pa.table({id_col: pa.array(
+            [np.asarray(b.column(id_col), dtype=np.int64).min()],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()[id_col].min()
+
+    def fetch_vec(doc_id: int) -> np.ndarray:
+        rows = ds.map_batches(
+            lambda b, d=doc_id: b.filter(pa.array(
+                np.asarray(b.column(id_col), dtype=np.int64) == d)),
+            batch_format="pyarrow").take_all()
+        return np.asarray(rows[0][vec_col], dtype=np.float64)
+
+    sel_ids = [int(first)]
+    sel_rows = [_normalize(fetch_vec(int(first))[None, :])[0]]
+    out = {"rank": [1], id_col: [int(first)], "dist": [0.0]}
+    for step in range(1, k):
+        state = ray.put((np.stack(sel_rows), set(sel_ids)))
+
+        def block_far(batch: pa.Table, state_ref=state) -> pa.Table:
+            sel, taken = ray.get(state_ref)
+            X = vec_matrix(batch, vec_col).astype(np.float64)
+            Xn = _normalize(X)
+            ids = np.asarray(batch.column(id_col), dtype=np.int64)
+            dist = 1.0 - (Xn @ sel.T).max(axis=1)
+            mask = np.fromiter((int(i) not in taken for i in ids),
+                               bool, len(ids))
+            if not mask.any():
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                    "_vec": pa.array([], pa.list_(pa.float64()))})
+            cand = np.flatnonzero(mask)
+            order = np.lexsort((ids[cand], -dist[cand]))
+            b = cand[order[0]]
+            return pa.table({
+                id_col: pa.array([int(ids[b])], pa.int64()),
+                "dist": pa.array([float(dist[b])], pa.float64()),
+                "_vec": pa.array([Xn[b].tolist()],
+                                 pa.list_(pa.float64()))})
+
+        parts = ds.map_batches(block_far,
+                               batch_format="pyarrow").to_pandas()
+        if parts.empty:
+            break
+        parts = parts.sort_values(["dist", id_col],
+                                  ascending=[False, True], kind="stable")
+        top = parts.iloc[0]
+        sel_ids.append(int(top[id_col]))
+        sel_rows.append(np.asarray(top["_vec"], dtype=np.float64))
+        out["rank"].append(step + 1)
+        out[id_col].append(int(top[id_col]))
+        out["dist"].append(float(top["dist"]))
+    return pa.table({
+        "rank": pa.array(out["rank"], pa.int64()),
+        id_col: pa.array(out[id_col], pa.int64()),
+        "dist": pa.array(out["dist"], pa.float64()),
+    })
