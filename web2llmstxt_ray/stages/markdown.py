@@ -26,7 +26,6 @@ as boilerplate falls back to the raw render rather than vanishing.
 from __future__ import annotations
 
 import re
-from html import unescape
 from html.parser import HTMLParser
 
 # tags whose subtree never contributes content
