@@ -175,21 +175,45 @@ def _run_bench() -> dict:
 
     out_dir = f"/tmp/bench_suite_{num_cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    # untimed warmup: imports + broadcast-state build in the prestarted
-    # task workers, so the timed section measures steady-state throughput
-    warm = rd.from_arrow(pa.table({"url": all_urls[: 4 * num_cpus]}))
-    fetch_extract_suite(warm.repartition(2 * num_cpus), idx_ref,
-                        batch_size=2).count()
+
+    # seed blocks are PRE-SPLIT zero-copy table slices instead of a
+    # 1-block from_arrow + repartition: the repartition is an all-to-all
+    # that ships the whole seed table through the object store before
+    # any useful work starts — a fixed ~0.3-0.5 s barrier that the
+    # 8-CPU probe level cannot amortize (block count still propagates
+    # so downstream stages keep 4*num_cpus-way parallelism)
+    def _seed_blocks(urls: list, nblocks: int) -> "rd.Dataset":
+        tab = pa.table({"url": pa.array(urls, pa.string())})
+        n = len(urls)
+        cuts = [i * n // nblocks for i in range(nblocks + 1)]
+        return rd.from_arrow([tab.slice(cuts[i], cuts[i + 1] - cuts[i])
+                              for i in range(nblocks)
+                              if cuts[i + 1] > cuts[i]])
+
+    # untimed warmup: run the FULL mini pipeline (canonicalize → sort
+    # dedup → fused suite → parquet write) so worker imports, broadcast
+    # state, the sort planner and the parquet writer are all warm before
+    # the timed section — first-run import/setup costs otherwise land in
+    # run 1 and bias the per-level best
+    warm = _seed_blocks(all_urls[: 8 * num_cpus], 2 * num_cpus)
+    warm = warm.map_batches(canonicalize_batch, batch_format="pyarrow")
+    warm = warm.map_batches(dedup_batch, batch_format="pyarrow")
+    warm = global_dedup(warm, "url")
+    fetch_extract_suite(warm, idx_ref, batch_size=4).write_parquet(
+        f"{out_dir}_warm")
+    shutil.rmtree(f"{out_dir}_warm", ignore_errors=True)
     # best of 2 (both recorded): single-run wall noise on a shared
     # host is ±20-30%, larger than most optimizations being tracked
     listing_runs = []
     for _ in range(2):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        seeds = rd.from_arrow(pa.table({"url": all_urls}))
-        # block count propagates: a 1-block seed table serializes every
-        # downstream stage onto one worker
-        seeds = seeds.repartition(4 * num_cpus)
+        # block count: ~8 tasks per CPU slot for pipelining/tail-evening,
+        # capped at 128 — task dispatch tops out ~20-50 tasks/s on this
+        # driver, so past ~128 blocks the suite stage goes
+        # dispatch-bound and 32-CPU throughput DROPS (measured: 256
+        # blocks 39.4k pps vs 128 blocks 48.2k pps on the 360k site)
+        seeds = _seed_blocks(all_urls, min(8 * num_cpus, 128))
         seeds = seeds.map_batches(canonicalize_batch, batch_format="pyarrow")
         seeds = seeds.map_batches(dedup_batch, batch_format="pyarrow")
         # global dedup stays the groupby/sort path: measured 2026-08
@@ -464,7 +488,7 @@ def _run_bench() -> dict:
             def _probe(ncpu: int) -> tuple[float, float]:
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                            GRAFT_BENCH_HEADLINE_ONLY="1",
-                           GRAFT_BENCH_PAGES="120000")
+                           GRAFT_BENCH_PAGES="360000")
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=env, capture_output=True, text=True,

@@ -53,12 +53,20 @@ class FetchExtractSuite(MockFetcher):
                  "for", "on")
 
     def __init__(self, site_ref, min_words: int = 50, num_perm: int = 128):
+        import os as _os
+        import time as _time
+
+        _t0 = _time.perf_counter()
         super().__init__(site_ref)
         self.min_words = min_words
         self.a, self.b = _perm_params(num_perm)
         from ..functions.urls import hash64_batch
 
         self.stop_hashes = np.sort(hash64_batch(list(self.STOPWORDS)))
+        if _os.environ.get("GRAFT_SUITE_INIT_LOG"):
+            with open(f"/tmp/suite_init_{_os.getpid()}.jsonl", "a") as _f:
+                _f.write('{"init_s": %.3f}\n'
+                         % (_time.perf_counter() - _t0))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.urls import hash64_batch
@@ -111,9 +119,6 @@ class FetchExtractSuite(MockFetcher):
         return pa.Table.from_pydict(rows, schema=SUITE_SCHEMA)
 
 
-_WORKER_SUITE_CACHE: dict = {}
-
-
 def fetch_extract_suite(seeds: ray.data.Dataset, site_ref,
                         concurrency=None, batch_size: int = 256,
                         min_words: int = 50) -> ray.data.Dataset:
@@ -131,10 +136,30 @@ def fetch_extract_suite(seeds: ray.data.Dataset, site_ref,
     key = site_ref.hex() if hasattr(site_ref, "hex") else id(site_ref)
 
     def suite_fn(batch: pa.Table) -> pa.Table:
-        inst = _WORKER_SUITE_CACHE.get(key)
+        # The memo cache must live on an object the worker process shares
+        # across TASKS. A module-global here does not qualify: cloudpickle
+        # rebuilds a nested closure's __globals__ per task
+        # deserialization, so naming `_WORKER_SUITE_CACHE` directly gives
+        # every task its own copied dict and the memoization never hits —
+        # each task then re-pays the full per-process state build
+        # (url→row dict over the broadcast site), which scales with site
+        # size and task count and showed up as pure remote-CPU inflation
+        # at high parallelism. Importing this package at call time is
+        # also not context-safe (it ships pickle-by-value under the
+        # driver contract, where workers may have no importable copy).
+        # `builtins` is importable in every worker and always serialized
+        # by reference, so an attribute on it is a true per-process
+        # singleton in all execution contexts.
+        import builtins
+
+        cache = getattr(builtins, "_W2L_SUITE_CACHE", None)
+        if cache is None:
+            cache = {}
+            builtins._W2L_SUITE_CACHE = cache
+        inst = cache.get(key)
         if inst is None:
             inst = FetchExtractSuite(site_ref, min_words=min_words)
-            _WORKER_SUITE_CACHE[key] = inst
+            cache[key] = inst
         return inst(batch)
 
     kwargs = {}
