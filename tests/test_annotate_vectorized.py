@@ -1,0 +1,186 @@
+"""Conformance: the vectorized CorpusAnnotator / batch text kernels
+against scalar reference implementations (the pre-vectorization
+per-row loop, kept here as the oracle)."""
+
+import random
+import string
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from web2llmstxt_ray.functions.urls import hash64, hash64_batch
+from web2llmstxt_ray.ops.scrub import (NgramBloomFlagger, _gram_strings,
+                                       build_ngram_bloom, gram_hashes_flat)
+from web2llmstxt_ray.ops.textstats import (detect_language,
+                                           detect_language_batch,
+                                           tokenize_lower_hashes,
+                                           top_bigram_counts)
+from web2llmstxt_ray.pipelines.corpus_prep import CorpusAnnotator
+
+
+def _texts_corpus(seed: int = 11, n: int = 300) -> list:
+    rng = random.Random(seed)
+    out = [
+        "", None, "   ", "\t\n", " the and of is with this ",
+        "der die das und ist mit", "les des est que avec pour",
+        "los las que con para una ción",
+        "一二三四五 中文 " * 40,
+        "İstanbul Çok GÜZEL ẞ straße",
+        "a\tb\nc\x1cd e\x1df", " leading  and trailing  ", "x" * 2500,
+        "the " * 300 + "tail", "repeat word repeat word " * 30,
+    ]
+    vocab = ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 9)))
+             for _ in range(120)]
+    for _ in range(n):
+        k = rng.randint(0, 80)
+        out.append(" ".join(rng.choice(vocab) for _ in range(k)))
+    return out
+
+
+def _scalar_annotate(texts, ids, drop, flag_counts, nd, min_words, langs,
+                     max_bigram_frac):
+    """The original per-row ladder, verbatim semantics."""
+    n_words, plangs, reasons = [], [], []
+    for did, text, contam, is_nd in zip(ids, texts, flag_counts, nd):
+        toks = (text or "").lower().split()
+        n = len(toks)
+        lang = detect_language(text or "")
+        top_bg = (max(Counter(zip(toks, toks[1:])).values())
+                  if n >= 2 else 0)
+        reason = ""
+        if is_nd or did in drop:
+            reason = "near_dup"
+        elif n < min_words:
+            reason = "short"
+        elif langs and lang not in langs:
+            reason = "lang"
+        elif n >= 2 and top_bg / (n - 1) > max_bigram_frac:
+            reason = "repetitive"
+        elif contam:
+            reason = "contaminated"
+        n_words.append(n)
+        plangs.append(lang)
+        reasons.append(reason)
+    return n_words, plangs, reasons
+
+
+class TestBatchKernels:
+    def test_tokenize_and_bigram_parity(self):
+        texts = _texts_corpus()
+        hw, off = tokenize_lower_hashes(pa.array(texts, pa.string()))
+        tb = top_bigram_counts(hw, off)
+        for i, x in enumerate(texts):
+            toks = (x or "").lower().split()
+            assert off[i + 1] - off[i] == len(toks), i
+            if all(ord(c) < 128 for c in (x or "")):
+                exp = (hash64_batch(toks) if toks
+                       else np.empty(0, np.uint64))
+                assert np.array_equal(hw[off[i]:off[i + 1]], exp), i
+                expb = (max(Counter(zip(toks, toks[1:])).values())
+                        if len(toks) >= 2 else 0)
+                assert tb[i] == expb, i
+
+    def test_detect_language_batch_parity(self):
+        texts = _texts_corpus(seed=5)
+        got = detect_language_batch(pa.array(texts, pa.string()))
+        exp = [detect_language(t or "") for t in texts]
+        assert got == exp
+
+    def test_gram_hashes_match_gram_strings_identity(self):
+        # equal grams ⇔ equal hashes: the flat kernel must agree with
+        # _gram_strings on gram COUNT and on equality structure
+        texts = [t for t in _texts_corpus(seed=7, n=60)
+                 if t and all(ord(c) < 128 for c in t)]
+        hw, off = tokenize_lower_hashes(pa.array(texts, pa.string()))
+        for n in (2, 8):
+            gh, goff = gram_hashes_flat(hw, off, n)
+            for i, t in enumerate(texts):
+                gs = _gram_strings(t, n)
+                seg = gh[goff[i]:goff[i + 1]]
+                assert len(seg) == len(gs), (i, n)
+                # identical grams get identical hashes, distinct get
+                # distinct (no collisions expected at this size)
+                by_gram = {}
+                for g, h in zip(gs, seg.tolist()):
+                    by_gram.setdefault(g, set()).add(h)
+                assert all(len(v) == 1 for v in by_gram.values())
+                all_h = {}
+                for g, hs in by_gram.items():
+                    h = next(iter(hs))
+                    assert all_h.setdefault(h, g) == g
+
+    def test_bloom_no_false_negatives_after_rewrite(self):
+        rng = random.Random(3)
+        vocab = ["w%d" % i for i in range(60)]
+        bench = [" ".join(rng.choice(vocab) for _ in range(40))
+                 for _ in range(6)]
+        blob, m = build_ngram_bloom(bench, n=8)
+        fl = NgramBloomFlagger(blob, m, 8)
+        # every bench doc must self-flag with every gram hitting
+        hits = fl.hits_per_doc(pa.array(bench, pa.string()))
+        for b, h in zip(bench, hits):
+            assert h == len(_gram_strings(b, 8))
+        # dirty doc embedding a bench 8-gram must flag
+        core = " ".join(bench[0].split()[5:13])
+        dirty = "zz yy " + core + " qq"
+        assert fl.hits_per_doc(pa.array([dirty]))[0] >= 1
+        # short/empty docs never flag
+        assert (fl.hits_per_doc(
+            pa.array(["too short", None, ""])) == 0).all()
+
+
+class TestAnnotatorParity:
+    def _run(self, langs=(), min_words=5, frac=0.3, with_drop=True,
+             with_nd_col=False, seed=23):
+        texts = _texts_corpus(seed=seed, n=150)
+        n = len(texts)
+        ids = list(range(n))
+        rng = random.Random(seed)
+        drop = set(rng.sample(ids, 10)) if with_drop else set()
+        bench = [t for t in texts[::17] if t]
+        blob, m = build_ngram_bloom(bench, n=8)
+        ann = CorpusAnnotator(sorted(drop), blob, m, 8, min_words,
+                              tuple(langs), frac,
+                              near_dup_col="_nd" if with_nd_col else None)
+        cols = {"doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string())}
+        nd = [False] * n
+        if with_nd_col:
+            nd = [rng.random() < 0.1 for _ in range(n)]
+            cols["_nd"] = pa.array(
+                [True if v else None for v in nd], pa.bool_())
+        out = ann(pa.table(cols))
+        flag_counts = ann.flagger.hits_per_doc(
+            pa.array(texts, pa.string())) > 0
+        exp_nw, exp_lang, exp_reason = _scalar_annotate(
+            texts, ids, drop, flag_counts, nd, min_words, set(langs), frac)
+        assert out.column("n_words").to_pylist() == exp_nw
+        assert out.column("predicted_lang").to_pylist() == exp_lang
+        assert out.column("drop_reason").to_pylist() == exp_reason
+        assert out.column("keep").to_pylist() == [r == "" for r in
+                                                  exp_reason]
+
+    def test_default(self):
+        self._run()
+
+    def test_lang_filter_and_threshold(self):
+        self._run(langs=("en", "de"), min_words=3, frac=0.12, seed=31)
+
+    def test_anti_join_tier_flag_column(self):
+        self._run(with_nd_col=True, with_drop=False, seed=47)
+
+    def test_tight_repetition_boundary(self):
+        # engineered exact-threshold docs: top_bg/(n-1) == frac must NOT
+        # flag (strict >), one extra repeat must
+        frac = 0.5
+        at = "a b " * 2 + "c d e f"          # bigram (b,a)? count check below
+        over = "a b a b a b c"
+        ann = CorpusAnnotator([], *build_ngram_bloom([], n=8), 8, 1, (),
+                              frac)
+        out = ann(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([at, over], pa.string())}))
+        exp = _scalar_annotate([at, over], [1, 2], set(), [False, False],
+                               [False, False], 1, set(), frac)[2]
+        assert out.column("drop_reason").to_pylist() == exp

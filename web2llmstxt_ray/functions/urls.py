@@ -252,6 +252,13 @@ def make_keyword_scorer(keywords: tuple[str, ...], weight: float = 1.0):
 _FNV_OFFSET = 0xCBF29CE484222325
 _FNV_PRIME = 0x100000001B3
 
+# 64-bit odd mixing constant (golden-ratio) for order-sensitive hash
+# combination (shingles, n-grams, band folds). Canonical home here so
+# ops.textstats / ops.scrub / ops.dedup can all import it MODULE-LEVEL
+# without cycles — call-time package imports break inside Ray workers
+# under the pickle-by-value contract (no repo on the worker path).
+_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
 
 def hash64(s: str) -> int:
     """Stable 64-bit FNV-1a hash (process- and run-independent, unlike
@@ -262,9 +269,11 @@ def hash64(s: str) -> int:
     return h
 
 
-def hash64_batch(strings: list[str]) -> np.ndarray:
+def hash64_batch(strings) -> np.ndarray:
     """Vectorized FNV-1a over a batch — bit-identical to ``hash64`` per
-    element (property-tested).
+    element (property-tested). Accepts a list of str OR an Arrow
+    string Array/ChunkedArray (no-copy fast path: hot callers tokenize
+    with ``pyarrow.compute`` and hand the flat token array straight in).
 
     Encoding and flattening go through Arrow (one C-side UTF-8 encode of
     the whole batch, zero-copy flat buffer + offsets) instead of a
@@ -279,7 +288,12 @@ def hash64_batch(strings: list[str]) -> np.ndarray:
     import pyarrow as _pa
 
     try:
-        arr = _pa.array(strings, _pa.string())
+        if isinstance(strings, _pa.ChunkedArray):
+            arr = strings.combine_chunks()
+        elif isinstance(strings, _pa.Array):
+            arr = strings
+        else:
+            arr = _pa.array(strings, _pa.string())
         if arr.null_count:
             raise ValueError("nulls")
         if n >= 1024:
@@ -294,15 +308,26 @@ def hash64_batch(strings: list[str]) -> np.ndarray:
             d = _pc.dictionary_encode(arr)
             uniq = d.dictionary
             if len(uniq) <= (n >> 1):
-                hu = hash64_batch(uniq.to_pylist())
+                hu = hash64_batch(uniq)
                 return hu[d.indices.to_numpy(zero_copy_only=False)]
-        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
-                                count=n + 1).astype(np.int64)
+        # honour a sliced array's logical window: read the offsets
+        # starting at arr.offset (downstream indexes the data buffer
+        # via offsets[0]/offsets[-1], so no buffer rebase is needed).
+        # large_string (64-bit offsets — what list_flatten of a
+        # split_whitespace column yields) differs only in offset width.
+        _odt = (np.int64 if _pa.types.is_large_string(arr.type)
+                else np.int32)
+        offsets = np.frombuffer(
+            arr.buffers()[1], dtype=_odt,
+            count=n + 1 + arr.offset)[arr.offset:].astype(np.int64)
         data_buf = arr.buffers()[2]
         flat = (np.frombuffer(data_buf, dtype=np.uint8)
                 if data_buf is not None else np.empty(0, np.uint8))
     except Exception:  # lone surrogates, >2GB offsets, nulls
         # exotic inputs: slow exact path
+        if not isinstance(strings, list):
+            strings = (strings.to_pylist()
+                       if hasattr(strings, "to_pylist") else list(strings))
         encoded = [s.encode("utf-8", "surrogatepass") for s in strings]
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([len(b) for b in encoded], out=offsets[1:])

@@ -32,7 +32,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.urls import hash64, hash64_batch
+from ..functions.urls import _SHINGLE_MIX, hash64, hash64_batch
+from .textstats import tokenize_lower_hashes
 from .scrub import _bloom_positions
 from .sketch import HyperLogLog
 from .veckit import vec_matrix
@@ -184,13 +185,73 @@ def exact_dedup_rows(ds: ray.data.Dataset, text_col: str = "text",
             "content_hash", pa.array(hashes, pa.string())).append_column(
             "_hbucket", pa.array(b, pa.int32()))
 
-    def dedup_bucket(group):
-        g = group.sort_values(["content_hash", id_col], kind="stable")
-        return g.drop_duplicates(subset=["content_hash"], keep="first") \
-            .drop(columns=["_hbucket", "content_hash"])
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        # pyarrow-native winner pick (same (hash, id)-sort + keep-first
+        # semantics the pandas form had — the pandas round trip
+        # materialized every TEXT as a Python object twice per group,
+        # the dominant cost of this stage at 100k docs)
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("content_hash", "ascending"),
+                              (id_col, "ascending")])
+        g = group.take(idx)
+        ch = g.column("content_hash").combine_chunks()
+        first = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            first[1:] = ~pc.equal(
+                ch.slice(1), ch.slice(0, len(ch) - 1)) \
+                .to_numpy(zero_copy_only=False)
+        return g.filter(pa.array(first)) \
+            .drop_columns(["_hbucket", "content_hash"])
 
     return ds.map_batches(add_keys, batch_format="pyarrow") \
-        .groupby("_hbucket").map_groups(dedup_bucket, batch_format="pandas")
+        .groupby("_hbucket").map_groups(dedup_bucket, batch_format="pyarrow")
+
+
+def exact_dedup_losers(ds: ray.data.Dataset, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       num_buckets: int = 64) -> ray.data.Dataset:
+    """LOSER ids of exact dedup (every id except the min per duplicate
+    content class) as a Dataset of ``(id_col,)`` rows.
+
+    The scale-preferred exact-dedup shape when the input is
+    re-readable: only skinny (content_hash, id) pairs take the
+    all-to-all (~40 B/row instead of the text payload), the output is
+    O(duplicate docs), and the caller filters the original dataset
+    map-only — broadcast the loser ids below a threshold, anti-join
+    above it (the same tier pattern as the near-dup stage). Winner
+    choice (min id per content) is identical to
+    :func:`exact_dedup_rows`."""
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        hashes = [content_md5(t or "")
+                  for t in batch.column(text_col).to_pylist()]
+        b = _id_blocks(hashes, num_buckets)
+        return pa.table({
+            "content_hash": pa.array(hashes, pa.string()),
+            id_col: batch.column(id_col),
+            "_hbucket": pa.array(b, pa.int32()),
+        })
+
+    def bucket_losers(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("content_hash", "ascending"),
+                              (id_col, "ascending")])
+        g = group.take(idx)
+        ch = g.column("content_hash").combine_chunks()
+        first = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            first[1:] = ~pc.equal(
+                ch.slice(1), ch.slice(0, len(ch) - 1)) \
+                .to_numpy(zero_copy_only=False)
+        return g.filter(pa.array(~first)).select([id_col])
+
+    return ds.map_batches(add_keys, batch_format="pyarrow") \
+        .groupby("_hbucket").map_groups(bucket_losers,
+                                        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -207,7 +268,6 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-_SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def word_hashes(text: str) -> np.ndarray:
@@ -287,12 +347,17 @@ class _MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
         n = len(ids)
+        # ONE Arrow tokenize+hash pass for the whole batch (the
+        # per-doc ``word_hashes`` call paid hash64_batch's vectorized
+        # setup per document — profiled at ~300 of the 400 µs/doc of
+        # this stage); per-doc signature kernels then slice the flat
+        # hash array (same L2-resident shape as the fused suite)
+        hw_all, offs = tokenize_lower_hashes(batch.column(self.text_col))
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for r, t in enumerate(texts):
+        for r in range(n):
             sigs[r] = minhash_signature(
-                shingle_hashes(word_hashes(t or ""), self.k),
+                shingle_hashes(hw_all[offs[r]:offs[r + 1]], self.k),
                 self.a, self.b)
         # band hashes folded arithmetically over each segment's lanes
         # (equal segment ⇔ equal hash; one vector op per lane instead of

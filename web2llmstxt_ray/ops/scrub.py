@@ -22,8 +22,9 @@ import ray.data
 # module-level so cloudpickle captures them by value for workers driven
 # from a foreign cwd (see bootstrap.py — call-time relative imports
 # inside worker-executed __call__ bodies fail there)
-from ..functions.urls import hash64_batch
+from ..functions.urls import _SHINGLE_MIX, hash64_batch
 from .sketch import HyperLogLog
+from .textstats import tokenize_lower_hashes
 
 # PII patterns chosen to be regex-dialect-portable (Python re, RE2,
 # DuckDB) — no backrefs, no lookaround — so the same pattern string
@@ -153,6 +154,32 @@ def _gram_strings(text: str, n: int) -> list[str]:
     return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
 
 
+def gram_hashes_flat(hw: np.ndarray, offsets: np.ndarray,
+                     n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word ``n``-gram hashes per doc from a flat token-hash array
+    (``ops.textstats.tokenize_lower_hashes`` layout): the vectorized
+    replacement for hashing ``_gram_strings`` output — equal grams ⇔
+    equal hashes (order-sensitive within the gram, same combine as
+    ``ops.dedup.shingle_hashes``), so bloom build/probe built on this
+    kernel keep the no-false-negative contract. Docs with fewer than
+    ``n`` tokens contribute zero grams (matching ``_gram_strings``,
+    NOT ``shingle_hashes``' k-clamp). Returns (flat gram hashes,
+    per-doc offsets)."""
+    n_docs = len(offsets) - 1
+    lens = np.diff(offsets)
+    gcounts = np.maximum(lens - n + 1, 0)
+    goffsets = np.concatenate([[0], np.cumsum(gcounts)]).astype(np.int64)
+    total = len(hw)
+    if total < n:
+        return np.empty(0, np.uint64), goffsets
+    acc = hw[: total - n + 1].copy()
+    for j in range(1, n):
+        acc = acc * _SHINGLE_MIX ^ hw[j: total - n + 1 + j]
+    doc_of = np.repeat(np.arange(n_docs), lens)
+    valid = doc_of[: total - n + 1] == doc_of[n - 1:]
+    return acc[valid], goffsets
+
+
 def _bloom_positions(hashes: np.ndarray, m: int) -> np.ndarray:
     """(k, len) bit positions; reuses the fmix64 avalanche."""
     out = np.empty((len(_BLOOM_SALTS), len(hashes)), dtype=np.int64)
@@ -167,14 +194,13 @@ def build_ngram_bloom(texts: list[str], n: int = 8,
     """Bloom filter over every word ``n``-gram of ``texts``; returns
     (bit-blob, m). k=4 hash functions; at 16 bits/gram the FP rate is
     ~0.24%. Build is one vectorized hash pass over all grams."""
-    grams: list[str] = []
-    for t in texts:
-        grams.extend(_gram_strings(t, n))
-    m = max(64, 1 << int(np.ceil(np.log2(max(1, len(grams))
+    hw, offsets = tokenize_lower_hashes(texts)
+    gh, _ = gram_hashes_flat(hw, offsets, n)
+    m = max(64, 1 << int(np.ceil(np.log2(max(1, len(gh))
                                          * bits_per_gram))))
     bits = np.zeros(m, dtype=bool)
-    if grams:
-        pos = _bloom_positions(hash64_batch(grams), m)
+    if len(gh):
+        pos = _bloom_positions(gh, m)
         bits[pos.ravel()] = True
     return np.packbits(bits).tobytes(), m
 
@@ -200,26 +226,25 @@ class NgramBloomFlagger:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        grams_all: list[str] = []
-        counts = np.zeros(len(batch), dtype=np.int64)
-        for i, t in enumerate(batch.column(self.text_col).to_pylist()):
-            g = _gram_strings(t, self.n)
-            counts[i] = len(g)
-            grams_all.extend(g)
-        if grams_all:
-            pos = _bloom_positions(hash64_batch(grams_all), self.m)
-            hit = self.bits[pos].all(axis=0)          # all k bits set
-            ends = np.cumsum(counts)
-            starts = ends - counts
-            n_hits = np.array([int(hit[s:e].sum())
-                               for s, e in zip(starts, ends)])
-        else:
-            n_hits = counts
+        n_hits = self.hits_per_doc(batch.column(self.text_col))
         return pa.table({
             self.id_col: batch.column(self.id_col),
             "contaminated": pa.array(n_hits > 0),
             "n_hit_grams": pa.array(n_hits, pa.int64()),
         })
+
+    def hits_per_doc(self, texts) -> np.ndarray:
+        """Bloom-hit gram count per doc, fully vectorized: one Arrow
+        tokenize pass, one rolling-combine gram-hash pass, one bloom
+        probe, one segmented sum."""
+        hw, offsets = tokenize_lower_hashes(texts)
+        gh, goff = gram_hashes_flat(hw, offsets, self.n)
+        if len(gh) == 0:
+            return np.zeros(len(goff) - 1, dtype=np.int64)
+        pos = _bloom_positions(gh, self.m)
+        hit = self.bits[pos].all(axis=0)              # all k bits set
+        cum = np.concatenate([[0], np.cumsum(hit)])
+        return (cum[goff[1:]] - cum[goff[:-1]]).astype(np.int64)
 
 
 def decontaminate_ngram_flags(ds: ray.data.Dataset, bench_texts: list[str],

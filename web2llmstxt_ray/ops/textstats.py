@@ -19,7 +19,10 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as _pc
 import ray.data
+
+from ..functions.urls import _SHINGLE_MIX, hash64, hash64_batch
 
 _WS_RE = re.compile(r"\s+")
 PUNCT_SET = ".,!?;:"
@@ -154,6 +157,168 @@ class LanguageId:
             "predicted_lang": pa.array(
                 [detect_language(t or "") for t in texts], pa.string()),
         })
+
+
+# ---------------------------------------------------------------------------
+# vectorized batch kernels — the fused-annotate hot path
+# ---------------------------------------------------------------------------
+
+_STOP_HASH_CACHE: dict = {}
+
+
+def _stop_hash_table():
+    """(sorted distinct stopword hashes, hash→lang membership matrix,
+    sorted language list) for the vectorized detector. Built once per
+    process from ``_LANG_PROFILES`` so the two detectors cannot drift."""
+    got = _STOP_HASH_CACHE.get("t")
+    if got is not None:
+        return got
+    langs = sorted(_LANG_PROFILES)
+    by_hash: dict[int, set[int]] = {}
+    for li, lang in enumerate(langs):
+        for w in _LANG_PROFILES[lang][1]:
+            by_hash.setdefault(hash64(w), set()).add(li)
+    hashes = np.array(sorted(by_hash), dtype=np.uint64)
+    member = np.zeros((len(hashes), len(langs)), dtype=np.float64)
+    for i, h in enumerate(hashes):
+        for li in by_hash[int(h)]:
+            member[i, li] = 1.0
+    _STOP_HASH_CACHE["t"] = (hashes, member, langs)
+    return _STOP_HASH_CACHE["t"]
+
+
+def _as_string_array(texts) -> pa.Array:
+    pc = _pc
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    elif not isinstance(texts, pa.Array):
+        texts = pa.array(list(texts), pa.string())
+    return pc.fill_null(texts, "")
+
+
+def detect_language_batch(texts) -> list[str]:
+    """Vectorized :func:`detect_language` over a column — IDENTICAL
+    output per element (property-tested).
+
+    ASCII samples (the overwhelming common case) run fully in
+    ``pyarrow.compute`` + numpy: one lower+substring-probe pass for the
+    trigram scores and one token-hash membership pass for the distinct
+    stopword counts (same first-max tie-break over the sorted language
+    list). Rows whose first-1000-codepoint sample is NOT pure ASCII are
+    recomputed with the scalar detector — Arrow's ``utf8_lower`` uses
+    simple case mapping (e.g. İ→i) where Python's ``str.lower`` uses
+    full mapping (İ→i̇), so only the ASCII subset is provably
+    bit-identical vectorized.
+    """
+    pc = _pc
+    arr = _as_string_array(texts)
+    n = len(arr)
+    if n == 0:
+        return []
+    samp = pc.utf8_slice_codeunits(arr, 0, 1000)
+    ascii_mask = pc.string_is_ascii(samp).to_numpy(zero_copy_only=False)
+    lower = pc.utf8_lower(samp)
+    stop_hashes, member, langs = _stop_hash_table()
+    scores = np.zeros((n, len(langs)), dtype=np.float64)
+    for li, lang in enumerate(langs):
+        for g in sorted(_LANG_PROFILES[lang][0]):
+            scores[:, li] += pc.match_substring(lower, g) \
+                .to_numpy(zero_copy_only=False)
+    toks = pc.utf8_split_whitespace(lower)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if len(flat):
+        hw = hash64_batch(flat)
+        pos = np.searchsorted(stop_hashes, hw)
+        pos_c = np.minimum(pos, len(stop_hashes) - 1)
+        hit = stop_hashes[pos_c] == hw
+        doc_of = np.repeat(np.arange(n), lens)
+        # DISTINCT stopwords present per doc: presence matrix, then one
+        # matmul against the hash→language membership matrix
+        pres = np.zeros((n, len(stop_hashes)), dtype=np.float64)
+        pres[doc_of[hit], pos_c[hit]] = 1.0
+        scores += 2.0 * (pres @ member)
+    best = np.argmax(scores, axis=1)           # first max wins = sorted
+    vals = scores[np.arange(n), best]          # lang iteration order
+    lang_arr = np.array(langs, dtype=object)
+    out = np.where(vals > 0, lang_arr[best], "unknown").astype(object)
+    if not ascii_mask.all():
+        # exotic samples (non-ASCII case mapping, CJK): scalar truth
+        py = arr.to_pylist()
+        for i in np.flatnonzero(~ascii_mask):
+            out[i] = detect_language(py[i] or "")
+    return list(out)
+
+
+def tokenize_lower_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """FNV-64 hashes of each doc's ``text.lower().split()`` tokens in
+    one flat array plus per-doc offsets (``len == n_docs + 1``).
+
+    Tokenization runs C-side (``utf8_lower`` + ``utf8_split_whitespace``
+    with Arrow's edge empty-tokens dropped — empirically equal to
+    Python ``str.split`` for every whitespace class). Case mapping is
+    Arrow's simple mapping: for non-ASCII text with exotic casings
+    (İ, lone surrogates) token HASHES can differ from a Python
+    ``lower()`` pipeline — equal-token semantics still hold within any
+    corpus processed by this same kernel, which is the contract the
+    dedup/decontamination consumers need.
+    """
+    pc = _pc
+    arr = _as_string_array(texts)
+    n = len(arr)
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(arr))
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if len(flat) == 0:
+        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+    nonempty = pc.not_equal(flat, "")
+    ne_np = nonempty.to_numpy(zero_copy_only=False)
+    ends = np.cumsum(lens)
+    cum = np.concatenate([[0], np.cumsum(ne_np)])
+    counts = cum[ends] - cum[ends - lens]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    if not ne_np.all():
+        flat = flat.filter(nonempty)
+    hw = hash64_batch(flat) if len(flat) else np.empty(0, np.uint64)
+    return hw, offsets
+
+
+def top_bigram_counts(hw: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-doc max word-bigram multiplicity from the flat token-hash
+    array — the vectorized twin of
+    ``max(Counter(zip(toks, toks[1:])).values())`` (equal up to FNV
+    collisions, ~1e-19/doc). Docs with <2 tokens report 0.
+
+    One lexsort of (doc, bigram-hash) pairs, run-length encode, then a
+    segmented max — no per-doc Python.
+    """
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.int64)
+    total = len(hw)
+    if total < 2 or n_docs == 0:
+        return out
+    lens = np.diff(offsets)
+    doc_of = np.repeat(np.arange(n_docs), lens)
+    bg = hw[:-1] * _SHINGLE_MIX ^ hw[1:]
+    valid = doc_of[:-1] == doc_of[1:]
+    bg = bg[valid]
+    bdoc = doc_of[:-1][valid]
+    if len(bg) == 0:
+        return out
+    order = np.lexsort((bg, bdoc))
+    bg_s, bdoc_s = bg[order], bdoc[order]
+    new_run = np.empty(len(bg_s), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (bg_s[1:] != bg_s[:-1]) | (bdoc_s[1:] != bdoc_s[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_lens = np.diff(np.append(run_starts, len(bg_s)))
+    run_doc = bdoc_s[run_starts]
+    doc_starts = np.flatnonzero(
+        np.r_[True, run_doc[1:] != run_doc[:-1]])
+    out[run_doc[doc_starts]] = np.maximum.reduceat(run_lens, doc_starts)
+    return out
 
 
 # ---------------------------------------------------------------------------

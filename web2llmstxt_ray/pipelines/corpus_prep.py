@@ -35,13 +35,18 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..ops.dedup import exact_dedup_rows, minhash_components_verified
-from ..ops.scrub import NgramBloomFlagger, build_ngram_bloom
-from ..ops.textstats import detect_language
+from ..ops.dedup import exact_dedup_losers, minhash_components_verified
+from ..ops.scrub import (NgramBloomFlagger, _bloom_positions,
+                         build_ngram_bloom, gram_hashes_flat)
+from ..ops.textstats import (detect_language_batch, tokenize_lower_hashes,
+                             top_bigram_counts)
+
 from ..sinks import resolve_format, write_span_docs
 
 DROP_PRECEDENCE = ("near_dup", "short", "lang", "repetitive",
@@ -70,47 +75,62 @@ class CorpusAnnotator:
         self.near_dup_col = near_dup_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        contaminated = self.flagger(batch).column("contaminated").to_pylist()
+        """One fused VECTORIZED pass per batch: Arrow-side tokenize +
+        hash feeds n_words, the top-bigram repetition signal AND the
+        bloom gram probe from a single token stream;
+        ``detect_language_batch`` and the verdict ladder (``np.select``)
+        are batch kernels too — no per-row Python (the scalar
+        predecessor profiled at ~8.7k docs/s and dominated the corpus
+        prep wall; see ops/textstats.py batch-kernel parity notes for
+        the exactness contract)."""
+        n_rows = batch.num_rows
+        texts = batch.column(self.text_col)
+        hw, offsets = tokenize_lower_hashes(texts)
+        n_words = np.diff(offsets)
+        top_bg = top_bigram_counts(hw, offsets)
+        langs = np.asarray(detect_language_batch(texts), dtype=object)
+        # bloom probe on the SAME token hashes (flagger tier kept for
+        # the standalone decontaminate path; this inlines its kernel)
+        gh, goff = gram_hashes_flat(hw, offsets, self.flagger.n)
+        if len(gh):
+            bpos = _bloom_positions(gh, self.flagger.m)
+            ghit = self.flagger.bits[bpos].all(axis=0)
+            cum = np.concatenate([[0], np.cumsum(ghit)])
+            contaminated = (cum[goff[1:]] - cum[goff[:-1]]) > 0
+        else:
+            contaminated = np.zeros(n_rows, dtype=bool)
         if self.near_dup_col and self.near_dup_col in batch.schema.names:
             # anti-join tier: the loser flag arrived as a column from
             # the bucketed left join (True for losers, null otherwise)
-            nd = [bool(v) for v in
-                  batch.column(self.near_dup_col).to_pylist()]
+            nd = pc.fill_null(
+                batch.column(self.near_dup_col).cast(pa.bool_()),
+                False).to_numpy(zero_copy_only=False)
         else:
-            nd = [False] * len(ids)
-        n_words, langs, reasons = [], [], []
-        for did, text, contam, is_nd in zip(ids, texts, contaminated, nd):
-            toks = (text or "").lower().split()
-            n = len(toks)
-            lang = detect_language(text or "")
-            top_bg = (max(Counter(zip(toks, toks[1:])).values())
-                      if n >= 2 else 0)
-            reason = ""
-            if is_nd or did in self.drop:
-                reason = "near_dup"
-            elif n < self.min_words:
-                reason = "short"
-            elif self.langs and lang not in self.langs:
-                reason = "lang"
-            elif n >= 2 and top_bg / (n - 1) > self.max_bigram_frac:
-                reason = "repetitive"
-            elif contam:
-                reason = "contaminated"
-            n_words.append(n)
-            langs.append(lang)
-            reasons.append(reason)
-        keep = [r == "" for r in reasons]
+            nd = np.zeros(n_rows, dtype=bool)
+        if self.drop:
+            in_drop = pc.is_in(
+                batch.column(self.id_col),
+                value_set=pa.array(sorted(self.drop))) \
+                .to_numpy(zero_copy_only=False)
+            nd = nd | in_drop
+        lang_ok = (np.ones(n_rows, dtype=bool) if not self.langs
+                   else np.isin(langs.astype(str), sorted(self.langs)))
+        # same float form as the scalar ladder (a/b > c, NOT a > c*b —
+        # the two can round differently at the threshold)
+        repetitive = (n_words >= 2) & (
+            top_bg / np.maximum(n_words - 1, 1) > self.max_bigram_frac)
+        reasons = np.select(
+            [nd, n_words < self.min_words, ~lang_ok, repetitive,
+             contaminated],
+            ["near_dup", "short", "lang", "repetitive", "contaminated"],
+            default="").astype(object)
         return pa.table({
             self.id_col: batch.column(self.id_col),
-            self.text_col: batch.column(self.text_col),
-            "predicted_lang": pa.array(langs, pa.string()),
+            self.text_col: texts,
+            "predicted_lang": pa.array(list(langs), pa.string()),
             "n_words": pa.array(n_words, pa.int64()),
-            "keep": pa.array(keep, pa.bool_()),
-            "drop_reason": pa.array(reasons, pa.string()),
+            "keep": pa.array(reasons == "", pa.bool_()),
+            "drop_reason": pa.array(list(reasons), pa.string()),
         })
 
 
@@ -139,7 +159,19 @@ def _read_stage(path: str, columns=None) -> rd.Dataset:
     return rd.from_arrow(read_span_docs(path, columns=columns))
 
 
-def prepare_corpus(docs: rd.Dataset, workdir: str, *,
+def prepare_corpus(docs: rd.Dataset, workdir: str, **kw) -> dict:
+    """Public entry — the full prep chain under ``chain_execution``
+    (linear barriered pipeline: per-op resource reservation only
+    throttles the single runnable op; measured 10.8→8.7 s at 32 CPUs
+    on the 100k-doc bench corpus). See :func:`_prepare_corpus_impl`
+    for stages and parameters."""
+    from ..ops.stagecache import chain_execution
+
+    with chain_execution():
+        return _prepare_corpus_impl(docs, workdir, **kw)
+
+
+def _prepare_corpus_impl(docs: rd.Dataset, workdir: str, *,
                    bench_texts: list[str] | None = None,
                    min_words: int = 20,
                    langs: tuple[str, ...] = (),
@@ -160,18 +192,66 @@ def prepare_corpus(docs: rd.Dataset, workdir: str, *,
     losers stay a Dataset and a bucketed left join attaches the
     near-dup flag instead (one extra payload shuffle — the price of
     not broadcasting billions of ids at a 100-TB dup fraction)."""
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    _timings: dict[str, float] = {}
+
+    def _lap(stage: str) -> None:
+        nonlocal _t0
+        _timings[stage] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
+
     os.makedirs(workdir, exist_ok=True)
     dedup_dir = os.path.join(workdir, "dedup")
     annotated_dir = os.path.join(workdir, "annotated")
     packs_dir = os.path.join(workdir, "packs")
 
-    # stage 1 — exact dedup keeping rows (checkpointed). One
-    # all-to-all of the row payload — the unavoidable shuffle when the
-    # deduped text is itself the product (see ops/dedup.exact_dedup_rows).
+    # stage 1 — exact dedup keeping rows (checkpointed). SKINNY-SHUFFLE
+    # form: only (content_hash, id) pairs take the all-to-all; the
+    # O(dup-docs) loser-id set comes back and the text payload is
+    # filtered MAP-ONLY from the original dataset (broadcast losers
+    # below ``max_broadcast_losers``, bucketed anti-join above — the
+    # same delivery tiers as the near-dup stage). Replaces the
+    # row-payload shuffle of ops/dedup.exact_dedup_rows: identical
+    # min-id winners, but the corpus text never moves.
     if not _stage_done(dedup_dir):
-        deduped = exact_dedup_rows(docs, text_col=text_col, id_col=id_col)
+        xl_ds = exact_dedup_losers(docs, text_col=text_col,
+                                   id_col=id_col).materialize()
+        n_exact_losers = xl_ds.count()
+        if n_exact_losers == 0:
+            deduped = docs
+        elif n_exact_losers <= max_broadcast_losers:
+            loser_ref = ray.put(sorted(
+                r[id_col] for r in xl_ds.take_all()))
+
+            def drop_losers(batch: pa.Table, _ref=loser_ref) -> pa.Table:
+                losers = (ray.get(_ref)
+                          if isinstance(_ref, ray.ObjectRef) else _ref)
+                keep = pc.invert(pc.is_in(
+                    batch.column(id_col), value_set=pa.array(losers)))
+                return batch.filter(keep)
+
+            deduped = docs.map_batches(drop_losers,
+                                       batch_format="pyarrow")
+        else:
+            from ..ops.relational import hash_join
+
+            marked = xl_ds.map_batches(
+                lambda t: t.append_column(
+                    "_xl", pa.array([True] * t.num_rows, pa.bool_())),
+                batch_format="pyarrow")
+            joined = hash_join(docs, marked, on=id_col, how="left")
+
+            def drop_marked(batch: pa.Table) -> pa.Table:
+                keep = pc.is_null(batch.column("_xl"))
+                return batch.filter(keep).drop_columns(["_xl"])
+
+            deduped = joined.map_batches(drop_marked,
+                                         batch_format="pyarrow")
         write_span_docs(deduped, dedup_dir)
         _mark_done(dedup_dir)
+    _lap("exact_dedup")
 
     # stages 2+3 — near-dup losers + fused annotate pass (checkpointed
     # audit table). Skipped entirely on resume: the near-dup verdict
@@ -198,6 +278,7 @@ def prepare_corpus(docs: rd.Dataset, workdir: str, *,
         losers_ds = comp.map_batches(_losers_only,
                                      batch_format="pyarrow")
         n_losers = losers_ds.count()
+        _lap("near_dup")
         tier = ("broadcast" if n_losers <= max_broadcast_losers
                 else "anti_join")
 
@@ -237,6 +318,7 @@ def prepare_corpus(docs: rd.Dataset, workdir: str, *,
             batch_format="pyarrow")
         write_span_docs(annotated, annotated_dir)
         _mark_done(annotated_dir, note=tier)
+    _lap("annotate")
 
     # stage 4 — sequence packs over kept docs (column-pruned read)
     if not _stage_done(packs_dir):
@@ -246,10 +328,17 @@ def prepare_corpus(docs: rd.Dataset, workdir: str, *,
             .map_batches(
                 lambda t: t.filter(t["keep"]).select([id_col, "n_words"]),
                 batch_format="pyarrow")
+        # bucket_mod tier: pack layout must be a pure function of the
+        # DATA, not the blocking — the exact/near-dup delivery tiers
+        # legitimately produce different checkpoint orders (broadcast
+        # filter preserves input order, anti-join reshuffles), and the
+        # tier choice must not change the output. One skinny
+        # (id, n_words) key shuffle buys that invariance.
         packs = pack_sequences(kept, max_tokens=max_tokens, id_col=id_col,
-                               tokens_col="n_words")
+                               tokens_col="n_words", bucket_mod=16)
         write_span_docs(packs, packs_dir)
         _mark_done(packs_dir)
+    _lap("packs")
 
     # manifest — per-reason counts via partial aggregation (counter
     # rows shuffle, never documents)
@@ -281,6 +370,9 @@ def prepare_corpus(docs: rd.Dataset, workdir: str, *,
                    "jaccard_threshold": jaccard_threshold,
                    "ngram_n": ngram_n, "max_tokens": max_tokens},
     }
+    _lap("manifest")
+    if os.environ.get("GRAFT_PREP_TIMINGS"):
+        manifest["stage_seconds"] = _timings
     with open(os.path.join(workdir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest

@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..functions.urls import hash64_batch
 from ..ops.dedup import (
     _perm_params, minhash_signature, shingle_hashes,
     simhash_from_hashes)
@@ -60,8 +61,6 @@ class FetchExtractSuite(MockFetcher):
         super().__init__(site_ref)
         self.min_words = min_words
         self.a, self.b = _perm_params(num_perm)
-        from ..functions.urls import hash64_batch
-
         self.stop_hashes = np.sort(hash64_batch(list(self.STOPWORDS)))
         if _os.environ.get("GRAFT_SUITE_INIT_LOG"):
             with open(f"/tmp/suite_init_{_os.getpid()}.jsonl", "a") as _f:
@@ -69,8 +68,6 @@ class FetchExtractSuite(MockFetcher):
                          % (_time.perf_counter() - _t0))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.urls import hash64_batch
-
         urls = batch.column("url").to_pylist()
         rows = {k: [] for k in SUITE_SCHEMA.names}
         kept: list[tuple] = []               # (url, content, title)
