@@ -6175,15 +6175,49 @@ def q_conformal_threshold(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "events", ["event_type", "value"]), alpha=0.1)
 
 
+# The driver's correctness artifact covers the FIRST 50 entries of
+# queries() in dict order. Round-5 window (the round-4 verdict's
+# rotation ask): 50 queries NO prior driver artifact (r1-r4) has
+# confirmed, drawn from the graph / stats / events / windows / text
+# tails -- all SQL-oracled, so every slot is a rows+schema+hash check.
+_R5_WINDOW = [
+    # graph
+    "part_bfs_hops", "sssp_hops", "two_hop_reach", "adamic_adar",
+    "graph_assortativity", "local_clustering", "degree_powerlaw",
+    "ppr_promo",
+    # stats / distribution diagnostics
+    "benford_orders", "priority_gini", "zipf_slope", "daily_acf",
+    "value_psi_drift", "lang_jsd", "lang_emd", "value_auc",
+    "value_calibration", "short_doc_wilson", "qty_skew_kurt",
+    "priority_status_chi2", "qty_disc_spearman", "qty_disc_kendall",
+    "value_ks_clicks",
+    # events / sessions / attribution
+    "events_dedup_window", "funnel_timeout", "peak_concurrency",
+    "running_distinct_users", "weekly_active_users",
+    "session_entry_exit", "bounce_rate", "first_touch_attribution",
+    "linear_attribution", "ushape_attribution", "next_event_pred",
+    "interarrival_stats", "late_events",
+    # windowed / time-series values
+    "value_cusum", "user_value_twap", "user_value_locf", "daily_ohlc",
+    "value_window_ranks", "value_rolling_sum",
+    # text / corpus
+    "bigram_collocations", "doc_top_terms", "token_entropy",
+    "oov_rate", "heaps_curve", "ttr_by_source", "mmr_sample",
+    "containment_pairs",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    base = _queries_base()
+    out = {k: base[k] for k in _R5_WINDOW}
+    out.update(base)          # the rest keep their registry order
+    return out
+
+
+def _queries_base() -> dict[str, Callable[[str], Any]]:
     return {
-        # ---- the driver's correctness artifact covers the FIRST 50
-        # ---- entries in dict order. Round-4 window: the north-star
-        # ---- crawl/span/llms flagships, then the six round-3
-        # ---- rows-only->oracled flips, then a one-per-family core,
-        # ---- then 25 ROTATED slots covering queries no prior
-        # ---- driver artifact has confirmed (windows/stats/graph/
-        # ---- events waves) -- the round-3 verdict's rotation ask.
+        # ---- full registry (round-4 window order preserved below;
+        # ---- the driver window is now defined by _R5_WINDOW above).
         "crawl_pages": q_crawl_pages,
         "crawl_spans": q_crawl_spans,
         "llms_entries": q_llms_entries,
