@@ -255,6 +255,19 @@ def _run_bench() -> dict:
     except Exception:
         pass
 
+    # ---- barrier: release the listing run's object-store footprint
+    # before the vector/dedup stages. Holding the consumed datasets'
+    # references keeps their block lineage alive, and the raylet is
+    # still spilling/deleting 280k pages of blocks when the next stage
+    # starts — measured near_dup_exact 9.9 s in-sequence vs 7.2 s
+    # isolated (round-4 verdict receipt). Drop the refs, collect, and
+    # give the store a moment to finish deletions.
+    import gc as _gc
+
+    suite = seeds = warm = None  # noqa: F841 — release block lineage
+    _gc.collect()
+    time.sleep(3)
+
     if headline_only:
         payload = {
             "metric": "headline fetch+extract pipeline only",
@@ -461,11 +474,14 @@ def _run_bench() -> dict:
 
     # ---- scaling probe: the same headline job at N and 4N CPUs in
     # fresh subprocesses, recorded in the default payload so each
-    # round's BENCH artifact carries the efficiency number. Reduced
-    # site (GRAFT_BENCH_PAGES) keeps the probe a few minutes; each
-    # level uses headline-only mode's warmup + best-of-2 to de-noise.
-    # Pair 2→8 is the least memory-bus-distorted on one box (see
-    # _run_scaling). Skip with GRAFT_BENCH_NO_SCALING=1.
+    # round's BENCH artifact carries the efficiency number. Probe site
+    # = the FULL 360k-page input (round 5): fixed barrier costs
+    # (startup, sort machinery) amortize at the hi level, and with the
+    # per-task state-rebuild bug fixed there is no longer a per-page
+    # penalty that grows with site size. Each level runs headline-only
+    # mode's full warmup + best-of-2. Pair 2→8 is the least
+    # memory-bus-distorted on one box (see _run_scaling). Skip with
+    # GRAFT_BENCH_NO_SCALING=1.
     run_scaling = (not headline_only
                    and not os.environ.get("GRAFT_BENCH_NO_SCALING"))
     run_isolated = (not headline_only
@@ -515,9 +531,11 @@ def _run_bench() -> dict:
             # shared host is ±20-30% and biases lo/hi unequally; the
             # least-interfered run per level is the cleanest estimate
             # of that level's capacity (each probe already does
-            # warmup + best-of-2 internally). 120k pages: at 60k the
-            # 8-CPU side is fixed-overhead-bound (~2-3 s of Ray setup
-            # in a ~7 s run) and efficiency reads falsely low.
+            # warmup + best-of-2 internally). 360k pages: at 120k the
+            # 8-CPU side is fixed-overhead-bound (~2-3 s of barrier +
+            # startup in a ~7 s run) and efficiency reads falsely low
+            # (0.73-0.76 measured) even with per-rep CPU inflation
+            # ~1.0.
             #
             # SELF-QUALIFYING (round-3 verdict): a reading only
             # counts when the hi level's per-task remote-CPU total is
@@ -794,6 +812,12 @@ def _run_scaling() -> None:
         payload["corrected_pps_hi"] = [round(v, 1) for v in hi_c]
         payload["efficiency_work_conserving"] = round(
             (max(hi_c) / max(lo_c)) / (hi / lo), 3)
+        # same self-qualification as the embedded probe: a hi rep whose
+        # remote-CPU total is within 5% of the cleanest lo rep proves
+        # the levels did the same work without single-box distortion
+        infl = min(w for _, w in pairs_hi if w > 0) / ref
+        payload["cpu_inflation_best"] = round(infl, 3)
+        payload["qualified"] = bool(infl <= 1.05)
     print(json.dumps(payload))
 
 

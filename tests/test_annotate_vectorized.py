@@ -184,3 +184,40 @@ class TestAnnotatorParity:
         exp = _scalar_annotate([at, over], [1, 2], set(), [False, False],
                                [False, False], 1, set(), frac)[2]
         assert out.column("drop_reason").to_pylist() == exp
+
+
+class TestHash64BatchArrowPaths:
+    """hash64_batch accepts Arrow string inputs — every layout variant
+    must be bit-identical to the per-string scalar hash."""
+
+    def _words(self, seed=0, n=4000):
+        rng = random.Random(seed)
+        ws = ["".join(rng.choices(string.ascii_lowercase + "éü",
+                                  k=rng.randint(0, 12))) for _ in range(n)]
+        ws += ["", "a b", "é😀ü"]
+        return ws
+
+    def test_array_chunked_sliced_large(self):
+        ws = self._words()
+        exp = np.array([hash64(w) for w in ws], dtype=np.uint64)
+        arr = pa.array(ws, pa.string())
+        large = pa.array(ws, pa.large_string())
+        chunked = pa.chunked_array([arr[:1500], arr[1500:]])
+        assert np.array_equal(hash64_batch(arr), exp)
+        assert np.array_equal(hash64_batch(large), exp)
+        assert np.array_equal(hash64_batch(chunked), exp)
+        # sliced windows exercise the offset-rebased buffer reads
+        for base in (arr, large):
+            s = base.slice(17, 3000)
+            assert np.array_equal(hash64_batch(s), exp[17:3017])
+
+    def test_dictionary_fast_path_zipfian(self):
+        # >=1024 rows with <=n/2 distinct triggers the dict-encode path
+        ws = self._words(n=60)[:50]
+        col = [ws[i % len(ws)] for i in range(5000)]
+        exp = np.array([hash64(w) for w in col], dtype=np.uint64)
+        for typ in (pa.string(), pa.large_string()):
+            a = pa.array(col, typ)
+            assert np.array_equal(hash64_batch(a), exp)
+            assert np.array_equal(hash64_batch(a.slice(3, 4500)),
+                                  exp[3:4503])

@@ -151,11 +151,11 @@ class LanguageId:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
         return pa.table({
             self.id_col: batch.column(self.id_col),
             "predicted_lang": pa.array(
-                [detect_language(t or "") for t in texts], pa.string()),
+                detect_language_batch(batch.column(self.text_col)),
+                pa.string()),
         })
 
 

@@ -134,6 +134,25 @@ class CorpusAnnotator:
         })
 
 
+class _LoserFilter:
+    """Map-only anti-membership filter for the broadcast loser tier:
+    the loser-id list resolves from its ``ray.put`` handle ONCE per
+    worker process (``cached_stage``), and each batch runs one Arrow
+    ``is_in`` probe — deserializing the list per batch would be churn
+    proportional to loser-set size."""
+
+    def __init__(self, loser_ref, id_col: str):
+        losers = (ray.get(loser_ref)
+                  if isinstance(loser_ref, ray.ObjectRef) else loser_ref)
+        self.value_set = pa.array(losers)
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(batch.column(self.id_col),
+                                  value_set=self.value_set))
+        return batch.filter(keep)
+
+
 def _stage_done(path: str) -> bool:
     return os.path.exists(os.path.join(path, ".done"))
 
@@ -222,18 +241,14 @@ def _prepare_corpus_impl(docs: rd.Dataset, workdir: str, *,
         if n_exact_losers == 0:
             deduped = docs
         elif n_exact_losers <= max_broadcast_losers:
+            from ..ops.stagecache import cached_stage
+
             loser_ref = ray.put(sorted(
                 r[id_col] for r in xl_ds.take_all()))
-
-            def drop_losers(batch: pa.Table, _ref=loser_ref) -> pa.Table:
-                losers = (ray.get(_ref)
-                          if isinstance(_ref, ray.ObjectRef) else _ref)
-                keep = pc.invert(pc.is_in(
-                    batch.column(id_col), value_set=pa.array(losers)))
-                return batch.filter(keep)
-
-            deduped = docs.map_batches(drop_losers,
-                                       batch_format="pyarrow")
+            deduped = docs.map_batches(
+                cached_stage(_LoserFilter, loser_ref=loser_ref,
+                             id_col=id_col),
+                batch_format="pyarrow")
         else:
             from ..ops.relational import hash_join
 

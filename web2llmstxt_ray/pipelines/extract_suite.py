@@ -19,7 +19,7 @@ from ..functions.urls import hash64_batch
 from ..ops.dedup import (
     _perm_params, minhash_signature, shingle_hashes,
     simhash_from_hashes)
-from ..ops.textstats import detect_language
+from ..ops.textstats import detect_language_batch
 from ..stages.fetch import MockFetcher
 from ..stages.spans import extract_spans
 
@@ -90,6 +90,8 @@ class FetchExtractSuite(MockFetcher):
         if not kept:
             return pa.Table.from_pydict(rows, schema=SUITE_SCHEMA)
         hw_all = hash64_batch(all_words)     # ONE vectorized hash pass
+        langs_kept = detect_language_batch(
+            [c for _, c, _ in kept])         # batched (exact parity)
         offsets = np.zeros(len(counts) + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
         # per-doc signature kernels: each doc's outer product / bit
@@ -109,7 +111,7 @@ class FetchExtractSuite(MockFetcher):
             rows["n_spans"].append(len(spans))
             rows["n_media_spans"].append(
                 sum(s["kind"] in ("image", "link_media") for s in spans))
-            rows["predicted_lang"].append(detect_language(content))
+            rows["predicted_lang"].append(langs_kept[i])
             rows["stop_ratio"].append(round(stop_n / nw, 6) if nw else 0.0)
             rows["simhash"].append(simhash_from_hashes(hw))
             rows["minhash_min"].append(int(sig.min()))
