@@ -2209,9 +2209,13 @@ def q_priority_status_mi(sf_dir: str) -> pd.DataFrame:
 
 def q_value_ewma(sf_dir: str) -> pd.DataFrame:
     """Per-key EWMA in event-time order: one bucketed shuffle +
-    vectorized pandas groupby-ewm recursion per bucket. Rows-only
-    driver check; the recursion is sequential-oracled in
-    tests/test_stats.py::TestEwma (not SQL-expressible)."""
+    vectorized pandas groupby-ewm recursion per bucket
+    (``adjust=False``: z_t = (1-α)z_{t-1} + αx_t). SQL twin: a
+    recursive CTE replays the recursion exactly (row_number per key,
+    one join step per rank — the same replay pattern as the FFD /
+    MMR / k-center oracles); for α=0.3 pandas' kernel divides by
+    (1-α)+α == 1.0 exactly, so the two recursions are bit-identical
+    before the 6-d.p. round."""
     from web2llmstxt_ray.ops.windows import ewma
 
     out = _pdf(ewma(_t(sf_dir, "events",
@@ -4682,6 +4686,22 @@ def q_exact_dedup_best(sf_dir: str) -> pd.DataFrame:
     return exact_dedup_best(_dup_union(sf_dir), "quality")
 
 
+def q_exact_dedup_losers(sf_dir: str) -> pd.DataFrame:
+    """LOSER ids of exact dedup over the deterministic duplicate
+    union — the scale-preferred delivery tier when the input is
+    re-readable: only skinny (content_hash, id) pairs shuffle and the
+    O(duplicates) loser-id set comes back for a map-only
+    broadcast/anti-join filter (corpus-prep stage 1 runs exactly this
+    shape) — see :func:`ops.dedup.exact_dedup_losers`."""
+    from web2llmstxt_ray.ops.dedup import exact_dedup_losers
+
+    u = _dup_union(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
+    out = exact_dedup_losers(u).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_leakage_split(sf_dir: str) -> pd.DataFrame:
     """Duplicate-cluster-aware train/test split over the same union:
     every exact copy of a text lands on one side (md5 of the cluster
@@ -6438,6 +6458,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "kwic_merge": q_kwic_merge,
         "containment_pairs": q_containment_pairs,
         "exact_dedup_best": q_exact_dedup_best,
+        "exact_dedup_losers": q_exact_dedup_losers,
         "leakage_split": q_leakage_split,
         "span_truncate": q_span_truncate,
         "source_signature_terms": q_source_signature_terms,
@@ -9847,6 +9868,39 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN tot ON inter.a = tot.doc_id
             WHERE CAST(inter AS DOUBLE) / CAST(a_total AS DOUBLE)
                   >= 0.2
+        """,
+        "exact_dedup_losers": """
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000,
+                       CASE WHEN doc_id % 2 = 0 THEN text
+                            ELSE text || ' odd variant' END
+                FROM documents)
+            SELECT doc_id FROM u
+            QUALIFY row_number() OVER (
+                PARTITION BY coalesce(text, '')
+                ORDER BY doc_id) > 1
+            ORDER BY doc_id
+        """,
+        "value_ewma": """
+            WITH RECURSIVE ev AS (
+                SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events),
+            z AS (
+                SELECT user_id, event_id, rn, x AS ewma
+                FROM ev WHERE rn = 1
+                UNION ALL
+                -- exact replay of pandas ewm(adjust=False):
+                -- z = (1-a)*z + a*x, then /((1-a)+a) which is
+                -- exactly 1.0 for a=0.3 (identity)
+                SELECT e.user_id, e.event_id, e.rn,
+                       (1 - 0.3) * z.ewma + 0.3 * e.x
+                FROM z JOIN ev e
+                  ON e.user_id = z.user_id AND e.rn = z.rn + 1)
+            SELECT event_id, user_id, round(ewma, 6) AS ewma FROM z
         """,
         "exact_dedup_best": """
             WITH u AS (
