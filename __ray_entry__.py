@@ -4294,8 +4294,15 @@ def q_interleaved_corpus_prep(sf_dir: str) -> pd.DataFrame:
 def q_part_kcore(sf_dir: str) -> pd.DataFrame:
     """3-core of the repeat co-purchase graph (part pairs sharing ≥2
     orders): iterative distributed degree peel — see
-    :func:`ops.graph.k_core`. Rows-only driver check; peel
-    correctness vs a sequential oracle is pytest-gated."""
+    :func:`ops.graph.k_core`. SQL twin (round-5 flip from rows-only):
+    a recursive CTE replays the peel — each recursion step recomputes
+    degrees over the previous iteration's edge set (DuckDB allows
+    aggregation over the recursive reference through a nested CTE)
+    and keeps edges whose endpoints both have degree ≥ k, guarded by
+    EXISTS(degree < k) so the first STABLE edge set is the last one
+    emitted. The guard makes the oracle exact for non-empty cores
+    (this data); an empty core would need a sentinel row to keep the
+    recursion observable — documented, not needed here."""
     from web2llmstxt_ray.ops.basket import _explode_pairs
     from web2llmstxt_ray.ops.graph import k_core
     from web2llmstxt_ray.ops.relational import partial_groupby
@@ -9868,6 +9875,39 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN tot ON inter.a = tot.doc_id
             WHERE CAST(inter AS DOUBLE) / CAST(a_total AS DOUBLE)
                   >= 0.2
+        """,
+        "part_kcore": """
+            WITH RECURSIVE lp AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            strong AS (
+                SELECT u, v FROM (
+                    SELECT a.l_partkey AS u, b.l_partkey AS v,
+                           count(*) AS cnt
+                    FROM lp a JOIN lp b
+                      ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+                    GROUP BY 1, 2)
+                WHERE cnt >= 2),
+            peel AS (
+                SELECT 0 AS it, u, v FROM strong
+                UNION ALL
+                SELECT it + 1, u, v FROM (
+                    WITH cur AS (SELECT * FROM peel),
+                    deg AS (SELECT n, count(*) AS c FROM (
+                                SELECT u AS n FROM cur
+                                UNION ALL SELECT v FROM cur)
+                            GROUP BY n)
+                    SELECT cur.it, cur.u, cur.v FROM cur
+                    JOIN deg du ON du.n = cur.u
+                    JOIN deg dv ON dv.n = cur.v
+                    WHERE du.c >= 3 AND dv.c >= 3
+                      AND EXISTS (SELECT 1 FROM deg WHERE c < 3))),
+            last AS (
+                SELECT u, v FROM peel
+                WHERE it = (SELECT max(it) FROM peel))
+            SELECT n AS node, count(*) AS degree FROM (
+                SELECT u AS n FROM last UNION ALL SELECT v FROM last)
+            GROUP BY n ORDER BY node
         """,
         "exact_dedup_losers": """
             WITH u AS (
