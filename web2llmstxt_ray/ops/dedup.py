@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.urls import _SHINGLE_MIX, hash64, hash64_batch
+from ..functions.urls import _SHINGLE_MIX, hash64_batch
 from .textstats import tokenize_lower_hashes
 from .scrub import _bloom_positions
 from .sketch import HyperLogLog

@@ -22,7 +22,7 @@ import ray.data
 # module-level so cloudpickle captures them by value for workers driven
 # from a foreign cwd (see bootstrap.py — call-time relative imports
 # inside worker-executed __call__ bodies fail there)
-from ..functions.urls import _SHINGLE_MIX, hash64_batch
+from ..functions.urls import _SHINGLE_MIX
 from .sketch import HyperLogLog
 from .textstats import tokenize_lower_hashes
 
