@@ -4896,8 +4896,12 @@ def q_part_hits(sf_dir: str) -> pd.DataFrame:
     """HITS hubs/authorities over the supplier→part bipartite graph
     from lineitem (the link-authority primitive of a crawl graph) —
     integer fixed-point power iteration, bit-identical at any
-    partitioning; rows-only driver check (the fixed point is
-    non-SQL), sequential-replay-verified in tests/test_graph.py. See
+    partitioning. SQL twin (round-5 flip from rows-only): the 3
+    iterations unroll into 6 chained CTE half-steps — HUGEINT
+    contribution sums + the exact integer rescale s·scale // max(s)
+    reproduce the engine's arithmetic EXACTLY (that is the point of
+    fixed-point scores: no float order-dependence to excuse). Also
+    sequential-replay-verified in tests/test_graph.py. See
     :func:`ops.graph.hits_bipartite`."""
     from web2llmstxt_ray.ops.graph import hits_bipartite
 
@@ -9875,6 +9879,53 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN tot ON inter.a = tot.doc_id
             WHERE CAST(inter AS DOUBLE) / CAST(a_total AS DOUBLE)
                   >= 0.2
+        """,
+        "part_hits": """
+            WITH e AS (
+                SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                                CAST(l_partkey AS BIGINT) AS dst
+                FROM lineitem),
+            h0 AS (SELECT DISTINCT src AS node,
+                          CAST(1000000000 AS HUGEINT) AS s FROM e),
+            a1r AS (
+                SELECT e.dst AS node, sum(h.s) AS s
+                FROM e JOIN h0 h ON h.node = e.src GROUP BY 1),
+            a1 AS (
+                SELECT node, s * 1000000000 // (SELECT max(s) FROM a1r) AS s
+                FROM a1r),
+            h1r AS (
+                SELECT e.src AS node, sum(a.s) AS s
+                FROM e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+            h1 AS (
+                SELECT node, s * 1000000000 // (SELECT max(s) FROM h1r) AS s
+                FROM h1r),
+            a2r AS (
+                SELECT e.dst AS node, sum(h.s) AS s
+                FROM e JOIN h1 h ON h.node = e.src GROUP BY 1),
+            a2 AS (
+                SELECT node, s * 1000000000 // (SELECT max(s) FROM a2r) AS s
+                FROM a2r),
+            h2r AS (
+                SELECT e.src AS node, sum(a.s) AS s
+                FROM e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+            h2 AS (
+                SELECT node, s * 1000000000 // (SELECT max(s) FROM h2r) AS s
+                FROM h2r),
+            a3r AS (
+                SELECT e.dst AS node, sum(h.s) AS s
+                FROM e JOIN h2 h ON h.node = e.src GROUP BY 1),
+            a3 AS (
+                SELECT node, s * 1000000000 // (SELECT max(s) FROM a3r) AS s
+                FROM a3r),
+            h3r AS (
+                SELECT e.src AS node, sum(a.s) AS s
+                FROM e JOIN a3 a ON a.node = e.dst GROUP BY 1),
+            h3 AS (
+                SELECT node, s * 1000000000 // (SELECT max(s) FROM h3r) AS s
+                FROM h3r)
+            SELECT 'hub' AS side, node, CAST(s AS BIGINT) AS score FROM h3
+            UNION ALL
+            SELECT 'authority', node, CAST(s AS BIGINT) FROM a3
         """,
         "part_kcore": """
             WITH RECURSIVE lp AS (
