@@ -5222,8 +5222,11 @@ def q_km_repeat(sf_dir: str) -> pd.DataFrame:
 def q_part_communities(sf_dir: str) -> pd.DataFrame:
     """Synchronous label-propagation communities (4 Jacobi rounds,
     majority label, ties → smallest) over the part co-purchase graph.
-    Deterministic at any partitioning; non-SQL (iterative fixpoint) —
-    rows-only driver check, sequential replay in tests. See
+    Deterministic at any partitioning BY DESIGN (Jacobi schedule, not
+    the order-dependent async one) — which makes it SQL-replayable:
+    the round-5 oracle unrolls the 4 rounds into chained CTEs, each a
+    neighbor-label vote count + QUALIFY row_number (count DESC, label
+    ASC) top-1. Also sequential-replay-verified in tests. See
     :func:`ops.graph.label_propagation`."""
     from web2llmstxt_ray.ops.graph import label_propagation
 
@@ -9879,6 +9882,50 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN tot ON inter.a = tot.doc_id
             WHERE CAST(inter AS DOUBLE) / CAST(a_total AS DOUBLE)
                   >= 0.2
+        """,
+        "part_communities": """
+            WITH e AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+            stubs AS (
+                SELECT u AS node, v AS nbr FROM e
+                UNION ALL SELECT v, u FROM e),
+            l0 AS (SELECT DISTINCT node, node AS label FROM stubs),
+            v1 AS (
+                SELECT s.node, l.label, count(*) AS c
+                FROM stubs s JOIN l0 l ON l.node = s.nbr
+                GROUP BY 1, 2),
+            l1 AS (
+                SELECT node, label FROM v1
+                QUALIFY row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) = 1),
+            v2 AS (
+                SELECT s.node, l.label, count(*) AS c
+                FROM stubs s JOIN l1 l ON l.node = s.nbr
+                GROUP BY 1, 2),
+            l2 AS (
+                SELECT node, label FROM v2
+                QUALIFY row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) = 1),
+            v3 AS (
+                SELECT s.node, l.label, count(*) AS c
+                FROM stubs s JOIN l2 l ON l.node = s.nbr
+                GROUP BY 1, 2),
+            l3 AS (
+                SELECT node, label FROM v3
+                QUALIFY row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) = 1),
+            v4 AS (
+                SELECT s.node, l.label, count(*) AS c
+                FROM stubs s JOIN l3 l ON l.node = s.nbr
+                GROUP BY 1, 2),
+            l4 AS (
+                SELECT node, label FROM v4
+                QUALIFY row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label) = 1)
+            SELECT node, label FROM l4 ORDER BY node
         """,
         "part_hits": """
             WITH e AS (
