@@ -3576,9 +3576,15 @@ def q_source_split(sf_dir: str) -> pd.DataFrame:
 def q_span_rechunk(sf_dir: str) -> pd.DataFrame:
     """Interleaved re-segmentation: span docs re-chunked at width 96
     (text runs concatenated and re-sliced, media spans pass through),
-    profiled per doc. Rows-only driver check; the per-doc invariants
-    (text-concat equality, media subsequence, width bound, idempotence)
-    are pytest-gated in tests/test_nested.py."""
+    profiled per doc. SQL twin (round-5 flip from rows-only): the
+    synthetic span model makes the rechunk pure arithmetic — per
+    192-char source group the text run is clamp(L-192k, 0, 128) chars
+    → ceil(run/96) output spans, images pass through iff
+    L > 192k+128, and the alternation count replays as a lag() run
+    census over the simulated (k, pos, kind) sequence. The per-doc
+    structural invariants (text-concat equality, media subsequence,
+    width bound, idempotence) stay pytest-gated in
+    tests/test_nested.py."""
     from web2llmstxt_ray.ops.nested import (build_span_docs,
                                             rechunk_spans,
                                             span_doc_profile)
@@ -9939,6 +9945,43 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN tot ON inter.a = tot.doc_id
             WHERE CAST(inter AS DOUBLE) / CAST(a_total AS DOUBLE)
                   >= 0.2
+        """,
+        "span_rechunk": """
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              length(coalesce(text, '')) AS L
+                       FROM documents
+                       WHERE length(coalesce(text, '')) > 0),
+            grp AS (SELECT doc_id, L,
+                           unnest(range(CAST(ceil(L / 192.0)
+                                             AS BIGINT))) AS k
+                    FROM d),
+            per AS (SELECT doc_id, k,
+                           greatest(0, least(L - 192 * k, 128))
+                               AS run_chars,
+                           CASE WHEN L > 192 * k + 128
+                                THEN 1 ELSE 0 END AS has_image
+                    FROM grp),
+            sym AS (SELECT doc_id, k, 0 AS pos, 'text' AS kind
+                    FROM per WHERE run_chars > 0
+                    UNION ALL
+                    SELECT doc_id, k, 1, 'image'
+                    FROM per WHERE has_image = 1),
+            marks AS (SELECT doc_id,
+                             CASE WHEN lag(kind) OVER (
+                                      PARTITION BY doc_id
+                                      ORDER BY k, pos)
+                                  IS DISTINCT FROM kind
+                                  THEN 1 ELSE 0 END AS st
+                      FROM sym)
+            SELECT p.doc_id,
+                   CAST(sum(CAST(ceil(p.run_chars / 96.0) AS BIGINT)
+                            + p.has_image) AS BIGINT) AS n_spans,
+                   CAST(sum(p.has_image) AS BIGINT) AS n_media,
+                   CAST(sum(p.run_chars) AS BIGINT) AS text_chars,
+                   CAST((SELECT sum(st) FROM marks m
+                         WHERE m.doc_id = p.doc_id) AS BIGINT)
+                       AS n_runs
+            FROM per p GROUP BY p.doc_id
         """,
         "lang_id": _lang_id_oracle(),
         "part_communities": """
