@@ -1754,11 +1754,15 @@ def q_dsir_sample(sf_dir: str) -> pd.DataFrame:
 def q_lm_quality(sf_dir: str) -> pd.DataFrame:
     """CCNet-style model-based quality: train a char-trigram LM on the
     corpus (one partial-Counter pass, no corpus shuffle), score every
-    doc's log2 perplexity against the broadcast model. Deterministic
-    (integer counts, and the trigram context space is far below the
-    pruning bound at these scales, so the fold is partition-invariant);
-    rows-only check — the train/score math is sequential-oracled in
-    tests/test_lm.py."""
+    doc's log2 perplexity against the broadcast model. SQL twin
+    (round-5 flip from rows-only): at these scales the context space
+    is below the pruning bound, so the model is exact global counts,
+    and because scoring corpus == training corpus every probe hits a
+    seen (ctx, char) — the add-k log2 probability table and the
+    per-doc mean replay directly in SQL (pad chr(2) boundary, one
+    unnest per char position). The backoff tiers (unseen context →
+    unigram, unseen char → floor) never fire here and stay
+    pytest-gated in tests/test_lm.py."""
     from web2llmstxt_ray.ops.lm import perplexity_scores, train_char_lm
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
@@ -9946,6 +9950,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(inter AS DOUBLE) / CAST(a_total AS DOUBLE)
                   >= 0.2
         """,
+        "lm_quality": """
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS t
+                       FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(range(length(t))) AS i FROM d),
+            ng AS (SELECT doc_id,
+                          substr(chr(2) || chr(2) || t,
+                                 CAST(i + 1 AS INT), 2) AS ctx,
+                          substr(t, CAST(i + 1 AS INT), 1) AS ch
+                   FROM pos),
+            cnts AS (SELECT ctx, ch, count(*) AS cnt
+                     FROM ng GROUP BY 1, 2),
+            ctx_tot AS (SELECT ctx, sum(cnt) AS tot
+                        FROM cnts GROUP BY 1),
+            vv AS (SELECT count(DISTINCT ch) AS v FROM ng),
+            lp AS (SELECT c.ctx, c.ch,
+                          log2((c.cnt + 0.1)
+                               / (t.tot + 0.1 * (SELECT v FROM vv)))
+                              AS logp
+                   FROM cnts c JOIN ctx_tot t USING (ctx)),
+            scored AS (SELECT n.doc_id, sum(l.logp) AS s,
+                              count(*) AS n_chars
+                       FROM ng n JOIN lp l
+                         ON l.ctx = n.ctx AND l.ch = n.ch
+                       GROUP BY 1)
+            SELECT d.doc_id,
+                   round(coalesce(-s.s / s.n_chars, 0.0),
+                         {ROUND_RATIO}) AS log2_ppl
+            FROM d LEFT JOIN scored s USING (doc_id)
+        """.replace("{ROUND_RATIO}", str(ROUND_RATIO)),
         "span_rechunk": """
             WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                               length(coalesce(text, '')) AS L
