@@ -318,11 +318,12 @@ def q_idle_customers(sf_dir: str) -> pd.DataFrame:
     from web2llmstxt_ray.ops.relational import hash_join
 
     customer = _t(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    _keep_key = _rn(o_custkey="c_custkey")
     orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
         .map_batches(
-            lambda t: t.filter(
+            lambda t: _keep_key(t.filter(
                 pa.compute.greater(t["o_totalprice"], 300_000.0)).select(
-                ["o_custkey"]).rename_columns(["c_custkey"]),
+                ["o_custkey"])),
             batch_format="pyarrow")
     out = hash_join(customer, orders, on="c_custkey", num_buckets=16,
                     how="anti").to_pandas()

@@ -309,34 +309,47 @@ class PlaywrightFetcher:
 
     Playwright is an optional dependency: constructing the actor
     without it raises ``NotImplementedError`` (the same honest gate as
-    the media codec slots — this sandbox has no browser).
+    the media codec slots — this sandbox has no browser). The
+    ``session`` parameter is the browserless seam: any object with the
+    BrowserContext surface this class consumes (``new_page()`` →
+    page with ``goto/content/title/close``) substitutes for the real
+    context, so the ENTIRE parse/retry/title path below runs under
+    test via :class:`~web2llmstxt_ray.testing.RenderedDomSession`
+    (a deterministic client-side-hydration simulator) — everything
+    except the browser binary itself is exercised in-sandbox.
     """
 
     def __init__(self, page_timeout_s: float | None = None,
                  list_mode: bool = False, max_retries: int = 3,
-                 url_rewriter=None):
-        try:
-            from playwright.sync_api import sync_playwright
-        except ImportError as e:
-            raise NotImplementedError(
-                "playwright is not installed in this environment; use "
-                "NetworkFetcher (requests) or install playwright + a "
-                "browser for the rendered-fetch path.") from e
+                 url_rewriter=None, session=None):
+        if session is None:
+            try:
+                from playwright.sync_api import sync_playwright
+            except ImportError as e:
+                raise NotImplementedError(
+                    "playwright is not installed in this environment; "
+                    "use NetworkFetcher (requests) or install "
+                    "playwright + a browser for the rendered-fetch "
+                    "path.") from e
+            self._pw = sync_playwright().start()
+            self._browser = self._pw.chromium.launch(headless=True)
+            self._context = self._browser.new_context()
+        else:
+            self._pw = self._browser = None
+            self._context = session
         self.timeout_ms = 1000.0 * (
             page_timeout_s if page_timeout_s is not None
             else (15.0 if list_mode else 30.0))
         self.max_retries = max_retries
         self.rewrite = url_rewriter or (lambda u: u)
-        self._pw = sync_playwright().start()
-        self._browser = self._pw.chromium.launch(headless=True)
-        self._context = self._browser.new_context()
         self.stats = {"requests": 0, "failures": 0, "timeouts": 0,
                       "retried_or_errored": 0}
 
     def __del__(self):  # actor teardown: close the browser cleanly
         try:
-            self._browser.close()
-            self._pw.stop()
+            if self._browser is not None:
+                self._browser.close()
+                self._pw.stop()
         except Exception:
             pass
 

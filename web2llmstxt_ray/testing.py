@@ -244,3 +244,141 @@ class NetworkFetcherFactory:
 
         return NetworkFetcher(url_rewriter=self.rewriter,
                               **self.fetcher_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Rendered-DOM fixture (browserless PlaywrightFetcher seam)
+# ---------------------------------------------------------------------------
+
+_HYDRATE_RE = None  # compiled lazily so `import testing` stays cheap
+
+
+def render_dom(html: str) -> str:
+    """Deterministic client-side-hydration simulator — the "JS ran"
+    transform a real browser applies to a single-page-app shell.
+
+    Contract (the SPA shape the reference's Crawl4AI/Playwright path
+    exists to handle, ``/root/reference/crawler/web_crawler.py:93-103``):
+    the raw HTML carries an EMPTY mount node plus its data as an inert
+    JSON script tag::
+
+        <div id="app"></div>
+        <script type="application/json" data-hydrate="app">
+            {"html": "<h1>Hi</h1><p>...</p>", "title": "Hydrated"}
+        </script>
+
+    Rendering moves each payload's ``html`` into the element whose id
+    matches ``data-hydrate``, optionally rewrites ``<title>`` from the
+    payload's ``title`` (SPAs set ``document.title``), and removes the
+    script tag — exactly what ``page.content()`` would return after
+    ``wait_until="load"``. Pure function, no I/O, so fixtures and
+    assertions can both call it.
+    """
+    global _HYDRATE_RE
+    import re as _re
+    if _HYDRATE_RE is None:
+        _HYDRATE_RE = _re.compile(
+            r"<script\s+type=[\"']application/json[\"']\s+"
+            r"data-hydrate=[\"']([^\"']+)[\"']\s*>(.*?)</script>",
+            _re.IGNORECASE | _re.DOTALL)
+    out = html
+    for m in list(_HYDRATE_RE.finditer(html)):
+        target, payload_text = m.group(1), m.group(2)
+        try:
+            payload = json.loads(payload_text)
+        except json.JSONDecodeError:
+            continue                      # malformed payload: JS no-op
+        mount = _re.compile(
+            r"(<[a-zA-Z][^>]*\bid=[\"']" + _re.escape(target)
+            + r"[\"'][^>]*>)(\s*)(</)")
+        out = mount.sub(
+            lambda mm: mm.group(1) + payload.get("html", "") + mm.group(3),
+            out, count=1)
+        if payload.get("title"):
+            out = _re.sub(r"(<title[^>]*>).*?(</title>)",
+                          lambda mm: mm.group(1) + payload["title"]
+                          + mm.group(2),
+                          out, count=1, flags=_re.IGNORECASE | _re.DOTALL)
+        out = out.replace(m.group(0), "", 1)
+    return out
+
+
+class _RenderedPage:
+    """Playwright ``Page`` stand-in: one ``goto`` then content/title."""
+
+    def __init__(self, session: "RenderedDomSession"):
+        self._session = session
+        self._html = ""
+        self._closed = False
+
+    def goto(self, url: str, timeout: float = 30000.0,
+             wait_until: str = "load"):
+        status, raw = self._session._serve(url)
+        if status is None:                # registered timeout url
+            raise TimeoutError(f"Timeout {timeout}ms exceeded at {url}")
+        self._html = render_dom(raw)
+        return _RenderedResponse(status)
+
+    def content(self) -> str:
+        return self._html
+
+    def title(self) -> str:
+        import re as _re
+        m = _re.search(r"<title[^>]*>(.*?)</title>", self._html,
+                       _re.IGNORECASE | _re.DOTALL)
+        return m.group(1).strip() if m else ""
+
+    def close(self) -> None:
+        self._closed = True
+        self._session.pages_closed += 1
+
+
+class _RenderedResponse:
+    def __init__(self, status: int):
+        self.status = status
+
+
+class RenderedDomSession:
+    """Browserless ``BrowserContext`` stand-in for
+    :class:`~web2llmstxt_ray.stages.fetch.PlaywrightFetcher` — the
+    documented fixture for the sandbox where playwright cannot be
+    installed (no network route to pypi; install probe recorded in
+    ROADMAP.md). Serves per-URL raw HTML through :func:`render_dom`
+    (simulated JS hydration), so the fetcher's ENTIRE post-``goto``
+    logic — status/retry policy, rendered ``content()`` → fit/raw
+    markdown, M8 title fallbacks, stats accounting — runs for real.
+
+    - ``docs[url]`` = raw html string, OR a list of ``(status, html)``
+      served in order (last entry repeats) for retry-budget tests.
+    - ``timeout_urls`` — ``goto`` raises ``TimeoutError`` (matches the
+      fetcher's ``"Timeout" in type(e).__name__`` classification).
+
+    Plain picklable data → usable inside Ray actors via
+    ``playwright_fetcher_factory(session=...)``.
+    """
+
+    def __init__(self, docs: dict | None = None,
+                 timeout_urls: set | None = None):
+        self.docs = docs or {}
+        self.timeout_urls = set(timeout_urls or ())
+        self.request_counts: dict[str, int] = {}
+        self.pages_closed = 0
+
+    def new_page(self) -> _RenderedPage:
+        return _RenderedPage(self)
+
+    def close(self) -> None:
+        pass
+
+    def _serve(self, url: str):
+        n = self.request_counts.get(url, 0)
+        self.request_counts[url] = n + 1
+        if url in self.timeout_urls:
+            return None, ""
+        doc = self.docs.get(url)
+        if doc is None:
+            return 404, "<html><body>not found</body></html>"
+        if isinstance(doc, str):
+            return 200, doc
+        status, html = doc[min(n, len(doc) - 1)]
+        return status, html
