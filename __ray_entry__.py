@@ -48,6 +48,15 @@ import ray.data as rd
 ROUND_SUM = 2
 ROUND_RATIO = 6
 
+# Soundex run-collapse as chained per-digit regexp_replace (RE2 has no
+# backreferences): shared by the soundex_blocks oracle f-string.
+_SOUNDEX_COLLAPSE_SQL = "d1"
+for _d in "0123456":
+    _SOUNDEX_COLLAPSE_SQL = (
+        f"regexp_replace({_SOUNDEX_COLLAPSE_SQL}, "
+        f"'{_d}{{2,}}', '{_d}', 'g')")
+del _d
+
 
 def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
@@ -6230,6 +6239,103 @@ def q_conformal_threshold(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "events", ["event_type", "value"]), alpha=0.1)
 
 
+def q_snm_pairs(sf_dir: str) -> pd.DataFrame:
+    """Sorted-Neighborhood dedup blocking (Hernández-Stolfo): slide a
+    5-record window down the (n_chars, doc_id)-sorted corpus and emit
+    window pairs with distinct-token Jaccard ≥ 0.8 — the
+    linear-candidate blocking for near-dups with NEARLY equal sort
+    keys. Global window without a global sort: skinny histogram ranks
+    + chunked exchange with (w−1)-row boundary replication (text
+    moves once; every pair meets in exactly one chunk). See
+    :func:`ops.dedup.snm_pairs`."""
+    from web2llmstxt_ray.ops.dedup import snm_pairs
+
+    return snm_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text", "n_chars"]),
+        window=5, threshold=0.8)
+
+
+def q_soundex_blocks(sf_dir: str) -> pd.DataFrame:
+    """Phonetic blocking census: American Soundex code of every
+    distinct part name → per-code block sizes — the blocking-quality
+    audit (a fat block = under-segmentation = quadratic verify blowup,
+    visible before it burns a cluster). The SQL twin replays the
+    EXACT simplified-standard Soundex the engine documents (RE2 has no
+    backreferences, so run-collapse is seven per-digit replacements on
+    both sides). See :func:`ops.phonetic.soundex_census`."""
+    from web2llmstxt_ray.ops.phonetic import soundex_census
+
+    out = soundex_census(_t(sf_dir, "part", ["p_name"]), "p_name")
+    out["n_names"] = out["n_names"].astype("int64")
+    return out
+
+
+def q_jw_catalog_dups(sf_dir: str) -> pd.DataFrame:
+    """Dirty-catalog record linkage via blocked Jaro-Winkler: every
+    part name gets a deterministic typo variant (p_partkey mod 3
+    selects delete / adjacent-swap / duplicate at a key-derived
+    position — replayed verbatim by the SQL twin's substr
+    arithmetic, the crawl_delta planting pattern), and the clean ∪
+    dirty name registry is JW-self-joined at ≥ 0.85 with
+    first-char + length±1 blocking. JW bit-matches DuckDB's
+    ``jaro_winkler_similarity`` (pair-verified in tests). Pairs whose
+    typo hit position 0 fall outside the block — the honest blocking
+    recall story, quantified by the census operator. See
+    :func:`ops.phonetic.jw_self_join`."""
+    from web2llmstxt_ray.ops.phonetic import jw_self_join
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def corrupt(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k, n in zip(b["p_partkey"].astype("int64"), b["p_name"]):
+            L = len(n)
+            if k % 3 == 0:
+                d = int(k) % L
+                v = n[:d] + n[d + 1:]
+            elif k % 3 == 1:
+                s = int(k) % (L - 1)
+                v = n[:s] + n[s + 1] + n[s] + n[s + 2:]
+            else:
+                d = int(k) % L
+                v = n[:d + 1] + n[d] + n[d + 1:]
+            out.append(v)
+        return pd.DataFrame({"name": pd.concat(
+            [b["p_name"], pd.Series(out)], ignore_index=True)})
+
+    registry = part.map_batches(corrupt, batch_format="pandas")
+    return jw_self_join(registry, "name", threshold=0.85)
+
+
+def q_dbscan_clusters(sf_dir: str) -> pd.DataFrame:
+    """DBSCAN over the embedding column (ε=1.2, min_pts=5):
+    core/border/noise roles + min-core-id cluster labels — the
+    shape-agnostic, outlier-aware complement to k-means. Border
+    points take the MIN cluster among core neighbors (order-free
+    determinism), so the recursive-CTE transitive-closure twin
+    replays it exactly; the ε margin of this dataset (min |d−eps| ≈
+    1.2e-5 ≫ the ~1e-13 GEMM-vs-per-dim-loop drift) is
+    pytest-asserted. See :func:`ops.density.dbscan`."""
+    from web2llmstxt_ray.ops.density import dbscan
+
+    return dbscan(_t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                  eps=1.2, min_pts=5)
+
+
+def q_markov_stationary(sf_dir: str) -> pd.DataFrame:
+    """Stationary distribution of the event-type Markov chain — 4
+    synchronous power-iteration steps in EXACT integer fixed point
+    (mass moves x·c // rowsum per edge; no float order-dependence),
+    over transition counts from one bucketed shuffle. The SQL twin
+    unrolls the 4 steps as chained CTEs with the same HUGEINT floor
+    divisions. See :func:`ops.events.markov_stationary`."""
+    from web2llmstxt_ray.ops.events import markov_stationary
+
+    return markov_stationary(
+        _t(sf_dir, "events",
+           ["event_id", "user_id", "event_type", "ts"]), iters=4)
+
+
 # The driver's correctness artifact covers the FIRST 50 entries of
 # queries() in dict order. Round-5 window (the round-4 verdict's
 # rotation ask): 50 queries NO prior driver artifact (r1-r4) has
@@ -6596,6 +6702,12 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "contamination_attribution": q_contamination_attribution,
         "shuffle_run_lengths": q_shuffle_run_lengths,
         "kcenter_coreset": q_kcenter_coreset,
+        # wave 36 (round 5): record linkage + density + chain families
+        "snm_pairs": q_snm_pairs,
+        "soundex_blocks": q_soundex_blocks,
+        "jw_catalog_dups": q_jw_catalog_dups,
+        "dbscan_clusters": q_dbscan_clusters,
+        "markov_stationary": q_markov_stationary,
     }
 
 
@@ -12198,6 +12310,159 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'hub', CAST(hub AS BIGINT), CAST(v AS BIGINT)
             FROM h2
             ORDER BY 1, 2
+        """,
+        # wave 36: record linkage + density + chain families
+        "snm_pairs": """
+            WITH d AS (SELECT doc_id, n_chars,
+                list_distinct(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS toks
+                FROM documents),
+            r AS (SELECT *, row_number()
+                      OVER (ORDER BY n_chars, doc_id) AS rn FROM d),
+            p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                      b.rn - a.rn AS rank_dist,
+                      len(list_intersect(a.toks, b.toks)) AS i,
+                      len(a.toks) + len(b.toks)
+                          - len(list_intersect(a.toks, b.toks)) AS u
+                  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 4)
+            SELECT a, b, CAST(rank_dist AS BIGINT) AS rank_dist,
+                   CASE WHEN u = 0 THEN 1.0
+                        ELSE CAST(i AS DOUBLE) / u END AS jaccard
+            FROM p
+            WHERE (CASE WHEN u = 0 THEN 1.0
+                        ELSE CAST(i AS DOUBLE) / u END) >= 0.8
+        """,
+        "soundex_blocks": f"""
+            WITH n AS (SELECT DISTINCT p_name FROM part),
+            u AS (SELECT p_name, regexp_replace(upper(p_name),
+                      '[^A-Z]', '', 'g') AS s FROM n),
+            m AS (SELECT p_name, s,
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(s,
+                    '[BFPV]', '1', 'g'), '[CGJKQSXZ]', '2', 'g'),
+                    '[DT]', '3', 'g'), 'L', '4', 'g'),
+                    '[MN]', '5', 'g'), 'R', '6', 'g'),
+                    '[AEIOUYHW]', '0', 'g') AS d1 FROM u),
+            c AS (SELECT p_name, s, {_SOUNDEX_COLLAPSE_SQL} AS coll
+                  FROM m),
+            coded AS (SELECT p_name AS name,
+                CASE WHEN s = '' THEN ''
+                     ELSE s[1] || substr(replace(substr(coll, 2),
+                          '0', '') || '000', 1, 3) END AS code FROM c)
+            SELECT code, count(*) AS n_names, min(name) AS min_name
+            FROM coded GROUP BY code
+        """,
+        "jw_catalog_dups": """
+            WITH base AS (SELECT p_partkey AS k, p_name AS n,
+                              length(p_name) AS L FROM part),
+            dirty AS (SELECT CASE (k % 3)
+                WHEN 0 THEN substr(n, 1, k % L) || substr(n, (k % L) + 2)
+                WHEN 1 THEN substr(n, 1, k % (L - 1))
+                         || substr(n, (k % (L - 1)) + 2, 1)
+                         || substr(n, (k % (L - 1)) + 1, 1)
+                         || substr(n, (k % (L - 1)) + 3)
+                ELSE substr(n, 1, (k % L) + 1) || substr(n, (k % L) + 1, 1)
+                         || substr(n, (k % L) + 2)
+              END AS name FROM base),
+            names AS (SELECT DISTINCT name FROM
+                (SELECT p_name AS name FROM part
+                 UNION ALL SELECT name FROM dirty)),
+            pairs AS (SELECT a.name AS a, b.name AS b
+                FROM names a JOIN names b
+                ON a.name < b.name
+                   AND substr(a.name, 1, 1) = substr(b.name, 1, 1)
+                   AND abs(length(a.name) - length(b.name)) <= 1)
+            SELECT a, b, jaro_winkler_similarity(a, b) AS jw FROM pairs
+            WHERE jaro_winkler_similarity(a, b) >= 0.85
+        """,
+        "dbscan_clusters": """
+            WITH RECURSIVE
+            pts AS (SELECT vec_id,
+                        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            e AS (SELECT a.vec_id AS a, b.vec_id AS b
+                  FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+                  WHERE list_distance(a.v, b.v) <= 1.2),
+            bi AS (SELECT a AS u, b AS w FROM e
+                   UNION ALL SELECT b AS u, a AS w FROM e),
+            deg AS (SELECT p.vec_id, count(b.u) + 1 AS n_in_eps
+                    FROM pts p LEFT JOIN bi b ON b.u = p.vec_id
+                    GROUP BY p.vec_id),
+            core AS (SELECT vec_id FROM deg WHERE n_in_eps >= 5),
+            ce AS (SELECT u, w FROM bi
+                   WHERE u IN (SELECT vec_id FROM core)
+                     AND w IN (SELECT vec_id FROM core)),
+            reach(node, r) AS (
+                SELECT vec_id, vec_id FROM core
+                UNION
+                SELECT ce.u, reach.r FROM reach
+                JOIN ce ON ce.w = reach.node),
+            comp AS (SELECT node, min(r) AS cluster FROM reach
+                     GROUP BY node),
+            border AS (SELECT b.u AS node, min(c.cluster) AS cluster
+                       FROM bi b JOIN core co ON co.vec_id = b.w
+                                 JOIN comp c ON c.node = b.w
+                       WHERE b.u NOT IN (SELECT vec_id FROM core)
+                       GROUP BY b.u)
+            SELECT d.vec_id,
+                   CASE WHEN d.vec_id IN (SELECT vec_id FROM core)
+                            THEN 'core'
+                        WHEN bo.node IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   CAST(COALESCE(cp.cluster, bo.cluster, -1)
+                        AS BIGINT) AS cluster,
+                   CAST(d.n_in_eps AS BIGINT) AS n_in_eps
+            FROM deg d LEFT JOIN comp cp ON cp.node = d.vec_id
+                       LEFT JOIN border bo ON bo.node = d.vec_id
+        """,
+        "markov_stationary": """
+            WITH seq AS (SELECT event_type,
+                    lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS prev FROM events),
+            c AS (SELECT prev AS s, event_type AS t,
+                      CAST(count(*) AS HUGEINT) AS n
+                  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+            states AS (SELECT DISTINCT event_type AS st FROM events),
+            r AS (SELECT st, COALESCE((SELECT sum(n) FROM c
+                      WHERE c.s = states.st), 0) AS rs FROM states),
+            x0 AS (SELECT st, CAST(1000000000000 AS HUGEINT) AS v
+                   FROM states),
+            x1 AS (SELECT s2.st,
+                       COALESCE((SELECT sum((x.v * c.n) // r2.rs)
+                                 FROM c JOIN x0 x ON x.st = c.s
+                                      JOIN r r2 ON r2.st = c.s
+                                 WHERE c.t = s2.st), 0)
+                       + CASE WHEN r0.rs = 0 THEN xv.v ELSE 0 END AS v
+                   FROM states s2 JOIN r r0 ON r0.st = s2.st
+                        JOIN x0 xv ON xv.st = s2.st),
+            x2 AS (SELECT s2.st,
+                       COALESCE((SELECT sum((x.v * c.n) // r2.rs)
+                                 FROM c JOIN x1 x ON x.st = c.s
+                                      JOIN r r2 ON r2.st = c.s
+                                 WHERE c.t = s2.st), 0)
+                       + CASE WHEN r0.rs = 0 THEN xv.v ELSE 0 END AS v
+                   FROM states s2 JOIN r r0 ON r0.st = s2.st
+                        JOIN x1 xv ON xv.st = s2.st),
+            x3 AS (SELECT s2.st,
+                       COALESCE((SELECT sum((x.v * c.n) // r2.rs)
+                                 FROM c JOIN x2 x ON x.st = c.s
+                                      JOIN r r2 ON r2.st = c.s
+                                 WHERE c.t = s2.st), 0)
+                       + CASE WHEN r0.rs = 0 THEN xv.v ELSE 0 END AS v
+                   FROM states s2 JOIN r r0 ON r0.st = s2.st
+                        JOIN x2 xv ON xv.st = s2.st),
+            x4 AS (SELECT s2.st,
+                       COALESCE((SELECT sum((x.v * c.n) // r2.rs)
+                                 FROM c JOIN x3 x ON x.st = c.s
+                                      JOIN r r2 ON r2.st = c.s
+                                 WHERE c.t = s2.st), 0)
+                       + CASE WHEN r0.rs = 0 THEN xv.v ELSE 0 END AS v
+                   FROM states s2 JOIN r r0 ON r0.st = s2.st
+                        JOIN x3 xv ON xv.st = s2.st),
+            tot AS (SELECT sum(v) AS t FROM x4)
+            SELECT x4.st AS event_type, CAST(x4.v AS BIGINT) AS mass_fp,
+                   CAST(x4.v AS DOUBLE) / CAST(tot.t AS DOUBLE) AS prob
+            FROM x4, tot
         """,
     }
 

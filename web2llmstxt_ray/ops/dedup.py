@@ -2420,3 +2420,138 @@ def cross_group_dup_matrix(ds: ray.data.Dataset,
     out["n_shared"] = out["n_shared"].astype("int64")
     return out.sort_values(["group_a", "group_b"]) \
         .reset_index(drop=True)
+
+
+def snm_pairs(ds: ray.data.Dataset, window: int = 5,
+              threshold: float = 0.8, key_col: str = "n_chars",
+              id_col: str = "doc_id", text_col: str = "text",
+              chunk_size: int = 512,
+              num_buckets: int = 32) -> pd.DataFrame:
+    """Sorted-Neighborhood Method dedup blocking (Hernández-Stolfo):
+    sort the corpus by a cheap key ``(key_col, id)``, slide a
+    ``window``-record window down the sorted order, and verify only
+    pairs inside the window — the linear-candidate alternative to
+    hash blocking when near-duplicates have NEARLY equal keys (here:
+    document length) rather than an equal one. Emits ``(a, b,
+    rank_dist, jaccard)`` for window pairs whose distinct-token
+    Jaccard ≥ ``threshold``; ``a``/``b`` are the lower/higher-ranked
+    doc ids, ordered by (a, b).
+
+    Tokenization (SQL-replayable, exact): distinct matches of
+    ``[a-z0-9]+`` over the lowercased text; Jaccard = |∩| / |∪|, one
+    float division of exact ints on both sides.
+
+    Scale shape — global sliding window WITHOUT a global sort: the
+    global rank of every doc is computed from a skinny per-key-value
+    histogram (driver holds O(distinct key values); exclusive prefix
+    sums broadcast once) plus a bucketed shuffle of the skinny
+    ``(key, id)`` pairs for within-value order — the
+    ``curriculum_schedule`` pattern. Text then moves ONCE: a bucketed
+    hash join ships each doc's tokens to its rank-chunk, docs within
+    ``window−1`` of a chunk boundary replicate to the next chunk
+    (every window pair meets in exactly one chunk — the one owning
+    its LOWER rank), and per-chunk verification is a local sorted
+    sweep. No all-to-all sort barrier, no quadratic candidate set.
+    """
+    import re as _re
+
+    from .relational import partial_groupby
+    from .windows import _add_key_bucket
+
+    w = int(window)
+    assert w >= 2 and 2 * (w - 1) <= chunk_size
+
+    # ---- stage 1: global rank from skinny (key, id) pairs ----
+    def batch_agg(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(key_col, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    hist = partial_groupby(
+        ds.select_columns([key_col]), [key_col], batch_agg, ["n"])
+    hist = hist.sort_values(key_col)
+    offs = dict(zip(hist[key_col],
+                    hist["n"].cumsum().shift(fill_value=0).astype(int)))
+    oref = ray.put(offs)
+
+    def rank_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(oref)
+        g = group.sort_values([key_col, id_col],
+                              kind="stable").reset_index(drop=True)
+        within = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        rank = np.array([offsets[k] for k in g[key_col]],
+                        dtype=np.int64) + within
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "_rank": rank})
+
+    ranks = _add_key_bucket(ds.select_columns([key_col, id_col]),
+                            key_col, num_buckets) \
+        .groupby("_sbucket").map_groups(rank_bucket,
+                                        batch_format="pandas")
+
+    # ---- stage 2: tokens join ranks, chunk + boundary replication ----
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    def tokens_batch(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "_toks": [sorted(set(tok_re.findall(t.lower())))
+                      for t in b[text_col]]})
+
+    toks = ds.select_columns([id_col, text_col]).map_batches(
+        tokens_batch, batch_format="pandas")
+    from .relational import hash_join
+    joined = hash_join(toks, ranks, on=id_col,
+                       num_buckets=num_buckets).materialize()
+
+    def chunk_expand(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["_rank"].to_numpy()
+        home = b.assign(_chunk=r // chunk_size)
+        spill = b[(r % chunk_size) < (w - 1)].copy()
+        spill["_chunk"] = (spill["_rank"].to_numpy() // chunk_size) - 1
+        out = pd.concat([home, spill[spill["_chunk"] >= 0]],
+                        ignore_index=True)
+        return out
+
+    def verify_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        chunk = int(g["_chunk"].iloc[0])
+        lo_rank = chunk * chunk_size
+        g = g.sort_values("_rank", kind="stable").reset_index(drop=True)
+        ranks_v = g["_rank"].to_numpy()
+        ids_v = g[id_col].to_numpy()
+        toks_v = [set(t) for t in g["_toks"]]
+        out_a, out_b, out_d, out_j = [], [], [], []
+        for i in range(len(g)):
+            # guests (replicated from the NEXT chunk's first w−1
+            # ranks) may only appear as the higher side of a pair —
+            # their own pairs are owned by their home chunk
+            if ranks_v[i] >= lo_rank + chunk_size:
+                continue
+            for j in range(i + 1, len(g)):
+                d = ranks_v[j] - ranks_v[i]
+                if d >= w:
+                    break
+                ti, tj = toks_v[i], toks_v[j]
+                inter = len(ti & tj)
+                union = len(ti) + len(tj) - inter
+                jac = inter / union if union else 1.0
+                if jac >= threshold:
+                    out_a.append(int(ids_v[i]))
+                    out_b.append(int(ids_v[j]))
+                    out_d.append(int(d))
+                    out_j.append(jac)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64"),
+                             "rank_dist": pd.Series(out_d, dtype="int64"),
+                             "jaccard": pd.Series(out_j,
+                                                  dtype="float64")})
+
+    pairs = (joined.map_batches(chunk_expand, batch_format="pandas")
+             .groupby("_chunk").map_groups(verify_chunk,
+                                           batch_format="pandas")
+             .to_pandas())
+    if pairs.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "rank_dist": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)

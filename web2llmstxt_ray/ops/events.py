@@ -1272,3 +1272,63 @@ def next_event_entropy(ds: ray.data.Dataset,
         "top_next", "top_share"]).astype({
             "n_transitions": "int64", "n_next_types": "int64"})
 
+
+
+def markov_stationary(ds: ray.data.Dataset, iters: int = 4,
+                      scale: int = 10 ** 12,
+                      user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Stationary-distribution estimate of the first-order event-type
+    Markov chain — ``iters`` synchronous power-iteration steps over
+    the row-stochastic transition matrix, in EXACT INTEGER FIXED
+    POINT (the ``hits_bipartite`` discipline, ``ops/graph.py``): mass
+    starts at ``scale`` per state and every step moves
+    ``x[j]·c[j→k] // rowsum[j]`` units along each observed edge —
+    per-edge floor division, then an exact integer sum, so the result
+    is bit-identical under ANY partitioning or SQL replay (no float
+    order-dependence to excuse). States with no outgoing transitions
+    keep their mass (the self-loop convention, documented so the SQL
+    twin replays it).
+
+    Scale shape: :func:`transition_counts` collapses the corpus to
+    ``O(buckets × |types|²)`` skinny partials in one bucketed
+    shuffle; the iteration itself runs on the driver over the
+    O(|types|²) count matrix — for an event-type alphabet that is a
+    constant, not a scale risk. Output per state:
+    ``(event_type, mass_fp, prob)`` with ``prob = mass_fp /
+    total_mass`` (one float division of exact ints on both sides),
+    ordered by event_type."""
+    tc = transition_counts(ds, user_col=user_col, type_col=type_col,
+                           ts_col=ts_col, id_col=id_col,
+                           num_buckets=num_buckets)
+    states = sorted(set(tc["prev_type"]) | set(tc[type_col])
+                    | set(ds.select_columns([type_col])
+                          .groupby(type_col)
+                          .map_groups(lambda g: g.head(1),
+                                      batch_format="pandas")
+                          .to_pandas()[type_col]))
+    counts = {(p, t): int(n) for p, t, n in
+              zip(tc["prev_type"], tc[type_col], tc["n"])}
+    rowsum = {s: sum(counts.get((s, t), 0) for t in states)
+              for s in states}
+    x = {s: scale for s in states}
+    for _ in range(iters):
+        nxt = {s: 0 for s in states}
+        for s in states:
+            r = rowsum[s]
+            if r == 0:                 # absorbing: mass stays put
+                nxt[s] += x[s]
+                continue
+            for t in states:
+                c = counts.get((s, t), 0)
+                if c:
+                    nxt[t] += x[s] * c // r
+        x = nxt
+    total = sum(x.values())
+    return pd.DataFrame({
+        "event_type": states,
+        "mass_fp": pd.Series([x[s] for s in states], dtype="int64"),
+        "prob": [x[s] / total for s in states],
+    })
