@@ -6286,24 +6286,14 @@ def q_jw_catalog_dups(sf_dir: str) -> pd.DataFrame:
 
     part = _t(sf_dir, "part", ["p_partkey", "p_name"])
 
-    def corrupt(b: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for k, n in zip(b["p_partkey"].astype("int64"), b["p_name"]):
-            L = len(n)
-            if k % 3 == 0:
-                d = int(k) % L
-                v = n[:d] + n[d + 1:]
-            elif k % 3 == 1:
-                s = int(k) % (L - 1)
-                v = n[:s] + n[s + 1] + n[s] + n[s + 2:]
-            else:
-                d = int(k) % L
-                v = n[:d + 1] + n[d] + n[d + 1:]
-            out.append(v)
-        return pd.DataFrame({"name": pd.concat(
-            [b["p_name"], pd.Series(out)], ignore_index=True)})
+    from web2llmstxt_ray.ops.phonetic import catalog_corrupt_names
 
-    registry = part.map_batches(corrupt, batch_format="pandas")
+    def registry_batch(b: pd.DataFrame) -> pd.DataFrame:
+        cd = catalog_corrupt_names(b)
+        return pd.DataFrame({"name": pd.concat(
+            [cd["clean"], cd["dirty"]], ignore_index=True)})
+
+    registry = part.map_batches(registry_batch, batch_format="pandas")
     return jw_self_join(registry, "name", threshold=0.85)
 
 
@@ -6334,6 +6324,94 @@ def q_markov_stationary(sf_dir: str) -> pd.DataFrame:
     return markov_stationary(
         _t(sf_dir, "events",
            ["event_id", "user_id", "event_type", "ts"]), iters=4)
+
+
+def q_medoid_per_label(sf_dir: str) -> pd.DataFrame:
+    """Exact per-label medoid (sum-of-squared-L2 argmin) via the
+    moment identity n·‖x‖² − 2x·s + q — two LINEAR passes instead of
+    the naive O(n²·d): skinny (n, Σx, Σ‖x‖²) partials fold on the
+    driver, broadcast once, per-block argmin partials merge. Winner
+    margin over the runner-up is pytest-asserted to dwarf the
+    float-sum reassociation vs the unnest SQL twin. See
+    :func:`ops.ann.label_medoids`."""
+    from web2llmstxt_ray.ops.ann import label_medoids
+
+    return label_medoids(
+        _t(sf_dir, "embeddings", ["vec_id", "label", "embedding"]))
+
+
+def q_ndcg_label(sf_dir: str) -> pd.DataFrame:
+    """NDCG@10 of cosine retrieval with same-label binary relevance
+    (queries = vec_id ≡ 0 mod 50, self excluded) — the standard
+    embedding-quality eval. Exact top-k from per-block partial top-k
+    (vectors never shuffle); DCG/IDCG replayed by the SQL twin's
+    window ranking. See :func:`ops.retrieval.retrieval_ndcg_label`."""
+    from web2llmstxt_ray.ops.retrieval import retrieval_ndcg_label
+
+    return retrieval_ndcg_label(
+        _t(sf_dir, "embeddings", ["vec_id", "label", "embedding"]),
+        k=10, query_mod=50)
+
+
+def q_rbo_rankings(sf_dir: str) -> pd.DataFrame:
+    """Rank-Biased Overlap (p=0.9, depth 10) between each query's
+    cosine and raw-dot rankings — the metric-sensitivity audit (low
+    RBO = ranking dominated by vector norms, the unnormalized-
+    embedding trap). One GEMM feeds both rankings. See
+    :func:`ops.retrieval.retrieval_rbo`."""
+    from web2llmstxt_ray.ops.retrieval import retrieval_rbo
+
+    return retrieval_rbo(
+        _t(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=10, p=0.9, query_mod=50)
+
+
+def q_poisson_bootstrap(sf_dir: str) -> pd.DataFrame:
+    """Deterministic Poisson bootstrap (B=64) of the mean order price:
+    every order joins replicate b with multiplicity from the exact
+    integer hash (key·2654435761 + b·40503) mod 2³² against
+    hardcoded Poisson(1) CDF thresholds — one streaming pass, all
+    replicates at once, no RNG state, no shuffle. Totals are exact
+    integer cents; the replicate table IS the output (the CI is an
+    order statistic of it). See :func:`ops.stats.poisson_bootstrap`."""
+    from web2llmstxt_ray.ops.stats import poisson_bootstrap
+
+    return poisson_bootstrap(
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        "o_orderkey", "o_totalprice", n_replicates=64)
+
+
+def q_blocking_quality(sf_dir: str) -> pd.DataFrame:
+    """Blocking-scheme evaluation over the planted dirty catalog:
+    reduction ratio (pair-space pruning) and pairs completeness
+    (truth-pair recall) for first-char+length blocking vs Soundex
+    blocking. Candidate counts come from block-size histograms —
+    O(blocks) arithmetic, never pair enumeration. See
+    :func:`ops.phonetic.blocking_quality`."""
+    from web2llmstxt_ray.ops.phonetic import blocking_quality
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"])
+
+    from web2llmstxt_ray.ops.phonetic import catalog_corrupt_names
+
+    def registry_batch(b: pd.DataFrame) -> pd.DataFrame:
+        cd = catalog_corrupt_names(b)
+        return pd.DataFrame({"name": pd.concat(
+            [cd["clean"], cd["dirty"]], ignore_index=True)})
+
+    def truth_batch(b: pd.DataFrame) -> pd.DataFrame:
+        cd = catalog_corrupt_names(b)
+        m = cd["clean"] != cd["dirty"]
+        lo = cd["clean"].where(cd["clean"] < cd["dirty"], cd["dirty"])
+        hi = cd["dirty"].where(cd["clean"] < cd["dirty"], cd["clean"])
+        return pd.DataFrame({"a": lo[m].to_numpy(),
+                             "b": hi[m].to_numpy()})
+
+    registry = part.map_batches(registry_batch, batch_format="pandas")
+    truth = part.map_batches(truth_batch, batch_format="pandas") \
+        .groupby(["a", "b"]).map_groups(lambda g: g.head(1),
+                                        batch_format="pandas")
+    return blocking_quality(registry, truth, col="name")
 
 
 # The driver's correctness artifact covers the FIRST 50 entries of
@@ -6708,6 +6786,12 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "jw_catalog_dups": q_jw_catalog_dups,
         "dbscan_clusters": q_dbscan_clusters,
         "markov_stationary": q_markov_stationary,
+        # wave 37: eval + resampling families
+        "medoid_per_label": q_medoid_per_label,
+        "ndcg_label": q_ndcg_label,
+        "rbo_rankings": q_rbo_rankings,
+        "poisson_bootstrap": q_poisson_bootstrap,
+        "blocking_quality": q_blocking_quality,
     }
 
 
@@ -12463,6 +12547,193 @@ def oracle_sql() -> dict[str, str]:
             SELECT x4.st AS event_type, CAST(x4.v AS BIGINT) AS mass_fp,
                    CAST(x4.v AS DOUBLE) / CAST(tot.t AS DOUBLE) AS prob
             FROM x4, tot
+        """,
+        # wave 37: eval + resampling families
+        "medoid_per_label": """
+            WITH p AS (SELECT label, vec_id,
+                           CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            mom AS (SELECT label, count(*) AS n,
+                        sum(list_dot_product(v, v)) AS q
+                    FROM p GROUP BY label),
+            sdim AS (SELECT label, i.dim AS dim, sum(v[i.dim]) AS sv
+                     FROM p, LATERAL (SELECT unnest(generate_series(
+                         1, len(v))) AS dim) i
+                     GROUP BY label, i.dim),
+            dotv AS (SELECT p.label, p.vec_id,
+                         sum(p.v[s.dim] * s.sv) AS xs
+                     FROM p JOIN sdim s ON s.label = p.label
+                     GROUP BY p.label, p.vec_id),
+            sc AS (SELECT p.label, p.vec_id, m.n,
+                       m.n * list_dot_product(p.v, p.v)
+                           - 2 * d.xs + m.q AS score
+                   FROM p JOIN mom m ON m.label = p.label
+                        JOIN dotv d ON d.label = p.label
+                                   AND d.vec_id = p.vec_id)
+            SELECT label, vec_id AS medoid_id, CAST(n AS BIGINT) AS n,
+                   score
+            FROM sc
+            QUALIFY row_number() OVER (PARTITION BY label
+                ORDER BY score, vec_id) = 1
+            ORDER BY label
+        """,
+        "ndcg_label": """
+            WITH p AS (SELECT vec_id, label,
+                           CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT * FROM p WHERE vec_id % 50 = 0),
+            sc AS (SELECT q.vec_id AS qid, q.label AS qlab,
+                       p.vec_id AS did, p.label AS dlab,
+                       list_cosine_similarity(q.v, p.v) AS c
+                   FROM q JOIN p ON p.vec_id <> q.vec_id),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+                           ORDER BY c DESC, did) AS rk FROM sc),
+            hits AS (SELECT qid, sum(CASE WHEN dlab = qlab
+                         THEN 1.0 / log2(rk + 1) ELSE 0.0 END) AS dcg
+                     FROM ranked WHERE rk <= 10 GROUP BY qid),
+            rel AS (SELECT q.vec_id AS qid,
+                        (SELECT count(*) FROM p
+                         WHERE p.label = q.label
+                           AND p.vec_id <> q.vec_id) AS nrel
+                    FROM q),
+            iterms AS (SELECT i, 1.0 / log2(i + 1) AS term
+                       FROM generate_series(1, 10) t(i)),
+            itab AS (SELECT i AS m,
+                         sum(term) OVER (ORDER BY i) AS idcg
+                     FROM iterms),
+            ideal AS (SELECT r.qid, r.nrel,
+                          COALESCE(it.idcg, 0.0) AS idcg
+                      FROM rel r LEFT JOIN itab it
+                          ON it.m = least(10, r.nrel))
+            SELECT h.qid AS query_id, CAST(i.nrel AS BIGINT) AS n_rel,
+                   h.dcg, i.idcg,
+                   CASE WHEN i.idcg > 0 THEN h.dcg / i.idcg
+                        ELSE 0.0 END AS ndcg
+            FROM hits h JOIN ideal i ON i.qid = h.qid
+            ORDER BY query_id
+        """,
+        "rbo_rankings": """
+            WITH p AS (SELECT vec_id,
+                           CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            q AS (SELECT * FROM p WHERE vec_id % 50 = 0),
+            sc AS (SELECT q.vec_id AS qid, p.vec_id AS did,
+                       list_cosine_similarity(q.v, p.v) AS c,
+                       list_dot_product(q.v, p.v) AS dp
+                   FROM q JOIN p ON p.vec_id <> q.vec_id),
+            ra AS (SELECT qid, did, row_number() OVER (PARTITION BY qid
+                       ORDER BY c DESC, did) AS rk FROM sc),
+            rb AS (SELECT qid, did, row_number() OVER (PARTITION BY qid
+                       ORDER BY dp DESC, did) AS rk FROM sc),
+            ov AS (SELECT a.qid, g.d, count(*) AS x
+                   FROM ra a JOIN rb b ON b.qid = a.qid
+                                      AND b.did = a.did,
+                        generate_series(1, 10) AS g(d)
+                   WHERE a.rk <= g.d AND b.rk <= g.d
+                   GROUP BY a.qid, g.d),
+            agg AS (SELECT qid,
+                        sum(power(0.9, d - 1)
+                            * (CAST(x AS DOUBLE) / d)) AS s,
+                        max(CASE WHEN d = 10 THEN x ELSE 0 END) AS o10
+                    FROM ov GROUP BY qid)
+            SELECT q.vec_id AS query_id,
+                   CAST(COALESCE(a.o10, 0) AS BIGINT) AS overlap_k,
+                   COALESCE(a.s, 0.0) * (1.0 - 0.9) AS rbo
+            FROM q LEFT JOIN agg a ON a.qid = q.vec_id
+            ORDER BY query_id
+        """,
+        "poisson_bootstrap": """
+            WITH reps AS (SELECT unnest(generate_series(0, 63)) AS b),
+            h AS (SELECT r.b,
+                      CAST(round(o.o_totalprice * 100) AS BIGINT)
+                          AS cents,
+                      CAST((CAST(o.o_orderkey AS HUGEINT) * 2654435761
+                            + r.b * 40503) % 4294967296 AS BIGINT)
+                          AS hv
+                  FROM orders o, reps r),
+            m AS (SELECT b, cents, CASE
+                      WHEN hv < 1580030168 THEN 0
+                      WHEN hv < 3160060337 THEN 1
+                      WHEN hv < 3950075421 THEN 2
+                      WHEN hv < 4213413783 THEN 3
+                      WHEN hv < 4279248373 THEN 4
+                      WHEN hv < 4292415291 THEN 5
+                      WHEN hv < 4294609777 THEN 6
+                      WHEN hv < 4294923276 THEN 7
+                      ELSE 8 END AS k FROM h)
+            SELECT b AS replicate, CAST(sum(k) AS BIGINT) AS n_eff,
+                   CAST(sum(k * cents) AS BIGINT) AS total_cents,
+                   CAST(sum(k * cents) AS DOUBLE)
+                       / (100.0 * sum(k)) AS mean
+            FROM m GROUP BY b ORDER BY replicate
+        """,
+        "blocking_quality": f"""
+            WITH base AS (SELECT p_partkey AS k, p_name AS n,
+                              length(p_name) AS L FROM part),
+            dirty AS (SELECT n, CASE (k % 3)
+                WHEN 0 THEN substr(n, 1, k % L) || substr(n, (k % L) + 2)
+                WHEN 1 THEN substr(n, 1, k % (L - 1))
+                         || substr(n, (k % (L - 1)) + 2, 1)
+                         || substr(n, (k % (L - 1)) + 1, 1)
+                         || substr(n, (k % (L - 1)) + 3)
+                ELSE substr(n, 1, (k % L) + 1)
+                         || substr(n, (k % L) + 1, 1)
+                         || substr(n, (k % L) + 2)
+              END AS d FROM base),
+            reg AS (SELECT DISTINCT name FROM
+                (SELECT n AS name FROM base
+                 UNION ALL SELECT d FROM dirty)),
+            u AS (SELECT name, regexp_replace(upper(name), '[^A-Z]',
+                      '', 'g') AS s FROM reg),
+            mm AS (SELECT name, s,
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(s, '[BFPV]', '1', 'g'),
+                    '[CGJKQSXZ]', '2', 'g'), '[DT]', '3', 'g'),
+                    'L', '4', 'g'), '[MN]', '5', 'g'), 'R', '6', 'g'),
+                    '[AEIOUYHW]', '0', 'g') AS d1 FROM u),
+            coded AS (SELECT name, s, {_SOUNDEX_COLLAPSE_SQL} AS coll,
+                CASE WHEN s = '' THEN ''
+                     ELSE s[1] || substr(replace(substr(
+                          {_SOUNDEX_COLLAPSE_SQL}, 2), '0', '')
+                          || '000', 1, 3) END AS code FROM mm),
+            nn AS (SELECT count(*) AS n_names FROM reg),
+            tp AS (SELECT count(*) AS total_pairs
+                   FROM reg a JOIN reg b ON a.name < b.name),
+            cfl AS (SELECT count(*) AS c FROM reg a JOIN reg b
+                    ON a.name < b.name
+                       AND substr(a.name, 1, 1) = substr(b.name, 1, 1)
+                       AND abs(length(a.name) - length(b.name)) <= 1),
+            csx AS (SELECT count(*) AS c FROM coded a JOIN coded b
+                    ON a.name < b.name AND a.code = b.code),
+            truth AS (SELECT DISTINCT least(n, d) AS a,
+                          greatest(n, d) AS b FROM dirty WHERE n <> d),
+            tc AS (SELECT count(*) AS t FROM truth),
+            covfl AS (SELECT count(*) AS c FROM truth
+                      WHERE substr(a, 1, 1) = substr(b, 1, 1)
+                        AND abs(length(a) - length(b)) <= 1),
+            covsx AS (SELECT count(*) AS c FROM truth t
+                      JOIN coded ca ON ca.name = t.a
+                      JOIN coded cb ON cb.name = t.b
+                      WHERE ca.code = cb.code)
+            SELECT 'first_len' AS scheme,
+                   CAST(nn.n_names AS BIGINT) AS n_names,
+                   CAST(tp.total_pairs AS BIGINT) AS total_pairs,
+                   CAST(cfl.c AS BIGINT) AS n_candidates,
+                   1.0 - CAST(cfl.c AS DOUBLE) / tp.total_pairs
+                       AS reduction_ratio,
+                   CAST(tc.t AS BIGINT) AS n_truth,
+                   CAST(covfl.c AS BIGINT) AS n_covered,
+                   CAST(covfl.c AS DOUBLE) / tc.t AS recall
+            FROM nn, tp, cfl, tc, covfl
+            UNION ALL
+            SELECT 'soundex', CAST(nn.n_names AS BIGINT),
+                   CAST(tp.total_pairs AS BIGINT),
+                   CAST(csx.c AS BIGINT),
+                   1.0 - CAST(csx.c AS DOUBLE) / tp.total_pairs,
+                   CAST(tc.t AS BIGINT), CAST(covsx.c AS BIGINT),
+                   CAST(covsx.c AS DOUBLE) / tc.t
+            FROM nn, tp, csx, tc, covsx
         """,
     }
 

@@ -1469,3 +1469,102 @@ def kcenter_select(ds: ray.data.Dataset, k: int = 16,
         id_col: pa.array(out[id_col], pa.int64()),
         "dist": pa.array(out["dist"], pa.float64()),
     })
+
+
+class _MedoidScoreArgmin:
+    """Second medoid pass: score every member against the broadcast
+    per-label moments and emit one (label, argmin-id, score) partial
+    per block; exact score ties break to the smaller id."""
+
+    def __init__(self, mref, label_col: str, id_col: str, vec_col: str):
+        self.sums, self.qs, self.ns = ray.get(mref)
+        self.label_col, self.id_col = label_col, id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        labels = batch.column(self.label_col).to_numpy(
+            zero_copy_only=False)
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        mat = vec_matrix(batch, self.vec_col)
+        sq = (mat * mat).sum(axis=1)
+        out = {"label": [], "id": [], "score": []}
+        for lab in np.unique(labels):
+            sel = np.nonzero(labels == lab)[0]
+            s, q, n = self.sums[lab], self.qs[lab], self.ns[lab]
+            scores = n * sq[sel] - 2.0 * (mat[sel] @ s) + q
+            order = np.lexsort((ids[sel], scores))
+            out["label"].append(int(lab))
+            out["id"].append(int(ids[sel][order[0]]))
+            out["score"].append(float(scores[order[0]]))
+        return pa.table({
+            "label": pa.array(out["label"], pa.int64()),
+            "id": pa.array(out["id"], pa.int64()),
+            "score": pa.array(out["score"], pa.float64())})
+
+
+def label_medoids(ds: ray.data.Dataset, label_col: str = "label",
+                  vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact per-label MEDOID under the sum-of-squared-L2 objective —
+    the representative REAL member (unlike the centroid, which is
+    synthetic): argmin_i Σ_j ‖x_i − x_j‖². The naive form is O(n²·d)
+    per label; the moment identity
+
+        Σ_j ‖x_i − x_j‖² = n·‖x_i‖² − 2·x_i·s + q,
+        s = Σ_j x_j (vector),  q = Σ_j ‖x_j‖²
+
+    makes it TWO LINEAR passes: one partial-agg pass folds (n, s, q)
+    per label (O(blocks × labels) skinny rows to the driver — the
+    ``label_centroids`` shape), the moments broadcast once, and a
+    second pass scores every member locally and emits one per-block
+    argmin partial. Exact ties break to the smaller id; float-sum
+    reassociation vs the SQL twin is tolerance-registered and the
+    winner's margin over the runner-up is pytest-asserted to dwarf
+    it. Output: (label, medoid_id, n, score) ordered by label."""
+    import pandas as pd
+
+    from .stagecache import cached_stage
+    from .veckit import vec_matrix
+
+    def moments(batch: pa.Table) -> pa.Table:
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        mat = vec_matrix(batch, vec_col)
+        sq = (mat * mat).sum(axis=1)
+        out_l, out_s, out_q, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            sel = labels == lab
+            out_l.append(int(lab))
+            out_s.append(mat[sel].sum(axis=0).tolist())
+            out_q.append(float(sq[sel].sum()))
+            out_n.append(int(sel.sum()))
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "_s": pa.array(out_s, pa.list_(pa.float64())),
+                         "_q": pa.array(out_q, pa.float64()),
+                         "_n": pa.array(out_n, pa.int64())})
+
+    slim = ds.select_columns([id_col, label_col, vec_col])
+    sums: dict[int, np.ndarray] = {}
+    qs: dict[int, float] = {}
+    ns: dict[int, int] = {}
+    for row in slim.map_batches(moments,
+                                batch_format="pyarrow").take_all():
+        lab = row["label"]
+        vec = np.asarray(row["_s"], dtype=np.float64)
+        sums[lab] = sums.get(lab, 0.0) + vec
+        qs[lab] = qs.get(lab, 0.0) + row["_q"]
+        ns[lab] = ns.get(lab, 0) + row["_n"]
+    mref = ray.put((sums, qs, ns))
+    parts = slim.map_batches(
+        cached_stage(_MedoidScoreArgmin, mref=mref, label_col=label_col,
+                     id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow").take_all()
+    best: dict[int, tuple] = {}
+    for r in parts:
+        key = (r["score"], r["id"])
+        if r["label"] not in best or key < best[r["label"]]:
+            best[r["label"]] = key
+    rows = [(lab, best[lab][1], ns[lab], best[lab][0])
+            for lab in sorted(best)]
+    return pd.DataFrame(rows, columns=[
+        "label", "medoid_id", "n", "score"]).astype(
+        {"label": "int64", "medoid_id": "int64", "n": "int64"})

@@ -208,3 +208,98 @@ def jw_self_join(ds: ray.data.Dataset, col: str, threshold: float,
                              "b": pd.Series([], dtype="object"),
                              "jw": pd.Series([], dtype="float64")})
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def blocking_quality(names_ds: ray.data.Dataset,
+                     truth_ds: ray.data.Dataset,
+                     col: str = "name") -> pd.DataFrame:
+    """Blocking-scheme evaluation — the record-linkage pre-flight: for
+    each candidate-generation scheme, how much of the pair space does
+    it prune (reduction ratio) and how many TRUE match pairs does it
+    still cover (pairs completeness / recall)? Schemes evaluated:
+
+    - ``first_len``: same first character AND length within ±1 (the
+      cheap JW blocking of :func:`jw_self_join`);
+    - ``soundex``: equal Soundex code (phonetic blocking).
+
+    ``names_ds`` is the registry (one string column ``col``; distinct
+    applied here); ``truth_ds`` holds known-match pairs (columns
+    ``a``, ``b``). Candidate counts come from BLOCK-SIZE HISTOGRAMS,
+    never pair enumeration: same-block pairs = Σ C(n_block, 2) (+ the
+    cross-length-neighbor products for first_len) — O(blocks) driver
+    arithmetic, so a 10^9-name registry costs one skinny groupby.
+    Truth coverage is a pure map over the O(truth) pair list. Output
+    per scheme: (scheme, n_names, total_pairs, n_candidates,
+    reduction_ratio, n_truth, n_covered, recall).
+    """
+    distinct = _distinct(names_ds, col).materialize()
+    n_names = distinct.count()
+    total_pairs = n_names * (n_names - 1) // 2
+
+    def keys_batch(b: pd.DataFrame) -> pd.DataFrame:
+        names = b[col]
+        return pd.DataFrame({
+            "first": [x[:1] for x in names],
+            "blen": [len(x) for x in names],
+            "code": [soundex(x) for x in names]})
+
+    keyed = distinct.map_batches(keys_batch, batch_format="pandas")
+    fl = keyed.groupby(["first", "blen"]).count().to_pandas()
+    sx = keyed.groupby("code").count().to_pandas()
+
+    fl_sizes = {(f, int(l)): int(n) for f, l, n in
+                zip(fl["first"], fl["blen"], fl["count()"])}
+    cand_fl = sum(n * (n - 1) // 2 for n in fl_sizes.values())
+    cand_fl += sum(n * fl_sizes.get((f, l + 1), 0)
+                   for (f, l), n in fl_sizes.items())
+    cand_sx = sum(int(n) * (int(n) - 1) // 2 for n in sx["count()"])
+
+    def truth_flags(b: pd.DataFrame) -> pd.DataFrame:
+        fl_hit, sx_hit = [], []
+        for a, b2 in zip(b["a"], b["b"]):
+            fl_hit.append(a[:1] == b2[:1] and abs(len(a) - len(b2)) <= 1)
+            sx_hit.append(soundex(a) == soundex(b2))
+        return pd.DataFrame({"fl": np.asarray(fl_hit, dtype=np.int64),
+                             "sx": np.asarray(sx_hit, dtype=np.int64),
+                             "one": np.ones(len(b), dtype=np.int64)})
+
+    flags = truth_ds.map_batches(truth_flags, batch_format="pandas")
+    tf = flags.sum(["fl", "sx", "one"])
+    n_truth = int(tf["sum(one)"])
+    cov = {"first_len": int(tf["sum(fl)"]), "soundex": int(tf["sum(sx)"])}
+    cand = {"first_len": cand_fl, "soundex": cand_sx}
+    rows = []
+    for scheme in ("first_len", "soundex"):
+        rows.append((scheme, n_names, total_pairs, cand[scheme],
+                     1.0 - cand[scheme] / total_pairs, n_truth,
+                     cov[scheme], cov[scheme] / n_truth))
+    return pd.DataFrame(rows, columns=[
+        "scheme", "n_names", "total_pairs", "n_candidates",
+        "reduction_ratio", "n_truth", "n_covered", "recall"]).astype({
+            "n_names": "int64", "total_pairs": "int64",
+            "n_candidates": "int64", "n_truth": "int64",
+            "n_covered": "int64"})
+
+
+def catalog_corrupt_names(b: pd.DataFrame, key_col: str = "p_partkey",
+                          name_col: str = "p_name") -> pd.DataFrame:
+    """Deterministic typo planting for the dirty-catalog linkage
+    queries: key mod 3 selects delete / adjacent-swap / duplicate at a
+    key-derived position — replayed verbatim by the SQL twins' substr
+    arithmetic. Returns (clean, dirty); lives in the package (not the
+    entry module) so worker closures referencing it ship by value."""
+    dirty = []
+    for k, n in zip(b[key_col].astype("int64"), b[name_col]):
+        L = len(n)
+        if k % 3 == 0:
+            d = int(k) % L
+            v = n[:d] + n[d + 1:]
+        elif k % 3 == 1:
+            s = int(k) % (L - 1)
+            v = n[:s] + n[s + 1] + n[s] + n[s + 2:]
+        else:
+            d = int(k) % L
+            v = n[:d + 1] + n[d] + n[d + 1:]
+        dirty.append(v)
+    return pd.DataFrame({"clean": b[name_col].to_numpy(),
+                         "dirty": dirty})

@@ -32,7 +32,9 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .ann import _normalize
 from .textstats import tokenize_ws
+from .veckit import vec_matrix
 
 
 def bm25_stats(ds: ray.data.Dataset, terms: list[str],
@@ -653,3 +655,161 @@ def phrase_count(ds: ray.data.Dataset, phrase: str,
             id_col: pd.Series([], dtype="int64"),
             "n_matches": pd.Series([], dtype="int64")})
     return folded.sort_values(id_col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation: NDCG + rank-biased overlap
+# ---------------------------------------------------------------------------
+
+class _DualTopK:
+    """Partial per-block top-k by BOTH cosine and raw dot product for a
+    broadcast query matrix — one pass, one GEMM, two rankings (the
+    cosine/dot disagreement IS what RBO measures downstream)."""
+
+    def __init__(self, qref, k: int, vec_col: str, id_col: str):
+        self.qn, self.qraw, self.qids = ray.get(qref)
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist(),
+                         dtype=np.int64)
+        labels = (np.asarray(batch.column("label").to_pylist(),
+                             dtype=np.int64)
+                  if "label" in batch.column_names
+                  else np.zeros(len(ids), dtype=np.int64))
+        mat = vec_matrix(batch, self.vec_col)
+        cos = self.qn @ _normalize(mat).T          # (Q, n)
+        dot = self.qraw @ mat.T
+        out = {"query_id": [], "vec_id": [], "label": [],
+               "cosine": [], "dot": []}
+        kk = min(self.k + 1, cos.shape[1])         # +1 absorbs self-hit
+        for qi, qid in enumerate(self.qids):
+            # candidates in either metric's block top-k suffice
+            keep = set(np.argpartition(-cos[qi], kk - 1)[:kk].tolist())
+            keep |= set(np.argpartition(-dot[qi], kk - 1)[:kk].tolist())
+            for j in sorted(keep):
+                out["query_id"].append(qid)
+                out["vec_id"].append(int(ids[j]))
+                out["label"].append(int(labels[j]))
+                out["cosine"].append(float(cos[qi, j]))
+                out["dot"].append(float(dot[qi, j]))
+        return pa.table({
+            "query_id": pa.array(out["query_id"], pa.int64()),
+            "vec_id": pa.array(out["vec_id"], pa.int64()),
+            "label": pa.array(out["label"], pa.int64()),
+            "cosine": pa.array(out["cosine"], pa.float64()),
+            "dot": pa.array(out["dot"], pa.float64()),
+        })
+
+
+def _dual_rankings(ds: ray.data.Dataset, k: int, query_mod: int,
+                   vec_col: str, id_col: str, label_col: str | None):
+    """Shared harness: members with ``id % query_mod == 0`` query the
+    corpus; returns per query the exact global top-k lists under
+    cosine and under dot (ties → ascending id), plus query labels and
+    the global per-label candidate counts. Partial top-(k+1) per block
+    → O(blocks·Q·k) driver merge; vectors never shuffle."""
+    from .stagecache import cached_stage
+
+    cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    slim = ds.select_columns(cols)
+    qrows = slim.filter(
+        lambda r: r[id_col] % query_mod == 0).to_pandas() \
+        .sort_values(id_col)
+    qmat = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in qrows[vec_col]])
+    qids = [int(i) for i in qrows[id_col]]
+    qlabels = {int(i): int(l) for i, l in zip(qrows[id_col],
+                                              qrows[label_col])} \
+        if label_col else {}
+    qref = ray.put((_normalize(qmat), qmat, qids))
+
+    parts = slim.map_batches(
+        cached_stage(_DualTopK, qref=qref, k=k, vec_col=vec_col,
+                     id_col=id_col),
+        batch_format="pyarrow", batch_size=4096).to_pandas()
+    top_cos: dict[int, list] = {}
+    top_dot: dict[int, list] = {}
+    rel_count: dict[int, int] = {}
+    for qid in qids:
+        cand = parts[(parts["query_id"] == qid)
+                     & (parts["vec_id"] != qid)]
+        oc = cand.sort_values(["cosine", "vec_id"],
+                              ascending=[False, True],
+                              kind="stable").head(k)
+        od = cand.sort_values(["dot", "vec_id"],
+                              ascending=[False, True],
+                              kind="stable").head(k)
+        top_cos[qid] = list(zip(oc["vec_id"].astype(int),
+                                oc["label"].astype(int)))
+        top_dot[qid] = [int(v) for v in od["vec_id"]]
+    if label_col:
+        lh = slim.groupby(label_col).count().to_pandas()
+        lcounts = dict(zip(lh[label_col].astype(int),
+                           lh["count()"].astype(int)))
+        rel_count = {q: lcounts.get(qlabels[q], 0) - 1 for q in qids}
+    return qids, qlabels, top_cos, top_dot, rel_count
+
+
+def retrieval_ndcg_label(ds: ray.data.Dataset, k: int = 10,
+                         query_mod: int = 50,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         label_col: str = "label"):
+    """NDCG@k of cosine retrieval with same-label binary relevance —
+    the standard embedding-quality eval over a labeled corpus. For
+    each query (corpus members with ``id % query_mod == 0``, self
+    excluded): DCG = Σ rel/log2(rank+1) over the exact top-k, IDCG
+    over min(k, R) ideal hits where R = same-label corpus count − 1.
+    Output (query_id, n_rel, dcg, idcg, ndcg) ordered by query_id.
+    Rank boundaries are float-margin-tested (cosine GEMM vs the SQL
+    twin's per-dim kernel drift ~1e-15 ≪ adjacent-score gaps)."""
+    import pandas as pd
+
+    qids, qlabels, top_cos, _, rel_count = _dual_rankings(
+        ds, k, query_mod, vec_col, id_col, label_col)
+    rows = []
+    for qid in qids:
+        dcg = 0.0
+        for rank, (vid, lab) in enumerate(top_cos[qid], 1):
+            if lab == qlabels[qid]:
+                dcg += 1.0 / math.log2(rank + 1)
+        r = rel_count[qid]
+        idcg = 0.0
+        for i in range(1, min(k, r) + 1):
+            idcg += 1.0 / math.log2(i + 1)
+        rows.append((qid, r, dcg, idcg,
+                     dcg / idcg if idcg > 0 else 0.0))
+    return pd.DataFrame(rows, columns=[
+        "query_id", "n_rel", "dcg", "idcg", "ndcg"]).astype(
+            {"query_id": "int64", "n_rel": "int64"})
+
+
+def retrieval_rbo(ds: ray.data.Dataset, k: int = 10, p: float = 0.9,
+                  query_mod: int = 50, vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Truncated Rank-Biased Overlap between the cosine and the raw
+    dot-product rankings of each query — the metric-sensitivity audit
+    (RBO 1.0 = norms don't matter for this query; low RBO = ranking
+    is dominated by vector length, the classic unnormalized-embedding
+    trap). RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d; prefixes
+    beyond depth k never contribute, so the exact top-k lists
+    suffice. Output (query_id, overlap_k, rbo)."""
+    import pandas as pd
+
+    qids, _, top_cos, top_dot, _ = _dual_rankings(
+        ds, k, query_mod, vec_col, id_col, None)
+    rows = []
+    for qid in qids:
+        a = [v for v, _ in top_cos[qid]]
+        b = top_dot[qid]
+        rbo = 0.0
+        for d in range(1, k + 1):
+            x = len(set(a[:d]) & set(b[:d]))
+            rbo += (p ** (d - 1)) * (x / d)
+        rbo *= (1.0 - p)
+        rows.append((qid, len(set(a) & set(b)), rbo))
+    return pd.DataFrame(rows, columns=["query_id", "overlap_k",
+                                       "rbo"]).astype(
+        {"query_id": "int64", "overlap_k": "int64"})

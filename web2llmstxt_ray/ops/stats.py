@@ -2023,3 +2023,68 @@ def mann_whitney_u(ds: ray.data.Dataset, value_col: str,
         "tie_t": pd.Series([str(tie_t)], dtype="object"),
         "z": pd.Series([z], dtype="float64"),
         "cles": pd.Series([cles], dtype="float64")})
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — deterministic, hash-derived replicates
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF thresholds scaled to 2^32, floor'd to EXACT ints and
+# hardcoded identically in the SQL twin: multiplicity k = number of
+# thresholds ≤ h for h uniform on [0, 2^32). No float ever crosses the
+# comparison, so engine and oracle agree bit-for-bit.
+POISSON1_T32 = (1580030168, 3160060337, 3950075421, 4213413783,
+                4279248373, 4292415291, 4294609777, 4294923276)
+_BOOT_A = 2654435761          # Knuth multiplicative hash constants
+_BOOT_C = 40503
+
+
+def poisson_bootstrap(ds: ray.data.Dataset, key_col: str,
+                      value_col: str, n_replicates: int = 64
+                      ) -> pd.DataFrame:
+    """Deterministic Poisson bootstrap of a mean — THE bootstrap that
+    works at 100 TB: instead of resampling n rows with replacement
+    (which needs a global index), every row independently joins
+    replicate b with multiplicity ~ Poisson(1), drawn from the exact
+    integer hash ``(key·2654435761 + b·40503) mod 2^32`` against
+    hardcoded CDF thresholds — one streaming pass computes ALL
+    replicates' partial sums at once, no shuffle, no RNG state.
+
+    Values are carried as exact integer cents (``round(value·100)``),
+    so per-replicate totals are order-free exact ints; the mean is one
+    float division at the end (bit-equal to the SQL twin). Output:
+    ``(replicate, n_eff, total_cents, mean)`` for b = 0..B−1; the
+    percentile CI is an order statistic of this table.
+    """
+    import pyarrow as pa
+
+    B = int(n_replicates)
+    tarr = np.asarray(POISSON1_T32, dtype=np.uint64)
+    bvec = np.arange(B, dtype=np.uint64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        cents = np.rint(batch.column(value_col).to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        h = (keys[:, None] * np.uint64(_BOOT_A)
+             + bvec[None, :] * np.uint64(_BOOT_C)) \
+            & np.uint64(0xFFFFFFFF)
+        mult = np.searchsorted(tarr, h.ravel(),
+                               side="right").reshape(h.shape)
+        return pa.table({
+            "replicate": pa.array(np.arange(B, dtype=np.int64)),
+            "n_eff": pa.array(mult.sum(axis=0).astype(np.int64)),
+            "total_cents": pa.array(
+                (mult * cents[:, None]).sum(axis=0).astype(np.int64)),
+        })
+
+    parts = ds.select_columns([key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("replicate", as_index=False)[
+        ["n_eff", "total_cents"]].sum()
+    agg["mean"] = [tc / (100.0 * n) if n else 0.0
+                   for tc, n in zip(agg["total_cents"], agg["n_eff"])]
+    return agg.astype({"replicate": "int64", "n_eff": "int64",
+                       "total_cents": "int64"}) \
+        .sort_values("replicate").reset_index(drop=True)
