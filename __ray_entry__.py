@@ -6414,6 +6414,80 @@ def q_blocking_quality(sf_dir: str) -> pd.DataFrame:
     return blocking_quality(registry, truth, col="name")
 
 
+def q_entity_resolution(sf_dir: str) -> pd.DataFrame:
+    """End-to-end entity resolution over the planted dirty catalog:
+    blocked JW pairs at 0.92 → transitive closure → canonical =
+    lexicographic min member (== min name reachable through match
+    edges, which the SQL twin's recursive min-string propagation
+    computes directly). Over-merge via chaining is the documented
+    failure mode of threshold linkage — blocking_quality is its
+    audit. See :func:`ops.phonetic.entity_resolution`."""
+    from web2llmstxt_ray.ops.phonetic import (catalog_corrupt_names,
+                                              entity_resolution)
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def registry_batch(b: pd.DataFrame) -> pd.DataFrame:
+        cd = catalog_corrupt_names(b)
+        return pd.DataFrame({"name": pd.concat(
+            [cd["clean"], cd["dirty"]], ignore_index=True)})
+
+    registry = part.map_batches(registry_batch, batch_format="pandas")
+    return entity_resolution(registry, "name", threshold=0.92)
+
+
+def q_jump_hash_shards(sf_dir: str) -> pd.DataFrame:
+    """Jump-consistent-hash resharding audit (32 → 33 shards) over
+    order keys: per-shard counts under both configs + moved_in. The
+    minimal-movement property is IN the output — moved_in = 0 for
+    every pre-existing shard, ~1/33 of keys land on the new one. The
+    IEEE float step replays bit-for-bit in the SQL twin's recursive
+    CTE. See :func:`ops.layout.jump_hash_shards`."""
+    from web2llmstxt_ray.ops.layout import jump_hash_shards
+
+    return jump_hash_shards(_t(sf_dir, "orders", ["o_orderkey"]),
+                            "o_orderkey", n_old=32, n_new=33)
+
+
+def q_huber_trend(sf_dir: str) -> pd.DataFrame:
+    """Huber-IRLS robust trend of the daily order-revenue series —
+    exact-int OLS seed, median/MAD scale (order stats, ties by day),
+    three unrolled reweighting steps; the weight-branch margins the
+    SQL twin leans on are pytest-asserted. See
+    :func:`ops.windows.huber_trend`."""
+    from web2llmstxt_ray.ops.windows import huber_trend
+
+    return huber_trend(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
+
+
+def q_dominance_counts(sf_dir: str) -> pd.DataFrame:
+    """2-D weak-dominance census over parts (price ↓, size ↓): for
+    each part, how many others are at-least-as-good in both
+    dimensions — dominance depth, the ranking behind part_skyline.
+    Rank-partitioned chunks + cumulative small-domain y-histograms
+    replace the O(n²) correlated join; exact ints throughout. See
+    :func:`ops.relational.dominance_counts`."""
+    from web2llmstxt_ray.ops.relational import dominance_counts
+
+    return dominance_counts(
+        _t(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"]),
+        "p_partkey", "p_retailprice", "p_size", y_domain=64)
+
+
+def q_fdr_bh(sf_dir: str) -> pd.DataFrame:
+    """One-vs-rest exact-integer KS test per event type + Benjamini-
+    Hochberg FDR control across the family — WHICH segments' value
+    distributions differ, at a controlled false-discovery rate. One
+    streaming pass feeds every group's test. See
+    :func:`ops.stats.grouped_ks_fdr`."""
+    from web2llmstxt_ray.ops.stats import grouped_ks_fdr
+
+    return grouped_ks_fdr(
+        _t(sf_dir, "events", ["value", "event_type"]),
+        "value", "event_type", alpha=0.25)
+
+
 # The driver's correctness artifact covers the FIRST 50 entries of
 # queries() in dict order. Round-5 window (the round-4 verdict's
 # rotation ask): 50 queries NO prior driver artifact (r1-r4) has
@@ -6792,6 +6866,12 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "rbo_rankings": q_rbo_rankings,
         "poisson_bootstrap": q_poisson_bootstrap,
         "blocking_quality": q_blocking_quality,
+        # wave 38: placement + robust-fit + dominance + FDR + ER
+        "entity_resolution": q_entity_resolution,
+        "jump_hash_shards": q_jump_hash_shards,
+        "huber_trend": q_huber_trend,
+        "dominance_counts": q_dominance_counts,
+        "fdr_bh": q_fdr_bh,
     }
 
 
@@ -12734,6 +12814,248 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tc.t AS BIGINT), CAST(covsx.c AS BIGINT),
                    CAST(covsx.c AS DOUBLE) / tc.t
             FROM nn, tp, csx, tc, covsx
+        """,
+        # wave 38: placement + robust-fit + dominance + FDR + ER
+        "entity_resolution": """
+            WITH RECURSIVE
+            base AS (SELECT p_partkey AS k, p_name AS n,
+                         length(p_name) AS L FROM part),
+            dirty AS (SELECT CASE (k % 3)
+                WHEN 0 THEN substr(n, 1, k % L) || substr(n, (k % L) + 2)
+                WHEN 1 THEN substr(n, 1, k % (L - 1))
+                         || substr(n, (k % (L - 1)) + 2, 1)
+                         || substr(n, (k % (L - 1)) + 1, 1)
+                         || substr(n, (k % (L - 1)) + 3)
+                ELSE substr(n, 1, (k % L) + 1)
+                         || substr(n, (k % L) + 1, 1)
+                         || substr(n, (k % L) + 2)
+              END AS name FROM base),
+            names AS (SELECT DISTINCT name FROM
+                (SELECT n AS name FROM base
+                 UNION ALL SELECT name FROM dirty)),
+            pairs AS (SELECT a.name AS a, b.name AS b
+                FROM names a JOIN names b
+                ON a.name < b.name
+                   AND substr(a.name, 1, 1) = substr(b.name, 1, 1)
+                   AND abs(length(a.name) - length(b.name)) <= 1
+                   AND jaro_winkler_similarity(a.name, b.name)
+                       >= 0.92),
+            bi AS (SELECT a AS u, b AS w FROM pairs
+                   UNION ALL SELECT b AS u, a AS w FROM pairs),
+            reach(node, r) AS (
+                SELECT name, name FROM names
+                UNION
+                SELECT bi.u, reach.r FROM reach
+                JOIN bi ON bi.w = reach.node),
+            comp AS (SELECT node AS name, min(r) AS canonical
+                     FROM reach GROUP BY node),
+            sizes AS (SELECT canonical, count(*) AS cs
+                      FROM comp GROUP BY canonical)
+            SELECT c.name, c.canonical,
+                   CAST(s.cs AS BIGINT) AS cluster_size
+            FROM comp c JOIN sizes s USING (canonical)
+            ORDER BY c.name
+        """,
+        "jump_hash_shards": """
+            WITH RECURSIVE
+            seeds AS (SELECT o_orderkey AS k0,
+                          CAST(o_orderkey AS HUGEINT) AS key0
+                      FROM orders),
+            cfg AS (SELECT unnest([32, 33]) AS nb),
+            st(k0, nb, key, b, j) AS (
+                SELECT k0, nb, key0, CAST(-1 AS BIGINT),
+                       CAST(0 AS BIGINT)
+                FROM seeds, cfg
+                UNION ALL
+                SELECT k0, nb,
+                    (key * 2862933555777941757 + 1)
+                        % 18446744073709551616,
+                    j,
+                    CAST(floor(CAST(j + 1 AS DOUBLE)
+                        * (2147483648.0 / (CAST(
+                            ((key * 2862933555777941757 + 1)
+                             % 18446744073709551616)
+                            // 8589934592 AS DOUBLE) + 1.0)))
+                        AS BIGINT)
+                FROM st WHERE j < nb),
+            asg AS (SELECT k0, nb, b FROM st WHERE j >= nb),
+            jj AS (SELECT a32.b AS b32, a33.b AS b33
+                   FROM (SELECT k0, b FROM asg WHERE nb = 32) a32
+                   JOIN (SELECT k0, b FROM asg WHERE nb = 33) a33
+                       USING (k0)),
+            shards AS (SELECT unnest(generate_series(0, 32)) AS shard)
+            SELECT s.shard,
+                   CAST(COALESCE(o.c, 0) AS BIGINT) AS n_old,
+                   CAST(COALESCE(nw.c, 0) AS BIGINT) AS n_new,
+                   CAST(COALESCE(mv.c, 0) AS BIGINT) AS moved_in
+            FROM shards s
+            LEFT JOIN (SELECT b32 AS shard, count(*) AS c FROM jj
+                       GROUP BY 1) o USING (shard)
+            LEFT JOIN (SELECT b33 AS shard, count(*) AS c FROM jj
+                       GROUP BY 1) nw USING (shard)
+            LEFT JOIN (SELECT b33 AS shard, count(*) AS c FROM jj
+                       WHERE b32 <> b33 GROUP BY 1) mv USING (shard)
+            ORDER BY s.shard
+        """,
+        "huber_trend": """
+            WITH d AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT)
+                           // 86400000000 AS day,
+                           CAST(round(o_totalprice * 100) AS BIGINT)
+                               AS cents
+                       FROM orders),
+            s AS (SELECT day, sum(cents) AS cents FROM d GROUP BY day),
+            mm AS (SELECT min(day) AS d0, count(*) AS n FROM s),
+            xy AS (SELECT day, CAST(day - mm.d0 AS BIGINT) AS x,
+                       cents AS y FROM s, mm),
+            moms AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         sum(CAST(x AS HUGEINT)) AS sx,
+                         sum(CAST(y AS HUGEINT)) AS sy,
+                         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                             AS sxx,
+                         sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                             AS sxy
+                     FROM xy),
+            ols AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE) AS b0,
+                        n, sx, sy FROM moms),
+            ols2 AS (SELECT b0, (CAST(sy AS DOUBLE)
+                         - b0 * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE) AS a0 FROM ols),
+            r0 AS (SELECT day, x, y, CAST(y AS DOUBLE)
+                       - (a0 + b0 * CAST(x AS DOUBLE)) AS r
+                   FROM xy, ols2),
+            med AS (SELECT r AS med FROM r0, mm
+                    QUALIFY row_number() OVER (ORDER BY r, day)
+                        = (n + 1) // 2),
+            madt AS (SELECT abs(r - med.med) AS ar, day FROM r0, med),
+            mad AS (SELECT ar AS mad FROM madt, mm
+                    QUALIFY row_number() OVER (ORDER BY ar, day)
+                        = (n + 1) // 2),
+            sc AS (SELECT 1.4826 * mad AS scale,
+                       1.345 * (1.4826 * mad) AS delta FROM mad),
+            w1 AS (SELECT x, y, CASE WHEN abs(CAST(y AS DOUBLE)
+                       - (a0 + b0 * CAST(x AS DOUBLE))) <= delta
+                       THEN 1.0 ELSE delta / abs(CAST(y AS DOUBLE)
+                       - (a0 + b0 * CAST(x AS DOUBLE))) END AS w
+                   FROM xy, ols2, sc),
+            f1 AS (SELECT sum(w) AS sw,
+                       sum(w * CAST(x AS DOUBLE)) AS swx,
+                       sum(w * CAST(y AS DOUBLE)) AS swy,
+                       sum(w * CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                           AS swxx,
+                       sum(w * CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                           AS swxy FROM w1),
+            ab1 AS (SELECT (sw * swxy - swx * swy)
+                        / (sw * swxx - swx * swx) AS b1,
+                        (swy - ((sw * swxy - swx * swy)
+                         / (sw * swxx - swx * swx)) * swx) / sw AS a1
+                    FROM f1),
+            w2 AS (SELECT x, y, CASE WHEN abs(CAST(y AS DOUBLE)
+                       - (a1 + b1 * CAST(x AS DOUBLE))) <= delta
+                       THEN 1.0 ELSE delta / abs(CAST(y AS DOUBLE)
+                       - (a1 + b1 * CAST(x AS DOUBLE))) END AS w
+                   FROM xy, ab1, sc),
+            f2 AS (SELECT sum(w) AS sw,
+                       sum(w * CAST(x AS DOUBLE)) AS swx,
+                       sum(w * CAST(y AS DOUBLE)) AS swy,
+                       sum(w * CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                           AS swxx,
+                       sum(w * CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                           AS swxy FROM w2),
+            ab2 AS (SELECT (sw * swxy - swx * swy)
+                        / (sw * swxx - swx * swx) AS b2,
+                        (swy - ((sw * swxy - swx * swy)
+                         / (sw * swxx - swx * swx)) * swx) / sw AS a2
+                    FROM f2),
+            w3 AS (SELECT x, y, CASE WHEN abs(CAST(y AS DOUBLE)
+                       - (a2 + b2 * CAST(x AS DOUBLE))) <= delta
+                       THEN 1.0 ELSE delta / abs(CAST(y AS DOUBLE)
+                       - (a2 + b2 * CAST(x AS DOUBLE))) END AS w
+                   FROM xy, ab2, sc),
+            f3 AS (SELECT sum(w) AS sw,
+                       sum(w * CAST(x AS DOUBLE)) AS swx,
+                       sum(w * CAST(y AS DOUBLE)) AS swy,
+                       sum(w * CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                           AS swxx,
+                       sum(w * CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                           AS swxy FROM w3),
+            ab3 AS (SELECT (sw * swxy - swx * swy)
+                        / (sw * swxx - swx * swx) AS b3,
+                        (swy - ((sw * swxy - swx * swy)
+                         / (sw * swxx - swx * swx)) * swx) / sw AS a3
+                    FROM f3),
+            nd AS (SELECT count(*) AS ndw FROM xy, ab3, sc
+                   WHERE abs(CAST(y AS DOUBLE)
+                       - (a3 + b3 * CAST(x AS DOUBLE))) > delta)
+            SELECT CAST(mm.n AS BIGINT) AS n_days, ols2.b0 AS ols_slope,
+                   ols2.a0 AS ols_intercept, sc.scale, sc.delta,
+                   ab3.b3 AS huber_slope, ab3.a3 AS huber_intercept,
+                   CAST(nd.ndw AS BIGINT) AS n_downweighted
+            FROM mm, ols2, sc, ab3, nd
+        """,
+        "dominance_counts": """
+            SELECT p.p_partkey,
+                   CAST((SELECT count(*) FROM part q
+                         WHERE q.p_retailprice <= p.p_retailprice
+                           AND q.p_size <= p.p_size) - 1 AS BIGINT)
+                       AS n_weak_dominators
+            FROM part p ORDER BY p.p_partkey
+        """,
+        "fdr_bh": """
+            WITH ev AS (SELECT event_type AS g,
+                            CAST(round(value * 100) AS BIGINT) AS cents
+                        FROM events),
+            tot AS (SELECT count(*) AS nt FROM ev),
+            gs AS (SELECT g, count(*) AS ng FROM ev GROUP BY g),
+            fam AS (SELECT count(*) AS m FROM gs),
+            gc AS (SELECT g, cents, count(*) AS c FROM ev
+                   GROUP BY g, cents),
+            dom AS (SELECT DISTINCT cents FROM ev),
+            tc AS (SELECT cents, count(*) AS ct FROM ev
+                   GROUP BY cents),
+            allc AS (SELECT gg.g, d.cents, COALESCE(gc.c, 0) AS cg,
+                         t.ct
+                     FROM (SELECT DISTINCT g FROM ev) gg
+                     CROSS JOIN dom d
+                     LEFT JOIN gc ON gc.g = gg.g AND gc.cents = d.cents
+                     JOIN tc t ON t.cents = d.cents),
+            cum AS (SELECT g, cents,
+                        sum(cg) OVER (PARTITION BY g ORDER BY cents)
+                            AS cumg,
+                        sum(ct) OVER (PARTITION BY g ORDER BY cents)
+                            AS cumt
+                    FROM allc),
+            kn AS (SELECT c.g,
+                       max(abs(c.cumg * (tot.nt - gs.ng)
+                               - (c.cumt - c.cumg) * gs.ng)) AS ks_num
+                   FROM cum c, tot
+                   JOIN gs ON gs.g = c.g
+                   GROUP BY c.g, tot.nt, gs.ng),
+            stats AS (SELECT kn.g, gs.ng, tot.nt - gs.ng AS nr,
+                          kn.ks_num,
+                          CAST(kn.ks_num AS DOUBLE)
+                              / (CAST(gs.ng AS DOUBLE)
+                                 * CAST(tot.nt - gs.ng AS DOUBLE))
+                              AS d_stat
+                      FROM kn JOIN gs ON gs.g = kn.g, tot),
+            pv AS (SELECT *, least(1.0, 2.0 * exp(
+                       -2.0 * ((CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE))
+                               / (CAST(ng AS DOUBLE)
+                                  + CAST(nr AS DOUBLE)))
+                       * d_stat * d_stat)) AS p_value FROM stats),
+            ranked AS (SELECT *, row_number() OVER
+                           (ORDER BY p_value, g) AS bh_rank FROM pv),
+            thr AS (SELECT *, bh_rank * 0.25 / fam.m AS bh_threshold
+                    FROM ranked, fam),
+            kstar AS (SELECT COALESCE(max(CASE WHEN p_value
+                          <= bh_threshold THEN bh_rank END), 0) AS ks
+                      FROM thr)
+            SELECT t.g AS "group", CAST(t.ng AS BIGINT) AS n_g,
+                   CAST(t.nr AS BIGINT) AS n_rest,
+                   CAST(t.ks_num AS BIGINT) AS ks_num, t.d_stat,
+                   t.p_value, CAST(t.bh_rank AS BIGINT) AS bh_rank,
+                   t.bh_threshold, t.bh_rank <= kstar.ks AS rejected
+            FROM thr t, kstar ORDER BY t.g
         """,
     }
 

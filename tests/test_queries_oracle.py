@@ -80,7 +80,12 @@ ULP_TOL = {"user_type_entropy": 1e-14,
            # log2/power libm terms in engine-chosen order
            "medoid_per_label": 1e-11,
            "ndcg_label": 1e-12,
-           "rbo_rankings": 1e-12}
+           "rbo_rankings": 1e-12,
+           # wave 38: IRLS weighted sums fold per-block partials vs
+           # DuckDB's engine-chosen SUM order (3 iterations compound
+           # the last-bit drift); KS p-values go through libm exp
+           "huber_trend": 1e-9,
+           "fdr_bh": 1e-12}
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:

@@ -432,3 +432,71 @@ def hrw_assignment(ds: "ray.data.Dataset", key_col: str,
     out["n_keys"] = out["n"].astype("int64")
     return out[["shard", "n_keys"]]
 
+
+
+# ---------------------------------------------------------------------------
+# jump consistent hash — minimal-movement shard placement
+# ---------------------------------------------------------------------------
+
+_JUMP_LCG = 2862933555777941757
+_M64 = (1 << 64) - 1
+
+
+def jump_hash_vec(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Lamport & Veach jump consistent hash, vectorized: maps each
+    uint64 key to a bucket in [0, num_buckets) with the minimal-
+    movement property (growing n→n+1 moves ~1/(n+1) of keys, all INTO
+    the new bucket, none between old buckets). The float step
+    ``(b+1)·(2³¹ / ((key>>33)+1))`` is IEEE-exact on both sides, so
+    the SQL twin's recursive CTE replays placements bit-for-bit."""
+    key = keys.astype(np.uint64).copy()
+    b = np.full(len(key), -1, dtype=np.int64)
+    j = np.zeros(len(key), dtype=np.int64)
+    active = j < num_buckets
+    two31 = np.float64(1 << 31)
+    while active.any():
+        b[active] = j[active]
+        key[active] = (key[active] * np.uint64(_JUMP_LCG)
+                       + np.uint64(1))            # wraps mod 2^64
+        frac = two31 / ((key[active] >> np.uint64(33)).astype(
+            np.float64) + 1.0)
+        j[active] = np.floor(
+            (b[active] + 1).astype(np.float64) * frac).astype(np.int64)
+        active = j < num_buckets
+    return b
+
+
+def jump_hash_shards(ds: ray.data.Dataset, key_col: str,
+                     n_old: int, n_new: int) -> pd.DataFrame:
+    """Jump-consistent-hash placement audit for a shard-count change
+    ``n_old → n_new``: per-shard key counts under both configurations
+    plus ``moved_in`` (keys that LAND on the shard under ``n_new`` but
+    lived elsewhere under ``n_old``). For n_new = n_old + g the jump
+    property guarantees moved_in = 0 for every old shard — keys only
+    ever move INTO new buckets — and Σ moved_in ≈ g/n_new of the keys:
+    the resharding-cost read that decides whether a 100-TB corpus
+    re-layout is a metadata flip or a full rewrite (contrast with
+    ``hrw_assignment``, which trades O(buckets) per-key cost for
+    weighted placement). One streaming pass, per-block histogram
+    partials, O(shards) driver fold."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        old = jump_hash_vec(keys, n_old)
+        new = jump_hash_vec(keys, n_new)
+        rows = {"shard": [], "n_old": [], "n_new": [], "moved_in": []}
+        for s in range(max(n_old, n_new)):
+            rows["shard"].append(s)
+            rows["n_old"].append(int((old == s).sum()))
+            rows["n_new"].append(int((new == s).sum()))
+            rows["moved_in"].append(int(((new == s) & (old != s)).sum()))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    parts = ds.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("shard", as_index=False)[
+        ["n_old", "n_new", "moved_in"]].sum()
+    return out.astype("int64").sort_values("shard") \
+        .reset_index(drop=True)

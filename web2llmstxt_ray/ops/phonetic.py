@@ -303,3 +303,62 @@ def catalog_corrupt_names(b: pd.DataFrame, key_col: str = "p_partkey",
         dirty.append(v)
     return pd.DataFrame({"clean": b[name_col].to_numpy(),
                          "dirty": dirty})
+
+
+def entity_resolution(names_ds: ray.data.Dataset, col: str = "name",
+                      threshold: float = 0.92) -> pd.DataFrame:
+    """End-to-end deterministic entity resolution over a name
+    registry: blocked Jaro-Winkler candidate pairs
+    (:func:`jw_self_join`, first-char + length±1 blocking) at
+    ``threshold``, transitive closure into entities, canonical name =
+    the LEXICOGRAPHICALLY SMALLEST member (which equals the min name
+    reachable through match edges — exactly what the SQL twin's
+    recursive min-string propagation computes). Every registry name
+    maps somewhere; matchless names are their own singleton entity.
+    Output: (name, canonical, cluster_size) ordered by name.
+
+    Scale shape: pairs come from the blocked join (distinct-name
+    domain, histogram-bounded blocks); the closure runs on
+    ``ops/graph.py:connected_components`` over skinny hashed-id
+    edges (the distributed star-contraction path above the driver
+    threshold), with an explicit collision guard — a 64-bit name-hash
+    collision would silently merge entities, so it raises instead.
+    Transitive closure is the honest failure mode of threshold
+    linkage (chains over-merge); the census/blocking-quality
+    operators are the knobs-audit for that."""
+    from ..functions.urls import hash64_batch
+    from .graph import connected_components
+
+    pairs = jw_self_join(names_ds, col, threshold=threshold)
+    distinct = _distinct(names_ds, col).to_pandas()
+    names = distinct[col].to_numpy()
+    hashes = np.asarray(hash64_batch(list(names)), dtype=np.int64)
+    if len(np.unique(hashes)) != len(names):
+        raise ValueError("64-bit name-hash collision in registry; "
+                         "entity merge would be unsound")
+    h_of = dict(zip(names, hashes))
+    name_of = dict(zip(hashes, names))
+
+    if len(pairs):
+        edges = ray.data.from_pandas(pd.DataFrame({
+            "a": [h_of[x] for x in pairs["a"]],
+            "b": [h_of[x] for x in pairs["b"]]}))
+        comp = connected_components(edges).to_pandas()
+        root_h = dict(zip(comp["node"].astype("int64"),
+                          comp["component"].astype("int64")))
+    else:
+        root_h = {}
+    # component label is the min HASH — map to the min NAME member
+    members: dict[int, list] = {}
+    for nm in names:
+        r = root_h.get(int(h_of[nm]), int(h_of[nm]))
+        members.setdefault(r, []).append(nm)
+    rows = []
+    for r, ms in members.items():
+        canon = min(ms)
+        for nm in ms:
+            rows.append((nm, canon, len(ms)))
+    out = pd.DataFrame(rows, columns=["name", "canonical",
+                                      "cluster_size"])
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    return out.sort_values("name").reset_index(drop=True)

@@ -915,3 +915,95 @@ def cheapest_substitute(ds: ray.data.Dataset, key_col: str,
               "price_delta_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def dominance_counts(ds: ray.data.Dataset, id_col: str, x_col: str,
+                     y_col: str, y_domain: int = 256,
+                     n_chunks: int = 32) -> pd.DataFrame:
+    """2-D weak-dominance census — for every row, how many OTHER rows
+    are at-least-as-good in BOTH dimensions (``q.x ≤ p.x AND
+    q.y ≤ p.y``, lower = better)? The dominance DEPTH ranking behind
+    the skyline (depth 0 = Pareto frontier), the multi-criteria
+    quality read a single score can't give.
+
+    The naive form is the O(n²) correlated self-join the SQL twin
+    runs. Here it is one rank-partitioned pass: rows partition into
+    ``n_chunks`` contiguous x-ranges (skinny per-x-value histogram →
+    driver prefix offsets, the ``curriculum_schedule`` pattern — equal
+    x values never split, so cross-chunk contributions are exactly
+    the ``x ≤`` predicate), every chunk's small-domain y-histogram
+    folds on the driver (O(chunks × y_domain) ints) and broadcasts
+    cumulatively; each chunk then resolves its rows as
+    ``(Σ earlier-chunk histograms)[≤ y] + local brute count − 1``
+    (the −1 removes self; exact integers throughout, so ANY
+    partitioning gives the hash-identical answer). Requires an
+    integer ``y_col`` with a bounded domain (< ``y_domain``) — the
+    p_size/priority/bucket-id shape; unbounded y routes through a
+    rank-compression pass first."""
+    import ray as _ray
+
+    slim = ds.select_columns([id_col, x_col, y_col]).materialize()
+
+    def hist_batch(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(x_col, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    xh = partial_groupby(slim.select_columns([x_col]),
+                         [x_col], hist_batch, ["n"]).sort_values(x_col)
+    total = int(xh["n"].sum())
+    # contiguous value-range chunks of ~equal row count: each DISTINCT
+    # x value belongs to exactly one chunk
+    cum = xh["n"].cumsum().to_numpy()
+    chunk_of_value = dict(zip(
+        xh[x_col], np.minimum((cum - 1) * n_chunks // max(total, 1),
+                              n_chunks - 1).astype(np.int64)))
+    cref = _ray.put(chunk_of_value)
+
+    # per-chunk y histograms (one skinny pass)
+    def yhist(b: pd.DataFrame) -> pd.DataFrame:
+        cm = _ray.get(cref)
+        ch = np.array([cm[x] for x in b[x_col]], dtype=np.int64)
+        y = b[y_col].to_numpy().astype(np.int64)
+        g = pd.DataFrame({"_chunk": ch, "_y": y})
+        out = g.groupby(["_chunk", "_y"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    # fold y-histograms on the driver (O(chunks × y_domain))
+    parts = slim.map_batches(yhist, batch_format="pandas").to_pandas()
+    parts = parts.groupby(["_chunk", "_y"], as_index=False)["n"].sum()
+    hist = np.zeros((n_chunks, y_domain), dtype=np.int64)
+    for c, y, n in zip(parts["_chunk"], parts["_y"], parts["n"]):
+        hist[int(c), int(y)] += int(n)
+    # prior[c] = cumulative-y counts of all chunks BEFORE c
+    prior = np.zeros((n_chunks, y_domain), dtype=np.int64)
+    run = np.zeros(y_domain, dtype=np.int64)
+    for c in range(n_chunks):
+        prior[c] = np.cumsum(run)
+        run += hist[c]
+    pref = _ray.put(prior)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        pr = _ray.get(pref)
+        c = int(g["_chunk2"].iloc[0])
+        x = g[x_col].to_numpy()
+        y = g[y_col].to_numpy().astype(np.int64)
+        # within-chunk brute force (chunk ~ n/n_chunks rows)
+        local = ((x[:, None] >= x[None, :])
+                 & (y[:, None] >= y[None, :])).sum(axis=1)
+        cnt = pr[c][y] + local - 1
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "n_weak_dominators": cnt})
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        cm = _ray.get(cref)
+        out = b.copy()
+        out["_chunk2"] = np.array([cm[x] for x in b[x_col]],
+                                  dtype=np.int64)
+        return out
+
+    out = (slim.map_batches(tag, batch_format="pandas")
+           .groupby("_chunk2").map_groups(resolve,
+                                          batch_format="pandas")
+           .to_pandas())
+    out["n_weak_dominators"] = out["n_weak_dominators"].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)
