@@ -6488,6 +6488,77 @@ def q_fdr_bh(sf_dir: str) -> pd.DataFrame:
         "value", "event_type", alpha=0.25)
 
 
+def q_isotonic_calibration(sf_dir: str) -> pd.DataFrame:
+    """Isotonic (PAVA) calibration of the purchase rate over event-
+    value bins — the monotone step-function fit. The SQL twin skips
+    the merge loop and evaluates the equivalent minimax
+    characterization max_{j≤i} min_{k≥i} mean(j..k) over the same
+    integer prefix sums — bit-equal pooled means. See
+    :func:`ops.stats.isotonic_calibration`."""
+    from web2llmstxt_ray.ops.stats import isotonic_calibration
+
+    return isotonic_calibration(
+        _t(sf_dir, "events", ["value", "event_type"]),
+        "value", "event_type", "purchase", bin_width=10.0, n_bins=10)
+
+
+def q_fs_weights(sf_dir: str) -> pd.DataFrame:
+    """Fellegi-Sunter agreement weights over the planted dirty
+    catalog: blocked candidate pairs × 3 cheap comparators →
+    add-one-smoothed m/u probabilities → log2 likelihood-ratio
+    weight per agreement pattern. See
+    :func:`ops.phonetic.fs_weights`."""
+    from web2llmstxt_ray.ops.phonetic import (catalog_corrupt_names,
+                                              fs_weights)
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def registry_batch(b: pd.DataFrame) -> pd.DataFrame:
+        cd = catalog_corrupt_names(b)
+        return pd.DataFrame({"name": pd.concat(
+            [cd["clean"], cd["dirty"]], ignore_index=True)})
+
+    def truth_batch(b: pd.DataFrame) -> pd.DataFrame:
+        cd = catalog_corrupt_names(b)
+        m = cd["clean"] != cd["dirty"]
+        lo = cd["clean"].where(cd["clean"] < cd["dirty"], cd["dirty"])
+        hi = cd["dirty"].where(cd["clean"] < cd["dirty"], cd["clean"])
+        return pd.DataFrame({"a": lo[m].to_numpy(),
+                             "b": hi[m].to_numpy()})
+
+    registry = part.map_batches(registry_batch, batch_format="pandas")
+    truth = part.map_batches(truth_batch, batch_format="pandas") \
+        .groupby(["a", "b"]).map_groups(lambda g: g.head(1),
+                                        batch_format="pandas")
+    return fs_weights(registry, truth, col="name")
+
+
+def q_hampel_anomalies(sf_dir: str) -> pd.DataFrame:
+    """Hampel filter over daily order revenue: ±3-day rolling median
+    + rolling MAD, flag days beyond 3 robust sigmas — local-context
+    outliers a global threshold misses. quantile_disc order-statistic
+    semantics on both sides. See
+    :func:`ops.windows.hampel_anomalies`."""
+    from web2llmstxt_ray.ops.windows import hampel_anomalies
+
+    return hampel_anomalies(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]),
+        half_window=3, k_sigma=3.0)
+
+
+def q_gear_cdc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Content-defined chunking (gear rolling hash, FastCDC family)
+    of every document — shift-robust dedup segmentation: boundaries
+    are functions of local content, so duplicated passages chunk
+    identically at any offset. The 2^64-wrapping windowed-sum form
+    makes the SQL twin a position×offset join, not a recursion. See
+    :func:`ops.substr.gear_cdc_chunks`."""
+    from web2llmstxt_ray.ops.substr import gear_cdc_chunks
+
+    return gear_cdc_chunks(
+        _t(sf_dir, "documents", ["doc_id", "text"]), mask_bits=6)
+
+
 # The driver's correctness artifact covers the FIRST 50 entries of
 # queries() in dict order. Round-5 window (the round-4 verdict's
 # rotation ask): 50 queries NO prior driver artifact (r1-r4) has
@@ -6872,6 +6943,11 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "huber_trend": q_huber_trend,
         "dominance_counts": q_dominance_counts,
         "fdr_bh": q_fdr_bh,
+        # wave 39: calibration + FS weights + hampel + CDC chunking
+        "isotonic_calibration": q_isotonic_calibration,
+        "fs_weights": q_fs_weights,
+        "hampel_anomalies": q_hampel_anomalies,
+        "gear_cdc_chunks": q_gear_cdc_chunks,
     }
 
 
@@ -13056,6 +13132,168 @@ def oracle_sql() -> dict[str, str]:
                    t.p_value, CAST(t.bh_rank AS BIGINT) AS bh_rank,
                    t.bh_threshold, t.bh_rank <= kstar.ks AS rejected
             FROM thr t, kstar ORDER BY t.g
+        """,
+        # wave 39: calibration + FS weights + hampel + CDC chunking
+        "isotonic_calibration": """
+            WITH b AS (SELECT least(CAST(floor(value / 10.0)
+                           AS BIGINT), 9) AS bin,
+                           CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END AS pos
+                       FROM events),
+            agg AS (SELECT bin, count(*) AS n, sum(pos) AS n_pos
+                    FROM b GROUP BY bin),
+            pre AS (SELECT bin, n, n_pos,
+                        sum(n) OVER (ORDER BY bin) AS cn,
+                        sum(n_pos) OVER (ORDER BY bin) AS cp
+                    FROM agg),
+            ex AS (SELECT bin, n, n_pos, cn, cp, cn - n AS ecn,
+                       cp - n_pos AS ecp FROM pre),
+            mins AS (SELECT i.bin AS ib, j.bin AS jb,
+                         min(CAST(k.cp - j.ecp AS DOUBLE)
+                             / (k.cn - j.ecn)) AS mn
+                     FROM ex i JOIN ex j ON j.bin <= i.bin
+                          JOIN ex k ON k.bin >= i.bin
+                     GROUP BY i.bin, j.bin),
+            iso AS (SELECT ib AS bin, max(mn) AS iso_rate FROM mins
+                    GROUP BY ib)
+            SELECT a.bin, CAST(a.n AS BIGINT) AS n,
+                   CAST(a.n_pos AS BIGINT) AS n_pos,
+                   CAST(a.n_pos AS DOUBLE) / a.n AS rate,
+                   i.iso_rate
+            FROM agg a JOIN iso i USING (bin) ORDER BY a.bin
+        """,
+        "fs_weights": f"""
+            WITH base AS (SELECT p_partkey AS k, p_name AS n,
+                              length(p_name) AS L FROM part),
+            dirty AS (SELECT n, CASE (k % 3)
+                WHEN 0 THEN substr(n, 1, k % L) || substr(n, (k % L) + 2)
+                WHEN 1 THEN substr(n, 1, k % (L - 1))
+                         || substr(n, (k % (L - 1)) + 2, 1)
+                         || substr(n, (k % (L - 1)) + 1, 1)
+                         || substr(n, (k % (L - 1)) + 3)
+                ELSE substr(n, 1, (k % L) + 1)
+                         || substr(n, (k % L) + 1, 1)
+                         || substr(n, (k % L) + 2)
+              END AS d FROM base),
+            names AS (SELECT DISTINCT name FROM
+                (SELECT n AS name FROM base
+                 UNION ALL SELECT d FROM dirty)),
+            u AS (SELECT name, regexp_replace(upper(name), '[^A-Z]',
+                      '', 'g') AS s FROM names),
+            mm AS (SELECT name, s,
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(s, '[BFPV]', '1', 'g'),
+                    '[CGJKQSXZ]', '2', 'g'), '[DT]', '3', 'g'),
+                    'L', '4', 'g'), '[MN]', '5', 'g'), 'R', '6', 'g'),
+                    '[AEIOUYHW]', '0', 'g') AS d1 FROM u),
+            feat AS (SELECT name,
+                CASE WHEN s = '' THEN ''
+                     ELSE s[1] || substr(replace(substr(
+                          {_SOUNDEX_COLLAPSE_SQL}, 2), '0', '')
+                          || '000', 1, 3) END AS code,
+                length(name) AS ln,
+                string_split(name, ' ')[1] AS tok1 FROM mm),
+            truth AS (SELECT DISTINCT least(n, d) AS a,
+                          greatest(n, d) AS b FROM dirty WHERE n <> d),
+            cand AS (SELECT a.name AS a, b.name AS b,
+                CASE WHEN ca.code = cb.code THEN 1 ELSE 0 END AS f1,
+                CASE WHEN ca.ln = cb.ln THEN 1 ELSE 0 END AS f2,
+                CASE WHEN ca.tok1 = cb.tok1 THEN 1 ELSE 0 END AS f3
+                FROM names a JOIN names b
+                ON a.name < b.name
+                   AND substr(a.name, 1, 1) = substr(b.name, 1, 1)
+                   AND abs(length(a.name) - length(b.name)) <= 1
+                JOIN feat ca ON ca.name = a.name
+                JOIN feat cb ON cb.name = b.name),
+            pat AS (SELECT 4 * f1 + 2 * f2 + f3 AS pattern,
+                        CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END
+                            AS ismatch
+                    FROM cand LEFT JOIN truth t
+                        ON t.a = cand.a AND t.b = cand.b),
+            cnt AS (SELECT pattern, sum(ismatch) AS mc,
+                        sum(1 - ismatch) AS uc FROM pat
+                    GROUP BY pattern),
+            pats AS (SELECT unnest(generate_series(0, 7)) AS pattern),
+            tots AS (SELECT sum(mc) AS mn, sum(uc) AS un FROM cnt)
+            SELECT p.pattern,
+                   CAST(p.pattern // 4 AS BIGINT) AS f_soundex,
+                   CAST((p.pattern // 2) % 2 AS BIGINT) AS f_len,
+                   CAST(p.pattern % 2 AS BIGINT) AS f_first,
+                   CAST(COALESCE(c.mc, 0) AS BIGINT) AS n_match,
+                   CAST(COALESCE(c.uc, 0) AS BIGINT) AS n_nonmatch,
+                   CAST(COALESCE(c.mc, 0) + 1 AS DOUBLE)
+                       / CAST(t.mn + 2 AS DOUBLE) AS m_prob,
+                   CAST(COALESCE(c.uc, 0) + 1 AS DOUBLE)
+                       / CAST(t.un + 2 AS DOUBLE) AS u_prob,
+                   log2((CAST(COALESCE(c.mc, 0) + 1 AS DOUBLE)
+                         / CAST(t.mn + 2 AS DOUBLE))
+                        / (CAST(COALESCE(c.uc, 0) + 1 AS DOUBLE)
+                           / CAST(t.un + 2 AS DOUBLE))) AS weight
+            FROM pats p LEFT JOIN cnt c ON c.pattern = p.pattern, tots t
+            ORDER BY p.pattern
+        """,
+        "hampel_anomalies": """
+            WITH d AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT)
+                           // 86400000000 AS day,
+                           CAST(round(o_totalprice * 100) AS BIGINT)
+                               AS cents
+                       FROM orders),
+            s AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents
+                  FROM d GROUP BY day),
+            m1 AS (SELECT day, cents,
+                       CAST((SELECT quantile_disc(s2.cents, 0.5)
+                             FROM s s2 WHERE s2.day BETWEEN s.day - 3
+                                 AND s.day + 3) AS DOUBLE) AS med
+                   FROM s),
+            m2 AS (SELECT day, cents, med,
+                       (SELECT quantile_disc(abs(CAST(s2.cents
+                            AS DOUBLE) - m1.med), 0.5)
+                        FROM s s2 WHERE s2.day BETWEEN m1.day - 3
+                            AND m1.day + 3) AS mad
+                   FROM m1)
+            SELECT day, cents, med, mad,
+                   3.0 * (1.4826 * mad) AS threshold,
+                   abs(CAST(cents AS DOUBLE) - med)
+                       > 3.0 * (1.4826 * mad) AS is_anomaly
+            FROM m2 ORDER BY day
+        """,
+        "gear_cdc_chunks": """
+            WITH RECURSIVE
+            pw(k, v) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT k + 1, v * 2 FROM pw WHERE k < 63),
+            pos AS (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text))) AS i
+                    FROM documents),
+            hsum AS (SELECT p.doc_id, p.i,
+                         sum(((CAST(unicode(substr(p.text, p.i - pw.k,
+                                  1)) AS HUGEINT) + 1)
+                              * 11400714819323198485
+                              % 18446744073709551616) * pw.v
+                             % 18446744073709551616)
+                         % 18446744073709551616 AS h
+                     FROM pos p JOIN pw ON pw.k <= p.i - 1
+                     GROUP BY p.doc_id, p.i),
+            hb AS (SELECT doc_id, i FROM hsum WHERE h % 64 = 0),
+            -- DISTINCT, not UNION: DuckDB 1.0 degrades a plain UNION
+            -- inside a WITH RECURSIVE cte list to UNION ALL
+            edges AS (SELECT DISTINCT doc_id, i FROM
+                      (SELECT doc_id, i FROM hb
+                       UNION ALL
+                       SELECT doc_id, length(text) FROM documents
+                       WHERE length(text) > 0)),
+            ordered AS (SELECT doc_id, i,
+                            row_number() OVER (PARTITION BY doc_id
+                                ORDER BY i) - 1 AS chunk_idx,
+                            COALESCE(lag(i) OVER (PARTITION BY doc_id
+                                ORDER BY i), 0) AS prev
+                        FROM edges)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(prev + 1 AS BIGINT) AS start,
+                   CAST(i - prev AS BIGINT) AS len
+            FROM ordered ORDER BY doc_id, chunk_idx
         """,
     }
 

@@ -85,7 +85,9 @@ ULP_TOL = {"user_type_entropy": 1e-14,
            # DuckDB's engine-chosen SUM order (3 iterations compound
            # the last-bit drift); KS p-values go through libm exp
            "huber_trend": 1e-9,
-           "fdr_bh": 1e-12}
+           "fdr_bh": 1e-12,
+           # wave 39: Fellegi-Sunter weights go through libm log2
+           "fs_weights": 1e-12}
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:

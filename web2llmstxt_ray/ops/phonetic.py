@@ -362,3 +362,88 @@ def entity_resolution(names_ds: ray.data.Dataset, col: str = "name",
                                       "cluster_size"])
     out["cluster_size"] = out["cluster_size"].astype("int64")
     return out.sort_values("name").reset_index(drop=True)
+
+
+def fs_weights(names_ds: ray.data.Dataset, truth_ds: ray.data.Dataset,
+               col: str = "name") -> pd.DataFrame:
+    """Fellegi-Sunter agreement weights — the probabilistic scoring
+    layer of record linkage: over the blocked candidate-pair space
+    (first-char + length±1, the :func:`jw_self_join` blocking), each
+    pair's agreement PATTERN on three cheap comparators
+    (Soundex-equal, length-equal, first-token-equal) gets the
+    log-likelihood-ratio weight
+
+        w(pattern) = log2( m(pattern) / u(pattern) ),
+
+    m = P(pattern | match) from the truth pairs, u = P(pattern |
+    non-match) from the remaining candidates — add-one smoothed
+    ((c+1)/(n+2)) so empty cells stay finite. Counts are exact
+    integers folded from per-block partials (truth membership checks
+    against a broadcast truth set — O(truth) state); the single
+    log2-of-a-ratio-of-two-int-divisions float is replayed verbatim
+    by the SQL twin. Output one row per pattern 0..7:
+    (pattern, f_soundex, f_len, f_first, n_match, n_nonmatch,
+    m_prob, u_prob, weight)."""
+    import math
+
+    truth_pd = truth_ds.to_pandas()
+    truth_set = set(zip(truth_pd["a"], truth_pd["b"]))
+    tref = ray.put(truth_set)
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        names = b[col].to_numpy()
+        first = np.array([n[:1] for n in names])
+        ln = np.array([len(n) for n in names], dtype=np.int64)
+        home = pd.DataFrame({"name": names, "first": first,
+                             "blen": ln, "guest": False})
+        guest = pd.DataFrame({"name": names, "first": first,
+                              "blen": ln - 1, "guest": True})
+        return pd.concat([home, guest], ignore_index=True)
+
+    def pattern_of(a: str, b: str) -> int:
+        f1 = int(soundex(a) == soundex(b))
+        f2 = int(len(a) == len(b))
+        f3 = int(a.split(" ", 1)[0] == b.split(" ", 1)[0])
+        return 4 * f1 + 2 * f2 + f3
+
+    def count_block(g: pd.DataFrame) -> pd.DataFrame:
+        ts = ray.get(tref)
+        anchors = sorted(g.loc[~g["guest"], "name"])
+        guests = sorted(g.loc[g["guest"], "name"])
+        mc = np.zeros(8, dtype=np.int64)
+        uc = np.zeros(8, dtype=np.int64)
+        for i, a in enumerate(anchors):
+            for b2 in anchors[i + 1:]:
+                x, y = (a, b2) if a < b2 else (b2, a)
+                (mc if (x, y) in ts else uc)[pattern_of(x, y)] += 1
+            for b2 in guests:
+                x, y = (a, b2) if a < b2 else (b2, a)
+                (mc if (x, y) in ts else uc)[pattern_of(x, y)] += 1
+        return pd.DataFrame({"pattern": np.arange(8, dtype=np.int64),
+                             "n_match": mc, "n_nonmatch": uc})
+
+    parts = (_distinct(names_ds, col)
+             .map_batches(expand, batch_format="pandas")
+             .groupby(["first", "blen"])
+             .map_groups(count_block, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("pattern", as_index=False)[
+        ["n_match", "n_nonmatch"]].sum()
+    full = pd.DataFrame({"pattern": np.arange(8, dtype=np.int64)})
+    agg = full.merge(agg, on="pattern", how="left").fillna(0)
+    mn = int(agg["n_match"].sum())
+    un = int(agg["n_nonmatch"].sum())
+    rows = []
+    for _, r in agg.iterrows():
+        pat = int(r["pattern"])
+        mc, uc = int(r["n_match"]), int(r["n_nonmatch"])
+        m_prob = float(mc + 1) / float(mn + 2)
+        u_prob = float(uc + 1) / float(un + 2)
+        rows.append((pat, pat // 4, (pat // 2) % 2, pat % 2, mc, uc,
+                     m_prob, u_prob, math.log2(m_prob / u_prob)))
+    return pd.DataFrame(rows, columns=[
+        "pattern", "f_soundex", "f_len", "f_first", "n_match",
+        "n_nonmatch", "m_prob", "u_prob", "weight"]).astype({
+            "pattern": "int64", "f_soundex": "int64", "f_len": "int64",
+            "f_first": "int64", "n_match": "int64",
+            "n_nonmatch": "int64"})

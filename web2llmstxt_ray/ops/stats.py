@@ -2151,3 +2151,62 @@ def grouped_ks_fdr(ds: ray.data.Dataset, value_col: str,
     return out.astype({"n_g": "int64", "n_rest": "int64",
                        "ks_num": "int64", "bh_rank": "int64"}) \
         .sort_values("group").reset_index(drop=True)
+
+
+def isotonic_calibration(ds: ray.data.Dataset, value_col: str,
+                         label_col: str, positive: str,
+                         bin_width: float = 10.0,
+                         n_bins: int = 10) -> pd.DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of a binary
+    rate over value bins — the PAVA fit that turns a noisy
+    rate-by-bucket curve into the best monotone step function (the
+    calibration layer over a raw model score). Bins:
+    ``min(floor(value / bin_width), n_bins − 1)``.
+
+    Deterministic replay recipe: the corpus collapses to per-bin
+    ``(n, n_pos)`` integer partials in one streaming pass; PAVA runs
+    on the driver over O(bins) pools. The SQL twin does NOT simulate
+    the pool-merge loop — it evaluates the equivalent minimax
+    characterization ``iso[i] = max_{j≤i} min_{k≥i}
+    mean(pos, j..k)`` over the same prefix sums, every candidate mean
+    being ONE double division of exact ints, which is bit-equal to
+    the pooled mean PAVA computes for the winning pool. The identity
+    holds for real numbers; the only way doubles can diverge is two
+    distinct rational means rounding together — the inter-mean margin
+    is pytest-asserted. Output per bin: (bin, n, n_pos, rate,
+    iso_rate)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(np.float64)
+        binv = np.minimum(np.floor(v / bin_width),
+                          n_bins - 1).astype(np.int64)
+        pos = (b[label_col] == positive).to_numpy().astype(np.int64)
+        g = pd.DataFrame({"bin": binv, "n": 1, "n_pos": pos})
+        return g.groupby("bin", as_index=False)[["n", "n_pos"]].sum()
+
+    parts = ds.select_columns([value_col, label_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    agg = parts.groupby("bin", as_index=False)[["n", "n_pos"]].sum() \
+        .sort_values("bin").reset_index(drop=True)
+    # PAVA over pools of (sum_pos, sum_n): merge while decreasing
+    pools: list[list] = []     # [bin_start, n, pos]
+    for _, r in agg.iterrows():
+        pools.append([int(r["bin"]), int(r["n"]), int(r["n_pos"])])
+        while len(pools) > 1 and \
+                (pools[-2][2] / pools[-2][1]
+                 >= pools[-1][2] / pools[-1][1]):
+            b2 = pools.pop()
+            pools[-1][1] += b2[1]
+            pools[-1][2] += b2[2]
+    iso = {}
+    for i, (start, n, p) in enumerate(pools):
+        end = pools[i + 1][0] if i + 1 < len(pools) else None
+        val = p / n
+        for b in agg["bin"]:
+            if b >= start and (end is None or b < end):
+                iso[int(b)] = val
+    out = agg.copy()
+    out["rate"] = [p / n for p, n in zip(out["n_pos"], out["n"])]
+    out["iso_rate"] = [iso[int(b)] for b in out["bin"]]
+    return out.astype({"bin": "int64", "n": "int64",
+                       "n_pos": "int64"})

@@ -321,3 +321,74 @@ def excise_shared_substrings(
 
     return ds.map_batches(_Excise, batch_format="pyarrow",
                           concurrency=(1, 8), num_cpus=0.5)
+
+
+_GEAR_MULT = 11400714819323198485        # 2^64 / φ (Fibonacci hashing)
+_GEAR_WINDOW = 64
+_M64 = (1 << 64) - 1
+
+
+def gear_hash_boundaries(text: str, mask_bits: int = 6) -> np.ndarray:
+    """Content-defined chunk boundaries via a gear rolling hash: at
+    char position i (1-based), ``h_i = Σ_{k=0..min(i,64)−1}
+    2^k · G(cp_{i−k}) mod 2^64`` with ``G(cp) = (cp+1)·(2^64/φ) mod
+    2^64``; i is a boundary iff ``h_i mod 2^mask_bits == 0``. Because
+    the shift multiplier is 2, only the last 64 chars ever influence
+    ``h`` (higher terms wrap to zero) — the windowed-SUM form, which
+    is why the SQL twin is a position×offset JOIN, not a recursion.
+    Vectorized: 64 shifted adds over the codepoint array."""
+    if not text:
+        return np.zeros(0, dtype=np.int64)
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.uint64)
+    g = (cp + np.uint64(1)) * np.uint64(_GEAR_MULT)    # wraps mod 2^64
+    n = len(g)
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(min(_GEAR_WINDOW, n)):
+        h[k:] += g[:n - k] << np.uint64(k)             # wraps mod 2^64
+    mask = np.uint64((1 << mask_bits) - 1)
+    return (np.nonzero((h & mask) == 0)[0] + 1).astype(np.int64)
+
+
+def gear_cdc_chunks(ds: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    mask_bits: int = 6) -> pd.DataFrame:
+    """Content-defined chunking (the FastCDC/gear family) — THE
+    shift-robust dedup segmentation: fixed-width shingles break when
+    one char is inserted, but gear boundaries are functions of local
+    CONTENT, so identical passages chunk identically at any offset
+    and cross-document duplicate passages collapse to equal chunks.
+    Emits one row per chunk: (doc_id, chunk_idx, start, len) with
+    1-based ``start``; a boundary at position i ENDS the chunk at i,
+    and the tail after the last boundary is the final chunk.
+
+    Scale shape: a pure map — every document chunks independently
+    inside ``map_batches`` (the 64-shifted-add kernel), no shuffle,
+    no state; downstream dedup is one groupby on the chunk hash.
+    Exact integer arithmetic throughout (the uint64 wrap IS the mod),
+    hash-identical at any partitioning."""
+
+    def per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, starts, lens = [], [], [], []
+        for did, text in zip(b[id_col].astype("int64"), b[text_col]):
+            bounds = gear_hash_boundaries(text, mask_bits)
+            edges = list(bounds)
+            if len(text) and (not edges or edges[-1] != len(text)):
+                edges.append(len(text))
+            prev = 0
+            for ci, e in enumerate(edges):
+                ids.append(int(did))
+                idxs.append(ci)
+                starts.append(prev + 1)
+                lens.append(int(e) - prev)
+                prev = int(e)
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "chunk_idx": pd.Series(idxs, dtype="int64"),
+            "start": pd.Series(starts, dtype="int64"),
+            "len": pd.Series(lens, dtype="int64")})
+
+    out = ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pandas").to_pandas()
+    return out.sort_values([id_col, "chunk_idx"]) \
+        .reset_index(drop=True)

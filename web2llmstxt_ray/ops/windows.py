@@ -2144,3 +2144,47 @@ def huber_trend(ds: ray.data.Dataset, ts_col: str = "o_orderdate",
         "scale": [scale], "delta": [delta],
         "huber_slope": [b_h], "huber_intercept": [a_h],
         "n_downweighted": pd.Series([n_down], dtype="int64")})
+
+
+def hampel_anomalies(ds: ray.data.Dataset,
+                     ts_col: str = "o_orderdate",
+                     value_col: str = "o_totalprice",
+                     half_window: int = 3,
+                     k_sigma: float = 3.0) -> pd.DataFrame:
+    """Hampel filter over the daily value-sum series: a day is
+    anomalous when it sits more than ``k_sigma`` robust sigmas
+    (1.4826·MAD) from the CENTERED rolling median of its ±
+    ``half_window``-day neighborhood (edge windows truncate) — the
+    local-context outlier read that a global MAD threshold misses
+    when the series has level shifts.
+
+    Order statistics use the explicit lower-nearest-rank rule
+    ``sorted[floor((n−1)/2)]`` — DuckDB ``quantile_disc(0.5)``
+    semantics, so the SQL twin's correlated window subqueries replay
+    the medians verbatim; the flag boundary margin
+    ``||x − med| − k·1.4826·mad|`` is pytest-asserted. Distributed
+    part: the additive daily-cents fold (:func:`_daily_cents_series`);
+    the filter is O(days · window) driver arithmetic. Output per day:
+    (day, cents, med, mad, threshold, is_anomaly)."""
+    days, cents = _daily_cents_series(ds, ts_col, value_col)
+    n = len(days)
+    day_idx = {int(d): i for i, d in enumerate(days)}
+    med = np.empty(n, dtype=np.float64)
+    mad = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        lo_day, hi_day = int(days[i]) - half_window, \
+            int(days[i]) + half_window
+        sel = [day_idx[d] for d in range(lo_day, hi_day + 1)
+               if d in day_idx]
+        w = np.sort(cents[sel])
+        m = float(w[(len(w) - 1) // 2])
+        med[i] = m
+        aw = np.sort(np.abs(cents[sel].astype(np.float64) - m))
+        mad[i] = float(aw[(len(aw) - 1) // 2])
+    thresh = k_sigma * (1.4826 * mad)
+    dev = np.abs(cents.astype(np.float64) - med)
+    return pd.DataFrame({
+        "day": pd.Series(days, dtype="int64"),
+        "cents": pd.Series(cents, dtype="int64"),
+        "med": med, "mad": mad, "threshold": thresh,
+        "is_anomaly": dev > thresh})
