@@ -6559,6 +6559,55 @@ def q_gear_cdc_chunks(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "documents", ["doc_id", "text"]), mask_bits=6)
 
 
+def q_max_revenue_run(sf_dir: str) -> pd.DataFrame:
+    """Maximum-sum contiguous run of centered daily revenue (Kadane)
+    — exact integers via the n·cents−total scaling; the SQL twin
+    replays the prefix-min identity with window functions, no scan
+    state. See :func:`ops.windows.max_revenue_run`."""
+    from web2llmstxt_ray.ops.windows import max_revenue_run
+
+    return max_revenue_run(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
+
+
+def q_voptimal_histogram(sf_dir: str) -> pd.DataFrame:
+    """V-optimal 6-bucket histogram of the daily order-count series —
+    the DP-optimal contiguous partition (equi-width/equi-depth are
+    heuristics). Exact int64 prefix moments; the DP unrolls as six
+    join-min CTEs in the SQL twin, ties to the smallest split. See
+    :func:`ops.windows.voptimal_histogram`."""
+    from web2llmstxt_ray.ops.windows import voptimal_histogram
+
+    return voptimal_histogram(
+        _t(sf_dir, "orders", ["o_orderdate", "o_orderkey"]),
+        n_buckets=6)
+
+
+def q_subsequence_counts(sf_dir: str) -> pd.DataFrame:
+    """ALL-subsequence view→click→purchase chain counts per user —
+    combinatorial chain mass, not first-journey funnels; the exact
+    integer DP that SQL replays with running sums alone. See
+    :func:`ops.events.subsequence_counts`."""
+    from web2llmstxt_ray.ops.events import subsequence_counts
+
+    return subsequence_counts(
+        _t(sf_dir, "events",
+           ["event_id", "user_id", "event_type", "ts"]))
+
+
+def q_hilbert_order(sf_dir: str) -> pd.DataFrame:
+    """Hilbert-curve index of parts on the (price, size) grid — the
+    locality-preserving storage order complementing the Z-order
+    machinery (no Morton diagonal jumps). Integer bit arithmetic per
+    step; the SQL twin's recursive CTE replays all 16 rotate steps.
+    See :func:`ops.layout.hilbert_order`."""
+    from web2llmstxt_ray.ops.layout import hilbert_order
+
+    return hilbert_order(
+        _t(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"]),
+        "p_partkey", "p_retailprice", "p_size", order=16)
+
+
 # The driver's correctness artifact covers the FIRST 50 entries of
 # queries() in dict order. Round-5 window (the round-4 verdict's
 # rotation ask): 50 queries NO prior driver artifact (r1-r4) has
@@ -6948,6 +6997,11 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "fs_weights": q_fs_weights,
         "hampel_anomalies": q_hampel_anomalies,
         "gear_cdc_chunks": q_gear_cdc_chunks,
+        # wave 40: DP + sequence-mass + layout families
+        "max_revenue_run": q_max_revenue_run,
+        "voptimal_histogram": q_voptimal_histogram,
+        "subsequence_counts": q_subsequence_counts,
+        "hilbert_order": q_hilbert_order,
     }
 
 
@@ -13294,6 +13348,185 @@ def oracle_sql() -> dict[str, str]:
                    CAST(prev + 1 AS BIGINT) AS start,
                    CAST(i - prev AS BIGINT) AS len
             FROM ordered ORDER BY doc_id, chunk_idx
+        """,
+        # wave 40: DP + sequence-mass + layout families
+        "max_revenue_run": """
+            WITH d AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT)
+                           // 86400000000 AS day,
+                           CAST(round(o_totalprice * 100) AS BIGINT)
+                               AS cents
+                       FROM orders),
+            s AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents
+                  FROM d GROUP BY day),
+            mm AS (SELECT count(*) AS n,
+                       CAST(sum(cents) AS BIGINT) AS total FROM s),
+            p AS (SELECT day,
+                      row_number() OVER (ORDER BY day) AS i,
+                      sum(CAST(cents AS HUGEINT) * mm.n - mm.total)
+                          OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS pi
+                  FROM s, mm),
+            scored AS (SELECT p.i, p.pi,
+                           least(CAST(0 AS HUGEINT),
+                               COALESCE(min(p.pi) OVER (ORDER BY p.i
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING),
+                                   CAST(0 AS HUGEINT))) AS m
+                       FROM p),
+            withj AS (SELECT i, pi, m, pi - m AS score,
+                          CASE WHEN m = 0 THEN 0
+                               ELSE (SELECT min(p2.i) FROM p p2
+                                     WHERE p2.i < scored.i
+                                       AND p2.pi = scored.m) END AS j
+                      FROM scored),
+            best AS (SELECT i AS ei, j AS sj, score FROM withj
+                     ORDER BY score DESC, i LIMIT 1)
+            SELECT CAST(mm.n AS BIGINT) AS n_days,
+                   (SELECT day FROM p WHERE i = best.sj + 1)
+                       AS start_day,
+                   (SELECT day FROM p WHERE i = best.ei) AS end_day,
+                   CAST(best.ei - best.sj AS BIGINT) AS run_days,
+                   CAST(best.score AS BIGINT) AS run_sum_scaled
+            FROM best, mm
+        """,
+        "voptimal_histogram": """
+            WITH d AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT)
+                           // 86400000000 AS day FROM orders),
+            s AS (SELECT day, count(*) AS v FROM d GROUP BY day),
+            idx AS (SELECT day, v,
+                        row_number() OVER (ORDER BY day) AS i FROM s),
+            pre1 AS (SELECT i, day,
+                         sum(v) OVER (ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sv,
+                         sum(v * v) OVER (ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS qv
+                     FROM idx),
+            pre AS (SELECT CAST(0 AS BIGINT) AS i,
+                        CAST(NULL AS BIGINT) AS day,
+                        CAST(0 AS BIGINT) AS sv, CAST(0 AS BIGINT)
+                        AS qv
+                    UNION ALL
+                    SELECT i, day, CAST(sv AS BIGINT),
+                        CAST(qv AS BIGINT) FROM pre1),
+            cost AS (SELECT j.i AS j, k.i AS i,
+                         CAST(k.qv - j.qv AS DOUBLE)
+                             - CAST((k.sv - j.sv) * (k.sv - j.sv)
+                                    AS DOUBLE)
+                               / CAST(k.i - j.i AS DOUBLE) AS c
+                     FROM pre j JOIN pre k ON j.i < k.i),
+            dp1 AS (SELECT i, c AS v, j FROM cost WHERE j = 0),
+            dp2 AS (SELECT i, v, j FROM (SELECT c.i, d1.v + c.c AS v,
+                        c.j, row_number() OVER (PARTITION BY c.i
+                            ORDER BY d1.v + c.c, c.j) AS rn
+                        FROM cost c JOIN dp1 d1 ON d1.i = c.j)
+                    WHERE rn = 1),
+            dp3 AS (SELECT i, v, j FROM (SELECT c.i, d2.v + c.c AS v,
+                        c.j, row_number() OVER (PARTITION BY c.i
+                            ORDER BY d2.v + c.c, c.j) AS rn
+                        FROM cost c JOIN dp2 d2 ON d2.i = c.j)
+                    WHERE rn = 1),
+            dp4 AS (SELECT i, v, j FROM (SELECT c.i, d3.v + c.c AS v,
+                        c.j, row_number() OVER (PARTITION BY c.i
+                            ORDER BY d3.v + c.c, c.j) AS rn
+                        FROM cost c JOIN dp3 d3 ON d3.i = c.j)
+                    WHERE rn = 1),
+            dp5 AS (SELECT i, v, j FROM (SELECT c.i, d4.v + c.c AS v,
+                        c.j, row_number() OVER (PARTITION BY c.i
+                            ORDER BY d4.v + c.c, c.j) AS rn
+                        FROM cost c JOIN dp4 d4 ON d4.i = c.j)
+                    WHERE rn = 1),
+            dp6 AS (SELECT i, v, j FROM (SELECT c.i, d5.v + c.c AS v,
+                        c.j, row_number() OVER (PARTITION BY c.i
+                            ORDER BY d5.v + c.c, c.j) AS rn
+                        FROM cost c JOIN dp5 d5 ON d5.i = c.j)
+                    WHERE rn = 1),
+            nn AS (SELECT max(i) AS n FROM pre),
+            b5 AS (SELECT d.j AS b FROM dp6 d, nn WHERE d.i = nn.n),
+            b4 AS (SELECT d.j AS b FROM dp5 d, b5 WHERE d.i = b5.b),
+            b3 AS (SELECT d.j AS b FROM dp4 d, b4 WHERE d.i = b4.b),
+            b2 AS (SELECT d.j AS b FROM dp3 d, b3 WHERE d.i = b3.b),
+            b1 AS (SELECT d.j AS b FROM dp2 d, b2 WHERE d.i = b2.b),
+            cuts AS (SELECT 0 AS bucket, 0 AS lo, b1.b AS hi FROM b1
+                     UNION ALL SELECT 1, b1.b, b2.b FROM b1, b2
+                     UNION ALL SELECT 2, b2.b, b3.b FROM b2, b3
+                     UNION ALL SELECT 3, b3.b, b4.b FROM b3, b4
+                     UNION ALL SELECT 4, b4.b, b5.b FROM b4, b5
+                     UNION ALL SELECT 5, b5.b, nn.n FROM b5, nn)
+            SELECT CAST(c.bucket AS BIGINT) AS bucket,
+                   (SELECT day FROM pre WHERE i = c.lo + 1)
+                       AS start_day,
+                   (SELECT day FROM pre WHERE i = c.hi) AS end_day,
+                   CAST(c.hi - c.lo AS BIGINT) AS n_days,
+                   CAST((SELECT sv FROM pre WHERE i = c.hi)
+                        - (SELECT sv FROM pre WHERE i = c.lo)
+                        AS BIGINT) AS sum_count,
+                   CAST((SELECT qv FROM pre WHERE i = c.hi)
+                        - (SELECT qv FROM pre WHERE i = c.lo)
+                        AS DOUBLE)
+                       - CAST(((SELECT sv FROM pre WHERE i = c.hi)
+                               - (SELECT sv FROM pre WHERE i = c.lo))
+                              * ((SELECT sv FROM pre WHERE i = c.hi)
+                                 - (SELECT sv FROM pre WHERE i = c.lo))
+                              AS DOUBLE)
+                         / CAST(c.hi - c.lo AS DOUBLE) AS sse
+            FROM cuts c ORDER BY bucket
+        """,
+        "subsequence_counts": """
+            WITH w1 AS (SELECT user_id, event_type,
+                            sum(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END)
+                                OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS c1,
+                            ts, event_id
+                        FROM events),
+            w2 AS (SELECT *, sum(CASE WHEN event_type = 'click'
+                       THEN c1 ELSE 0 END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c2
+                   FROM w1)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'view'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                        THEN c1 ELSE 0 END) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN c2 ELSE 0 END) AS BIGINT) AS n_chains
+            FROM w2 GROUP BY user_id ORDER BY user_id
+        """,
+        "hilbert_order": """
+            WITH RECURSIVE
+            pts AS (SELECT p_partkey AS id,
+                        CAST(floor(p_retailprice + 0.5) AS BIGINT)
+                            % 65536 AS hx,
+                        CAST(p_size AS BIGINT) % 65536 AS hy
+                    FROM part),
+            st(id, x, y, d, s) AS (
+                SELECT id, hx, hy, CAST(0 AS BIGINT),
+                       CAST(32768 AS BIGINT) FROM pts
+                UNION ALL
+                SELECT id,
+                    CASE WHEN (y & s) >= 1 THEN x
+                         WHEN (x & s) >= 1 THEN s - 1 - y
+                         ELSE y END,
+                    CASE WHEN (y & s) >= 1 THEN y
+                         WHEN (x & s) >= 1 THEN s - 1 - x
+                         ELSE x END,
+                    d + s * s * xor(3 * (CASE WHEN (x & s) >= 1
+                        THEN 1 ELSE 0 END),
+                        CASE WHEN (y & s) >= 1 THEN 1 ELSE 0 END),
+                    s // 2
+                FROM st WHERE s > 0)
+            SELECT p.id AS p_partkey, p.hx, p.hy,
+                   st.d AS hilbert_d
+            FROM st JOIN pts p ON p.id = st.id
+            WHERE st.s = 0 ORDER BY p.id
         """,
     }
 

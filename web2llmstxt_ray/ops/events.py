@@ -11,6 +11,7 @@ funnel counters), never the raw event stream again.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data
 
@@ -1332,3 +1333,57 @@ def markov_stationary(ds: ray.data.Dataset, iters: int = 4,
         "mass_fp": pd.Series([x[s] for s in states], dtype="int64"),
         "prob": [x[s] / total for s in states],
     })
+
+
+def subsequence_counts(ds: ray.data.Dataset,
+                       pattern: tuple = ("view", "click", "purchase"),
+                       user_col: str = "user_id",
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       num_buckets: int = 64) -> pd.DataFrame:
+    """ALL-subsequence pattern counting per user — how many distinct
+    (not necessarily contiguous) view→click→purchase chains does each
+    user's stream contain? The funnel operators count whether/when a
+    journey happened; this counts combinatorial chain MASS (the
+    engagement-intensity read; also the classic DP that SQL replays
+    with nothing but running sums).
+
+    Exact recurrence in (ts, id) order: c₁ += [view]; on a click,
+    c₂ += c₁; on a purchase, c₃ += c₂ — all integers, so the result
+    is hash-identical under any partitioning. One bucketed shuffle
+    co-locates each user's events (the ``transition_counts`` shape);
+    inside a bucket the recurrence vectorizes as three cumulative
+    sums. Output per user: (user_id, n_first, n_pairs, n_chains) —
+    cumulative counts of pattern prefixes of length 1, 2, 3."""
+    p1, p2, p3 = pattern
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([user_col, ts_col, id_col], kind="stable")
+        users = g[user_col].to_numpy()
+        et = g[type_col].to_numpy()
+        is1 = (et == p1).astype(np.int64)
+        is2 = (et == p2).astype(np.int64)
+        is3 = (et == p3).astype(np.int64)
+        # per-user cumulative c1; value AT each row = views so far
+        df = pd.DataFrame({"u": users, "is1": is1, "is2": is2,
+                           "is3": is3})
+        c1 = df.groupby("u", sort=False)["is1"].cumsum()
+        inc2 = is2 * c1.to_numpy()              # click joins c1 chains
+        df["inc2"] = inc2
+        c2 = df.groupby("u", sort=False)["inc2"].cumsum()
+        inc3 = is3 * c2.to_numpy()              # purchase joins c2
+        df["inc3"] = inc3
+        out = df.groupby("u", sort=False).agg(
+            n_first=("is1", "sum"), n_pairs=("inc2", "sum"),
+            n_chains=("inc3", "sum")).reset_index()
+        return out.rename(columns={"u": user_col})
+
+    parts = (_add_key_bucket(
+        ds.select_columns([id_col, user_col, type_col, ts_col]),
+        user_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas")
+        .to_pandas())
+    out = parts.astype({user_col: "int64", "n_first": "int64",
+                        "n_pairs": "int64", "n_chains": "int64"})
+    return out.sort_values(user_col).reset_index(drop=True)

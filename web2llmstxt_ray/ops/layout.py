@@ -500,3 +500,60 @@ def jump_hash_shards(ds: ray.data.Dataset, key_col: str,
         ["n_old", "n_new", "moved_in"]].sum()
     return out.astype("int64").sort_values("shard") \
         .reset_index(drop=True)
+
+
+def hilbert_d_vec(x: np.ndarray, y: np.ndarray,
+                  order: int = 16) -> np.ndarray:
+    """2-D Hilbert-curve index of (x, y) on a 2^order × 2^order grid
+    (the locality-preserving alternative to the Z-order/Morton layout
+    above — no long diagonal jumps, so range scans touch fewer
+    blocks). Standard iterative rotate-and-accumulate, vectorized;
+    every step is integer bit arithmetic, so the SQL twin's unrolled
+    recursion replays it exactly."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros(len(x), dtype=np.int64)
+    s = np.int64(1 << (order - 1))
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x2 = np.where(swap, y_f, x_f)
+        y2 = np.where(swap, x_f, y_f)
+        x, y = x2, y2
+        s >>= 1
+    return d
+
+
+def hilbert_order(ds: ray.data.Dataset, id_col: str, x_col: str,
+                  y_col: str, order: int = 16) -> pd.DataFrame:
+    """Hilbert index per row over integer-quantized (x, y): output
+    (id, hx, hy, hilbert_d) ordered by id, with ``hx = round(x) mod
+    2^order`` and ``hy = y mod 2^order`` (documented so the SQL twin
+    replays the quantization verbatim). Pure map — no shuffle; sorting
+    or range-partitioning by ``hilbert_d`` is the storage-layout step
+    downstream (see ``write_zorder_partitioned`` for the Morton
+    machinery this complements)."""
+
+    def per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        # floor(x + 0.5), not rint: SQL round() is half-AWAY (half-up
+        # for positives) while numpy rint is half-to-even — .50 prices
+        # exist in this data, so the conventions must match
+        hx = np.floor(b[x_col].to_numpy(np.float64) + 0.5) \
+            .astype(np.int64) % (1 << order)
+        hy = b[y_col].to_numpy().astype(np.int64) % (1 << order)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "hx": hx, "hy": hy,
+            "hilbert_d": hilbert_d_vec(hx, hy, order)})
+
+    out = ds.select_columns([id_col, x_col, y_col]).map_batches(
+        per_batch, batch_format="pandas").to_pandas()
+    return out.astype({id_col: "int64", "hx": "int64", "hy": "int64",
+                       "hilbert_d": "int64"}) \
+        .sort_values(id_col).reset_index(drop=True)

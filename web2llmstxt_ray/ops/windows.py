@@ -2188,3 +2188,133 @@ def hampel_anomalies(ds: ray.data.Dataset,
         "cents": pd.Series(cents, dtype="int64"),
         "med": med, "mad": mad, "threshold": thresh,
         "is_anomaly": dev > thresh})
+
+
+def max_revenue_run(ds: ray.data.Dataset,
+                    ts_col: str = "o_orderdate",
+                    value_col: str = "o_totalprice") -> pd.DataFrame:
+    """Maximum-sum contiguous run of CENTERED daily revenue — "which
+    stretch of days most outperformed the average?" (Kadane's
+    problem). Deviations are kept integral by scaling:
+    ``d_i = n·cents_i − Σcents`` (sums to zero exactly), so the whole
+    computation is exact integer arithmetic and ANY partitioning or
+    SQL replay is bit-identical. The replay form is the prefix-min
+    identity (no sequential scan state): with ``P_i`` the prefix sum
+    of d, ``best = max_i (P_i − min_{j<i} P_j)``; ties resolve to the
+    smallest end day, then the smallest start (= the smallest argmin
+    prefix). Output one row: (n_days, start_day, end_day, run_days,
+    run_sum_scaled) — run_sum_scaled is in n·cents units.
+
+    Distributed part: the additive daily-cents fold
+    (:func:`_daily_cents_series`); the scan is O(days) driver ints."""
+    days, cents = _daily_cents_series(ds, ts_col, value_col)
+    n = len(days)
+    if n == 0:
+        return pd.DataFrame({
+            "n_days": pd.Series([0], dtype="int64"),
+            "start_day": pd.Series([0], dtype="int64"),
+            "end_day": pd.Series([0], dtype="int64"),
+            "run_days": pd.Series([0], dtype="int64"),
+            "run_sum_scaled": pd.Series([0], dtype="int64")})
+    total = int(cents.sum())
+    d = [int(c) * n - total for c in cents]
+    best = None                  # (−score, end_idx, start_idx)
+    pmin, pmin_idx = 0, 0        # min prefix among j < i, smallest j
+    p = 0
+    for i in range(1, n + 1):
+        p += d[i - 1]
+        score = p - pmin
+        cand = (-score, i, pmin_idx)
+        if best is None or cand < best:
+            best = cand
+        if p < pmin:                # strict: keep the EARLIEST argmin
+            pmin, pmin_idx = p, i
+    score, end_i, start_j = -best[0], best[1], best[2]
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype="int64"),
+        "start_day": pd.Series([int(days[start_j])], dtype="int64"),
+        "end_day": pd.Series([int(days[end_i - 1])], dtype="int64"),
+        "run_days": pd.Series([end_i - start_j], dtype="int64"),
+        "run_sum_scaled": pd.Series([score], dtype="int64")})
+
+
+def voptimal_histogram(ds: ray.data.Dataset, n_buckets: int = 6,
+                       ts_col: str = "o_orderdate",
+                       id_col: str = "o_orderkey") -> pd.DataFrame:
+    """V-optimal histogram of the daily ORDER-COUNT series: partition
+    the day axis into ``n_buckets`` CONTIGUOUS buckets minimizing
+    total within-bucket SSE — the DP optimum a query optimizer wants
+    where equi-width/equi-depth are only heuristics.
+
+    Deterministic replay recipe: counts keep every moment inside
+    int64 (Σv² over the calendar ≪ 2⁶³, unlike revenue cents — the
+    reason this operator is defined over counts), so segment cost
+    ``cost(a..b) = double(q) − double(s·s)/double(len)`` is built
+    from EXACT integer prefix differences and evaluates the identical
+    float expression in the SQL twin; the DP ``dp_k[i] = min_j
+    dp_{k−1}[j] + cost(j+1..i)`` unrolls as k join-min CTEs, ties to
+    the smallest split j (numpy argmin-first == SQL (v, j) min).
+    O(days²·k) vectorized work on O(days) state — bounded by
+    calendar, not corpus. Output per bucket: (bucket, start_day,
+    end_day, n_days, sum_count, sse)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b[ts_col].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        day = us // np.int64(86_400_000_000)
+        return pd.DataFrame({"day": day}).groupby(
+            "day", as_index=False).size().rename(columns={"size": "v"})
+
+    parts = ds.select_columns([ts_col, id_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    agg = parts.groupby("day", as_index=False)["v"].sum() \
+        .sort_values("day")
+    days = agg["day"].to_numpy(np.int64)
+    vals = agg["v"].to_numpy(np.int64)
+    n = len(days)
+    k = min(n_buckets, n)
+    if n == 0:
+        out = pd.DataFrame({c: pd.Series([], dtype="int64")
+                            for c in ("bucket", "start_day", "end_day",
+                                      "n_days", "sum_count")})
+        out["sse"] = pd.Series([], dtype="float64")
+        return out
+    S = np.concatenate([[0], np.cumsum(vals)]).astype(np.int64)
+    Q = np.concatenate([[0], np.cumsum(vals * vals)]).astype(np.int64)
+
+    def cost_vec(js: np.ndarray, i: int) -> np.ndarray:
+        s = (S[i] - S[js]).astype(np.int64)
+        q = (Q[i] - Q[js]).astype(np.float64)
+        ln = (i - js).astype(np.float64)
+        return q - (s * s).astype(np.float64) / ln
+
+    INF = float("inf")
+    dp = np.full((k + 1, n + 1), INF, dtype=np.float64)
+    arg = np.zeros((k + 1, n + 1), dtype=np.int64)
+    dp[0][0] = 0.0
+    for kk in range(1, k + 1):
+        for i in range(kk, n + 1):
+            js = np.arange(kk - 1, i, dtype=np.int64)
+            v = dp[kk - 1][js] + cost_vec(js, i)
+            b = int(np.argmin(v))           # first min → smallest j
+            dp[kk][i] = v[b]
+            arg[kk][i] = js[b]
+    bounds = []
+    i = n
+    for kk in range(k, 0, -1):
+        j = int(arg[kk][i])
+        bounds.append((j + 1, i))
+        i = j
+    bounds.reverse()
+    rows = []
+    for b_idx, (a, b) in enumerate(bounds):
+        s = int(S[b] - S[a - 1])
+        q = int(Q[b] - Q[a - 1])
+        sse = float(q) - float(s * s) / float(b - a + 1)
+        rows.append((b_idx, int(days[a - 1]), int(days[b - 1]),
+                     b - a + 1, s, sse))
+    return pd.DataFrame(rows, columns=[
+        "bucket", "start_day", "end_day", "n_days", "sum_count",
+        "sse"]).astype({"bucket": "int64", "start_day": "int64",
+                        "end_day": "int64", "n_days": "int64",
+                        "sum_count": "int64"})
