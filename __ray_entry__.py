@@ -6608,6 +6608,45 @@ def q_hilbert_order(sf_dir: str) -> pd.DataFrame:
         "p_partkey", "p_retailprice", "p_size", order=16)
 
 
+def q_bottomk_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Bottom-k (KMV) set-similarity sketch per source with its OWN
+    ground truth: md5 bottom-32 sketches, the Ĵ estimator, the exact
+    Jaccard, and the error — fully SQL-oracled (md5 is bit-identical
+    in DuckDB; the FNV MinHash tier stays rows-only by design). See
+    :func:`ops.sketch.bottomk_jaccard`."""
+    from web2llmstxt_ray.ops.sketch import bottomk_jaccard
+
+    return bottomk_jaccard(
+        _t(sf_dir, "documents", ["source", "text"]), k=32)
+
+
+def q_merkle_levels(sf_dir: str) -> pd.DataFrame:
+    """Merkle-tree top levels over key-ordered orders — the replica-
+    divergence fingerprint (equal roots ⇒ identical tables; descend
+    on mismatch). Order-preserving range-bucket ranks, four pairing
+    levels per distributed round (16×-aligned group-local subtrees ==
+    global pairing), odd tail promotes unchanged; the SQL twin's
+    recursive CTE replays every md5. See
+    :func:`ops.validate.merkle_levels`."""
+    from web2llmstxt_ray.ops.validate import merkle_levels
+
+    return merkle_levels(
+        _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]))
+
+
+def q_lm_heldout_ppl(sf_dir: str) -> pd.DataFrame:
+    """Held-out bigram perplexity (add-k): train on doc_id % 5 ≠ 0,
+    score the rest — the honest LM eval shape (lm_quality scores its
+    own training corpus). On THIS tiny-vocab synthetic every held-out
+    bigram happens to be covered; the unseen-bigram smoothing branch
+    is proven by a planted test (tests/test_wave41.py). See
+    :func:`ops.lm.lm_heldout_ppl`."""
+    from web2llmstxt_ray.ops.lm import lm_heldout_ppl
+
+    return lm_heldout_ppl(
+        _t(sf_dir, "documents", ["doc_id", "text"]))
+
+
 # The driver's correctness artifact covers the FIRST 50 entries of
 # queries() in dict order. Round-5 window (the round-4 verdict's
 # rotation ask): 50 queries NO prior driver artifact (r1-r4) has
@@ -7002,6 +7041,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "voptimal_histogram": q_voptimal_histogram,
         "subsequence_counts": q_subsequence_counts,
         "hilbert_order": q_hilbert_order,
+        # wave 41: sketch-with-truth + integrity + held-out LM
+        "bottomk_jaccard": q_bottomk_jaccard,
+        "merkle_levels": q_merkle_levels,
+        "lm_heldout_ppl": q_lm_heldout_ppl,
     }
 
 
@@ -13527,6 +13570,129 @@ def oracle_sql() -> dict[str, str]:
                    st.d AS hilbert_d
             FROM st JOIN pts p ON p.id = st.id
             WHERE st.s = 0 ORDER BY p.id
+        """,
+        # wave 41: sketch-with-truth + integrity + held-out LM
+        "bottomk_jaccard": """
+            WITH inc AS (SELECT DISTINCT source, tok FROM
+                (SELECT source, unnest(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')) AS tok FROM documents)),
+            h AS (SELECT source, tok, md5(tok) AS hh FROM inc),
+            sk AS (SELECT source, hh FROM h
+                   QUALIFY row_number() OVER (PARTITION BY source
+                       ORDER BY hh) <= 32),
+            cnts AS (SELECT source, count(*) AS n FROM inc
+                     GROUP BY source),
+            pairs AS (SELECT a.source AS sa, b.source AS sb,
+                          a.n AS na, b.n AS nb
+                      FROM cnts a JOIN cnts b
+                          ON a.source < b.source),
+            usk AS (SELECT DISTINCT p.sa, p.sb, s.hh
+                    FROM pairs p JOIN sk s
+                        ON s.source = p.sa OR s.source = p.sb),
+            ubk AS (SELECT sa, sb, hh FROM usk
+                    QUALIFY row_number() OVER (PARTITION BY sa, sb
+                        ORDER BY hh) <= 32),
+            est AS (SELECT u.sa, u.sb,
+                        sum(CASE WHEN ea.hh IS NOT NULL
+                                  AND eb.hh IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS en,
+                        count(*) AS kk
+                    FROM ubk u
+                    LEFT JOIN sk ea ON ea.source = u.sa
+                                   AND ea.hh = u.hh
+                    LEFT JOIN sk eb ON eb.source = u.sb
+                                   AND eb.hh = u.hh
+                    GROUP BY u.sa, u.sb),
+            exact AS (SELECT a.source AS sa, b.source AS sb,
+                          count(*) AS it
+                      FROM inc a JOIN inc b ON b.source > a.source
+                                           AND b.tok = a.tok
+                      GROUP BY 1, 2)
+            SELECT p.sa AS group_a, p.sb AS group_b,
+                   CAST(p.na AS BIGINT) AS n_a,
+                   CAST(p.nb AS BIGINT) AS n_b,
+                   CAST(e.en AS BIGINT) AS est_num,
+                   CAST(e.en AS DOUBLE) / e.kk AS jaccard_est,
+                   CAST(COALESCE(x.it, 0) AS BIGINT) AS inter,
+                   CAST(p.na + p.nb - COALESCE(x.it, 0) AS BIGINT)
+                       AS uni,
+                   CAST(COALESCE(x.it, 0) AS DOUBLE)
+                       / (p.na + p.nb - COALESCE(x.it, 0))
+                       AS jaccard_exact,
+                   abs(CAST(e.en AS DOUBLE) / e.kk
+                       - CAST(COALESCE(x.it, 0) AS DOUBLE)
+                         / (p.na + p.nb - COALESCE(x.it, 0)))
+                       AS abs_err
+            FROM pairs p JOIN est e ON e.sa = p.sa AND e.sb = p.sb
+            LEFT JOIN exact x ON x.sa = p.sa AND x.sb = p.sb
+            ORDER BY group_a, group_b
+        """,
+        "merkle_levels": """
+            WITH RECURSIVE
+            pw(l, v) AS (SELECT 0, CAST(1 AS HUGEINT)
+                         UNION ALL SELECT l + 1, v * 2 FROM pw
+                         WHERE l < 60),
+            params AS (SELECT count(*) AS n FROM orders),
+            l0 AS (SELECT min(pw.l) AS lv0 FROM pw, params
+                   WHERE pw.l % 4 = 0
+                     AND (params.n + pw.v - 1) // pw.v <= 16),
+            leaves AS (SELECT row_number() OVER (ORDER BY o_orderkey)
+                           - 1 AS idx,
+                           md5(CAST(o_orderkey AS VARCHAR) || ':'
+                               || CAST(CAST(round(o_totalprice * 100)
+                                       AS BIGINT) AS VARCHAR)) AS h
+                       FROM orders),
+            lv(level, idx, h) AS (
+                SELECT CAST(0 AS BIGINT), idx, h FROM leaves
+                UNION ALL
+                SELECT t.level, t.idx, t.h FROM (
+                    WITH cur AS (SELECT * FROM lv),
+                    cc AS (SELECT count(*) AS c FROM cur)
+                    SELECT a.level + 1 AS level, a.idx // 2 AS idx,
+                           md5(a.h || b.h) AS h
+                    FROM cur a JOIN cur b ON b.idx = a.idx + 1, cc
+                    WHERE a.idx % 2 = 0 AND cc.c > 1
+                    UNION ALL
+                    SELECT a.level + 1, a.idx // 2, a.h
+                    FROM cur a, cc
+                    WHERE cc.c > 1 AND cc.c % 2 = 1
+                      AND a.idx = cc.c - 1
+                ) t)
+            SELECT lv.level, lv.idx, lv.h AS node_hash
+            FROM lv, l0 WHERE lv.level >= l0.lv0
+            ORDER BY lv.level, lv.idx
+        """,
+        "lm_heldout_ppl": """
+            WITH toks AS (SELECT doc_id,
+                              regexp_extract_all(lower(text),
+                                  '[a-z0-9]+') AS ts FROM documents),
+            bg AS (SELECT doc_id, ts[g.i] AS prev, ts[g.i + 1] AS w
+                   FROM toks, LATERAL (SELECT unnest(generate_series(
+                       1, len(ts) - 1)) AS i) g),
+            train AS (SELECT prev, w FROM bg WHERE doc_id % 5 <> 0),
+            held AS (SELECT * FROM bg WHERE doc_id % 5 = 0),
+            c2 AS (SELECT prev, w, count(*) AS c2 FROM train
+                   GROUP BY 1, 2),
+            c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),
+            vv AS (SELECT count(*) AS V FROM (SELECT DISTINCT t FROM
+                (SELECT prev AS t FROM c2
+                 UNION ALL SELECT w FROM c2))),
+            sc AS (SELECT h.doc_id, COALESCE(c2.c2, 0) AS c2v,
+                       COALESCE(c1.c1, 0) AS c1v
+                   FROM held h
+                   LEFT JOIN c2 ON c2.prev = h.prev AND c2.w = h.w
+                   LEFT JOIN c1 ON c1.prev = h.prev),
+            per AS (SELECT doc_id, count(*) AS nb,
+                        sum(CASE WHEN c2v = 0 THEN 1 ELSE 0 END)
+                            AS nu,
+                        sum(log2((c2v + 0.5) / (c1v + 0.5 * vv.V)))
+                            AS lps
+                    FROM sc, vv GROUP BY doc_id, vv.V)
+            SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+                   CAST(nu AS BIGINT) AS n_unseen_bigrams,
+                   lps AS logprob_sum,
+                   power(2.0, -lps / nb) AS ppl
+            FROM per ORDER BY doc_id
         """,
     }
 

@@ -87,7 +87,9 @@ ULP_TOL = {"user_type_entropy": 1e-14,
            "huber_trend": 1e-9,
            "fdr_bh": 1e-12,
            # wave 39: Fellegi-Sunter weights go through libm log2
-           "fs_weights": 1e-12}
+           "fs_weights": 1e-12,
+           # wave 41: per-doc Σlog2 folds + libm pow
+           "lm_heldout_ppl": 1e-12}
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:

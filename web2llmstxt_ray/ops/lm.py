@@ -193,3 +193,93 @@ def perplexity_scores(ds: ray.data.Dataset, model: CharLM,
         cached_stage(_PplScorer, model_ref=mref, text_col=text_col,
                      id_col=id_col),
         batch_format="pyarrow")
+
+
+def lm_heldout_ppl(ds: ray.data.Dataset, holdout_mod: int = 5,
+                   add_k: float = 0.5, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   num_buckets: int = 32) -> pd.DataFrame:
+    """Held-out bigram perplexity with add-k smoothing — the honest
+    LM-quality read (``lm_quality`` scores the training corpus, where
+    smoothing never fires; here train = ``doc_id % holdout_mod ≠ 0``,
+    score = the rest, and unseen bigrams/contexts genuinely exercise
+    the smoothing path): p(w|prev) = (c₂(prev,w) + k) / (c₁(prev) +
+    k·V), V = |train unigram vocab|, both counts 0 for unseen — the
+    uniform-floor fallback emerges from the same formula.
+
+    Scale shape: train counts fold from one skinny (prev,w) groupby;
+    the count model broadcasts once via ``ray.put`` and every scoring
+    batch reads it locally (valid while the model is O(vocab²) ≪
+    corpus — true for this synthetic vocabulary and for any pruned
+    n-gram model; an open-vocab corpus would route scoring through a
+    bigram-key bucketed join instead, the ``decontaminate`` tiering
+    pattern). Per-doc log2 partials fold. Output per held-out doc:
+    (doc_id,
+    n_bigrams, n_unseen_bigrams, logprob_sum, ppl) with
+    ppl = 2^(−logprob_sum/n_bigrams); libm log2/exp2 drift vs the SQL
+    twin is tolerance-registered."""
+    import math
+    import re
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def bigrams_batch(b: pd.DataFrame) -> pd.DataFrame:
+        rows_d, rows_p, rows_w, rows_t = [], [], [], []
+        for did, text in zip(b[id_col].astype("int64"), b[text_col]):
+            toks = tok_re.findall(text.lower())
+            is_train = did % holdout_mod != 0
+            for p, w in zip(toks, toks[1:]):
+                rows_d.append(int(did))
+                rows_p.append(p)
+                rows_w.append(w)
+                rows_t.append(is_train)
+        return pd.DataFrame({"doc_id": rows_d, "prev": rows_p,
+                             "w": rows_w, "is_train": rows_t})
+
+    bg = ds.select_columns([id_col, text_col]).map_batches(
+        bigrams_batch, batch_format="pandas").materialize()
+    train = bg.filter(lambda r: r["is_train"])
+    held = bg.filter(lambda r: not r["is_train"])
+
+    c2 = train.groupby(["prev", "w"]).count().to_pandas() \
+        .rename(columns={"count()": "c2"})
+    c1 = c2.groupby("prev", as_index=False)["c2"].sum() \
+        .rename(columns={"c2": "c1"})
+    # vocab = distinct train unigrams (every token position: prevs ∪
+    # last words — equivalently distinct over both bigram columns)
+    vocab = len(set(c2["prev"]) | set(c2["w"]))
+    c2_map = dict(zip(zip(c2["prev"], c2["w"]), c2["c2"].astype(int)))
+    c1_map = dict(zip(c1["prev"], c1["c1"].astype(int)))
+    c2_ref = None
+    import ray as _ray
+    c2_ref = _ray.put((c2_map, c1_map, vocab))
+
+    def score_batch(b: pd.DataFrame) -> pd.DataFrame:
+        cm2, cm1, V = _ray.get(c2_ref)
+        out = {}
+        for did, p, w in zip(b["doc_id"], b["prev"], b["w"]):
+            c2v = cm2.get((p, w), 0)
+            c1v = cm1.get(p, 0)
+            lp = math.log2((c2v + add_k) / (c1v + add_k * V))
+            agg = out.setdefault(int(did), [0, 0, 0.0])
+            agg[0] += 1
+            agg[1] += int(c2v == 0)
+            agg[2] += lp
+        return pd.DataFrame({
+            "doc_id": list(out),
+            "n_bigrams": [v[0] for v in out.values()],
+            "n_unseen_bigrams": [v[1] for v in out.values()],
+            "logprob_sum": [v[2] for v in out.values()]})
+
+    parts = held.map_batches(score_batch,
+                             batch_format="pandas").to_pandas()
+    agg = parts.groupby("doc_id", as_index=False).agg(
+        n_bigrams=("n_bigrams", "sum"),
+        n_unseen_bigrams=("n_unseen_bigrams", "sum"),
+        logprob_sum=("logprob_sum", "sum"))
+    agg["ppl"] = [2.0 ** (-s / n) if n else float("nan")
+                  for s, n in zip(agg["logprob_sum"],
+                                  agg["n_bigrams"])]
+    return agg.astype({"doc_id": "int64", "n_bigrams": "int64",
+                       "n_unseen_bigrams": "int64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
