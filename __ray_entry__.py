@@ -6647,6 +6647,53 @@ def q_lm_heldout_ppl(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_interval_scheduling(sf_dir: str) -> pd.DataFrame:
+    """Weighted interval scheduling per user over per-type activity
+    spans — the classic DP picking non-overlapping phases that cover
+    the most events. All-integer µs timestamps, strict compatibility,
+    unrolled-CTE SQL twin. See
+    :func:`ops.events.interval_scheduling`."""
+    from web2llmstxt_ray.ops.events import interval_scheduling
+
+    return interval_scheduling(
+        _t(sf_dir, "events", ["user_id", "event_type", "ts"]))
+
+
+def q_lis_revenue(sf_dir: str) -> pd.DataFrame:
+    """Longest strictly-increasing subsequence of daily revenue — the
+    maximal monotone-growth chain, exact integer DP; the SQL twin
+    carries the DP table through a step-tagged recursion. See
+    :func:`ops.windows.lis_revenue`."""
+    from web2llmstxt_ray.ops.windows import lis_revenue
+
+    return lis_revenue(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
+
+
+def q_mase_weekly(sf_dir: str) -> pd.DataFrame:
+    """Seasonal accuracy read: MAE of the lag-7 seasonal-naive vs the
+    lag-1 naive forecast over daily revenue, and their MASE ratio —
+    exact integer cents absolute errors, two float means + one
+    ratio. See :func:`ops.windows.mase_weekly`."""
+    from web2llmstxt_ray.ops.windows import mase_weekly
+
+    return mase_weekly(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
+
+
+def q_borda_fusion(sf_dir: str) -> pd.DataFrame:
+    """Borda-count fusion of three part rankings (exact-integer
+    revenue, quantity, line count) — consensus ranking without score
+    normalization; top-20 by rank sum. See
+    :func:`ops.relational.borda_fusion`."""
+    from web2llmstxt_ray.ops.relational import borda_fusion
+
+    return borda_fusion(
+        _t(sf_dir, "lineitem",
+           ["l_partkey", "l_extendedprice", "l_discount",
+            "l_quantity"]), top_n=20)
+
+
 # The driver's correctness artifact covers the FIRST 50 entries of
 # queries() in dict order. Round-5 window (the round-4 verdict's
 # rotation ask): 50 queries NO prior driver artifact (r1-r4) has
@@ -7045,6 +7092,11 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "bottomk_jaccard": q_bottomk_jaccard,
         "merkle_levels": q_merkle_levels,
         "lm_heldout_ppl": q_lm_heldout_ppl,
+        # wave 42: DP + forecasting-eval + rank-fusion families
+        "interval_scheduling": q_interval_scheduling,
+        "lis_revenue": q_lis_revenue,
+        "mase_weekly": q_mase_weekly,
+        "borda_fusion": q_borda_fusion,
     }
 
 
@@ -13693,6 +13745,158 @@ def oracle_sql() -> dict[str, str]:
                    lps AS logprob_sum,
                    power(2.0, -lps / nb) AS ppl
             FROM per ORDER BY doc_id
+        """,
+        # wave 42: DP + forecasting-eval + rank-fusion families
+        "interval_scheduling": """
+            WITH iv AS (SELECT user_id, event_type,
+                            CAST(min(epoch_us(ts)) AS BIGINT) AS s,
+                            CAST(max(epoch_us(ts)) AS BIGINT) AS e,
+                            count(*) AS w
+                        FROM events GROUP BY 1, 2),
+            rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY e, s, event_type) AS r FROM iv),
+            pj AS (SELECT a.user_id, a.r, a.w,
+                       COALESCE((SELECT max(b.r) FROM rk b
+                                 WHERE b.user_id = a.user_id
+                                   AND b.e < a.s), 0) AS p
+                   FROM rk a),
+            -- the event-type alphabet has 5 symbols, so ranks ≤ 5
+            -- and five unrolled DP levels suffice
+            d0 AS (SELECT DISTINCT user_id, 0 AS r,
+                       CAST(0 AS BIGINT) AS dp FROM rk),
+            d1 AS (SELECT p1.user_id, 1 AS r,
+                       greatest(d0.dp, p1.w + pp.dp) AS dp
+                   FROM pj p1
+                   JOIN d0 ON d0.user_id = p1.user_id
+                   JOIN d0 pp ON pp.user_id = p1.user_id
+                   WHERE p1.r = 1),
+            u1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1),
+            d2 AS (SELECT p2.user_id, 2,
+                       greatest(prev.dp, p2.w + pp.dp)
+                   FROM pj p2
+                   JOIN u1 prev ON prev.user_id = p2.user_id
+                                AND prev.r = 1
+                   JOIN u1 pp ON pp.user_id = p2.user_id
+                              AND pp.r = p2.p
+                   WHERE p2.r = 2),
+            u2 AS (SELECT * FROM u1 UNION ALL SELECT * FROM d2),
+            d3 AS (SELECT p3.user_id, 3,
+                       greatest(prev.dp, p3.w + pp.dp)
+                   FROM pj p3
+                   JOIN u2 prev ON prev.user_id = p3.user_id
+                                AND prev.r = 2
+                   JOIN u2 pp ON pp.user_id = p3.user_id
+                              AND pp.r = p3.p
+                   WHERE p3.r = 3),
+            u3 AS (SELECT * FROM u2 UNION ALL SELECT * FROM d3),
+            d4 AS (SELECT p4.user_id, 4,
+                       greatest(prev.dp, p4.w + pp.dp)
+                   FROM pj p4
+                   JOIN u3 prev ON prev.user_id = p4.user_id
+                                AND prev.r = 3
+                   JOIN u3 pp ON pp.user_id = p4.user_id
+                              AND pp.r = p4.p
+                   WHERE p4.r = 4),
+            u4 AS (SELECT * FROM u3 UNION ALL SELECT * FROM d4),
+            d5 AS (SELECT p5.user_id, 5,
+                       greatest(prev.dp, p5.w + pp.dp)
+                   FROM pj p5
+                   JOIN u4 prev ON prev.user_id = p5.user_id
+                                AND prev.r = 4
+                   JOIN u4 pp ON pp.user_id = p5.user_id
+                              AND pp.r = p5.p
+                   WHERE p5.r = 5),
+            uall AS (SELECT * FROM u4 UNION ALL SELECT * FROM d5),
+            mx AS (SELECT user_id, max(r) AS nr, count(*) AS ni,
+                       sum(w) AS tw FROM rk GROUP BY user_id)
+            SELECT m.user_id, CAST(m.ni AS BIGINT) AS n_intervals,
+                   CAST(m.tw AS BIGINT) AS total_events,
+                   CAST(u.dp AS BIGINT) AS best_events
+            FROM mx m JOIN uall u ON u.user_id = m.user_id
+                                  AND u.r = m.nr
+            ORDER BY m.user_id
+        """,
+        "lis_revenue": """
+            WITH RECURSIVE
+            d AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT)
+                      // 86400000000 AS day,
+                      CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS cents
+                  FROM orders),
+            s AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents
+                  FROM d GROUP BY day),
+            seq AS (SELECT row_number() OVER (ORDER BY day) AS i,
+                        day, cents FROM s),
+            nn AS (SELECT count(*) AS n FROM seq),
+            rec(step, i, day, cents, lis) AS (
+                SELECT CAST(1 AS BIGINT), i, day, cents,
+                       CAST(1 AS BIGINT)
+                FROM seq WHERE i = 1
+                UNION ALL
+                SELECT t.step, t.i, t.day, t.cents, t.lis FROM (
+                    WITH cur AS (SELECT * FROM rec),
+                    st AS (SELECT max(step) AS k FROM cur)
+                    SELECT st.k + 1 AS step, c.i, c.day, c.cents,
+                           c.lis
+                    FROM cur c, st, nn WHERE st.k < nn.n
+                    UNION ALL
+                    SELECT st.k + 1, s2.i, s2.day, s2.cents,
+                        1 + COALESCE((SELECT max(c2.lis) FROM cur c2
+                                      WHERE c2.cents < s2.cents), 0)
+                    FROM seq s2, st, nn
+                    WHERE st.k < nn.n AND s2.i = st.k + 1
+                ) t)
+            SELECT day, cents, lis AS lis_len
+            FROM rec, nn WHERE step = nn.n ORDER BY day
+        """,
+        "mase_weekly": """
+            WITH d AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT)
+                           // 86400000000 AS day,
+                           CAST(round(o_totalprice * 100) AS BIGINT)
+                               AS cents
+                       FROM orders),
+            s AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents
+                  FROM d GROUP BY day),
+            n1 AS (SELECT CAST(sum(abs(a.cents - b.cents)) AS BIGINT)
+                       AS sa, count(*) AS c
+                   FROM s a JOIN s b ON b.day = a.day - 1),
+            n7 AS (SELECT CAST(sum(abs(a.cents - b.cents)) AS BIGINT)
+                       AS sa, count(*) AS c
+                   FROM s a JOIN s b ON b.day = a.day - 7)
+            SELECT CAST(n1.c AS BIGINT) AS n_naive,
+                   CAST(n7.c AS BIGINT) AS n_seasonal,
+                   CAST(n1.sa AS DOUBLE) / n1.c AS mae_naive,
+                   CAST(n7.sa AS DOUBLE) / n7.c AS mae_seasonal,
+                   (CAST(n7.sa AS DOUBLE) / n7.c)
+                       / (CAST(n1.sa AS DOUBLE) / n1.c) AS mase
+            FROM n1, n7
+        """,
+        "borda_fusion": """
+            WITH g AS (SELECT l_partkey,
+                    CAST(sum(CAST(round(l_extendedprice * 100)
+                                  AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100)
+                                           AS BIGINT))) AS BIGINT)
+                        AS rev,
+                    CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                         AS BIGINT) AS qty,
+                    count(*) AS n
+                FROM lineitem GROUP BY 1),
+            r AS (SELECT *,
+                      row_number() OVER (ORDER BY rev DESC,
+                          l_partkey) AS r_rev,
+                      row_number() OVER (ORDER BY qty DESC,
+                          l_partkey) AS r_qty,
+                      row_number() OVER (ORDER BY n DESC,
+                          l_partkey) AS r_cnt
+                  FROM g)
+            SELECT l_partkey, rev AS revenue_i, qty AS qty_i,
+                   CAST(n AS BIGINT) AS n_lines,
+                   CAST(r_rev AS BIGINT) AS r_rev,
+                   CAST(r_qty AS BIGINT) AS r_qty,
+                   CAST(r_cnt AS BIGINT) AS r_cnt,
+                   CAST(r_rev + r_qty + r_cnt AS BIGINT) AS borda
+            FROM r ORDER BY borda, l_partkey LIMIT 20
         """,
     }
 

@@ -1387,3 +1387,70 @@ def subsequence_counts(ds: ray.data.Dataset,
     out = parts.astype({user_col: "int64", "n_first": "int64",
                         "n_pairs": "int64", "n_chains": "int64"})
     return out.sort_values(user_col).reset_index(drop=True)
+
+
+def interval_scheduling(ds: ray.data.Dataset,
+                        user_col: str = "user_id",
+                        type_col: str = "event_type",
+                        ts_col: str = "ts",
+                        num_buckets: int = 64) -> pd.DataFrame:
+    """Weighted interval scheduling per user over its per-type
+    activity spans: each (user, type) contributes the interval
+    [first ts, last ts] weighted by its event count; the DP picks the
+    non-overlapping subset maximizing covered events — "which
+    activities, taken as uninterrupted phases, explain the most of
+    this user's stream?" (the classic DP; spans of different types
+    overlap freely, which is what makes it non-trivial).
+
+    All-integer determinism: timestamps are µs ints; intervals sort
+    by (end, start, type); compatibility is STRICT (end_j < start_i);
+    ``dp[i] = max(dp[i−1], w_i + dp[p(i)])`` with ties resolved by
+    the ≥ rule (prefer including — documented so the SQL twin's
+    unrolled CTEs replay the same optimum value; only the VALUE is
+    emitted, not a chosen set, so tie-broken alternates cannot
+    diverge). One bucketed shuffle co-locates users; the DP is
+    O(types²) per user. Output per user: (user_id, n_intervals,
+    total_events, best_events)."""
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group
+        spans = g.groupby([user_col, type_col]).agg(
+            start=(ts_col, "min"), end=(ts_col, "max"),
+            w=(ts_col, "size")).reset_index()
+        spans["start"] = spans["start"].astype("datetime64[us]") \
+            .astype(np.int64)
+        spans["end"] = spans["end"].astype("datetime64[us]") \
+            .astype(np.int64)
+        out_u, out_n, out_t, out_b = [], [], [], []
+        for uid, sub in spans.groupby(user_col):
+            iv = sorted(zip(sub["end"], sub["start"], sub[type_col],
+                            sub["w"]))
+            n = len(iv)
+            dp = [0] * (n + 1)
+            for i in range(1, n + 1):
+                e_i, s_i, _, w_i = iv[i - 1]
+                p = 0
+                for j in range(i - 1, 0, -1):
+                    if iv[j - 1][0] < s_i:      # strict compatibility
+                        p = j
+                        break
+                take = int(w_i) + dp[p]
+                dp[i] = take if take >= dp[i - 1] else dp[i - 1]
+            out_u.append(uid)
+            out_n.append(n)
+            out_t.append(int(sub["w"].sum()))
+            out_b.append(dp[n])
+        return pd.DataFrame({user_col: out_u, "n_intervals": out_n,
+                             "total_events": out_t,
+                             "best_events": out_b})
+
+    parts = (_add_key_bucket(
+        ds.select_columns([user_col, type_col, ts_col]),
+        user_col, num_buckets)
+        .groupby("_sbucket").map_groups(per_bucket,
+                                        batch_format="pandas")
+        .to_pandas())
+    return parts.astype({user_col: "int64", "n_intervals": "int64",
+                         "total_events": "int64",
+                         "best_events": "int64"}) \
+        .sort_values(user_col).reset_index(drop=True)

@@ -1007,3 +1007,54 @@ def dominance_counts(ds: ray.data.Dataset, id_col: str, x_col: str,
            .to_pandas())
     out["n_weak_dominators"] = out["n_weak_dominators"].astype("int64")
     return out.sort_values(id_col).reset_index(drop=True)
+
+
+def borda_fusion(ds: ray.data.Dataset, top_n: int = 20) -> pd.DataFrame:
+    """Borda-count rank fusion of three part rankings — revenue
+    (exact integer cents×(100−disc) units), total quantity, and line
+    count: each metric ranks parts (metric DESC, partkey ASC), the
+    Borda score is the rank sum, low wins. The consensus-ranking
+    primitive for merging incomparable signals without score
+    normalization (Kemeny is NP-hard; Borda is its one-pass
+    workhorse). Exact integers throughout. One skinny partial-agg
+    fold (O(parts) driver state — the rank step needs the full key
+    domain; for billions of keys the ranks come from the histogram-
+    offset pattern instead). Output top-``top_n`` by (borda, part):
+    (l_partkey, revenue_i, qty_i, n_lines, r_rev, r_qty, r_cnt,
+    borda)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["l_extendedprice"].to_numpy(np.float64)
+                        * 100.0).astype(np.int64)
+        disc = np.rint(b["l_discount"].to_numpy(np.float64)
+                       * 100.0).astype(np.int64)
+        qty = np.rint(b["l_quantity"].to_numpy(np.float64)) \
+            .astype(np.int64)
+        g = pd.DataFrame({"l_partkey": b["l_partkey"].to_numpy(),
+                          "rev": cents * (100 - disc), "qty": qty,
+                          "n": 1})
+        return g.groupby("l_partkey", as_index=False)[
+            ["rev", "qty", "n"]].sum()
+
+    parts = ds.select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount", "l_quantity"]
+    ).map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("l_partkey", as_index=False)[
+        ["rev", "qty", "n"]].sum()
+
+    def rank_of(col: str) -> pd.Series:
+        order = agg.sort_values([col, "l_partkey"],
+                                ascending=[False, True], kind="stable")
+        r = pd.Series(range(1, len(order) + 1), index=order.index)
+        return r.sort_index()
+
+    agg["r_rev"] = rank_of("rev")
+    agg["r_qty"] = rank_of("qty")
+    agg["r_cnt"] = rank_of("n")
+    agg["borda"] = agg["r_rev"] + agg["r_qty"] + agg["r_cnt"]
+    out = agg.sort_values(["borda", "l_partkey"]).head(top_n)
+    out = out.rename(columns={"rev": "revenue_i", "qty": "qty_i",
+                              "n": "n_lines"})
+    return out[["l_partkey", "revenue_i", "qty_i", "n_lines",
+                "r_rev", "r_qty", "r_cnt", "borda"]].astype("int64") \
+        .reset_index(drop=True)

@@ -2318,3 +2318,55 @@ def voptimal_histogram(ds: ray.data.Dataset, n_buckets: int = 6,
         "sse"]).astype({"bucket": "int64", "start_day": "int64",
                         "end_day": "int64", "n_days": "int64",
                         "sum_count": "int64"})
+
+
+def lis_revenue(ds: ray.data.Dataset, ts_col: str = "o_orderdate",
+                value_col: str = "o_totalprice") -> pd.DataFrame:
+    """Longest strictly-increasing subsequence of the daily revenue
+    series — the maximal monotone-growth story the data supports (an
+    OLS slope says "up on average"; LIS says how long a strictly
+    rising chain exists). Exact integers end-to-end: ``lis[i] = 1 +
+    max{lis[j] : j < i, cents_j < cents_i}`` — the O(days²) DP the
+    SQL twin replays as one self-join (bounded by calendar, never
+    corpus). Output per day: (day, cents, lis_len), plus the overall
+    maximum is ``lis_len.max()``."""
+    days, cents = _daily_cents_series(ds, ts_col, value_col)
+    n = len(days)
+    lis = np.ones(n, dtype=np.int64)
+    c = cents
+    for i in range(1, n):
+        m = c[:i] < c[i]
+        if m.any():
+            lis[i] = 1 + lis[:i][m].max()
+    return pd.DataFrame({"day": pd.Series(days, dtype="int64"),
+                         "cents": pd.Series(cents, dtype="int64"),
+                         "lis_len": pd.Series(lis, dtype="int64")})
+
+
+def mase_weekly(ds: ray.data.Dataset, ts_col: str = "o_orderdate",
+                value_col: str = "o_totalprice",
+                season: int = 7) -> pd.DataFrame:
+    """MASE-style seasonal accuracy read of the daily revenue series:
+    mean absolute error of the SEASONAL-naive forecast (value 7 days
+    ago) vs the plain naive (yesterday), plus their ratio — below 1
+    means weekly seasonality is real signal a forecaster must model.
+    Lags are by CALENDAR day (missing days make a lag undefined and
+    that pair is skipped — documented so the SQL twin's day-keyed
+    self-join replays it). Absolute errors are exact integer cents;
+    the two means and the ratio are the only floats. Output one row:
+    (n_naive, n_seasonal, mae_naive, mae_seasonal, mase)."""
+    days, cents = _daily_cents_series(ds, ts_col, value_col)
+    dmap = dict(zip(days.tolist(), (int(c) for c in cents)))
+    ae1, ae7 = [], []
+    for d, c in dmap.items():
+        if d - 1 in dmap:
+            ae1.append(abs(c - dmap[d - 1]))
+        if d - season in dmap:
+            ae7.append(abs(c - dmap[d - season]))
+    mae1 = sum(ae1) / len(ae1) if ae1 else float("nan")
+    mae7 = sum(ae7) / len(ae7) if ae7 else float("nan")
+    return pd.DataFrame({
+        "n_naive": pd.Series([len(ae1)], dtype="int64"),
+        "n_seasonal": pd.Series([len(ae7)], dtype="int64"),
+        "mae_naive": [mae1], "mae_seasonal": [mae7],
+        "mase": [mae7 / mae1 if ae1 and ae7 else float("nan")]})
