@@ -6694,6 +6694,61 @@ def q_borda_fusion(sf_dir: str) -> pd.DataFrame:
             "l_quantity"]), top_n=20)
 
 
+def q_pareto_layers(sf_dir: str) -> pd.DataFrame:
+    """Skyline layers (iterative Pareto peeling == Mirsky longest
+    strict-dominance chain) over parts on (price ↓, size ↓) — the
+    full multi-criteria ranking behind part_skyline; exact-integer
+    DP with an O(n·|size domain|) prefix-max sweep. See
+    :func:`ops.relational.pareto_layers`."""
+    from web2llmstxt_ray.ops.relational import pareto_layers
+
+    return pareto_layers(
+        _t(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"]),
+        "p_partkey", "p_retailprice", "p_size", y_domain=64)
+
+
+def q_dedup_transitivity(sf_dir: str) -> pd.DataFrame:
+    """Transitivity audit of the sorted-neighborhood similarity graph
+    (3·triangles / wedges) — the statistic that justifies or indicts
+    transitive-closure dedup: low transitivity means cluster dedup
+    over-merges through chains. Exact integer counts. See
+    :func:`ops.dedup.pair_transitivity`."""
+    from web2llmstxt_ray.ops.dedup import pair_transitivity, snm_pairs
+
+    pairs = snm_pairs(
+        _t(sf_dir, "documents", ["doc_id", "text", "n_chars"]),
+        window=5, threshold=0.8)
+    return pair_transitivity(pairs)
+
+
+def q_huffman_lengths(sf_dir: str) -> pd.DataFrame:
+    """Huffman code lengths over the event-type alphabet next to the
+    entropy lower bound — the optimal-prefix-code benchmark;
+    deterministic (count, min-symbol) merge rule replayed by the SQL
+    twin's unrolled merges over list-typed member sets. See
+    :func:`ops.lm.huffman_lengths`."""
+    from web2llmstxt_ray.ops.lm import huffman_lengths
+
+    return huffman_lengths(_t(sf_dir, "events", ["event_type"]))
+
+
+def q_simpson_flags(sf_dir: str) -> pd.DataFrame:
+    """Simpson's-paradox detector: per-brand qty↔discount regression
+    slope vs the pooled slope, flip FLAGGED by exact integer sign
+    arithmetic (the denominator is a nonnegative variance, so
+    sign(slope) = sign(n·Σxy − Σx·Σy) — no float decides). See
+    :func:`ops.stats.simpson_flags`."""
+    from web2llmstxt_ray.ops.relational import broadcast_join
+    from web2llmstxt_ray.ops.stats import simpson_flags
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_discount"]).map_batches(
+        _rn(l_partkey="p_partkey"), batch_format="pyarrow")
+    joined = broadcast_join(li, part, on="p_partkey")
+    return simpson_flags(joined)
+
+
 # The driver's correctness artifact covers the FIRST 50 entries of
 # queries() in dict order. Round-5 window (the round-4 verdict's
 # rotation ask): 50 queries NO prior driver artifact (r1-r4) has
@@ -7097,6 +7152,11 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "lis_revenue": q_lis_revenue,
         "mase_weekly": q_mase_weekly,
         "borda_fusion": q_borda_fusion,
+        # wave 43: ranking-depth + audit + info-theory families
+        "pareto_layers": q_pareto_layers,
+        "dedup_transitivity": q_dedup_transitivity,
+        "huffman_lengths": q_huffman_lengths,
+        "simpson_flags": q_simpson_flags,
     }
 
 
@@ -13897,6 +13957,156 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r_cnt AS BIGINT) AS r_cnt,
                    CAST(r_rev + r_qty + r_cnt AS BIGINT) AS borda
             FROM r ORDER BY borda, l_partkey LIMIT 20
+        """,
+        # wave 43: ranking-depth + audit + info-theory families
+        "pareto_layers": """
+            WITH RECURSIVE
+            seq AS (SELECT row_number() OVER (ORDER BY p_retailprice,
+                        p_size DESC, p_partkey) AS i,
+                        p_partkey, p_retailprice, p_size
+                    FROM part),
+            nn AS (SELECT count(*) AS n FROM seq),
+            rec(step, i, pk, x, y, layer) AS (
+                SELECT CAST(1 AS BIGINT), i, p_partkey,
+                       p_retailprice, p_size, CAST(1 AS BIGINT)
+                FROM seq WHERE i = 1
+                UNION ALL
+                SELECT t.step, t.i, t.pk, t.x, t.y, t.layer FROM (
+                    WITH cur AS (SELECT * FROM rec),
+                    st AS (SELECT max(step) AS k FROM cur)
+                    SELECT st.k + 1 AS step, c.i, c.pk, c.x, c.y,
+                           c.layer
+                    FROM cur c, st, nn WHERE st.k < nn.n
+                    UNION ALL
+                    SELECT st.k + 1, s2.i, s2.p_partkey,
+                        s2.p_retailprice, s2.p_size,
+                        1 + COALESCE((SELECT max(c2.layer)
+                                      FROM cur c2
+                                      WHERE c2.x < s2.p_retailprice
+                                        AND c2.y < s2.p_size), 0)
+                    FROM seq s2, st, nn
+                    WHERE st.k < nn.n AND s2.i = st.k + 1
+                ) t)
+            SELECT pk AS p_partkey, x AS p_retailprice,
+                   CAST(y AS INTEGER) AS p_size, layer
+            FROM rec, nn WHERE step = nn.n ORDER BY pk
+        """,
+        "dedup_transitivity": """
+            WITH d AS (SELECT doc_id, n_chars,
+                list_distinct(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS toks
+                FROM documents),
+            r AS (SELECT *, row_number()
+                      OVER (ORDER BY n_chars, doc_id) AS rn FROM d),
+            p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                      len(list_intersect(a.toks, b.toks)) AS i,
+                      len(a.toks) + len(b.toks)
+                          - len(list_intersect(a.toks, b.toks)) AS u
+                  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 4),
+            -- snm emits (lower-RANK, higher-rank); normalize to id
+            -- order so the ordered triangle join sees each edge once
+            pairs AS (SELECT DISTINCT least(a, b) AS a,
+                          greatest(a, b) AS b FROM p
+                      WHERE (CASE WHEN u = 0 THEN 1.0
+                             ELSE CAST(i AS DOUBLE) / u END) >= 0.8),
+            deg AS (SELECT node, count(*) AS dg FROM
+                    (SELECT a AS node FROM pairs
+                     UNION ALL SELECT b FROM pairs) GROUP BY node),
+            w AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT)
+                      AS wedges, count(*) AS nodes FROM deg),
+            tri AS (SELECT count(*) AS t FROM pairs p1
+                    JOIN pairs p2 ON p2.a = p1.a AND p2.b > p1.b
+                    JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b),
+            np AS (SELECT count(*) AS e FROM pairs)
+            SELECT CAST(w.nodes AS BIGINT) AS n_nodes,
+                   CAST(np.e AS BIGINT) AS n_pairs,
+                   w.wedges AS n_wedges,
+                   CAST(tri.t AS BIGINT) AS n_triangles,
+                   CASE WHEN w.wedges > 0
+                        THEN 3.0 * tri.t / w.wedges
+                        ELSE 0.0 END AS transitivity
+            FROM w, tri, np
+        """,
+        "huffman_lengths": """
+            WITH c0 AS (SELECT [event_type] AS members,
+                            CAST(count(*) AS BIGINT) AS cnt
+                        FROM events GROUP BY event_type),
+            tot AS (SELECT sum(cnt) AS t FROM c0),
+            r1 AS (SELECT *, row_number() OVER (ORDER BY cnt,
+                       members[1]) AS rk FROM c0),
+            m1 AS (SELECT list_sort(a.members || b.members) AS members,
+                       a.cnt + b.cnt AS cnt
+                   FROM r1 a JOIN r1 b ON a.rk = 1 AND b.rk = 2),
+            n1 AS (SELECT members, cnt FROM r1 WHERE rk > 2
+                   UNION ALL SELECT members, cnt FROM m1),
+            r2 AS (SELECT *, row_number() OVER (ORDER BY cnt,
+                       members[1]) AS rk FROM n1),
+            m2 AS (SELECT list_sort(a.members || b.members) AS members,
+                       a.cnt + b.cnt AS cnt
+                   FROM r2 a JOIN r2 b ON a.rk = 1 AND b.rk = 2),
+            n2 AS (SELECT members, cnt FROM r2 WHERE rk > 2
+                   UNION ALL SELECT members, cnt FROM m2),
+            r3 AS (SELECT *, row_number() OVER (ORDER BY cnt,
+                       members[1]) AS rk FROM n2),
+            m3 AS (SELECT list_sort(a.members || b.members) AS members,
+                       a.cnt + b.cnt AS cnt
+                   FROM r3 a JOIN r3 b ON a.rk = 1 AND b.rk = 2),
+            n3 AS (SELECT members, cnt FROM r3 WHERE rk > 2
+                   UNION ALL SELECT members, cnt FROM m3),
+            r4 AS (SELECT *, row_number() OVER (ORDER BY cnt,
+                       members[1]) AS rk FROM n3),
+            m4 AS (SELECT list_sort(a.members || b.members) AS members,
+                       a.cnt + b.cnt AS cnt
+                   FROM r4 a JOIN r4 b ON a.rk = 1 AND b.rk = 2),
+            merges AS (SELECT members FROM m1
+                       UNION ALL SELECT members FROM m2
+                       UNION ALL SELECT members FROM m3
+                       UNION ALL SELECT members FROM m4),
+            base AS (SELECT event_type AS symbol,
+                         CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY event_type)
+            SELECT b.symbol, b.n,
+                   CAST((SELECT count(*) FROM merges
+                         WHERE list_contains(members, b.symbol))
+                        AS BIGINT) AS code_len,
+                   CAST(b.n * (SELECT count(*) FROM merges
+                               WHERE list_contains(members, b.symbol))
+                        AS BIGINT) AS weighted_bits,
+                   b.n * log2(CAST(tot.t AS DOUBLE) / b.n)
+                       AS entropy_bits
+            FROM base b, tot ORDER BY b.symbol
+        """,
+        "simpson_flags": """
+            WITH j AS (SELECT p.p_brand,
+                           CAST(round(l.l_quantity) AS BIGINT) AS x,
+                           CAST(round(l.l_discount * 100) AS BIGINT)
+                               AS y
+                       FROM lineitem l
+                       JOIN part p ON p.p_partkey = l.l_partkey),
+            g AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+                      sum(CAST(x AS HUGEINT)) AS sx,
+                      sum(CAST(y AS HUGEINT)) AS sy,
+                      sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT))
+                          AS sxy,
+                      sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                          AS sxx
+                  FROM j GROUP BY 1),
+            tot AS (SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+                        sum(sxy) AS sxy, sum(sxx) AS sxx FROM g),
+            pool AS (SELECT n * sxy - sx * sy AS pn,
+                         n * sxx - sx * sx AS pdn FROM tot)
+            SELECT g.p_brand, CAST(g.n AS BIGINT) AS n,
+                   CAST(g.n * g.sxy - g.sx * g.sy AS BIGINT)
+                       AS slope_num,
+                   CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                       / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
+                       AS slope,
+                   CAST(pool.pn AS DOUBLE) / CAST(pool.pdn AS DOUBLE)
+                       AS pooled_slope,
+                   ((g.n * g.sxy - g.sx * g.sy > 0 AND pool.pn < 0)
+                    OR (g.n * g.sxy - g.sx * g.sy < 0
+                        AND pool.pn > 0)) AS flipped
+            FROM g, pool ORDER BY g.p_brand
         """,
     }
 

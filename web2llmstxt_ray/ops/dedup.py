@@ -2555,3 +2555,41 @@ def snm_pairs(ds: ray.data.Dataset, window: int = 5,
                              "rank_dist": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def pair_transitivity(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Transitivity audit of a similarity-pair graph — the statistic
+    that justifies (or indicts) cluster-style dedup: threshold graphs
+    are not transitive in general (a~b, b~c do NOT imply a~c), and
+    the global clustering coefficient 3·triangles / wedges measures
+    how close this one comes. Low transitivity = transitive-closure
+    dedup is over-merging through chains.
+
+    Exact integers: wedges = Σ_v C(deg(v), 2) from the degree
+    histogram; triangles by the standard ordered two-path join (each
+    triangle counted once). Input is the (a, b) pair table (already
+    the skinny O(pairs) artifact of a blocked join); at 10^9 pairs
+    both counts run as bucketed joins — here the pair table is
+    driver-sized by construction. Output one row: (n_nodes, n_pairs,
+    n_wedges, n_triangles, transitivity)."""
+    a = pairs["a"].to_numpy()
+    b = pairs["b"].to_numpy()
+    deg: dict = {}
+    adj: dict = {}
+    for u, v in zip(a, b):
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tri = 0
+    edge_set = {(u, v) if u < v else (v, u) for u, v in zip(a, b)}
+    for u, v in edge_set:
+        tri += len(adj[u] & adj[v])
+    tri //= 3          # each triangle counted once per edge
+    return pd.DataFrame({
+        "n_nodes": pd.Series([len(deg)], dtype="int64"),
+        "n_pairs": pd.Series([len(edge_set)], dtype="int64"),
+        "n_wedges": pd.Series([wedges], dtype="int64"),
+        "n_triangles": pd.Series([tri], dtype="int64"),
+        "transitivity": [3.0 * tri / wedges if wedges else 0.0]})

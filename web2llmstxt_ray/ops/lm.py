@@ -283,3 +283,46 @@ def lm_heldout_ppl(ds: ray.data.Dataset, holdout_mod: int = 5,
     return agg.astype({"doc_id": "int64", "n_bigrams": "int64",
                        "n_unseen_bigrams": "int64"}) \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def huffman_lengths(ds: ray.data.Dataset,
+                    type_col: str = "event_type") -> pd.DataFrame:
+    """Huffman code lengths over the symbol frequency table — the
+    exact optimal-prefix-code benchmark next to the entropy lower
+    bound (how many bits does the BEST symbol code actually need, and
+    how far above H is it). Deterministic merge rule (documented so
+    the SQL twin's unrolled merge CTEs replay it): repeatedly merge
+    the two nodes with smallest (count, min-member-symbol); a
+    symbol's code length = number of merges its node participated
+    in. Counts fold from one skinny groupby; the merge loop is
+    O(|alphabet|) driver work. Output per symbol: (symbol, n,
+    code_len, weighted_bits) + exact integer total via summing;
+    entropy term emitted per symbol as n·log2(N/n)."""
+    import math
+
+    counts = ds.select_columns([type_col]).groupby(type_col) \
+        .count().to_pandas()
+    syms = list(counts[type_col])
+    ns = [int(v) for v in counts["count()"]]
+    total = sum(ns)
+    # node: (count, min_symbol, member_set)
+    nodes = sorted(((n, s, frozenset([s]))
+                    for s, n in zip(syms, ns)))
+    depth = {s: 0 for s in syms}
+    while len(nodes) > 1:
+        a = nodes.pop(0)
+        b = nodes.pop(0)
+        for s in a[2] | b[2]:
+            depth[s] += 1
+        merged = (a[0] + b[0], min(a[1], b[1]), a[2] | b[2])
+        nodes.append(merged)
+        nodes.sort()
+    rows = []
+    for s, n in zip(syms, ns):
+        rows.append((s, n, depth[s], n * depth[s],
+                     n * math.log2(total / n)))
+    out = pd.DataFrame(rows, columns=[
+        "symbol", "n", "code_len", "weighted_bits", "entropy_bits"])
+    return out.astype({"n": "int64", "code_len": "int64",
+                       "weighted_bits": "int64"}) \
+        .sort_values("symbol").reset_index(drop=True)

@@ -1058,3 +1058,49 @@ def borda_fusion(ds: ray.data.Dataset, top_n: int = 20) -> pd.DataFrame:
     return out[["l_partkey", "revenue_i", "qty_i", "n_lines",
                 "r_rev", "r_qty", "r_cnt", "borda"]].astype("int64") \
         .reset_index(drop=True)
+
+
+def pareto_layers(ds: ray.data.Dataset, id_col: str, x_col: str,
+                  y_col: str, y_domain: int = 256) -> pd.DataFrame:
+    """Skyline LAYERS (iterative Pareto peeling): layer 1 = the
+    skyline, layer 2 = the skyline of what remains, … — the full
+    multi-criteria ranking the single frontier truncates. By Mirsky's
+    theorem the peel layer of a point equals the longest STRICT
+    dominance chain ending at it, so the operator computes
+    ``layer[p] = 1 + max{layer[q] : q.x < p.x AND q.y < p.y}`` — an
+    exact-integer DP, hash-identical under any partitioning.
+
+    Scale shape: the corpus collapses to the skinny (x, y, id)
+    triples; processing ascends x-groups while a y-indexed prefix-max
+    array (bounded ``y_domain``) carries the DP state — O(n·y_domain)
+    driver work on O(n) skinny rows, with the same histogram-offset
+    escape as ``dominance_counts`` when the triple set itself is too
+    big for one driver. The SQL twin replays the equivalent
+    LIS-on-y formulation (points sorted by (x asc, y desc), strict
+    increase) with the step-carry recursion. Output: (id, x, y,
+    layer) ordered by id."""
+    slim = ds.select_columns([id_col, x_col, y_col]).to_pandas()
+    slim = slim.sort_values([x_col, y_col, id_col],
+                            kind="stable").reset_index(drop=True)
+    x = slim[x_col].to_numpy()
+    y = slim[y_col].to_numpy().astype(np.int64)
+    n = len(slim)
+    layer = np.zeros(n, dtype=np.int64)
+    best = np.zeros(y_domain + 1, dtype=np.int64)   # max layer per y
+    i = 0
+    while i < n:
+        j = i
+        while j < n and x[j] == x[i]:
+            j += 1
+        # snapshot prefix-max BEFORE this x-group (equal x is never
+        # a strict dominator)
+        pref = np.maximum.accumulate(best)
+        for t in range(i, j):
+            layer[t] = 1 + (pref[y[t] - 1] if y[t] > 0 else 0)
+        for t in range(i, j):
+            if layer[t] > best[y[t]]:
+                best[y[t]] = layer[t]
+        i = j
+    out = slim.assign(layer=layer)
+    return out.astype({id_col: "int64", "layer": "int64"}) \
+        .sort_values(id_col).reset_index(drop=True)

@@ -2210,3 +2210,59 @@ def isotonic_calibration(ds: ray.data.Dataset, value_col: str,
     out["iso_rate"] = [iso[int(b)] for b in out["bin"]]
     return out.astype({"bin": "int64", "n": "int64",
                        "n_pos": "int64"})
+
+
+def simpson_flags(ds: ray.data.Dataset) -> pd.DataFrame:
+    """Simpson's-paradox detector for the qty↔discount relationship:
+    does any brand's within-group regression slope point the OPPOSITE
+    way from the pooled slope? The aggregation-bias audit every
+    segment-level conclusion needs.
+
+    The FLAG is exact-integer: sign(slope) = sign(n·Σxy − Σx·Σy)
+    because the denominator n·Σxx − Σx² is a nonnegative variance —
+    no float ever decides a flip. Slopes themselves are emitted as
+    one cast-and-divide double. One skinny partial-agg pass carries
+    (n, Σx, Σy, Σxy, Σxx) per brand in exact ints (x = quantity
+    units, y = discount cents). Output per brand: (p_brand, n,
+    slope_num, slope, pooled row via brand='_ALL_', flipped)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(b["l_quantity"].to_numpy(np.float64)) \
+            .astype(np.int64)
+        y = np.rint(b["l_discount"].to_numpy(np.float64) * 100.0) \
+            .astype(np.int64)
+        g = pd.DataFrame({"p_brand": b["p_brand"].to_numpy(),
+                          "n": 1, "sx": x, "sy": y, "sxy": x * y,
+                          "sxx": x * x})
+        return g.groupby("p_brand", as_index=False)[
+            ["n", "sx", "sy", "sxy", "sxx"]].sum()
+
+    parts = ds.select_columns(
+        ["p_brand", "l_quantity", "l_discount"]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    agg = parts.groupby("p_brand", as_index=False)[
+        ["n", "sx", "sy", "sxy", "sxx"]].sum()
+
+    def nums(row):
+        n, sx, sy, sxy, sxx = (int(row["n"]), int(row["sx"]),
+                               int(row["sy"]), int(row["sxy"]),
+                               int(row["sxx"]))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        return num, den
+
+    tot = agg[["n", "sx", "sy", "sxy", "sxx"]].sum()
+    pn = int(tot["n"]) * int(tot["sxy"]) - int(tot["sx"]) * int(tot["sy"])
+    pd_ = int(tot["n"]) * int(tot["sxx"]) - int(tot["sx"]) ** 2
+    pooled_slope = float(pn) / float(pd_) if pd_ else float("nan")
+    rows = []
+    for _, r in agg.iterrows():
+        num, den = nums(r)
+        slope = float(num) / float(den) if den else float("nan")
+        flipped = (num > 0 > pn) or (num < 0 < pn)
+        rows.append((r["p_brand"], int(r["n"]), num, slope,
+                     pooled_slope, flipped))
+    out = pd.DataFrame(rows, columns=[
+        "p_brand", "n", "slope_num", "slope", "pooled_slope",
+        "flipped"]).astype({"n": "int64", "slope_num": "int64"})
+    return out.sort_values("p_brand").reset_index(drop=True)
