@@ -6749,6 +6749,39 @@ def q_simpson_flags(sf_dir: str) -> pd.DataFrame:
     return simpson_flags(joined)
 
 
+def q_cdc_dedup_ratio(sf_dir: str) -> pd.DataFrame:
+    """Cross-corpus chunk-level dedup census over the gear CDC
+    segmentation — the dedupable-passage fraction a chunk store would
+    reclaim; chunks ship only (md5, len), one skinny hash groupby.
+    See :func:`ops.substr.cdc_dedup_ratio`."""
+    from web2llmstxt_ray.ops.substr import cdc_dedup_ratio
+
+    return cdc_dedup_ratio(
+        _t(sf_dir, "documents", ["doc_id", "text"]), mask_bits=6)
+
+
+def q_rolling_slope_28d(sf_dir: str) -> pd.DataFrame:
+    """Trailing 28-calendar-day OLS slope of daily revenue — the
+    local-trend dial; exact integer window moments, one
+    cast-and-divide per day. See :func:`ops.windows.rolling_slope`."""
+    from web2llmstxt_ray.ops.windows import rolling_slope
+
+    return rolling_slope(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]),
+        window_days=28)
+
+
+def q_hill_tail_index(sf_dir: str) -> pd.DataFrame:
+    """Hill estimator of the document-length power-law tail index
+    (k=50 upper order statistics, deterministic tie order) — the
+    principled heavy-tail read next to zipf_slope's log-log
+    regression. See :func:`ops.stats.hill_tail_index`."""
+    from web2llmstxt_ray.ops.stats import hill_tail_index
+
+    return hill_tail_index(
+        _t(sf_dir, "documents", ["n_chars", "doc_id"]), k=50)
+
+
 # The driver's correctness artifact covers the FIRST 50 entries of
 # queries() in dict order. Round-5 window (the round-4 verdict's
 # rotation ask): 50 queries NO prior driver artifact (r1-r4) has
@@ -7157,6 +7190,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "dedup_transitivity": q_dedup_transitivity,
         "huffman_lengths": q_huffman_lengths,
         "simpson_flags": q_simpson_flags,
+        # wave 44: chunk-dedup census + local trend + tail index
+        "cdc_dedup_ratio": q_cdc_dedup_ratio,
+        "rolling_slope_28d": q_rolling_slope_28d,
+        "hill_tail_index": q_hill_tail_index,
     }
 
 
@@ -14107,6 +14144,95 @@ def oracle_sql() -> dict[str, str]:
                     OR (g.n * g.sxy - g.sx * g.sy < 0
                         AND pool.pn > 0)) AS flipped
             FROM g, pool ORDER BY g.p_brand
+        """,
+        # wave 44: chunk-dedup census + local trend + tail index
+        "cdc_dedup_ratio": """
+            WITH RECURSIVE
+            pw(k, v) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT k + 1, v * 2 FROM pw WHERE k < 63),
+            pos AS (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text))) AS i
+                    FROM documents),
+            hsum AS (SELECT p.doc_id, p.i,
+                         sum(((CAST(unicode(substr(p.text, p.i - pw.k,
+                                  1)) AS HUGEINT) + 1)
+                              * 11400714819323198485
+                              % 18446744073709551616) * pw.v
+                             % 18446744073709551616)
+                         % 18446744073709551616 AS h
+                     FROM pos p JOIN pw ON pw.k <= p.i - 1
+                     GROUP BY p.doc_id, p.i),
+            hb AS (SELECT doc_id, i FROM hsum WHERE h % 64 = 0),
+            edges AS (SELECT DISTINCT doc_id, i FROM
+                      (SELECT doc_id, i FROM hb
+                       UNION ALL
+                       SELECT doc_id, length(text) FROM documents
+                       WHERE length(text) > 0)),
+            ordered AS (SELECT doc_id, i,
+                            COALESCE(lag(i) OVER (PARTITION BY doc_id
+                                ORDER BY i), 0) AS prev
+                        FROM edges),
+            segs AS (SELECT md5(substr(d.text, o.prev + 1,
+                         o.i - o.prev)) AS h,
+                         o.i - o.prev AS ln
+                     FROM ordered o JOIN documents d USING (doc_id)),
+            agg AS (SELECT h, count(*) AS n, min(ln) AS ln FROM segs
+                    GROUP BY h),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+                        count(*) AS n_distinct,
+                        CAST(sum(n * ln) AS BIGINT) AS chars_total,
+                        CAST(sum(ln) AS BIGINT) AS chars_distinct
+                    FROM agg)
+            SELECT n_chunks, CAST(n_distinct AS BIGINT) AS n_distinct,
+                   CAST(n_chunks - n_distinct AS DOUBLE) / n_chunks
+                       AS dup_chunk_frac,
+                   chars_total, chars_distinct,
+                   CAST(chars_total - chars_distinct AS DOUBLE)
+                       / chars_total AS dup_char_frac
+            FROM tot
+        """,
+        "rolling_slope_28d": """
+            WITH d AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT)
+                           // 86400000000 AS day,
+                           CAST(round(o_totalprice * 100) AS BIGINT)
+                               AS cents
+                       FROM orders),
+            s AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents
+                  FROM d GROUP BY day),
+            w AS (SELECT a.day, a.cents,
+                      CAST(count(*) AS HUGEINT) AS n,
+                      sum(CAST(b.day AS HUGEINT)) AS sx,
+                      sum(CAST(b.cents AS HUGEINT)) AS sy,
+                      sum(CAST(b.day AS HUGEINT)
+                          * CAST(b.cents AS HUGEINT)) AS sxy,
+                      sum(CAST(b.day AS HUGEINT)
+                          * CAST(b.day AS HUGEINT)) AS sxx
+                  FROM s a JOIN s b ON b.day BETWEEN a.day - 27
+                      AND a.day
+                  GROUP BY a.day, a.cents)
+            SELECT day, cents, CAST(n AS BIGINT) AS n_win,
+                   CASE WHEN n >= 2 THEN
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE)
+                   END AS slope
+            FROM w ORDER BY day
+        """,
+        "hill_tail_index": """
+            WITH r AS (SELECT n_chars, row_number() OVER
+                           (ORDER BY n_chars DESC, doc_id) AS rn
+                       FROM documents),
+            xt AS (SELECT n_chars AS x FROM r WHERE rn = 51),
+            m AS (SELECT sum(ln(CAST(r.n_chars AS DOUBLE) / xt.x))
+                      / 50 AS ml
+                  FROM r, xt WHERE rn <= 50)
+            SELECT CAST(50 AS BIGINT) AS k,
+                   CAST(xt.x AS BIGINT) AS x_tail,
+                   m.ml AS mean_log_ratio,
+                   CASE WHEN m.ml > 0 THEN 1.0 / m.ml END
+                       AS tail_alpha
+            FROM xt, m
         """,
     }
 

@@ -91,7 +91,9 @@ ULP_TOL = {"user_type_entropy": 1e-14,
            # wave 41: per-doc Σlog2 folds + libm pow
            "lm_heldout_ppl": 1e-12,
            # wave 43: entropy terms go through libm log2
-           "huffman_lengths": 1e-12}
+           "huffman_lengths": 1e-12,
+           # wave 44: Hill log-ratio sum folds + libm ln
+           "hill_tail_index": 1e-12}
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:

@@ -2266,3 +2266,44 @@ def simpson_flags(ds: ray.data.Dataset) -> pd.DataFrame:
         "p_brand", "n", "slope_num", "slope", "pooled_slope",
         "flipped"]).astype({"n": "int64", "slope_num": "int64"})
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def hill_tail_index(ds: ray.data.Dataset, value_col: str = "n_chars",
+                    id_col: str = "doc_id", k: int = 50) -> pd.DataFrame:
+    """Hill estimator of the power-law tail index over a size column
+    — the principled tail read next to the regression-on-log-log
+    ``zipf_slope``: 1/α̂ = (1/k)·Σ_{i≤k} ln(x_(i) / x_(k+1)) over the
+    k largest values (ties broken by id — the deterministic order
+    statistic). Heavy tails (α ≤ 2: infinite variance) are what break
+    mean-based capacity planning; this quantifies them.
+
+    One distributed partial top-(k+1) per block (the ``brute_force_
+    topk`` shape for scalars), O(blocks·k) driver merge; the log-sum
+    is tolerance-registered vs the SQL twin's QUALIFY ranking.
+    Output one row: (k, x_tail, mean_log_ratio, tail_alpha)."""
+    import math
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.sort_values([value_col, id_col],
+                          ascending=[False, True],
+                          kind="stable").head(k + 1)
+        return s[[value_col, id_col]]
+
+    parts = ds.select_columns([value_col, id_col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    top = sorted(zip(parts[value_col].astype(int),
+                     parts[id_col].astype(int)),
+                 key=lambda t: (-t[0], t[1]))[:k + 1]
+    if len(top) < k + 1:
+        raise ValueError("corpus smaller than k+1")
+    x_tail = top[k][0]
+    s = 0.0
+    for v, _ in top[:k]:
+        s += math.log(v / x_tail)
+    mean_log = s / k
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "x_tail": pd.Series([x_tail], dtype="int64"),
+        "mean_log_ratio": [mean_log],
+        "tail_alpha": [1.0 / mean_log if mean_log > 0
+                       else float("inf")]})

@@ -392,3 +392,54 @@ def gear_cdc_chunks(ds: ray.data.Dataset, id_col: str = "doc_id",
         per_batch, batch_format="pandas").to_pandas()
     return out.sort_values([id_col, "chunk_idx"]) \
         .reset_index(drop=True)
+
+
+def cdc_dedup_ratio(ds: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    mask_bits: int = 6) -> pd.DataFrame:
+    """Cross-corpus chunk-level dedup census over the gear CDC
+    segmentation — the number content-defined chunking exists to
+    produce: how much of the corpus is REPEATED PASSAGES (chunks whose
+    md5 appears elsewhere), the dedupable fraction a chunk-store
+    would reclaim. Exact integers; md5 replays in DuckDB.
+
+    Scale shape: chunking is the map-only gear kernel; each chunk
+    ships only its (md5, len) — text never re-shuffles; one skinny
+    hash groupby yields distinct counts and distinct bytes. Output
+    one row: (n_chunks, n_distinct, dup_chunk_frac, chars_total,
+    chars_distinct, dup_char_frac)."""
+    import hashlib
+
+    def per_batch(b: pd.DataFrame) -> pd.DataFrame:
+        hs, ls = [], []
+        for text in b[text_col]:
+            bounds = gear_hash_boundaries(text, mask_bits).tolist()
+            if len(text) and (not bounds or bounds[-1] != len(text)):
+                bounds.append(len(text))
+            prev = 0
+            for e in bounds:
+                seg = text[prev:e]
+                hs.append(hashlib.md5(seg.encode()).hexdigest())
+                ls.append(len(seg))
+                prev = e
+        return pd.DataFrame({"h": hs, "ln": ls})
+
+    chunks = ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pandas")
+    agg = chunks.groupby("h").map_groups(
+        lambda g: pd.DataFrame({"n": [len(g)],
+                                "ln": [int(g["ln"].iloc[0])]}),
+        batch_format="pandas").to_pandas()
+    n_chunks = int(agg["n"].sum())
+    n_distinct = len(agg)
+    chars_total = int((agg["n"] * agg["ln"]).sum())
+    chars_distinct = int(agg["ln"].sum())
+    return pd.DataFrame({
+        "n_chunks": pd.Series([n_chunks], dtype="int64"),
+        "n_distinct": pd.Series([n_distinct], dtype="int64"),
+        "dup_chunk_frac": [(n_chunks - n_distinct) / n_chunks
+                           if n_chunks else 0.0],
+        "chars_total": pd.Series([chars_total], dtype="int64"),
+        "chars_distinct": pd.Series([chars_distinct], dtype="int64"),
+        "dup_char_frac": [(chars_total - chars_distinct) / chars_total
+                          if chars_total else 0.0]})

@@ -2370,3 +2370,37 @@ def mase_weekly(ds: ray.data.Dataset, ts_col: str = "o_orderdate",
         "n_seasonal": pd.Series([len(ae7)], dtype="int64"),
         "mae_naive": [mae1], "mae_seasonal": [mae7],
         "mase": [mae7 / mae1 if ae1 and ae7 else float("nan")]})
+
+
+def rolling_slope(ds: ray.data.Dataset, window_days: int = 28,
+                  ts_col: str = "o_orderdate",
+                  value_col: str = "o_totalprice") -> pd.DataFrame:
+    """Trailing-window OLS slope of daily revenue (cents/day over the
+    last ``window_days`` CALENDAR days) — the local-trend dial a
+    single global slope flattens. Exact integer window moments (x =
+    absolute epoch day, y = daily cents; the slope is one cast-and-
+    divide of two big ints, bit-equal to the SQL twin's day-range
+    self-join), NaN where the window holds fewer than 2 days. O(days
+    × window) driver arithmetic over the additive daily fold. Output
+    per day: (day, cents, n_win, slope)."""
+    days, cents = _daily_cents_series(ds, ts_col, value_col)
+    dmap = dict(zip(days.tolist(), (int(c) for c in cents)))
+    rows = []
+    for d in days.tolist():
+        xs = [(dd, dmap[dd]) for dd in range(d - window_days + 1,
+                                             d + 1) if dd in dmap]
+        n = len(xs)
+        if n < 2:
+            rows.append((d, dmap[d], n, float("nan")))
+            continue
+        sx = sum(x for x, _ in xs)
+        sy = sum(y for _, y in xs)
+        sxy = sum(x * y for x, y in xs)
+        sxx = sum(x * x for x, _ in xs)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        rows.append((d, dmap[d], n,
+                     float(num) / float(den) if den else float("nan")))
+    return pd.DataFrame(rows, columns=["day", "cents", "n_win",
+                                       "slope"]).astype(
+        {"day": "int64", "cents": "int64", "n_win": "int64"})
