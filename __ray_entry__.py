@@ -6782,6 +6782,60 @@ def q_hill_tail_index(sf_dir: str) -> pd.DataFrame:
         _t(sf_dir, "documents", ["n_chars", "doc_id"]), k=50)
 
 
+def q_welch_t_sources(sf_dir: str) -> pd.DataFrame:
+    """One-vs-rest Welch t per source on document length — the
+    parametric mean-shift companion to the KS screen; exact integer
+    moments, identical float t/df expressions both sides. See
+    :func:`ops.stats.welch_t_by_group`."""
+    from web2llmstxt_ray.ops.stats import welch_t_by_group
+
+    return welch_t_by_group(
+        _t(sf_dir, "documents", ["n_chars", "source"]),
+        "n_chars", "source")
+
+
+def q_capture_recapture(sf_dir: str) -> pd.DataFrame:
+    """Chapman capture-recapture estimate of the true match-pair
+    count from two independent blocking samplers (first-char+length
+    vs Soundex) over the planted catalog — linkage completeness
+    WITHOUT enumerating the matches, compared against the planted
+    ground truth. See :func:`ops.phonetic.capture_recapture`."""
+    from web2llmstxt_ray.ops.phonetic import (capture_recapture,
+                                              catalog_corrupt_names)
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def registry_batch(b: pd.DataFrame) -> pd.DataFrame:
+        cd = catalog_corrupt_names(b)
+        return pd.DataFrame({"name": pd.concat(
+            [cd["clean"], cd["dirty"]], ignore_index=True)})
+
+    def truth_batch(b: pd.DataFrame) -> pd.DataFrame:
+        cd = catalog_corrupt_names(b)
+        m = cd["clean"] != cd["dirty"]
+        lo = cd["clean"].where(cd["clean"] < cd["dirty"], cd["dirty"])
+        hi = cd["dirty"].where(cd["clean"] < cd["dirty"], cd["clean"])
+        return pd.DataFrame({"a": lo[m].to_numpy(),
+                             "b": hi[m].to_numpy()})
+
+    registry = part.map_batches(registry_batch, batch_format="pandas")
+    truth = part.map_batches(truth_batch, batch_format="pandas") \
+        .groupby(["a", "b"]).map_groups(lambda g: g.head(1),
+                                        batch_format="pandas")
+    return capture_recapture(registry, truth, col="name")
+
+
+def q_runs_test_revenue(sf_dir: str) -> pd.DataFrame:
+    """Wald-Wolfowitz runs test of daily revenue around its median —
+    the distribution-free serial-dependence screen (trend/cycle = too
+    few runs). Exact integer run census + closed-form μ/σ; ties at
+    the median drop. See :func:`ops.windows.runs_test`."""
+    from web2llmstxt_ray.ops.windows import runs_test
+
+    return runs_test(
+        _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
+
+
 # The driver's correctness artifact covers the FIRST 50 entries of
 # queries() in dict order. Round-5 window (the round-4 verdict's
 # rotation ask): 50 queries NO prior driver artifact (r1-r4) has
@@ -7194,6 +7248,10 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_ratio": q_cdc_dedup_ratio,
         "rolling_slope_28d": q_rolling_slope_28d,
         "hill_tail_index": q_hill_tail_index,
+        # wave 45: parametric screen + capture-recapture + runs test
+        "welch_t_sources": q_welch_t_sources,
+        "capture_recapture": q_capture_recapture,
+        "runs_test_revenue": q_runs_test_revenue,
     }
 
 
@@ -14233,6 +14291,131 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN m.ml > 0 THEN 1.0 / m.ml END
                        AS tail_alpha
             FROM xt, m
+        """,
+        # wave 45: parametric screen + capture-recapture + runs test
+        "welch_t_sources": """
+            WITH x AS (SELECT source AS g,
+                           CAST(n_chars AS BIGINT) AS v
+                       FROM documents),
+            agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(v) AS BIGINT) AS sx,
+                        CAST(sum(v * v) AS BIGINT) AS sxx
+                    FROM x GROUP BY g),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                        CAST(sum(sx) AS BIGINT) AS tsx,
+                        CAST(sum(sxx) AS BIGINT) AS tsxx FROM agg),
+            e AS (SELECT a.g, a.n AS n1, tot.tn - a.n AS n2,
+                      CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+                          AS m1,
+                      CAST(tot.tsx - a.sx AS DOUBLE)
+                          / CAST(tot.tn - a.n AS DOUBLE) AS m2,
+                      (CAST(a.sxx AS DOUBLE) - CAST(a.sx AS DOUBLE)
+                           * CAST(a.sx AS DOUBLE)
+                           / CAST(a.n AS DOUBLE))
+                          / CAST(a.n - 1 AS DOUBLE)
+                          / CAST(a.n AS DOUBLE) AS se1,
+                      (CAST(tot.tsxx - a.sxx AS DOUBLE)
+                           - CAST(tot.tsx - a.sx AS DOUBLE)
+                             * CAST(tot.tsx - a.sx AS DOUBLE)
+                             / CAST(tot.tn - a.n AS DOUBLE))
+                          / CAST(tot.tn - a.n - 1 AS DOUBLE)
+                          / CAST(tot.tn - a.n AS DOUBLE) AS se2
+                  FROM agg a, tot)
+            SELECT g AS "group", n1 AS n_g, n2 AS n_rest,
+                   m1 AS mean_g, m2 AS mean_rest,
+                   (m1 - m2) / sqrt(se1 + se2) AS t_stat,
+                   (se1 + se2) * (se1 + se2)
+                       / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+                          + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) AS df
+            FROM e ORDER BY g
+        """,
+        "capture_recapture": f"""
+            WITH base AS (SELECT p_partkey AS k, p_name AS n,
+                              length(p_name) AS L FROM part),
+            dirty AS (SELECT n, CASE (k % 3)
+                WHEN 0 THEN substr(n, 1, k % L) || substr(n, (k % L) + 2)
+                WHEN 1 THEN substr(n, 1, k % (L - 1))
+                         || substr(n, (k % (L - 1)) + 2, 1)
+                         || substr(n, (k % (L - 1)) + 1, 1)
+                         || substr(n, (k % (L - 1)) + 3)
+                ELSE substr(n, 1, (k % L) + 1)
+                         || substr(n, (k % L) + 1, 1)
+                         || substr(n, (k % L) + 2)
+              END AS d FROM base),
+            truth AS (SELECT DISTINCT least(n, d) AS a,
+                          greatest(n, d) AS b FROM dirty WHERE n <> d),
+            tn AS (SELECT DISTINCT name FROM
+                (SELECT a AS name FROM truth
+                 UNION ALL SELECT b FROM truth)),
+            u AS (SELECT name, regexp_replace(upper(name), '[^A-Z]',
+                      '', 'g') AS s FROM tn),
+            mm AS (SELECT name, s,
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(s, '[BFPV]', '1', 'g'),
+                    '[CGJKQSXZ]', '2', 'g'), '[DT]', '3', 'g'),
+                    'L', '4', 'g'), '[MN]', '5', 'g'), 'R', '6', 'g'),
+                    '[AEIOUYHW]', '0', 'g') AS d1 FROM u),
+            coded AS (SELECT name,
+                CASE WHEN s = '' THEN ''
+                     ELSE s[1] || substr(replace(substr(
+                          {_SOUNDEX_COLLAPSE_SQL}, 2), '0', '')
+                          || '000', 1, 3) END AS code FROM mm),
+            fl AS (SELECT t.a, t.b,
+                       CASE WHEN substr(t.a, 1, 1) = substr(t.b, 1, 1)
+                             AND abs(length(t.a) - length(t.b)) <= 1
+                            THEN 1 ELSE 0 END AS fa,
+                       CASE WHEN ca.code = cb.code THEN 1 ELSE 0 END
+                           AS fb
+                   FROM truth t
+                   JOIN coded ca ON ca.name = t.a
+                   JOIN coded cb ON cb.name = t.b),
+            c AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+                      CAST(sum(fa) AS BIGINT) AS na,
+                      CAST(sum(fb) AS BIGINT) AS nb,
+                      CAST(sum(fa * fb) AS BIGINT) AS m FROM fl)
+            SELECT nt AS n_truth, na AS n_a, nb AS n_b, m AS n_both,
+                   CAST((na + 1) * (nb + 1) AS DOUBLE)
+                       / CAST(m + 1 AS DOUBLE) - 1.0 AS chapman_est,
+                   (CAST((na + 1) * (nb + 1) AS DOUBLE)
+                        / CAST(m + 1 AS DOUBLE) - 1.0)
+                       / CAST(nt AS DOUBLE) AS est_over_truth
+            FROM c
+        """,
+        "runs_test_revenue": """
+            WITH d AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT)
+                           // 86400000000 AS day,
+                           CAST(round(o_totalprice * 100) AS BIGINT)
+                               AS cents
+                       FROM orders),
+            s AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents
+                  FROM d GROUP BY day),
+            nn0 AS (SELECT count(*) AS n FROM s),
+            med AS (SELECT cents AS m FROM s, nn0
+                    QUALIFY row_number() OVER (ORDER BY cents, day)
+                        = (nn0.n + 1) // 2),
+            f AS (SELECT day, CASE WHEN s.cents > med.m THEN 1
+                      ELSE 0 END AS sgn
+                  FROM s, med WHERE s.cents <> med.m),
+            r AS (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS p
+                  FROM f),
+            c AS (SELECT CAST(sum(sgn) AS BIGINT) AS n1,
+                      CAST(count(*) - sum(sgn) AS BIGINT) AS n2,
+                      CAST(1 + sum(CASE WHEN p IS NOT NULL
+                               AND sgn <> p THEN 1 ELSE 0 END)
+                           AS BIGINT) AS runs
+                  FROM r)
+            SELECT n1 AS n_above, n2 AS n_below, runs AS n_runs,
+                   2.0 * n1 * n2 / CAST(n1 + n2 AS DOUBLE) + 1.0
+                       AS mu,
+                   (CAST(runs AS DOUBLE)
+                    - (2.0 * n1 * n2 / CAST(n1 + n2 AS DOUBLE)
+                       + 1.0))
+                   / sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                          / (CAST(n1 + n2 AS DOUBLE)
+                             * CAST(n1 + n2 AS DOUBLE)
+                             * CAST(n1 + n2 - 1 AS DOUBLE))) AS z
+            FROM c
         """,
     }
 

@@ -2307,3 +2307,52 @@ def hill_tail_index(ds: ray.data.Dataset, value_col: str = "n_chars",
         "mean_log_ratio": [mean_log],
         "tail_alpha": [1.0 / mean_log if mean_log > 0
                        else float("inf")]})
+
+
+def welch_t_by_group(ds: ray.data.Dataset, value_col: str,
+                     group_col: str) -> pd.DataFrame:
+    """One-vs-rest Welch t-test per group on an integer-valued column
+    — the parametric mean-shift companion to the exact-integer KS
+    screen (``grouped_ks_fdr``): unequal variances, Welch-
+    Satterthwaite degrees of freedom. Moments are EXACT integers from
+    one streaming pass (n, Σx, Σx² per group); the t statistic and df
+    are the only floats, built as the identical expression on both
+    sides (tolerance-registered — sqrt/compounded division ulps).
+    Output per group: (group, n_g, n_rest, mean_g, mean_rest,
+    t_stat, df)."""
+    import math
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b[value_col].to_numpy().astype(np.int64)
+        g = pd.DataFrame({"g": b[group_col].to_numpy(), "n": 1,
+                          "sx": x, "sxx": x * x})
+        return g.groupby("g", as_index=False)[["n", "sx", "sxx"]].sum()
+
+    parts = ds.select_columns([value_col, group_col]).map_batches(
+        partial, batch_format="pandas", batch_size=None).to_pandas()
+    agg = parts.groupby("g", as_index=False)[["n", "sx", "sxx"]].sum()
+    tn = int(agg["n"].sum())
+    tsx = int(agg["sx"].sum())
+    tsxx = int(agg["sxx"].sum())
+    rows = []
+    for _, r in agg.iterrows():
+        n1, sx1, sxx1 = int(r["n"]), int(r["sx"]), int(r["sxx"])
+        n2, sx2, sxx2 = tn - n1, tsx - sx1, tsxx - sxx1
+        m1 = float(sx1) / float(n1)
+        m2 = float(sx2) / float(n2)
+        v1 = (float(sxx1) - float(sx1) * float(sx1) / float(n1)) \
+            / float(n1 - 1)
+        v2 = (float(sxx2) - float(sx2) * float(sx2) / float(n2)) \
+            / float(n2 - 1)
+        se1 = v1 / float(n1)
+        se2 = v2 / float(n2)
+        t = (m1 - m2) / math.sqrt(se1 + se2)
+        # explicit multiply, not **2: libm pow(x,2) can differ from
+        # x·x in the last ulp, and the SQL twin multiplies
+        df = (se1 + se2) * (se1 + se2) \
+            / (se1 * se1 / float(n1 - 1) + se2 * se2 / float(n2 - 1))
+        rows.append((r["g"], n1, n2, m1, m2, t, df))
+    out = pd.DataFrame(rows, columns=[
+        "group", "n_g", "n_rest", "mean_g", "mean_rest", "t_stat",
+        "df"]).astype({"n_g": "int64", "n_rest": "int64"})
+    return out.sort_values("group").reset_index(drop=True)

@@ -2404,3 +2404,48 @@ def rolling_slope(ds: ray.data.Dataset, window_days: int = 28,
     return pd.DataFrame(rows, columns=["day", "cents", "n_win",
                                        "slope"]).astype(
         {"day": "int64", "cents": "int64", "n_win": "int64"})
+
+
+def runs_test(ds: ray.data.Dataset, ts_col: str = "o_orderdate",
+              value_col: str = "o_totalprice") -> pd.DataFrame:
+    """Wald-Wolfowitz runs test of the daily revenue series around
+    its median — is the above/below-median sequence RANDOM, or does
+    it trend/cycle (too few runs) or oscillate (too many)? The
+    distribution-free serial-dependence screen before any trend
+    claim.
+
+    Deterministic recipe (SQL-replayable): the median is the
+    quantile_disc(0.5) order statistic (ties by day); days EQUAL to
+    the median drop (the standard tie handling, documented); the run
+    count is 1 + sign changes in day order (exact int via a lag
+    census); μ = 2n₁n₂/(n₁+n₂) + 1 and σ² =
+    2n₁n₂(2n₁n₂−n₁−n₂)/((n₁+n₂)²(n₁+n₂−1)) are the closed forms,
+    and z = (R − μ)/σ is the only compounded float. O(days) driver
+    ints over the additive daily fold. Output one row: (n_above,
+    n_below, n_runs, mu, z)."""
+    import math
+
+    days, cents = _daily_cents_series(ds, ts_col, value_col)
+    n = len(days)
+    order = np.lexsort((days, cents))
+    med = int(cents[order[(n - 1) // 2]])
+    signs = [1 if int(c) > med else 0 for c in cents if int(c) != med]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    if n1 == 0 or n2 == 0:
+        return pd.DataFrame({
+            "n_above": pd.Series([n1], dtype="int64"),
+            "n_below": pd.Series([n2], dtype="int64"),
+            "n_runs": pd.Series([1 if signs else 0], dtype="int64"),
+            "mu": [float("nan")], "z": [float("nan")]})
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    nn = n1 + n2
+    mu = 2.0 * n1 * n2 / float(nn) + 1.0
+    var = (2.0 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+           / (float(nn) * float(nn) * float(nn - 1)))
+    z = (float(runs) - mu) / math.sqrt(var)
+    return pd.DataFrame({
+        "n_above": pd.Series([n1], dtype="int64"),
+        "n_below": pd.Series([n2], dtype="int64"),
+        "n_runs": pd.Series([runs], dtype="int64"),
+        "mu": [mu], "z": [z]})
